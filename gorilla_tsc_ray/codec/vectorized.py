@@ -1,0 +1,338 @@
+"""NumPy-accelerated Gorilla v2 encode/decode for whole series.
+
+Produces bit-identical output to the streaming classes in ``stream.py``
+(which mirror ``GorillaCompressor.java`` / ``GorillaDecompressor.java``) for
+the default LastValue predictor; equivalence is enforced by tests.
+
+Design: the per-point work is split into
+  1. fully-vectorized analysis — delta-of-delta + zigzag + bucket
+     classification (``GorillaCompressor.java:99-143``) and XOR/leading-zero/
+     trailing-zero extraction (``ValueCompressor.java:32-52``) over the whole
+     series at once;
+  2. a minimal Python loop only for the sequential leading/trailing-zero
+     *window* state machine (data-dependent; the only non-vectorizable part);
+  3. a vectorized MSB-first bit packer that scatters variable-width codes
+     into 64-bit words with ``np.bitwise_or.reduceat`` (the word layout of
+     ``LongArrayOutput.java:115-145``, including the trailing flush word).
+
+Decode is a tight Python loop over pre-converted machine ints (bitstream
+parsing is inherently sequential); DifferentialFCM series fall back to the
+streaming classes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M32 = (1 << 32) - 1
+_M64 = (1 << 64) - 1
+_U64 = np.uint64
+FIRST_DELTA_BITS = 27
+EMPTY_BLOCK_SENTINEL = (1 << 27) - 1
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (0 → 0)."""
+    x = x.astype(np.uint64, copy=True)
+    n = np.zeros(x.shape, dtype=np.uint64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        s = _U64(shift)
+        big = (x >> s) != 0
+        n[big] += s
+        x = np.where(big, x >> s, x)
+    n[x != 0] += _U64(1)
+    return n
+
+
+def _pack_codes(vals: np.ndarray, nbits: np.ndarray, closed: bool):
+    """Pack variable-width MSB-first codes into 64-bit words.
+
+    ``vals`` uint64, ``nbits`` uint64 (0..64; 0-bit codes are skipped by
+    masking).  Returns (words uint64 ndarray, total_bits int) replicating the
+    exact ``getLongArray`` length semantics: a closed block is
+    ``total_bits//64 + 2`` words (auto-flipped full words + flushed partial +
+    fresh zero word, ``LongArrayOutput.java:136-145``); a snapshot is
+    ``total_bits//64 + 1`` words.
+    """
+    nbits = nbits.astype(np.uint64)
+    vals = vals.astype(np.uint64)
+    # mask values to their width (writeBits does this; avoids stray bits)
+    mask = np.where(
+        nbits >= _U64(64),
+        _U64(_M64),
+        (_U64(1) << np.minimum(nbits, _U64(63))) - _U64(1),
+    )
+    vals = vals & mask
+
+    ends = np.cumsum(nbits, dtype=np.uint64)
+    total_bits = int(ends[-1]) if len(ends) else 0
+    starts = ends - nbits
+    w = (starts >> _U64(6)).astype(np.int64)
+    s = starts & _U64(63)
+    end_in_word = s + nbits
+
+    no_spill = end_in_word <= _U64(64)
+    shift_a = np.where(no_spill, _U64(64) - end_in_word, _U64(0)) & _U64(63)
+    spill = np.where(no_spill, _U64(0), end_in_word - _U64(64))
+    part1 = np.where(no_spill, vals << shift_a, vals >> spill)
+
+    n_words_data = (total_bits + 63) // 64
+    n_words = total_bits // 64 + (2 if closed else 1)
+    words = np.zeros(max(n_words, n_words_data), dtype=np.uint64)
+
+    def _scatter_or(idx: np.ndarray, contrib: np.ndarray) -> None:
+        if len(idx) == 0:
+            return
+        # idx is non-decreasing (codes are in stream order)
+        change = np.flatnonzero(np.diff(idx)) + 1
+        starts_idx = np.concatenate(([0], change))
+        reduced = np.bitwise_or.reduceat(contrib, starts_idx)
+        words[idx[starts_idx]] |= reduced
+
+    _scatter_or(w, part1)
+    spilled = ~no_spill
+    if spilled.any():
+        part2 = (vals[spilled] << ((_U64(64) - spill[spilled]) & _U64(63)))
+        _scatter_or(w[spilled] + 1, part2)
+    return words[:n_words], total_bits
+
+
+def _timestamp_codes(block_ts: int, ts: np.ndarray):
+    """Vectorized ``compressTimestamp`` (``GorillaCompressor.java:99-143``)
+    for points 1..n-1.  Returns (code uint64, nbits uint64) arrays.
+
+    Note ``storedDelta`` is only assigned on nonzero dod in the reference
+    (``:139``) but since dod==0 means newDelta == storedDelta, the stored
+    delta always equals the previous newDelta — so a plain double diff is
+    exact.  Java ``(int)`` casts wrap at 32 bits; replicated via int32 numpy
+    arithmetic.
+    """
+    n = len(ts)
+    first_delta = np.int64(ts[0] - block_ts).astype(np.int32)
+    deltas32 = np.diff(ts).astype(np.int32)  # (int)(ts - storedTs), wraps
+    prev = np.concatenate(([first_delta], deltas32[:-1]))
+    dod = (deltas32 - prev).astype(np.int32)  # int32 wraparound
+
+    zig = ((dod.astype(np.int32) << 1) ^ (dod >> 31)).view(np.uint32)
+    zd = (zig - np.uint32(1)).astype(np.uint64)  # deltaD-- (only used dod!=0)
+
+    code = np.empty(n - 1, dtype=np.uint64)
+    bits = np.empty(n - 1, dtype=np.uint64)
+    zero = dod == 0
+    b7 = (~zero) & (zd >= _U64(1)) & (zd <= _U64(127))
+    b9 = (~zero) & (zd >= _U64(128)) & (zd <= _U64(511))
+    b12 = (~zero) & (zd >= _U64(512)) & (zd <= _U64(4095))
+    b32 = (~zero) & ~(b7 | b9 | b12)  # incl. zd==0 (dod==-1): bitsRequired 0
+
+    code[zero] = 0
+    bits[zero] = 1
+    code[b7] = zd[b7] | _U64(0x02 << 7)
+    bits[b7] = 9
+    code[b9] = zd[b9] | _U64(0x06 << 9)
+    bits[b9] = 12
+    code[b12] = zd[b12] | _U64(0x0E << 12)
+    bits[b12] = 16
+    code[b32] = zd[b32] | _U64(0x0F << 32)
+    bits[b32] = 36
+    return code, bits, int(first_delta)
+
+
+def _value_codes(value_bits: np.ndarray):
+    """XOR value coding for points 1..n-1 (``ValueCompressor.java:32-91``),
+    LastValue predictor (xor chain = v[i] ^ v[i-1]).  Returns two code
+    streams per point (control/meta, payload)."""
+    v = value_bits.astype(np.uint64)
+    xor = v[1:] ^ v[:-1]
+    m = len(xor)
+    lz_a = (_U64(64) - _bit_length_u64(xor)).astype(np.int64)
+    low = xor & (~xor + _U64(1))  # xor & -xor
+    tz_a = (_bit_length_u64(low).astype(np.int64) - 1)
+
+    code_a = np.zeros(m, dtype=np.uint64)
+    bits_a = np.ones(m, dtype=np.uint64)  # zero-xor → single clear bit
+    code_b = np.zeros(m, dtype=np.uint64)
+    bits_b = np.zeros(m, dtype=np.uint64)
+
+    nz = np.flatnonzero(xor)
+    if len(nz):
+        # sequential window state machine — the only Python loop
+        xor_l = xor[nz].tolist()
+        lz_l = lz_a[nz].tolist()
+        tz_l = tz_a[nz].tolist()
+        idx_l = nz.tolist()
+        ca, ba, cb, bb = [], [], [], []
+        sL, sT = 1 << 30, 0
+        for x, l, t in zip(xor_l, lz_l, tz_l):
+            if l >= sL and t >= sT:
+                sig = 64 - sL - sT
+                ca.append(2)          # '1' then '0' control bits
+                ba.append(2)
+                cb.append((x >> sT) & ((1 << sig) - 1))
+                bb.append(sig)
+            else:
+                sig = 64 - l - t
+                ca.append((0b11 << 12) | (l << 6) | (sig - 1))
+                ba.append(14)         # '11' + 6-bit lz + 6-bit (sig-1)
+                cb.append(x >> t)
+                bb.append(sig)
+                sL, sT = l, t
+        code_a[idx_l] = np.array(ca, dtype=np.uint64)
+        bits_a[idx_l] = np.array(ba, dtype=np.uint64)
+        code_b[idx_l] = np.array(cb, dtype=np.uint64)
+        bits_b[idx_l] = np.array(bb, dtype=np.uint64)
+    return code_a, bits_a, code_b, bits_b
+
+
+def encode_series(block_ts: int, ts: np.ndarray, value_bits: np.ndarray,
+                  closed: bool = True):
+    """Encode one series into a Gorilla v2 block.
+
+    ``ts``: int64 epoch values (strictly increasing; ``ts[0] > block_ts``
+    required by the format's zero-timestamp sentinel).  ``value_bits``:
+    uint64 raw value bit patterns.  Returns ``(words, total_bits)`` with
+    ``words`` a uint64 ndarray laid out exactly like the reference
+    ``getLongArray`` snapshot.
+    """
+    ts = np.asarray(ts, dtype=np.int64)
+    value_bits = np.asarray(value_bits).astype(np.uint64, copy=False)
+    n = len(ts)
+    if n == 0:
+        vals = np.array([int(block_ts) & _M64, 0x0F, 0xFFFFFFFF, 0], dtype=np.uint64)
+        bits = np.array([64, 4, 32, 1], dtype=np.uint64)
+        return _pack_codes(vals, bits, closed)
+
+    tcode, tbits, first_delta = _timestamp_codes(block_ts, ts)
+    vca, vba, vcb, vbb = _value_codes(value_bits)
+
+    m = n - 1
+    body_vals = np.empty(3 * m, dtype=np.uint64)
+    body_bits = np.empty(3 * m, dtype=np.uint64)
+    body_vals[0::3] = tcode
+    body_bits[0::3] = tbits
+    body_vals[1::3] = vca
+    body_bits[1::3] = vba
+    body_vals[2::3] = vcb
+    body_bits[2::3] = vbb
+
+    head_vals = np.array(
+        [int(block_ts) & _M64, first_delta & ((1 << FIRST_DELTA_BITS) - 1),
+         int(value_bits[0])], dtype=np.uint64)
+    head_bits = np.array([64, FIRST_DELTA_BITS, 64], dtype=np.uint64)
+    tail_vals = np.array([0x0F, 0xFFFFFFFF, 0], dtype=np.uint64)
+    tail_bits = np.array([4, 32, 1], dtype=np.uint64)
+    if not closed:
+        tail_vals = tail_vals[:0]
+        tail_bits = tail_bits[:0]
+
+    vals = np.concatenate([head_vals, body_vals, tail_vals])
+    bits = np.concatenate([head_bits, body_bits, tail_bits])
+    return _pack_codes(vals, bits, closed)
+
+
+def decode_series(words, n_points: int | None = None):
+    """Decode a Gorilla v2 block (LastValue predictor) into
+    ``(ts: int64 ndarray, value_bits: uint64 ndarray)``.
+
+    Tight-loop mirror of ``GorillaDecompressor.java:42-112`` +
+    ``ValueDecompressor.java:32-54`` over machine ints.  Stops at the EOF
+    marker, or after ``n_points`` pairs when given (for unclosed snapshots).
+    """
+    if isinstance(words, (bytes, bytearray, memoryview)):
+        wl = np.frombuffer(words, dtype=">u8").astype(np.uint64).tolist()
+    else:
+        wl = np.asarray(words, dtype=np.uint64).tolist()
+    nw = len(wl)
+    pos = 0
+    cur = wl[0]
+    pos = 1
+    bl = 64
+
+    def getbits(b):
+        nonlocal cur, pos, bl
+        if b <= bl:
+            value = (cur >> (bl - b)) & ((1 << b) - 1)
+            bl -= b
+            if bl == 0 and pos < nw:
+                cur = wl[pos]
+                pos += 1
+                bl = 64
+        else:
+            value = cur & ((1 << bl) - 1)
+            b -= bl
+            cur = wl[pos]
+            pos += 1
+            bl = 64
+            value = (value << b) | (cur >> (64 - b))
+            bl = 64 - b
+        return value
+
+    block_ts = getbits(64)
+    if block_ts >= (1 << 63):
+        block_ts -= 1 << 64
+
+    out_ts: list[int] = []
+    out_v: list[int] = []
+
+    first_delta = getbits(FIRST_DELTA_BITS)
+    if first_delta == EMPTY_BLOCK_SENTINEL:
+        return (np.array([], dtype=np.int64), np.array([], dtype=np.uint64))
+    stored_val = getbits(64)
+    stored_ts = block_ts + first_delta
+    stored_delta = first_delta
+    out_ts.append(stored_ts)
+    out_v.append(stored_val)
+
+    sL, sT = 1 << 30, 0
+    limit = n_points if n_points is not None else -1
+    while limit < 0 or len(out_ts) < limit:
+        # timestamp control: up to 4 bits, stop at first clear bit
+        ctrl = 0
+        for _ in range(4):
+            ctrl <<= 1
+            if getbits(1):
+                ctrl |= 1
+            else:
+                break
+        if ctrl == 0x00:
+            pass  # dod == 0
+        else:
+            if ctrl == 0x02:
+                dd = getbits(7)
+            elif ctrl == 0x06:
+                dd = getbits(9)
+            elif ctrl == 0x0E:
+                dd = getbits(12)
+            else:  # 0x0F
+                dd = getbits(32)
+                if dd == 0xFFFFFFFF:
+                    break
+            ddn = (dd + 1) & _M32
+            dod = (ddn >> 1) ^ (_M32 if ddn & 1 else 0)
+            if dod >= (1 << 31):
+                dod -= 1 << 32
+            stored_delta += dod
+        stored_ts += stored_delta
+        # value
+        if getbits(1):
+            if getbits(1):
+                sL = getbits(6)
+                sig = getbits(6) + 1
+                sT = 64 - sig - sL
+            else:
+                sig = 64 - sL - sT
+            xor = getbits(sig) << sT
+            stored_val ^= xor & _M64
+        out_ts.append(stored_ts)
+        out_v.append(stored_val)
+
+    return (np.array(out_ts, dtype=np.int64), np.array(out_v, dtype=np.uint64))
+
+
+def words_to_payload(words: np.ndarray) -> bytes:
+    """Big-endian serialization of the 64-bit words (the on-disk block
+    ``payload``, per ``LongArrayOutput.getLongArray`` word order)."""
+    return np.asarray(words, dtype=np.uint64).astype(">u8").tobytes()
+
+
+def payload_to_words(payload: bytes) -> np.ndarray:
+    return np.frombuffer(payload, dtype=">u8").astype(np.uint64)
