@@ -1,0 +1,155 @@
+"""Event-stream pipelines over the driver's ``events`` table
+(``event_id, ts: timestamp[us], user_id, event_type, value, props``).
+
+These are the DuckDB-oracle-checked query surface: each function takes
+``sf_dir`` and returns a Ray ``Dataset`` whose rows match the corresponding
+SQL in ``__ray_entry__.oracle_sql()``.
+
+Timestamps are truncated to epoch milliseconds for the codec path (the
+reference format stores millisecond epochs, ``README.adoc:146``; the 27-bit
+first delta bounds a block to ≤ 2**27-2 ms, hence day-bounded blocks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..context import tune_context
+from ..stages.rollup import TIER_MS, cascade_dataset, gapfill_group, rollup_dataset
+from ..stages.series import DAY_MS, decode_blocks_batch, encode_group
+
+EVENT_COLS = ["user_id", "ts", "value"]
+
+
+def _read_points(sf_dir: str):
+    """Column-pruned read + vectorized ms-epoch derivation."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    tune_context()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=EVENT_COLS)
+
+    def to_ms(batch):
+        ts_us = pc.cast(batch["ts"], "int64")  # timestamp[us] → int64 us
+        ts_ms = pc.divide(ts_us, 1000)
+        batch = batch.drop_columns(["ts"]).append_column("ts_ms", ts_ms)
+        return batch
+
+    return ds.map_batches(to_ms, batch_format="pyarrow")
+
+
+def points_roundtrip(sf_dir: str):
+    """Flagship codec gate: events → per-(user, day) Gorilla blocks →
+    decode → points.  The result must equal the input points exactly
+    (bit-exact value round-trip through the compressed representation)."""
+    import pyarrow.compute as pc
+
+    ds = _read_points(sf_dir)
+
+    def add_block(batch):
+        bs = pc.multiply(pc.divide(batch["ts_ms"], DAY_MS), DAY_MS)
+        return batch.append_column("block_start", bs)
+
+    blocks = (
+        ds.map_batches(add_block, batch_format="pyarrow")
+        .groupby(["user_id", "block_start"])
+        .map_groups(encode_group, batch_format="pandas",
+                    fn_kwargs={"key_cols": ["user_id"], "metric": "value"})
+    )
+    points = blocks.map_batches(
+        decode_blocks_batch, batch_format="pandas",
+        fn_kwargs={"key_cols": ["user_id"]},
+    )
+    return points.select_columns(["user_id", "ts_ms", "value"])
+
+
+def encode_blocks(sf_dir: str):
+    """The block store itself (schema per SURVEY.md §1.2) — used by bench
+    and by the compression-ratio metric."""
+    import pyarrow.compute as pc
+
+    ds = _read_points(sf_dir)
+
+    def add_block(batch):
+        bs = pc.multiply(pc.divide(batch["ts_ms"], DAY_MS), DAY_MS)
+        return batch.append_column("block_start", bs)
+
+    return (
+        ds.map_batches(add_block, batch_format="pyarrow")
+        .groupby(["user_id", "block_start"])
+        .map_groups(encode_group, batch_format="pandas",
+                    fn_kwargs={"key_cols": ["user_id"], "metric": "value"})
+    )
+
+
+def _finalize_rollup(ds):
+    """Shared projection: round sum_v to 6 decimals (cross-engine float-sum
+    association differences), drop the internal last_ts column."""
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop(columns=["last_ts"])
+        out["sum_v"] = np.round(out["sum_v"].to_numpy(), 6)
+        return out
+
+    return ds.map_batches(fin, batch_format="pandas")
+
+
+def rollup(sf_dir: str, tier: str):
+    ds = _read_points(sf_dir)
+    rolled = rollup_dataset(ds, key_cols=["user_id"], tier=tier)
+    return _finalize_rollup(
+        rolled).select_columns(["user_id", "bucket_ms", "sum_v", "cnt",
+                                "min_v", "max_v", "last_v"])
+
+
+def rollup_1h_via_cascade(sf_dir: str):
+    """1m → 1h re-aggregation (partial+final over the finer tier; never
+    re-reads raw points).  Must equal the direct 1h rollup — the oracle SQL
+    is the same as ``rollup(sf_dir, "1h")``'s."""
+    ds = _read_points(sf_dir)
+    one_m = rollup_dataset(ds, key_cols=["user_id"], tier="1m")
+    one_h = cascade_dataset(one_m, key_cols=["user_id"], tier="1h")
+    return _finalize_rollup(
+        one_h).select_columns(["user_id", "bucket_ms", "sum_v", "cnt",
+                               "min_v", "max_v", "last_v"])
+
+
+def gapfill(sf_dir: str, tier: str = "1h"):
+    """Gap-filled rollup: every bucket between a user's min and max bucket,
+    cnt=0 / sum_v=0 / LOCF last_v on filled buckets."""
+    ds = _read_points(sf_dir)
+    rolled = rollup_dataset(ds, key_cols=["user_id"], tier=tier)
+    filled = rolled.groupby("user_id").map_groups(
+        gapfill_group, batch_format="pandas",
+        fn_kwargs={"bucket_ms": TIER_MS[tier], "key_cols": ["user_id"]},
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_v"] = np.round(df["sum_v"].to_numpy(), 6)
+        return df
+
+    return filled.map_batches(fin, batch_format="pandas").select_columns(
+        ["user_id", "bucket_ms", "sum_v", "cnt", "last_v", "filled"])
+
+
+def event_gaps(sf_dir: str):
+    """Per-user inter-event gap derivation (ts - lag(ts)); the per-series
+    ordering is restored in-group, never via a global sort."""
+    ds = _read_points(sf_dir)
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts_ms", kind="stable")
+        ts = df["ts_ms"].to_numpy()
+        gap = np.empty(len(ts), dtype=np.float64)
+        gap[0] = np.nan
+        if len(ts) > 1:
+            gap[1:] = np.diff(ts).astype(np.float64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "ts_ms": ts,
+            "gap_ms": gap,
+        })
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")

@@ -1,0 +1,147 @@
+"""Continuous-aggregate rollup stages (1m / 1h / 1d tiers).
+
+The reference library has no aggregation operators (it is a storage codec);
+these stages implement the north-rule tier cascade Ray-Data-first:
+
+- **partial** aggregation inside ``map_batches`` (a combiner: one output row
+  per (key, bucket) per input batch) so the all-to-all groupby shuffle moves
+  partial rows, not raw points;
+- **final** merge per group after ``groupby`` — sum of sums, min of mins,
+  max of maxes, last by max last_ts.  ``last`` is not expressible with Ray's
+  built-in aggregates, hence the explicit partial/final kernels
+  (SURVEY.md §2b "Aggregations").
+- **cascade**: the 1h/1d tiers re-aggregate the 1m partials — coarser tiers
+  never re-read raw points (partial+final re-aggregation; retention can drop
+  raw blocks once coarser tiers are materialized).
+
+All kernels are vectorized pandas/numpy; no Python row loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+MINUTE_MS = 60_000
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+TIER_MS = {"1m": MINUTE_MS, "1h": HOUR_MS, "1d": DAY_MS}
+
+PARTIAL_COLS = ["sum_v", "cnt", "min_v", "max_v", "last_ts", "last_v"]
+
+
+def partial_rollup(df: pd.DataFrame, *, key_cols: list[str], bucket_ms: int,
+                   ts_col: str = "ts_ms", value_col: str = "value") -> pd.DataFrame:
+    """Combiner: per-batch partial aggregate, one row per (key, bucket)."""
+    if len(df) == 0:
+        cols = {c: [] for c in key_cols + ["bucket_ms"] + PARTIAL_COLS}
+        return pd.DataFrame(cols)
+    df = df.sort_values(ts_col, kind="stable")
+    bucket = (df[ts_col].to_numpy() // bucket_ms) * bucket_ms
+    work = pd.DataFrame({
+        "bucket_ms": bucket,
+        "v": df[value_col].to_numpy(),
+        "ts": df[ts_col].to_numpy(),
+    })
+    for c in key_cols:
+        work[c] = df[c].to_numpy()
+    g = work.groupby(key_cols + ["bucket_ms"], sort=False)
+    out = g["v"].agg(sum_v="sum", cnt="count", min_v="min", max_v="max")
+    tail = g[["ts", "v"]].last()  # rows are ts-sorted → last = latest
+    out["last_ts"] = tail["ts"]
+    out["last_v"] = tail["v"]
+    return out.reset_index()
+
+
+def merge_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Final merge of partial rows for ONE (key, bucket) group."""
+    i_last = int(np.argmax(df["last_ts"].to_numpy()))
+    first = df.iloc[:1]
+    out = {c: first[c].to_numpy() for c in df.columns
+           if c not in PARTIAL_COLS}
+    out.update({
+        "sum_v": [float(df["sum_v"].sum())],
+        "cnt": [int(df["cnt"].sum())],
+        "min_v": [float(df["min_v"].min())],
+        "max_v": [float(df["max_v"].max())],
+        "last_ts": [int(df["last_ts"].iloc[i_last])],
+        "last_v": [float(df["last_v"].iloc[i_last])],
+    })
+    return pd.DataFrame(out)
+
+
+def reaggregate_partials(df: pd.DataFrame, *, key_cols: list[str],
+                         bucket_ms: int) -> pd.DataFrame:
+    """Tier cascade combiner: re-bucket finer-tier partial/final rows to a
+    coarser bucket and merge decomposably (sum/sum, min/min, max/max,
+    argmax-last_ts) — runs inside map_batches before the coarse groupby."""
+    if len(df) == 0:
+        return df
+    df = df.copy()
+    df["bucket_ms"] = (df["bucket_ms"].to_numpy() // bucket_ms) * bucket_ms
+    # order by last_ts so .last() picks the argmax within each group
+    df = df.sort_values("last_ts", kind="stable")
+    g = df.groupby(key_cols + ["bucket_ms"], sort=False)
+    out = g.agg(sum_v=("sum_v", "sum"), cnt=("cnt", "sum"),
+                min_v=("min_v", "min"), max_v=("max_v", "max"),
+                last_ts=("last_ts", "last"), last_v=("last_v", "last"))
+    return out.reset_index()
+
+
+def rollup_dataset(points_ds, *, key_cols: list[str], tier: str,
+                   ts_col: str = "ts_ms", value_col: str = "value"):
+    """points Dataset → finalized rollup Dataset for one tier.
+
+    Shuffle economics: the only all-to-all exchange is the groupby on
+    (key, bucket) over *partial* rows; the combiner has already collapsed
+    each input block to ≤ one row per (key, bucket).
+    """
+    bucket_ms = TIER_MS[tier]
+    partial = points_ds.map_batches(
+        partial_rollup,
+        fn_kwargs={"key_cols": key_cols, "bucket_ms": bucket_ms,
+                   "ts_col": ts_col, "value_col": value_col},
+        batch_format="pandas",
+    )
+    return partial.groupby(key_cols + ["bucket_ms"]).map_groups(
+        merge_partials, batch_format="pandas")
+
+
+def cascade_dataset(finer_rollup_ds, *, key_cols: list[str], tier: str):
+    """1m rollup Dataset → coarser tier via partial+final re-aggregation."""
+    bucket_ms = TIER_MS[tier]
+    partial = finer_rollup_ds.map_batches(
+        reaggregate_partials,
+        fn_kwargs={"key_cols": key_cols, "bucket_ms": bucket_ms},
+        batch_format="pandas",
+    )
+    return partial.groupby(key_cols + ["bucket_ms"]).map_groups(
+        merge_partials, batch_format="pandas")
+
+
+def gapfill_group(df: pd.DataFrame, *, bucket_ms: int,
+                  key_cols: list[str]) -> pd.DataFrame:
+    """map_groups UDF: fill empty buckets for ONE series between its min and
+    max bucket.  Filled rows get cnt=0, sum_v=0.0, last_v carried forward
+    (LOCF), ``filled=True``.  A gap in the reference's data model is simply
+    an absent point (SURVEY.md §1.1); gap-fill is an engine-level feature.
+    """
+    df = df.sort_values("bucket_ms", kind="stable")
+    lo = int(df["bucket_ms"].iloc[0])
+    hi = int(df["bucket_ms"].iloc[-1])
+    grid = np.arange(lo, hi + bucket_ms, bucket_ms, dtype=np.int64)
+    present = pd.Index(df["bucket_ms"].to_numpy())
+    pos = present.get_indexer(grid)  # -1 where missing
+    missing = pos < 0
+    out = pd.DataFrame({"bucket_ms": grid})
+    for c in key_cols:
+        out[c] = df[c].iloc[0]
+    take = np.where(missing, 0, pos)
+    out["sum_v"] = np.where(missing, 0.0, df["sum_v"].to_numpy()[take])
+    out["cnt"] = np.where(missing, 0, df["cnt"].to_numpy()[take])
+    # LOCF for last_v: index of the most recent present bucket ≤ grid point
+    src = np.maximum.accumulate(np.where(missing, -1, np.arange(len(grid))))
+    src_pos = pos[src]  # src >= 0 always (first grid point is present)
+    out["last_v"] = df["last_v"].to_numpy()[src_pos]
+    out["filled"] = missing
+    return out[key_cols + ["bucket_ms", "sum_v", "cnt", "last_v", "filled"]]

@@ -1,0 +1,117 @@
+"""Ray Data stages: per-series Gorilla block encode / decode.
+
+The reference codec is single-threaded per block with all state
+instance-scoped (``GorillaCompressor.java:13-26``) — blocks are
+embarrassingly parallel, which is exactly the grain Ray Data wants:
+columnar Arrow between stages, per-series sequential only inside one
+grouped call.
+
+Partitioning contract (documented per SURVEY.md §2b): series are keyed by
+``(key, block_start)`` where ``block_start = ts - ts % block_span_ms`` and
+``block_span_ms <= 2**27 - 2`` (the 27-bit first-delta limit,
+``GorillaCompressor.java:18``) — so one group is bounded to one series-day
+regardless of how long the underlying series is, which bounds group
+materialization and tames skew before the groupby shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..codec import decode_series, encode_series, payload_to_words, words_to_payload
+
+DAY_MS = 86_400_000
+CODEC_NAME = "gorilla2"
+
+# Block-store schema (SURVEY.md §1.2): one row per (key, block_start) block.
+BLOCK_COLUMNS = ["key", "metric", "block_start", "n_points", "codec", "payload"]
+
+
+def add_block_key(batch, ts_col: str = "ts_ms", block_span_ms: int = DAY_MS):
+    """pyarrow map_batches UDF: add ``block_start`` from an int64 epoch-ms
+    column.  Vectorized, zero-copy in."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ts = batch[ts_col]
+    block_start = pc.multiply(pc.divide(ts, block_span_ms), block_span_ms)
+    return batch.append_column("block_start", block_start)
+
+
+def encode_group(df: pd.DataFrame, *, key_cols: list[str], ts_col: str = "ts_ms",
+                 value_col: str = "value", metric: str = "value",
+                 value_kind: str = "double") -> pd.DataFrame:
+    """map_groups UDF: one (key..., block_start) group → one block row.
+
+    Sorts by timestamp in-group (per-series order is restored here, never via
+    a global sort — SURVEY.md §4), deduplicates exact-duplicate timestamps
+    (keep first), and encodes with the vectorized codec.
+    """
+    block_start = int(df["block_start"].iloc[0])
+    order = np.argsort(df[ts_col].to_numpy(), kind="stable")
+    ts = df[ts_col].to_numpy()[order].astype(np.int64)
+    if value_kind == "double":
+        vb = df[value_col].to_numpy()[order].astype(np.float64).view(np.uint64)
+    else:
+        vb = df[value_col].to_numpy()[order].astype(np.int64).view(np.uint64)
+    # drop duplicate timestamps (strict in-order append is a format
+    # precondition, README.adoc:150)
+    keep = np.concatenate(([True], np.diff(ts) > 0))
+    ts, vb = ts[keep], vb[keep]
+    # the zero-timestamp sentinel (GorillaCompressor.java:50): a first point
+    # exactly at the block boundary is fine (delta 0), ts==0 is not.
+    if len(ts) and ts[0] == 0:
+        raise ValueError("timestamp 0 is not representable (reserved sentinel)")
+    words, _ = encode_series(block_start, ts, vb)
+    row = {c: [df[c].iloc[0]] for c in key_cols}
+    row.update({
+        "metric": [metric],
+        "block_start": [block_start],
+        "n_points": [len(ts)],
+        "codec": [CODEC_NAME],
+        "value_kind": [value_kind],
+        "payload": [words_to_payload(words)],
+    })
+    return pd.DataFrame(row)
+
+
+def decode_blocks_batch(df: pd.DataFrame, *, key_cols: list[str],
+                        ts_out: str = "ts_ms", value_out: str = "value") -> pd.DataFrame:
+    """map_batches UDF (stateless tasks): decode each block row back into its
+    points.  Mirrors the streaming read path (``GorillaDecompressor.java:42-49``)
+    but emits whole Arrow-backed columns per block."""
+    all_ts: list[np.ndarray] = []
+    all_v: list[np.ndarray] = []
+    key_out: dict[str, list] = {c: [] for c in key_cols}
+    kinds = df["value_kind"] if "value_kind" in df else pd.Series(["double"] * len(df))
+    for i in range(len(df)):
+        payload = df["payload"].iloc[i]
+        n = int(df["n_points"].iloc[i])
+        ts, vb = decode_series(payload_to_words(payload), n_points=n)
+        all_ts.append(ts)
+        if kinds.iloc[i] == "double":
+            all_v.append(vb.view(np.float64))
+        else:
+            all_v.append(vb.view(np.int64).astype(np.float64))
+        for c in key_cols:
+            key_out[c].append(np.full(len(ts), df[c].iloc[i]))
+    if not all_ts:
+        out = {c: [] for c in key_cols}
+        out[ts_out] = np.array([], dtype=np.int64)
+        out[value_out] = np.array([], dtype=np.float64)
+        return pd.DataFrame(out)
+    out = {c: np.concatenate(v) for c, v in key_out.items()}
+    out[ts_out] = np.concatenate(all_ts)
+    out[value_out] = np.concatenate(all_v)
+    return pd.DataFrame(out)
+
+
+def compressed_stats(block_df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch compression metrics: bytes of payload and point counts
+    (drives the bytes/point benchmark figure)."""
+    return pd.DataFrame({
+        "payload_bytes": [int(block_df["payload"].str.len().sum())],
+        "n_points": [int(block_df["n_points"].sum())],
+        "n_blocks": [len(block_df)],
+    })
