@@ -1,0 +1,118 @@
+"""Flagship transcripts pipeline vs DuckDB oracle over the same generated
+Parquet (includes the 5% duplicate file → dedup is exercised end-to-end),
+plus the per-turn text-equality invariant."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from gorilla_tsc_ray.pipelines import ingest
+from gorilla_tsc_ray.sources.transcripts import transcripts_dir
+
+SF = "/root/testdata/sf0.001"
+
+# deduplicated, stably-ordered turns (keep-first on (conv_id, turn_idx))
+DEDUP_CTE = """
+WITH t AS (
+  SELECT conv_id, turn_idx, role, text, tool, epoch_ms(ts) AS ts_ms,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts, turn_idx) AS rn
+  FROM read_parquet('{path}/*.parquet')
+), d AS (SELECT * FROM t WHERE rn = 1)
+"""
+
+METRICS_SQL = DEDUP_CTE + """
+SELECT conv_id, ts_ms, metric, value FROM (
+  SELECT conv_id, ts_ms, 'turn_count' AS metric, 1.0 AS value FROM d
+  UNION ALL
+  SELECT conv_id, ts_ms, 'text_len', CAST(length(text) AS DOUBLE) FROM d
+  UNION ALL
+  SELECT conv_id, ts_ms, 'tool_call', CASE WHEN tool <> '' THEN 1.0 ELSE 0.0 END FROM d
+  UNION ALL
+  SELECT conv_id, ts_ms, 'turn_gap_ms',
+         CAST(ts_ms - lag(ts_ms) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS DOUBLE)
+  FROM d QUALIFY lag(ts_ms) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NOT NULL
+)
+"""
+
+
+def _oracle(sql: str):
+    path = transcripts_dir(SF)
+    return duckdb.sql(sql.format(path=path)).df()
+
+
+def _sorted(df, cols):
+    return df.sort_values(cols).reset_index(drop=True)
+
+
+def test_canonical_turns_text_equality(ray_session):
+    got = _sorted(ingest.canonical_turns(SF).to_pandas(),
+                  ["conv_id", "turn_idx"])
+    exp = _sorted(_oracle(
+        DEDUP_CTE + "SELECT conv_id, turn_idx, role, text, tool, ts_ms FROM d"),
+        ["conv_id", "turn_idx"])
+    assert len(got) == len(exp)
+    for c in ["conv_id", "turn_idx", "role", "text", "tool", "ts_ms"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy(),
+                                      err_msg=f"column {c}")
+
+
+def test_metric_points(ray_session):
+    key = ["conv_id", "metric", "ts_ms"]
+    got = _sorted(ingest.metric_points(SF).to_pandas(), key)
+    exp = _sorted(_oracle(METRICS_SQL), key)
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["value"].to_numpy(),
+                                  exp["value"].to_numpy())
+
+
+@pytest.mark.parametrize("tier,ms", [("1m", 60_000), ("1d", 86_400_000)])
+def test_rollup_tiers(ray_session, tier, ms):
+    sql = METRICS_SQL.replace("SELECT conv_id, ts_ms, metric, value FROM (",
+                              "SELECT conv_id, metric,\n"
+                              f" ts_ms - ts_ms % {ms} AS bucket_ms,\n"
+                              " round(sum(value),6) AS sum_v, count(*) AS cnt,\n"
+                              " min(value) AS min_v, max(value) AS max_v,\n"
+                              " arg_max(value, ts_ms) AS last_v FROM (")
+    sql += " GROUP BY 1, 2, 3"
+    key = ["conv_id", "metric", "bucket_ms"]
+    got = _sorted(ingest.rollup_tier(SF, tier).to_pandas(), key)
+    exp = _sorted(_oracle(sql), key)
+    assert len(got) == len(exp)
+    for c in ["cnt", "min_v", "max_v", "last_v"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy(),
+                                      err_msg=c)
+    np.testing.assert_allclose(got["sum_v"], exp["sum_v"], atol=1e-6, rtol=0)
+
+
+def test_cascade_matches_direct(ray_session):
+    import pandas as pd
+    key = ["conv_id", "metric", "bucket_ms"]
+    direct = _sorted(ingest.rollup_tier(SF, "1h").to_pandas(), key)
+    casc = _sorted(ingest.rollup_cascade(SF, "1h").to_pandas(), key)
+    pd.testing.assert_frame_equal(direct, casc[direct.columns],
+                                  check_exact=False, atol=1e-9)
+
+
+def test_blocks_roundtrip_text_len(ray_session):
+    key = ["conv_id", "ts_ms"]
+    got = _sorted(ingest.blocks_roundtrip(SF, "text_len").to_pandas(), key)
+    exp = _sorted(_oracle(
+        DEDUP_CTE +
+        "SELECT conv_id, 'text_len' AS metric, ts_ms,"
+        " CAST(length(text) AS DOUBLE) AS value FROM d"), key)
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["ts_ms"].to_numpy(), exp["ts_ms"].to_numpy())
+    np.testing.assert_array_equal(got["value"].to_numpy(), exp["value"].to_numpy())
+
+
+def test_ingest_to_store_and_resume_layout(ray_session, tmp_path):
+    out = ingest.ingest_to_store(SF, str(tmp_path))
+    import pyarrow.parquet as pq
+    import glob
+    for name, path in out.items():
+        files = glob.glob(f"{path}/*.parquet")
+        assert files, f"no parquet written for {name}"
+        assert pq.read_table(files[0]).num_rows >= 0
