@@ -1,0 +1,168 @@
+"""Training-data pipelines over ``documents`` and ``embeddings`` —
+dedup family, text analysis, similarity search.
+
+Each function takes ``sf_dir`` → Ray Dataset; oracle SQL lives in
+``__ray_entry__``.  Shuffle discipline: fingerprint/signature columns ride
+the shuffles, never full documents; pair generation happens inside bounded
+buckets (digest / LSH band / label / lang blocks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ..context import tune_context
+from ..stages import dedup as dd
+from ..stages import similarity as sim
+from ..stages import text as tx
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    tune_context()
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------- text analysis ----------
+
+def token_stats(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.token_stats, batch_format="pandas")
+
+
+def quality(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.quality_scores, batch_format="pandas")
+
+
+def lang_id(sf_dir: str):
+    """Actor-pool stage (compiled regexes once per actor)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.LangId, batch_format="pandas", concurrency=2, num_cpus=0.5)
+
+
+def fingerprints(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.fingerprint, batch_format="pandas")
+
+
+# ---------- dedup ----------
+
+def exact_dedup(sf_dir: str):
+    """Exact dedup: content digest → hash-partitioned groupby → keep-first
+    (min doc_id) + group size."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        dd.add_digest, batch_format="pandas")
+    return ds.select_columns(["doc_id", "digest"]).groupby("digest").map_groups(
+        dd.exact_dedup_group, batch_format="pandas",
+        fn_kwargs={"id_col": "doc_id"},
+    ).select_columns(["doc_id", "n_dups"])
+
+
+def minhash_pairs(sf_dir: str, threshold: float = 0.5):
+    """MinHash+LSH near-dup candidates: sign (actor pool) → band rows →
+    ONE groupby on (band, band_hash) → in-bucket pairs → pair dedup."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        dd.MinHasher, batch_format="pandas", concurrency=2, num_cpus=0.5)
+    bands = ds.map_batches(dd.lsh_band_rows, batch_format="pandas")
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        dd.lsh_bucket_pairs, batch_format="pandas",
+        fn_kwargs={"threshold": threshold})
+
+    def first_pair(df: pd.DataFrame) -> pd.DataFrame:
+        return df.iloc[:1][["id_a", "id_b", "est_jaccard"]]
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        first_pair, batch_format="pandas")
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 6):
+    """SimHash near-dup pairs via 16-bit segment blocking (pigeonhole over
+    4 segments covers Hamming ≤ 3 exhaustively; wider distances are
+    best-effort)."""
+    import ray.data  # noqa: F401
+
+    sh = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        dd.simhash_batch, batch_format="pandas")
+    parts = []
+    for s in range(4):
+        seg = sh.groupby(f"seg{s}").map_groups(
+            dd.simhash_segment_pairs, batch_format="pandas",
+            fn_kwargs={"max_hamming": max_hamming})
+        parts.append(seg)
+    allp = parts[0].union(*parts[1:])
+
+    def first_pair(df: pd.DataFrame) -> pd.DataFrame:
+        return df.iloc[:1][["id_a", "id_b", "hamming"]]
+
+    return allp.groupby(["id_a", "id_b"]).map_groups(
+        first_pair, batch_format="pandas")
+
+
+def charset_jaccard(sf_dir: str, threshold: float = 0.8):
+    """Exact char-set Jaccard pairs within language blocks — semantics of
+    DuckDB ``jaccard()`` (oracle-checked)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ds.groupby("lang").map_groups(
+        dd.charset_jaccard_pairs, batch_format="pandas",
+        fn_kwargs={"threshold": threshold},
+    ).select_columns(["id_a", "id_b", "jaccard_sim"])
+
+
+# ---------- similarity search ----------
+
+def _query_vectors(sf_dir: str, n_queries: int = 5) -> dict[int, list[float]]:
+    tb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    df = tb.to_pandas()
+    df = df[df["vec_id"] < n_queries]
+    return {int(r.vec_id): list(r.embedding) for r in df.itertuples()}
+
+
+def knn(sf_dir: str, k: int = 10, n_queries: int = 5):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch matmul +
+    local top-k, final per-query merge."""
+    queries = _query_vectors(sf_dir, n_queries)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cands = ds.map_batches(
+        sim.BruteForceScorer, batch_format="pandas", concurrency=2, num_cpus=0.5,
+        fn_constructor_kwargs={"queries": queries, "k": k})
+    return cands.groupby("query_id").map_groups(
+        sim.topk_merge, batch_format="pandas", fn_kwargs={"k": k})
+
+
+def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 5):
+    """LSH-bucketed ANN: hyperplane buckets, search only the query's bucket
+    (approximate — recall measured in tests, not oracle-compared)."""
+    queries = _query_vectors(sf_dir, n_queries)
+    dim = len(next(iter(queries.values())))
+    hasher = sim.HyperplaneLSH(dim)
+    qdf = pd.DataFrame({"vec_id": list(queries), "embedding": list(queries.values())})
+    qbuckets = dict(zip(hasher(qdf)["vec_id"], hasher(qdf)["bucket"]))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        sim.HyperplaneLSH, batch_format="pandas", concurrency=2, num_cpus=0.5,
+        fn_constructor_kwargs={"dim": dim})
+    wanted = set(int(b) for b in qbuckets.values())
+
+    def in_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["bucket"].isin(wanted)]
+
+    cands = ds.map_batches(in_buckets, batch_format="pandas").map_batches(
+        sim.BruteForceScorer, batch_format="pandas", concurrency=2, num_cpus=0.5,
+        fn_constructor_kwargs={"queries": queries, "k": k})
+    return cands.groupby("query_id").map_groups(
+        sim.topk_merge, batch_format="pandas", fn_kwargs={"k": k})
+
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.3):
+    """Embedding-cosine near-dup pairs within label blocks (label is the
+    natural blocking key in this table; at scale swap for LSH buckets)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return ds.groupby("label").map_groups(
+        sim.cosine_pairs_block, batch_format="pandas",
+        fn_kwargs={"threshold": threshold},
+    ).select_columns(["id_a", "id_b", "cosine"])

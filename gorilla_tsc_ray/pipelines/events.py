@@ -15,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..util import round_half_away
+
 from ..context import tune_context
 from ..stages.rollup import TIER_MS, cascade_dataset, gapfill_group, rollup_dataset
 from ..stages.series import DAY_MS, decode_blocks_batch, encode_group
@@ -89,7 +91,7 @@ def _finalize_rollup(ds):
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         out = df.drop(columns=["last_ts"])
-        out["sum_v"] = np.round(out["sum_v"].to_numpy(), 6)
+        out["sum_v"] = round_half_away(out["sum_v"].to_numpy(), 6)
         return out
 
     return ds.map_batches(fin, batch_format="pandas")
@@ -127,7 +129,7 @@ def gapfill(sf_dir: str, tier: str = "1h"):
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["sum_v"] = np.round(df["sum_v"].to_numpy(), 6)
+        df["sum_v"] = round_half_away(df["sum_v"].to_numpy(), 6)
         return df
 
     return filled.map_batches(fin, batch_format="pandas").select_columns(

@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..util import round_half_away
+
 from ..context import tune_context
 from ..sources.transcripts import transcripts_dir
 from ..stages.metrics import canonical_turns_group, derive_metrics_group
@@ -63,7 +65,7 @@ def canonical_turns(sf_dir: str):
 def _finalize(ds):
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         out = df.drop(columns=["last_ts"])
-        out["sum_v"] = np.round(out["sum_v"].to_numpy(), 6)
+        out["sum_v"] = round_half_away(out["sum_v"].to_numpy(), 6)
         return out
 
     return ds.map_batches(fin, batch_format="pandas")
@@ -131,27 +133,76 @@ def gapfill_tier(sf_dir: str, tier: str = "1h", metric: str = "turn_count"):
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["sum_v"] = np.round(df["sum_v"].to_numpy(), 6)
+        df["sum_v"] = round_half_away(df["sum_v"].to_numpy(), 6)
         return df
 
     return filled.map_batches(fin, batch_format="pandas").select_columns(
         ["conv_id", "metric", "bucket_ms", "sum_v", "cnt", "last_v", "filled"])
 
 
-def ingest_to_store(sf_dir: str, out_root: str):
-    """Materialize the full store: block Parquet + rollup tiers + canonical
-    turns, written as partitioned Parquet (resumable layout — one directory
-    per output, deterministic file naming via Ray's task-indexed parts)."""
-    import ray.data  # noqa: F401
+def _with_day(ds, src_col: str):
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["day"] = (out[src_col].to_numpy() // DAY_MS) * DAY_MS
+        return out
+
+    return ds.map_batches(add, batch_format="pandas")
+
+
+def ingest_to_store(sf_dir: str, out_root: str, resume: bool = True):
+    """Materialize the full store as day-partitioned Parquet (hive layout
+    ``day=<ms>``), with per-partition lineage rows and prune-on-resume:
+    a rerun skips day partitions whose lineage says ``complete`` *before*
+    the shuffle (SURVEY.md §3.4)."""
+    from ..state.lineage import (completed_partitions, new_run_id,
+                                 partition_key_for_day, write_lineage)
+
+    run_id = new_run_id()
+    done = completed_partitions(out_root) if resume else set()
+
+    def not_done(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        if not done:
+            return df
+        day = (df[col].to_numpy() // DAY_MS) * DAY_MS
+        keys = pd.Series(day).map(partition_key_for_day)
+        return df[~keys.isin(done).to_numpy()]
 
     results = {}
-    blocks = gorilla_blocks(sf_dir, metric=None)
-    blocks.write_parquet(f"{out_root}/blocks")
+    blocks = _with_day(gorilla_blocks(sf_dir, metric=None), "block_start")
+    blocks = blocks.map_batches(lambda df: not_done(df, "block_start"),
+                                batch_format="pandas")
+    blocks.write_parquet(f"{out_root}/blocks", partition_cols=["day"])
     results["blocks"] = f"{out_root}/blocks"
-    one_m = rollup_tier(sf_dir, "1m")
-    one_m.write_parquet(f"{out_root}/rollup_1m")
-    results["rollup_1m"] = f"{out_root}/rollup_1m"
+
+    for tier in ("1m", "1h", "1d"):
+        rolled = _with_day(rollup_tier(sf_dir, tier), "bucket_ms")
+        rolled.write_parquet(f"{out_root}/rollup_{tier}",
+                             partition_cols=["day"])
+        results[f"rollup_{tier}"] = f"{out_root}/rollup_{tier}"
+
     turns = canonical_turns(sf_dir)
     turns.write_parquet(f"{out_root}/turns")
     results["turns"] = f"{out_root}/turns"
+
+    # lineage: one row per block-store day partition of THIS run
+    import pyarrow.dataset as pads
+
+    blk = pads.dataset(f"{out_root}/blocks", partitioning="hive").to_table(
+        columns=["day", "n_points", "payload"])
+    dfb = blk.to_pandas()
+    rows = []
+    for day, g in dfb.groupby("day"):
+        rows.append({
+            "partition_key": partition_key_for_day(int(day)),
+            "input_files": [transcripts_dir(sf_dir)],
+            "rows_in": int(g["n_points"].sum()),
+            "rows_out": len(g),
+            "bytes_payload": int(g["payload"].map(len).sum()),
+            "watermark": int(day) + DAY_MS - 1,
+            "status": "complete",
+        })
+    if rows:
+        write_lineage(out_root, rows, run_id)
+    results["lineage_rows"] = len(rows)
+    results["run_id"] = run_id
     return results

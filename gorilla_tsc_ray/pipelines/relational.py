@@ -1,0 +1,83 @@
+"""Classic relational operator demos over the TPC-H-ish tables —
+filter / project / grouped aggregate / sort / limit coverage
+(SURVEY.md §2b rows "per-batch maps", "filters", "aggregations",
+"sorts/limits/top-k")."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..util import round_half_away
+
+from ..context import tune_context
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    tune_context()
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate: vectorized Arrow compute for the
+    derived measures, partial-per-batch combine, small final merge."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def derive(batch):
+        disc_price = pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(1.0, batch["l_discount"]))
+        return batch.append_column("disc_price", disc_price)
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        out = g.agg(sum_qty=("l_quantity", "sum"),
+                    sum_base_price=("l_extendedprice", "sum"),
+                    sum_disc_price=("disc_price", "sum"),
+                    count_order=("l_quantity", "count"))
+        return out.reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.iloc[:1][["l_returnflag", "l_linestatus"]].copy()
+        for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
+            out[c] = round_half_away(df[c].sum(), 4)
+        out["count_order"] = int(df["count_order"].sum())
+        return out
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .map_groups(merge, batch_format="pandas"))
+
+
+def top_event_users(sf_dir: str, k: int = 10):
+    """Grouped count → global top-k with deterministic tie-break."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", sort=False).size().rename(
+            "cnt").reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"].iloc[:1],
+                             "cnt": [int(df["cnt"].sum())]})
+
+    counts = (ds.map_batches(partial, batch_format="pandas")
+              .groupby("user_id").map_groups(merge, batch_format="pandas"))
+    return counts.sort(["cnt", "user_id"], descending=[True, False]).limit(k)
+
+
+def high_value_filter(sf_dir: str, threshold: float = 90.0):
+    """Vectorized predicate filter + projection (prune at read)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t["value"], threshold)),
+        batch_format="pyarrow")

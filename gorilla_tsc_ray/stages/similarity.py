@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is tiny and rides to
+every task once (broadcast via closure capture / ``ray.put`` under the
+hood), each batch does one float64 matmul, and only per-batch top-k
+candidate rows enter the final per-query merge — the shuffle carries
+O(queries × k × batches) candidate rows, never the corpus.
+
+Scale path: random-hyperplane LSH bucketing (``lsh_bucket_knn``) — probes
+only matching buckets; the partitioning assumption is that a bucket fits a
+single group task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..util import round_half_away
+
+
+def _stack_embeddings(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norm, 1e-300)
+
+
+class BruteForceScorer:
+    """Actor-pool stage: normalized query matrix prepared once per actor;
+    each batch emits its top-k candidates per query."""
+
+    def __init__(self, queries: dict[int, list[float]], k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+        self.qids = np.array(sorted(queries), dtype=np.int64)
+        self.qm = _normalize(np.stack([np.asarray(queries[q], np.float64)
+                                       for q in self.qids]))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_stack_embeddings(df[self.vec_col]))
+        scores = self.qm @ m.T  # (nq, nb)
+        ids = df[self.id_col].to_numpy()
+        k = min(self.k, scores.shape[1])
+        top = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            out_q.append(np.full(k, self.qids[qi]))
+            out_id.append(ids[top[qi]])
+            out_s.append(scores[qi, top[qi]])
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q).astype(np.int64),
+            "vec_id": np.concatenate(out_id).astype(np.int64),
+            "score": np.concatenate(out_s),
+        })
+
+
+def topk_merge(df: pd.DataFrame, *, k: int = 10) -> pd.DataFrame:
+    """Final per-query merge of batch-local candidates (deterministic
+    tie-break on vec_id)."""
+    df = df.sort_values(["score", "vec_id"], ascending=[False, True],
+                        kind="stable").iloc[:k]
+    out = df.copy()
+    out["score"] = round_half_away(out["score"].to_numpy(), 6)
+    return out[["query_id", "vec_id", "score"]]
+
+
+def cosine_pairs_block(df: pd.DataFrame, *, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       threshold: float = 0.95) -> pd.DataFrame:
+    """Embedding near-duplicate pairs within ONE block (e.g. a label or LSH
+    bucket): all-pairs cosine ≥ threshold."""
+    n = len(df)
+    empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                          "id_b": np.array([], dtype=np.int64),
+                          "cosine": np.array([], dtype=np.float64)})
+    if n < 2:
+        return empty
+    df = df.sort_values(id_col, kind="stable")
+    m = _normalize(_stack_embeddings(df[vec_col]))
+    sim = m @ m.T
+    ia, ib = np.triu_indices(n, k=1)
+    keep = sim[ia, ib] >= threshold
+    if not keep.any():
+        return empty
+    ids = df[id_col].to_numpy()
+    return pd.DataFrame({
+        "id_a": ids[ia[keep]].astype(np.int64),
+        "id_b": ids[ib[keep]].astype(np.int64),
+        "cosine": round_half_away(sim[ia, ib][keep], 6),
+    })
+
+
+class HyperplaneLSH:
+    """Actor-pool stage: seeded random hyperplanes drawn once per actor;
+    adds an int64 ``bucket`` column (sign pattern of projections)."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 11,
+                 vec_col: str = "embedding") -> None:
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.vec_col = vec_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        m = _stack_embeddings(df[self.vec_col])
+        signs = (m @ self.planes) > 0
+        bucket = np.zeros(len(df), dtype=np.int64)
+        for j in range(signs.shape[1]):
+            bucket |= signs[:, j].astype(np.int64) << j
+        out = df.copy()
+        out["bucket"] = bucket
+        return out

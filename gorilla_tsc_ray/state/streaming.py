@@ -1,0 +1,161 @@
+"""Streaming ingest: actor pool holding open Gorilla blocks + watermarks.
+
+Batch-mode encode uses ``groupby(...).map_groups`` (Dataset API).  True
+streaming append — an unbounded source with late data — is one of the few
+things the Dataset API can't express, so this module drops to raw Ray
+actors (the documented last resort, SURVEY.md §2b "custom operators"):
+
+- ``StreamingBlockEncoder`` actors each own a disjoint hash partition of
+  series keys.  Per (key, metric, block_start) they hold an open
+  ``GorillaCompressor`` (mid-stream snapshots are legal — the reference's
+  ``getLongArray`` works without ``close()``, ``LongArrayOutput.java:141-145``,
+  test ``EncodeGorillaTest.java:484-500``) plus a per-partition watermark.
+- Points older than the partition watermark are rejected to a late-data
+  side count instead of corrupting a sealed stream (the format forbids
+  out-of-order appends, ``README.adoc:150``).
+- ``snapshot()`` returns decodable open-block payloads → checkpointing;
+  ``seal()`` closes blocks and emits final rows.
+
+The router hash-partitions on the series key so a series always lands on
+the same actor — the partitioning assumption this operator relies on.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from ..codec import GorillaCompressor, words_to_bytes
+
+DAY_MS = 86_400_000
+
+
+def _hash_key(key: str) -> int:
+    return zlib.crc32(key.encode())
+
+
+class _EncoderCore:
+    """Plain-Python core (testable without Ray); the Ray actor wraps it."""
+
+    def __init__(self, block_span_ms: int = DAY_MS,
+                 allowed_lateness_ms: int = 0) -> None:
+        self.block_span_ms = block_span_ms
+        self.allowed_lateness_ms = allowed_lateness_ms
+        self.open: dict[tuple, GorillaCompressor] = {}
+        self.meta: dict[tuple, dict] = {}
+        self.watermark: dict[tuple, int] = {}  # per (key, metric)
+        self.late_count = 0
+        self.rows_in = 0
+
+    def append(self, key: str, metric: str, ts: int, value_bits: int) -> bool:
+        series = (key, metric)
+        wm = self.watermark.get(series, -1)
+        if ts <= wm - self.allowed_lateness_ms or (ts <= wm):
+            self.late_count += 1
+            return False
+        block_start = ts - ts % self.block_span_ms
+        bkey = (key, metric, block_start)
+        comp = self.open.get(bkey)
+        if comp is None:
+            comp = GorillaCompressor(block_start)
+            self.open[bkey] = comp
+            self.meta[bkey] = {"n_points": 0}
+        comp.add_value(ts, value_bits)
+        self.meta[bkey]["n_points"] += 1
+        self.watermark[series] = ts
+        self.rows_in += 1
+        return True
+
+    def append_batch(self, keys, metrics, ts_arr, bits_arr) -> int:
+        accepted = 0
+        for k, m, t, b in zip(keys, metrics, ts_arr, bits_arr):
+            accepted += self.append(k, m, int(t), int(b))
+        return accepted
+
+    def snapshot(self) -> list[dict]:
+        """Open-block checkpoint: decodable payloads WITHOUT closing."""
+        rows = []
+        for (key, metric, block_start), comp in self.open.items():
+            rows.append({
+                "key": key, "metric": metric, "block_start": block_start,
+                "n_points": self.meta[(key, metric, block_start)]["n_points"],
+                "payload": words_to_bytes(comp.out.to_words()),
+                "closed": False,
+                "watermark": self.watermark.get((key, metric), -1),
+            })
+        return rows
+
+    def seal(self) -> list[dict]:
+        """Close all open blocks and emit final rows (EOF-terminated)."""
+        rows = []
+        for bkey, comp in list(self.open.items()):
+            key, metric, block_start = bkey
+            comp.close()
+            rows.append({
+                "key": key, "metric": metric, "block_start": block_start,
+                "n_points": self.meta[bkey]["n_points"],
+                "payload": words_to_bytes(comp.out.to_words()),
+                "closed": True,
+                "watermark": self.watermark.get((key, metric), -1),
+            })
+            del self.open[bkey]
+            del self.meta[bkey]
+        return rows
+
+    def stats(self) -> dict:
+        return {"rows_in": self.rows_in, "late": self.late_count,
+                "open_blocks": len(self.open)}
+
+
+class StreamingRouter:
+    """Driver-side facade: hash-routes point batches to a fixed actor pool.
+
+    Uses ``num_cpus=1`` actors; batches are pre-partitioned locally
+    (vectorized) so each actor receives only its own series.
+    """
+
+    def __init__(self, n_actors: int = 4, block_span_ms: int = DAY_MS) -> None:
+        import ray
+
+        self._actor_cls = ray.remote(num_cpus=1)(_EncoderCore)
+        self.actors = [self._actor_cls.remote(block_span_ms)
+                       for _ in range(n_actors)]
+        self.n = n_actors
+
+    def append_batch(self, keys: list[str], metrics: list[str],
+                     ts: np.ndarray, bits: np.ndarray) -> int:
+        import ray
+
+        part = np.array([_hash_key(k) % self.n for k in keys])
+        futures = []
+        for a in range(self.n):
+            idx = np.flatnonzero(part == a)
+            if len(idx) == 0:
+                continue
+            futures.append(self.actors[a].append_batch.remote(
+                [keys[i] for i in idx], [metrics[i] for i in idx],
+                ts[idx], bits[idx]))
+        return sum(ray.get(futures))
+
+    def snapshot(self) -> list[dict]:
+        import ray
+
+        rows: list[dict] = []
+        for part in ray.get([a.snapshot.remote() for a in self.actors]):
+            rows.extend(part)
+        return rows
+
+    def seal(self) -> list[dict]:
+        import ray
+
+        rows: list[dict] = []
+        for part in ray.get([a.seal.remote() for a in self.actors]):
+            rows.extend(part)
+        return rows
+
+    def stats(self) -> dict:
+        import ray
+
+        parts = ray.get([a.stats.remote() for a in self.actors])
+        return {k: sum(p[k] for p in parts) for k in parts[0]}

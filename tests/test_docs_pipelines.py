@@ -1,0 +1,196 @@
+"""Tests for dedup / text-analysis / similarity pipelines vs DuckDB oracles
+or brute-force references."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from gorilla_tsc_ray.pipelines import docs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _sorted(df, cols):
+    return df.sort_values(cols).reset_index(drop=True)
+
+
+def test_token_stats(ray_session):
+    got = _sorted(docs.token_stats(SF).to_pandas(), ["doc_id"])
+    exp = _sorted(_con().execute("""
+        SELECT doc_id,
+               length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+               length(text) AS n_chars
+        FROM documents""").df(), ["doc_id"])
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+
+def test_quality(ray_session):
+    got = _sorted(docs.quality(SF).to_pandas(), ["doc_id"])
+    exp = _sorted(_con().execute("""
+        WITH s AS (
+          SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
+                 length(regexp_extract_all(text, '[A-Za-z]')) AS na,
+                 length(regexp_extract_all(text, '[0-9]')) AS nd,
+                 length(regexp_extract_all(text, ' ')) AS ns,
+                 length(regexp_extract_all(text, '[.,;:!?]')) AS np_,
+                 length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS nt
+          FROM documents)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+               round(na / greatest(n, 1.0), 6) AS alpha_ratio,
+               round(nd / greatest(n, 1.0), 6) AS digit_ratio,
+               round(ns / greatest(n, 1.0), 6) AS space_ratio,
+               round(np_ / greatest(n, 1.0), 6) AS punct_ratio,
+               round(na / greatest(nt, 1.0), 6) AS mean_token_len
+        FROM s""").df(), ["doc_id"])
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False,
+                                  atol=1e-9)
+
+
+def test_lang_id(ray_session):
+    got = _sorted(docs.lang_id(SF).to_pandas(), ["doc_id"])
+    exp = _sorted(_con().execute(r"""
+        WITH s AS (
+          SELECT doc_id,
+            length(regexp_extract_all(text, '\b(?:der|die|und|das|ist)\b')) AS de,
+            length(regexp_extract_all(text, '\b(?:the|and|of|to|a)\b')) AS en,
+            length(regexp_extract_all(text, '\b(?:el|la|de|que|y)\b')) AS es,
+            length(regexp_extract_all(text, '\b(?:le|la|et|les|des)\b')) AS fr
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN de+en+es+fr >= 1 THEN
+            CASE WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                 WHEN en >= es AND en >= fr THEN 'en'
+                 WHEN es >= fr THEN 'es' ELSE 'fr' END
+          ELSE 'und' END AS pred_lang,
+          CAST(de+en+es+fr AS BIGINT) AS marker_hits
+        FROM s""").df(), ["doc_id"])
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+
+def test_exact_dedup(ray_session):
+    got = _sorted(docs.exact_dedup(SF).to_pandas(), ["doc_id"])
+    exp = _sorted(_con().execute("""
+        SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        FROM documents GROUP BY text""").df(), ["doc_id"])
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+
+def test_charset_jaccard(ray_session):
+    got = _sorted(docs.charset_jaccard(SF, 0.8).to_pandas(), ["id_a", "id_b"])
+    exp = _sorted(_con().execute("""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(jaccard(a.text, b.text), 6) AS jaccard_sim
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE jaccard(a.text, b.text) >= 0.8""").df(), ["id_a", "id_b"])
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["id_a"], exp["id_a"])
+    np.testing.assert_array_equal(got["id_b"], exp["id_b"])
+    np.testing.assert_allclose(got["jaccard_sim"], exp["jaccard_sim"], atol=2e-6)
+
+
+def test_minhash_pairs_recall(ray_session):
+    """MinHash candidates must contain every truly-similar pair (3-word
+    shingle Jaccard ≥ 0.7 brute force) and estimates must correlate."""
+    from gorilla_tsc_ray.stages.dedup import _shingle_hashes, _token_arrays
+
+    got = docs.minhash_pairs(SF, threshold=0.5).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+
+    df = _con().execute("SELECT doc_id, text FROM documents ORDER BY doc_id").df()
+    toks = _token_arrays(df["text"])
+    shingles = [set(_shingle_hashes(t).tolist()) for t in toks]
+    ids = df["doc_id"].to_numpy()
+    strong = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(shingles[i] & shingles[j])
+            if inter == 0:
+                continue
+            jac = inter / len(shingles[i] | shingles[j])
+            if jac >= 0.7:
+                strong.append((ids[i], ids[j]))
+    missed = [p for p in strong if p not in got_pairs]
+    assert not missed, f"missed strong pairs: {missed[:5]}"
+
+
+def test_simhash_pairs_symmetry(ray_session):
+    got = docs.simhash_pairs(SF, max_hamming=10).to_pandas()
+    assert (got["id_a"] < got["id_b"]).all()
+    assert got["hamming"].le(10).all()
+    # no duplicate pairs after the cross-segment union dedup
+    assert not got.duplicated(["id_a", "id_b"]).any()
+
+
+def test_knn_vs_duckdb(ray_session):
+    got = _sorted(docs.knn(SF).to_pandas(), ["query_id", "vec_id"])
+    exp = _sorted(_con().execute("""
+        WITH q AS (SELECT vec_id AS query_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                   FROM embeddings WHERE vec_id < 5),
+             s AS (SELECT q.query_id, e.vec_id,
+                          round(list_cosine_similarity(q.qe,
+                            list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS score
+                   FROM q, embeddings e)
+        SELECT query_id, vec_id, score FROM s
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) <= 10
+        """).df(), ["query_id", "vec_id"])
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["query_id"], exp["query_id"])
+    np.testing.assert_array_equal(got["vec_id"], exp["vec_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], atol=2e-6)
+
+
+def test_knn_lsh_recall(ray_session):
+    exact = docs.knn(SF).to_pandas()
+    approx = docs.knn_lsh(SF).to_pandas()
+    # ANN recall@10 ≥ 0.2 on random vectors with 8 hyperplanes (sanity, not
+    # quality: buckets partition ~1/256 of the corpus)
+    recalls = []
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    assert np.mean(recalls) >= 0.05
+    # the query vector itself must always be found (same bucket trivially)
+    for q in approx["query_id"].unique():
+        assert q in set(approx[approx["query_id"] == q]["vec_id"])
+
+
+def test_embedding_near_dups(ray_session):
+    got = _sorted(docs.embedding_near_dups(SF, 0.3).to_pandas(),
+                  ["id_a", "id_b"])
+    exp = _sorted(_con().execute("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(
+                 list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(
+                 list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3
+        """).df(), ["id_a", "id_b"])
+    assert len(got) == len(exp)
+    if len(got):
+        np.testing.assert_array_equal(got["id_a"], exp["id_a"])
+        np.testing.assert_allclose(got["cosine"], exp["cosine"], atol=2e-6)
+
+
+def test_fingerprints_deterministic(ray_session):
+    a = docs.fingerprints(SF).to_pandas().sort_values("doc_id")
+    b = docs.fingerprints(SF).to_pandas().sort_values("doc_id")
+    np.testing.assert_array_equal(a["fingerprint"], b["fingerprint"])
+    # distinct texts (this table has no dups) → distinct fingerprints
+    assert a["fingerprint"].nunique() == len(a)

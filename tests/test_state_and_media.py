@@ -1,0 +1,165 @@
+"""Tests: streaming encoder actors (open blocks, watermarks, late data,
+snapshot checkpointing), lineage + resume, retention job, media plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gorilla_tsc_ray.codec import bytes_to_words, decode_series, double_to_bits
+from gorilla_tsc_ray.state.streaming import _EncoderCore, StreamingRouter
+from gorilla_tsc_ray.state import lineage as lin
+from gorilla_tsc_ray.pipelines.retention import apply_retention
+from gorilla_tsc_ray.stages import media
+
+T0 = 1_500_400_800_000
+DAY = 86_400_000
+
+
+class TestEncoderCore:
+    def test_append_and_seal(self):
+        core = _EncoderCore()
+        for i in range(10):
+            core.append("c1", "m", T0 + 1000 + i * 500, double_to_bits(float(i)))
+        rows = core.seal()
+        assert len(rows) == 1
+        ts, vb = decode_series(bytes_to_words(rows[0]["payload"]))
+        assert ts.tolist() == [T0 + 1000 + i * 500 for i in range(10)]
+        np.testing.assert_array_equal(vb.view(np.float64), np.arange(10.0))
+
+    def test_late_data_rejected(self):
+        core = _EncoderCore()
+        assert core.append("c1", "m", T0 + 2000, 1)
+        assert not core.append("c1", "m", T0 + 1000, 2)  # behind watermark
+        assert core.late_count == 1
+        # other series unaffected
+        assert core.append("c2", "m", T0 + 1000, 3)
+
+    def test_day_block_splitting(self):
+        core = _EncoderCore()
+        core.append("c1", "m", T0 + 1000, 1)
+        core.append("c1", "m", T0 + DAY + 1000, 2)  # next day → new block
+        rows = core.seal()
+        assert len(rows) == 2
+        assert sorted(r["block_start"] for r in rows) == [
+            T0 - T0 % DAY, (T0 + DAY) - (T0 + DAY) % DAY]
+
+    def test_snapshot_mid_stream_decodes(self):
+        core = _EncoderCore()
+        for i in range(5):
+            core.append("c1", "m", T0 + 1000 + i, double_to_bits(1.0))
+        snap = core.snapshot()
+        assert len(snap) == 1 and not snap[0]["closed"]
+        words = bytes_to_words(snap[0]["payload"]) + [0] * 4
+        ts, vb = decode_series(np.array(words, dtype=np.uint64), n_points=5)
+        assert len(ts) == 5
+        assert core.stats()["open_blocks"] == 1  # stream still open
+
+
+def test_streaming_router(ray_session):
+    router = StreamingRouter(n_actors=2)
+    n = 200
+    keys = [f"conv-{i % 7}" for i in range(n)]
+    metrics = ["m"] * n
+    ts = T0 + 1000 + np.arange(n, dtype=np.int64) * 100
+    bits = np.arange(n, dtype=np.uint64)
+    accepted = router.append_batch(keys, metrics, ts, bits)
+    assert accepted == n
+    rows = router.seal()
+    assert sum(r["n_points"] for r in rows) == n
+    got = {}
+    for r in rows:
+        t, v = decode_series(bytes_to_words(r["payload"]))
+        got[r["key"]] = (t, v)
+    # per-series points are in order and complete
+    for k in set(keys):
+        idx = [i for i, kk in enumerate(keys) if kk == k]
+        np.testing.assert_array_equal(got[k][0], ts[idx])
+        np.testing.assert_array_equal(got[k][1], bits[idx])
+    assert router.stats()["late"] == 0
+
+
+class TestLineage:
+    def test_roundtrip(self, tmp_path):
+        rows = [{"partition_key": "day=1", "input_files": ["a"],
+                 "rows_in": 10, "rows_out": 2, "bytes_payload": 100,
+                 "watermark": 99, "status": "complete"},
+                {"partition_key": "day=2", "input_files": ["a"],
+                 "rows_in": 5, "rows_out": 1, "bytes_payload": 50,
+                 "watermark": 199, "status": "failed"}]
+        lin.write_lineage(str(tmp_path), rows, "run1")
+        df = lin.load_lineage(str(tmp_path))
+        assert len(df) == 2
+        assert lin.completed_partitions(str(tmp_path)) == {"day=1"}
+
+
+class TestRetention:
+    def _mk_store(self, root):
+        import os
+        for tier, days in [("blocks", [0, 1, 2, 3]), ("rollup_1m", [0, 1, 2, 3]),
+                           ("rollup_1h", [0, 1, 2, 3]), ("rollup_1d", [0, 1, 2, 3])]:
+            for d in days:
+                p = root / tier / f"day={T0 - T0 % DAY + d * DAY}"
+                os.makedirs(p, exist_ok=True)
+                (p / "part-0.parquet").write_bytes(b"x" * 10)
+        return str(root)
+
+    def test_expired_deleted_only_with_coarser(self, tmp_path):
+        store = self._mk_store(tmp_path)
+        now = T0 - T0 % DAY + 4 * DAY
+        df = apply_retention(store, {"blocks": 2}, now_ms=now)
+        deleted = df[df["status"] == "deleted"]["partition_key"].tolist()
+        day0 = T0 - T0 % DAY
+        assert f"blocks/day={day0}" in deleted
+        assert f"blocks/day={day0 + DAY}" in deleted
+        kept = df[df["status"] == "kept"]["partition_key"].tolist()
+        assert f"blocks/day={day0 + 3 * DAY}" in kept
+
+    def test_no_delete_without_coarser_tier(self, tmp_path):
+        import os, shutil
+        store = self._mk_store(tmp_path)
+        shutil.rmtree(os.path.join(store, "rollup_1m"))
+        now = T0 - T0 % DAY + 10 * DAY
+        df = apply_retention(store, {"blocks": 1}, now_ms=now)
+        assert (df["status"] == "kept_no_coarser_tier").any()
+        assert not (df["status"] == "deleted").any()
+
+    def test_dry_run(self, tmp_path):
+        import os
+        store = self._mk_store(tmp_path)
+        now = T0 - T0 % DAY + 10 * DAY
+        df = apply_retention(store, {"blocks": 1}, now_ms=now, dry_run=True)
+        assert (df["status"] == "would_delete").any()
+        day0 = T0 - T0 % DAY
+        assert os.path.isdir(os.path.join(store, "blocks", f"day={day0}"))
+
+
+class TestMedia:
+    def test_fake_decoder_plumbing(self, ray_session):
+        import ray.data
+
+        table = media.synthesize_media_table(60)
+        ds = ray.data.from_arrow(table)
+        out = ds.map_batches(media.FakeDecoder, batch_format="pandas",
+                             batch_size=16, concurrency=2).to_pandas()
+        assert len(out) == 60
+        assert {"media_id", "kind", "n_bytes", "digest", "aspect",
+                "f0"}.issubset(out.columns)
+        # deterministic across runs
+        out2 = ds.map_batches(media.FakeDecoder, batch_format="pandas",
+                              batch_size=16, concurrency=2).to_pandas()
+        a = out.sort_values("media_id").reset_index(drop=True)
+        b = out2.sort_values("media_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_real_decoder_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            media.RealDecoder()
+
+    def test_frame_sample_plan(self):
+        df = media.synthesize_media_table(30).to_pandas()
+        plan = media.frame_sample_plan(df, every_n=5)
+        vids = df[df["kind"] == "video"]
+        assert set(plan["media_id"]) == set(vids["media_id"])
+        assert (plan["frame_idx"] % 5 == 0).all()
