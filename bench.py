@@ -1,0 +1,164 @@
+"""Benchmark harness — headline pipelines at $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "turns_per_sec": ..., "bytes_per_point": ..., "codec": {...}}
+
+Modes:
+  python bench.py               # timed run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling     # same headline job in two fresh processes
+                                # (8 then 32 CPUs) → scaling efficiency
+
+Owns its Ray session (the only scripts allowed to call ray.init are this
+file, CLI entry points and the test fixture).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_tag(sf_dir: str) -> float:
+    try:
+        return float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def codec_microbench(n: int = 1_000_000) -> dict:
+    """Reference-shaped single-series micro-bench
+    (EncodingBenchmark.java:60-69: regular 60 ms spacing, value = index)."""
+    import numpy as np
+
+    from gorilla_tsc_ray.codec import decode_series, encode_series
+
+    t0 = 1_500_400_800_000
+    ts = t0 + 60 + 60 * np.arange(n, dtype=np.int64)
+    vb = np.arange(n, dtype=np.float64).view(np.uint64)
+    # warm-up + measure encode
+    encode_series(t0, ts[:10_000], vb[:10_000])
+    t = time.perf_counter()
+    words, bits = encode_series(t0, ts, vb)
+    enc_s = time.perf_counter() - t
+    t = time.perf_counter()
+    dts, _ = decode_series(words)
+    dec_s = time.perf_counter() - t
+    assert len(dts) == n
+    return {
+        "encode_mpoints_per_sec": round(n / enc_s / 1e6, 3),
+        "decode_mpoints_per_sec": round(n / dec_s / 1e6, 3),
+        "bytes_per_point_dense": round(len(words) * 8 / n, 3),
+    }
+
+
+def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from gorilla_tsc_ray.context import tune_context
+    from gorilla_tsc_ray.pipelines import events as ev
+    from gorilla_tsc_ray.pipelines import ingest
+    from gorilla_tsc_ray.sources.transcripts import transcripts_dir
+
+    tune_context()
+    # materialize the transcript cache BEFORE timing (input prep, not engine)
+    tdir = transcripts_dir(sf_dir)
+    import duckdb
+    n_turns = duckdb.sql(
+        f"select count(*) from read_parquet('{tdir}/*.parquet')").fetchone()[0]
+
+    queries = {}
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        out = fn()
+        queries[name] = round(time.perf_counter() - t, 3)
+        return out
+
+    # headline: ingest → dedup+derive → 1m rollup (consumed via count)
+    timed("transcripts_rollup_1m",
+          lambda: ingest.rollup_tier(sf_dir, "1m").count())
+    # tier cascade 1m→1h
+    timed("transcripts_rollup_1h_cascade",
+          lambda: ingest.rollup_cascade(sf_dir, "1h").count())
+    # gorilla block store (all metrics) + compression ratio
+    blocks = timed("transcripts_encode_blocks",
+                   lambda: ingest.gorilla_blocks(sf_dir, metric=None)
+                   .materialize())
+    import pandas as pd
+    bstats = blocks.map_batches(
+        lambda df: pd.DataFrame({
+            "payload_bytes": [df["payload"].map(len).sum()],
+            "n_points": [df["n_points"].sum()]}),
+        batch_format="pandas").to_pandas().sum()
+    bytes_per_point = float(bstats["payload_bytes"]) / max(1, int(bstats["n_points"]))
+    # decode the store back (query path)
+    from gorilla_tsc_ray.stages.series import decode_blocks_batch
+    timed("transcripts_decode_blocks",
+          lambda: blocks.map_batches(
+              decode_blocks_batch, batch_format="pandas",
+              fn_kwargs={"key_cols": ["conv_id", "metric"]}).count())
+    # events codec round-trip (driver tables path)
+    timed("events_roundtrip", lambda: ev.points_roundtrip(sf_dir).count())
+
+    total = round(sum(queries.values()), 3)
+    ingest_sec = (queries["transcripts_rollup_1m"]
+                  + queries["transcripts_encode_blocks"])
+    result = {
+        "queries": queries,
+        "total_sec": total,
+        "n_turns": int(n_turns),
+        "turns_per_sec": round(n_turns / max(ingest_sec, 1e-9), 1),
+        "bytes_per_point": round(bytes_per_point, 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        runs = {}
+        for n in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            out = subprocess.run(
+                [sys.executable, __file__, "--single"],
+                env=env, capture_output=True, text=True, check=True)
+            runs[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        tps8 = runs[8]["turns_per_sec"]
+        tps32 = runs[32]["turns_per_sec"]
+        eff = (tps32 / tps8) / (32 / 8)
+        print(json.dumps({
+            "metric": "scaling efficiency (turns/s, 8→32 CPUs)",
+            "value": round(eff, 3), "unit": "efficiency",
+            "sf": _sf_tag(sf_dir),
+            "throughput_8cpu": tps8, "throughput_32cpu": tps32,
+            "queries_8cpu": runs[8]["queries"],
+            "queries_32cpu": runs[32]["queries"],
+        }))
+        return
+
+    pipe = run_pipelines(sf_dir, num_cpus)
+    codec = codec_microbench()
+    print(json.dumps({
+        "metric": "rollup+encode wall time (headline pipelines)",
+        "value": pipe["total_sec"], "unit": "sec",
+        "queries": pipe["queries"],
+        "sf": _sf_tag(sf_dir), "num_cpus": num_cpus,
+        "n_turns": pipe["n_turns"],
+        "turns_per_sec": pipe["turns_per_sec"],
+        "bytes_per_point": pipe["bytes_per_point"],
+        "codec": codec,
+    }))
+
+
+if __name__ == "__main__":
+    main()

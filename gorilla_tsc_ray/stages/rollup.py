@@ -19,6 +19,8 @@ All kernels are vectorized pandas/numpy; no Python row loops.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 
@@ -70,6 +72,50 @@ def merge_partials(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def merge_partials_partition(df: pd.DataFrame, *, key_cols: list[str]) -> pd.DataFrame:
+    """Vectorized final merge for a whole HASH PARTITION of (key, bucket)
+    groups — one pandas groupby call per partition instead of one Python
+    call per group (a per-group UDF at 1m granularity would mean millions
+    of interpreter calls at scale).  Equivalent to :func:`merge_partials`
+    applied per group."""
+    if len(df) == 0:
+        return df.drop(columns=["_part"], errors="ignore")
+    df = df.sort_values("last_ts", kind="stable")
+    g = df.groupby(key_cols + ["bucket_ms"], sort=False)
+    out = g.agg(sum_v=("sum_v", "sum"), cnt=("cnt", "sum"),
+                min_v=("min_v", "min"), max_v=("max_v", "max"),
+                last_ts=("last_ts", "last"), last_v=("last_v", "last"))
+    return out.reset_index()
+
+
+def _hash_cols(df: pd.DataFrame, cols: list[str], n_parts: int) -> np.ndarray:
+    """Deterministic partition id from string/int key columns."""
+    key = df[cols[0]].astype(str)
+    for c in cols[1:]:
+        key = key + "\x1f" + df[c].astype(str)
+    return (key.map(lambda s: zlib.crc32(s.encode())).to_numpy()
+            % n_parts).astype(np.int64)
+
+
+def finalize_by_partition(partial_ds, *, key_cols: list[str],
+                          n_parts: int = 64):
+    """Hash-partitioned final merge: ONE shuffle on ``_part`` (bounded
+    cardinality, skew-resistant — hot (key,bucket) groups are still tiny
+    after the in-batch combiner), vectorized merge per partition."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_part"] = _hash_cols(out, key_cols + ["bucket_ms"], n_parts)
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return merge_partials_partition(df.drop(columns=["_part"]),
+                                        key_cols=key_cols)
+
+    return (partial_ds.map_batches(add_part, batch_format="pandas")
+            .groupby("_part").map_groups(merge, batch_format="pandas"))
+
+
 def reaggregate_partials(df: pd.DataFrame, *, key_cols: list[str],
                          bucket_ms: int) -> pd.DataFrame:
     """Tier cascade combiner: re-bucket finer-tier partial/final rows to a
@@ -103,8 +149,7 @@ def rollup_dataset(points_ds, *, key_cols: list[str], tier: str,
                    "ts_col": ts_col, "value_col": value_col},
         batch_format="pandas",
     )
-    return partial.groupby(key_cols + ["bucket_ms"]).map_groups(
-        merge_partials, batch_format="pandas")
+    return finalize_by_partition(partial, key_cols=key_cols)
 
 
 def cascade_dataset(finer_rollup_ds, *, key_cols: list[str], tier: str):
@@ -115,8 +160,7 @@ def cascade_dataset(finer_rollup_ds, *, key_cols: list[str], tier: str):
         fn_kwargs={"key_cols": key_cols, "bucket_ms": bucket_ms},
         batch_format="pandas",
     )
-    return partial.groupby(key_cols + ["bucket_ms"]).map_groups(
-        merge_partials, batch_format="pandas")
+    return finalize_by_partition(partial, key_cols=key_cols)
 
 
 def gapfill_group(df: pd.DataFrame, *, bucket_ms: int,
