@@ -15,6 +15,7 @@ from .stream import (
 from .vectorized import (
     decode_series,
     encode_series,
+    encode_series_auto,
     payload_to_words,
     words_to_payload,
 )
@@ -24,5 +25,5 @@ __all__ = [
     "DifferentialFCM", "LastValuePredictor", "Predictor",
     "GorillaCompressor", "GorillaDecompressor", "CompressorV1", "DecompressorV1",
     "double_to_bits", "bits_to_double", "long_to_bits", "bits_to_long",
-    "encode_series", "decode_series", "words_to_payload", "payload_to_words",
+    "encode_series", "encode_series_auto", "decode_series", "words_to_payload", "payload_to_words",
 ]

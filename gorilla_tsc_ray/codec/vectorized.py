@@ -53,29 +53,43 @@ def _pack_codes(vals: np.ndarray, nbits: np.ndarray, closed: bool):
     ``total_bits//64 + 2`` words (auto-flipped full words + flushed partial +
     fresh zero word, ``LongArrayOutput.java:136-145``); a snapshot is
     ``total_bits//64 + 1`` words.
+
+    Allocation-lean: mutates its (caller-owned) input buffers and reuses
+    temporaries — large fresh allocations are expensive (first-touch page
+    faults dominate in sandboxed kernels) and this is the hottest kernel.
     """
-    nbits = nbits.astype(np.uint64)
-    vals = vals.astype(np.uint64)
+    nbits = np.ascontiguousarray(nbits, dtype=np.uint64)
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
     # mask values to their width (writeBits does this; avoids stray bits)
-    mask = np.where(
-        nbits >= _U64(64),
-        _U64(_M64),
-        (_U64(1) << np.minimum(nbits, _U64(63))) - _U64(1),
-    )
-    vals = vals & mask
+    tmp = np.minimum(nbits, _U64(63))
+    np.left_shift(_U64(1), tmp, out=tmp)
+    np.subtract(tmp, _U64(1), out=tmp)
+    tmp[nbits >= _U64(64)] = _U64(_M64)
+    np.bitwise_and(vals, tmp, out=vals)
 
     ends = np.cumsum(nbits, dtype=np.uint64)
     total_bits = int(ends[-1]) if len(ends) else 0
-    starts = ends - nbits
-    w = (starts >> _U64(6)).astype(np.int64)
-    s = starts & _U64(63)
-    end_in_word = s + nbits
+    # starts = ends - nbits (reuse tmp)
+    np.subtract(ends, nbits, out=tmp)
+    starts = tmp
+    w = starts >> _U64(6)
+    # end_in_word = (starts & 63) + nbits = ends - (w << 6) (reuse ends)
+    np.subtract(ends, w << _U64(6), out=ends)
+    end_in_word = ends
 
-    no_spill = end_in_word <= _U64(64)
-    shift_a = np.where(no_spill, _U64(64) - end_in_word, _U64(0)) & _U64(63)
-    spill = np.where(no_spill, _U64(0), end_in_word - _U64(64))
-    part1 = np.where(no_spill, vals << shift_a, vals >> spill)
-
+    spilled = end_in_word > _U64(64)
+    any_spill = bool(spilled.any())
+    # shift = (64 - eiw) mod 64; for spilled codes (eiw = 64 + spill,
+    # 0 < spill < 64) this equals 64 - spill, so spill and the part2 shift
+    # are both recoverable from it
+    shift_a = np.subtract(_U64(64), end_in_word, out=end_in_word)
+    np.bitwise_and(shift_a, _U64(63), out=shift_a)
+    if any_spill:
+        vals_sp = vals[spilled]
+        shift_sp = shift_a[spilled]          # == 64 - spill
+    part1 = np.left_shift(vals, shift_a, out=vals)
+    if any_spill:
+        part1[spilled] = vals_sp >> (_U64(64) - shift_sp)
     n_words_data = (total_bits + 63) // 64
     n_words = total_bits // 64 + (2 if closed else 1)
     words = np.zeros(max(n_words, n_words_data), dtype=np.uint64)
@@ -90,10 +104,9 @@ def _pack_codes(vals: np.ndarray, nbits: np.ndarray, closed: bool):
         words[idx[starts_idx]] |= reduced
 
     _scatter_or(w, part1)
-    spilled = ~no_spill
-    if spilled.any():
-        part2 = (vals[spilled] << ((_U64(64) - spill[spilled]) & _U64(63)))
-        _scatter_or(w[spilled] + 1, part2)
+    if any_spill:
+        part2 = vals_sp << shift_sp
+        _scatter_or(w[spilled] + _U64(1), part2)
     return words[:n_words], total_bits
 
 
@@ -227,6 +240,31 @@ def encode_series(block_ts: int, ts: np.ndarray, value_bits: np.ndarray,
     vals = np.concatenate([head_vals, body_vals, tail_vals])
     bits = np.concatenate([head_bits, body_bits, tail_bits])
     return _pack_codes(vals, bits, closed)
+
+
+AUTO_VECTORIZE_MIN = 256
+
+
+def encode_series_auto(block_ts: int, ts: np.ndarray, value_bits: np.ndarray,
+                       closed: bool = True):
+    """Adaptive encode: the vectorized path has ~300 µs of fixed NumPy
+    overhead, so series below ~256 points (measured crossover) go through
+    the streaming codec instead — identical bits either way (tested)."""
+    if len(ts) >= AUTO_VECTORIZE_MIN:
+        return encode_series(block_ts, ts, value_bits, closed)
+    from .stream import GorillaCompressor
+
+    comp = GorillaCompressor(int(block_ts))
+    tsl = np.asarray(ts, dtype=np.int64).tolist()
+    vbl = np.asarray(value_bits).astype(np.uint64, copy=False).tolist()
+    for t, b in zip(tsl, vbl):
+        comp.add_value(t, b)
+    total_bits = comp.out.bit_count
+    if closed:
+        comp.close()
+        total_bits += 37  # EOF marker: 4 + 32 + 1 bits
+    words = np.array(comp.out.to_words(), dtype=np.uint64)
+    return words, total_bits
 
 
 def decode_series(words, n_points: int | None = None):

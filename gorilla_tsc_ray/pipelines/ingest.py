@@ -23,9 +23,10 @@ from ..util import round_half_away
 
 from ..context import tune_context
 from ..sources.transcripts import transcripts_dir
-from ..stages.metrics import canonical_turns_group, derive_metrics_group
+from ..stages.metrics import canonical_turns_partition, derive_metrics_partition
 from ..stages.rollup import TIER_MS, cascade_dataset, gapfill_group, rollup_dataset
-from ..stages.series import DAY_MS, add_block_key, decode_blocks_batch, encode_group
+from ..stages.series import (DAY_MS, add_block_key, decode_blocks_batch,
+                             encode_partition)
 
 TRANSCRIPT_KEYS = ["conv_id", "metric"]
 
@@ -46,20 +47,41 @@ def read_transcripts(sf_dir: str, columns: list[str] | None = None):
     return ds.map_batches(to_ms, batch_format="pyarrow")
 
 
+N_CONV_PARTS = 64  # conv-hash shuffle width; at cluster scale set ≫ cores
+
+
+def _by_conv_partition(ds, kernel, n_parts: int = N_CONV_PARTS):
+    """Hash-partition whole conversations, run a vectorized partition-level
+    kernel per partition.  ONE bounded-cardinality shuffle replaces the
+    per-conversation groupby (per-group Python calls don't survive 10^8
+    conversations)."""
+    from ..util import hash_partition_ids
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_cpart"] = hash_partition_ids(out, ["conv_id"], n_parts)
+        return out
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return kernel(df.drop(columns=["_cpart"]))
+
+    return (ds.map_batches(add_part, batch_format="pandas")
+            .groupby("_cpart").map_groups(run, batch_format="pandas"))
+
+
 def metric_points(sf_dir: str):
-    """Long-format metric points (dedup + derive fused in one conv_id pass)."""
+    """Long-format metric points (dedup + derive fused in one conv-hash
+    partition pass)."""
     ds = read_transcripts(sf_dir,
                           columns=["conv_id", "turn_idx", "text", "tool", "ts"])
-    return ds.groupby("conv_id").map_groups(derive_metrics_group,
-                                            batch_format="pandas")
+    return _by_conv_partition(ds, derive_metrics_partition)
 
 
 def canonical_turns(sf_dir: str):
     """Deduplicated turns under stable (conv_id, turn_idx) ordering — the
     end-to-end text-equality gate."""
     ds = read_transcripts(sf_dir)
-    return ds.groupby("conv_id").map_groups(canonical_turns_group,
-                                            batch_format="pandas")
+    return _by_conv_partition(ds, canonical_turns_partition)
 
 
 def _finalize(ds):
@@ -102,11 +124,9 @@ def gorilla_blocks(sf_dir: str, metric: str | None = "text_len"):
     keyed = pts.map_batches(add_block_key, batch_format="pyarrow")
 
     def enc(df: pd.DataFrame) -> pd.DataFrame:
-        return encode_group(df, key_cols=["conv_id"],
-                            metric=str(df["metric"].iloc[0]))
+        return encode_partition(df, key_cols=["conv_id"])
 
-    return keyed.groupby(["conv_id", "metric", "block_start"]).map_groups(
-        enc, batch_format="pandas")
+    return _by_conv_partition(keyed, enc)
 
 
 def blocks_roundtrip(sf_dir: str, metric: str = "text_len"):

@@ -64,3 +64,59 @@ def canonical_turns_group(df: pd.DataFrame) -> pd.DataFrame:
     conversation — the per-turn text-equality invariant surface."""
     df = dedup_sort_conv(df)
     return df[["conv_id", "turn_idx", "role", "text", "tool", "ts_ms"]]
+
+
+# ---- partition-level kernels ----------------------------------------------
+# One hash partition holds MANY whole conversations; these kernels process
+# the partition in a handful of vectorized numpy/pandas operations instead
+# of one Python call per conversation (which costs ~5 ms/conv — milliseconds
+# × 10^8 conversations at design scale).
+
+def _dedup_sort_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Stable (conv_id, turn_idx, ts) order + keep-first dedup on
+    (conv_id, turn_idx) across a whole partition."""
+    order = np.lexsort((df["ts_ms"].to_numpy(),
+                        df["turn_idx"].to_numpy(),
+                        df["conv_id"].to_numpy()))
+    df = df.iloc[order]
+    conv = df["conv_id"].to_numpy()
+    tidx = df["turn_idx"].to_numpy()
+    same = np.concatenate(([False],
+                           (conv[1:] == conv[:-1]) & (tidx[1:] == tidx[:-1])))
+    return df[~same]
+
+
+def derive_metrics_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized dedup + metric derivation for a whole hash partition of
+    conversations (same semantics as :func:`derive_metrics_group` applied
+    per conversation)."""
+    df = _dedup_sort_partition(df)
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame({"conv_id": [], "ts_ms": [], "metric": [],
+                             "value": []})
+    conv = df["conv_id"].to_numpy()
+    ts = df["ts_ms"].to_numpy()
+    text_len = df["text"].str.len().to_numpy().astype(np.float64)
+    tool_call = (df["tool"].to_numpy() != "").astype(np.float64)
+    # gaps: diff within conversation (first turn of each conv emits nothing)
+    same_conv = np.concatenate(([False], conv[1:] == conv[:-1]))
+    gaps = np.empty(n, dtype=np.float64)
+    gaps[0] = np.nan
+    gaps[1:] = np.diff(ts).astype(np.float64)
+    parts = [
+        pd.DataFrame({"conv_id": conv, "ts_ms": ts, "metric": "turn_count",
+                      "value": np.ones(n)}),
+        pd.DataFrame({"conv_id": conv, "ts_ms": ts, "metric": "text_len",
+                      "value": text_len}),
+        pd.DataFrame({"conv_id": conv, "ts_ms": ts, "metric": "tool_call",
+                      "value": tool_call}),
+        pd.DataFrame({"conv_id": conv[same_conv], "ts_ms": ts[same_conv],
+                      "metric": "turn_gap_ms", "value": gaps[same_conv]}),
+    ]
+    return pd.concat(parts, ignore_index=True)
+
+
+def canonical_turns_partition(df: pd.DataFrame) -> pd.DataFrame:
+    return _dedup_sort_partition(df)[
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts_ms"]]

@@ -90,11 +90,9 @@ def merge_partials_partition(df: pd.DataFrame, *, key_cols: list[str]) -> pd.Dat
 
 def _hash_cols(df: pd.DataFrame, cols: list[str], n_parts: int) -> np.ndarray:
     """Deterministic partition id from string/int key columns."""
-    key = df[cols[0]].astype(str)
-    for c in cols[1:]:
-        key = key + "\x1f" + df[c].astype(str)
-    return (key.map(lambda s: zlib.crc32(s.encode())).to_numpy()
-            % n_parts).astype(np.int64)
+    from ..util import hash_partition_ids
+
+    return hash_partition_ids(df, cols, n_parts)
 
 
 def finalize_by_partition(partial_ds, *, key_cols: list[str],

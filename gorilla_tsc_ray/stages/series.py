@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..codec import decode_series, encode_series, payload_to_words, words_to_payload
+from ..codec import decode_series, encode_series_auto, payload_to_words, words_to_payload
 
 DAY_MS = 86_400_000
 CODEC_NAME = "gorilla2"
@@ -63,7 +63,7 @@ def encode_group(df: pd.DataFrame, *, key_cols: list[str], ts_col: str = "ts_ms"
     # exactly at the block boundary is fine (delta 0), ts==0 is not.
     if len(ts) and ts[0] == 0:
         raise ValueError("timestamp 0 is not representable (reserved sentinel)")
-    words, _ = encode_series(block_start, ts, vb)
+    words, _ = encode_series_auto(block_start, ts, vb)
     row = {c: [df[c].iloc[0]] for c in key_cols}
     row.update({
         "metric": [metric],
@@ -74,6 +74,66 @@ def encode_group(df: pd.DataFrame, *, key_cols: list[str], ts_col: str = "ts_ms"
         "payload": [words_to_payload(words)],
     })
     return pd.DataFrame(row)
+
+
+def encode_partition(df: pd.DataFrame, *, key_cols: list[str],
+                     ts_col: str = "ts_ms", value_col: str = "value",
+                     metric_col: str | None = "metric",
+                     value_kind: str = "double") -> pd.DataFrame:
+    """Partition-level encode: one hash partition holds many whole
+    (key..., block_start) series; lexsort + boundary split + per-series
+    encode (adaptive codec) — a few vectorized ops plus one cheap encode
+    call per series, instead of one map_groups UDF invocation per series."""
+    if len(df) == 0:
+        return pd.DataFrame({c: [] for c in
+                             key_cols + ["metric", "block_start", "n_points",
+                                         "codec", "value_kind", "payload"]})
+    sort_keys = [df[ts_col].to_numpy(), df["block_start"].to_numpy()]
+    group_cols = ([metric_col] if metric_col else []) + key_cols
+    for c in group_cols:
+        sort_keys.append(df[c].to_numpy())
+    order = np.lexsort(tuple(sort_keys))
+    df = df.iloc[order]
+    # boundaries where any group column or block_start changes
+    change = np.zeros(len(df), dtype=bool)
+    for c in group_cols + ["block_start"]:
+        a = df[c].to_numpy()
+        change[1:] |= a[1:] != a[:-1]
+    change[0] = True
+    starts = np.flatnonzero(change)
+    bounds = np.append(starts, len(df))
+
+    ts_all = df[ts_col].to_numpy().astype(np.int64)
+    if value_kind == "double":
+        vb_all = df[value_col].to_numpy().astype(np.float64).view(np.uint64)
+    else:
+        vb_all = df[value_col].to_numpy().astype(np.int64).view(np.uint64)
+    bs_all = df["block_start"].to_numpy()
+
+    out: dict[str, list] = {c: [] for c in key_cols}
+    out_metric, out_bs, out_np, out_payload = [], [], [], []
+    for i in range(len(starts)):
+        lo, hi = bounds[i], bounds[i + 1]
+        ts = ts_all[lo:hi]
+        vb = vb_all[lo:hi]
+        keep = np.concatenate(([True], np.diff(ts) > 0))
+        if not keep.all():
+            ts, vb = ts[keep], vb[keep]
+        words, _ = encode_series_auto(int(bs_all[lo]), ts, vb)
+        for c in key_cols:
+            out[c].append(df[c].iloc[lo])
+        out_metric.append(df[metric_col].iloc[lo] if metric_col else "value")
+        out_bs.append(int(bs_all[lo]))
+        out_np.append(len(ts))
+        out_payload.append(words_to_payload(words))
+    res = pd.DataFrame(out)
+    res["metric"] = out_metric
+    res["block_start"] = out_bs
+    res["n_points"] = out_np
+    res["codec"] = CODEC_NAME
+    res["value_kind"] = value_kind
+    res["payload"] = out_payload
+    return res
 
 
 def decode_blocks_batch(df: pd.DataFrame, *, key_cols: list[str],

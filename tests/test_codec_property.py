@@ -83,3 +83,17 @@ def test_first_delta_bounds():
 def test_single_point():
     _roundtrip_and_compare(T0, np.array([T0 + 1], dtype=np.int64),
                            np.array([0], dtype=np.uint64))
+
+
+@pytest.mark.parametrize("n", [5, 255, 256, 400])
+def test_auto_encode_matches_vectorized(n):
+    from gorilla_tsc_ray.codec import encode_series_auto
+
+    rng = np.random.default_rng(n)
+    ts = T0 + 1 + np.cumsum(rng.integers(1, 5000, n)).astype(np.int64)
+    vb = rng.normal(0, 1e4, n).view(np.uint64)
+    for closed in (True, False):
+        wv, bv = encode_series(T0, ts, vb, closed=closed)
+        wa, ba = encode_series_auto(T0, ts, vb, closed=closed)
+        assert wa.tolist() == wv.tolist()
+        assert ba == bv
