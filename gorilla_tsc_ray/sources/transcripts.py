@@ -76,12 +76,17 @@ def generate_transcripts(n_convs: int, seed: int = SEED) -> pa.Table:
     cs = np.cumsum(gaps)
     ts = cs - np.repeat(cs[starts] - gaps[starts], lengths)
 
-    # text: deterministic `conv:turn:` prefix + variable x-padding
+    # text: deterministic `conv:turn:` prefix + variable x-padding.
+    # (Python-level join, NOT np.char: fixed-width U-dtype intermediates
+    # would be ~1.6 KB/row and page-fault for minutes at millions of rows.)
     pad = rng.integers(0, 400, n)
-    conv_ids = np.char.add("conv-", np.char.zfill(conv_ord.astype("U8"), 8))
-    prefix = np.char.add(np.char.add(conv_ids, ":"), turn_idx.astype("U6"))
-    xs = np.array(["x" * k for k in range(400)])
-    text = np.char.add(np.char.add(prefix, ":"), xs[pad])
+    conv_names = [f"conv-{i:08d}" for i in range(n_convs)]
+    xs = ["x" * k for k in range(400)]
+    conv_ids = np.array(conv_names, dtype=object)[conv_ord]
+    text = np.array(
+        [f"{c}:{t}:{xs[p]}" for c, t, p in
+         zip(conv_ids.tolist(), turn_idx.tolist(), pad.tolist())],
+        dtype=object)
 
     return pa.table({
         "conv_id": pa.array(conv_ids),
