@@ -1,17 +1,23 @@
 """Flagship ingest/rollup pipeline over conversation transcripts.
 
-DAG (SURVEY.md §3.4):
-    read_parquet(transcripts)                 — column-pruned, streaming
-    → map_batches(ts → int64 ms)              — zero-copy Arrow
-    → groupby(conv_id).map_groups(dedup + sort + derive metrics)
-    → tee:
-        a) rollup tiers 1m → (cascade) 1h → 1d   [partial+final combiners]
-        b) (conv_id, metric, day)-keyed Gorilla blocks → Parquet block store
-        c) canonical turns table (per-turn text-equality invariant)
+Topology (SURVEY.md §3.4, tightened): the engine performs exactly ONE
+all-to-all exchange for the whole ingest — a conv-hash shuffle — because
+dedup, per-turn ordering, gap derivation, rollup buckets, gap-fill and
+day-block encode are all conversation-local once whole conversations are
+co-located:
 
-Per-series state never leaves a single grouped call; the only all-to-all
-exchanges are the conv_id groupby and the (key, bucket) groupby over partial
-rows.
+    read_parquet(transcripts)                    column-pruned, streaming
+    → map_batches: ts→ms, text→text_len, tool→tool_call   (full text never
+      rides the shuffle — ~10× smaller exchange)
+    → groupby(hash(conv_id) % P)                  THE shuffle
+    → per-partition vectorized kernel: dedup + sort + derive + rollup /
+      gap-fill / Gorilla day-block encode          (no further exchange)
+
+Rollup output is FINAL after the kernel (a (conv, metric, bucket) group
+lives in exactly one partition), so no partial/final merge pass is needed
+here — that machinery (stages/rollup.py) serves sources that aren't
+pre-partitioned (see pipelines/events.py) and cross-partition cascades.
+``canonical_turns`` keeps the text column (it IS the output).
 """
 
 from __future__ import annotations
@@ -19,26 +25,35 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..util import round_half_away
-
 from ..context import tune_context
 from ..sources.transcripts import transcripts_dir
 from ..stages.metrics import canonical_turns_partition, derive_metrics_partition
-from ..stages.rollup import TIER_MS, cascade_dataset, gapfill_group, rollup_dataset
-from ..stages.series import (DAY_MS, add_block_key, decode_blocks_batch,
-                             encode_partition)
+from ..stages.rollup import (TIER_MS, gapfill_group, partial_rollup,
+                             reaggregate_partials)
+from ..stages.series import DAY_MS, decode_blocks_batch, encode_partition
+from ..util import round_half_away
 
 TRANSCRIPT_KEYS = ["conv_id", "metric"]
+N_CONV_PARTS = 64  # conv-hash shuffle width; at cluster scale set ≫ cores
+
+ROLLUP_COLS = ["conv_id", "metric", "bucket_ms", "sum_v", "cnt",
+               "min_v", "max_v", "last_v"]
 
 
 def read_transcripts(sf_dir: str, columns: list[str] | None = None):
-    """Transcript Dataset with ``ts`` as int64 epoch-ms (``ts_ms``)."""
+    """Transcript Dataset with ``ts`` as int64 epoch-ms (``ts_ms``).
+
+    Read parallelism is capped at ``N_CONV_PARTS`` blocks: Ray otherwise
+    splits small inputs into hundreds of ~100 KB blocks and per-task
+    scheduling overhead dominates the shuffle (at real scale blocks are
+    ~128 MB and the cap is a no-op)."""
     import pyarrow.compute as pc
     import ray.data
 
     tune_context()
     path = transcripts_dir(sf_dir)
-    ds = ray.data.read_parquet(path, columns=columns)
+    ds = ray.data.read_parquet(path, columns=columns,
+                               override_num_blocks=N_CONV_PARTS)
 
     def to_ms(batch):
         ts_ms = pc.cast(batch["ts"], "int64")  # timestamp[ms] → epoch ms
@@ -47,14 +62,28 @@ def read_transcripts(sf_dir: str, columns: list[str] | None = None):
     return ds.map_batches(to_ms, batch_format="pyarrow")
 
 
-N_CONV_PARTS = 64  # conv-hash shuffle width; at cluster scale set ≫ cores
+def _lean_turns(sf_dir: str):
+    """Shuffle-lean turn stream: text/tool reduced to the derived columns
+    BEFORE the exchange (prune at the map, not after the shuffle)."""
+    import pyarrow.compute as pc
+
+    ds = read_transcripts(sf_dir,
+                          columns=["conv_id", "turn_idx", "text", "tool", "ts"])
+
+    def shrink(batch):
+        text_len = pc.cast(pc.utf8_length(batch["text"]), "float64")
+        tool_call = pc.cast(pc.not_equal(batch["tool"], ""), "float64")
+        return (batch.drop_columns(["text", "tool"])
+                .append_column("text_len", text_len)
+                .append_column("tool_call", tool_call))
+
+    return ds.map_batches(shrink, batch_format="pyarrow")
 
 
 def _by_conv_partition(ds, kernel, n_parts: int = N_CONV_PARTS):
     """Hash-partition whole conversations, run a vectorized partition-level
-    kernel per partition.  ONE bounded-cardinality shuffle replaces the
-    per-conversation groupby (per-group Python calls don't survive 10^8
-    conversations)."""
+    kernel per partition.  ONE bounded-cardinality shuffle; per-group Python
+    calls don't survive 10^8 conversations."""
     from ..util import hash_partition_ids
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -72,61 +101,65 @@ def _by_conv_partition(ds, kernel, n_parts: int = N_CONV_PARTS):
 def metric_points(sf_dir: str):
     """Long-format metric points (dedup + derive fused in one conv-hash
     partition pass)."""
-    ds = read_transcripts(sf_dir,
-                          columns=["conv_id", "turn_idx", "text", "tool", "ts"])
-    return _by_conv_partition(ds, derive_metrics_partition)
+    return _by_conv_partition(_lean_turns(sf_dir), derive_metrics_partition)
 
 
 def canonical_turns(sf_dir: str):
     """Deduplicated turns under stable (conv_id, turn_idx) ordering — the
     end-to-end text-equality gate."""
-    ds = read_transcripts(sf_dir)
-    return _by_conv_partition(ds, canonical_turns_partition)
+    return _by_conv_partition(read_transcripts(sf_dir),
+                              canonical_turns_partition)
 
 
-def _finalize(ds):
-    def fin(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.drop(columns=["last_ts"])
-        out["sum_v"] = round_half_away(out["sum_v"].to_numpy(), 6)
-        return out
-
-    return ds.map_batches(fin, batch_format="pandas")
+def _rollup_in_partition(pts: pd.DataFrame, tier: str) -> pd.DataFrame:
+    """Complete rollup of one conv partition (the partition holds whole
+    conversations, so this IS the final aggregate for its keys)."""
+    return partial_rollup(pts, key_cols=TRANSCRIPT_KEYS,
+                          bucket_ms=TIER_MS[tier])
 
 
-ROLLUP_COLS = ["conv_id", "metric", "bucket_ms", "sum_v", "cnt",
-               "min_v", "max_v", "last_v"]
+def _finalize_df(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.drop(columns=["last_ts"])
+    out["sum_v"] = round_half_away(out["sum_v"].to_numpy(), 6)
+    return out
 
 
 def rollup_tier(sf_dir: str, tier: str):
-    pts = metric_points(sf_dir)
-    rolled = rollup_dataset(pts, key_cols=TRANSCRIPT_KEYS, tier=tier)
-    return _finalize(rolled).select_columns(ROLLUP_COLS)
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        return _finalize_df(_rollup_in_partition(
+            derive_metrics_partition(df), tier))
+
+    return _by_conv_partition(_lean_turns(sf_dir),
+                              kernel).select_columns(ROLLUP_COLS)
 
 
 def rollup_cascade(sf_dir: str, tier: str = "1h"):
-    """1m tier re-aggregated to a coarser tier without re-reading turns."""
-    pts = metric_points(sf_dir)
-    one_m = rollup_dataset(pts, key_cols=TRANSCRIPT_KEYS, tier="1m")
-    coarse = cascade_dataset(one_m, key_cols=TRANSCRIPT_KEYS, tier=tier)
-    return _finalize(coarse).select_columns(ROLLUP_COLS)
+    """1m tier re-aggregated to a coarser tier without re-reading turns
+    (decomposable partial+final re-aggregation, conv-local)."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        one_m = _rollup_in_partition(derive_metrics_partition(df), "1m")
+        coarse = reaggregate_partials(one_m, key_cols=TRANSCRIPT_KEYS,
+                                      bucket_ms=TIER_MS[tier])
+        return _finalize_df(coarse)
+
+    return _by_conv_partition(_lean_turns(sf_dir),
+                              kernel).select_columns(ROLLUP_COLS)
 
 
 def gorilla_blocks(sf_dir: str, metric: str | None = "text_len"):
-    """(conv_id, metric, day)-keyed Gorilla block store."""
-    pts = metric_points(sf_dir)
-    if metric is not None:
-        expr = metric
+    """(conv_id, metric, day)-keyed Gorilla block store — derive + encode in
+    the same conv partition pass."""
 
-        def only(df: pd.DataFrame) -> pd.DataFrame:
-            return df[df["metric"] == expr]
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        pts = derive_metrics_partition(df)
+        if metric is not None:
+            pts = pts[pts["metric"] == metric]
+        pts = pts.copy()
+        pts["block_start"] = (pts["ts_ms"].to_numpy() // DAY_MS) * DAY_MS
+        return encode_partition(pts, key_cols=["conv_id"])
 
-        pts = pts.map_batches(only, batch_format="pandas")
-    keyed = pts.map_batches(add_block_key, batch_format="pyarrow")
-
-    def enc(df: pd.DataFrame) -> pd.DataFrame:
-        return encode_partition(df, key_cols=["conv_id"])
-
-    return _by_conv_partition(keyed, enc)
+    return _by_conv_partition(_lean_turns(sf_dir), kernel)
 
 
 def blocks_roundtrip(sf_dir: str, metric: str = "text_len"):
@@ -139,25 +172,24 @@ def blocks_roundtrip(sf_dir: str, metric: str = "text_len"):
 
 
 def gapfill_tier(sf_dir: str, tier: str = "1h", metric: str = "turn_count"):
-    pts = metric_points(sf_dir)
+    bucket_ms = TIER_MS[tier]
+    out_cols = TRANSCRIPT_KEYS + ["bucket_ms", "sum_v", "cnt", "last_v",
+                                  "filled"]
 
-    def only(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["metric"] == metric]
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        pts = derive_metrics_partition(df)
+        pts = pts[pts["metric"] == metric]
+        rolled = _rollup_in_partition(pts, tier)
+        if len(rolled) == 0:
+            return pd.DataFrame({c: [] for c in out_cols})
+        filled = (rolled.groupby(TRANSCRIPT_KEYS, sort=False, group_keys=False)
+                  .apply(gapfill_group, bucket_ms=bucket_ms,
+                         key_cols=TRANSCRIPT_KEYS))
+        filled = filled.reset_index(drop=True)
+        filled["sum_v"] = round_half_away(filled["sum_v"].to_numpy(), 6)
+        return filled[out_cols]
 
-    rolled = rollup_dataset(pts.map_batches(only, batch_format="pandas"),
-                            key_cols=TRANSCRIPT_KEYS, tier=tier)
-    filled = rolled.groupby(TRANSCRIPT_KEYS).map_groups(
-        gapfill_group, batch_format="pandas",
-        fn_kwargs={"bucket_ms": TIER_MS[tier], "key_cols": TRANSCRIPT_KEYS},
-    )
-
-    def fin(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["sum_v"] = round_half_away(df["sum_v"].to_numpy(), 6)
-        return df
-
-    return filled.map_batches(fin, batch_format="pandas").select_columns(
-        ["conv_id", "metric", "bucket_ms", "sum_v", "cnt", "last_v", "filled"])
+    return _by_conv_partition(_lean_turns(sf_dir), kernel)
 
 
 def _with_day(ds, src_col: str):

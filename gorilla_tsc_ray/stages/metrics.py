@@ -89,7 +89,10 @@ def _dedup_sort_partition(df: pd.DataFrame) -> pd.DataFrame:
 def derive_metrics_partition(df: pd.DataFrame) -> pd.DataFrame:
     """Vectorized dedup + metric derivation for a whole hash partition of
     conversations (same semantics as :func:`derive_metrics_group` applied
-    per conversation)."""
+    per conversation).
+
+    Accepts either a raw ``text`` column or a pre-computed ``text_len``
+    (computed before the shuffle so full text never rides it)."""
     df = _dedup_sort_partition(df)
     n = len(df)
     if n == 0:
@@ -97,8 +100,14 @@ def derive_metrics_partition(df: pd.DataFrame) -> pd.DataFrame:
                              "value": []})
     conv = df["conv_id"].to_numpy()
     ts = df["ts_ms"].to_numpy()
-    text_len = df["text"].str.len().to_numpy().astype(np.float64)
-    tool_call = (df["tool"].to_numpy() != "").astype(np.float64)
+    if "text_len" in df.columns:
+        text_len = df["text_len"].to_numpy().astype(np.float64)
+    else:
+        text_len = df["text"].str.len().to_numpy().astype(np.float64)
+    if "tool_call" in df.columns:
+        tool_call = df["tool_call"].to_numpy().astype(np.float64)
+    else:
+        tool_call = (df["tool"].to_numpy() != "").astype(np.float64)
     # gaps: diff within conversation (first turn of each conv emits nothing)
     same_conv = np.concatenate(([False], conv[1:] == conv[:-1]))
     gaps = np.empty(n, dtype=np.float64)
