@@ -76,6 +76,11 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
     n_turns = duckdb.sql(
         f"select count(*) from read_parquet('{tdir}/*.parquet')").fetchone()[0]
 
+    # warm the cluster (worker spawn + import + allocator first-touch) on a
+    # tiny input so timings measure throughput, not one-time cold start
+    ingest.rollup_tier("/root/testdata/sf0.001", "1m").count()
+    ev.points_roundtrip("/root/testdata/sf0.001").count()
+
     queries = {}
 
     def timed(name, fn):

@@ -19,9 +19,11 @@ from ..util import round_half_away
 
 from ..context import tune_context
 from ..stages.rollup import TIER_MS, cascade_dataset, gapfill_group, rollup_dataset
-from ..stages.series import DAY_MS, decode_blocks_batch, encode_group
+from ..stages.series import DAY_MS, decode_blocks_batch, encode_partition
+from ..util import hash_partition_ids
 
 EVENT_COLS = ["user_id", "ts", "value"]
+N_PARTS = 64
 
 
 def _read_points(sf_dir: str):
@@ -30,7 +32,8 @@ def _read_points(sf_dir: str):
     import ray.data
 
     tune_context()
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=EVENT_COLS)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=EVENT_COLS,
+                               override_num_blocks=N_PARTS)
 
     def to_ms(batch):
         ts_us = pc.cast(batch["ts"], "int64")  # timestamp[us] → int64 us
@@ -39,6 +42,24 @@ def _read_points(sf_dir: str):
         return batch
 
     return ds.map_batches(to_ms, batch_format="pyarrow")
+
+
+def _encode_by_partition(keyed_ds):
+    """Hash whole users into bounded partitions; encode every
+    (user, day-block) series of a partition in one vectorized kernel
+    (one Python call per partition, not per series)."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_part"] = hash_partition_ids(out, ["user_id"], N_PARTS)
+        return out
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        return encode_partition(df.drop(columns=["_part"]),
+                                key_cols=["user_id"], metric_col=None)
+
+    return (keyed_ds.map_batches(add_part, batch_format="pandas")
+            .groupby("_part").map_groups(enc, batch_format="pandas"))
 
 
 def points_roundtrip(sf_dir: str):
@@ -53,12 +74,8 @@ def points_roundtrip(sf_dir: str):
         bs = pc.multiply(pc.divide(batch["ts_ms"], DAY_MS), DAY_MS)
         return batch.append_column("block_start", bs)
 
-    blocks = (
-        ds.map_batches(add_block, batch_format="pyarrow")
-        .groupby(["user_id", "block_start"])
-        .map_groups(encode_group, batch_format="pandas",
-                    fn_kwargs={"key_cols": ["user_id"], "metric": "value"})
-    )
+    blocks = _encode_by_partition(ds.map_batches(add_block,
+                                                  batch_format="pyarrow"))
     points = blocks.map_batches(
         decode_blocks_batch, batch_format="pandas",
         fn_kwargs={"key_cols": ["user_id"]},
@@ -77,12 +94,8 @@ def encode_blocks(sf_dir: str):
         bs = pc.multiply(pc.divide(batch["ts_ms"], DAY_MS), DAY_MS)
         return batch.append_column("block_start", bs)
 
-    return (
-        ds.map_batches(add_block, batch_format="pyarrow")
-        .groupby(["user_id", "block_start"])
-        .map_groups(encode_group, batch_format="pandas",
-                    fn_kwargs={"key_cols": ["user_id"], "metric": "value"})
-    )
+    return _encode_by_partition(ds.map_batches(add_block,
+                                                batch_format="pyarrow"))
 
 
 def _finalize_rollup(ds):
