@@ -50,9 +50,7 @@ def _encode_by_partition(keyed_ds):
     (one Python call per partition, not per series)."""
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["_part"] = hash_partition_ids(out, ["user_id"], N_PARTS)
-        return out
+        return df.assign(_part=hash_partition_ids(df, ["user_id"], N_PARTS))
 
     def enc(df: pd.DataFrame) -> pd.DataFrame:
         return encode_partition(df.drop(columns=["_part"]),

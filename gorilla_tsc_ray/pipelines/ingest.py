@@ -34,7 +34,9 @@ from ..stages.series import DAY_MS, decode_blocks_batch, encode_partition
 from ..util import round_half_away
 
 TRANSCRIPT_KEYS = ["conv_id", "metric"]
-N_CONV_PARTS = 64  # conv-hash shuffle width; at cluster scale set ≫ cores
+N_CONV_PARTS = 32  # conv-hash shuffle width ≈ local cores; at cluster
+                   # scale set ≫ total cores (shuffle-task overhead is
+                   # per-block, so blocks should stay ~100MB+)
 
 ROLLUP_COLS = ["conv_id", "metric", "bucket_ms", "sum_v", "cnt",
                "min_v", "max_v", "last_v"]
@@ -87,9 +89,9 @@ def _by_conv_partition(ds, kernel, n_parts: int = N_CONV_PARTS):
     from ..util import hash_partition_ids
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["_cpart"] = hash_partition_ids(out, ["conv_id"], n_parts)
-        return out
+        # shallow assign — a deep copy would double the anonymous-memory
+        # traffic of the pre-shuffle stage
+        return df.assign(_cpart=hash_partition_ids(df, ["conv_id"], n_parts))
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
         return kernel(df.drop(columns=["_cpart"]))
@@ -98,10 +100,24 @@ def _by_conv_partition(ds, kernel, n_parts: int = N_CONV_PARTS):
             .groupby("_cpart").map_groups(run, batch_format="pandas"))
 
 
+def _derive_kernel():
+    """Snapshot the custom-metric registry at pipeline-build time — worker
+    processes import the module fresh, so the registry must travel inside
+    the serialized closure, not as module state."""
+    from ..stages.metrics import CUSTOM_METRICS
+
+    custom = dict(CUSTOM_METRICS)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        return derive_metrics_partition(df, custom=custom)
+
+    return kernel
+
+
 def metric_points(sf_dir: str):
     """Long-format metric points (dedup + derive fused in one conv-hash
     partition pass)."""
-    return _by_conv_partition(_lean_turns(sf_dir), derive_metrics_partition)
+    return _by_conv_partition(_lean_turns(sf_dir), _derive_kernel())
 
 
 def canonical_turns(sf_dir: str):
@@ -125,9 +141,14 @@ def _finalize_df(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def rollup_tier(sf_dir: str, tier: str):
+    from ..stages.metrics import CUSTOM_METRICS, rollup_turns_partition
+
+    custom = dict(CUSTOM_METRICS)
+    bucket_ms = TIER_MS[tier]
+
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        return _finalize_df(_rollup_in_partition(
-            derive_metrics_partition(df), tier))
+        # fused dedup+derive+rollup — never materializes the long format
+        return _finalize_df(rollup_turns_partition(df, bucket_ms, custom))
 
     return _by_conv_partition(_lean_turns(sf_dir),
                               kernel).select_columns(ROLLUP_COLS)
@@ -137,8 +158,10 @@ def rollup_cascade(sf_dir: str, tier: str = "1h"):
     """1m tier re-aggregated to a coarser tier without re-reading turns
     (decomposable partial+final re-aggregation, conv-local)."""
 
+    derive = _derive_kernel()
+
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        one_m = _rollup_in_partition(derive_metrics_partition(df), "1m")
+        one_m = _rollup_in_partition(derive(df), "1m")
         coarse = reaggregate_partials(one_m, key_cols=TRANSCRIPT_KEYS,
                                       bucket_ms=TIER_MS[tier])
         return _finalize_df(coarse)
@@ -151,8 +174,10 @@ def gorilla_blocks(sf_dir: str, metric: str | None = "text_len"):
     """(conv_id, metric, day)-keyed Gorilla block store — derive + encode in
     the same conv partition pass."""
 
+    derive = _derive_kernel()
+
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        pts = derive_metrics_partition(df)
+        pts = derive(df)
         if metric is not None:
             pts = pts[pts["metric"] == metric]
         pts = pts.copy()
@@ -176,8 +201,10 @@ def gapfill_tier(sf_dir: str, tier: str = "1h", metric: str = "turn_count"):
     out_cols = TRANSCRIPT_KEYS + ["bucket_ms", "sum_v", "cnt", "last_v",
                                   "filled"]
 
+    derive = _derive_kernel()
+
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        pts = derive_metrics_partition(df)
+        pts = derive(df)
         pts = pts[pts["metric"] == metric]
         rolled = _rollup_in_partition(pts, tier)
         if len(rolled) == 0:
@@ -194,9 +221,7 @@ def gapfill_tier(sf_dir: str, tier: str = "1h", metric: str = "turn_count"):
 
 def _with_day(ds, src_col: str):
     def add(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["day"] = (out[src_col].to_numpy() // DAY_MS) * DAY_MS
-        return out
+        return df.assign(day=(df[src_col].to_numpy() // DAY_MS) * DAY_MS)
 
     return ds.map_batches(add, batch_format="pandas")
 

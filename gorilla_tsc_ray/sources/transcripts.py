@@ -113,12 +113,22 @@ def transcripts_dir(sf_dir: str) -> str:
     table = generate_transcripts(n_convs_for_sf_dir(sf_dir))
     rng = np.random.default_rng(SEED + 1)
     dup_idx = rng.choice(len(table), max(1, len(table) // 20), replace=False)
-    dup = table.take(np.sort(dup_idx))
+    # boolean-mask filter, not take(): take concatenates chunks and blows
+    # the 32-bit string-offset limit on multi-million-row tables
+    mask = np.zeros(len(table), dtype=bool)
+    mask[dup_idx] = True
+    dup = table.filter(pa.array(mask))
 
     tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(table, os.path.join(tmp, "part-000.parquet"),
-                   row_group_size=64_000)
+    # shard into multiple part files (whole conversations per shard) so the
+    # Parquet read parallelizes — one file would serialize the scan
+    n_shards = max(1, min(32, table.num_rows // 40_000))
+    cuts = np.linspace(0, table.num_rows, n_shards + 1).astype(np.int64)
+    for i in range(n_shards):
+        pq.write_table(table.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                       os.path.join(tmp, f"part-{i:03d}.parquet"),
+                       row_group_size=64_000)
     pq.write_table(dup, os.path.join(tmp, "part-dup.parquet"))
     open(os.path.join(tmp, "_SUCCESS"), "w").close()
     try:

@@ -26,6 +26,30 @@ import pandas as pd
 
 METRICS = ["turn_count", "text_len", "tool_call", "turn_gap_ms"]
 
+# --- user-extension surface -------------------------------------------------
+# The reference exposes its seams as interfaces (``Predictor.java:22-37``,
+# ``BitInput``/``BitOutput``); the engine's equivalent pipeline-step hook is
+# this metric registry: name → vectorized fn(sorted turns df) → float64
+# ndarray (one value per turn).  Registered metrics flow through rollups,
+# gap-fill and Gorilla blocks with no further wiring.
+
+CUSTOM_METRICS: dict = {}
+
+
+def register_metric(name: str, fn) -> None:
+    """Register a derived per-turn metric.
+
+    ``fn(df)`` receives the deduplicated, (conv_id, turn_idx)-ordered turn
+    frame of one partition and returns a float64 array aligned with it.
+    """
+    if name in METRICS:
+        raise ValueError(f"{name} is a built-in metric")
+    CUSTOM_METRICS[name] = fn
+
+
+def unregister_metric(name: str) -> None:
+    CUSTOM_METRICS.pop(name, None)
+
 
 def dedup_sort_conv(df: pd.DataFrame) -> pd.DataFrame:
     """Stable (ts, turn_idx) order + keep-first dedup on turn_idx for ONE
@@ -86,7 +110,8 @@ def _dedup_sort_partition(df: pd.DataFrame) -> pd.DataFrame:
     return df[~same]
 
 
-def derive_metrics_partition(df: pd.DataFrame) -> pd.DataFrame:
+def derive_metrics_partition(df: pd.DataFrame,
+                             custom: dict | None = None) -> pd.DataFrame:
     """Vectorized dedup + metric derivation for a whole hash partition of
     conversations (same semantics as :func:`derive_metrics_group` applied
     per conversation).
@@ -123,9 +148,82 @@ def derive_metrics_partition(df: pd.DataFrame) -> pd.DataFrame:
         pd.DataFrame({"conv_id": conv[same_conv], "ts_ms": ts[same_conv],
                       "metric": "turn_gap_ms", "value": gaps[same_conv]}),
     ]
+    for name, fn in (custom if custom is not None else {}).items():
+        vals = np.asarray(fn(df), dtype=np.float64)
+        parts.append(pd.DataFrame({"conv_id": conv, "ts_ms": ts,
+                                   "metric": name, "value": vals}))
     return pd.concat(parts, ignore_index=True)
 
 
 def canonical_turns_partition(df: pd.DataFrame) -> pd.DataFrame:
     return _dedup_sort_partition(df)[
         ["conv_id", "turn_idx", "role", "text", "tool", "ts_ms"]]
+
+
+def rollup_turns_partition(df: pd.DataFrame, bucket_ms: int,
+                           custom: dict | None = None) -> pd.DataFrame:
+    """Fused dedup + derive + rollup for one conv partition WITHOUT
+    materializing the 4× long-format point table: one wide groupby over the
+    turn frame, melted to the long rollup schema afterwards.  Anonymous
+    allocations are the scarce resource (sandboxed kernels serialize
+    first-touch faults), so peak memory ≈ input + output here.
+
+    Semantics identical to ``derive_metrics_partition`` → ``partial_rollup``
+    (tested)."""
+    df = _dedup_sort_partition(df)
+    n = len(df)
+    value_cols = {}
+    conv = df["conv_id"].to_numpy()
+    ts = df["ts_ms"].to_numpy()
+    value_cols["turn_count"] = np.ones(n)
+    value_cols["text_len"] = (df["text_len"].to_numpy().astype(np.float64)
+                              if "text_len" in df.columns
+                              else df["text"].str.len().to_numpy().astype(np.float64))
+    value_cols["tool_call"] = (df["tool_call"].to_numpy().astype(np.float64)
+                               if "tool_call" in df.columns
+                               else (df["tool"].to_numpy() != "").astype(np.float64))
+    for name, fn in (custom or {}).items():
+        value_cols[name] = np.asarray(fn(df), dtype=np.float64)
+
+    out_frames = []
+    long_cols = ["conv_id", "metric", "bucket_ms", "sum_v", "cnt",
+                 "min_v", "max_v", "last_ts", "last_v"]
+    if n:
+        bucket = (ts // bucket_ms) * bucket_ms
+        wide = pd.DataFrame({"conv_id": conv, "bucket_ms": bucket, "ts": ts})
+        aggs = {"cnt": ("ts", "count"), "last_ts": ("ts", "last")}
+        for m in value_cols:
+            wide[m] = value_cols[m]
+            aggs[f"{m}__sum"] = (m, "sum")
+            aggs[f"{m}__min"] = (m, "min")
+            aggs[f"{m}__max"] = (m, "max")
+            aggs[f"{m}__last"] = (m, "last")  # rows are ts-ordered per conv
+        g = wide.groupby(["conv_id", "bucket_ms"], sort=False).agg(**aggs)
+        g = g.reset_index()
+        for m in value_cols:
+            out_frames.append(pd.DataFrame({
+                "conv_id": g["conv_id"], "metric": m,
+                "bucket_ms": g["bucket_ms"],
+                "sum_v": g[f"{m}__sum"], "cnt": g["cnt"],
+                "min_v": g[f"{m}__min"], "max_v": g[f"{m}__max"],
+                "last_ts": g["last_ts"], "last_v": g[f"{m}__last"],
+            }))
+        # turn_gap_ms rides a separate (smaller) groupby: its rows exclude
+        # each conversation's first turn
+        same_conv = np.concatenate(([False], conv[1:] == conv[:-1]))
+        if same_conv.any():
+            gaps = np.empty(n, dtype=np.float64)
+            gaps[0] = 0
+            gaps[1:] = np.diff(ts).astype(np.float64)
+            gw = pd.DataFrame({"conv_id": conv[same_conv],
+                               "bucket_ms": bucket[same_conv],
+                               "ts": ts[same_conv], "v": gaps[same_conv]})
+            gg = gw.groupby(["conv_id", "bucket_ms"], sort=False).agg(
+                sum_v=("v", "sum"), cnt=("v", "count"), min_v=("v", "min"),
+                max_v=("v", "max"), last_ts=("ts", "last"),
+                last_v=("v", "last")).reset_index()
+            gg.insert(1, "metric", "turn_gap_ms")
+            out_frames.append(gg[long_cols])
+    if not out_frames:
+        return pd.DataFrame({c: [] for c in long_cols})
+    return pd.concat([f[long_cols] for f in out_frames], ignore_index=True)

@@ -135,3 +135,23 @@ def test_ingest_to_store_and_resume_layout(ray_session, tmp_path):
     dfb = blk.to_pandas()
     # run 1 covered all days, so run 2 must add nothing new
     assert len(lg1_days) >= 1
+
+
+def test_custom_metric_registry(ray_session):
+    """User-extension surface: registered metrics flow through the rollup
+    with no extra wiring (SURVEY.md §2b user-extension row)."""
+    from gorilla_tsc_ray.stages.metrics import register_metric, unregister_metric
+
+    register_metric("is_user_turn",
+                    lambda df: (df["role"] == "user").to_numpy(np.float64)
+                    if "role" in df.columns
+                    else (df["turn_idx"].to_numpy() % 2 == 0).astype(np.float64))
+    try:
+        pts = ingest.metric_points(SF).to_pandas()
+        mine = pts[pts["metric"] == "is_user_turn"]
+        base = pts[pts["metric"] == "turn_count"]
+        assert len(mine) == len(base) > 0
+        # generator rule: even non-tool turns are user turns
+        assert 0 < mine["value"].sum() < len(mine)
+    finally:
+        unregister_metric("is_user_turn")
