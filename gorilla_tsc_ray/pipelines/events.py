@@ -49,14 +49,19 @@ def _encode_by_partition(keyed_ds):
     (user, day-block) series of a partition in one vectorized kernel
     (one Python call per partition, not per series)."""
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(_part=hash_partition_ids(df, ["user_id"], N_PARTS))
+    def add_part(batch):
+        import pyarrow as pa
+
+        key = batch.column("user_id").to_pandas()
+        ids = (pd.util.hash_pandas_object(key, index=False).to_numpy()
+               % np.uint64(N_PARTS)).astype(np.int64)
+        return batch.append_column("_part", pa.array(ids))
 
     def enc(df: pd.DataFrame) -> pd.DataFrame:
         return encode_partition(df.drop(columns=["_part"]),
                                 key_cols=["user_id"], metric_col=None)
 
-    return (keyed_ds.map_batches(add_part, batch_format="pandas")
+    return (keyed_ds.map_batches(add_part, batch_format="pyarrow")
             .groupby("_part").map_groups(enc, batch_format="pandas"))
 
 

@@ -82,22 +82,31 @@ def _lean_turns(sf_dir: str):
     return ds.map_batches(shrink, batch_format="pyarrow")
 
 
-def _by_conv_partition(ds, kernel, n_parts: int = N_CONV_PARTS):
+def _by_conv_partition(ds, kernel, n_parts: int = N_CONV_PARTS,
+                       fmt: str = "pandas"):
     """Hash-partition whole conversations, run a vectorized partition-level
     kernel per partition.  ONE bounded-cardinality shuffle; per-group Python
     calls don't survive 10^8 conversations."""
-    from ..util import hash_partition_ids
+    def add_part(batch):
+        # Arrow-native: only the key column is materialized for hashing; the
+        # batch itself stays a zero-copy shm-backed Arrow table through the
+        # shuffle (anonymous-memory traffic is the bottleneck, not CPU)
+        import pyarrow as pa
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        # shallow assign — a deep copy would double the anonymous-memory
-        # traffic of the pre-shuffle stage
-        return df.assign(_cpart=hash_partition_ids(df, ["conv_id"], n_parts))
+        key = batch.column("conv_id").to_pandas()
+        ids = (pd.util.hash_pandas_object(key, index=False).to_numpy()
+               % np.uint64(n_parts)).astype(np.int64)
+        return batch.append_column("_cpart", pa.array(ids))
 
-    def run(df: pd.DataFrame) -> pd.DataFrame:
-        return kernel(df.drop(columns=["_cpart"]))
+    if fmt == "pyarrow":
+        def run(batch):
+            return kernel(batch.drop_columns(["_cpart"]))
+    else:
+        def run(df: pd.DataFrame) -> pd.DataFrame:
+            return kernel(df.drop(columns=["_cpart"]))
 
-    return (ds.map_batches(add_part, batch_format="pandas")
-            .groupby("_cpart").map_groups(run, batch_format="pandas"))
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_cpart").map_groups(run, batch_format=fmt))
 
 
 def _derive_kernel():
@@ -141,50 +150,51 @@ def _finalize_df(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def rollup_tier(sf_dir: str, tier: str):
-    from ..stages.metrics import CUSTOM_METRICS, rollup_turns_partition
+    from ..stages.metrics import CUSTOM_METRICS, rollup_turns_arrow
 
     custom = dict(CUSTOM_METRICS)
     bucket_ms = TIER_MS[tier]
 
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        # fused dedup+derive+rollup — never materializes the long format
-        return _finalize_df(rollup_turns_partition(df, bucket_ms, custom))
+    def kernel(batch):
+        # Arrow-native fused dedup+derive+rollup (reduceat over runs) —
+        # no pandas conversion, no long-format materialization
+        return _finalize_df(rollup_turns_arrow(batch, bucket_ms, custom))
 
-    return _by_conv_partition(_lean_turns(sf_dir),
-                              kernel).select_columns(ROLLUP_COLS)
+    return _by_conv_partition(_lean_turns(sf_dir), kernel,
+                              fmt="pyarrow").select_columns(ROLLUP_COLS)
 
 
 def rollup_cascade(sf_dir: str, tier: str = "1h"):
     """1m tier re-aggregated to a coarser tier without re-reading turns
     (decomposable partial+final re-aggregation, conv-local)."""
 
-    derive = _derive_kernel()
+    from ..stages.metrics import CUSTOM_METRICS, rollup_turns_arrow
 
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        one_m = _rollup_in_partition(derive(df), "1m")
+    custom = dict(CUSTOM_METRICS)
+
+    def kernel(batch):
+        one_m = rollup_turns_arrow(batch, TIER_MS["1m"], custom)
         coarse = reaggregate_partials(one_m, key_cols=TRANSCRIPT_KEYS,
                                       bucket_ms=TIER_MS[tier])
         return _finalize_df(coarse)
 
-    return _by_conv_partition(_lean_turns(sf_dir),
-                              kernel).select_columns(ROLLUP_COLS)
+    return _by_conv_partition(_lean_turns(sf_dir), kernel,
+                              fmt="pyarrow").select_columns(ROLLUP_COLS)
 
 
 def gorilla_blocks(sf_dir: str, metric: str | None = "text_len"):
     """(conv_id, metric, day)-keyed Gorilla block store — derive + encode in
     the same conv partition pass."""
 
-    derive = _derive_kernel()
+    from ..stages.metrics import CUSTOM_METRICS, encode_turns_arrow
 
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        pts = derive(df)
-        if metric is not None:
-            pts = pts[pts["metric"] == metric]
-        pts = pts.copy()
-        pts["block_start"] = (pts["ts_ms"].to_numpy() // DAY_MS) * DAY_MS
-        return encode_partition(pts, key_cols=["conv_id"])
+    custom = dict(CUSTOM_METRICS)
 
-    return _by_conv_partition(_lean_turns(sf_dir), kernel)
+    def kernel(batch):
+        return encode_turns_arrow(batch, metric=metric, day_ms=DAY_MS,
+                                  custom=custom)
+
+    return _by_conv_partition(_lean_turns(sf_dir), kernel, fmt="pyarrow")
 
 
 def blocks_roundtrip(sf_dir: str, metric: str = "text_len"):

@@ -98,16 +98,26 @@ def canonical_turns_group(df: pd.DataFrame) -> pd.DataFrame:
 
 def _dedup_sort_partition(df: pd.DataFrame) -> pd.DataFrame:
     """Stable (conv_id, turn_idx, ts) order + keep-first dedup on
-    (conv_id, turn_idx) across a whole partition."""
+    (conv_id, turn_idx) across a whole partition.
+
+    Sorts on factorized int codes — an object-string lexsort is Python
+    comparisons per element and dominates the kernel at millions of rows."""
+    df, _ = _dedup_sort_partition_codes(df)
+    return df
+
+
+def _dedup_sort_partition_codes(df: pd.DataFrame):
+    codes, _ = pd.factorize(df["conv_id"], sort=True)
     order = np.lexsort((df["ts_ms"].to_numpy(),
                         df["turn_idx"].to_numpy(),
-                        df["conv_id"].to_numpy()))
+                        codes))
     df = df.iloc[order]
-    conv = df["conv_id"].to_numpy()
+    conv_c = codes[order]
     tidx = df["turn_idx"].to_numpy()
     same = np.concatenate(([False],
-                           (conv[1:] == conv[:-1]) & (tidx[1:] == tidx[:-1])))
-    return df[~same]
+                           (conv_c[1:] == conv_c[:-1]) & (tidx[1:] == tidx[:-1])))
+    keep = ~same
+    return df[keep], conv_c[keep]
 
 
 def derive_metrics_partition(df: pd.DataFrame,
@@ -118,7 +128,7 @@ def derive_metrics_partition(df: pd.DataFrame,
 
     Accepts either a raw ``text`` column or a pre-computed ``text_len``
     (computed before the shuffle so full text never rides it)."""
-    df = _dedup_sort_partition(df)
+    df, conv_c = _dedup_sort_partition_codes(df)
     n = len(df)
     if n == 0:
         return pd.DataFrame({"conv_id": [], "ts_ms": [], "metric": [],
@@ -134,7 +144,7 @@ def derive_metrics_partition(df: pd.DataFrame,
     else:
         tool_call = (df["tool"].to_numpy() != "").astype(np.float64)
     # gaps: diff within conversation (first turn of each conv emits nothing)
-    same_conv = np.concatenate(([False], conv[1:] == conv[:-1]))
+    same_conv = np.concatenate(([False], conv_c[1:] == conv_c[:-1]))
     gaps = np.empty(n, dtype=np.float64)
     gaps[0] = np.nan
     gaps[1:] = np.diff(ts).astype(np.float64)
@@ -160,6 +170,207 @@ def canonical_turns_partition(df: pd.DataFrame) -> pd.DataFrame:
         ["conv_id", "turn_idx", "role", "text", "tool", "ts_ms"]]
 
 
+# ---- Arrow-native partition kernels ---------------------------------------
+# The pandas kernels above convert every string cell to a PyObject and pay
+# for it in anonymous-memory page faults (the measured global bottleneck in
+# this sandbox: ~0.5-1 GB/s of fresh pages regardless of cores).  These
+# kernels take the partition as a pyarrow Table, dictionary-encode the conv
+# key to int codes, and aggregate over contiguous runs with ufunc.reduceat —
+# zero hash tables, zero object strings, allocations ≈ output size.
+
+def _sorted_turn_arrays(batch):
+    """pa.Table partition → dedup/sorted numpy arrays (all numeric)."""
+    import pyarrow.compute as pc
+
+    batch = batch.combine_chunks()
+    col = batch["conv_id"]
+    if col.num_chunks == 0:
+        return (np.array([], dtype=np.int64), pa.array([], pa.string()),
+                np.array([], dtype=np.int64), np.array([], dtype=np.int64), {})
+    enc = pc.dictionary_encode(col.chunk(0))
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    conv_dict = enc.dictionary  # small pa.StringArray
+    ts = batch["ts_ms"].to_numpy(zero_copy_only=False)
+    tidx = batch["turn_idx"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ts, tidx, codes))
+    codes = codes[order]
+    ts = ts[order]
+    tidx = tidx[order]
+    same = np.concatenate(([False],
+                           (codes[1:] == codes[:-1]) & (tidx[1:] == tidx[:-1])))
+    keep = ~same
+    cols = {}
+    for name in batch.column_names:
+        if name in ("conv_id", "ts_ms", "turn_idx"):
+            continue
+        arr = batch[name].to_numpy(zero_copy_only=False)
+        cols[name] = arr[order][keep]
+    return codes[keep], conv_dict, ts[keep], tidx[keep], cols
+
+
+def _run_bounds(key: np.ndarray) -> np.ndarray:
+    """Start indices of contiguous equal-key runs (key must be sorted)."""
+    if len(key) == 0:
+        return np.array([], dtype=np.int64)
+    change = np.concatenate(([True], key[1:] != key[:-1]))
+    return np.flatnonzero(change)
+
+
+def rollup_turns_arrow(batch, bucket_ms: int,
+                       custom: dict | None = None) -> pd.DataFrame:
+    """Arrow-native fused dedup+derive+rollup for one conv partition.
+
+    Rows are (conv, ts)-sorted, so the combined (conv_code, bucket) key is
+    non-decreasing → groups are contiguous runs → all five aggregates are
+    single ``reduceat``/indexing passes.  Semantics identical to
+    :func:`rollup_turns_partition` (tested)."""
+    codes, conv_dict, ts, tidx, cols = _sorted_turn_arrays(batch)
+    n = len(ts)
+    long_cols = ["conv_id", "metric", "bucket_ms", "sum_v", "cnt",
+                 "min_v", "max_v", "last_ts", "last_v"]
+    if n == 0:
+        return pd.DataFrame({c: [] for c in long_cols})
+
+    value_cols = {"turn_count": np.ones(n)}
+    value_cols["text_len"] = cols["text_len"].astype(np.float64)
+    value_cols["tool_call"] = cols["tool_call"].astype(np.float64)
+    if custom:
+        frame = pd.DataFrame({"turn_idx": tidx, "ts_ms": ts, **cols})
+        for name, fn in custom.items():
+            value_cols[name] = np.asarray(fn(frame), dtype=np.float64)
+
+    bucket = (ts // bucket_ms) * bucket_ms
+    span_idx = (bucket - bucket.min()) // bucket_ms
+    key = codes * np.int64(span_idx.max() + 1) + span_idx
+
+    starts = _run_bounds(key)
+    ends = np.append(starts[1:], n)
+    cnt = ends - starts
+    last_ts = ts[ends - 1]
+
+    frames = []
+
+    def _agg_frame(metric, vals, starts, ends, cnt, last_ts, codes, bucket):
+        return pd.DataFrame({
+            "conv_id": conv_dict.take(pa.array(codes[starts])).to_pandas(),
+            "metric": metric,
+            "bucket_ms": bucket[starts],
+            "sum_v": np.add.reduceat(vals, starts),
+            "cnt": cnt,
+            "min_v": np.minimum.reduceat(vals, starts),
+            "max_v": np.maximum.reduceat(vals, starts),
+            "last_ts": last_ts,
+            "last_v": vals[ends - 1],
+        })
+
+    for m, vals in value_cols.items():
+        frames.append(_agg_frame(m, vals, starts, ends, cnt, last_ts,
+                                 codes, bucket))
+
+    same_conv = np.concatenate(([False], codes[1:] == codes[:-1]))
+    if same_conv.any():
+        gaps = np.empty(n, dtype=np.float64)
+        gaps[0] = 0
+        gaps[1:] = np.diff(ts).astype(np.float64)
+        sub = np.flatnonzero(same_conv)
+        g_key = key[sub]
+        g_starts = _run_bounds(g_key)
+        g_ends = np.append(g_starts[1:], len(sub))
+        frames.append(_agg_frame(
+            "turn_gap_ms", gaps[sub], g_starts, g_ends,
+            g_ends - g_starts, ts[sub][g_ends - 1],
+            codes[sub], bucket[sub]))
+
+    return pd.concat([f[long_cols] for f in frames], ignore_index=True)
+
+
+def encode_turns_arrow(batch, *, metric: str | None, day_ms: int,
+                       custom: dict | None = None) -> pd.DataFrame:
+    """Arrow-native fused dedup+derive+Gorilla-encode for one conv
+    partition: per (conv, metric, day-block) series, boundaries from run
+    detection on int codes, one adaptive encode call per series."""
+    from .series import CODEC_NAME
+    from ..codec import encode_series_auto, words_to_payload
+
+    codes, conv_dict, ts, tidx, cols = _sorted_turn_arrays(batch)
+    n = len(ts)
+    out_cols = ["conv_id", "metric", "block_start", "n_points", "codec",
+                "value_kind", "payload"]
+    if n == 0:
+        return pd.DataFrame({c: [] for c in out_cols})
+
+    value_cols = {}
+    if metric in (None, "turn_count"):
+        value_cols["turn_count"] = np.ones(n)
+    if metric in (None, "text_len"):
+        value_cols["text_len"] = cols["text_len"].astype(np.float64)
+    if metric in (None, "tool_call"):
+        value_cols["tool_call"] = cols["tool_call"].astype(np.float64)
+    if custom:
+        frame = pd.DataFrame({"turn_idx": tidx, "ts_ms": ts, **cols})
+        for name, fn in custom.items():
+            if metric in (None, name):
+                value_cols[name] = np.asarray(fn(frame), dtype=np.float64)
+
+    block = (ts // day_ms) * day_ms
+    day_idx = (block - block.min()) // day_ms
+    key = codes * np.int64(day_idx.max() + 1) + day_idx
+    starts = _run_bounds(key)
+    ends = np.append(starts[1:], n)
+
+    same_conv = np.concatenate(([False], codes[1:] == codes[:-1]))
+    gaps = np.empty(n, dtype=np.float64)
+    gaps[0] = 0
+    gaps[1:] = np.diff(ts).astype(np.float64)
+
+    out_code, out_metric, out_bs, out_np, out_payload = [], [], [], [], []
+
+    def emit(metric_name, series_ts, series_vb, code, bs):
+        words, _ = encode_series_auto(bs, series_ts, series_vb)
+        out_code.append(code)
+        out_metric.append(metric_name)
+        out_bs.append(bs)
+        out_np.append(len(series_ts))
+        out_payload.append(words_to_payload(words))
+
+    for i in range(len(starts)):
+        lo, hi = starts[i], ends[i]
+        code = codes[lo]
+        bs = int(block[lo])
+        s_ts = ts[lo:hi]
+        dkeep = np.concatenate(([True], np.diff(s_ts) > 0))
+        clean = dkeep.all()
+        if not clean:
+            s_ts = s_ts[dkeep]
+        for m, vals in value_cols.items():
+            vb = vals[lo:hi].view(np.uint64)
+            emit(m, s_ts, vb if clean else vb[dkeep], code, bs)
+        if metric in (None, "turn_gap_ms"):
+            gmask = same_conv[lo:hi]
+            if gmask.any():
+                g_ts = ts[lo:hi][gmask]
+                g_vb = gaps[lo:hi][gmask].view(np.uint64)
+                gk = np.concatenate(([True], np.diff(g_ts) > 0))
+                if not gk.all():
+                    g_ts, g_vb = g_ts[gk], g_vb[gk]
+                emit("turn_gap_ms", g_ts, g_vb, code, bs)
+
+    res = pd.DataFrame({
+        "conv_id": conv_dict.take(pa.array(np.array(out_code, dtype=np.int64))
+                                  ).to_pandas(),
+        "metric": out_metric,
+        "block_start": out_bs,
+        "n_points": out_np,
+    })
+    res["codec"] = CODEC_NAME
+    res["value_kind"] = "double"
+    res["payload"] = out_payload
+    return res
+
+
+import pyarrow as pa  # noqa: E402  (used by the arrow kernels above)
+
+
 def rollup_turns_partition(df: pd.DataFrame, bucket_ms: int,
                            custom: dict | None = None) -> pd.DataFrame:
     """Fused dedup + derive + rollup for one conv partition WITHOUT
@@ -170,7 +381,7 @@ def rollup_turns_partition(df: pd.DataFrame, bucket_ms: int,
 
     Semantics identical to ``derive_metrics_partition`` → ``partial_rollup``
     (tested)."""
-    df = _dedup_sort_partition(df)
+    df, conv_c = _dedup_sort_partition_codes(df)
     n = len(df)
     value_cols = {}
     conv = df["conv_id"].to_numpy()
@@ -210,7 +421,7 @@ def rollup_turns_partition(df: pd.DataFrame, bucket_ms: int,
             }))
         # turn_gap_ms rides a separate (smaller) groupby: its rows exclude
         # each conversation's first turn
-        same_conv = np.concatenate(([False], conv[1:] == conv[:-1]))
+        same_conv = np.concatenate(([False], conv_c[1:] == conv_c[:-1]))
         if same_conv.any():
             gaps = np.empty(n, dtype=np.float64)
             gaps[0] = 0

@@ -90,15 +90,22 @@ def encode_partition(df: pd.DataFrame, *, key_cols: list[str],
                                          "codec", "value_kind", "payload"]})
     sort_keys = [df[ts_col].to_numpy(), df["block_start"].to_numpy()]
     group_cols = ([metric_col] if metric_col else []) + key_cols
+    group_codes = []
     for c in group_cols:
-        sort_keys.append(df[c].to_numpy())
+        a = df[c].to_numpy()
+        if a.dtype.kind in "OUS":  # factorize strings: object lexsort is
+            a, _ = pd.factorize(df[c], sort=True)  # Python-level compares
+        group_codes.append(a)
+        sort_keys.append(a)
     order = np.lexsort(tuple(sort_keys))
     df = df.iloc[order]
     # boundaries where any group column or block_start changes
     change = np.zeros(len(df), dtype=bool)
-    for c in group_cols + ["block_start"]:
-        a = df[c].to_numpy()
+    for a in group_codes:
+        a = a[order]  # codes were computed pre-sort
         change[1:] |= a[1:] != a[:-1]
+    bs_sorted = df["block_start"].to_numpy()
+    change[1:] |= bs_sorted[1:] != bs_sorted[:-1]
     change[0] = True
     starts = np.flatnonzero(change)
     bounds = np.append(starts, len(df))
