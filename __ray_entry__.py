@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # — events table (codec + rollup over the driver's own tables) —
         "events_roundtrip": ev.points_roundtrip,
+        "events_roundtrip_gorilla1": ev.points_roundtrip_v1,
         "events_rollup_1m": lambda sf: ev.rollup(sf, "1m"),
         "events_rollup_1h": lambda sf: ev.rollup(sf, "1h"),
         "events_rollup_1d": lambda sf: ev.rollup(sf, "1d"),
@@ -75,7 +76,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_cosine": docs.knn,
         "emb_knn_lsh": docs.knn_lsh,                     # rows-only (approx)
         "emb_near_dups": docs.embedding_near_dups,
+        # — multimodal plumbing (decode stubbed; deterministic fake) —
+        "media_features": _media_features,               # rows-only (binary)
     }
+
+
+def _media_features(sf_dir: str):
+    """Binary-column multimodal plumbing: synthesized payload table →
+    actor-pool FakeDecoder (real schema/batching/actor shape; decode itself
+    is stubbed — no image/audio libs in this environment)."""
+    import ray.data
+
+    from gorilla_tsc_ray.stages import media
+
+    n = max(60, int(1000 * float(
+        sf_dir.rstrip("/").rsplit("sf", 1)[-1] or 0.01)))
+    table = media.synthesize_media_table(n)
+    return ray.data.from_arrow(table).map_batches(
+        media.FakeDecoder, batch_format="pandas", batch_size=32,
+        concurrency=2, num_cpus=0.5)
 
 
 _TRANSCRIPT_DEDUP = """
@@ -132,6 +151,8 @@ def oracle_sql() -> dict[str, str]:
     tr_rollup = lambda ms: _rollup_sql(tmetrics, "conv_id, metric", ms, "m")  # noqa: E731
     return {
         "events_roundtrip":
+            "SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events",
+        "events_roundtrip_gorilla1":
             "SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events",
         "events_rollup_1m": ev_rollup(60_000),
         "events_rollup_1h": ev_rollup(3_600_000),

@@ -44,7 +44,7 @@ def _read_points(sf_dir: str):
     return ds.map_batches(to_ms, batch_format="pyarrow")
 
 
-def _encode_by_partition(keyed_ds):
+def _encode_by_partition(keyed_ds, codec: str = "gorilla2"):
     """Hash whole users into bounded partitions; encode every
     (user, day-block) series of a partition in one vectorized kernel
     (one Python call per partition, not per series)."""
@@ -59,10 +59,32 @@ def _encode_by_partition(keyed_ds):
 
     def enc(df: pd.DataFrame) -> pd.DataFrame:
         return encode_partition(df.drop(columns=["_part"]),
-                                key_cols=["user_id"], metric_col=None)
+                                key_cols=["user_id"], metric_col=None,
+                                codec=codec)
 
     return (keyed_ds.map_batches(add_part, batch_format="pyarrow")
             .groupby("_part").map_groups(enc, batch_format="pandas"))
+
+
+def points_roundtrip_v1(sf_dir: str):
+    """Same round-trip through the LEGACY v1 codec (``Compressor.java`` /
+    ``Decompressor.java``) — format parity for the reference's older
+    format."""
+    import pyarrow.compute as pc
+
+    ds = _read_points(sf_dir)
+
+    def add_block(batch):
+        bs = pc.multiply(pc.divide(batch["ts_ms"], DAY_MS), DAY_MS)
+        return batch.append_column("block_start", bs)
+
+    blocks = _encode_by_partition(ds.map_batches(add_block,
+                                                 batch_format="pyarrow"),
+                                  codec="gorilla1")
+    return blocks.map_batches(
+        decode_blocks_batch, batch_format="pandas",
+        fn_kwargs={"key_cols": ["user_id"]},
+    ).select_columns(["user_id", "ts_ms", "value"])
 
 
 def points_roundtrip(sf_dir: str):

@@ -19,7 +19,31 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..codec import decode_series, encode_series_auto, payload_to_words, words_to_payload
+from ..codec import (BitReader, CompressorV1, DecompressorV1, decode_series,
+                     encode_series_auto, payload_to_words, words_to_payload)
+
+
+def encode_series_v1(block_ts: int, ts: np.ndarray, vb: np.ndarray):
+    """v1 (legacy) block via the streaming codec (``Compressor.java``);
+    kept for format parity — v2 is the default (``README.adoc:39-40``)."""
+    comp = CompressorV1(int(block_ts))
+    for t, b in zip(ts.tolist(), vb.tolist()):
+        comp.add_value(int(t), int(b))
+    comp.close()
+    return np.array(comp.out.to_words(), dtype=np.uint64)
+
+
+def decode_series_v1(words, n_points: int):
+    """v1 decode (``Decompressor.java``) → (ts, value_bits) arrays."""
+    dec = DecompressorV1(BitReader(np.asarray(words, dtype=np.uint64).tolist()))
+    out_ts = np.empty(n_points, dtype=np.int64)
+    out_v = np.empty(n_points, dtype=np.uint64)
+    for i in range(n_points):
+        pair = dec.read_pair()
+        assert pair is not None, "short v1 block"
+        out_ts[i], out_v[i] = pair
+    return out_ts, out_v
+
 
 DAY_MS = 86_400_000
 CODEC_NAME = "gorilla2"
@@ -79,7 +103,8 @@ def encode_group(df: pd.DataFrame, *, key_cols: list[str], ts_col: str = "ts_ms"
 def encode_partition(df: pd.DataFrame, *, key_cols: list[str],
                      ts_col: str = "ts_ms", value_col: str = "value",
                      metric_col: str | None = "metric",
-                     value_kind: str = "double") -> pd.DataFrame:
+                     value_kind: str = "double",
+                     codec: str = CODEC_NAME) -> pd.DataFrame:
     """Partition-level encode: one hash partition holds many whole
     (key..., block_start) series; lexsort + boundary split + per-series
     encode (adaptive codec) — a few vectorized ops plus one cheap encode
@@ -126,7 +151,10 @@ def encode_partition(df: pd.DataFrame, *, key_cols: list[str],
         keep = np.concatenate(([True], np.diff(ts) > 0))
         if not keep.all():
             ts, vb = ts[keep], vb[keep]
-        words, _ = encode_series_auto(int(bs_all[lo]), ts, vb)
+        if codec == "gorilla1":
+            words = encode_series_v1(int(bs_all[lo]), ts, vb)
+        else:
+            words, _ = encode_series_auto(int(bs_all[lo]), ts, vb)
         for c in key_cols:
             out[c].append(df[c].iloc[lo])
         out_metric.append(df[metric_col].iloc[lo] if metric_col else "value")
@@ -137,7 +165,7 @@ def encode_partition(df: pd.DataFrame, *, key_cols: list[str],
     res["metric"] = out_metric
     res["block_start"] = out_bs
     res["n_points"] = out_np
-    res["codec"] = CODEC_NAME
+    res["codec"] = codec
     res["value_kind"] = value_kind
     res["payload"] = out_payload
     return res
@@ -155,7 +183,11 @@ def decode_blocks_batch(df: pd.DataFrame, *, key_cols: list[str],
     for i in range(len(df)):
         payload = df["payload"].iloc[i]
         n = int(df["n_points"].iloc[i])
-        ts, vb = decode_series(payload_to_words(payload), n_points=n)
+        words = payload_to_words(payload)
+        if "codec" in df.columns and df["codec"].iloc[i] == "gorilla1":
+            ts, vb = decode_series_v1(words, n)
+        else:
+            ts, vb = decode_series(words, n_points=n)
         all_ts.append(ts)
         if kinds.iloc[i] == "double":
             all_v.append(vb.view(np.float64))
