@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.pricing_summary,
         "top_event_users": relational.top_event_users,
         "high_value_events": relational.high_value_filter,
+        "orders_by_nation": relational.orders_by_nation,
+        "distinct_event_types": relational.distinct_event_types,
         # — training-data ops: text analysis —
         "docs_token_stats": docs.token_stats,
         "docs_quality": docs.quality,
@@ -231,6 +233,16 @@ GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 10
 """,
         "high_value_events": """
 SELECT event_id, user_id, event_type, value FROM events WHERE value > 90.0
+""",
+        "orders_by_nation": """
+SELECT n.n_name, round(sum(o.o_totalprice), 4) AS total,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+        "distinct_event_types": """
+SELECT DISTINCT event_type FROM events
 """,
         "docs_token_stats": """
 SELECT doc_id,

@@ -73,6 +73,52 @@ def top_event_users(sf_dir: str, k: int = 10):
     return counts.sort(["cnt", "user_id"], descending=[True, False]).limit(k)
 
 
+def orders_by_nation(sf_dir: str):
+    """Broadcast hash join: the small side (customer→nation mapping, plus
+    nation names) is built once on the driver and captured by the batch UDF
+    (``ray.put`` under the hood) — an explicit alternative to a shuffle
+    join for small dimensions (SURVEY.md §2b "Joins / lookups")."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = dict(zip(
+        cust["c_custkey"],
+        cust["c_nationkey"].map(dict(zip(nation["n_nationkey"],
+                                         nation["n_name"])))))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n_name=df["o_custkey"].map(cust_to_nation))
+        g = df.groupby("n_name", sort=False)
+        return g.agg(total=("o_totalprice", "sum"),
+                     n_orders=("o_totalprice", "count")).reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.iloc[:1][["n_name"]].copy()
+        out["total"] = round_half_away(df["total"].sum(), 4)
+        out["n_orders"] = int(df["n_orders"].sum())
+        return out
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("n_name").map_groups(merge, batch_format="pandas"))
+
+
+def distinct_event_types(sf_dir: str):
+    """Distinct values (set-op coverage): per-batch unique → global unique."""
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"].unique()})
+
+    return (ds.map_batches(uniq, batch_format="pandas")
+            .groupby("event_type").map_groups(
+                lambda df: df.iloc[:1], batch_format="pandas"))
+
+
 def high_value_filter(sf_dir: str, threshold: float = 90.0):
     """Vectorized predicate filter + projection (prune at read)."""
     import pyarrow.compute as pc
