@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # — events table (codec + rollup over the driver's own tables) —
         "events_roundtrip": ev.points_roundtrip,
         "events_roundtrip_gorilla1": ev.points_roundtrip_v1,
+        "events_roundtrip_dfcm": ev.points_roundtrip_dfcm,
         "events_rollup_1m": lambda sf: ev.rollup(sf, "1m"),
         "events_rollup_1h": lambda sf: ev.rollup(sf, "1h"),
         "events_rollup_1d": lambda sf: ev.rollup(sf, "1d"),
@@ -155,6 +156,8 @@ def oracle_sql() -> dict[str, str]:
         "events_roundtrip":
             "SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events",
         "events_roundtrip_gorilla1":
+            "SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events",
+        "events_roundtrip_dfcm":
             "SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events",
         "events_rollup_1m": ev_rollup(60_000),
         "events_rollup_1h": ev_rollup(3_600_000),

@@ -66,6 +66,25 @@ def _encode_by_partition(keyed_ds, codec: str = "gorilla2"):
             .groupby("_part").map_groups(enc, batch_format="pandas"))
 
 
+def points_roundtrip_dfcm(sf_dir: str):
+    """Round-trip with the DifferentialFCM predictor on both ends."""
+    import pyarrow.compute as pc
+
+    ds = _read_points(sf_dir)
+
+    def add_block(batch):
+        bs = pc.multiply(pc.divide(batch["ts_ms"], DAY_MS), DAY_MS)
+        return batch.append_column("block_start", bs)
+
+    blocks = _encode_by_partition(ds.map_batches(add_block,
+                                                 batch_format="pyarrow"),
+                                  codec="gorilla2_dfcm")
+    return blocks.map_batches(
+        decode_blocks_batch, batch_format="pandas",
+        fn_kwargs={"key_cols": ["user_id"]},
+    ).select_columns(["user_id", "ts_ms", "value"])
+
+
 def points_roundtrip_v1(sf_dir: str):
     """Same round-trip through the LEGACY v1 codec (``Compressor.java`` /
     ``Decompressor.java``) — format parity for the reference's older

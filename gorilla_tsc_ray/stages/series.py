@@ -19,7 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..codec import (BitReader, CompressorV1, DecompressorV1, decode_series,
+from ..codec import (BitReader, CompressorV1, DecompressorV1, DifferentialFCM,
+                     GorillaCompressor, GorillaDecompressor, decode_series,
                      encode_series_auto, payload_to_words, words_to_payload)
 
 
@@ -31,6 +32,33 @@ def encode_series_v1(block_ts: int, ts: np.ndarray, vb: np.ndarray):
         comp.add_value(int(t), int(b))
     comp.close()
     return np.array(comp.out.to_words(), dtype=np.uint64)
+
+
+def encode_series_dfcm(block_ts: int, ts: np.ndarray, vb: np.ndarray,
+                       table_size: int = 1024):
+    """v2 block with the DifferentialFCM predictor
+    (``predictors/DifferentialFCM.java``) — sequential by nature, so always
+    the streaming codec.  Decoder must be constructed with the same
+    predictor (``README.adoc:76-77``)."""
+    comp = GorillaCompressor(int(block_ts),
+                             predictor=DifferentialFCM(table_size))
+    for t, b in zip(ts.tolist(), vb.tolist()):
+        comp.add_value(int(t), int(b))
+    comp.close()
+    return np.array(comp.out.to_words(), dtype=np.uint64)
+
+
+def decode_series_dfcm(words, n_points: int, table_size: int = 1024):
+    dec = GorillaDecompressor(
+        BitReader(np.asarray(words, dtype=np.uint64).tolist()),
+        predictor=DifferentialFCM(table_size))
+    out_ts = np.empty(n_points, dtype=np.int64)
+    out_v = np.empty(n_points, dtype=np.uint64)
+    for i in range(n_points):
+        pair = dec.read_pair()
+        assert pair is not None, "short dfcm block"
+        out_ts[i], out_v[i] = pair
+    return out_ts, out_v
 
 
 def decode_series_v1(words, n_points: int):
@@ -153,6 +181,8 @@ def encode_partition(df: pd.DataFrame, *, key_cols: list[str],
             ts, vb = ts[keep], vb[keep]
         if codec == "gorilla1":
             words = encode_series_v1(int(bs_all[lo]), ts, vb)
+        elif codec == "gorilla2_dfcm":
+            words = encode_series_dfcm(int(bs_all[lo]), ts, vb)
         else:
             words, _ = encode_series_auto(int(bs_all[lo]), ts, vb)
         for c in key_cols:
@@ -184,8 +214,11 @@ def decode_blocks_batch(df: pd.DataFrame, *, key_cols: list[str],
         payload = df["payload"].iloc[i]
         n = int(df["n_points"].iloc[i])
         words = payload_to_words(payload)
-        if "codec" in df.columns and df["codec"].iloc[i] == "gorilla1":
+        row_codec = df["codec"].iloc[i] if "codec" in df.columns else "gorilla2"
+        if row_codec == "gorilla1":
             ts, vb = decode_series_v1(words, n)
+        elif row_codec == "gorilla2_dfcm":
+            ts, vb = decode_series_dfcm(words, n)
         else:
             ts, vb = decode_series(words, n_points=n)
         all_ts.append(ts)
