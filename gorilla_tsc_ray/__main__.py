@@ -1,0 +1,92 @@
+"""CLI entry points — the ``ray job submit`` surface.
+
+    python -m gorilla_tsc_ray ingest    --sf-dir DIR --out STORE [--no-resume]
+    python -m gorilla_tsc_ray query     --store STORE [--metric M] [--t-lo MS]
+                                        [--t-hi MS] [--conv ID ...] --out DIR
+    python -m gorilla_tsc_ray retention --store STORE --now-ms N
+                                        [--keep tier=days ...] [--dry-run]
+
+Owns its Ray session (library code never calls ``ray.init``); on a cluster,
+drop ``address="local"`` via ``--address auto``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(args) -> None:
+    import ray
+
+    kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                  logging_level="ERROR")
+    if args.num_cpus:
+        kwargs["num_cpus"] = args.num_cpus
+    if not ray.is_initialized():
+        ray.init(address=args.address, **kwargs)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="gorilla_tsc_ray")
+    p.add_argument("--address", default="local")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="transcripts → block store + rollups")
+    pi.add_argument("--sf-dir", required=True)
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--no-resume", action="store_true")
+
+    pq = sub.add_parser("query", help="pruned block scan → decoded points")
+    pq.add_argument("--store", required=True)
+    pq.add_argument("--metric", default=None)
+    pq.add_argument("--t-lo", type=int, default=None)
+    pq.add_argument("--t-hi", type=int, default=None)
+    pq.add_argument("--conv", nargs="*", default=None)
+    pq.add_argument("--out", required=True)
+
+    pr = sub.add_parser("retention", help="apply retention policy to a store")
+    pr.add_argument("--store", required=True)
+    pr.add_argument("--now-ms", type=int, required=True)
+    pr.add_argument("--keep", nargs="*", default=["blocks=7", "rollup_1m=30"],
+                    metavar="tier=days")
+    pr.add_argument("--dry-run", action="store_true")
+
+    args = p.parse_args(argv)
+    _init_ray(args)
+    import ray
+
+    try:
+        if args.cmd == "ingest":
+            from .pipelines.ingest import ingest_to_store
+
+            res = ingest_to_store(args.sf_dir, args.out,
+                                  resume=not args.no_resume)
+            print(json.dumps(res))
+        elif args.cmd == "query":
+            from .pipelines.query import scan_points
+
+            ds = scan_points(f"{args.store}/blocks", t_lo=args.t_lo,
+                             t_hi=args.t_hi, conv_ids=args.conv,
+                             metric=args.metric)
+            ds.write_parquet(args.out)
+            print(json.dumps({"rows": ds.count(), "out": args.out}))
+        elif args.cmd == "retention":
+            from .pipelines.retention import apply_retention
+
+            policy = {}
+            for kv in args.keep:
+                tier, days = kv.split("=", 1)
+                policy[tier] = int(days)
+            df = apply_retention(args.store, policy, now_ms=args.now_ms,
+                                 dry_run=args.dry_run)
+            print(df.groupby("status").size().to_json())
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

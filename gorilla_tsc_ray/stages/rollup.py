@@ -19,8 +19,6 @@ All kernels are vectorized pandas/numpy; no Python row loops.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 
