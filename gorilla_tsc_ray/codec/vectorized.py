@@ -168,31 +168,46 @@ def _value_codes(value_bits: np.ndarray):
 
     nz = np.flatnonzero(xor)
     if len(nz):
-        # sequential window state machine — the only Python loop
-        xor_l = xor[nz].tolist()
-        lz_l = lz_a[nz].tolist()
-        tz_l = tz_a[nz].tolist()
-        idx_l = nz.tolist()
-        ca, ba, cb, bb = [], [], [], []
-        sL, sT = 1 << 30, 0
-        for x, l, t in zip(xor_l, lz_l, tz_l):
-            if l >= sL and t >= sT:
-                sig = 64 - sL - sT
-                ca.append(2)          # '1' then '0' control bits
-                ba.append(2)
-                cb.append((x >> sT) & ((1 << sig) - 1))
-                bb.append(sig)
-            else:
-                sig = 64 - l - t
-                ca.append((0b11 << 12) | (l << 6) | (sig - 1))
-                ba.append(14)         # '11' + 6-bit lz + 6-bit (sig-1)
-                cb.append(x >> t)
-                bb.append(sig)
-                sL, sT = l, t
-        code_a[idx_l] = np.array(ca, dtype=np.uint64)
-        bits_a[idx_l] = np.array(ba, dtype=np.uint64)
-        code_b[idx_l] = np.array(cb, dtype=np.uint64)
-        bits_b[idx_l] = np.array(bb, dtype=np.uint64)
+        # Sequential window state machine, vectorized over RUNS: the
+        # (storedLZ, storedTZ) window only changes at a "new window" point;
+        # every point between two changes takes the existing-window branch,
+        # so each run is one numpy slice operation.  Python-level work is
+        # O(#window changes), not O(#points).
+        xor_nz = xor[nz]
+        lz_nz = lz_a[nz]
+        tz_nz = tz_a[nz]
+        m = len(nz)
+        pos = 0
+        CHUNK = 4096
+        while pos < m:
+            l = int(lz_nz[pos])
+            t = int(tz_nz[pos])
+            sig = 64 - l - t
+            i0 = nz[pos]
+            code_a[i0] = (0b11 << 12) | (l << 6) | (sig - 1)
+            bits_a[i0] = 14           # '11' + 6-bit lz + 6-bit (sig-1)
+            code_b[i0] = xor_nz[pos] >> _U64(t)
+            bits_b[i0] = sig
+            sL, sT = l, t
+            sigE = _U64(64 - sL - sT)
+            maskE = (_U64(1) << sigE) - _U64(1) if sL + sT else _U64(_M64)
+            sT64 = _U64(sT)
+            j = pos + 1
+            while j < m:
+                k = min(j + CHUNK, m)
+                viol = (lz_nz[j:k] < l) | (tz_nz[j:k] < t)
+                nv = np.flatnonzero(viol)
+                stop = j + (int(nv[0]) if len(nv) else k - j)
+                if stop > j:
+                    idxs = nz[j:stop]
+                    code_a[idxs] = 2  # '1' then '0' control bits
+                    bits_a[idxs] = 2
+                    code_b[idxs] = (xor_nz[j:stop] >> sT64) & maskE
+                    bits_b[idxs] = sigE
+                j = stop
+                if len(nv):
+                    break  # j is the next new-window point
+            pos = j
     return code_a, bits_a, code_b, bits_b
 
 
@@ -217,28 +232,28 @@ def encode_series(block_ts: int, ts: np.ndarray, value_bits: np.ndarray,
     tcode, tbits, first_delta = _timestamp_codes(block_ts, ts)
     vca, vba, vcb, vbb = _value_codes(value_bits)
 
+    # single preallocated code stream: header + first point + interleaved
+    # (ts, value-ctrl, value-payload) triples + EOF — no concat copies
     m = n - 1
-    body_vals = np.empty(3 * m, dtype=np.uint64)
-    body_bits = np.empty(3 * m, dtype=np.uint64)
-    body_vals[0::3] = tcode
-    body_bits[0::3] = tbits
-    body_vals[1::3] = vca
-    body_bits[1::3] = vba
-    body_vals[2::3] = vcb
-    body_bits[2::3] = vbb
-
-    head_vals = np.array(
-        [int(block_ts) & _M64, first_delta & ((1 << FIRST_DELTA_BITS) - 1),
-         int(value_bits[0])], dtype=np.uint64)
-    head_bits = np.array([64, FIRST_DELTA_BITS, 64], dtype=np.uint64)
-    tail_vals = np.array([0x0F, 0xFFFFFFFF, 0], dtype=np.uint64)
-    tail_bits = np.array([4, 32, 1], dtype=np.uint64)
-    if not closed:
-        tail_vals = tail_vals[:0]
-        tail_bits = tail_bits[:0]
-
-    vals = np.concatenate([head_vals, body_vals, tail_vals])
-    bits = np.concatenate([head_bits, body_bits, tail_bits])
+    total = 3 + 3 * m + (3 if closed else 0)
+    vals = np.empty(total, dtype=np.uint64)
+    bits = np.empty(total, dtype=np.uint64)
+    vals[0] = int(block_ts) & _M64
+    bits[0] = 64
+    vals[1] = first_delta & ((1 << FIRST_DELTA_BITS) - 1)
+    bits[1] = FIRST_DELTA_BITS
+    vals[2] = value_bits[0]
+    bits[2] = 64
+    end = 3 + 3 * m
+    vals[3:end:3] = tcode
+    bits[3:end:3] = tbits
+    vals[4:end:3] = vca
+    bits[4:end:3] = vba
+    vals[5:end:3] = vcb
+    bits[5:end:3] = vbb
+    if closed:
+        vals[end:] = (0x0F, 0xFFFFFFFF, 0)
+        bits[end:] = (4, 32, 1)
     return _pack_codes(vals, bits, closed)
 
 

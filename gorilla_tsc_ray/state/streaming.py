@@ -107,6 +107,38 @@ class _EncoderCore:
         return {"rows_in": self.rows_in, "late": self.late_count,
                 "open_blocks": len(self.open)}
 
+    # -- checkpoint / restore -------------------------------------------
+    # The codec classes are pure Python state (bit buffer + a few scalars +
+    # predictor table), so a pickle of the core IS a complete encoder
+    # checkpoint: a restored core continues appending mid-block and seals
+    # bit-identical streams.  (The snapshot() above is the *read-side*
+    # checkpoint — decodable without close, per EncodeGorillaTest.java:484-500;
+    # this is the write-side one.)
+
+    def checkpoint(self) -> bytes:
+        import pickle
+
+        return pickle.dumps({
+            "block_span_ms": self.block_span_ms,
+            "allowed_lateness_ms": self.allowed_lateness_ms,
+            "open": self.open, "meta": self.meta,
+            "watermark": self.watermark,
+            "late_count": self.late_count, "rows_in": self.rows_in,
+        })
+
+    @classmethod
+    def restore(cls, blob: bytes) -> "_EncoderCore":
+        import pickle
+
+        state = pickle.loads(blob)
+        core = cls(state["block_span_ms"], state["allowed_lateness_ms"])
+        core.open = state["open"]
+        core.meta = state["meta"]
+        core.watermark = state["watermark"]
+        core.late_count = state["late_count"]
+        core.rows_in = state["rows_in"]
+        return core
+
 
 class StreamingRouter:
     """Driver-side facade: hash-routes point batches to a fixed actor pool.

@@ -97,3 +97,29 @@ def test_auto_encode_matches_vectorized(n):
         wa, ba = encode_series_auto(T0, ts, vb, closed=closed)
         assert wa.tolist() == wv.tolist()
         assert ba == bv
+
+
+def test_window_thrash():
+    """Adversarial series for the run-vectorized window machine: every point
+    violates the previous window (alternating huge/tiny XOR shapes)."""
+    n = 4000
+    ts = T0 + 1 + 10 * np.arange(n, dtype=np.int64)
+    vb = np.empty(n, dtype=np.uint64)
+    vb[0::4] = np.uint64(0x0000_0000_0000_00FF)
+    vb[1::4] = np.uint64(0xFF00_0000_0000_0000)
+    vb[2::4] = np.uint64(0x0000_FFFF_0000_0000)
+    vb[3::4] = np.uint64(0x0000_0000_0001_0000)
+    _roundtrip_and_compare(T0, ts, vb)
+
+
+def test_long_existing_window_run():
+    """Opposite extreme: one window change then thousands of fitting points."""
+    n = 10_000
+    ts = T0 + 1 + 7 * np.arange(n, dtype=np.int64)
+    rng = np.random.default_rng(3)
+    # xors confined to a fixed bit window → existing-window path throughout
+    base = np.uint64(1) << np.uint64(30)
+    vb = np.bitwise_xor.accumulate(
+        (rng.integers(1, 255, n, dtype=np.int64).astype(np.uint64)
+         << np.uint64(20)) | base)
+    _roundtrip_and_compare(T0, ts, vb)

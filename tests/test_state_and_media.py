@@ -163,3 +163,34 @@ class TestMedia:
         vids = df[df["kind"] == "video"]
         assert set(plan["media_id"]) == set(vids["media_id"])
         assert (plan["frame_idx"] % 5 == 0).all()
+
+
+class TestEncoderCheckpoint:
+    def test_restore_continues_bit_identically(self):
+        """Write-side checkpoint: a restored encoder continues mid-block and
+        seals the SAME bit stream as an uninterrupted one."""
+        from gorilla_tsc_ray.state.streaming import _EncoderCore
+
+        pts = [(T0 + 1000 + i * 700, double_to_bits(float(i) * 1.3))
+               for i in range(50)]
+        # uninterrupted
+        a = _EncoderCore()
+        for t, v in pts:
+            a.append("c1", "m", t, v)
+        rows_a = a.seal()
+        # checkpoint after 20 points, restore, continue
+        b = _EncoderCore()
+        for t, v in pts[:20]:
+            b.append("c1", "m", t, v)
+        blob = b.checkpoint()
+        del b
+        c = _EncoderCore.restore(blob)
+        for t, v in pts[20:]:
+            c.append("c1", "m", t, v)
+        rows_c = c.seal()
+        assert len(rows_a) == len(rows_c) == 1
+        assert rows_a[0]["payload"] == rows_c[0]["payload"]
+        # restored watermark still rejects late data
+        d = _EncoderCore.restore(blob)
+        assert not d.append("c1", "m", pts[0][0], 1)
+        assert d.stats()["late"] == 1
