@@ -137,3 +137,13 @@ def test_dense_series_compression():
     words, _ = encode_series(t0, ts, vb)
     bytes_pp = len(words_to_payload(words)) / n
     assert bytes_pp < 3.0  # ~16 bits/pt on the counter-shaped bench series
+
+
+def test_empty_selection_is_robust(ray_session, sf_small):
+    """Pipelines must tolerate empty intermediate results (no groups)."""
+    import pyarrow.compute as pc
+    from gorilla_tsc_ray.pipelines.events import _read_points
+
+    ds = _read_points(sf_small).map_batches(
+        lambda t: t.filter(pc.less(t["ts_ms"], 0)), batch_format="pyarrow")
+    assert ds.count() == 0
