@@ -342,6 +342,16 @@ def decode_series(words, n_points: int | None = None):
             ab += 64
         if ab < 1:
             break
+        # fast path: '00' = dod 0 + repeated value — the dominant record in
+        # dense series; one peek instead of two branches
+        if ab >= 2 and not (acc >> (ab - 2)) & 3:
+            ab -= 2
+            acc &= (1 << ab) - 1
+            stored_ts += stored_delta
+            append_ts(stored_ts)
+            append_v(stored_val)
+            count += 1
+            continue
         # timestamp control: up to 4 bits, stop at first clear bit
         if not (acc >> (ab - 1)) & 1:
             ab -= 1

@@ -184,7 +184,7 @@ def _sorted_turn_arrays(batch):
 
     batch = batch.combine_chunks()
     col = batch["conv_id"]
-    if col.num_chunks == 0:
+    if batch.num_rows == 0 or col.num_chunks == 0:
         return (np.array([], dtype=np.int64), pa.array([], pa.string()),
                 np.array([], dtype=np.int64), np.array([], dtype=np.int64), {})
     enc = pc.dictionary_encode(col.chunk(0))
