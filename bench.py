@@ -151,16 +151,13 @@ def run_scaling_pipeline(sf_dir: str, num_cpus: int) -> dict:
 
     # best-of-2 per stage: host noise is ±30-40%; throughput capability is
     # what the cluster-size criterion compares
-    queries = {"rollup_1m": float("inf"), "encode_blocks": float("inf")}
+    queries = {"store_build": float("inf")}
     for _ in range(2):
         t = time.perf_counter()
-        ingest.rollup_tier(sf_dir, "1m").count()
-        queries["rollup_1m"] = round(
-            min(queries["rollup_1m"], time.perf_counter() - t), 3)
-        t = time.perf_counter()
-        ingest.gorilla_blocks(sf_dir, metric=None).count()
-        queries["encode_blocks"] = round(
-            min(queries["encode_blocks"], time.perf_counter() - t), 3)
+        # ONE pass: 1m rollup + all Gorilla day blocks from a single shuffle
+        ingest.build_store_combined(sf_dir, "1m").count()
+        queries["store_build"] = round(
+            min(queries["store_build"], time.perf_counter() - t), 3)
     total = sum(queries.values())
     ray.shutdown()
     return {

@@ -197,6 +197,50 @@ def gorilla_blocks(sf_dir: str, metric: str | None = "text_len"):
     return _by_conv_partition(_lean_turns(sf_dir), kernel, fmt="pyarrow")
 
 
+def build_store_combined(sf_dir: str, tier: str = "1m"):
+    """ONE shuffle → BOTH store outputs: each conv partition emits its
+    rollup rows AND its Gorilla block rows in a single kernel pass (union
+    schema with a ``kind`` column; split downstream with cheap output-sized
+    filters).  This is the real ingest cost model: the exchange is paid
+    once, not once per output."""
+    from ..stages.metrics import (CUSTOM_METRICS, encode_turns_arrow,
+                                  rollup_turns_arrow)
+
+    custom = dict(CUSTOM_METRICS)
+    bucket_ms = TIER_MS[tier]
+
+    def kernel(batch):
+        rolled = _finalize_df(rollup_turns_arrow(batch, bucket_ms, custom))
+        blocks = encode_turns_arrow(batch, metric=None, day_ms=DAY_MS,
+                                    custom=custom)
+        rolled.insert(0, "kind", "rollup")
+        blocks.insert(0, "kind", "block")
+        return pd.concat([rolled, blocks], ignore_index=True)
+
+    return _by_conv_partition(_lean_turns(sf_dir), kernel, fmt="pyarrow")
+
+
+def split_store_outputs(combined):
+    """Split the union-schema store build into (rollup_ds, blocks_ds)."""
+    def only(kind, cols, int_cols):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.loc[df["kind"] == kind, cols].copy()
+            for c in int_cols:  # union-schema NaNs upcast ints to float
+                out[c] = out[c].astype(np.int64)
+            return out
+        return f
+
+    rollup = combined.map_batches(
+        only("rollup", ROLLUP_COLS, ["bucket_ms", "cnt"]),
+        batch_format="pandas")
+    blocks = combined.map_batches(
+        only("block", ["conv_id", "metric", "block_start", "n_points",
+                       "codec", "value_kind", "payload"],
+             ["block_start", "n_points"]),
+        batch_format="pandas")
+    return rollup, blocks
+
+
 def blocks_roundtrip(sf_dir: str, metric: str = "text_len"):
     """Block store decoded back to points — must equal the metric stream."""
     blocks = gorilla_blocks(sf_dir, metric)
@@ -254,18 +298,46 @@ def ingest_to_store(sf_dir: str, out_root: str, resume: bool = True):
         keys = pd.Series(day).map(partition_key_for_day)
         return df[~keys.isin(done).to_numpy()]
 
+    from ..stages.rollup import cascade_dataset
+
     results = {}
-    blocks = _with_day(gorilla_blocks(sf_dir, metric=None), "block_start")
+    # ONE shuffle produces both the block store and the 1m tier; coarser
+    # tiers re-aggregate the (much smaller) 1m output — raw turns are read
+    # exactly once for the numeric store
+    combined = build_store_combined(sf_dir, "1m").materialize()
+    rollup_1m, blocks = split_store_outputs(combined)
+    blocks = _with_day(blocks, "block_start")
     blocks = blocks.map_batches(lambda df: not_done(df, "block_start"),
                                 batch_format="pandas")
     blocks.write_parquet(f"{out_root}/blocks", partition_cols=["day"])
     results["blocks"] = f"{out_root}/blocks"
 
-    for tier in ("1m", "1h", "1d"):
-        rolled = _with_day(rollup_tier(sf_dir, tier), "bucket_ms")
-        rolled.write_parquet(f"{out_root}/rollup_{tier}",
-                             partition_cols=["day"])
+    rollup_1m = rollup_1m.materialize()
+    _with_day(rollup_1m, "bucket_ms").write_parquet(
+        f"{out_root}/rollup_1m", partition_cols=["day"])
+    results["rollup_1m"] = f"{out_root}/rollup_1m"
+
+    def _with_last_ts(ds):
+        # cascade needs last_ts to pick the latest value; reconstruct it as
+        # the bucket end (within-1m ordering is already folded into last_v)
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(last_ts=df["bucket_ms"].astype(np.int64))
+        return ds.map_batches(add, batch_format="pandas")
+
+    finer = _with_last_ts(rollup_1m)
+    for tier in ("1h", "1d"):
+        coarse = cascade_dataset(finer, key_cols=TRANSCRIPT_KEYS, tier=tier)
+
+        def drop_lts(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.drop(columns=["last_ts"])
+            out["sum_v"] = round_half_away(out["sum_v"].to_numpy(), 6)
+            return out
+
+        out_ds = coarse.map_batches(drop_lts, batch_format="pandas")
+        _with_day(out_ds, "bucket_ms").write_parquet(
+            f"{out_root}/rollup_{tier}", partition_cols=["day"])
         results[f"rollup_{tier}"] = f"{out_root}/rollup_{tier}"
+        finer = coarse
 
     turns = canonical_turns(sf_dir)
     turns.write_parquet(f"{out_root}/turns")

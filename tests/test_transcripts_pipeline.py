@@ -155,3 +155,21 @@ def test_custom_metric_registry(ray_session):
         assert 0 < mine["value"].sum() < len(mine)
     finally:
         unregister_metric("is_user_turn")
+
+
+def test_store_cascade_tiers_match_direct(ray_session, tmp_path):
+    """The store's 1h tier (cascaded from stored 1m) must equal the direct
+    1h rollup."""
+    import pyarrow.dataset as pads
+
+    out = ingest.ingest_to_store(SF, str(tmp_path), resume=False)
+    stored = pads.dataset(out["rollup_1h"], partitioning="hive").to_table()
+    got = stored.to_pandas().drop(columns=["day"]).sort_values(
+        ["conv_id", "metric", "bucket_ms"]).reset_index(drop=True)
+    exp = ingest.rollup_tier(SF, "1h").to_pandas().sort_values(
+        ["conv_id", "metric", "bucket_ms"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in ["cnt", "min_v", "max_v", "last_v"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy(),
+                                      err_msg=c)
+    np.testing.assert_allclose(got["sum_v"], exp["sum_v"], atol=2e-6)
