@@ -1,0 +1,123 @@
+"""The per-group pandas kernels are the *reference semantics*; the
+partition-level and Arrow-native kernels are the production paths.  These
+tests pin all three levels to identical results on randomized partitions
+(no Ray needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from gorilla_tsc_ray.stages.metrics import (
+    derive_metrics_group,
+    derive_metrics_partition,
+    encode_turns_arrow,
+    rollup_turns_arrow,
+    rollup_turns_partition,
+)
+from gorilla_tsc_ray.stages.rollup import partial_rollup
+from gorilla_tsc_ray.stages.series import encode_partition
+
+T0 = 1_500_400_800_000
+
+
+def _random_partition(seed: int, n_convs: int = 25,
+                      dup_frac: float = 0.1) -> pd.DataFrame:
+    """Turn frame for several whole conversations incl. verbatim dups."""
+    rng = np.random.default_rng(seed)
+    frames = []
+    for c in range(n_convs):
+        n = int(rng.integers(2, 60))
+        ts = T0 + int(rng.integers(0, 10**7)) + np.cumsum(
+            rng.integers(1, 300_000, n)).astype(np.int64)
+        frames.append(pd.DataFrame({
+            "conv_id": f"conv-{rng.integers(0, 10**6):07d}",
+            "turn_idx": np.arange(n, dtype=np.int32),
+            "ts_ms": ts,
+            "text": ["x" * int(k) for k in rng.integers(0, 400, n)],
+            "tool": np.where(rng.random(n) < 0.2, "exec", ""),
+        }))
+    df = pd.concat(frames, ignore_index=True)
+    dup = df.sample(frac=dup_frac, random_state=seed)
+    return pd.concat([df, dup], ignore_index=True).sample(
+        frac=1.0, random_state=seed + 1).reset_index(drop=True)
+
+
+def _lean(df: pd.DataFrame) -> pd.DataFrame:
+    """The pre-shuffle shrink the production pipeline applies."""
+    out = df.drop(columns=["text", "tool"])
+    out["text_len"] = df["text"].str.len().astype(np.float64)
+    out["tool_call"] = (df["tool"].to_numpy() != "").astype(np.float64)
+    return out
+
+
+def _to_arrow(df: pd.DataFrame) -> pa.Table:
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _sorted(df, cols):
+    return df.sort_values(cols).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_derive_partition_equals_per_group(seed):
+    part = _random_partition(seed)
+    got = _sorted(derive_metrics_partition(part),
+                  ["conv_id", "metric", "ts_ms"])
+    exp_frames = [derive_metrics_group(g)
+                  for _, g in part.groupby("conv_id", sort=False)]
+    exp = _sorted(pd.concat(exp_frames, ignore_index=True),
+                  ["conv_id", "metric", "ts_ms"])
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["ts_ms"].to_numpy(),
+                                  exp["ts_ms"].to_numpy())
+    for m in ["turn_count", "text_len", "tool_call", "turn_gap_ms"]:
+        g = got[got["metric"] == m]["value"].to_numpy()
+        e = exp[exp["metric"] == m]["value"].to_numpy()
+        np.testing.assert_array_equal(g, e, err_msg=m)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("bucket_ms", [60_000, 3_600_000])
+def test_rollup_pandas_equals_arrow(seed, bucket_ms):
+    part = _random_partition(seed)
+    key = ["conv_id", "metric", "bucket_ms"]
+    a = _sorted(rollup_turns_partition(_lean(part), bucket_ms), key)
+    b = _sorted(rollup_turns_arrow(_to_arrow(_lean(part)), bucket_ms), key)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False,
+                                  atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_rollup_equals_longformat_partial(seed):
+    """Arrow fused rollup == long-format derive → partial_rollup (the
+    original two-step semantics)."""
+    part = _random_partition(seed)
+    key = ["conv_id", "metric", "bucket_ms"]
+    a = _sorted(rollup_turns_arrow(_to_arrow(_lean(part)), 60_000), key)
+    pts = derive_metrics_partition(part)
+    b = _sorted(partial_rollup(pts, key_cols=["conv_id", "metric"],
+                               bucket_ms=60_000), key)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False,
+                                  atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_encode_arrow_equals_longformat_encode(seed):
+    """Arrow fused encode == long-format derive → encode_partition: same
+    blocks, same payload bytes."""
+    part = _random_partition(seed)
+    a = encode_turns_arrow(_to_arrow(_lean(part)), metric=None,
+                           day_ms=86_400_000)
+    pts = derive_metrics_partition(part).copy()
+    pts["block_start"] = (pts["ts_ms"].to_numpy() // 86_400_000) * 86_400_000
+    b = encode_partition(pts, key_cols=["conv_id"])
+    key = ["conv_id", "metric", "block_start"]
+    a = _sorted(a, key)
+    b = _sorted(b, key)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a["n_points"].to_numpy(),
+                                  b["n_points"].to_numpy())
+    assert (a["payload"].to_numpy() == b["payload"].to_numpy()).all()
