@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1h_cascade": ev.rollup_1h_via_cascade,
         "events_gapfill_1h": lambda sf: ev.gapfill(sf, "1h"),
         "events_gaps": ev.event_gaps,
+        "events_rollup_1h_by_type": lambda sf: ev.rollup_by_type(sf, "1h"),
         # — transcripts (flagship; oracle reads the same /tmp parquet) —
         "transcripts_canonical_turns": ingest.canonical_turns,
         "transcripts_metrics": ingest.metric_points,
@@ -73,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
         "docs_charset_jaccard": docs.charset_jaccard,
+        "docs_token_jaccard": docs.token_jaccard,
         "docs_minhash_pairs": docs.minhash_pairs,        # rows-only (LSH)
         "docs_simhash_pairs": docs.simhash_pairs,        # rows-only (LSH)
         # — training-data ops: similarity search —
@@ -182,6 +184,15 @@ SELECT g.user_id, g.bucket_ms,
          OVER (PARTITION BY g.user_id ORDER BY g.bucket_ms) AS last_v,
        r.user_id IS NULL AS filled
 FROM grid g LEFT JOIN r ON g.user_id = r.user_id AND g.bucket_ms = r.bucket_ms
+""",
+        "events_rollup_1h_by_type": """
+WITH p AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value FROM events)
+SELECT user_id, event_type,
+       ts_ms - ts_ms % 3600000 AS bucket_ms,
+       round(sum(value), 6) AS sum_v, count(*) AS cnt,
+       min(value) AS min_v, max(value) AS max_v,
+       arg_max(value, ts_ms) AS last_v
+FROM p GROUP BY ALL
 """,
         "events_gaps": """
 SELECT user_id, epoch_ms(ts) AS ts_ms,
@@ -297,6 +308,19 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM documents a JOIN documents b
   ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE jaccard(a.text, b.text) >= 0.8
+""",
+        "docs_token_jaccard": """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+')) AS toks
+  FROM documents
+), s AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.toks, b.toks)) * 1.0 /
+         greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1) AS j
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(j, 6) AS token_jaccard FROM s WHERE j >= 0.5
 """,
         "emb_knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id,

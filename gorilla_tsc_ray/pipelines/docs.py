@@ -112,6 +112,16 @@ def charset_jaccard(sf_dir: str, threshold: float = 0.8):
     ).select_columns(["id_a", "id_b", "jaccard_sim"])
 
 
+def token_jaccard(sf_dir: str, threshold: float = 0.5):
+    """Exact token-set Jaccard pairs within language blocks (the n-gram
+    Jaccard operator with n=1; oracle-checked via DuckDB list functions)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ds.groupby("lang").map_groups(
+        dd.token_jaccard_pairs, batch_format="pandas",
+        fn_kwargs={"threshold": threshold},
+    ).select_columns(["id_a", "id_b", "token_jaccard"])
+
+
 # ---------- similarity search ----------
 
 def _query_vectors(sf_dir: str, n_queries: int = 5) -> dict[int, list[float]]:

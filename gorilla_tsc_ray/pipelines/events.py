@@ -162,6 +162,28 @@ def rollup(sf_dir: str, tier: str):
                                 "min_v", "max_v", "last_v"])
 
 
+def rollup_by_type(sf_dir: str, tier: str = "1h"):
+    """Multi-key rollup: (user_id, event_type, bucket) — same partial+final
+    machinery with a composite series key."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    tune_context()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts", "value"],
+                               override_num_blocks=N_PARTS)
+
+    def to_ms(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"), 1000)
+        return batch.drop_columns(["ts"]).append_column("ts_ms", ts_ms)
+
+    pts = ds.map_batches(to_ms, batch_format="pyarrow")
+    rolled = rollup_dataset(pts, key_cols=["user_id", "event_type"], tier=tier)
+    return _finalize_rollup(rolled).select_columns(
+        ["user_id", "event_type", "bucket_ms", "sum_v", "cnt",
+         "min_v", "max_v", "last_v"])
+
+
 def rollup_1h_via_cascade(sf_dir: str):
     """1m → 1h re-aggregation (partial+final over the finer tier; never
     re-reads raw points).  Must equal the direct 1h rollup — the oracle SQL

@@ -205,6 +205,41 @@ def simhash_segment_pairs(df: pd.DataFrame, *, id_col: str = "doc_id",
     })
 
 
+def token_jaccard_pairs(df: pd.DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold: float = 0.5) -> pd.DataFrame:
+    """Exact token-SET Jaccard for all pairs in ONE block (word unigrams;
+    k-shingle similarity is covered by the MinHash estimator).  Semantics
+    match the DuckDB list_intersect/list_distinct oracle, so this one is
+    SQL-checkable."""
+    df = df.sort_values(id_col, kind="stable")
+    n = len(df)
+    empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                          "id_b": np.array([], dtype=np.int64),
+                          "token_jaccard": np.array([], dtype=np.float64)})
+    if n < 2:
+        return empty
+    token_sets = [frozenset(t) for t in _token_arrays(df[text_col])]
+    vocab = {w: i for i, w in enumerate(sorted(set().union(*token_sets)))}
+    m = np.zeros((n, len(vocab)), dtype=bool)
+    for i, tset in enumerate(token_sets):
+        m[i, [vocab[w] for w in tset]] = True
+    inter = m.astype(np.int32) @ m.astype(np.int32).T
+    sizes = m.sum(axis=1)
+    union = np.maximum(sizes[:, None] + sizes[None, :] - inter, 1)
+    sim = inter / union
+    ia, ib = np.triu_indices(n, k=1)
+    keep = sim[ia, ib] >= threshold
+    if not keep.any():
+        return empty
+    ids = df[id_col].to_numpy()
+    return pd.DataFrame({
+        "id_a": ids[ia[keep]].astype(np.int64),
+        "id_b": ids[ib[keep]].astype(np.int64),
+        "token_jaccard": round_half_away(sim[ia, ib][keep], 6),
+    })
+
+
 def charset_jaccard_pairs(df: pd.DataFrame, *, id_col: str = "doc_id",
                           text_col: str = "text",
                           threshold: float = 0.0) -> pd.DataFrame:
