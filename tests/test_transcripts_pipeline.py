@@ -173,3 +173,20 @@ def test_store_cascade_tiers_match_direct(ray_session, tmp_path):
         np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy(),
                                       err_msg=c)
     np.testing.assert_allclose(got["sum_v"], exp["sum_v"], atol=2e-6)
+
+
+def test_combined_build_equals_direct(ray_session):
+    """The single-shuffle store build yields byte-identical blocks and
+    identical rollup rows to the standalone pipelines."""
+    import pandas as pd
+
+    comb = ingest.build_store_combined(SF, "1m")
+    r, b = ingest.split_store_outputs(comb)
+    key_r = ["conv_id", "metric", "bucket_ms"]
+    key_b = ["conv_id", "metric", "block_start"]
+    rdf = _sorted(r.to_pandas(), key_r)
+    bdf = _sorted(b.to_pandas(), key_b)
+    rd = _sorted(ingest.rollup_tier(SF, "1m").to_pandas(), key_r)
+    bd = _sorted(ingest.gorilla_blocks(SF, metric=None).to_pandas(), key_b)
+    pd.testing.assert_frame_equal(rdf, rd[rdf.columns])
+    assert (bdf["payload"].to_numpy() == bd["payload"].to_numpy()).all()
