@@ -190,3 +190,30 @@ def test_combined_build_equals_direct(ray_session):
     bd = _sorted(ingest.gorilla_blocks(SF, metric=None).to_pandas(), key_b)
     pd.testing.assert_frame_equal(rdf, rd[rdf.columns])
     assert (bdf["payload"].to_numpy() == bd["payload"].to_numpy()).all()
+
+
+def test_resume_skips_completed_day_partitions(ray_session, tmp_path):
+    """Crash-resume semantics: pre-mark one day complete in lineage; the
+    ingest must not write ANY block rows for that day."""
+    import pyarrow.dataset as pads
+
+    from gorilla_tsc_ray.state.lineage import (partition_key_for_day,
+                                               write_lineage)
+
+    # discover which days exist
+    full = ingest.gorilla_blocks(SF, metric=None).to_pandas()
+    days = sorted(set((full["block_start"] // 86_400_000) * 86_400_000))
+    assert len(days) >= 2
+    done_day = int(days[0])
+    write_lineage(str(tmp_path), [{
+        "partition_key": partition_key_for_day(done_day),
+        "input_files": ["prior-run"], "rows_in": 0, "rows_out": 0,
+        "bytes_payload": 1, "watermark": done_day, "status": "complete",
+    }], "prior")
+
+    ingest.ingest_to_store(SF, str(tmp_path), resume=True)
+    blk = pads.dataset(f"{tmp_path}/blocks", partitioning="hive").to_table(
+        columns=["day"]).to_pandas()
+    assert done_day not in set(blk["day"].astype("int64")), \
+        "completed day partition was recomputed"
+    assert set(blk["day"].astype("int64")) == {int(d) for d in days[1:]}
