@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill_1h": lambda sf: ev.gapfill(sf, "1h"),
         "events_gaps": ev.event_gaps,
         "events_rollup_1h_by_type": lambda sf: ev.rollup_by_type(sf, "1h"),
+        "events_sessions": ev.sessionize,
         # — transcripts (flagship; oracle reads the same /tmp parquet) —
         "transcripts_canonical_turns": ingest.canonical_turns,
         "transcripts_metrics": ingest.metric_points,
@@ -193,6 +194,27 @@ SELECT user_id, event_type,
        min(value) AS min_v, max(value) AS max_v,
        arg_max(value, ts_ms) AS last_v
 FROM p GROUP BY ALL
+""",
+        "events_sessions": """
+WITH p AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+              OR lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                 IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts_ms, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+  FROM p
+)
+SELECT user_id, session_seq,
+       min(ts_ms) AS session_start, max(ts_ms) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value,
+       max(ts_ms) - min(ts_ms) AS duration_ms
+FROM s GROUP BY 1, 2
 """,
         "events_gaps": """
 SELECT user_id, epoch_ms(ts) AS ts_ms,

@@ -215,6 +215,55 @@ def gapfill(sf_dir: str, tier: str = "1h"):
         ["user_id", "bucket_ms", "sum_v", "cnt", "last_v", "filled"])
 
 
+def sessionize(sf_dir: str, gap_ms: int = 1_800_000):
+    """Sessionization: split each user's event stream into sessions at
+    inactivity gaps > ``gap_ms`` and aggregate per session — the classic
+    event-time windowing operator (tumbling windows are the rollup tiers;
+    this is the data-driven variant).  Per-user streams are partition-local
+    after the hash shuffle; session ids are deterministic
+    (user_id, session_seq)."""
+    ds = _read_points(sf_dir)
+
+    def add_part(batch):
+        import pyarrow as pa
+
+        key = batch.column("user_id").to_pandas()
+        ids = (pd.util.hash_pandas_object(key, index=False).to_numpy()
+               % np.uint64(N_PARTS)).astype(np.int64)
+        return batch.append_column("_part", pa.array(ids))
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+        user = df["user_id"].to_numpy()
+        ts = df["ts_ms"].to_numpy()
+        v = df["value"].to_numpy()
+        new_user = np.concatenate(([True], user[1:] != user[:-1]))
+        gap_break = np.concatenate(([True], np.diff(ts) > gap_ms))
+        new_sess = new_user | gap_break
+        sess_seq = np.empty(len(df), dtype=np.int64)
+        # per-user session counter: cumulative new-session count minus the
+        # cumulative count at the user's first row
+        cum = np.cumsum(new_sess)
+        first_of_user = np.where(new_user)[0]
+        base = np.repeat(cum[first_of_user],
+                         np.diff(np.append(first_of_user, len(df))))
+        sess_seq = cum - base  # 0-based within user
+        w = pd.DataFrame({"user_id": user, "session_seq": sess_seq,
+                          "ts": ts, "v": v})
+        g = w.groupby(["user_id", "session_seq"], sort=False)
+        out = g.agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                    n_events=("ts", "count"), sum_value=("v", "sum"))
+        out = out.reset_index()
+        out["duration_ms"] = out["session_end"] - out["session_start"]
+        out["sum_value"] = round_half_away(out["sum_value"].to_numpy(), 6)
+        return out
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(lambda df: sessions(df.drop(columns=["_part"])),
+                        batch_format="pandas"))
+
+
 def event_gaps(sf_dir: str):
     """Per-user inter-event gap derivation (ts - lag(ts)); the per-series
     ordering is restored in-group, never via a global sort."""
