@@ -197,7 +197,7 @@ FROM p GROUP BY ALL
 """,
         "events_sessions": """
 WITH p AS (
-  SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+  SELECT user_id, ts, epoch_ms(ts) AS ts_ms, value,
          CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
                    OVER (PARTITION BY user_id ORDER BY ts) > 1800000
               OR lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts)
@@ -205,9 +205,14 @@ WITH p AS (
               THEN 1 ELSE 0 END AS brk
   FROM events
 ), s AS (
+  -- CAST: sum(int) is HUGEINT in DuckDB and decays to float64 in pandas,
+  -- which the driver's dtype-sensitive value-hash rejects against the
+  -- engine's int64.  Window ORDER BY ts matches the brk window exactly so
+  -- a break can never land on the wrong side of an equal-ts_ms tie.
   SELECT user_id, ts_ms, value,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
-                        ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_seq
   FROM p
 )
 SELECT user_id, session_seq,
