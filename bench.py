@@ -35,21 +35,23 @@ def codec_microbench(n: int = 1_000_000) -> dict:
     (EncodingBenchmark.java:60-69: regular 60 ms spacing, value = index)."""
     import numpy as np
 
-    from gorilla_tsc_ray.codec import decode_series, encode_series
+    from gorilla_tsc_ray.codec import decode_series, encode_series_auto
 
     t0 = 1_500_400_800_000
     ts = t0 + 60 + 60 * np.arange(n, dtype=np.int64)
     vb = np.arange(n, dtype=np.float64).view(np.uint64)
     # full-size warm-up: first-touch page faults on fresh arenas are ~100×
     # steady-state in this sandboxed kernel; report the warm number (the
-    # pipeline runs in long-lived workers, which see the warm path)
+    # pipeline runs in long-lived workers, which see the warm path).
+    # These are the DISPATCHED paths the pipelines use (native C kernel when
+    # a compiler exists, NumPy/streaming otherwise).
     enc_s = dec_s = float("inf")
     for _ in range(3):
         t = time.perf_counter()
-        words, bits = encode_series(t0, ts, vb)
+        words, bits = encode_series_auto(t0, ts, vb)
         enc_s = min(enc_s, time.perf_counter() - t)
         t = time.perf_counter()
-        dts, _ = decode_series(words)
+        dts, _ = decode_series(words, n_points=n)
         dec_s = min(dec_s, time.perf_counter() - t)
     assert len(dts) == n
     return {

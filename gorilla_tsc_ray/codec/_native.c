@@ -1,0 +1,565 @@
+/* Native Gorilla codec kernels (v1, v2, v2+DifferentialFCM).
+ *
+ * Bit-exact mirror of the streaming reference classes in stream.py, which
+ * themselves mirror the published format of burmanm/gorilla-tsc
+ * (GorillaCompressor.java:28-160, GorillaDecompressor.java:23-127,
+ * ValueCompressor.java:27-91, ValueDecompressor.java:26-54,
+ * Compressor.java:24-181, Decompressor.java:22-131,
+ * predictors/DifferentialFCM.java:23-46).  Compiled on demand with the
+ * system cc via ctypes (see native.py); every function is also available as
+ * a pure-Python fallback, and equivalence is enforced by tests.
+ *
+ * Word layout: MSB-first bits in big-endian-ordered 64-bit words
+ * (LongArrayOutput.java:115-145).  All decode entry points take the word
+ * array, its length, and a point capacity; they return the number of points
+ * written, or -1 on malformed input (reads past the word array).
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+typedef unsigned __int128 u128;
+
+/* ---------------- bit reader (position-based, branch-light) ------------- */
+
+typedef struct {
+    const uint64_t *w;
+    int64_t nw;
+    int64_t pos;      /* global bit position */
+} BR;
+
+static inline uint64_t br_peek(BR *r, int k) {
+    int64_t wi = r->pos >> 6;
+    int off = (int)(r->pos & 63);
+    uint64_t hi = wi < r->nw ? r->w[wi] : 0;
+    uint64_t lo = wi + 1 < r->nw ? r->w[wi + 1] : 0;
+    u128 pair = ((u128)hi << 64) | lo;
+    uint64_t v = (uint64_t)(pair >> (128 - off - k));
+    return k == 64 ? v : (v & ((1ULL << k) - 1));
+}
+
+static inline uint64_t br_get(BR *r, int k) {
+    uint64_t v = br_peek(r, k);
+    r->pos += k;
+    return v;
+}
+
+/* ---------------- bit writer (LongArrayOutput semantics) ----------------- */
+
+typedef struct {
+    uint64_t *w;
+    int64_t n;        /* flushed full words */
+    int64_t cap;
+    uint64_t cur;     /* partially filled word (lB) */
+    int left;         /* bits free in cur */
+    int overflow;
+} BW;
+
+static inline void bw_flip(BW *b) {
+    if (b->n >= b->cap) { b->overflow = 1; return; }
+    b->w[b->n++] = b->cur;
+    b->cur = 0;
+    b->left = 64;
+}
+
+static inline void bw_put(BW *b, uint64_t v, int bits) {
+    if (bits < 64) v &= (1ULL << bits) - 1;
+    if (bits <= b->left) {
+        b->cur |= (b->left - bits) ? (v << (b->left - bits)) : v;
+        b->left -= bits;
+        if (b->left == 0) bw_flip(b);
+    } else {
+        int first = bits - b->left;            /* 1..63 */
+        b->cur |= v >> first;
+        bw_flip(b);
+        b->cur = v << (64 - first);
+        b->left = 64 - first;
+    }
+}
+
+static inline void bw_bit(BW *b, int set) {
+    if (set) b->cur |= 1ULL << (b->left - 1);
+    b->left -= 1;
+    if (b->left == 0) bw_flip(b);
+}
+
+/* close + getLongArray: append partial word, then one fresh zero word */
+static inline int64_t bw_close_words(BW *b) {
+    bw_flip(b);                 /* flush() */
+    if (b->n >= b->cap) { b->overflow = 1; return -1; }
+    b->w[b->n++] = 0;           /* getLongArray's trailing snapshot word */
+    return b->overflow ? -1 : b->n;
+}
+
+#define FIRST_DELTA_BITS 27
+#define EMPTY_SENTINEL ((1u << 27) - 1)
+
+static inline int32_t zz32_dec(uint32_t n) {
+    return (int32_t)((n >> 1) ^ (~(n & 1) + 1));
+}
+
+static inline uint32_t zz32_enc(int32_t n) {
+    return ((uint32_t)n << 1) ^ (uint32_t)(n >> 31);
+}
+
+/* ===================== v2 decode (LastValue predictor) =================== */
+
+int64_t gtsc_decode_v2(const uint64_t *words, int64_t nw, int64_t max_pts,
+                       int64_t *out_ts, uint64_t *out_v)
+{
+    BR r = {words, nw, 0};
+    int64_t limit = nw * 64;
+    if (max_pts <= 0) return 0;
+    int64_t block_ts = (int64_t)br_get(&r, 64);
+    uint64_t fd = br_get(&r, FIRST_DELTA_BITS);
+    if (fd == EMPTY_SENTINEL) return 0;
+    uint64_t sval = br_get(&r, 64);
+    int64_t sdelta = (int64_t)fd;   /* long storedDelta in the v2 decoder */
+    int64_t sts = block_ts + sdelta;
+    if (r.pos > limit) return -1;
+    int64_t cnt = 0;
+    out_ts[cnt] = sts; out_v[cnt] = sval; cnt++;
+
+    int lz = 0, tz = 0, sig = 64;   /* window; sig=64 mirrors the initial
+                                       Integer.MAX_VALUE lz sentinel read */
+    int have_window = 0;
+    while (cnt < max_pts) {
+        if (r.pos >= limit) return -1;
+        /* timestamp control: up to 4 bits, stop at first clear bit */
+        uint64_t t4 = br_peek(&r, 4);
+        if (!(t4 & 8)) {
+            r.pos += 1;                       /* '0': dod == 0 */
+        } else {
+            uint64_t dd;
+            if (!(t4 & 4))      { r.pos += 2; dd = br_get(&r, 7);  }
+            else if (!(t4 & 2)) { r.pos += 3; dd = br_get(&r, 9);  }
+            else if (!(t4 & 1)) { r.pos += 4; dd = br_get(&r, 12); }
+            else {
+                r.pos += 4; dd = br_get(&r, 32);
+                if (dd == 0xFFFFFFFFULL) break;   /* EOF marker */
+            }
+            int32_t dod = zz32_dec((uint32_t)(dd + 1));
+            sdelta += dod;
+        }
+        sts += sdelta;
+        /* value: '0' repeat | '10' existing window | '11' new window */
+        uint64_t v2 = br_peek(&r, 2);
+        if (v2 & 2) {
+            if (v2 & 1) {
+                r.pos += 2;
+                uint64_t hdr = br_get(&r, 12);
+                lz = (int)(hdr >> 6);
+                sig = (int)(hdr & 63) + 1;
+                tz = 64 - sig - lz;
+                have_window = 1;
+            } else {
+                r.pos += 2;
+                if (!have_window) { sig = 64; tz = 0; }
+            }
+            uint64_t bits = br_get(&r, sig);
+            sval ^= bits << tz;
+        } else {
+            r.pos += 1;
+        }
+        if (r.pos > limit) return -1;
+        out_ts[cnt] = sts; out_v[cnt] = sval; cnt++;
+    }
+    return cnt;
+}
+
+/* ===================== v1 decode (Decompressor.java) ===================== */
+
+int64_t gtsc_decode_v1(const uint64_t *words, int64_t nw, int64_t max_pts,
+                       int64_t *out_ts, uint64_t *out_v)
+{
+    BR r = {words, nw, 0};
+    int64_t limit = nw * 64;
+    if (max_pts <= 0) return 0;
+    int64_t block_ts = (int64_t)br_get(&r, 64);
+    uint64_t fd = br_get(&r, FIRST_DELTA_BITS);
+    if (fd == EMPTY_SENTINEL) return 0;
+    uint64_t sval = br_get(&r, 64);
+    int64_t sdelta = (int64_t)fd;
+    int64_t sts = block_ts + sdelta;
+    if (r.pos > limit) return -1;
+    int64_t cnt = 0;
+    out_ts[cnt] = sts; out_v[cnt] = sval; cnt++;
+
+    int lz = 0, tz = 0, sigbits = 64;
+    int have_window = 0;
+    while (cnt < max_pts) {
+        if (r.pos >= limit) return -1;
+        uint64_t t4 = br_peek(&r, 4);
+        if (!(t4 & 8)) {
+            r.pos += 1;
+        } else {
+            int64_t dod;
+            int nb;
+            if (!(t4 & 4))      { r.pos += 2; nb = 7;  }
+            else if (!(t4 & 2)) { r.pos += 3; nb = 9;  }
+            else if (!(t4 & 1)) { r.pos += 4; nb = 12; }
+            else                { r.pos += 4; nb = 32; }
+            uint64_t dd = br_get(&r, nb);
+            if (nb == 32) {
+                if (dd == 0xFFFFFFFFULL) break;
+                dod = (int32_t)dd;
+            } else {
+                /* strictly-greater sign fix (Decompressor.java:96-101) */
+                dod = (int64_t)dd;
+                if (dd > (1ULL << (nb - 1))) dod -= (int64_t)1 << nb;
+            }
+            sdelta += dod;
+        }
+        sts += sdelta;
+        uint64_t b1 = br_get(&r, 1);
+        if (b1) {
+            uint64_t b2 = br_get(&r, 1);
+            if (b2) {
+                lz = (int)br_get(&r, 5);
+                int sig = (int)br_get(&r, 6);
+                if (sig == 0) sig = 64;      /* "0 means 64" */
+                tz = 64 - sig - lz;
+                sigbits = 64 - lz - tz;
+                have_window = 1;
+            } else if (!have_window) {
+                sigbits = 64; tz = 0;
+            }
+            uint64_t bits = br_get(&r, sigbits);
+            sval ^= bits << tz;
+        }
+        if (r.pos > limit) return -1;
+        out_ts[cnt] = sts; out_v[cnt] = sval; cnt++;
+    }
+    return cnt;
+}
+
+/* ================= DifferentialFCM predictor (v2 payload) ================ */
+
+typedef struct {
+    uint64_t *table;
+    uint32_t mask;
+    uint64_t last_value;
+    uint32_t last_hash;
+} DFCM;
+
+static inline void dfcm_update(DFCM *p, uint64_t value) {
+    uint64_t delta = value - p->last_value;
+    p->table[p->last_hash] = delta;
+    p->last_hash = (uint32_t)(((p->last_hash << 5) ^
+                               (uint64_t)(((int64_t)delta) >> 50)) & p->mask);
+    p->last_value = value;
+}
+
+static inline uint64_t dfcm_predict(DFCM *p) {
+    return p->table[p->last_hash] + p->last_value;
+}
+
+/* table_size → power-of-two table length (DifferentialFCM.java ctor) */
+static inline uint32_t dfcm_len(int64_t size) {
+    uint64_t s = (uint64_t)(size - 1);
+    int bl = 0;
+    while (s >> bl) bl++;
+    return (uint32_t)1 << bl;
+}
+
+int64_t gtsc_decode_v2_dfcm(const uint64_t *words, int64_t nw,
+                            int64_t max_pts, int64_t table_size,
+                            uint64_t *scratch_table, int64_t scratch_len,
+                            int64_t *out_ts, uint64_t *out_v)
+{
+    BR r = {words, nw, 0};
+    int64_t limit = nw * 64;
+    if (max_pts <= 0) return 0;
+    uint32_t tlen = dfcm_len(table_size);
+    if ((int64_t)tlen > scratch_len) return -2;
+    memset(scratch_table, 0, tlen * sizeof(uint64_t));
+    DFCM p = {scratch_table, tlen - 1, 0, 0};
+
+    int64_t block_ts = (int64_t)br_get(&r, 64);
+    uint64_t fd = br_get(&r, FIRST_DELTA_BITS);
+    if (fd == EMPTY_SENTINEL) return 0;
+    uint64_t sval = br_get(&r, 64);
+    dfcm_update(&p, sval);                    /* readFirst updates */
+    int64_t sdelta = (int64_t)fd;
+    int64_t sts = block_ts + sdelta;
+    if (r.pos > limit) return -1;
+    int64_t cnt = 0;
+    out_ts[cnt] = sts; out_v[cnt] = sval; cnt++;
+
+    int lz = 0, tz = 0, sig = 64;
+    int have_window = 0;
+    while (cnt < max_pts) {
+        if (r.pos >= limit) return -1;
+        uint64_t t4 = br_peek(&r, 4);
+        if (!(t4 & 8)) {
+            r.pos += 1;
+        } else {
+            uint64_t dd;
+            if (!(t4 & 4))      { r.pos += 2; dd = br_get(&r, 7);  }
+            else if (!(t4 & 2)) { r.pos += 3; dd = br_get(&r, 9);  }
+            else if (!(t4 & 1)) { r.pos += 4; dd = br_get(&r, 12); }
+            else {
+                r.pos += 4; dd = br_get(&r, 32);
+                if (dd == 0xFFFFFFFFULL) break;
+            }
+            int32_t dod = zz32_dec((uint32_t)(dd + 1));
+            sdelta += dod;
+        }
+        sts += sdelta;
+        uint64_t v2 = br_peek(&r, 2);
+        if (v2 & 2) {
+            if (v2 & 1) {
+                r.pos += 2;
+                uint64_t hdr = br_get(&r, 12);
+                lz = (int)(hdr >> 6);
+                sig = (int)(hdr & 63) + 1;
+                tz = 64 - sig - lz;
+                have_window = 1;
+            } else {
+                r.pos += 2;
+                if (!have_window) { sig = 64; tz = 0; }
+            }
+            uint64_t bits = br_get(&r, sig);
+            uint64_t value = dfcm_predict(&p) ^ (bits << tz);
+            dfcm_update(&p, value);
+            sval = value;
+        } else {
+            r.pos += 1;
+            sval = dfcm_predict(&p);          /* no update: the replicated
+                                                 ValueDecompressor.java:53
+                                                 asymmetry */
+        }
+        if (r.pos > limit) return -1;
+        out_ts[cnt] = sts; out_v[cnt] = sval; cnt++;
+    }
+    return cnt;
+}
+
+/* ===================== v2 encode (LastValue predictor) =================== */
+
+static inline void enc_ts_v2(BW *b, int64_t *sts, int32_t *sdelta,
+                             int64_t timestamp) {
+    int32_t new_delta = (int32_t)(timestamp - *sts);
+    int32_t dod = new_delta - *sdelta;
+    if (dod == 0) {
+        bw_bit(b, 0);
+    } else {
+        uint32_t z = zz32_enc(dod) - 1;
+        int br = 32 - (z ? __builtin_clz(z) : 32);
+        if (br >= 1 && br <= 7)       bw_put(b, z | (0x02u << 7), 9);
+        else if (br >= 8 && br <= 9)  bw_put(b, z | (0x06u << 9), 12);
+        else if (br >= 10 && br <= 12) bw_put(b, z | (0x0Eu << 12), 16);
+        else { bw_put(b, 0x0F, 4); bw_put(b, z, 32); }
+        *sdelta = new_delta;
+    }
+    *sts = timestamp;
+}
+
+/* shared value-window encoder (ValueCompressor.java:32-91); diff is the
+ * predictor XOR */
+typedef struct { int lz, tz; int have; } VWin;
+
+static inline void enc_val_xor(BW *b, VWin *wn, uint64_t diff) {
+    if (diff == 0) { bw_bit(b, 0); return; }
+    int lz = __builtin_clzll(diff);
+    int tz = __builtin_ctzll(diff);
+    bw_bit(b, 1);
+    if (wn->have && lz >= wn->lz && tz >= wn->tz) {
+        bw_bit(b, 0);
+        int sig = 64 - wn->lz - wn->tz;
+        bw_put(b, diff >> wn->tz, sig);
+    } else {
+        bw_bit(b, 1);
+        int sig = 64 - lz - tz;
+        bw_put(b, (uint64_t)lz, 6);
+        bw_put(b, (uint64_t)(sig - 1), 6);
+        bw_put(b, diff >> tz, sig);
+        wn->lz = lz; wn->tz = tz; wn->have = 1;
+    }
+}
+
+int64_t gtsc_encode_v2(int64_t block_ts, const int64_t *ts,
+                       const uint64_t *vals, int64_t n, int closed,
+                       uint64_t *out_words, int64_t cap,
+                       int64_t *out_total_bits)
+{
+    BW b = {out_words, 0, cap, 0, 64, 0};
+    bw_put(&b, (uint64_t)block_ts, 64);
+    if (n == 0) {
+        /* empty block: header + EOF only — the EOF marker's first 27 set
+         * bits double as the empty-block sentinel (vectorized.py:227-230,
+         * GorillaDecompressor.java:65) */
+        bw_put(&b, 0x0F, 4);
+        bw_put(&b, 0xFFFFFFFFULL, 32);
+        bw_bit(&b, 0);
+        int64_t tb = b.n * 64 + (64 - b.left);
+        *out_total_bits = tb;
+        if (closed) return bw_close_words(&b);
+        if (b.n >= b.cap) return -1;
+        out_words[b.n] = b.cur;
+        return b.overflow ? -1 : b.n + 1;
+    } else {
+        int32_t sdelta = (int32_t)(ts[0] - block_ts);
+        int64_t sts = ts[0];
+        bw_put(&b, (uint32_t)sdelta, FIRST_DELTA_BITS);
+        bw_put(&b, vals[0], 64);
+        uint64_t sval = vals[0];
+        VWin wn = {0, 0, 0};
+        for (int64_t i = 1; i < n; i++) {
+            enc_ts_v2(&b, &sts, &sdelta, ts[i]);
+            enc_val_xor(&b, &wn, sval ^ vals[i]);
+            sval = vals[i];
+            if (b.overflow) return -1;
+        }
+    }
+    int64_t total_bits = b.n * 64 + (64 - b.left);
+    if (closed) {
+        bw_put(&b, 0x0F, 4);
+        bw_put(&b, 0xFFFFFFFFULL, 32);
+        bw_bit(&b, 0);
+        total_bits += 37;
+        *out_total_bits = total_bits;
+        return bw_close_words(&b);
+    }
+    *out_total_bits = total_bits;
+    /* snapshot: flushed words + current partial word */
+    if (b.n >= b.cap) return -1;
+    out_words[b.n] = b.cur;
+    return b.overflow ? -1 : b.n + 1;
+}
+
+int64_t gtsc_encode_v2_dfcm(int64_t block_ts, const int64_t *ts,
+                            const uint64_t *vals, int64_t n,
+                            int64_t table_size, uint64_t *scratch_table,
+                            int64_t scratch_len, int closed,
+                            uint64_t *out_words, int64_t cap,
+                            int64_t *out_total_bits)
+{
+    BW b = {out_words, 0, cap, 0, 64, 0};
+    uint32_t tlen = dfcm_len(table_size);
+    if ((int64_t)tlen > scratch_len) return -2;
+    memset(scratch_table, 0, tlen * sizeof(uint64_t));
+    DFCM p = {scratch_table, tlen - 1, 0, 0};
+    bw_put(&b, (uint64_t)block_ts, 64);
+    if (n == 0) {
+        /* empty block: header + EOF only — the EOF marker's first 27 set
+         * bits double as the empty-block sentinel (vectorized.py:227-230,
+         * GorillaDecompressor.java:65) */
+        bw_put(&b, 0x0F, 4);
+        bw_put(&b, 0xFFFFFFFFULL, 32);
+        bw_bit(&b, 0);
+        int64_t tb = b.n * 64 + (64 - b.left);
+        *out_total_bits = tb;
+        if (closed) return bw_close_words(&b);
+        if (b.n >= b.cap) return -1;
+        out_words[b.n] = b.cur;
+        return b.overflow ? -1 : b.n + 1;
+    } else {
+        int32_t sdelta = (int32_t)(ts[0] - block_ts);
+        int64_t sts = ts[0];
+        bw_put(&b, (uint32_t)sdelta, FIRST_DELTA_BITS);
+        dfcm_update(&p, vals[0]);             /* writeFirst updates */
+        bw_put(&b, vals[0], 64);
+        VWin wn = {0, 0, 0};
+        for (int64_t i = 1; i < n; i++) {
+            enc_ts_v2(&b, &sts, &sdelta, ts[i]);
+            uint64_t diff = dfcm_predict(&p) ^ vals[i];
+            dfcm_update(&p, vals[i]);         /* encoder always updates */
+            enc_val_xor(&b, &wn, diff);
+            if (b.overflow) return -1;
+        }
+    }
+    int64_t total_bits = b.n * 64 + (64 - b.left);
+    if (closed) {
+        bw_put(&b, 0x0F, 4);
+        bw_put(&b, 0xFFFFFFFFULL, 32);
+        bw_bit(&b, 0);
+        total_bits += 37;
+        *out_total_bits = total_bits;
+        return bw_close_words(&b);
+    }
+    *out_total_bits = total_bits;
+    if (b.n >= b.cap) return -1;
+    out_words[b.n] = b.cur;
+    return b.overflow ? -1 : b.n + 1;
+}
+
+/* ===================== v1 encode (Compressor.java) ======================= */
+
+int64_t gtsc_encode_v1(int64_t block_ts, const int64_t *ts,
+                       const uint64_t *vals, int64_t n, int closed,
+                       uint64_t *out_words, int64_t cap,
+                       int64_t *out_total_bits)
+{
+    BW b = {out_words, 0, cap, 0, 64, 0};
+    bw_put(&b, (uint64_t)block_ts, 64);
+    if (n == 0) {
+        /* empty block: header + EOF only — the EOF marker's first 27 set
+         * bits double as the empty-block sentinel (vectorized.py:227-230,
+         * GorillaDecompressor.java:65) */
+        bw_put(&b, 0x0F, 4);
+        bw_put(&b, 0xFFFFFFFFULL, 32);
+        bw_bit(&b, 0);
+        int64_t tb = b.n * 64 + (64 - b.left);
+        *out_total_bits = tb;
+        if (closed) return bw_close_words(&b);
+        if (b.n >= b.cap) return -1;
+        out_words[b.n] = b.cur;
+        return b.overflow ? -1 : b.n + 1;
+    } else {
+        int64_t sdelta = ts[0] - block_ts;    /* long in v1 */
+        int64_t sts = ts[0];
+        bw_put(&b, (uint64_t)sdelta, FIRST_DELTA_BITS);
+        bw_put(&b, vals[0], 64);
+        uint64_t sval = vals[0];
+        int wlz = 0, wtz = 0, have = 0;
+        for (int64_t i = 1; i < n; i++) {
+            int64_t new_delta = ts[i] - sts;
+            int64_t dod = new_delta - sdelta;
+            if (dod == 0)                      bw_bit(&b, 0);
+            else if (dod >= -63 && dod <= 64)  { bw_put(&b, 0x02, 2); bw_put(&b, (uint64_t)dod, 7); }
+            else if (dod >= -255 && dod <= 256){ bw_put(&b, 0x06, 3); bw_put(&b, (uint64_t)dod, 9); }
+            else if (dod >= -2047 && dod <= 2048){ bw_put(&b, 0x0E, 4); bw_put(&b, (uint64_t)dod, 12); }
+            else { bw_put(&b, 0x0F, 4); bw_put(&b, (uint64_t)dod, 32); }
+            sdelta = new_delta;
+            sts = ts[i];
+
+            uint64_t xor = sval ^ vals[i];
+            if (xor == 0) {
+                bw_bit(&b, 0);
+            } else {
+                int lz = __builtin_clzll(xor);
+                int tz = __builtin_ctzll(xor);
+                if (lz >= 32) lz = 31;         /* Compressor.java:132-134 */
+                bw_bit(&b, 1);
+                if (have && lz >= wlz && tz >= wtz) {
+                    bw_bit(&b, 0);
+                    int sig = 64 - wlz - wtz;
+                    bw_put(&b, xor >> wtz, sig);
+                } else {
+                    bw_bit(&b, 1);
+                    int sig = 64 - lz - tz;
+                    bw_put(&b, (uint64_t)lz, 5);
+                    bw_put(&b, (uint64_t)sig, 6);   /* 64 & 0x3F == 0 */
+                    bw_put(&b, xor >> tz, sig);
+                    wlz = lz; wtz = tz; have = 1;
+                }
+            }
+            sval = vals[i];
+            if (b.overflow) return -1;
+        }
+    }
+    int64_t total_bits = b.n * 64 + (64 - b.left);
+    if (closed) {
+        bw_put(&b, 0x0F, 4);
+        bw_put(&b, 0xFFFFFFFFULL, 32);
+        bw_bit(&b, 0);
+        total_bits += 37;
+        *out_total_bits = total_bits;
+        return bw_close_words(&b);
+    }
+    *out_total_bits = total_bits;
+    if (b.n >= b.cap) return -1;
+    out_words[b.n] = b.cur;
+    return b.overflow ? -1 : b.n + 1;
+}

@@ -261,10 +261,18 @@ AUTO_VECTORIZE_MIN = 256
 
 
 def encode_series_auto(block_ts: int, ts: np.ndarray, value_bits: np.ndarray,
-                       closed: bool = True):
-    """Adaptive encode: the vectorized path has ~300 µs of fixed NumPy
-    overhead, so series below ~256 points (measured crossover) go through
-    the streaming codec instead — identical bits either way (tested)."""
+                       closed: bool = True, use_native: bool = True):
+    """Adaptive encode: the native C kernel when a compiler is available
+    (~150 M pts/s/core, bit-identical — tested), else the vectorized NumPy
+    path for ≥256-point series (~300 µs fixed overhead crossover), else the
+    streaming codec.  Identical bits from all three (tested)."""
+    if use_native:
+        from . import native
+
+        if native.AVAILABLE:
+            return native.encode(
+                int(block_ts), np.asarray(ts, dtype=np.int64),
+                np.asarray(value_bits).astype(np.uint64, copy=False), closed)
     if len(ts) >= AUTO_VECTORIZE_MIN:
         return encode_series(block_ts, ts, value_bits, closed)
     from .stream import GorillaCompressor
@@ -282,14 +290,25 @@ def encode_series_auto(block_ts: int, ts: np.ndarray, value_bits: np.ndarray,
     return words, total_bits
 
 
-def decode_series(words, n_points: int | None = None):
+def decode_series(words, n_points: int | None = None,
+                  use_native: bool = True):
     """Decode a Gorilla v2 block (LastValue predictor) into
     ``(ts: int64 ndarray, value_bits: uint64 ndarray)``.
 
-    Tight-loop mirror of ``GorillaDecompressor.java:42-112`` +
-    ``ValueDecompressor.java:32-54`` over machine ints.  Stops at the EOF
-    marker, or after ``n_points`` pairs when given (for unclosed snapshots).
+    Dispatches to the native C kernel when available and ``n_points`` is
+    known (~140 M pts/s/core); otherwise a tight-loop mirror of
+    ``GorillaDecompressor.java:42-112`` + ``ValueDecompressor.java:32-54``
+    over machine ints.  Stops at the EOF marker, or after ``n_points`` pairs
+    when given (for unclosed snapshots).
     """
+    if use_native and n_points is not None:
+        from . import native
+
+        if native.AVAILABLE:
+            if isinstance(words, (bytes, bytearray, memoryview)):
+                words = np.frombuffer(words, dtype=">u8").astype(np.uint64)
+            return native.decode(np.asarray(words, dtype=np.uint64),
+                                 int(n_points))
     if isinstance(words, (bytes, bytearray, memoryview)):
         wl = np.frombuffer(words, dtype=">u8").astype(np.uint64).tolist()
     else:

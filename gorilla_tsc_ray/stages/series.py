@@ -22,11 +22,16 @@ import pandas as pd
 from ..codec import (BitReader, CompressorV1, DecompressorV1, DifferentialFCM,
                      GorillaCompressor, GorillaDecompressor, decode_series,
                      encode_series_auto, payload_to_words, words_to_payload)
+from ..codec import native
 
 
 def encode_series_v1(block_ts: int, ts: np.ndarray, vb: np.ndarray):
-    """v1 (legacy) block via the streaming codec (``Compressor.java``);
-    kept for format parity — v2 is the default (``README.adoc:39-40``)."""
+    """v1 (legacy) block (``Compressor.java``); kept for format parity —
+    v2 is the default (``README.adoc:39-40``).  Native C kernel when
+    available, streaming fallback (bit-identical, tested)."""
+    if native.AVAILABLE:
+        words, _ = native.encode(int(block_ts), ts, vb, True, "gorilla1")
+        return words
     comp = CompressorV1(int(block_ts))
     for t, b in zip(ts.tolist(), vb.tolist()):
         comp.add_value(int(t), int(b))
@@ -37,9 +42,13 @@ def encode_series_v1(block_ts: int, ts: np.ndarray, vb: np.ndarray):
 def encode_series_dfcm(block_ts: int, ts: np.ndarray, vb: np.ndarray,
                        table_size: int = 1024):
     """v2 block with the DifferentialFCM predictor
-    (``predictors/DifferentialFCM.java``) — sequential by nature, so always
-    the streaming codec.  Decoder must be constructed with the same
-    predictor (``README.adoc:76-77``)."""
+    (``predictors/DifferentialFCM.java``) — sequential by nature; native C
+    kernel when available, streaming fallback.  Decoder must be constructed
+    with the same predictor (``README.adoc:76-77``)."""
+    if native.AVAILABLE:
+        words, _ = native.encode(int(block_ts), ts, vb, True,
+                                 "gorilla2_dfcm", table_size)
+        return words
     comp = GorillaCompressor(int(block_ts),
                              predictor=DifferentialFCM(table_size))
     for t, b in zip(ts.tolist(), vb.tolist()):
@@ -49,6 +58,9 @@ def encode_series_dfcm(block_ts: int, ts: np.ndarray, vb: np.ndarray,
 
 
 def decode_series_dfcm(words, n_points: int, table_size: int = 1024):
+    if native.AVAILABLE:
+        return native.decode(np.asarray(words, dtype=np.uint64), n_points,
+                             "gorilla2_dfcm", table_size)
     dec = GorillaDecompressor(
         BitReader(np.asarray(words, dtype=np.uint64).tolist()),
         predictor=DifferentialFCM(table_size))
@@ -63,6 +75,9 @@ def decode_series_dfcm(words, n_points: int, table_size: int = 1024):
 
 def decode_series_v1(words, n_points: int):
     """v1 decode (``Decompressor.java``) → (ts, value_bits) arrays."""
+    if native.AVAILABLE:
+        return native.decode(np.asarray(words, dtype=np.uint64), n_points,
+                             "gorilla1")
     dec = DecompressorV1(BitReader(np.asarray(words, dtype=np.uint64).tolist()))
     out_ts = np.empty(n_points, dtype=np.int64)
     out_v = np.empty(n_points, dtype=np.uint64)

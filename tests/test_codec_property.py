@@ -19,6 +19,7 @@ from gorilla_tsc_ray.codec import (
     decode_series,
     encode_series,
 )
+from gorilla_tsc_ray.codec import native
 
 T0 = 1500400800000
 
@@ -30,7 +31,7 @@ def _roundtrip_and_compare(block_ts: int, ts: np.ndarray, vb: np.ndarray):
         comp.add_value(t, b)
     comp.close()
     assert words.tolist() == comp.out.to_words(), "vectorized != streaming bits"
-    dts, dvb = decode_series(words)
+    dts, dvb = decode_series(words, use_native=False)
     np.testing.assert_array_equal(dts, ts)
     np.testing.assert_array_equal(dvb, vb)
     # streaming decoder agrees too
@@ -38,6 +39,13 @@ def _roundtrip_and_compare(block_ts: int, ts: np.ndarray, vb: np.ndarray):
     out = list(dec)
     assert [p[0] for p in out] == ts.tolist()
     assert [p[1] for p in out] == vb.tolist()
+    # native C kernels (when a compiler is present) are bit-identical too
+    if native.AVAILABLE:
+        nw, nb = native.encode(block_ts, ts, vb, True)
+        assert nw.tolist() == words.tolist(), "native != streaming bits"
+        nts, nvb = native.decode(words, len(ts))
+        np.testing.assert_array_equal(nts, ts)
+        np.testing.assert_array_equal(nvb, vb)
 
 
 @pytest.mark.parametrize("seed", range(8))
