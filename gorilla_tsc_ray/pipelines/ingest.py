@@ -343,23 +343,40 @@ def ingest_to_store(sf_dir: str, out_root: str, resume: bool = True):
     turns.write_parquet(f"{out_root}/turns")
     results["turns"] = f"{out_root}/turns"
 
-    # lineage: one row per block-store day partition of THIS run
-    import pyarrow.dataset as pads
-
-    blk = pads.dataset(f"{out_root}/blocks", partitioning="hive").to_table(
-        columns=["day", "n_points", "payload"])
-    dfb = blk.to_pandas()
-    rows = []
-    for day, g in dfb.groupby("day"):
-        rows.append({
-            "partition_key": partition_key_for_day(int(day)),
-            "input_files": [transcripts_dir(sf_dir)],
-            "rows_in": int(g["n_points"].sum()),
-            "rows_out": len(g),
-            "bytes_payload": int(g["payload"].map(len).sum()),
-            "watermark": int(day) + DAY_MS - 1,
-            "status": "complete",
+    # lineage: one row per block-store day partition of THIS run.  The
+    # per-day aggregates are computed INSIDE the dataset (map_batches
+    # partials over the already-materialized shuffle output) so the driver
+    # only ever sees summary rows — never payload bytes.  Re-reading the
+    # whole store to the driver here was round 1's #2 scale-killer
+    # (guaranteed OOM at 100 TB).
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["day", "rows_in", "rows_out", "bytes_payload"]
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        w = pd.DataFrame({
+            "day": df["day"].to_numpy(),
+            "rows_in": df["n_points"].to_numpy(),
+            "rows_out": np.ones(len(df), dtype=np.int64),
+            "bytes_payload": df["payload"].str.len().to_numpy(),
         })
+        return w.groupby("day", as_index=False).sum()
+
+    parts = blocks.map_batches(day_partial,
+                               batch_format="pandas").to_pandas()
+    rows = []
+    if len(parts):
+        agg = parts.groupby("day", as_index=False).sum()
+        for r in agg.itertuples(index=False):
+            rows.append({
+                "partition_key": partition_key_for_day(int(r.day)),
+                "input_files": [transcripts_dir(sf_dir)],
+                "rows_in": int(r.rows_in),
+                "rows_out": int(r.rows_out),
+                "bytes_payload": int(r.bytes_payload),
+                "watermark": int(r.day) + DAY_MS - 1,
+                "status": "complete",
+            })
     if rows:
         write_lineage(out_root, rows, run_id)
     results["lineage_rows"] = len(rows)
