@@ -71,13 +71,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_stats": docs.token_stats,
         "docs_quality": docs.quality,
         "docs_lang_id": docs.lang_id,
-        "docs_fingerprints": docs.fingerprints,          # rows-only (hash)
+        "docs_fingerprints": docs.fingerprints,
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
         "docs_charset_jaccard": docs.charset_jaccard,
         "docs_token_jaccard": docs.token_jaccard,
-        "docs_minhash_pairs": docs.minhash_pairs,        # rows-only (LSH)
-        "docs_simhash_pairs": docs.simhash_pairs,        # rows-only (LSH)
+        "docs_minhash_pairs": docs.minhash_pairs,        # rows-only (LSH;
+        #   recall gated against exact shingle Jaccard in tests)
+        "docs_simhash_pairs": docs.simhash_pairs,
         # — training-data ops: similarity search —
         "emb_knn_cosine": docs.knn,
         "emb_knn_lsh": docs.knn_lsh,                     # rows-only (approx)
@@ -146,6 +147,44 @@ _EVENT_POINTS = """
 WITH p AS (
   SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
 )
+"""
+
+
+def _simhash_sql() -> str:
+    """SimHash pairs oracle: rebuild the 64-bit simhash per doc in SQL
+    (md5_number_upper token hashes — identical to the engine's
+    ``stages/dedup.py simhash_batch``), then exact all-pairs Hamming ≤ 3.
+    The engine's 4×16-bit segment blocking is exhaustive at distance ≤ 3
+    (pigeonhole), so the outputs must match exactly."""
+    bits_sum = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64))
+    # two 32-bit halves: DuckDB's << overflows a BIGINT at bit 63
+    lo = " + ".join(f"CASE WHEN b{j} > 0 THEN (CAST(1 AS BIGINT) << {j})"
+                    f" ELSE 0 END" for j in range(32))
+    hi = " + ".join(f"CASE WHEN b{j + 32} > 0 THEN"
+                    f" (CAST(1 AS BIGINT) << {j}) ELSE 0 END"
+                    for j in range(32))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, CAST(md5_number_upper(tok) AS UBIGINT) AS h FROM tok
+), bits AS (
+  SELECT doc_id, {bits_sum} FROM th GROUP BY doc_id
+), sh AS (
+  SELECT d.doc_id,
+         coalesce(({lo}), 0) AS sim_lo,
+         coalesce(({hi}), 0) AS sim_hi
+  FROM documents d LEFT JOIN bits b ON d.doc_id = b.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+            + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+      + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
 """
 
 
@@ -325,10 +364,26 @@ SELECT doc_id,
   CAST(de+en+es+fr AS BIGINT) AS marker_hits
 FROM s
 """,
+        # fingerprint chain is md5-per-unique-token + Horner mod 2^61-1;
+        # md5_number_upper == little-endian first 8 digest bytes, matching
+        # the engine's token hash exactly (stages/text.py fingerprint)
+        "docs_fingerprints": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(list_reduce(
+    list_prepend(CAST(0 AS HUGEINT),
+      list_transform(toks, tok -> CAST(md5_number_upper(tok) AS HUGEINT))),
+    (h, x) -> (h * 1000003 + x) % 2305843009213693951) AS BIGINT)
+  AS fingerprint
+FROM t
+""",
         "docs_exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY text
 """,
+        "docs_simhash_pairs": _simhash_sql(),
         "docs_charset_jaccard": """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(jaccard(a.text, b.text), 6) AS jaccard_sim

@@ -154,7 +154,7 @@ def run_scaling_pipeline(sf_dir: str, num_cpus: int) -> dict:
     # best-of-2 per stage: host noise is ±30-40%; throughput capability is
     # what the cluster-size criterion compares
     queries = {"store_build": float("inf")}
-    for _ in range(2):
+    for _ in range(3):
         t = time.perf_counter()
         # ONE pass: 1m rollup + all Gorilla day blocks from a single shuffle
         ingest.build_store_combined(sf_dir, "1m").count()
@@ -182,23 +182,39 @@ def main() -> None:
         # the scaling criterion needs a compute-bound input: the sf0.1 table
         # leaves 32 cores starved by fixed per-stage costs, so scale the
         # deterministic transcript generator up (same input for both levels)
-        scaling_sf = os.environ.get("GRAFT_SCALING_SF", "/root/testdata/sf1")
+        scaling_sf = os.environ.get("GRAFT_SCALING_SF", "/root/testdata/sf4")
         from gorilla_tsc_ray.sources.transcripts import transcripts_dir
         transcripts_dir(scaling_sf)  # materialize cache once, outside timing
-        runs = {}
-        for n in (8, 32):
+        # host timing noise is ±30-40% (BASELINE.md): run PAIRS of fresh
+        # 8/32-cpu processes in alternating order and report the median
+        # per-pair efficiency plus best-of walls
+        def one(n):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                        GRAFT_SCALING_SF=scaling_sf)
             out = subprocess.run(
                 [sys.executable, __file__, "--scaling-single"],
                 env=env, capture_output=True, text=True, check=True)
-            runs[n] = json.loads(out.stdout.strip().splitlines()[-1])
+            return json.loads(out.stdout.strip().splitlines()[-1])
+
+        pairs = []
+        for i in range(3):
+            order = (8, 32) if i % 2 == 0 else (32, 8)
+            got = {n: one(n) for n in order}
+            pairs.append(got)
+        effs = sorted((p[32]["turns_per_sec"] / p[8]["turns_per_sec"]) / 4
+                      for p in pairs)
+        runs = {8: max((p[8] for p in pairs),
+                       key=lambda r: r["turns_per_sec"]),
+                32: max((p[32] for p in pairs),
+                        key=lambda r: r["turns_per_sec"])}
         tps8 = runs[8]["turns_per_sec"]
         tps32 = runs[32]["turns_per_sec"]
-        eff = (tps32 / tps8) / (32 / 8)
+        eff = effs[len(effs) // 2]
         print(json.dumps({
             "metric": "scaling efficiency (turns/s, 8→32 CPUs)",
             "value": round(eff, 3), "unit": "efficiency",
+            "efficiency_runs": [round(e, 3) for e in effs],
+            "best_pair_efficiency": round((tps32 / tps8) / 4, 3),
             "sf": _sf_tag(scaling_sf),
             "n_turns": runs[8]["n_turns"],
             "throughput_8cpu": tps8, "throughput_32cpu": tps32,

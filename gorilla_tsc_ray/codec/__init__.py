@@ -1,6 +1,7 @@
 """Bit-exact Gorilla time-series codecs (streaming + vectorized)."""
 
-from .bits import BitReader, BitWriter, bytes_to_words, words_to_bytes
+from .bits import (BitReader, BitWriter, ByteBitReader, ByteBitWriter,
+                   bytes_to_words, words_to_bytes)
 from .predictors import DifferentialFCM, LastValuePredictor, Predictor
 from .stream import (
     CompressorV1,
@@ -21,7 +22,8 @@ from .vectorized import (
 )
 
 __all__ = [
-    "BitReader", "BitWriter", "bytes_to_words", "words_to_bytes",
+    "BitReader", "BitWriter", "ByteBitReader", "ByteBitWriter",
+    "bytes_to_words", "words_to_bytes",
     "DifferentialFCM", "LastValuePredictor", "Predictor",
     "GorillaCompressor", "GorillaDecompressor", "CompressorV1", "DecompressorV1",
     "double_to_bits", "bits_to_double", "long_to_bits", "bits_to_long",

@@ -133,6 +133,124 @@ class BitReader:
         return val
 
 
+class ByteBitWriter:
+    """Byte-granularity MSB-first bit sink — mirrors
+    ``ByteBufferBitOutput.java:20-105`` (the reference's second container;
+    byte padding makes its output interoperable with go-tsz streams, unlike
+    the word-padded ``LongArrayOutput``).  Plug-compatible with the
+    streaming codec classes via the BitOutput seam (``write_bit`` /
+    ``skip_bit`` / ``write_bits`` / ``flush``)."""
+
+    __slots__ = ("_bytes", "_cur", "_bits_left")
+
+    def __init__(self) -> None:
+        self._bytes = bytearray()
+        self._cur = 0
+        self._bits_left = 8
+
+    def _flip(self) -> None:
+        self._bytes.append(self._cur & 0xFF)
+        self._cur = 0
+        self._bits_left = 8
+
+    def write_bit(self) -> None:
+        self._cur |= 1 << (self._bits_left - 1)
+        self._bits_left -= 1
+        if self._bits_left == 0:
+            self._flip()
+
+    def skip_bit(self) -> None:
+        self._bits_left -= 1
+        if self._bits_left == 0:
+            self._flip()
+
+    def write_bits(self, value: int, bits: int) -> None:
+        """``ByteBufferBitOutput.writeBits`` — spills across bytes exactly
+        like the reference loop."""
+        value &= (1 << bits) - 1 if bits < 64 else _M64
+        while bits > 0:
+            shift = bits - self._bits_left
+            if shift >= 0:
+                self._cur |= (value >> shift) & ((1 << self._bits_left) - 1)
+                bits -= self._bits_left
+                self._flip()
+            else:
+                self._cur |= (value << (-shift)) & 0xFF
+                self._bits_left -= bits
+                bits = 0
+        if self._bits_left == 0:
+            self._flip()
+
+    def flush(self) -> None:
+        self._flip()
+
+    def to_bytes(self) -> bytes:
+        """Snapshot: flushed bytes + the current partial byte (mirrors
+        ``getByteBuffer`` returning the buffer up to its position)."""
+        return bytes(self._bytes) + bytes([self._cur & 0xFF])
+
+    @property
+    def bit_count(self) -> int:
+        return 8 * len(self._bytes) + (8 - self._bits_left)
+
+
+class ByteBitReader:
+    """Byte-granularity MSB-first bit source — mirrors
+    ``ByteBufferBitInput.java:20-99``.  Same read interface as
+    :class:`BitReader`, so the streaming decompressors accept either."""
+
+    __slots__ = ("_data", "_pos", "_cur", "_bits_left")
+
+    def __init__(self, data: bytes) -> None:
+        self._data = data
+        self._pos = 0
+        self._cur = data[0] if len(data) else 0
+        self._pos = 1
+        self._bits_left = 8
+
+    def _flip(self) -> None:
+        self._cur = self._data[self._pos] if self._pos < len(self._data) else 0
+        self._pos += 1
+        self._bits_left = 8
+
+    def read_bit(self) -> int:
+        bit = (self._cur >> (self._bits_left - 1)) & 1
+        self._bits_left -= 1
+        if self._bits_left == 0:
+            self._flip()
+        return bit
+
+    def get_bits(self, bits: int) -> int:
+        """``ByteBufferBitInput.getLong`` — cross-byte accumulation."""
+        value = 0
+        while bits > 0:
+            if bits > self._bits_left or bits == 8:
+                # take the whole remainder of the current byte
+                byte = self._cur & ((1 << self._bits_left) - 1)
+                value = (value << self._bits_left) | byte
+                bits -= self._bits_left
+                self._flip()
+            else:
+                value = ((value << bits)
+                         | ((self._cur >> (self._bits_left - bits))
+                            & ((1 << bits) - 1)))
+                self._bits_left -= bits
+                bits = 0
+        if self._bits_left == 0:
+            self._flip()
+        return value
+
+    def next_clear_bit(self, max_bits: int) -> int:
+        val = 0
+        for _ in range(max_bits):
+            val <<= 1
+            if self.read_bit():
+                val |= 1
+            else:
+                break
+        return val
+
+
 def words_to_bytes(words) -> bytes:
     """Serialize 64-bit words big-endian — the on-disk ``payload`` format
     (one ``large_binary`` cell per block)."""

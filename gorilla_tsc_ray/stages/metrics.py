@@ -179,7 +179,13 @@ def canonical_turns_partition(df: pd.DataFrame) -> pd.DataFrame:
 # zero hash tables, zero object strings, allocations ≈ output size.
 
 def _sorted_turn_arrays(batch):
-    """pa.Table partition → dedup/sorted numpy arrays (all numeric)."""
+    """pa.Table partition → dedup/sorted numpy arrays (all numeric).
+
+    Fast path: if the partition is ALREADY (conv, turn_idx, ts)-sorted —
+    the bucketed lake layout writes files that way — the lexsort and its
+    5-column gather (the kernel's biggest memory churn) are skipped
+    entirely; dedup reduces to an adjacent-equality mask.  Unsorted inputs
+    take the general sort path (same results, tested)."""
     import pyarrow.compute as pc
 
     batch = batch.combine_chunks()
@@ -187,24 +193,34 @@ def _sorted_turn_arrays(batch):
     if batch.num_rows == 0 or col.num_chunks == 0:
         return (np.array([], dtype=np.int64), pa.array([], pa.string()),
                 np.array([], dtype=np.int64), np.array([], dtype=np.int64), {})
-    enc = pc.dictionary_encode(col.chunk(0))
+    chunk = col.chunk(0)
+    enc = (chunk if pa.types.is_dictionary(chunk.type)
+           else pc.dictionary_encode(chunk))
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     conv_dict = enc.dictionary  # small pa.StringArray
     ts = batch["ts_ms"].to_numpy(zero_copy_only=False)
     tidx = batch["turn_idx"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((ts, tidx, codes))
-    codes = codes[order]
-    ts = ts[order]
-    tidx = tidx[order]
+
+    dc = np.diff(codes)
+    is_sorted = bool((dc >= 0).all()) and bool(
+        ((dc > 0) | (np.diff(tidx.astype(np.int64)) > 0)
+         | ((np.diff(tidx.astype(np.int64)) == 0) & (np.diff(ts) >= 0))).all())
+    if not is_sorted:
+        order = np.lexsort((ts, tidx, codes))
+        codes = codes[order]
+        ts = ts[order]
+        tidx = tidx[order]
     same = np.concatenate(([False],
                            (codes[1:] == codes[:-1]) & (tidx[1:] == tidx[:-1])))
     keep = ~same
+    if not is_sorted:
+        order_kept = order[keep]  # ONE gather for the payload columns
     cols = {}
     for name in batch.column_names:
         if name in ("conv_id", "ts_ms", "turn_idx"):
             continue
         arr = batch[name].to_numpy(zero_copy_only=False)
-        cols[name] = arr[order][keep]
+        cols[name] = arr[keep] if is_sorted else arr[order_kept]
     return codes[keep], conv_dict, ts[keep], tidx[keep], cols
 
 
@@ -216,24 +232,70 @@ def _run_bounds(key: np.ndarray) -> np.ndarray:
     return np.flatnonzero(change)
 
 
+LONG_COLS = ["conv_id", "metric", "bucket_ms", "sum_v", "cnt",
+             "min_v", "max_v", "last_ts", "last_v"]
+
+
+def _const_str(value: str, n: int) -> "pa.Array":
+    """Length-n constant string column without touching Python objects
+    (one C++ take over a 1-element dictionary)."""
+    import pyarrow.compute as pc
+
+    return pc.take(pa.array([value]), pa.array(np.zeros(n, dtype=np.int32)))
+
+
+DICT_STR = None  # set below once pa is imported
+
+
+def _const_dict(value: str, n: int) -> "pa.Array":
+    """Length-n constant string column as a dictionary array — 4 bytes/row
+    of fresh memory instead of a materialized string per row (fresh
+    anonymous pages are globally serialized in this environment, so output
+    width IS the scaling ceiling of the map stages)."""
+    return pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, dtype=np.int32)), pa.array([value]))
+
+
+def _dict_col(indices: np.ndarray, dictionary: "pa.Array") -> "pa.Array":
+    return pa.DictionaryArray.from_arrays(
+        pa.array(indices.astype(np.int32)), dictionary)
+
+
+def _empty_long_table() -> "pa.Table":
+    return pa.table({
+        "conv_id": pa.array([], DICT_STR),
+        "metric": pa.array([], DICT_STR),
+        "bucket_ms": pa.array([], pa.int64()),
+        "sum_v": pa.array([], pa.float64()),
+        "cnt": pa.array([], pa.int64()),
+        "min_v": pa.array([], pa.float64()),
+        "max_v": pa.array([], pa.float64()),
+        "last_ts": pa.array([], pa.int64()),
+        "last_v": pa.array([], pa.float64()),
+    })
+
+
 def rollup_turns_arrow(batch, bucket_ms: int,
-                       custom: dict | None = None) -> pd.DataFrame:
+                       custom: dict | None = None) -> "pa.Table":
     """Arrow-native fused dedup+derive+rollup for one conv partition.
 
     Rows are (conv, ts)-sorted, so the combined (conv_code, bucket) key is
     non-decreasing → groups are contiguous runs → all five aggregates are
-    single ``reduceat``/indexing passes.  Semantics identical to
-    :func:`rollup_turns_partition` (tested)."""
+    single ``reduceat``/indexing passes.  Output is a pa.Table built from
+    numpy buffers + Arrow string takes — zero Python string objects (fresh
+    anonymous pages are the measured bottleneck here, BASELINE.md).
+    Semantics identical to :func:`rollup_turns_partition` (tested)."""
     codes, conv_dict, ts, tidx, cols = _sorted_turn_arrays(batch)
     n = len(ts)
-    long_cols = ["conv_id", "metric", "bucket_ms", "sum_v", "cnt",
-                 "min_v", "max_v", "last_ts", "last_v"]
     if n == 0:
-        return pd.DataFrame({c: [] for c in long_cols})
+        return _empty_long_table()
 
-    value_cols = {"turn_count": np.ones(n)}
-    value_cols["text_len"] = cols["text_len"].astype(np.float64)
-    value_cols["tool_call"] = cols["tool_call"].astype(np.float64)
+    # keep float32 stats columns as-is: sums accumulate in f64 inside
+    # reduceat (exact — values are integers < 2^24), min/max/last cast to
+    # f64 at GROUP size, so no n-sized f64 temporaries are materialized
+    value_cols = {}
+    value_cols["text_len"] = cols["text_len"]
+    value_cols["tool_call"] = cols["tool_call"]
     if custom:
         frame = pd.DataFrame({"turn_idx": tidx, "ts_ms": ts, **cols})
         for name, fn in custom.items():
@@ -248,23 +310,43 @@ def rollup_turns_arrow(batch, bucket_ms: int,
     cnt = ends - starts
     last_ts = ts[ends - 1]
 
-    frames = []
+    tables = []
 
-    def _agg_frame(metric, vals, starts, ends, cnt, last_ts, codes, bucket):
-        return pd.DataFrame({
-            "conv_id": conv_dict.take(pa.array(codes[starts])).to_pandas(),
-            "metric": metric,
-            "bucket_ms": bucket[starts],
-            "sum_v": np.add.reduceat(vals, starts),
-            "cnt": cnt,
-            "min_v": np.minimum.reduceat(vals, starts),
-            "max_v": np.maximum.reduceat(vals, starts),
-            "last_ts": last_ts,
-            "last_v": vals[ends - 1],
+    def _agg_table(metric, vals, starts, ends, cnt, last_ts, codes, bucket):
+        ng = len(starts)
+        return pa.table({
+            "conv_id": _dict_col(codes[starts], conv_dict),
+            "metric": _const_dict(metric, ng),
+            "bucket_ms": pa.array(bucket[starts]),
+            "sum_v": pa.array(np.add.reduceat(vals, starts,
+                                               dtype=np.float64)),
+            "cnt": pa.array(cnt),
+            "min_v": pa.array(np.minimum.reduceat(vals, starts)
+                              .astype(np.float64, copy=False)),
+            "max_v": pa.array(np.maximum.reduceat(vals, starts)
+                              .astype(np.float64, copy=False)),
+            "last_ts": pa.array(last_ts),
+            "last_v": pa.array(vals[ends - 1].astype(np.float64,
+                                                     copy=False)),
         })
 
+    # turn_count is the constant-1 metric: its aggregates are closed-form
+    # (sum = cnt, min = max = last = 1.0) — no n-sized ones array, no
+    # reduceat passes, one shared group-sized ones buffer for 3 columns
+    ones_g = pa.array(np.ones(len(starts)))
+    tables.append(pa.table({
+        "conv_id": _dict_col(codes[starts], conv_dict),
+        "metric": _const_dict("turn_count", len(starts)),
+        "bucket_ms": pa.array(bucket[starts]),
+        "sum_v": pa.array(cnt.astype(np.float64)),
+        "cnt": pa.array(cnt),
+        "min_v": ones_g,
+        "max_v": ones_g,
+        "last_ts": pa.array(last_ts),
+        "last_v": ones_g,
+    }))
     for m, vals in value_cols.items():
-        frames.append(_agg_frame(m, vals, starts, ends, cnt, last_ts,
+        tables.append(_agg_table(m, vals, starts, ends, cnt, last_ts,
                                  codes, bucket))
 
     same_conv = np.concatenate(([False], codes[1:] == codes[:-1]))
@@ -276,16 +358,32 @@ def rollup_turns_arrow(batch, bucket_ms: int,
         g_key = key[sub]
         g_starts = _run_bounds(g_key)
         g_ends = np.append(g_starts[1:], len(sub))
-        frames.append(_agg_frame(
+        tables.append(_agg_table(
             "turn_gap_ms", gaps[sub], g_starts, g_ends,
             g_ends - g_starts, ts[sub][g_ends - 1],
             codes[sub], bucket[sub]))
 
-    return pd.concat([f[long_cols] for f in frames], ignore_index=True)
+    return pa.concat_tables(t.select(LONG_COLS) for t in tables)
+
+
+BLOCK_COLS = ["conv_id", "metric", "block_start", "n_points", "codec",
+              "value_kind", "payload"]
+
+
+def _empty_block_table() -> "pa.Table":
+    return pa.table({
+        "conv_id": pa.array([], DICT_STR),
+        "metric": pa.array([], DICT_STR),
+        "block_start": pa.array([], pa.int64()),
+        "n_points": pa.array([], pa.int64()),
+        "codec": pa.array([], DICT_STR),
+        "value_kind": pa.array([], DICT_STR),
+        "payload": pa.array([], pa.binary()),
+    })
 
 
 def encode_turns_arrow(batch, *, metric: str | None, day_ms: int,
-                       custom: dict | None = None) -> pd.DataFrame:
+                       custom: dict | None = None) -> "pa.Table":
     """Arrow-native fused dedup+derive+Gorilla-encode for one conv
     partition: per (conv, metric, day-block) series, boundaries from run
     detection on int codes, one adaptive encode call per series."""
@@ -294,18 +392,18 @@ def encode_turns_arrow(batch, *, metric: str | None, day_ms: int,
 
     codes, conv_dict, ts, tidx, cols = _sorted_turn_arrays(batch)
     n = len(ts)
-    out_cols = ["conv_id", "metric", "block_start", "n_points", "codec",
-                "value_kind", "payload"]
     if n == 0:
-        return pd.DataFrame({c: [] for c in out_cols})
+        return _empty_block_table()
 
     value_cols = {}
     if metric in (None, "turn_count"):
         value_cols["turn_count"] = np.ones(n)
     if metric in (None, "text_len"):
-        value_cols["text_len"] = cols["text_len"].astype(np.float64)
+        value_cols["text_len"] = cols["text_len"].astype(np.float64,
+                                                         copy=False)
     if metric in (None, "tool_call"):
-        value_cols["tool_call"] = cols["tool_call"].astype(np.float64)
+        value_cols["tool_call"] = cols["tool_call"].astype(np.float64,
+                                                           copy=False)
     if custom:
         frame = pd.DataFrame({"turn_idx": tidx, "ts_ms": ts, **cols})
         for name, fn in custom.items():
@@ -355,20 +453,77 @@ def encode_turns_arrow(batch, *, metric: str | None, day_ms: int,
                     g_ts, g_vb = g_ts[gk], g_vb[gk]
                 emit("turn_gap_ms", g_ts, g_vb, code, bs)
 
-    res = pd.DataFrame({
-        "conv_id": conv_dict.take(pa.array(np.array(out_code, dtype=np.int64))
-                                  ).to_pandas(),
-        "metric": out_metric,
-        "block_start": out_bs,
-        "n_points": out_np,
+    nb = len(out_code)
+    return pa.table({
+        "conv_id": _dict_col(np.array(out_code, dtype=np.int64), conv_dict),
+        "metric": pa.array(out_metric, pa.string()).dictionary_encode(),
+        "block_start": pa.array(np.array(out_bs, dtype=np.int64)),
+        "n_points": pa.array(np.array(out_np, dtype=np.int64)),
+        "codec": _const_dict(CODEC_NAME, nb),
+        "value_kind": _const_dict("double", nb),
+        "payload": pa.array(out_payload, pa.binary()),
     })
-    res["codec"] = CODEC_NAME
-    res["value_kind"] = "double"
-    res["payload"] = out_payload
-    return res
+
+
+def reaggregate_arrow(tbl: "pa.Table", *, bucket_ms: int) -> "pa.Table":
+    """Arrow-native tier cascade: re-bucket finer-tier rollup rows
+    ``(conv_id, metric)`` to a coarser bucket and merge decomposably
+    (sum/sum, cnt/sum, min/min, max/max, argmax-last_ts for ``last_v``).
+    Same semantics as :func:`..stages.rollup.reaggregate_partials`
+    (tested), zero Python string objects."""
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return _empty_long_table()
+    tbl = tbl.combine_chunks()
+
+    def enc(chunk):
+        if pa.types.is_dictionary(chunk.type):
+            return chunk
+        return pc.dictionary_encode(chunk)
+
+    conv_enc = enc(tbl["conv_id"].chunk(0))
+    met_enc = enc(tbl["metric"].chunk(0))
+    ccode = conv_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    mcode = met_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nm = int(mcode.max()) + 1
+    key0 = ccode * nm + mcode
+    bucket = tbl["bucket_ms"].to_numpy(zero_copy_only=False)
+    bucket = (bucket // bucket_ms) * bucket_ms
+    last_ts = tbl["last_ts"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((last_ts, bucket, key0))
+    key0 = key0[order]
+    bucket = bucket[order]
+    last_ts = last_ts[order]
+    span = bucket - bucket.min()
+    span_idx = span // bucket_ms
+    key = key0 * np.int64(span_idx.max() + 1) + span_idx
+    starts = _run_bounds(key)
+    ends = np.append(starts[1:], len(key))
+
+    sum_v = tbl["sum_v"].to_numpy(zero_copy_only=False)[order]
+    cnt = tbl["cnt"].to_numpy(zero_copy_only=False)[order]
+    min_v = tbl["min_v"].to_numpy(zero_copy_only=False)[order]
+    max_v = tbl["max_v"].to_numpy(zero_copy_only=False)[order]
+    last_v = tbl["last_v"].to_numpy(zero_copy_only=False)[order]
+
+    g_codes = key0[starts]
+    return pa.table({
+        "conv_id": _dict_col(g_codes // nm, conv_enc.dictionary),
+        "metric": _dict_col(g_codes % nm, met_enc.dictionary),
+        "bucket_ms": pa.array(bucket[starts]),
+        "sum_v": pa.array(np.add.reduceat(sum_v, starts)),
+        "cnt": pa.array(np.add.reduceat(cnt, starts)),
+        "min_v": pa.array(np.minimum.reduceat(min_v, starts)),
+        "max_v": pa.array(np.maximum.reduceat(max_v, starts)),
+        "last_ts": pa.array(last_ts[ends - 1]),
+        "last_v": pa.array(last_v[ends - 1]),
+    }).select(LONG_COLS)
 
 
 import pyarrow as pa  # noqa: E402  (used by the arrow kernels above)
+
+DICT_STR = pa.dictionary(pa.int32(), pa.string())
 
 
 def rollup_turns_partition(df: pd.DataFrame, bucket_ms: int,

@@ -45,7 +45,7 @@ def partial_rollup(df: pd.DataFrame, *, key_cols: list[str], bucket_ms: int,
     })
     for c in key_cols:
         work[c] = df[c].to_numpy()
-    g = work.groupby(key_cols + ["bucket_ms"], sort=False)
+    g = work.groupby(key_cols + ["bucket_ms"], sort=False, observed=True)
     out = g["v"].agg(sum_v="sum", cnt="count", min_v="min", max_v="max")
     tail = g[["ts", "v"]].last()  # rows are ts-sorted → last = latest
     out["last_ts"] = tail["ts"]
@@ -79,7 +79,7 @@ def merge_partials_partition(df: pd.DataFrame, *, key_cols: list[str]) -> pd.Dat
     if len(df) == 0:
         return df.drop(columns=["_part"], errors="ignore")
     df = df.sort_values("last_ts", kind="stable")
-    g = df.groupby(key_cols + ["bucket_ms"], sort=False)
+    g = df.groupby(key_cols + ["bucket_ms"], sort=False, observed=True)
     out = g.agg(sum_v=("sum_v", "sum"), cnt=("cnt", "sum"),
                 min_v=("min_v", "min"), max_v=("max_v", "max"),
                 last_ts=("last_ts", "last"), last_v=("last_v", "last"))
@@ -123,7 +123,7 @@ def reaggregate_partials(df: pd.DataFrame, *, key_cols: list[str],
     df["bucket_ms"] = (df["bucket_ms"].to_numpy() // bucket_ms) * bucket_ms
     # order by last_ts so .last() picks the argmax within each group
     df = df.sort_values("last_ts", kind="stable")
-    g = df.groupby(key_cols + ["bucket_ms"], sort=False)
+    g = df.groupby(key_cols + ["bucket_ms"], sort=False, observed=True)
     out = g.agg(sum_v=("sum_v", "sum"), cnt=("cnt", "sum"),
                 min_v=("min_v", "min"), max_v=("max_v", "max"),
                 last_ts=("last_ts", "last"), last_v=("last_v", "last"))
@@ -157,6 +157,65 @@ def cascade_dataset(finer_rollup_ds, *, key_cols: list[str], tier: str):
         batch_format="pandas",
     )
     return finalize_by_partition(partial, key_cols=key_cols)
+
+
+def gapfill_partition(df: pd.DataFrame, *, bucket_ms: int,
+                      key_cols: list[str]) -> pd.DataFrame:
+    """Vectorized gap-fill for MANY series in one partition — identical
+    semantics to :func:`gapfill_group` applied per series (tested), with
+    one numpy pass instead of one Python call per series (per-group UDFs
+    are ms × series-count at scale)."""
+    out_cols = key_cols + ["bucket_ms", "sum_v", "cnt", "last_v", "filled"]
+    if len(df) == 0:
+        return pd.DataFrame({c: [] for c in out_cols})
+    codes = np.zeros(len(df), dtype=np.int64)
+    for c in key_cols:
+        cc, _ = pd.factorize(df[c], sort=False)
+        codes = codes * np.int64(cc.max() + 1) + cc
+    bucket = df["bucket_ms"].to_numpy()
+    order = np.lexsort((bucket, codes))
+    codes = codes[order]
+    bucket = bucket[order]
+    sum_v = df["sum_v"].to_numpy()[order]
+    cnt = df["cnt"].to_numpy()[order]
+    last_v = df["last_v"].to_numpy()[order]
+
+    change = np.concatenate(([True], codes[1:] != codes[:-1]))
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(codes))
+    lo = bucket[starts]
+    hi = bucket[ends - 1]
+    counts = (hi - lo) // bucket_ms + 1
+    total = int(counts.sum())
+    g_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    rep = np.repeat(np.arange(len(starts)), counts)
+    within = np.arange(total) - np.repeat(g_off, counts)
+    grid_bucket = lo[rep] + within * bucket_ms
+
+    row_series = np.repeat(np.arange(len(starts)), ends - starts)
+    gpos = g_off[row_series] + (bucket - lo[row_series]) // bucket_ms
+
+    o_sum = np.zeros(total, dtype=np.float64)
+    o_cnt = np.zeros(total, dtype=np.int64)
+    o_last = np.zeros(total, dtype=np.float64)
+    filled = np.ones(total, dtype=bool)
+    o_sum[gpos] = sum_v
+    o_cnt[gpos] = cnt
+    o_last[gpos] = last_v
+    filled[gpos] = False
+    # LOCF: most recent present grid index ≤ each point; every series'
+    # first grid point is present (lo comes from its own data), so the
+    # global accumulate resets naturally at series boundaries
+    src = np.maximum.accumulate(np.where(filled, -1, np.arange(total)))
+    o_last = o_last[src]
+
+    out = {c: df[c].to_numpy()[order][starts][rep] for c in key_cols}
+    out["bucket_ms"] = grid_bucket
+    out["sum_v"] = o_sum
+    out["cnt"] = o_cnt
+    out["last_v"] = o_last
+    out["filled"] = filled
+    return pd.DataFrame(out)[out_cols]
 
 
 def gapfill_group(df: pd.DataFrame, *, bucket_ms: int,

@@ -71,9 +71,15 @@ def topk_merge(df: pd.DataFrame, *, k: int = 10) -> pd.DataFrame:
 
 def cosine_pairs_block(df: pd.DataFrame, *, id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       threshold: float = 0.95) -> pd.DataFrame:
+                       threshold: float = 0.95,
+                       tile: int = 4096) -> pd.DataFrame:
     """Embedding near-duplicate pairs within ONE block (e.g. a label or LSH
-    bucket): all-pairs cosine ≥ threshold."""
+    bucket): exact all-pairs cosine ≥ threshold, computed TILE-WISE — the
+    n×n similarity matrix is never materialized, so peak memory is
+    O(n·dim + tile²) however large the block.  (The exact join is O(n²)
+    WORK by definition — the oracle semantics are all pairs within the
+    block — but tiling keeps it streamable; route blocks through LSH
+    buckets first when approximate recall is acceptable.)"""
     n = len(df)
     empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
                           "id_b": np.array([], dtype=np.int64),
@@ -82,16 +88,26 @@ def cosine_pairs_block(df: pd.DataFrame, *, id_col: str = "vec_id",
         return empty
     df = df.sort_values(id_col, kind="stable")
     m = _normalize(_stack_embeddings(df[vec_col]))
-    sim = m @ m.T
-    ia, ib = np.triu_indices(n, k=1)
-    keep = sim[ia, ib] >= threshold
-    if not keep.any():
-        return empty
     ids = df[id_col].to_numpy()
+    out_a, out_b, out_s = [], [], []
+    for i0 in range(0, n, tile):
+        mi = m[i0:i0 + tile]
+        for j0 in range(i0, n, tile):
+            sim = mi @ m[j0:j0 + tile].T
+            ia, ib = np.nonzero(sim >= threshold)
+            ga, gb = ia + i0, ib + j0
+            upper = ga < gb  # strict upper triangle in global indices
+            if not upper.any():
+                continue
+            out_a.append(ids[ga[upper]])
+            out_b.append(ids[gb[upper]])
+            out_s.append(sim[ia[upper], ib[upper]])
+    if not out_a:
+        return empty
     return pd.DataFrame({
-        "id_a": ids[ia[keep]].astype(np.int64),
-        "id_b": ids[ib[keep]].astype(np.int64),
-        "cosine": round_half_away(sim[ia, ib][keep], 6),
+        "id_a": np.concatenate(out_a).astype(np.int64),
+        "id_b": np.concatenate(out_b).astype(np.int64),
+        "cosine": round_half_away(np.concatenate(out_s), 6),
     })
 
 

@@ -102,14 +102,15 @@ def test_charset_jaccard(ray_session):
 def test_minhash_pairs_recall(ray_session):
     """MinHash candidates must contain every truly-similar pair (3-word
     shingle Jaccard ≥ 0.7 brute force) and estimates must correlate."""
-    from gorilla_tsc_ray.stages.dedup import _shingle_hashes, _token_arrays
+    from gorilla_tsc_ray.stages.dedup import _doc_shingle_hashes
 
     got = docs.minhash_pairs(SF, threshold=0.5).to_pandas()
     got_pairs = set(zip(got["id_a"], got["id_b"]))
 
     df = _con().execute("SELECT doc_id, text FROM documents ORDER BY doc_id").df()
-    toks = _token_arrays(df["text"])
-    shingles = [set(_shingle_hashes(t).tolist()) for t in toks]
+    sh, bounds = _doc_shingle_hashes(df["text"])
+    shingles = [set(sh[bounds[i]:bounds[i + 1]].tolist())
+                for i in range(len(df))]
     ids = df["doc_id"].to_numpy()
     strong = []
     for i in range(len(ids)):

@@ -147,3 +147,80 @@ def test_empty_selection_is_robust(ray_session, sf_small):
     ds = _read_points(sf_small).map_batches(
         lambda t: t.filter(pc.less(t["ts_ms"], 0)), batch_format="pyarrow")
     assert ds.count() == 0
+
+
+def test_gapfill_partition_equals_per_group():
+    """Multi-series vectorized gap-fill == per-series reference kernel."""
+    from gorilla_tsc_ray.stages.rollup import gapfill_group, gapfill_partition
+
+    rng = np.random.default_rng(4)
+    frames = []
+    for u in range(17):
+        buckets = np.unique(rng.choice(200, rng.integers(1, 30))) * 3_600_000
+        frames.append(pd.DataFrame({
+            "user_id": u, "bucket_ms": buckets.astype(np.int64),
+            "sum_v": rng.normal(0, 10, len(buckets)),
+            "cnt": rng.integers(1, 9, len(buckets)),
+            "last_v": rng.normal(0, 10, len(buckets)),
+        }))
+    df = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=1)
+    got = gapfill_partition(df, bucket_ms=3_600_000, key_cols=["user_id"])
+    exp = pd.concat([gapfill_group(g, bucket_ms=3_600_000,
+                                   key_cols=["user_id"])
+                     for _, g in df.groupby("user_id")], ignore_index=True)
+    key = ["user_id", "bucket_ms"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in ["sum_v", "cnt", "last_v", "filled"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy(),
+                                      err_msg=c)
+
+
+def test_hot_user_skew_salting(ray_session, tmp_path):
+    """North-rule salting: one pathological user with 60 day-blocks must
+    spread across many encode partitions (no single straggler) and still
+    round-trip bit-exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gorilla_tsc_ray.pipelines.events import N_PARTS
+
+    rng = np.random.default_rng(7)
+    day = 86_400_000
+    t0 = 1_600_000_000_000
+    # hot user: 12k points over 60 days; 19 cold users with 50 points each
+    hot_ts = np.sort(t0 + rng.choice(60 * day, 12_000, replace=False))
+    users = [np.full(len(hot_ts), 1)]
+    tss = [hot_ts]
+    for u in range(2, 21):
+        ts = np.sort(t0 + rng.choice(60 * day, 50, replace=False))
+        users.append(np.full(len(ts), u))
+        tss.append(ts)
+    user_id = np.concatenate(users).astype(np.int64)
+    ts_ms = np.concatenate(tss).astype(np.int64)
+    value = np.round(rng.uniform(0, 100, len(ts_ms)), 2)
+    pq.write_table(pa.table({
+        "user_id": pa.array(user_id),
+        "ts": pa.array(ts_ms, pa.timestamp("ms")).cast(pa.timestamp("us")),
+        "value": pa.array(value),
+    }), str(tmp_path / "events.parquet"))
+
+    # salted partition ids for the hot user's day blocks: must hit MANY
+    # partitions (the unsalted user-hash would hit exactly one)
+    hot_days = np.unique((hot_ts // day) * day)
+    h = pd.util.hash_pandas_object(pd.Series(np.full(len(hot_days), 1)),
+                                   index=False).to_numpy()
+    parts = ((h * np.uint64(1_000_003)
+              + (hot_days // day).astype(np.uint64))
+             % np.uint64(N_PARTS))
+    assert len(np.unique(parts)) > N_PARTS // 3
+
+    got = ev.points_roundtrip(str(tmp_path)).to_pandas()
+    key = ["user_id", "ts_ms"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = pd.DataFrame({"user_id": user_id, "ts_ms": ts_ms, "value": value}
+                       ).sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["ts_ms"], exp["ts_ms"])
+    np.testing.assert_array_equal(got["value"], exp["value"])

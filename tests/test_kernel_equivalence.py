@@ -58,6 +58,13 @@ def _to_arrow(df: pd.DataFrame) -> pa.Table:
 
 
 def _sorted(df, cols):
+    # dictionary-encoded Arrow outputs arrive as pandas Categorical, which
+    # sorts by category order — normalize to plain strings for lexicographic
+    # row alignment with the pandas-kernel outputs
+    df = df.copy()
+    for c in df.columns:
+        if isinstance(df[c].dtype, pd.CategoricalDtype):
+            df[c] = df[c].astype(str)
     return df.sort_values(cols).reset_index(drop=True)
 
 
@@ -85,7 +92,8 @@ def test_rollup_pandas_equals_arrow(seed, bucket_ms):
     part = _random_partition(seed)
     key = ["conv_id", "metric", "bucket_ms"]
     a = _sorted(rollup_turns_partition(_lean(part), bucket_ms), key)
-    b = _sorted(rollup_turns_arrow(_to_arrow(_lean(part)), bucket_ms), key)
+    b = _sorted(rollup_turns_arrow(_to_arrow(_lean(part)), bucket_ms)
+                .to_pandas(), key)
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False,
                                   atol=1e-9)
 
@@ -96,7 +104,8 @@ def test_rollup_equals_longformat_partial(seed):
     original two-step semantics)."""
     part = _random_partition(seed)
     key = ["conv_id", "metric", "bucket_ms"]
-    a = _sorted(rollup_turns_arrow(_to_arrow(_lean(part)), 60_000), key)
+    a = _sorted(rollup_turns_arrow(_to_arrow(_lean(part)), 60_000)
+                .to_pandas(), key)
     pts = derive_metrics_partition(part)
     b = _sorted(partial_rollup(pts, key_cols=["conv_id", "metric"],
                                bucket_ms=60_000), key)
@@ -110,7 +119,7 @@ def test_encode_arrow_equals_longformat_encode(seed):
     blocks, same payload bytes."""
     part = _random_partition(seed)
     a = encode_turns_arrow(_to_arrow(_lean(part)), metric=None,
-                           day_ms=86_400_000)
+                           day_ms=86_400_000).to_pandas()
     pts = derive_metrics_partition(part).copy()
     pts["block_start"] = (pts["ts_ms"].to_numpy() // 86_400_000) * 86_400_000
     b = encode_partition(pts, key_cols=["conv_id"])
@@ -121,3 +130,20 @@ def test_encode_arrow_equals_longformat_encode(seed):
     np.testing.assert_array_equal(a["n_points"].to_numpy(),
                                   b["n_points"].to_numpy())
     assert (a["payload"].to_numpy() == b["payload"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_reaggregate_arrow_equals_pandas(seed):
+    """Arrow-native tier cascade == the pandas reaggregate_partials."""
+    from gorilla_tsc_ray.stages.metrics import reaggregate_arrow
+    from gorilla_tsc_ray.stages.rollup import reaggregate_partials
+
+    part = _random_partition(seed)
+    one_m = rollup_turns_arrow(_to_arrow(_lean(part)), 60_000)
+    key = ["conv_id", "metric", "bucket_ms"]
+    a = _sorted(reaggregate_arrow(one_m, bucket_ms=3_600_000).to_pandas(), key)
+    b = _sorted(reaggregate_partials(one_m.to_pandas(),
+                                     key_cols=["conv_id", "metric"],
+                                     bucket_ms=3_600_000), key)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False,
+                                  atol=1e-9)

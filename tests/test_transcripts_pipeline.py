@@ -164,7 +164,10 @@ def test_store_cascade_tiers_match_direct(ray_session, tmp_path):
 
     out = ingest.ingest_to_store(SF, str(tmp_path), resume=False)
     stored = pads.dataset(out["rollup_1h"], partitioning="hive").to_table()
-    got = stored.to_pandas().drop(columns=["day"]).sort_values(
+    got = stored.to_pandas().drop(columns=["day"])
+    for c in ("conv_id", "metric"):  # dictionary store columns → plain
+        got[c] = got[c].astype(str)
+    got = got.sort_values(
         ["conv_id", "metric", "bucket_ms"]).reset_index(drop=True)
     exp = ingest.rollup_tier(SF, "1h").to_pandas().sort_values(
         ["conv_id", "metric", "bucket_ms"]).reset_index(drop=True)
@@ -184,10 +187,18 @@ def test_combined_build_equals_direct(ray_session):
     r, b = ingest.split_store_outputs(comb)
     key_r = ["conv_id", "metric", "bucket_ms"]
     key_b = ["conv_id", "metric", "block_start"]
-    rdf = _sorted(r.to_pandas(), key_r)
-    bdf = _sorted(b.to_pandas(), key_b)
-    rd = _sorted(ingest.rollup_tier(SF, "1m").to_pandas(), key_r)
-    bd = _sorted(ingest.gorilla_blocks(SF, metric=None).to_pandas(), key_b)
+
+    def plain(df):  # store build emits dictionary columns; queries emit plain
+        for c in df.columns:
+            if isinstance(df[c].dtype, pd.CategoricalDtype):
+                df[c] = df[c].astype(str)
+        return df
+
+    rdf = _sorted(plain(r.to_pandas()), key_r)
+    bdf = _sorted(plain(b.to_pandas()), key_b)
+    rd = _sorted(plain(ingest.rollup_tier(SF, "1m").to_pandas()), key_r)
+    bd = _sorted(plain(ingest.gorilla_blocks(SF, metric=None).to_pandas()),
+                 key_b)
     pd.testing.assert_frame_equal(rdf, rd[rdf.columns])
     assert (bdf["payload"].to_numpy() == bd["payload"].to_numpy()).all()
 
