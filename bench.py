@@ -196,30 +196,33 @@ def main() -> None:
                 env=env, capture_output=True, text=True, check=True)
             return json.loads(out.stdout.strip().splitlines()[-1])
 
+        lo, hi = (int(x) for x in os.environ.get(
+            "GRAFT_SCALING_LEVELS", "4,16").split(","))
         pairs = []
         for i in range(3):
-            order = (8, 32) if i % 2 == 0 else (32, 8)
+            order = (lo, hi) if i % 2 == 0 else (hi, lo)
             got = {n: one(n) for n in order}
             pairs.append(got)
-        effs = sorted((p[32]["turns_per_sec"] / p[8]["turns_per_sec"]) / 4
-                      for p in pairs)
-        runs = {8: max((p[8] for p in pairs),
-                       key=lambda r: r["turns_per_sec"]),
-                32: max((p[32] for p in pairs),
+        effs = sorted((p[hi]["turns_per_sec"] / p[lo]["turns_per_sec"])
+                      / (hi / lo) for p in pairs)
+        runs = {lo: max((p[lo] for p in pairs),
+                        key=lambda r: r["turns_per_sec"]),
+                hi: max((p[hi] for p in pairs),
                         key=lambda r: r["turns_per_sec"])}
-        tps8 = runs[8]["turns_per_sec"]
-        tps32 = runs[32]["turns_per_sec"]
+        tps8 = runs[lo]["turns_per_sec"]
+        tps32 = runs[hi]["turns_per_sec"]
         eff = effs[len(effs) // 2]
         print(json.dumps({
-            "metric": "scaling efficiency (turns/s, 8→32 CPUs)",
+            "metric": f"scaling efficiency (turns/s, {lo}→{hi} CPUs)",
             "value": round(eff, 3), "unit": "efficiency",
             "efficiency_runs": [round(e, 3) for e in effs],
             "best_pair_efficiency": round((tps32 / tps8) / 4, 3),
             "sf": _sf_tag(scaling_sf),
-            "n_turns": runs[8]["n_turns"],
-            "throughput_8cpu": tps8, "throughput_32cpu": tps32,
-            "queries_8cpu": runs[8]["queries"],
-            "queries_32cpu": runs[32]["queries"],
+            "n_turns": runs[lo]["n_turns"],
+            "throughput_locpu": tps8, "throughput_hicpu": tps32,
+            "levels": [lo, hi],
+            "queries_locpu": runs[lo]["queries"],
+            "queries_hicpu": runs[hi]["queries"],
         }))
         return
 
