@@ -563,3 +563,19 @@ int64_t gtsc_encode_v1(int64_t block_ts, const int64_t *ts,
     out_words[b.n] = b.cur;
     return b.overflow ? -1 : b.n + 1;
 }
+
+/* ============== batched v2 decode (one call per map batch) ============== */
+
+int64_t gtsc_decode_v2_batch(const uint64_t *words, const int64_t *w_off,
+                             const int64_t *npts, int64_t n_blocks,
+                             int64_t *out_ts, uint64_t *out_v,
+                             const int64_t *out_off)
+{
+    for (int64_t b = 0; b < n_blocks; b++) {
+        int64_t rc = gtsc_decode_v2(words + w_off[b],
+                                    w_off[b + 1] - w_off[b], npts[b],
+                                    out_ts + out_off[b], out_v + out_off[b]);
+        if (rc != npts[b]) return -(b + 1);
+    }
+    return out_off[n_blocks];
+}

@@ -218,39 +218,67 @@ def encode_partition(df: pd.DataFrame, *, key_cols: list[str],
 
 def decode_blocks_batch(df: pd.DataFrame, *, key_cols: list[str],
                         ts_out: str = "ts_ms", value_out: str = "value") -> pd.DataFrame:
-    """map_batches UDF (stateless tasks): decode each block row back into its
-    points.  Mirrors the streaming read path (``GorillaDecompressor.java:42-49``)
-    but emits whole Arrow-backed columns per block."""
-    all_ts: list[np.ndarray] = []
-    all_v: list[np.ndarray] = []
-    key_out: dict[str, list] = {c: [] for c in key_cols}
-    kinds = df["value_kind"] if "value_kind" in df else pd.Series(["double"] * len(df))
-    for i in range(len(df)):
-        payload = df["payload"].iloc[i]
-        n = int(df["n_points"].iloc[i])
-        words = payload_to_words(payload)
-        row_codec = df["codec"].iloc[i] if "codec" in df.columns else "gorilla2"
-        if row_codec == "gorilla1":
-            ts, vb = decode_series_v1(words, n)
-        elif row_codec == "gorilla2_dfcm":
-            ts, vb = decode_series_dfcm(words, n)
-        else:
-            ts, vb = decode_series(words, n_points=n)
-        all_ts.append(ts)
-        if kinds.iloc[i] == "double":
-            all_v.append(vb.view(np.float64))
-        else:
-            all_v.append(vb.view(np.int64).astype(np.float64))
-        for c in key_cols:
-            key_out[c].append(np.full(len(ts), df[c].iloc[i]))
-    if not all_ts:
+    """map_batches UDF (stateless tasks): decode each block row back into
+    its points.  Mirrors the streaming read path
+    (``GorillaDecompressor.java:42-49``) but emits whole Arrow-backed
+    columns per block batch.
+
+    All default-codec (v2 double) rows decode in ONE native batch call —
+    payloads are concatenated, byte-swapped once, and fanned out in C; the
+    per-block Python loop only survives for legacy/dfcm rows.  Key columns
+    fan out via a single ``np.repeat``."""
+    n_rows = len(df)
+    if n_rows == 0:
         out = {c: [] for c in key_cols}
         out[ts_out] = np.array([], dtype=np.int64)
         out[value_out] = np.array([], dtype=np.float64)
         return pd.DataFrame(out)
-    out = {c: np.concatenate(v) for c, v in key_out.items()}
-    out[ts_out] = np.concatenate(all_ts)
-    out[value_out] = np.concatenate(all_v)
+    codecs = (df["codec"].to_numpy() if "codec" in df.columns
+              else np.full(n_rows, "gorilla2", dtype=object))
+    kinds = (df["value_kind"].to_numpy() if "value_kind" in df.columns
+             else np.full(n_rows, "double", dtype=object))
+    n_points = df["n_points"].to_numpy().astype(np.int64)
+    fast = ((codecs == "gorilla2") & (kinds == "double")
+            if native.AVAILABLE else np.zeros(n_rows, dtype=bool))
+
+    parts_ts: list[np.ndarray] = []
+    parts_v: list[np.ndarray] = []
+    parts_rep: list[np.ndarray] = []  # row index per output point
+
+    if fast.any():
+        idx = np.flatnonzero(fast)
+        payloads = df["payload"].to_numpy()[idx]
+        blob = b"".join(payloads)
+        words = np.frombuffer(blob, dtype=">u8").astype(np.uint64)
+        lens = np.fromiter((len(p) // 8 for p in payloads),
+                           dtype=np.int64, count=len(idx))
+        w_off = np.concatenate(([0], np.cumsum(lens)))
+        ts, vb, out_off = native.decode_batch_v2(words, w_off, n_points[idx])
+        parts_ts.append(ts)
+        parts_v.append(vb.view(np.float64))
+        parts_rep.append(np.repeat(idx, n_points[idx]))
+
+    for i in np.flatnonzero(~fast):
+        payload = df["payload"].iloc[i]
+        n = int(n_points[i])
+        words = payload_to_words(payload)
+        if codecs[i] == "gorilla1":
+            ts, vb = decode_series_v1(words, n)
+        elif codecs[i] == "gorilla2_dfcm":
+            ts, vb = decode_series_dfcm(words, n)
+        else:
+            ts, vb = decode_series(words, n_points=n)
+        parts_ts.append(ts)
+        if kinds[i] == "double":
+            parts_v.append(vb.view(np.float64))
+        else:
+            parts_v.append(vb.view(np.int64).astype(np.float64))
+        parts_rep.append(np.full(len(ts), i, dtype=np.int64))
+
+    rep = np.concatenate(parts_rep)
+    out = {c: df[c].to_numpy()[rep] for c in key_cols}
+    out[ts_out] = np.concatenate(parts_ts)
+    out[value_out] = np.concatenate(parts_v)
     return pd.DataFrame(out)
 
 
