@@ -210,15 +210,25 @@ def _derive_kernel():
 
 
 def metric_points(sf_dir: str):
-    """Long-format metric points (dedup + derive fused in one conv-hash
-    partition pass)."""
-    return _conv_partitioned(sf_dir, _derive_kernel())
+    """Long-format metric points (dedup + derive fused in one conv
+    partition pass; Arrow-native kernel — strings via C++ takes)."""
+    from ..stages.metrics import CUSTOM_METRICS, derive_metrics_arrow
+
+    custom = dict(CUSTOM_METRICS)
+
+    def kernel(batch):
+        return derive_metrics_arrow(batch, custom)
+
+    return _conv_partitioned(sf_dir, kernel, fmt="pyarrow")
 
 
 def canonical_turns(sf_dir: str):
     """Deduplicated turns under stable (conv_id, turn_idx) ordering — the
     end-to-end text-equality gate."""
-    return _conv_partitioned(sf_dir, canonical_turns_partition, lean=False)
+    from ..stages.metrics import canonical_turns_arrow
+
+    return _conv_partitioned(sf_dir, canonical_turns_arrow, lean=False,
+                             fmt="pyarrow")
 
 
 def _rollup_in_partition(pts: pd.DataFrame, tier: str) -> pd.DataFrame:
@@ -452,20 +462,33 @@ def gapfill_tier(sf_dir: str, tier: str = "1h", metric: str = "turn_count"):
     out_cols = TRANSCRIPT_KEYS + ["bucket_ms", "sum_v", "cnt", "last_v",
                                   "filled"]
 
-    derive = _derive_kernel()
+    from ..stages.metrics import CUSTOM_METRICS, rollup_turns_arrow
 
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        pts = derive(df)
-        pts = pts[pts["metric"] == metric]
-        rolled = _rollup_in_partition(pts, tier)
-        if len(rolled) == 0:
+    custom = dict(CUSTOM_METRICS)
+
+    def kernel(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        rolled = rollup_turns_arrow(batch, bucket_ms, custom)
+        rolled = rolled.combine_chunks()
+        if rolled.num_rows == 0:
             return pd.DataFrame({c: [] for c in out_cols})
-        filled = gapfill_partition(rolled, bucket_ms=bucket_ms,
+        mc = rolled["metric"].chunk(0)
+        sel = np.array([v == metric for v in mc.dictionary.to_pylist()])
+        sub = rolled.filter(pa.array(
+            sel[mc.indices.to_numpy(zero_copy_only=False)]))
+        df = sub.to_pandas()
+        for c in TRANSCRIPT_KEYS:  # dictionary → plain (driver surface)
+            df[c] = df[c].astype(str)
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in out_cols})
+        filled = gapfill_partition(df, bucket_ms=bucket_ms,
                                    key_cols=TRANSCRIPT_KEYS)
         filled["sum_v"] = round_half_away(filled["sum_v"].to_numpy(), 6)
         return filled[out_cols]
 
-    return _conv_partitioned(sf_dir, kernel)
+    return _conv_partitioned(sf_dir, kernel, fmt="pyarrow")
 
 
 def _with_day(ds, src_col: str):

@@ -465,6 +465,129 @@ def encode_turns_arrow(batch, *, metric: str | None, day_ms: int,
     })
 
 
+def _sorted_keep_index(batch):
+    """Shared dedup/sort plan for a conv partition table: returns
+    ``(enc, codes_kept, ts_kept, tidx_kept, selector)`` where ``selector``
+    is either a boolean mask (already-sorted input) or an int index array —
+    both applied with one Arrow C++ filter/take, no Python row objects."""
+    import pyarrow.compute as pc
+
+    chunk = batch["conv_id"].chunk(0)
+    enc = (chunk if pa.types.is_dictionary(chunk.type)
+           else pc.dictionary_encode(chunk))
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = batch["ts_ms"].to_numpy(zero_copy_only=False)
+    tidx = batch["turn_idx"].to_numpy(zero_copy_only=False)
+    dc = np.diff(codes)
+    dt = np.diff(tidx.astype(np.int64))
+    is_sorted = bool((dc >= 0).all()) and bool(
+        ((dc > 0) | (dt > 0) | ((dt == 0) & (np.diff(ts) >= 0))).all())
+    if not is_sorted:
+        order = np.lexsort((ts, tidx, codes))
+        codes, ts, tidx = codes[order], ts[order], tidx[order]
+    same = np.concatenate(([False],
+                           (codes[1:] == codes[:-1]) & (tidx[1:] == tidx[:-1])))
+    keep = ~same
+    selector = keep if is_sorted else order[keep]
+    return enc, codes[keep], ts[keep], tidx[keep], selector
+
+
+def canonical_turns_arrow(batch) -> "pa.Table":
+    """Arrow-native dedup + stable (conv, turn_idx, ts) ordering for one
+    conv partition — the text-equality surface.  Strings move through ONE
+    Arrow filter/take (C++), never through Python objects; semantics
+    identical to :func:`canonical_turns_partition` (tested)."""
+    import pyarrow.compute as pc
+
+    batch = batch.combine_chunks()
+    if batch.num_rows == 0:
+        return pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "role": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+            "ts_ms": pa.array([], pa.int64()),
+        })
+    enc, codes, ts, tidx, selector = _sorted_keep_index(batch)
+    if selector.dtype == bool:
+        out = batch.filter(pa.array(selector))
+    else:
+        out = batch.take(pa.array(selector))
+    out = out.select(["conv_id", "turn_idx", "role", "text", "tool", "ts_ms"])
+    i = out.schema.get_field_index("conv_id")
+    if pa.types.is_dictionary(out.schema.field(i).type):
+        out = out.set_column(i, "conv_id", pc.cast(out["conv_id"],
+                                                   pa.string()))
+    return out
+
+
+def derive_metrics_arrow(batch, custom: dict | None = None) -> "pa.Table":
+    """Arrow-native dedup + long-format metric derivation for one conv
+    partition — same semantics as :func:`derive_metrics_partition`
+    (tested), with conv_id strings produced by Arrow takes instead of
+    per-row Python objects (plain strings on the output: this is a
+    driver-facing query surface)."""
+    import pyarrow.compute as pc
+
+    batch = batch.combine_chunks()
+    if batch.num_rows == 0:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "ts_ms": pa.array([], pa.int64()),
+                         "metric": pa.array([], pa.string()),
+                         "value": pa.array([], pa.float64())})
+    enc, codes, ts, tidx, selector = _sorted_keep_index(batch)
+    conv_dict = enc.dictionary
+    n = len(ts)
+
+    def col(name):
+        arr = batch[name].to_numpy(zero_copy_only=False)
+        return arr[selector] if selector.dtype == bool else arr[selector]
+
+    value_cols = {"turn_count": np.ones(n)}
+    value_cols["text_len"] = (col("text_len").astype(np.float64)
+                              if "text_len" in batch.column_names else
+                              pc.utf8_length(batch["text"]).to_numpy(
+                                  zero_copy_only=False)[selector]
+                              .astype(np.float64))
+    if "tool_call" in batch.column_names:
+        value_cols["tool_call"] = col("tool_call").astype(np.float64)
+    else:
+        value_cols["tool_call"] = (col("tool") != "").astype(np.float64)
+    if custom:
+        cols_np = {name: col(name) for name in batch.column_names
+                   if name not in ("conv_id",)}
+        frame = pd.DataFrame({"turn_idx": tidx, "ts_ms": ts, **{
+            k: v for k, v in cols_np.items() if k not in ("turn_idx", "ts_ms")}})
+        for name, fn in custom.items():
+            value_cols[name] = np.asarray(fn(frame), dtype=np.float64)
+
+    conv_plain = pc.take(conv_dict, pa.array(codes))
+    tables = []
+    for m, vals in value_cols.items():
+        tables.append(pa.table({
+            "conv_id": conv_plain,
+            "ts_ms": pa.array(ts),
+            "metric": _const_dict(m, n),
+            "value": pa.array(vals),
+        }))
+    same_conv = np.concatenate(([False], codes[1:] == codes[:-1]))
+    if same_conv.any():
+        gaps = np.empty(n, dtype=np.float64)
+        gaps[0] = np.nan
+        gaps[1:] = np.diff(ts).astype(np.float64)
+        sub = np.flatnonzero(same_conv)
+        tables.append(pa.table({
+            "conv_id": pc.take(conv_dict, pa.array(codes[sub])),
+            "ts_ms": pa.array(ts[sub]),
+            "metric": _const_dict("turn_gap_ms", len(sub)),
+            "value": pa.array(gaps[sub]),
+        }))
+    out = pa.concat_tables(tables)
+    i = out.schema.get_field_index("metric")
+    return out.set_column(i, "metric", pc.cast(out["metric"], pa.string()))
+
+
 def reaggregate_arrow(tbl: "pa.Table", *, bucket_ms: int) -> "pa.Table":
     """Arrow-native tier cascade: re-bucket finer-tier rollup rows
     ``(conv_id, metric)`` to a coarser bucket and merge decomposably

@@ -147,3 +147,34 @@ def test_reaggregate_arrow_equals_pandas(seed):
                                      bucket_ms=3_600_000), key)
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False,
                                   atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_derive_arrow_equals_pandas(seed):
+    from gorilla_tsc_ray.stages.metrics import derive_metrics_arrow
+
+    part = _random_partition(seed)
+    key = ["conv_id", "metric", "ts_ms", "value"]
+    a = _sorted(derive_metrics_arrow(_to_arrow(_lean(part))).to_pandas(), key)
+    b = _sorted(derive_metrics_partition(part), key)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a["ts_ms"].to_numpy(), b["ts_ms"].to_numpy())
+    np.testing.assert_array_equal(a["value"].to_numpy(), b["value"].to_numpy())
+    np.testing.assert_array_equal(a["conv_id"].to_numpy(),
+                                  b["conv_id"].to_numpy())
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_canonical_arrow_equals_pandas(seed):
+    from gorilla_tsc_ray.stages.metrics import (canonical_turns_arrow,
+                                                canonical_turns_partition)
+
+    part = _random_partition(seed)
+    part = part.assign(ts_ms=part["ts_ms"].astype(np.int64),
+                       role=np.where(part["turn_idx"] % 2 == 0,
+                                     "user", "assistant"))
+    key = ["conv_id", "turn_idx"]
+    a = _sorted(canonical_turns_arrow(_to_arrow(part)).to_pandas(), key)
+    b = _sorted(canonical_turns_partition(part), key)
+    pd.testing.assert_frame_equal(a, b[a.columns].reset_index(drop=True),
+                                  check_dtype=False)
