@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gaps": ev.event_gaps,
         "events_rollup_1h_by_type": lambda sf: ev.rollup_by_type(sf, "1h"),
         "events_sessions": ev.sessionize,
+        "events_asof_last_purchase": ev.asof_last_match,
+        "events_user_quantiles": ev.user_quantiles,
         # — transcripts (flagship; oracle reads the same /tmp parquet) —
         "transcripts_canonical_turns": ingest.canonical_turns,
         "transcripts_metrics": ingest.metric_points,
@@ -259,6 +261,28 @@ SELECT user_id, session_seq,
        count(*) AS n_events, round(sum(value), 6) AS sum_value,
        max(ts_ms) - min(ts_ms) AS duration_ms
 FROM s GROUP BY 1, 2
+""",
+        "events_user_quantiles": """
+SELECT user_id,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
+""",
+        # AS-OF join oracle: DuckDB ASOF LEFT JOIN; −1 sentinels keep the
+        # columns non-nullable (nullable ints decay to float64 in pandas)
+        "events_asof_last_purchase": """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, ts FROM events
+), p AS (
+  SELECT user_id, epoch_ms(ts) AS pts_ms, value AS pvalue, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, e.ts_ms,
+       coalesce(p.pts_ms, -1) AS last_match_ts,
+       coalesce(p.pvalue, -1.0) AS last_match_value
+FROM e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
 """,
         "events_gaps": """
 SELECT user_id, epoch_ms(ts) AS ts_ms,

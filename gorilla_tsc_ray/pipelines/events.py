@@ -289,6 +289,113 @@ def sessionize(sf_dir: str, gap_ms: int = 1_800_000):
                         batch_format="pandas"))
 
 
+def asof_last_match(sf_dir: str, match_type: str = "purchase"):
+    """AS-OF JOIN: attach to every event the timestamp and value of the
+    same user's most recent ``match_type`` event at-or-before it (−1
+    sentinels when none — nullable ints decay to float64 in pandas and the
+    driver hash is dtype-sensitive).
+
+    Ray-Data-first shape for an operator the Dataset API lacks: hash whole
+    users into bounded partitions (ONE shuffle), then a vectorized
+    partition kernel — sort by (user, ts), ``maximum.accumulate`` over the
+    match positions, same-user guard.  The right side never builds an
+    index structure; the partitioning assumption is that one user's stream
+    fits a partition (salt by time range like the encode path if a user
+    outgrows it).  Oracle: DuckDB ``ASOF LEFT JOIN``."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    tune_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+        override_num_blocks=N_PARTS)
+
+    def to_ms(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"), 1000)
+        return batch.drop_columns(["ts"]).append_column("ts_ms", ts_ms)
+
+    def add_part(batch):
+        import pyarrow as pa
+
+        key = batch.column("user_id").to_pandas()
+        ids = (pd.util.hash_pandas_object(key, index=False).to_numpy()
+               % np.uint64(N_PARTS)).astype(np.int64)
+        return batch.append_column("_part", pa.array(ids))
+
+    def asof_partition(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        user = df["user_id"].to_numpy()
+        ts = df["ts_ms"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, user))
+        user, ts, eid = user[order], ts[order], eid[order]
+        etype = df["event_type"].to_numpy()[order]
+        value = df["value"].to_numpy()[order]
+        pos = np.where(etype == match_type, np.arange(n), -1)
+        src = np.maximum.accumulate(pos) if n else pos
+        ok = src >= 0
+        safe = np.where(ok, src, 0)
+        ok &= user[safe] == user  # never cross a user boundary
+        return pd.DataFrame({
+            "event_id": eid,
+            "user_id": user,
+            "ts_ms": ts,
+            "last_match_ts": np.where(ok, ts[safe], -1).astype(np.int64),
+            "last_match_value": np.where(ok, value[safe], -1.0),
+        })
+
+    return (ds.map_batches(to_ms, batch_format="pyarrow")
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(lambda df: asof_partition(df.drop(columns=["_part"])),
+                        batch_format="pandas"))
+
+
+def user_quantiles(sf_dir: str, qs=(0.5, 0.95, 0.99)):
+    """Exact per-user value quantiles (p50/p95/p99) — the windowed
+    percentile operator monitoring stacks expect.  Partition-level
+    vectorized: sort (user, value) once per partition, then every user's
+    quantiles come from index arithmetic over run bounds (numpy's switched
+    lerp replicated exactly → bit-matches DuckDB ``quantile_cont`` after
+    6-decimal rounding)."""
+    ds = _read_points(sf_dir)
+
+    def add_part(batch):
+        import pyarrow as pa
+
+        key = batch.column("user_id").to_pandas()
+        ids = (pd.util.hash_pandas_object(key, index=False).to_numpy()
+               % np.uint64(N_PARTS)).astype(np.int64)
+        return batch.append_column("_part", pa.array(ids))
+
+    def quant_partition(df: pd.DataFrame) -> pd.DataFrame:
+        user = df["user_id"].to_numpy()
+        val = df["value"].to_numpy()
+        order = np.lexsort((val, user))
+        user, val = user[order], val[order]
+        change = np.concatenate(([True], user[1:] != user[:-1]))
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(user))
+        cnt = ends - starts
+        out = {"user_id": user[starts]}
+        for q in qs:
+            h = q * (cnt - 1)
+            f = np.floor(h).astype(np.int64)
+            t = h - f
+            a = val[starts + f]
+            b = val[np.minimum(starts + f + 1, ends - 1)]
+            # numpy _lerp: switched form above t=0.5 for accuracy
+            lerp = np.where(t < 0.5, a + t * (b - a), b - (1 - t) * (b - a))
+            out[f"p{int(q * 100)}"] = round_half_away(lerp, 6)
+        return pd.DataFrame(out)
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(lambda df: quant_partition(df.drop(columns=["_part"])),
+                        batch_format="pandas"))
+
+
 def event_gaps(sf_dir: str):
     """Per-user inter-event gap derivation (ts - lag(ts)); computed
     PARTITION-level: users are hashed into bounded partitions and one

@@ -224,3 +224,35 @@ def test_hot_user_skew_salting(ray_session, tmp_path):
     assert len(got) == len(exp)
     np.testing.assert_array_equal(got["ts_ms"], exp["ts_ms"])
     np.testing.assert_array_equal(got["value"], exp["value"])
+
+
+def test_asof_last_purchase(ray_session, sf_small):
+    _cmp(
+        ev.asof_last_match(sf_small),
+        """
+        WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, ts
+                   FROM events),
+             p AS (SELECT user_id, epoch_ms(ts) AS pts_ms, value AS pvalue, ts
+                   FROM events WHERE event_type = 'purchase')
+        SELECT e.event_id, e.user_id, e.ts_ms,
+               coalesce(p.pts_ms, -1) AS last_match_ts,
+               coalesce(p.pvalue, -1.0) AS last_match_value
+        FROM e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        sf_small, ["user_id", "ts_ms"],
+    )
+
+
+def test_user_quantiles(ray_session, sf_small):
+    _cmp(
+        ev.user_quantiles(sf_small),
+        """
+        SELECT user_id,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY 1
+        """,
+        sf_small, ["user_id"],
+    )
