@@ -18,6 +18,7 @@ import pandas as pd
 from ..util import round_half_away
 
 from ..context import tune_context
+from ..stages.exchange import hash_exchange
 from ..stages.rollup import (TIER_MS, cascade_dataset, gapfill_partition,
                              rollup_dataset)
 from ..stages.series import DAY_MS, decode_blocks_batch, encode_partition
@@ -25,6 +26,13 @@ from ..util import hash_partition_ids
 
 EVENT_COLS = ["user_id", "ts", "value"]
 N_PARTS = 64
+
+
+def _user_key_fn(tbl):
+    """Partition id per row from the user hash (exchange key)."""
+    key = tbl.column("user_id").to_pandas()
+    return (pd.util.hash_pandas_object(key, index=False).to_numpy()
+            % np.uint64(N_PARTS)).astype(np.int64)
 
 
 def _read_points(sf_dir: str):
@@ -58,25 +66,21 @@ def _encode_by_partition(keyed_ds, codec: str = "gorilla2"):
     every (user, day) group stays whole.  Skew test:
     ``tests/test_events_pipelines.py::test_hot_user_skew_salting``."""
 
-    def add_part(batch):
-        import pyarrow as pa
-
-        key = batch.column("user_id").to_pandas()
+    def key_fn(tbl):
+        key = tbl.column("user_id").to_pandas()
         h = pd.util.hash_pandas_object(key, index=False).to_numpy()
-        bs = batch.column("block_start").to_numpy(zero_copy_only=False)
+        bs = tbl.column("block_start").to_numpy(zero_copy_only=False)
         # salt with the DAY INDEX (bs is a multiple of DAY_MS, which shares
         # factors with the power-of-two partition count)
         h = h * np.uint64(1_000_003) + (bs // DAY_MS).astype(np.uint64)
-        ids = (h % np.uint64(N_PARTS)).astype(np.int64)
-        return batch.append_column("_part", pa.array(ids))
+        return (h % np.uint64(N_PARTS)).astype(np.int64)
 
     def enc(df: pd.DataFrame) -> pd.DataFrame:
-        return encode_partition(df.drop(columns=["_part"]),
-                                key_cols=["user_id"], metric_col=None,
+        return encode_partition(df, key_cols=["user_id"], metric_col=None,
                                 codec=codec)
 
-    return (keyed_ds.map_batches(add_part, batch_format="pyarrow")
-            .groupby("_part").map_groups(enc, batch_format="pandas"))
+    return hash_exchange(keyed_ds, key_fn=key_fn, n_parts=N_PARTS,
+                         kernel=enc, fmt="pandas")
 
 
 def points_roundtrip_dfcm(sf_dir: str):
@@ -217,19 +221,11 @@ def gapfill(sf_dir: str, tier: str = "1h"):
     ds = _read_points(sf_dir)
     rolled = rollup_dataset(ds, key_cols=["user_id"], tier=tier)
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["_part"] = (pd.util.hash_pandas_object(
-            out["user_id"], index=False).to_numpy()
-            % np.uint64(N_PARTS)).astype(np.int64)
-        return out
-
-    filled = (rolled.map_batches(add_part, batch_format="pandas")
-              .groupby("_part").map_groups(
-        lambda df: gapfill_partition(df.drop(columns=["_part"]),
-                                     bucket_ms=TIER_MS[tier],
-                                     key_cols=["user_id"]),
-        batch_format="pandas"))
+    filled = hash_exchange(
+        rolled, key_fn=_user_key_fn, n_parts=N_PARTS,
+        kernel=lambda df: gapfill_partition(df, bucket_ms=TIER_MS[tier],
+                                            key_cols=["user_id"]),
+        fmt="pandas")
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -248,14 +244,6 @@ def sessionize(sf_dir: str, gap_ms: int = 1_800_000):
     after the hash shuffle; session ids are deterministic
     (user_id, session_seq)."""
     ds = _read_points(sf_dir)
-
-    def add_part(batch):
-        import pyarrow as pa
-
-        key = batch.column("user_id").to_pandas()
-        ids = (pd.util.hash_pandas_object(key, index=False).to_numpy()
-               % np.uint64(N_PARTS)).astype(np.int64)
-        return batch.append_column("_part", pa.array(ids))
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts_ms"], kind="stable")
@@ -283,10 +271,8 @@ def sessionize(sf_dir: str, gap_ms: int = 1_800_000):
         out["sum_value"] = round_half_away(out["sum_value"].to_numpy(), 6)
         return out
 
-    return (ds.map_batches(add_part, batch_format="pyarrow")
-            .groupby("_part")
-            .map_groups(lambda df: sessions(df.drop(columns=["_part"])),
-                        batch_format="pandas"))
+    return hash_exchange(ds, key_fn=_user_key_fn, n_parts=N_PARTS,
+                         kernel=sessions, fmt="pandas")
 
 
 def asof_last_match(sf_dir: str, match_type: str = "purchase"):
@@ -315,14 +301,6 @@ def asof_last_match(sf_dir: str, match_type: str = "purchase"):
         ts_ms = pc.divide(pc.cast(batch["ts"], "int64"), 1000)
         return batch.drop_columns(["ts"]).append_column("ts_ms", ts_ms)
 
-    def add_part(batch):
-        import pyarrow as pa
-
-        key = batch.column("user_id").to_pandas()
-        ids = (pd.util.hash_pandas_object(key, index=False).to_numpy()
-               % np.uint64(N_PARTS)).astype(np.int64)
-        return batch.append_column("_part", pa.array(ids))
-
     def asof_partition(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
         user = df["user_id"].to_numpy()
@@ -345,11 +323,9 @@ def asof_last_match(sf_dir: str, match_type: str = "purchase"):
             "last_match_value": np.where(ok, value[safe], -1.0),
         })
 
-    return (ds.map_batches(to_ms, batch_format="pyarrow")
-            .map_batches(add_part, batch_format="pyarrow")
-            .groupby("_part")
-            .map_groups(lambda df: asof_partition(df.drop(columns=["_part"])),
-                        batch_format="pandas"))
+    return hash_exchange(ds.map_batches(to_ms, batch_format="pyarrow"),
+                         key_fn=_user_key_fn, n_parts=N_PARTS,
+                         kernel=asof_partition, fmt="pandas")
 
 
 def user_quantiles(sf_dir: str, qs=(0.5, 0.95, 0.99)):
@@ -360,14 +336,6 @@ def user_quantiles(sf_dir: str, qs=(0.5, 0.95, 0.99)):
     lerp replicated exactly → bit-matches DuckDB ``quantile_cont`` after
     6-decimal rounding)."""
     ds = _read_points(sf_dir)
-
-    def add_part(batch):
-        import pyarrow as pa
-
-        key = batch.column("user_id").to_pandas()
-        ids = (pd.util.hash_pandas_object(key, index=False).to_numpy()
-               % np.uint64(N_PARTS)).astype(np.int64)
-        return batch.append_column("_part", pa.array(ids))
 
     def quant_partition(df: pd.DataFrame) -> pd.DataFrame:
         user = df["user_id"].to_numpy()
@@ -390,10 +358,8 @@ def user_quantiles(sf_dir: str, qs=(0.5, 0.95, 0.99)):
             out[f"p{int(q * 100)}"] = round_half_away(lerp, 6)
         return pd.DataFrame(out)
 
-    return (ds.map_batches(add_part, batch_format="pyarrow")
-            .groupby("_part")
-            .map_groups(lambda df: quant_partition(df.drop(columns=["_part"])),
-                        batch_format="pandas"))
+    return hash_exchange(ds, key_fn=_user_key_fn, n_parts=N_PARTS,
+                         kernel=quant_partition, fmt="pandas")
 
 
 def event_gaps(sf_dir: str):
@@ -403,14 +369,6 @@ def event_gaps(sf_dir: str):
     NaN at user boundaries) — no per-user Python call (a per-group UDF is
     ms × users at scale, VERDICT r1 "What's wrong" #8)."""
     ds = _read_points(sf_dir)
-
-    def add_part(batch):
-        import pyarrow as pa
-
-        key = batch.column("user_id").to_pandas()
-        ids = (pd.util.hash_pandas_object(key, index=False).to_numpy()
-               % np.uint64(N_PARTS)).astype(np.int64)
-        return batch.append_column("_part", pa.array(ids))
 
     def gaps_partition(df: pd.DataFrame) -> pd.DataFrame:
         user = df["user_id"].to_numpy()
@@ -425,7 +383,5 @@ def event_gaps(sf_dir: str):
             gap[first] = np.nan
         return pd.DataFrame({"user_id": user, "ts_ms": ts, "gap_ms": gap})
 
-    return (ds.map_batches(add_part, batch_format="pyarrow")
-            .groupby("_part")
-            .map_groups(lambda df: gaps_partition(df.drop(columns=["_part"])),
-                        batch_format="pandas"))
+    return hash_exchange(ds, key_fn=_user_key_fn, n_parts=N_PARTS,
+                         kernel=gaps_partition, fmt="pandas")

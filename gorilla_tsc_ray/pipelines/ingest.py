@@ -171,28 +171,18 @@ def _conv_partitioned(sf_dir: str, kernel, *, lean: bool = True,
 def _by_conv_partition(ds, kernel, n_parts: int = N_CONV_PARTS,
                        fmt: str = "pandas"):
     """Hash-partition whole conversations, run a vectorized partition-level
-    kernel per partition.  ONE bounded-cardinality shuffle; per-group Python
-    calls don't survive 10^8 conversations."""
-    def add_part(batch):
-        # Arrow-native: only the key column is materialized for hashing; the
-        # batch itself stays a zero-copy shm-backed Arrow table through the
-        # shuffle (anonymous-memory traffic is the bottleneck, not CPU)
-        import pyarrow as pa
+    kernel per partition.  ONE bounded-cardinality exchange (raw-Ray hash
+    exchange — the sort-based groupby was round 1's measured single-node
+    cap); per-group Python calls don't survive 10^8 conversations."""
+    from ..stages.exchange import hash_exchange
 
-        key = batch.column("conv_id").to_pandas()
-        ids = (pd.util.hash_pandas_object(key, index=False).to_numpy()
-               % np.uint64(n_parts)).astype(np.int64)
-        return batch.append_column("_cpart", pa.array(ids))
+    def key_fn(tbl):
+        key = tbl.column("conv_id").to_pandas()
+        return (pd.util.hash_pandas_object(key, index=False).to_numpy()
+                % np.uint64(n_parts)).astype(np.int64)
 
-    if fmt == "pyarrow":
-        def run(batch):
-            return kernel(batch.drop_columns(["_cpart"]))
-    else:
-        def run(df: pd.DataFrame) -> pd.DataFrame:
-            return kernel(df.drop(columns=["_cpart"]))
-
-    return (ds.map_batches(add_part, batch_format="pyarrow")
-            .groupby("_cpart").map_groups(run, batch_format=fmt))
+    return hash_exchange(ds, key_fn=key_fn, n_parts=n_parts,
+                         kernel=kernel, fmt=fmt)
 
 
 def _derive_kernel():

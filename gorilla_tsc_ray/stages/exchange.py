@@ -1,0 +1,93 @@
+"""Raw-Ray hash exchange for partition-local kernels.
+
+Used where the input is NOT pre-partitioned (driver tables, unbucketed
+lakes).  Ray Data's ``groupby(...).map_groups`` runs a sort-based exchange
+whose single-node concurrency caps well below the core count (measured,
+BASELINE.md round 1); this exchange is the classic two-stage hash shuffle
+instead:
+
+    map:    one task per input block — hash the key columns, stable-sort by
+            partition id, slice into P zero-copy sub-tables
+            (``num_returns = P + 1``; the +1 is the per-partition row-count
+            vector, so empty partitions are skipped without fetching data)
+    reduce: one task per non-empty partition — concat its sub-tables, run
+            the partition kernel once, return an Arrow table
+
+The result is a materialized Dataset (a shuffle is a pipeline barrier
+anyway).  Partitioning assumption — same as ``map_groups``: one partition's
+rows fit one reduce task; size ``n_parts`` accordingly and salt hot keys
+into the partition id (see ``pipelines/events.py`` day-index salting).
+
+This is the documented "raw Ray as a last resort" seam: everything above
+and below it stays on the Dataset API.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _to_arrow(out):
+    import pyarrow as pa
+
+    if isinstance(out, pd.DataFrame):
+        return pa.Table.from_pandas(out, preserve_index=False)
+    return out
+
+
+def hash_exchange(ds, *, key_fn, n_parts: int, kernel, fmt: str = "pandas",
+                  kernel_kwargs: dict | None = None):
+    """``ds`` → Dataset of per-partition kernel outputs.
+
+    ``key_fn(table) -> int64 ndarray`` assigns each row a partition in
+    ``[0, n_parts)`` (runs inside map tasks; must be deterministic).
+    ``kernel`` receives one whole partition as a pa.Table (``fmt=
+    "pyarrow"``) or DataFrame and returns either.
+    """
+    import ray
+    import ray.data
+
+    kernel_kwargs = kernel_kwargs or {}
+
+    @ray.remote
+    def split_block(block, n_parts):
+        import pyarrow as pa
+
+        tbl = (pa.Table.from_pandas(block, preserve_index=False)
+               if isinstance(block, pd.DataFrame) else block)
+        ids = np.asarray(key_fn(tbl), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        tbl = tbl.take(pa.array(order))  # block-sized take: safe
+        counts = np.bincount(ids, minlength=n_parts).astype(np.int64)
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        parts = [tbl.slice(int(bounds[p]), int(counts[p]))
+                 for p in range(n_parts)]
+        return (*parts, counts)
+
+    @ray.remote
+    def reduce_part(*parts):
+        import pyarrow as pa
+
+        tables = [p for p in parts if p.num_rows]
+        merged = pa.concat_tables(tables).combine_chunks()
+        data = merged if fmt == "pyarrow" else merged.to_pandas()
+        return _to_arrow(kernel(data, **kernel_kwargs))
+
+    block_refs = [ref for bundle in ds.iter_internal_ref_bundles()
+                  for ref in bundle.block_refs]
+    if not block_refs:
+        return ds  # empty input: nothing to exchange
+
+    splits = [split_block.options(num_returns=n_parts + 1)
+              .remote(ref, n_parts) for ref in block_refs]
+    counts = np.stack(ray.get([s[n_parts] for s in splits]))
+    part_rows = counts.sum(axis=0)
+
+    out_refs = []
+    for p in np.flatnonzero(part_rows):
+        out_refs.append(reduce_part.remote(
+            *[splits[i][p] for i in np.flatnonzero(counts[:, p])]))
+    if not out_refs:
+        return ds.limit(0)
+    return ray.data.from_arrow_refs(out_refs)

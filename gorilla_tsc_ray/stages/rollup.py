@@ -95,21 +95,22 @@ def _hash_cols(df: pd.DataFrame, cols: list[str], n_parts: int) -> np.ndarray:
 
 def finalize_by_partition(partial_ds, *, key_cols: list[str],
                           n_parts: int = 64):
-    """Hash-partitioned final merge: ONE shuffle on ``_part`` (bounded
-    cardinality, skew-resistant — hot (key,bucket) groups are still tiny
-    after the in-batch combiner), vectorized merge per partition."""
+    """Hash-partitioned final merge: ONE exchange on hash(key, bucket)
+    (bounded cardinality, skew-resistant — hot (key,bucket) groups are
+    still tiny after the in-batch combiner), vectorized merge per
+    partition.  Uses the raw-Ray hash exchange (``stages/exchange.py``)
+    instead of the sort-based groupby."""
+    from .exchange import hash_exchange
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["_part"] = _hash_cols(out, key_cols + ["bucket_ms"], n_parts)
-        return out
+    def key_fn(tbl):
+        df = tbl.select(key_cols + ["bucket_ms"]).to_pandas()
+        return _hash_cols(df, key_cols + ["bucket_ms"], n_parts)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return merge_partials_partition(df.drop(columns=["_part"]),
-                                        key_cols=key_cols)
+        return merge_partials_partition(df, key_cols=key_cols)
 
-    return (partial_ds.map_batches(add_part, batch_format="pandas")
-            .groupby("_part").map_groups(merge, batch_format="pandas"))
+    return hash_exchange(partial_ds, key_fn=key_fn, n_parts=n_parts,
+                         kernel=merge, fmt="pandas")
 
 
 def reaggregate_partials(df: pd.DataFrame, *, key_cols: list[str],

@@ -5,7 +5,10 @@ plus the per-turn text-equality invariant."""
 from __future__ import annotations
 
 import duckdb
+import os
+
 import numpy as np
+import pandas as pd
 import pytest
 
 from gorilla_tsc_ray.pipelines import ingest
@@ -228,3 +231,34 @@ def test_resume_skips_completed_day_partitions(ray_session, tmp_path):
     assert done_day not in set(blk["day"].astype("int64")), \
         "completed day partition was recomputed"
     assert set(blk["day"].astype("int64")) == {int(d) for d in days[1:]}
+
+
+def test_unbucketed_fallback_path_matches(ray_session, tmp_path):
+    """Inputs WITHOUT the bucket marker take the conv-hash exchange path;
+    results must equal the bucketed fast path exactly."""
+    import shutil
+
+    from gorilla_tsc_ray.sources import transcripts as src
+
+    bucketed = src.transcripts_dir(SF)
+    flat = tmp_path / "transcripts_flat"
+    flat.mkdir()
+    for f in os.listdir(bucketed):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(bucketed, f), flat / f)
+    # no _BUCKETED_BY marker → dispatcher must fall back to the exchange
+    assert src.bucketed_files(str(flat)) is None
+
+    # point the cache resolver at the flat copy via a fake sf dir whose
+    # cache entry is the flat directory
+    fake_sf = str(tmp_path / "sfflat")
+    cache_dir = os.path.join(src.CACHE_ROOT, "transcripts_sfflat")
+    shutil.copytree(flat, cache_dir, dirs_exist_ok=True)
+    open(os.path.join(cache_dir, "_SUCCESS"), "w").close()
+    try:
+        key = ["conv_id", "metric", "bucket_ms"]
+        a = _sorted(ingest.rollup_tier(fake_sf, "1h").to_pandas(), key)
+        b = _sorted(ingest.rollup_tier(SF, "1h").to_pandas(), key)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    finally:
+        shutil.rmtree(cache_dir, ignore_errors=True)
