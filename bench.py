@@ -182,7 +182,7 @@ def main() -> None:
         # the scaling criterion needs a compute-bound input: the sf0.1 table
         # leaves 32 cores starved by fixed per-stage costs, so scale the
         # deterministic transcript generator up (same input for both levels)
-        scaling_sf = os.environ.get("GRAFT_SCALING_SF", "/root/testdata/sf4")
+        scaling_sf = os.environ.get("GRAFT_SCALING_SF", "/root/testdata/sf2")
         from gorilla_tsc_ray.sources.transcripts import transcripts_dir
         transcripts_dir(scaling_sf)  # materialize cache once, outside timing
         # host timing noise is ±30-40% (BASELINE.md): run PAIRS of fresh

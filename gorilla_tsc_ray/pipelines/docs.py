@@ -15,6 +15,7 @@ import pyarrow.parquet as pq
 
 from ..context import tune_context
 from ..stages import dedup as dd
+from ..stages.exchange import hash_exchange
 from ..stages import similarity as sim
 from ..stages import text as tx
 
@@ -68,15 +69,10 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.5):
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         dd.MinHasher, batch_format="pandas", concurrency=2, num_cpus=0.5)
     bands = ds.map_batches(dd.lsh_band_rows, batch_format="pandas")
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        dd.lsh_bucket_pairs, batch_format="pandas",
-        fn_kwargs={"threshold": threshold})
-
-    def first_pair(df: pd.DataFrame) -> pd.DataFrame:
-        return df.iloc[:1][["id_a", "id_b", "est_jaccard"]]
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        first_pair, batch_format="pandas")
+    pairs = _bucketed_pairs(
+        bands, ["band", "band_hash"],
+        lambda g: dd.lsh_bucket_pairs(g, threshold=threshold))
+    return _dedup_pairs(pairs, ["id_a", "id_b", "est_jaccard"])
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3):
@@ -89,18 +85,53 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     sh = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         dd.simhash_batch, batch_format="pandas")
     parts = []
-    for s in range(4):
-        seg = sh.groupby(f"seg{s}").map_groups(
-            dd.simhash_segment_pairs, batch_format="pandas",
-            fn_kwargs={"max_hamming": max_hamming})
-        parts.append(seg)
+    for seg in range(4):
+        parts.append(_bucketed_pairs(
+            sh, [f"seg{seg}"],
+            lambda g: dd.simhash_segment_pairs(g, max_hamming=max_hamming)))
     allp = parts[0].union(*parts[1:])
+    return _dedup_pairs(allp, ["id_a", "id_b", "hamming"])
 
-    def first_pair(df: pd.DataFrame) -> pd.DataFrame:
-        return df.iloc[:1][["id_a", "id_b", "hamming"]]
 
-    return allp.groupby(["id_a", "id_b"]).map_groups(
-        first_pair, batch_format="pandas")
+N_DOC_PARTS = 32
+
+
+def _pair_hash_key(cols):
+    def key_fn(tbl):
+        h = pd.util.hash_pandas_object(
+            tbl.column(cols[0]).to_pandas(), index=False).to_numpy()
+        for c in cols[1:]:
+            h = h * np.uint64(1_000_003) + pd.util.hash_pandas_object(
+                tbl.column(c).to_pandas(), index=False).to_numpy()
+        return (h % np.uint64(N_DOC_PARTS)).astype(np.int64)
+    return key_fn
+
+
+def _dedup_pairs(pairs_ds, out_cols):
+    # (id_a, id_b) dedup: ONE hash exchange + vectorized drop_duplicates
+    # per partition (a per-group UDF on pair-cardinality keys would cost
+    # ms per pair)
+    return hash_exchange(
+        pairs_ds, key_fn=_pair_hash_key(["id_a", "id_b"]),
+        n_parts=N_DOC_PARTS,
+        kernel=lambda df: df.drop_duplicates(["id_a", "id_b"])[out_cols],
+        fmt="pandas")
+
+
+def _bucketed_pairs(rows_ds, bucket_cols, per_bucket_kernel):
+    # group candidate rows by bucket INSIDE hash partitions: one exchange,
+    # then a pandas groupby loop per partition (buckets are small by
+    # construction; the loop replaces one Ray group-task per bucket)
+    def kernel(df):
+        parts = [per_bucket_kernel(g)
+                 for _, g in df.groupby(bucket_cols, sort=False,
+                                        observed=True)]
+        if not parts:
+            return per_bucket_kernel(df)
+        return pd.concat(parts, ignore_index=True)
+
+    return hash_exchange(rows_ds, key_fn=_pair_hash_key(bucket_cols),
+                         n_parts=N_DOC_PARTS, kernel=kernel, fmt="pandas")
 
 
 def _common_rank(ds, *, text_col: str = "text", charset: bool = False,
@@ -143,16 +174,11 @@ def _prefix_filtered_pairs(sf_dir: str, *, threshold: float, charset: bool,
         dd.prefix_rows, batch_format="pandas",
         fn_kwargs={"threshold": threshold, "block_col": "lang",
                    "order_rank": rank, "charset": charset})
-    pairs = rows.groupby(["block", "tok"]).map_groups(
-        dd.prefix_bucket_pairs, batch_format="pandas",
-        fn_kwargs={"threshold": threshold, "sim_col": sim_col})
-
-    def first_pair(df: pd.DataFrame) -> pd.DataFrame:
-        return df.iloc[:1][["id_a", "id_b", sim_col]]
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        first_pair, batch_format="pandas").select_columns(
-        ["id_a", "id_b", sim_col])
+    pairs = _bucketed_pairs(
+        rows, ["block", "tok"],
+        lambda g: dd.prefix_bucket_pairs(g, threshold=threshold,
+                                         sim_col=sim_col))
+    return _dedup_pairs(pairs, ["id_a", "id_b", sim_col])
 
 
 def charset_jaccard(sf_dir: str, threshold: float = 0.8):

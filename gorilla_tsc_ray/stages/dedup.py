@@ -396,15 +396,17 @@ def prefix_bucket_pairs(df: pd.DataFrame, *, threshold: float,
                           sim_col: np.array([], dtype=np.float64)})
     if n < 2:
         return empty
-    sets = df["elems"].to_numpy()
+    # element sets may arrive as numpy arrays or (post-Arrow) Python lists
+    sets = [np.asarray(s, dtype=np.uint64).tolist()
+            for s in df["elems"].to_numpy()]
     vocab: dict[int, int] = {}
     for s in sets:
-        for e in s.tolist():
+        for e in s:
             if e not in vocab:
                 vocab[e] = len(vocab)
     m = np.zeros((n, len(vocab)), dtype=bool)
     for i, s in enumerate(sets):
-        m[i, [vocab[e] for e in s.tolist()]] = True
+        m[i, [vocab[e] for e in s]] = True
     inter = m.astype(np.int32) @ m.astype(np.int32).T
     sizes = m.sum(axis=1)
     union = np.maximum(sizes[:, None] + sizes[None, :] - inter, 1)

@@ -90,4 +90,10 @@ def hash_exchange(ds, *, key_fn, n_parts: int, kernel, fmt: str = "pandas",
             *[splits[i][p] for i in np.flatnonzero(counts[:, p])]))
     if not out_refs:
         return ds.limit(0)
-    return ray.data.from_arrow_refs(out_refs)
+    out = ray.data.from_arrow_refs(out_refs)
+    # pin the split outputs for the dataset's lifetime: if a reduce block
+    # is evicted later, Ray reconstructs it from these inputs — without the
+    # pin they are released when this function returns and reconstruction
+    # fails with object-lost errors under memory pressure
+    out._gtsc_exchange_keepalive = splits
+    return out
