@@ -53,14 +53,28 @@ def fingerprints(sf_dir: str):
 # ---------- dedup ----------
 
 def exact_dedup(sf_dir: str):
-    """Exact dedup: content digest → hash-partitioned groupby → keep-first
-    (min doc_id) + group size."""
+    """Exact dedup: content digest → ONE digest-hash exchange → vectorized
+    per-partition keep-first (min doc_id) + group size.  Only (doc_id,
+    digest) rides the exchange, never documents; the per-partition kernel
+    is sort + run bounds, not one call per digest group."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        dd.add_digest, batch_format="pandas")
-    return ds.select_columns(["doc_id", "digest"]).groupby("digest").map_groups(
-        dd.exact_dedup_group, batch_format="pandas",
-        fn_kwargs={"id_col": "doc_id"},
-    ).select_columns(["doc_id", "n_dups"])
+        dd.add_digest, batch_format="pandas").select_columns(
+        ["doc_id", "digest"])
+
+    def dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
+        dig = df["digest"].to_numpy().astype(np.uint64)
+        ids = df["doc_id"].to_numpy()
+        order = np.lexsort((ids, dig))
+        dig, ids = dig[order], ids[order]
+        change = np.concatenate(([True], dig[1:] != dig[:-1]))
+        starts = np.flatnonzero(change)
+        cnt = np.diff(np.append(starts, len(dig)))
+        return pd.DataFrame({"doc_id": ids[starts],  # min id: ids sorted
+                             "n_dups": cnt.astype(np.int64)})
+
+    return hash_exchange(
+        ds, key_fn=_pair_hash_key(["digest"]), n_parts=N_DOC_PARTS,
+        kernel=dedup_partition, fmt="pandas")
 
 
 def minhash_pairs(sf_dir: str, threshold: float = 0.5):
