@@ -144,6 +144,50 @@ def points_roundtrip(sf_dir: str):
     return points.select_columns(["user_id", "ts_ms", "value"])
 
 
+def points_roundtrip_long(sf_dir: str):
+    """Round-trip through the LONG value path (``Pair.getLongValue`` /
+    ``addValue(long,long)`` semantics): values stored as raw int64 bit
+    patterns instead of doubles.  Input floats are scaled to integer cents
+    so the oracle is exact."""
+    import pyarrow.compute as pc
+
+    ds = _read_points(sf_dir)
+
+    def to_cents(batch):
+        import pyarrow as pa
+
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype(np.int64)
+        bs = pc.multiply(pc.divide(batch["ts_ms"], DAY_MS), DAY_MS)
+        return (batch.drop_columns(["value"])
+                .append_column("value", pa.array(cents))
+                .append_column("block_start", bs))
+
+    def key_fn(tbl):
+        key = tbl.column("user_id").to_pandas()
+        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+        bs = tbl.column("block_start").to_numpy(zero_copy_only=False)
+        h = h * np.uint64(1_000_003) + (bs // DAY_MS).astype(np.uint64)
+        return (h % np.uint64(N_PARTS)).astype(np.int64)
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        return encode_partition(df, key_cols=["user_id"], metric_col=None,
+                                value_kind="long")
+
+    blocks = hash_exchange(ds.map_batches(to_cents, batch_format="pyarrow"),
+                           key_fn=key_fn, n_parts=N_PARTS, kernel=enc,
+                           fmt="pandas")
+    pts = blocks.map_batches(decode_blocks_batch, batch_format="pandas",
+                             fn_kwargs={"key_cols": ["user_id"]})
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "ts_ms"]].copy()
+        out["cents"] = df["value"].to_numpy().astype(np.int64)
+        return out
+
+    return pts.map_batches(fin, batch_format="pandas")
+
+
 def encode_blocks(sf_dir: str):
     """The block store itself (schema per SURVEY.md §1.2) — used by bench
     and by the compression-ratio metric."""

@@ -256,3 +256,15 @@ def test_user_quantiles(ray_session, sf_small):
         """,
         sf_small, ["user_id"],
     )
+
+
+def test_points_roundtrip_long(ray_session, sf_small):
+    _cmp(
+        ev.points_roundtrip_long(sf_small),
+        """
+        SELECT user_id, epoch_ms(ts) AS ts_ms,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+        """,
+        sf_small, ["user_id", "ts_ms"],
+    )
