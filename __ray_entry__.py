@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_cosine": docs.knn,
         "emb_knn_lsh": docs.knn_lsh,                     # rows-only (approx)
         "emb_near_dups": docs.embedding_near_dups,
+        "emb_near_dups_lsh": docs.embedding_near_dups_lsh,  # rows-only
+        #   (approximate scale path; recall gated vs the exact join in tests)
         # — multimodal plumbing (decode stubbed; deterministic fake) —
         "media_features": _media_features,               # rows-only (binary)
     }

@@ -260,10 +260,40 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 5):
 
 
 def embedding_near_dups(sf_dir: str, threshold: float = 0.3):
-    """Embedding-cosine near-dup pairs within label blocks (label is the
-    natural blocking key in this table; at scale swap for LSH buckets)."""
+    """Embedding-cosine near-dup pairs within label blocks — EXACT (the
+    oracle's semantics are all pairs within label), computed tile-wise so
+    no n×n matrix ever materializes.  For approximate-at-scale candidate
+    generation use :func:`embedding_near_dups_lsh`."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
     return ds.groupby("label").map_groups(
         sim.cosine_pairs_block, batch_format="pandas",
         fn_kwargs={"threshold": threshold},
     ).select_columns(["id_a", "id_b", "cosine"])
+
+
+def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.3,
+                            n_planes: int = 3, n_tables: int = 12):
+    """Scale path for embedding near-dups: multi-table random-hyperplane
+    LSH buckets generate candidates (recall rises with tables: a pair at
+    cosine c collides in one table w.p. (1−θ/π)^planes), exact cosine
+    verifies inside buckets, pair dedup keeps one row.  Approximate —
+    recall vs the exact join is gated in tests, not oracle-compared."""
+    import pyarrow.parquet as _pq
+
+    dim = len(_pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"],
+                             filters=[("vec_id", "<", 1)])
+              .to_pandas()["embedding"].iloc[0])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # ONE actor pass emits all T tables' bucket rows; ONE exchange
+    # co-locates (table, bucket) candidates; exact verify in-bucket
+    rows = ds.map_batches(
+        sim.MultiHyperplaneLSH, batch_format="pandas",
+        concurrency=2, num_cpus=0.5,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
+                               "n_tables": n_tables})
+    pairs = _bucketed_pairs(
+        rows, ["table", "bucket"],
+        lambda g: sim.cosine_pairs_block(g, id_col="vec_id",
+                                         threshold=threshold))
+    return _dedup_pairs(pairs, ["id_a", "id_b", "cosine"])

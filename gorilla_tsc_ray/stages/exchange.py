@@ -70,7 +70,11 @@ def hash_exchange(ds, *, key_fn, n_parts: int, kernel, fmt: str = "pandas",
         import pyarrow as pa
 
         tables = [p for p in parts if p.num_rows]
-        merged = pa.concat_tables(tables).combine_chunks()
+        # strip pandas schema metadata: blocks from different upstream
+        # tasks can carry conflicting pandas-dtype annotations that make
+        # to_pandas raise after concat (the embedding/sig list columns)
+        merged = pa.concat_tables(
+            t.replace_schema_metadata(None) for t in tables).combine_chunks()
         data = merged if fmt == "pyarrow" else merged.to_pandas()
         return _to_arrow(kernel(data, **kernel_kwargs))
 

@@ -111,6 +111,43 @@ def cosine_pairs_block(df: pd.DataFrame, *, id_col: str = "vec_id",
     })
 
 
+class MultiHyperplaneLSH:
+    """Actor-pool stage: T independent hyperplane tables drawn once per
+    actor; emits LONG-format rows ``(id, table, bucket, embedding)`` — one
+    row per (vector, table) — so the multi-table candidate generation
+    costs ONE bucket exchange instead of one pipeline per table."""
+
+    def __init__(self, dim: int, n_planes: int = 3, n_tables: int = 12,
+                 seed: int = 101, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> None:
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_tables, dim, n_planes))
+        self.n_tables = n_tables
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        m = _stack_embeddings(df[self.vec_col])
+        n = len(df)
+        out_id, out_tbl, out_bkt, out_emb = [], [], [], []
+        embs = df[self.vec_col].to_numpy()
+        for t in range(self.n_tables):
+            signs = (m @ self.planes[t]) > 0
+            bucket = np.zeros(n, dtype=np.int64)
+            for j in range(signs.shape[1]):
+                bucket |= signs[:, j].astype(np.int64) << j
+            out_id.append(df[self.id_col].to_numpy())
+            out_tbl.append(np.full(n, t, dtype=np.int64))
+            out_bkt.append(bucket)
+            out_emb.append(embs)
+        return pd.DataFrame({
+            self.id_col: np.concatenate(out_id),
+            "table": np.concatenate(out_tbl),
+            "bucket": np.concatenate(out_bkt),
+            self.vec_col: np.concatenate(out_emb),
+        })
+
+
 class HyperplaneLSH:
     """Actor-pool stage: seeded random hyperplanes drawn once per actor;
     adds an int64 ``bucket`` column (sign pattern of projections)."""

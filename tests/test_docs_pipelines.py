@@ -195,3 +195,18 @@ def test_fingerprints_deterministic(ray_session):
     np.testing.assert_array_equal(a["fingerprint"], b["fingerprint"])
     # distinct texts (this table has no dups) → distinct fingerprints
     assert a["fingerprint"].nunique() == len(a)
+
+
+def test_embedding_near_dups_lsh_recall(ray_session):
+    """The LSH scale path must find nearly every truly-similar pair the
+    exact join finds at a high threshold (multi-table hyperplane recall)."""
+    exact = docs.embedding_near_dups(SF, threshold=0.3).to_pandas()
+    # exact path blocks by label; LSH path is label-free — compare on the
+    # pairs the exact join can see (the recall target)
+    truth = set(zip(exact["id_a"], exact["id_b"]))
+    got = docs.embedding_near_dups_lsh(SF, threshold=0.3).to_pandas()
+    found = set(zip(got["id_a"], got["id_b"]))
+    assert got["cosine"].ge(0.3 - 1e-9).all()
+    assert truth, "exact join found no pairs — test data changed?"
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.85, f"recall {recall:.2f} over {len(truth)} pairs"
