@@ -1,23 +1,27 @@
 """Flagship ingest/rollup pipeline over conversation transcripts.
 
-Topology (SURVEY.md §3.4, tightened): the engine performs exactly ONE
-all-to-all exchange for the whole ingest — a conv-hash shuffle — because
-dedup, per-turn ordering, gap derivation, rollup buckets, gap-fill and
-day-block encode are all conversation-local once whole conversations are
-co-located:
+Topology (SURVEY.md §3.4, round-2): dedup, per-turn ordering, gap
+derivation, rollup buckets, gap-fill and day-block encode are all
+conversation-local once whole conversations are co-located, so the whole
+ingest needs AT MOST one exchange — and with a conv-bucketed lake layout,
+NONE:
 
-    read_parquet(transcripts)                    column-pruned, streaming
-    → map_batches: ts→ms, text→text_len, tool→tool_call   (full text never
-      rides the shuffle — ~10× smaller exchange)
-    → groupby(hash(conv_id) % P)                  THE shuffle
-    → per-partition vectorized kernel: dedup + sort + derive + rollup /
-      gap-fill / Gorilla day-block encode          (no further exchange)
+  bucketed input (``_BUCKETED_BY`` marker; how a real transcript lake is
+  written):
+    per-file-group map task: pruned parquet read (conv_id as dictionary,
+    materialized f32 stats columns — text bytes never read) → fused
+    dedup+derive+rollup/gap-fill/encode kernel.  Zero exchange; LPT-packed
+    ≤64 tasks.
+
+  unbucketed input (driver tables, foreign lakes):
+    read → shrink → raw-Ray hash exchange on hash(conv_id) % P
+    (stages/exchange.py) → the same fused kernel per partition.
 
 Rollup output is FINAL after the kernel (a (conv, metric, bucket) group
-lives in exactly one partition), so no partial/final merge pass is needed
-here — that machinery (stages/rollup.py) serves sources that aren't
-pre-partitioned (see pipelines/events.py) and cross-partition cascades.
-``canonical_turns`` keeps the text column (it IS the output).
+lives in exactly one partition/bucket), so no partial/final merge pass is
+needed here — that machinery (stages/rollup.py) serves sources that are
+not conv-partitioned (see pipelines/events.py) and cross-partition
+cascades.  ``canonical_turns`` keeps the text column (it IS the output).
 """
 
 from __future__ import annotations
@@ -27,8 +31,7 @@ import pandas as pd
 
 from ..context import tune_context
 from ..sources.transcripts import transcripts_dir
-from ..stages.metrics import canonical_turns_partition, derive_metrics_partition
-from ..stages.rollup import TIER_MS, gapfill_partition, partial_rollup
+from ..stages.rollup import TIER_MS, gapfill_partition
 from ..stages.series import DAY_MS, decode_blocks_batch, encode_partition
 from ..util import round_half_away
 
@@ -185,20 +188,6 @@ def _by_conv_partition(ds, kernel, n_parts: int = N_CONV_PARTS,
                          kernel=kernel, fmt=fmt)
 
 
-def _derive_kernel():
-    """Snapshot the custom-metric registry at pipeline-build time — worker
-    processes import the module fresh, so the registry must travel inside
-    the serialized closure, not as module state."""
-    from ..stages.metrics import CUSTOM_METRICS
-
-    custom = dict(CUSTOM_METRICS)
-
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        return derive_metrics_partition(df, custom=custom)
-
-    return kernel
-
-
 def metric_points(sf_dir: str):
     """Long-format metric points (dedup + derive fused in one conv
     partition pass; Arrow-native kernel — strings via C++ takes)."""
@@ -219,19 +208,6 @@ def canonical_turns(sf_dir: str):
 
     return _conv_partitioned(sf_dir, canonical_turns_arrow, lean=False,
                              fmt="pyarrow")
-
-
-def _rollup_in_partition(pts: pd.DataFrame, tier: str) -> pd.DataFrame:
-    """Complete rollup of one conv partition (the partition holds whole
-    conversations, so this IS the final aggregate for its keys)."""
-    return partial_rollup(pts, key_cols=TRANSCRIPT_KEYS,
-                          bucket_ms=TIER_MS[tier])
-
-
-def _finalize_df(df: pd.DataFrame) -> pd.DataFrame:
-    out = df.drop(columns=["last_ts"])
-    out["sum_v"] = round_half_away(out["sum_v"].to_numpy(), 6)
-    return out
 
 
 def _finalize_tbl(tbl, plain_strings: bool = False):
