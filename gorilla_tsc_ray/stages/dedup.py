@@ -359,28 +359,26 @@ def prefix_rows(df: pd.DataFrame, *, threshold: float,
                 charset: bool = False) -> pd.DataFrame:
     """map_batches stage: one row per (doc, prefix element) carrying the
     doc's full (order-sorted) element-hash set for in-bucket verification."""
-    import math
-
     sets = _distinct_sorted_sets(df[text_col], order_rank, charset)
     ids = df[id_col].to_numpy()
     blocks = (df[block_col].to_numpy() if block_col
               else np.zeros(len(df), dtype=np.int64))
-    out_id, out_block, out_tok, out_set = [], [], [], []
-    for i, s in enumerate(sets):
-        n = len(s)
-        if n == 0:
-            continue
-        p = n - math.ceil(threshold * n) + 1
-        for tok in s[:p]:
-            out_id.append(ids[i])
-            out_block.append(blocks[i])
-            out_tok.append(tok)
-            out_set.append(s)
+    lens = np.fromiter((len(s) for s in sets), dtype=np.int64,
+                       count=len(sets))
+    prefix = np.where(lens > 0,
+                      lens - np.ceil(threshold * lens).astype(np.int64) + 1,
+                      0)
+    rep = np.repeat(np.arange(len(sets)), prefix)
+    toks = (np.concatenate([s[:p] for s, p in zip(sets, prefix) if p])
+            if rep.size else np.array([], dtype=np.uint64))
+    # the elems column repeats array OBJECTS, not their contents
+    set_objs = np.empty(len(sets), dtype=object)
+    set_objs[:] = sets
     return pd.DataFrame({
-        id_col: np.array(out_id, dtype=ids.dtype),
-        "block": out_block,
-        "tok": np.array(out_tok, dtype=np.uint64),
-        "elems": out_set,
+        id_col: ids[rep],
+        "block": blocks[rep],
+        "tok": toks,
+        "elems": set_objs[rep],
     })
 
 
