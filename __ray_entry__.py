@@ -356,9 +356,13 @@ GROUP BY 1
         "distinct_event_types": """
 SELECT DISTINCT event_type FROM events
 """,
-        "docs_token_stats": """
+        "docs_token_stats": r"""
 SELECT doc_id,
        length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+       length(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+       length(regexp_extract_all(text,
+         '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
+         AS n_bpe_tokens,
        length(text) AS n_chars
 FROM documents
 """,

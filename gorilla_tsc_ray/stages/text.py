@@ -29,13 +29,23 @@ LANG_MARKERS = {
 }
 
 
+# GPT-2-flavoured pretokenizer, simplified to alternation-only syntax so
+# Python re (leftmost-first) and RE2/DuckDB (leftmost-longest) agree: the
+# alternatives are ordered longest/most-specific first
+BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+WS_RE = r"\S+"
+
+
 def token_stats(df: pd.DataFrame, *, text_col: str = "text",
                 id_col: str = "doc_id") -> pd.DataFrame:
-    """Token count (``[A-Za-z0-9]+`` matches) + whitespace-split count."""
+    """Token counts: word-regex (``[A-Za-z0-9]+``), whitespace-split, and a
+    BPE-ish pretokenizer count (``BPE_RE``), plus character length."""
     text = df[text_col]
     return pd.DataFrame({
         id_col: df[id_col].to_numpy(),
         "n_tokens": text.str.count(WORD_RE).to_numpy().astype(np.int64),
+        "n_ws_tokens": text.str.count(WS_RE).to_numpy().astype(np.int64),
+        "n_bpe_tokens": text.str.count(BPE_RE).to_numpy().astype(np.int64),
         "n_chars": text.str.len().to_numpy().astype(np.int64),
     })
 

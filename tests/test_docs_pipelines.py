@@ -25,10 +25,15 @@ def _sorted(df, cols):
 
 
 def test_token_stats(ray_session):
+    from gorilla_tsc_ray.stages.text import BPE_RE, WS_RE
+
     got = _sorted(docs.token_stats(SF).to_pandas(), ["doc_id"])
-    exp = _sorted(_con().execute("""
+    bpe_sql = BPE_RE.replace("'", "''")
+    exp = _sorted(_con().execute(f"""
         SELECT doc_id,
                length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+               length(regexp_extract_all(text, '{WS_RE}')) AS n_ws_tokens,
+               length(regexp_extract_all(text, '{bpe_sql}')) AS n_bpe_tokens,
                length(text) AS n_chars
         FROM documents""").df(), ["doc_id"])
     pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
