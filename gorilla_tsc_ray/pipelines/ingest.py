@@ -84,7 +84,7 @@ def _lean_turns(sf_dir: str):
     return ds.map_batches(shrink, batch_format="pyarrow")
 
 
-MAX_BUCKET_TASKS = 64  # 2 balanced (LPT) waves on a 32-core node
+MIN_BUCKET_TASKS = 32   # floor so small sessions still pipeline
 LEAN_COLS = ["conv_id", "turn_idx", "text", "tool", "ts"]
 FULL_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
@@ -136,16 +136,22 @@ def _map_over_buckets(files: list[str], kernel, *, lean: bool, fmt: str):
                  .append_column("tool_call", tool_call))
         return kernel(t if fmt == "pyarrow" else t.to_pandas())
 
-    # group bucket files into at most MAX_BUCKET_TASKS tasks: scheduling
-    # cost is per task, so task count must not grow with input size.  Files
-    # are LPT-bin-packed by byte size so every wave is balanced (zipf conv
-    # lengths make bucket sizes vary ~3×; a straggler in the last wave is
-    # pure lost wall-time).  Each task concatenates its (conv-complete)
-    # files and runs the kernel once.
+    # task count: ~2 tasks per session CPU (≥2 waves so one straggler
+    # cannot own the wall), floored at MIN_BUCKET_TASKS, never more than
+    # files; scheduling is per-task, so the count must not grow with input
+    # size.  Files are LPT-bin-packed by byte size so every wave is
+    # balanced (zipf conv lengths make bucket sizes vary ~3×).  Each task
+    # concatenates its (conv-complete) files and runs the kernel once.
     import heapq
     import os
 
-    n_tasks = min(len(files), MAX_BUCKET_TASKS)
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cpus = 16
+    n_tasks = min(len(files), max(MIN_BUCKET_TASKS, 2 * cpus))
     heap = [(0, i) for i in range(n_tasks)]  # (assigned bytes, group)
     heapq.heapify(heap)
     groups: list[list[str]] = [[] for _ in range(n_tasks)]
