@@ -56,6 +56,9 @@ def hash_exchange(ds, *, key_fn, n_parts: int, kernel, fmt: str = "pandas",
 
         tbl = (pa.Table.from_pandas(block, preserve_index=False)
                if isinstance(block, pd.DataFrame) else block)
+        if tbl.num_rows == 0:  # empty block (e.g. a filter that drops all)
+            return (*([tbl] * n_parts),
+                    np.zeros(n_parts, dtype=np.int64))
         ids = np.asarray(key_fn(tbl), dtype=np.int64)
         order = np.argsort(ids, kind="stable")
         tbl = tbl.take(pa.array(order))  # block-sized take: safe
@@ -78,10 +81,25 @@ def hash_exchange(ds, *, key_fn, n_parts: int, kernel, fmt: str = "pandas",
         data = merged if fmt == "pyarrow" else merged.to_pandas()
         return _to_arrow(kernel(data, **kernel_kwargs))
 
+    def _empty_result():
+        # run the kernel once on an empty input so the result carries the
+        # KERNEL's output schema, not the input's
+        import pyarrow as pa
+
+        try:
+            schema = ds.schema().base_schema
+            empty = pa.table({f.name: pa.array([], f.type)
+                              for f in schema})
+            data = empty if fmt == "pyarrow" else empty.to_pandas()
+            out = _to_arrow(kernel(data, **kernel_kwargs))
+            return ray.data.from_arrow(out)
+        except Exception:
+            return ds.limit(0)
+
     block_refs = [ref for bundle in ds.iter_internal_ref_bundles()
                   for ref in bundle.block_refs]
     if not block_refs:
-        return ds  # empty input: nothing to exchange
+        return _empty_result()
 
     splits = [split_block.options(num_returns=n_parts + 1)
               .remote(ref, n_parts) for ref in block_refs]
@@ -93,7 +111,15 @@ def hash_exchange(ds, *, key_fn, n_parts: int, kernel, fmt: str = "pandas",
         out_refs.append(reduce_part.remote(
             *[splits[i][p] for i in np.flatnonzero(counts[:, p])]))
     if not out_refs:
-        return ds.limit(0)
+        # all blocks were empty: run the kernel on one (schema-bearing)
+        # empty part so the result still has the kernel's output schema
+        try:
+            sample = ray.get(splits[0][0])
+            data = sample if fmt == "pyarrow" else sample.to_pandas()
+            return ray.data.from_arrow(
+                _to_arrow(kernel(data, **kernel_kwargs)))
+        except Exception:
+            return _empty_result()
     out = ray.data.from_arrow_refs(out_refs)
     # pin the split outputs for the dataset's lifetime: if a reduce block
     # is evicted later, Ray reconstructs it from these inputs — without the
