@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # — training-data ops: similarity search —
         "emb_knn_cosine": docs.knn,
         "emb_knn_lsh": docs.knn_lsh,                     # rows-only (approx)
+        "emb_knn_ivf": docs.knn_ivf,                     # rows-only (approx
+        #   IVF scale path; recall gated vs exact kNN in tests)
         "emb_near_dups": docs.embedding_near_dups,
         "emb_near_dups_lsh": docs.embedding_near_dups_lsh,  # rows-only
         #   (approximate scale path; recall gated vs the exact join in tests)

@@ -259,6 +259,43 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 5):
         sim.topk_merge, batch_format="pandas", fn_kwargs={"k": k})
 
 
+def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
+            n_lists: int = 16, n_probe: int = 4,
+            train_sample: int = 4096):
+    """IVF ANN: spherical-k-means coarse quantizer (trained on a CAPPED
+    sample, centroids broadcast) → per-vector inverted-list assignment →
+    probe only the queries' ``n_probe`` nearest lists → brute-force score
+    the surviving candidates → per-query top-k merge.  Approximate —
+    recall vs exact kNN gated in tests."""
+    queries = _query_vectors(sf_dir, n_queries)
+
+    train = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"],
+                          filters=[("vec_id", "<", train_sample)])
+    tm = np.stack([np.asarray(v, np.float64)
+                   for v in train.to_pandas()["embedding"]])
+    cent = sim.kmeans_centroids(tm, n_lists)
+
+    qm = np.stack([np.asarray(queries[q], np.float64)
+                   for q in sorted(queries)])
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    probe = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]
+    wanted = set(int(x) for x in probe.ravel())
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        sim.IVFAssign, batch_format="pandas", concurrency=2, num_cpus=0.5,
+        fn_constructor_kwargs={"centroids": cent})
+
+    def in_lists(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["list_id"].isin(wanted)]
+
+    cands = ds.map_batches(in_lists, batch_format="pandas").map_batches(
+        sim.BruteForceScorer, batch_format="pandas", concurrency=2,
+        num_cpus=0.5, fn_constructor_kwargs={"queries": queries, "k": k})
+    return cands.groupby("query_id").map_groups(
+        sim.topk_merge, batch_format="pandas", fn_kwargs={"k": k})
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.3):
     """Embedding-cosine near-dup pairs within label blocks — EXACT (the
     oracle's semantics are all pairs within label), computed tile-wise so

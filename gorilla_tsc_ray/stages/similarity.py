@@ -111,6 +111,41 @@ def cosine_pairs_block(df: pd.DataFrame, *, id_col: str = "vec_id",
     })
 
 
+def kmeans_centroids(vectors: np.ndarray, n_lists: int, seed: int = 17,
+                     iters: int = 10) -> np.ndarray:
+    """Tiny deterministic spherical k-means for the IVF coarse quantizer —
+    trained on a driver-side SAMPLE (centroids are the only thing
+    broadcast; at scale the sample is a capped read, never the corpus)."""
+    rng = np.random.default_rng(seed)
+    m = _normalize(vectors.astype(np.float64))
+    cent = m[rng.choice(len(m), size=min(n_lists, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            sel = assign == c
+            if sel.any():
+                cent[c] = m[sel].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IVFAssign:
+    """Actor-pool stage: broadcast centroid matrix held per actor; adds the
+    nearest-centroid ``list_id`` column per vector (the IVF inverted-list
+    key)."""
+
+    def __init__(self, centroids: np.ndarray,
+                 vec_col: str = "embedding") -> None:
+        self.cent = np.asarray(centroids, dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_stack_embeddings(df[self.vec_col]))
+        out = df.copy()
+        out["list_id"] = np.argmax(m @ self.cent.T, axis=1).astype(np.int64)
+        return out
+
+
 class MultiHyperplaneLSH:
     """Actor-pool stage: T independent hyperplane tables drawn once per
     actor; emits LONG-format rows ``(id, table, bucket, embedding)`` — one

@@ -215,3 +215,14 @@ def test_embedding_near_dups_lsh_recall(ray_session):
     assert truth, "exact join found no pairs — test data changed?"
     recall = len(truth & found) / len(truth)
     assert recall >= 0.85, f"recall {recall:.2f} over {len(truth)} pairs"
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF ANN must recover most of the exact top-k (n_probe/n_lists
+    trade-off; seeded k-means → deterministic)."""
+    exact = docs.knn(SF).to_pandas()
+    got = docs.knn_ivf(SF).to_pandas()
+    t = set(zip(exact["query_id"], exact["vec_id"]))
+    g = set(zip(got["query_id"], got["vec_id"]))
+    recall = len(t & g) / len(t)
+    assert recall >= 0.7, f"IVF recall {recall:.2f}"
