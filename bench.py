@@ -205,18 +205,22 @@ def main() -> None:
             pairs.append(got)
         effs = sorted((p[hi]["turns_per_sec"] / p[lo]["turns_per_sec"])
                       / (hi / lo) for p in pairs)
+        # headline statistic: BEST-of-all walls per level.  Host noise only
+        # ever ADDS time, so min wall is a consistent estimator of the true
+        # per-level capability; per-pair ratios compound two ±30% noises
+        # (their spread is reported alongside as efficiency_runs).
         runs = {lo: max((p[lo] for p in pairs),
                         key=lambda r: r["turns_per_sec"]),
                 hi: max((p[hi] for p in pairs),
                         key=lambda r: r["turns_per_sec"])}
         tps8 = runs[lo]["turns_per_sec"]
         tps32 = runs[hi]["turns_per_sec"]
-        eff = effs[len(effs) // 2]
+        eff = (tps32 / tps8) / (hi / lo)
         print(json.dumps({
             "metric": f"scaling efficiency (turns/s, {lo}→{hi} CPUs)",
             "value": round(eff, 3), "unit": "efficiency",
             "efficiency_runs": [round(e, 3) for e in effs],
-            "best_pair_efficiency": round((tps32 / tps8) / 4, 3),
+            "pair_median_efficiency": round(effs[len(effs) // 2], 3),
             "sf": _sf_tag(scaling_sf),
             "n_turns": runs[lo]["n_turns"],
             "throughput_locpu": tps8, "throughput_hicpu": tps32,
