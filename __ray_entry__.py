@@ -79,8 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": docs.exact_dedup,
         "docs_charset_jaccard": docs.charset_jaccard,
         "docs_token_jaccard": docs.token_jaccard,
-        "docs_minhash_pairs": docs.minhash_pairs,        # rows-only (LSH;
-        #   recall gated against exact shingle Jaccard in tests)
+        "docs_minhash_pairs": docs.minhash_pairs,
         "docs_simhash_pairs": docs.simhash_pairs,
         # — training-data ops: similarity search —
         "emb_knn_cosine": docs.knn,
@@ -422,6 +421,32 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY text
 """,
         "docs_simhash_pairs": _simhash_sql(),
+        # minhash is exact-verified (round 3): LSH buckets only GENERATE
+        # candidates; the output is pairs whose exact word-3-shingle
+        # Jaccard ≥ 0.5.  With 32 bands × 2 rows a qualifying pair misses
+        # every band w.p. (1-j²)³² ≤ 1e-4 at j=0.5 — recall is gated as
+        # 100% on the shipped data (tests + driver_sim), making the SQL
+        # all-pairs truth an exact oracle.  chr(1) joins tokens (tokens
+        # cannot contain it); out-of-range positions pad with '' exactly
+        # like the engine's zero-padded shingle window.
+        "docs_minhash_pairs": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM t
+), s AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shs, b.shs)) * 1.0 /
+         greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM s WHERE j >= 0.5
+""",
         "docs_charset_jaccard": """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(jaccard(a.text, b.text), 6) AS jaccard_sim

@@ -13,10 +13,28 @@ instead:
     reduce: one task per non-empty partition — concat its sub-tables, run
             the partition kernel once, return an Arrow table
 
+Two variants:
+
+- :func:`hash_exchange` — one input dataset.  With ``chunk_rows`` set, the
+  reduce is SPILL-AWARE: sub-tables stream through the kernel in bounded
+  chunks instead of one concat of the whole partition, so an oversized
+  partition never has to fit a task at once.  Chunking requires the kernel
+  to be SELF-MERGING — ``kernel(concat(kernel(X), Y)) == kernel(concat(X,
+  Y))`` with identical input/output schema (dedup keep-first, pair dedup,
+  rollup partial merges all are); an optional ``final_kernel`` projects the
+  last partial to the output schema.
+- :func:`hash_exchange_multi` — N co-partitioned inputs (each with its own
+  key function); the kernel receives one table per input.  This is the
+  fetch-side of the slim pair-verify pattern: candidate ID pairs ride one
+  input, per-id payloads (element sets, embeddings) ride the other exactly
+  once, and the kernel joins them partition-locally — full payloads never
+  multiply across candidate rows (VERDICT r2 "What's wrong" #4/#5).
+
 The result is a materialized Dataset (a shuffle is a pipeline barrier
 anyway).  Partitioning assumption — same as ``map_groups``: one partition's
-rows fit one reduce task; size ``n_parts`` accordingly and salt hot keys
-into the partition id (see ``pipelines/events.py`` day-index salting).
+rows fit one reduce task (or one chunk, when chunked); size ``n_parts``
+accordingly and salt hot keys into the partition id (see
+``pipelines/events.py`` day-index salting).
 
 This is the documented "raw Ray as a last resort" seam: everything above
 and below it stays on the Dataset API.
@@ -24,8 +42,18 @@ and below it stays on the Dataset API.
 
 from __future__ import annotations
 
+from collections import deque
+
 import numpy as np
 import pandas as pd
+
+# Split outputs pinned for reconstruction: if a reduce block is evicted
+# later, Ray reconstructs it from these inputs.  A pin on the returned
+# Dataset object alone dies as soon as a caller derives a new Dataset from
+# it (ADVICE r2), so recent exchanges' splits are ALSO held in this bounded
+# module-level registry — old entries roll off, bounding the footprint to
+# the last few shuffles (one pipeline's worth).
+_KEEPALIVE: deque = deque(maxlen=16)
 
 
 def _to_arrow(out):
@@ -36,22 +64,33 @@ def _to_arrow(out):
     return out
 
 
-def hash_exchange(ds, *, key_fn, n_parts: int, kernel, fmt: str = "pandas",
-                  kernel_kwargs: dict | None = None):
-    """``ds`` → Dataset of per-partition kernel outputs.
+def _block_refs(ds):
+    return [ref for bundle in ds.iter_internal_ref_bundles()
+            for ref in bundle.block_refs]
 
-    ``key_fn(table) -> int64 ndarray`` assigns each row a partition in
-    ``[0, n_parts)`` (runs inside map tasks; must be deterministic).
-    ``kernel`` receives one whole partition as a pa.Table (``fmt=
-    "pyarrow"``) or DataFrame and returns either.
-    """
+
+def _empty_table(ds):
+    """Schema-bearing empty pa.Table for ``ds`` (handles both Arrow and
+    pandas block schemas)."""
+    import pyarrow as pa
+
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    if isinstance(base, pa.Schema):
+        return pa.table({f.name: pa.array([], f.type) for f in base})
+    cols = {}
+    for name, typ in zip(schema.names, schema.types):
+        if not isinstance(typ, pa.DataType):
+            typ = pa.from_numpy_dtype(typ)
+        cols[name] = pa.array([], typ)
+    return pa.table(cols)
+
+
+def _split_remote():
     import ray
-    import ray.data
-
-    kernel_kwargs = kernel_kwargs or {}
 
     @ray.remote
-    def split_block(block, n_parts):
+    def split_block(block, n_parts, key_fn):
         import pyarrow as pa
 
         tbl = (pa.Table.from_pandas(block, preserve_index=False)
@@ -68,18 +107,63 @@ def hash_exchange(ds, *, key_fn, n_parts: int, kernel, fmt: str = "pandas",
                  for p in range(n_parts)]
         return (*parts, counts)
 
+    return split_block
+
+
+def hash_exchange(ds, *, key_fn, n_parts: int, kernel, fmt: str = "pandas",
+                  kernel_kwargs: dict | None = None,
+                  chunk_rows: int | None = None, final_kernel=None):
+    """``ds`` → Dataset of per-partition kernel outputs.
+
+    ``key_fn(table) -> int64 ndarray`` assigns each row a partition in
+    ``[0, n_parts)`` (runs inside map tasks; must be deterministic).
+    ``kernel`` receives one whole partition as a pa.Table (``fmt=
+    "pyarrow"``) or DataFrame and returns either.
+
+    ``chunk_rows``: stream the reduce through the kernel in ≈chunk_rows-row
+    chunks (kernel must be self-merging, see module docstring).
+    ``final_kernel``: applied once to the partition result (projection to
+    the output schema) — applied in both chunked and unchunked mode so
+    semantics don't depend on chunking.
+    """
+    import ray
+    import ray.data
+
+    kernel_kwargs = kernel_kwargs or {}
+    split_block = _split_remote()
+
     @ray.remote
     def reduce_part(*parts):
         import pyarrow as pa
 
-        tables = [p for p in parts if p.num_rows]
         # strip pandas schema metadata: blocks from different upstream
         # tasks can carry conflicting pandas-dtype annotations that make
         # to_pandas raise after concat (the embedding/sig list columns)
-        merged = pa.concat_tables(
-            t.replace_schema_metadata(None) for t in tables).combine_chunks()
-        data = merged if fmt == "pyarrow" else merged.to_pandas()
-        return _to_arrow(kernel(data, **kernel_kwargs))
+        tables = [p.replace_schema_metadata(None) for p in parts
+                  if p.num_rows]
+
+        def apply(acc, buf):
+            ts = ([acc] if acc is not None else []) + buf
+            merged = pa.concat_tables(ts).combine_chunks()
+            data = merged if fmt == "pyarrow" else merged.to_pandas()
+            return _to_arrow(
+                kernel(data, **kernel_kwargs)).replace_schema_metadata(None)
+
+        if chunk_rows is None:
+            result = apply(None, tables)
+        else:
+            acc, buf, buffered = None, [], 0
+            for t in tables:
+                buf.append(t)
+                buffered += t.num_rows
+                if buffered >= chunk_rows:
+                    acc = apply(acc, buf)
+                    buf, buffered = [], 0
+            result = apply(acc, buf) if (buf or acc is None) else acc
+        if final_kernel is not None:
+            data = result if fmt == "pyarrow" else result.to_pandas()
+            result = _to_arrow(final_kernel(data))
+        return result
 
     def _empty_result():
         # run the kernel once on an empty input so the result carries the
@@ -87,22 +171,22 @@ def hash_exchange(ds, *, key_fn, n_parts: int, kernel, fmt: str = "pandas",
         import pyarrow as pa
 
         try:
-            schema = ds.schema().base_schema
-            empty = pa.table({f.name: pa.array([], f.type)
-                              for f in schema})
+            empty = _empty_table(ds)
             data = empty if fmt == "pyarrow" else empty.to_pandas()
             out = _to_arrow(kernel(data, **kernel_kwargs))
+            if final_kernel is not None:
+                fdata = out if fmt == "pyarrow" else out.to_pandas()
+                out = _to_arrow(final_kernel(fdata))
             return ray.data.from_arrow(out)
         except Exception:
             return ds.limit(0)
 
-    block_refs = [ref for bundle in ds.iter_internal_ref_bundles()
-                  for ref in bundle.block_refs]
+    block_refs = _block_refs(ds)
     if not block_refs:
         return _empty_result()
 
     splits = [split_block.options(num_returns=n_parts + 1)
-              .remote(ref, n_parts) for ref in block_refs]
+              .remote(ref, n_parts, key_fn) for ref in block_refs]
     counts = np.stack(ray.get([s[n_parts] for s in splits]))
     part_rows = counts.sum(axis=0)
 
@@ -116,14 +200,104 @@ def hash_exchange(ds, *, key_fn, n_parts: int, kernel, fmt: str = "pandas",
         try:
             sample = ray.get(splits[0][0])
             data = sample if fmt == "pyarrow" else sample.to_pandas()
-            return ray.data.from_arrow(
-                _to_arrow(kernel(data, **kernel_kwargs)))
+            out = _to_arrow(kernel(data, **kernel_kwargs))
+            if final_kernel is not None:
+                fdata = out if fmt == "pyarrow" else out.to_pandas()
+                out = _to_arrow(final_kernel(fdata))
+            return ray.data.from_arrow(out)
         except Exception:
             return _empty_result()
     out = ray.data.from_arrow_refs(out_refs)
-    # pin the split outputs for the dataset's lifetime: if a reduce block
-    # is evicted later, Ray reconstructs it from these inputs — without the
-    # pin they are released when this function returns and reconstruction
-    # fails with object-lost errors under memory pressure
     out._gtsc_exchange_keepalive = splits
+    _KEEPALIVE.append(splits)
+    return out
+
+
+def hash_exchange_multi(inputs, *, n_parts: int, kernel,
+                        fmt: str = "pandas",
+                        kernel_kwargs: dict | None = None):
+    """Co-partitioned multi-input exchange.
+
+    ``inputs`` is a list of ``(ds, key_fn)``; every dataset is hash-split
+    with its own key function into the SAME ``n_parts`` partition space,
+    and ``kernel(t0, t1, ..., **kernel_kwargs)`` runs once per partition
+    where the FIRST (driving) input has rows.  Non-driving inputs arrive as
+    schema-bearing (possibly empty) tables.  Partitions where the driving
+    input is empty produce nothing — the pattern's contract is that output
+    rows are derived from input 0 (candidate pairs) with inputs 1..N as
+    lookup payloads.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    kernel_kwargs = kernel_kwargs or {}
+    split_block = _split_remote()
+
+    @ray.remote
+    def reduce_multi(sizes, *parts):
+        import pyarrow as pa
+
+        groups, i = [], 0
+        for sz in sizes:
+            grp = parts[i:i + sz]
+            i += sz
+            tables = [t for t in grp if t.num_rows] or [grp[0]]
+            groups.append(pa.concat_tables(
+                t.replace_schema_metadata(None)
+                for t in tables).combine_chunks())
+        datas = [g if fmt == "pyarrow" else g.to_pandas() for g in groups]
+        return _to_arrow(kernel(*datas, **kernel_kwargs))
+
+    all_splits, all_counts, empty_refs = [], [], []
+    for ds, key_fn in inputs:
+        refs = _block_refs(ds)
+        splits = [split_block.options(num_returns=n_parts + 1)
+                  .remote(ref, n_parts, key_fn) for ref in refs]
+        counts = (np.stack(ray.get([s[n_parts] for s in splits]))
+                  if splits else np.zeros((0, n_parts), dtype=np.int64))
+        all_splits.append(splits)
+        all_counts.append(counts)
+        if splits:
+            empty_refs.append(None)
+        else:  # input with no blocks at all: one empty schema-bearing table
+            empty_refs.append(ray.put(_empty_table(ds)))
+
+    part_rows0 = (all_counts[0].sum(axis=0) if len(all_counts[0])
+                  else np.zeros(n_parts, dtype=np.int64))
+
+    def _empty_result():
+        try:
+            datas = []
+            for ds, _ in inputs:
+                empty = _empty_table(ds)
+                datas.append(empty if fmt == "pyarrow" else empty.to_pandas())
+            return ray.data.from_arrow(_to_arrow(kernel(*datas,
+                                                        **kernel_kwargs)))
+        except Exception:
+            return inputs[0][0].limit(0)
+
+    if not part_rows0.any():
+        return _empty_result()
+
+    out_refs = []
+    for p in np.flatnonzero(part_rows0):
+        args, sizes = [], []
+        for splits, counts, empty_ref in zip(all_splits, all_counts,
+                                             empty_refs):
+            nz = (np.flatnonzero(counts[:, p]) if len(counts)
+                  else np.array([], dtype=np.int64))
+            if nz.size:
+                grp = [splits[b][p] for b in nz]
+            elif splits:
+                grp = [splits[0][p]]  # empty slice, carries the schema
+            else:
+                grp = [empty_ref]
+            args.extend(grp)
+            sizes.append(len(grp))
+        out_refs.append(reduce_multi.remote(sizes, *args))
+
+    out = ray.data.from_arrow_refs(out_refs)
+    out._gtsc_exchange_keepalive = all_splits
+    _KEEPALIVE.append(all_splits)
     return out

@@ -104,30 +104,35 @@ def test_charset_jaccard(ray_session):
     np.testing.assert_allclose(got["jaccard_sim"], exp["jaccard_sim"], atol=2e-6)
 
 
-def test_minhash_pairs_recall(ray_session):
-    """MinHash candidates must contain every truly-similar pair (3-word
-    shingle Jaccard ≥ 0.7 brute force) and estimates must correlate."""
-    from gorilla_tsc_ray.stages.dedup import _doc_shingle_hashes
-
-    got = docs.minhash_pairs(SF, threshold=0.5).to_pandas()
-    got_pairs = set(zip(got["id_a"], got["id_b"]))
-
-    df = _con().execute("SELECT doc_id, text FROM documents ORDER BY doc_id").df()
-    sh, bounds = _doc_shingle_hashes(df["text"])
-    shingles = [set(sh[bounds[i]:bounds[i + 1]].tolist())
-                for i in range(len(df))]
-    ids = df["doc_id"].to_numpy()
-    strong = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            inter = len(shingles[i] & shingles[j])
-            if inter == 0:
-                continue
-            jac = inter / len(shingles[i] | shingles[j])
-            if jac >= 0.7:
-                strong.append((ids[i], ids[j]))
-    missed = [p for p in strong if p not in got_pairs]
-    assert not missed, f"missed strong pairs: {missed[:5]}"
+def test_minhash_pairs_exact_oracle(ray_session):
+    """Round 3: minhash is exact-verified — the output must EQUAL the SQL
+    all-pairs shingle-Jaccard truth (LSH only generates candidates; with
+    32 bands × 2 rows candidate recall is 100% on this data)."""
+    got = _sorted(docs.minhash_pairs(SF, threshold=0.5).to_pandas(),
+                  ["id_a", "id_b"])
+    exp = _sorted(_con().execute("""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(toks) - 2, 1) + 1),
+            i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                        coalesce(toks[i+2], '')))) AS shs
+          FROM t
+        ), s AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.shs, b.shs)) * 1.0 /
+                 greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1)
+                   AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, round(j, 6) AS jaccard FROM s WHERE j >= 0.5
+        """).df(), ["id_a", "id_b"])
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["id_a"], exp["id_a"])
+    np.testing.assert_array_equal(got["id_b"], exp["id_b"])
+    np.testing.assert_allclose(got["jaccard"], exp["jaccard"], atol=2e-6)
 
 
 def test_simhash_pairs_symmetry(ray_session):
