@@ -205,22 +205,25 @@ def main() -> None:
             pairs.append(got)
         effs = sorted((p[hi]["turns_per_sec"] / p[lo]["turns_per_sec"])
                       / (hi / lo) for p in pairs)
-        # headline statistic: BEST-of-all walls per level.  Host noise only
-        # ever ADDS time, so min wall is a consistent estimator of the true
-        # per-level capability; per-pair ratios compound two ±30% noises
-        # (their spread is reported alongside as efficiency_runs).
+        # headline statistic (`value`): MEDIAN of the per-pair efficiencies
+        # — the noise-robust estimator (ADVICE r2: best-of-runs is biased
+        # upward under one-sided host noise).  The best-of-all-walls
+        # capability estimate is reported alongside as best_of_efficiency
+        # (min wall per level; host noise only ever ADDS time).
         runs = {lo: max((p[lo] for p in pairs),
                         key=lambda r: r["turns_per_sec"]),
                 hi: max((p[hi] for p in pairs),
                         key=lambda r: r["turns_per_sec"])}
         tps8 = runs[lo]["turns_per_sec"]
         tps32 = runs[hi]["turns_per_sec"]
-        eff = (tps32 / tps8) / (hi / lo)
+        best_eff = (tps32 / tps8) / (hi / lo)
         print(json.dumps({
-            "metric": f"scaling efficiency (turns/s, {lo}→{hi} CPUs)",
-            "value": round(eff, 3), "unit": "efficiency",
+            "metric": f"scaling efficiency (turns/s, {lo}→{hi} CPUs, "
+                      "pair-median)",
+            "value": round(effs[len(effs) // 2], 3), "unit": "efficiency",
             "efficiency_runs": [round(e, 3) for e in effs],
             "pair_median_efficiency": round(effs[len(effs) // 2], 3),
+            "best_of_efficiency": round(best_eff, 3),
             "sf": _sf_tag(scaling_sf),
             "n_turns": runs[lo]["n_turns"],
             "throughput_locpu": tps8, "throughput_hicpu": tps32,

@@ -151,6 +151,8 @@ int64_t gtsc_decode_v2(const uint64_t *words, int64_t nw, int64_t max_pts,
                 lz = (int)(hdr >> 6);
                 sig = (int)(hdr & 63) + 1;
                 tz = 64 - sig - lz;
+                if (tz < 0) return -1;  /* corrupt header: lz+sig > 64
+                                           (negative shift is UB) */
                 have_window = 1;
             } else {
                 r.pos += 2;
@@ -219,6 +221,7 @@ int64_t gtsc_decode_v1(const uint64_t *words, int64_t nw, int64_t max_pts,
                 int sig = (int)br_get(&r, 6);
                 if (sig == 0) sig = 64;      /* "0 means 64" */
                 tz = 64 - sig - lz;
+                if (tz < 0) return -1;  /* corrupt header: lz+sig > 64 */
                 sigbits = 64 - lz - tz;
                 have_window = 1;
             } else if (!have_window) {
@@ -314,6 +317,8 @@ int64_t gtsc_decode_v2_dfcm(const uint64_t *words, int64_t nw,
                 lz = (int)(hdr >> 6);
                 sig = (int)(hdr & 63) + 1;
                 tz = 64 - sig - lz;
+                if (tz < 0) return -1;  /* corrupt header: lz+sig > 64
+                                           (negative shift is UB) */
                 have_window = 1;
             } else {
                 r.pos += 2;

@@ -18,7 +18,7 @@ import pandas as pd
 from ..util import round_half_away
 
 from ..context import tune_context
-from ..stages.exchange import hash_exchange
+from ..stages.exchange import hash_exchange, hash_exchange_multi
 from ..stages.rollup import (TIER_MS, cascade_dataset, gapfill_partition,
                              rollup_dataset)
 from ..stages.series import DAY_MS, decode_blocks_batch, encode_partition
@@ -280,46 +280,130 @@ def gapfill(sf_dir: str, tier: str = "1h"):
         ["user_id", "bucket_ms", "sum_v", "cnt", "last_v", "filled"])
 
 
-def sessionize(sf_dir: str, gap_ms: int = 1_800_000):
+def sessionize(sf_dir: str, gap_ms: int = 1_800_000,
+               slice_ms: int | None = None):
     """Sessionization: split each user's event stream into sessions at
     inactivity gaps > ``gap_ms`` and aggregate per session — the classic
     event-time windowing operator (tumbling windows are the rollup tiers;
     this is the data-driven variant).  Per-user streams are partition-local
     after the hash shuffle; session ids are deterministic
-    (user_id, session_seq)."""
-    ds = _read_points(sf_dir)
+    (user_id, session_seq).
 
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+    ``slice_ms`` enables the TIME-SLICED path for users too hot for one
+    partition (VERDICT r2 "What's missing" #3): the shuffle key salts the
+    user hash with ``ts_ms // slice_ms``, each partition sessionizes its
+    (user, slice) streams locally, and a second (tiny — one row per local
+    session) user-keyed exchange stitches sessions across slice
+    boundaries.  Stitching is EXACT: local sessions are maximal ≤gap runs
+    cut at slice boundaries, so two boundary-adjacent locals belong to the
+    same global session iff ``next.start − prev.end ≤ gap_ms`` — the merge
+    rule below."""
+    ds = _read_points(sf_dir)
+    if slice_ms is None:
+        return hash_exchange(
+            ds, key_fn=_user_key_fn, n_parts=N_PARTS,
+            kernel=_sessions_kernel, fmt="pandas",
+            kernel_kwargs={"gap_ms": gap_ms, "finalize": True})
+
+    def key_fn(tbl):
+        key = tbl.column("user_id").to_pandas()
+        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+        sl = (tbl.column("ts_ms").to_numpy(zero_copy_only=False)
+              // slice_ms).astype(np.uint64)
+        return ((h * np.uint64(1_000_003) + sl)
+                % np.uint64(N_PARTS)).astype(np.int64)
+
+    local = hash_exchange(
+        ds, key_fn=key_fn, n_parts=N_PARTS, kernel=_sessions_kernel,
+        fmt="pandas",
+        kernel_kwargs={"gap_ms": gap_ms, "finalize": False,
+                       "slice_ms": slice_ms})
+
+    def stitch(df: pd.DataFrame) -> pd.DataFrame:
         user = df["user_id"].to_numpy()
-        ts = df["ts_ms"].to_numpy()
-        v = df["value"].to_numpy()
+        st = df["session_start"].to_numpy()
+        en = df["session_end"].to_numpy()
+        cnt = df["n_events"].to_numpy()
+        sv = df["sum_value"].to_numpy()
+        order = np.lexsort((st, user))
+        user, st, en, cnt, sv = (user[order], st[order], en[order],
+                                 cnt[order], sv[order])
         new_user = np.concatenate(([True], user[1:] != user[:-1]))
-        gap_break = np.concatenate(([True], np.diff(ts) > gap_ms))
-        new_sess = new_user | gap_break
-        sess_seq = np.empty(len(df), dtype=np.int64)
-        # per-user session counter: cumulative new-session count minus the
-        # cumulative count at the user's first row
-        cum = np.cumsum(new_sess)
-        first_of_user = np.where(new_user)[0]
+        # per-user sessions are pairwise disjoint in time (slices are
+        # disjoint; in-slice sessions are disjoint), so sorted-by-start ⇒
+        # ends are increasing and prev row's end is the merged end
+        brk = new_user | np.concatenate(
+            ([True], (st[1:] - en[:-1]) > gap_ms))
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(user))
+        cum = np.cumsum(brk)
+        first_of_user = np.flatnonzero(new_user)
         base = np.repeat(cum[first_of_user],
-                         np.diff(np.append(first_of_user, len(df))))
-        sess_seq = cum - base  # 0-based within user
-        w = pd.DataFrame({"user_id": user, "session_seq": sess_seq,
-                          "ts": ts, "v": v})
-        g = w.groupby(["user_id", "session_seq"], sort=False)
-        out = g.agg(session_start=("ts", "min"), session_end=("ts", "max"),
-                    n_events=("ts", "count"), sum_value=("v", "sum"))
-        out = out.reset_index()
+                         np.diff(np.append(first_of_user, len(user))))
+        seq = (cum - base)[starts]  # 0-based within user
+        out = pd.DataFrame({
+            "user_id": user[starts],
+            "session_seq": seq.astype(np.int64),
+            "session_start": st[starts],
+            "session_end": en[ends - 1],
+            # reduceat: each run sums independently (cumsum differences
+            # lose precision against the 6-decimal rounding on long
+            # partitions)
+            "n_events": np.add.reduceat(cnt, starts).astype(np.int64),
+            "sum_value": round_half_away(np.add.reduceat(sv, starts), 6),
+        })
         out["duration_ms"] = out["session_end"] - out["session_start"]
-        out["sum_value"] = round_half_away(out["sum_value"].to_numpy(), 6)
         return out
 
-    return hash_exchange(ds, key_fn=_user_key_fn, n_parts=N_PARTS,
-                         kernel=sessions, fmt="pandas")
+    return hash_exchange(local, key_fn=_user_key_fn, n_parts=N_PARTS,
+                         kernel=stitch, fmt="pandas")
 
 
-def asof_last_match(sf_dir: str, match_type: str = "purchase"):
+def _sessions_kernel(df: pd.DataFrame, *, gap_ms: int, finalize: bool,
+                     slice_ms: int | None = None) -> pd.DataFrame:
+    """Vectorized multi-series sessionization of one partition.  With
+    ``slice_ms``, streams additionally split at slice boundaries (local
+    sessions, stitched downstream); ``finalize`` controls the output shape
+    (final query columns vs stitch-input partials)."""
+    user = df["user_id"].to_numpy()
+    ts = df["ts_ms"].to_numpy()
+    v = df["value"].to_numpy()
+    if slice_ms is not None:
+        sl = ts // slice_ms
+        order = np.lexsort((ts, sl, user))
+        user, ts, v, sl = user[order], ts[order], v[order], sl[order]
+        new_key = np.concatenate(([True], (user[1:] != user[:-1])
+                                  | (sl[1:] != sl[:-1])))
+    else:
+        order = np.lexsort((ts, user))
+        user, ts, v = user[order], ts[order], v[order]
+        new_key = np.concatenate(([True], user[1:] != user[:-1]))
+    gap_break = np.concatenate(([True], np.diff(ts) > gap_ms))
+    new_sess = new_key | gap_break
+    starts = np.flatnonzero(new_sess)
+    ends = np.append(starts[1:], len(user))
+    out = pd.DataFrame({
+        "user_id": user[starts],
+        "session_start": ts[starts],
+        "session_end": ts[ends - 1],
+        "n_events": (ends - starts).astype(np.int64),
+        "sum_value": np.add.reduceat(v, starts),
+    })
+    if not finalize:
+        return out
+    new_user = np.concatenate(([True], user[1:] != user[:-1]))
+    cum = np.cumsum(new_sess)
+    first_of_user = np.flatnonzero(new_user)
+    base = np.repeat(cum[first_of_user],
+                     np.diff(np.append(first_of_user, len(user))))
+    out.insert(1, "session_seq", (cum - base)[starts].astype(np.int64))
+    out["duration_ms"] = out["session_end"] - out["session_start"]
+    out["sum_value"] = round_half_away(out["sum_value"].to_numpy(), 6)
+    return out
+
+
+def asof_last_match(sf_dir: str, match_type: str = "purchase",
+                    slice_ms: int | None = None):
     """AS-OF JOIN: attach to every event the timestamp and value of the
     same user's most recent ``match_type`` event at-or-before it (−1
     sentinels when none — nullable ints decay to float64 in pandas and the
@@ -327,11 +411,19 @@ def asof_last_match(sf_dir: str, match_type: str = "purchase"):
 
     Ray-Data-first shape for an operator the Dataset API lacks: hash whole
     users into bounded partitions (ONE shuffle), then a vectorized
-    partition kernel — sort by (user, ts), ``maximum.accumulate`` over the
-    match positions, same-user guard.  The right side never builds an
-    index structure; the partitioning assumption is that one user's stream
-    fits a partition (salt by time range like the encode path if a user
-    outgrows it).  Oracle: DuckDB ``ASOF LEFT JOIN``."""
+    partition kernel — sort by (user, ts_us), ``maximum.accumulate`` over
+    the match positions, same-user guard.  The comparison runs at the
+    input's MICROSECOND granularity, matching the DuckDB ``ASOF LEFT
+    JOIN`` oracle exactly (ms was a latent tie hazard, ADVICE r2); at
+    equal (user, ts_us) the match sorts first so a same-instant purchase
+    is visible, as ``e.ts >= p.ts`` includes it.
+
+    ``slice_ms`` enables the TIME-SLICED path for users too hot for one
+    partition: the shuffle key salts the user hash with the time slice,
+    the kernel resolves matches inside each (user, slice), and unmatched
+    events take a carry-in computed from per-(user, slice) purchase
+    summaries (tiny user-keyed exchange), joined back co-partitioned —
+    boundary stitching in two small passes, no per-user concentration."""
     import pyarrow.compute as pc
     import ray.data
 
@@ -341,35 +433,193 @@ def asof_last_match(sf_dir: str, match_type: str = "purchase"):
         columns=["event_id", "user_id", "event_type", "ts", "value"],
         override_num_blocks=N_PARTS)
 
-    def to_ms(batch):
-        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"), 1000)
-        return batch.drop_columns(["ts"]).append_column("ts_ms", ts_ms)
+    def to_us(batch):
+        ts_us = pc.cast(batch["ts"], "int64")  # timestamp[us] -> int64 us
+        return batch.drop_columns(["ts"]).append_column("ts_us", ts_us)
 
-    def asof_partition(df: pd.DataFrame) -> pd.DataFrame:
+    pts = ds.map_batches(to_us, batch_format="pyarrow")
+
+    def local_asof(df: pd.DataFrame, *, sliced: bool) -> pd.DataFrame:
         n = len(df)
         user = df["user_id"].to_numpy()
-        ts = df["ts_ms"].to_numpy()
+        us = df["ts_us"].to_numpy()
         eid = df["event_id"].to_numpy()
-        order = np.lexsort((eid, ts, user))
-        user, ts, eid = user[order], ts[order], eid[order]
-        etype = df["event_type"].to_numpy()[order]
+        etype = df["event_type"].to_numpy()
+        is_match = etype == match_type
+        # matches first at equal (user, ts_us): np.lexsort is ascending,
+        # so sort on (user[, slice], ts_us, NOT-match, event_id)
+        if sliced:
+            sl = us // (slice_ms * 1000)
+            order = np.lexsort((eid, ~is_match, us, sl, user))
+        else:
+            sl = None
+            order = np.lexsort((eid, ~is_match, us, user))
+        user, us, eid = user[order], us[order], eid[order]
+        is_match = is_match[order]
         value = df["value"].to_numpy()[order]
-        pos = np.where(etype == match_type, np.arange(n), -1)
+        pos = np.where(is_match, np.arange(n), -1)
         src = np.maximum.accumulate(pos) if n else pos
         ok = src >= 0
         safe = np.where(ok, src, 0)
         ok &= user[safe] == user  # never cross a user boundary
-        return pd.DataFrame({
+        if sliced:
+            sl = sl[order]
+            ok &= sl[safe] == sl  # ...or a slice boundary (carry-in later)
+        out = pd.DataFrame({
             "event_id": eid,
             "user_id": user,
-            "ts_ms": ts,
-            "last_match_ts": np.where(ok, ts[safe], -1).astype(np.int64),
+            "ts_ms": us // 1000,
+            "last_match_ts": np.where(ok, us[safe] // 1000,
+                                      -1).astype(np.int64),
             "last_match_value": np.where(ok, value[safe], -1.0),
         })
+        if sliced:
+            out["slice_idx"] = sl.astype(np.int64)
+        return out
 
-    return hash_exchange(ds.map_batches(to_ms, batch_format="pyarrow"),
-                         key_fn=_user_key_fn, n_parts=N_PARTS,
-                         kernel=asof_partition, fmt="pandas")
+    if slice_ms is None:
+        return hash_exchange(pts, key_fn=_user_key_fn, n_parts=N_PARTS,
+                             kernel=local_asof, fmt="pandas",
+                             kernel_kwargs={"sliced": False})
+
+    def sliced_key(cols_slice_from_us=True):
+        def key_fn(tbl):
+            key = tbl.column("user_id").to_pandas()
+            h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+            if cols_slice_from_us:
+                sl = (tbl.column("ts_us").to_numpy(zero_copy_only=False)
+                      // (slice_ms * 1000)).astype(np.uint64)
+            else:
+                sl = tbl.column("slice_idx").to_numpy(
+                    zero_copy_only=False).astype(np.uint64)
+            return ((h * np.uint64(1_000_003) + sl)
+                    % np.uint64(N_PARTS)).astype(np.int64)
+        return key_fn
+
+    local = hash_exchange(pts, key_fn=sliced_key(True), n_parts=N_PARTS,
+                          kernel=local_asof, fmt="pandas",
+                          kernel_kwargs={"sliced": True})
+
+    # per-(user, slice) purchase summaries: latest purchase in the slice
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == match_type]
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": np.array([], dtype=df["user_id"].dtype),
+                "slice_idx": np.array([], dtype=np.int64),
+                "p_ts_ms": np.array([], dtype=np.int64),
+                "p_value": np.array([], dtype=np.float64)})
+        user = df["user_id"].to_numpy()
+        us = df["ts_us"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        v = df["value"].to_numpy()
+        sl = us // (slice_ms * 1000)
+        order = np.lexsort((eid, us, sl, user))
+        user, us, v, sl = user[order], us[order], v[order], sl[order]
+        last = np.concatenate(((user[1:] != user[:-1])
+                               | (sl[1:] != sl[:-1]), [True]))
+        return pd.DataFrame({"user_id": user[last],
+                             "slice_idx": sl[last].astype(np.int64),
+                             "p_ts_ms": (us[last] // 1000).astype(np.int64),
+                             "p_value": v[last]})
+
+    summaries = hash_exchange(pts, key_fn=sliced_key(True), n_parts=N_PARTS,
+                              kernel=summarize, fmt="pandas")
+
+    # distinct (user, slice) pairs that still need a carry-in
+    def needs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["last_match_ts"] == -1]
+        return d[["user_id", "slice_idx"]].drop_duplicates(
+            ignore_index=True)
+
+    need_ds = local.map_batches(needs, batch_format="pandas")
+
+    # user-keyed stitch: carry-in per needed (user, slice) = the latest
+    # summary from any EARLIER slice (prefix scan over tiny summary rows)
+    def carry_kernel(need_df: pd.DataFrame,
+                     summ_df: pd.DataFrame) -> pd.DataFrame:
+        need_df = need_df.drop_duplicates(["user_id", "slice_idx"])
+        if not len(need_df):
+            return pd.DataFrame({
+                "user_id": need_df["user_id"],
+                "slice_idx": np.array([], dtype=np.int64),
+                "c_ts_ms": np.array([], dtype=np.int64),
+                "c_value": np.array([], dtype=np.float64)})
+        # merge-sort needs and summaries per user by slice; a need at
+        # slice s takes the running latest summary with slice < s
+        nu = need_df["user_id"].to_numpy()
+        ns = need_df["slice_idx"].to_numpy()
+        su = summ_df["user_id"].to_numpy()
+        ss = summ_df["slice_idx"].to_numpy()
+        st = summ_df["p_ts_ms"].to_numpy()
+        sv = summ_df["p_value"].to_numpy()
+        # summaries must be in (user, slice) order BEFORE payload indices
+        # are assigned: the accumulate below picks the max INDEX, which is
+        # "latest slice" only if indices ascend with slice
+        sorder = np.lexsort((ss, su))
+        su, ss, st, sv = su[sorder], ss[sorder], st[sorder], sv[sorder]
+        # combined stream: summaries sort BEFORE needs at the same slice?
+        # No: a need at slice s must NOT see a summary at slice s (same
+        # slice is already resolved locally) → needs first at equal slice.
+        u = np.concatenate([su, nu])
+        s = np.concatenate([ss, ns])
+        kind = np.concatenate([np.ones(len(su), dtype=np.int8),
+                               np.zeros(len(nu), dtype=np.int8)])
+        order = np.lexsort((kind, s, u))
+        u, s, kind = u[order], s[order], kind[order]
+        payload = np.concatenate([np.arange(len(su)),
+                                  np.full(len(nu), -1)])[order]
+        pos = np.where(kind == 1, payload, -1)
+        src = np.maximum.accumulate(pos) if len(u) else pos
+        ok = src >= 0
+        safe = np.where(ok, src, 0)
+        # src holds SUMMARY-array indices — guard with su, not the
+        # combined stream (no summaries ⇒ ok is already all-False)
+        if len(su):
+            ok &= su[safe] == u
+        # ok means: a prior summary row of the same user exists at an
+        # earlier slice (kind ordering excludes same-slice summaries)
+        sel = kind == 0
+        return pd.DataFrame({
+            "user_id": u[sel],
+            "slice_idx": s[sel].astype(np.int64),
+            "c_ts_ms": np.where(ok[sel], st[safe[sel]], -1).astype(np.int64),
+            "c_value": np.where(ok[sel], sv[safe[sel]], -1.0),
+        })
+
+    carry = hash_exchange_multi(
+        [(need_ds, lambda t: (pd.util.hash_pandas_object(
+            t.column("user_id").to_pandas(), index=False).to_numpy()
+            % np.uint64(N_PARTS)).astype(np.int64)),
+         (summaries, lambda t: (pd.util.hash_pandas_object(
+             t.column("user_id").to_pandas(), index=False).to_numpy()
+             % np.uint64(N_PARTS)).astype(np.int64))],
+        n_parts=N_PARTS, kernel=carry_kernel, fmt="pandas")
+
+    # co-partitioned fill: rows and carries keyed by (user, slice)
+    def fill_kernel(rows: pd.DataFrame, car: pd.DataFrame) -> pd.DataFrame:
+        out = rows.drop(columns=["slice_idx"])
+        unm = rows["last_match_ts"].to_numpy() == -1
+        if unm.any() and len(car):
+            key_r = pd.MultiIndex.from_arrays(
+                [rows["user_id"], rows["slice_idx"]])
+            lut = car.set_index(["user_id", "slice_idx"])
+            m = lut.reindex(key_r[unm])
+            ts = m["c_ts_ms"].to_numpy()
+            vv = m["c_value"].to_numpy()
+            got = ~np.isnan(ts.astype(np.float64))
+            lm = out["last_match_ts"].to_numpy().copy()
+            lv = out["last_match_value"].to_numpy().copy()
+            idx = np.flatnonzero(unm)[got]
+            lm[idx] = ts[got].astype(np.int64)
+            lv[idx] = vv[got]
+            out["last_match_ts"] = lm
+            out["last_match_value"] = lv
+        return out
+
+    return hash_exchange_multi(
+        [(local, sliced_key(False)), (carry, sliced_key(False))],
+        n_parts=N_PARTS, kernel=fill_kernel, fmt="pandas")
 
 
 def user_quantiles(sf_dir: str, qs=(0.5, 0.95, 0.99)):

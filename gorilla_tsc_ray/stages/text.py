@@ -135,7 +135,9 @@ def fingerprint(df: pd.DataFrame, *, text_col: str = "text",
     tiny next to the occurrence count; factorize fans the digests out), and
     the Horner chain advances one *token position* per numpy step across
     every document at once.  Bit-identical to the per-token-md5 reference
-    loop (tested), and SQL-checkable via DuckDB's ``md5_number_lower``."""
+    loop (tested), and SQL-checkable via DuckDB's ``md5_number_upper``
+    (DuckDB's naming is flipped: _upper returns the FIRST 8 digest
+    bytes little-endian — see the docs_fingerprints oracle)."""
     import itertools
 
     texts = df[text_col].str.lower()
@@ -146,8 +148,9 @@ def fingerprint(df: pd.DataFrame, *, text_col: str = "text",
     if lens.sum():
         flat = list(itertools.chain.from_iterable(tok_lists))
         codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
-        # little-endian first-8-bytes == DuckDB md5_number_lower(tok), which
-        # is what makes the SQL oracle for this operator expressible
+        # little-endian FIRST 8 digest bytes == DuckDB
+        # md5_number_upper(tok) (flipped naming), which is what makes
+        # the SQL oracle for this operator expressible
         uh = np.fromiter(
             (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
              for t in uniq), dtype=np.uint64, count=len(uniq))

@@ -268,3 +268,86 @@ def test_points_roundtrip_long(ray_session, sf_small):
         """,
         sf_small, ["user_id", "ts_ms"],
     )
+
+
+def test_sessionize_time_sliced_equals_unsliced(ray_session, sf_small):
+    """Time-sliced sessionization (hot-user path) must equal the
+    single-partition-per-user result exactly — boundary stitching is an
+    exact reconstruction, not an approximation."""
+    key = ["user_id", "session_seq"]
+    base = ev.sessionize(sf_small).to_pandas().sort_values(
+        key).reset_index(drop=True)
+    sliced = ev.sessionize(sf_small, slice_ms=6 * 3_600_000).to_pandas(
+    ).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(sliced[base.columns], base)
+
+
+def test_asof_time_sliced_equals_unsliced(ray_session, sf_small):
+    sliced = ev.asof_last_match(sf_small, slice_ms=6 * 3_600_000
+                                ).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    base = ev.asof_last_match(sf_small).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sliced[base.columns], base)
+
+
+def test_hot_user_time_sliced_boundary_stitching(ray_session, tmp_path):
+    """One user dominating the table, sessions and purchases crossing many
+    slice boundaries: the sliced paths must agree with the unsliced ones
+    (which are themselves oracle-proven) — including sessions that span
+    several empty-slice gaps and events whose nearest purchase is many
+    slices back."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(13)
+    day_us = 86_400_000_000
+    t0 = 1_600_000_000_000_000
+    # hot user: bursts every ~2h over 30 days (sessions often cross the
+    # 6h slice cuts); purchases only in the first week → later events
+    # carry across many slices
+    n_hot = 20_000
+    ts = np.sort(t0 + rng.choice(30 * day_us, n_hot, replace=False))
+    etype = np.where(
+        (ts < t0 + 7 * day_us) & (rng.uniform(size=n_hot) < 0.02),
+        "purchase", "view")
+    users = [np.full(n_hot, 1)]
+    tss, types = [ts], [etype]
+    for u in range(2, 7):
+        t = np.sort(t0 + rng.choice(30 * day_us, 200, replace=False))
+        users.append(np.full(200, u))
+        tss.append(t)
+        types.append(np.where(rng.uniform(size=200) < 0.1,
+                              "purchase", "view"))
+    user_id = np.concatenate(users).astype(np.int64)
+    ts_us = np.concatenate(tss).astype(np.int64)
+    event_type = np.concatenate(types)
+    n = len(ts_us)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(user_id),
+        "event_type": pa.array(event_type),
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+        "value": pa.array(np.round(rng.uniform(0, 100, n), 2)),
+    }), str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+
+    base = ev.asof_last_match(sf).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    sliced = ev.asof_last_match(sf, slice_ms=6 * 3_600_000).to_pandas(
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sliced[base.columns], base)
+    # the carry path actually fired: some event matched a purchase from an
+    # earlier slice
+    assert (base["last_match_ts"] >= 0).any()
+    assert ((base["ts_ms"] - base["last_match_ts"])[
+        base["last_match_ts"] >= 0] > 6 * 3_600_000).any()
+
+    key = ["user_id", "session_seq"]
+    b = ev.sessionize(sf).to_pandas().sort_values(key).reset_index(drop=True)
+    s = ev.sessionize(sf, slice_ms=6 * 3_600_000).to_pandas().sort_values(
+        key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s[b.columns], b)
+    # sessions really cross slice cuts (stitching fired)
+    cut = 6 * 3_600_000
+    assert ((b["session_start"] // cut) != (b["session_end"] // cut)).any()
