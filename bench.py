@@ -120,9 +120,31 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
     total = round(sum(queries.values()), 3)
     ingest_sec = (queries["transcripts_rollup_1m"]
                   + queries["transcripts_encode_blocks"])
+
+    # training-data ops (dedup/similarity family, round-3 slim-shuffle
+    # shapes) — timed into a SEPARATE section so the headline `value`
+    # stays comparable across rounds
+    from gorilla_tsc_ray.pipelines import docs
+    docs_queries = {}
+
+    def timed_docs(name, fn):
+        t = time.perf_counter()
+        fn()
+        docs_queries[name] = round(time.perf_counter() - t, 3)
+
+    timed_docs("docs_exact_dedup", lambda: docs.exact_dedup(sf_dir).count())
+    timed_docs("docs_token_jaccard",
+               lambda: docs.token_jaccard(sf_dir).count())
+    timed_docs("docs_minhash_pairs",
+               lambda: docs.minhash_pairs(sf_dir).count())
+    timed_docs("emb_near_dups_lsh",
+               lambda: docs.embedding_near_dups_lsh(sf_dir).count())
+
     result = {
         "queries": queries,
         "total_sec": total,
+        "docs_queries": docs_queries,
+        "docs_sec": round(sum(docs_queries.values()), 3),
         "n_turns": int(n_turns),
         "turns_per_sec": round(n_turns / max(ingest_sec, 1e-9), 1),
         "bytes_per_point": round(bytes_per_point, 3),
@@ -239,6 +261,8 @@ def main() -> None:
         "metric": "rollup+encode wall time (headline pipelines)",
         "value": pipe["total_sec"], "unit": "sec",
         "queries": pipe["queries"],
+        "docs_queries": pipe["docs_queries"],
+        "docs_sec": pipe["docs_sec"],
         "sf": _sf_tag(sf_dir), "num_cpus": num_cpus,
         "n_turns": pipe["n_turns"],
         "turns_per_sec": pipe["turns_per_sec"],

@@ -103,8 +103,11 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.5):
     the SQL all-pairs truth in tests so the oracle comparison is exact on
     the shipped data."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # autoscaling pool: signing is the CPU-heavy stage (shingle hashing +
+    # 64 permutations); 2..8 half-cpu actors fit the 4-cpu test session
+    # and still fan out on a full node
     bands = ds.map_batches(dd.MinHasher, batch_format="pandas",
-                           concurrency=2, num_cpus=0.5)
+                           concurrency=(2, 8), num_cpus=0.5)
     cands = hash_exchange(
         bands, key_fn=_pair_hash_key(["band", "band_hash"]),
         n_parts=N_DOC_PARTS,
@@ -218,14 +221,10 @@ def _common_rank(ds, *, text_col: str = "text", charset: bool = False,
         if flat.size == 0:
             return pd.DataFrame({"e": np.array([], dtype=object),
                                  "n": np.array([], dtype=np.int64)})
-        codes, uniq = pd.factorize(flat)
+        codes, uniq = dd._factorize_elements(flat)
         # distinct per doc (set semantics, matching the join's sets)
-        doc_of = np.repeat(np.arange(len(lens)), lens)
-        order = np.lexsort((codes, doc_of))
-        d, c = doc_of[order], codes[order]
-        keep = np.concatenate(([True],
-                               (d[1:] != d[:-1]) | (c[1:] != c[:-1])))
-        n = np.bincount(c[keep], minlength=len(uniq)).astype(np.int64)
+        _, c = dd._distinct_doc_pairs(codes, lens, len(uniq))
+        n = np.bincount(c, minlength=len(uniq)).astype(np.int64)
         if len(uniq) > top_k:
             sel = np.argpartition(-n, top_k - 1)[:top_k]
             return pd.DataFrame({"e": uniq[sel], "n": n[sel]})
@@ -316,14 +315,18 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 5):
     qbuckets = dict(zip(hasher(qdf)["vec_id"], hasher(qdf)["bucket"]))
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        sim.HyperplaneLSH, batch_format="pandas", concurrency=2, num_cpus=0.5,
-        fn_constructor_kwargs={"dim": dim})
-    wanted = set(int(b) for b in qbuckets.values())
+        sim.HyperplaneLSH, batch_format="pyarrow", concurrency=2,
+        num_cpus=0.5, fn_constructor_kwargs={"dim": dim})
+    wanted = sorted(int(b) for b in set(qbuckets.values()))
 
-    def in_buckets(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["bucket"].isin(wanted)]
+    def in_buckets(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    cands = ds.map_batches(in_buckets, batch_format="pandas").map_batches(
+        return t.filter(pc.is_in(t["bucket"],
+                                 value_set=pa.array(wanted, pa.int64())))
+
+    cands = ds.map_batches(in_buckets, batch_format="pyarrow").map_batches(
         sim.BruteForceScorer, batch_format="pandas", concurrency=2, num_cpus=0.5,
         fn_constructor_kwargs={"queries": queries, "k": k})
     return cands.groupby("query_id").map_groups(
@@ -354,13 +357,18 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
     wanted = set(int(x) for x in probe.ravel())
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        sim.IVFAssign, batch_format="pandas", concurrency=2, num_cpus=0.5,
+        sim.IVFAssign, batch_format="pyarrow", concurrency=2, num_cpus=0.5,
         fn_constructor_kwargs={"centroids": cent})
+    wanted_arr = sorted(wanted)
 
-    def in_lists(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["list_id"].isin(wanted)]
+    def in_lists(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    cands = ds.map_batches(in_lists, batch_format="pandas").map_batches(
+        return t.filter(pc.is_in(t["list_id"],
+                                 value_set=pa.array(wanted_arr, pa.int64())))
+
+    cands = ds.map_batches(in_lists, batch_format="pyarrow").map_batches(
         sim.BruteForceScorer, batch_format="pandas", concurrency=2,
         num_cpus=0.5, fn_constructor_kwargs={"queries": queries, "k": k})
     return cands.groupby("query_id").map_groups(

@@ -51,9 +51,10 @@ import pandas as pd
 # later, Ray reconstructs it from these inputs.  A pin on the returned
 # Dataset object alone dies as soon as a caller derives a new Dataset from
 # it (ADVICE r2), so recent exchanges' splits are ALSO held in this bounded
-# module-level registry — old entries roll off, bounding the footprint to
-# the last few shuffles (one pipeline's worth).
-_KEEPALIVE: deque = deque(maxlen=16)
+# module-level registry — old entries roll off, bounding the pinned
+# object-store footprint to one pipeline's worth of shuffles (the deepest
+# shipped pipeline chains 5 exchanges).
+_KEEPALIVE: deque = deque(maxlen=8)
 
 
 def _to_arrow(out):

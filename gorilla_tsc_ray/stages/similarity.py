@@ -129,21 +129,45 @@ def kmeans_centroids(vectors: np.ndarray, n_lists: int, seed: int = 17,
     return cent
 
 
+def _batch_matrix(batch, vec_col: str) -> np.ndarray:
+    """(n, dim) float64 from either a pandas batch (object column of
+    arrays) or a pa.Table (list<float> column, zero pandas round-trip)."""
+    if isinstance(batch, pd.DataFrame):
+        return _stack_embeddings(batch[vec_col])
+    import pyarrow as pa
+
+    col = batch.column(vec_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return _list_matrix(col)
+
+
 class IVFAssign:
     """Actor-pool stage: broadcast centroid matrix held per actor; adds the
     nearest-centroid ``list_id`` column per vector (the IVF inverted-list
-    key)."""
+    key).  Arrow in/out — the embedding column stays ``list<float>``
+    end-to-end (a pandas round-trip re-infers it as a tensor-extension
+    type and destabilizes downstream schemas)."""
 
     def __init__(self, centroids: np.ndarray,
                  vec_col: str = "embedding") -> None:
         self.cent = np.asarray(centroids, dtype=np.float64)
         self.vec_col = vec_col
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        m = _normalize(_stack_embeddings(df[self.vec_col]))
-        out = df.copy()
-        out["list_id"] = np.argmax(m @ self.cent.T, axis=1).astype(np.int64)
-        return out
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        n = (len(batch) if isinstance(batch, pd.DataFrame)
+             else batch.num_rows)
+        if n == 0:
+            lists = np.array([], dtype=np.int64)
+        else:
+            m = _normalize(_batch_matrix(batch, self.vec_col))
+            lists = np.argmax(m @ self.cent.T, axis=1).astype(np.int64)
+        if isinstance(batch, pd.DataFrame):
+            out = batch.copy()
+            out["list_id"] = lists
+            return out
+        return batch.append_column("list_id", pa.array(lists, pa.int64()))
 
 
 class MultiHyperplaneLSH:
@@ -236,7 +260,9 @@ def cosine_verify(pairs, payload, *, threshold: float,
 
 class HyperplaneLSH:
     """Actor-pool stage: seeded random hyperplanes drawn once per actor;
-    adds an int64 ``bucket`` column (sign pattern of projections)."""
+    adds an int64 ``bucket`` column (sign pattern of projections).  Arrow
+    in/out for the same reason as :class:`IVFAssign` (pandas only for the
+    driver-side query-bucket probe)."""
 
     def __init__(self, dim: int, n_planes: int = 8, seed: int = 11,
                  vec_col: str = "embedding") -> None:
@@ -244,12 +270,21 @@ class HyperplaneLSH:
         self.planes = rng.standard_normal((dim, n_planes))
         self.vec_col = vec_col
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        m = _stack_embeddings(df[self.vec_col])
-        signs = (m @ self.planes) > 0
-        bucket = np.zeros(len(df), dtype=np.int64)
-        for j in range(signs.shape[1]):
-            bucket |= signs[:, j].astype(np.int64) << j
-        out = df.copy()
-        out["bucket"] = bucket
-        return out
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        n = (len(batch) if isinstance(batch, pd.DataFrame)
+             else batch.num_rows)
+        if n == 0:
+            bucket = np.array([], dtype=np.int64)
+        else:
+            m = _batch_matrix(batch, self.vec_col)
+            signs = (m @ self.planes) > 0
+            bucket = np.zeros(n, dtype=np.int64)
+            for j in range(signs.shape[1]):
+                bucket |= signs[:, j].astype(np.int64) << j
+        if isinstance(batch, pd.DataFrame):
+            out = batch.copy()
+            out["bucket"] = bucket
+            return out
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
