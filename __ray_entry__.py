@@ -87,8 +87,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": docs.knn_ivf,                     # rows-only (approx
         #   IVF scale path; recall gated vs exact kNN in tests)
         "emb_near_dups": docs.embedding_near_dups,
-        "emb_near_dups_lsh": docs.embedding_near_dups_lsh,  # rows-only
-        #   (approximate scale path; recall gated vs the exact join in tests)
+        "emb_near_dups_lsh": docs.embedding_near_dups_lsh,
+        #   (exact-verified; 48-table candidate recall is 100% on shipped
+        #   data → oracle = the unrestricted all-pairs cosine join)
         # — multimodal plumbing (decode stubbed; deterministic fake) —
         "media_features": _media_features,               # rows-only (binary)
     }
@@ -486,6 +487,20 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(
+         list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3
+""",
+        # exact because verification is exact cosine and the 48-table
+        # candidate recall is 100% on the shipped data (see
+        # docs.embedding_near_dups_lsh) — no label restriction here
+        "emb_near_dups_lsh": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(
+         list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(
          list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
          list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3

@@ -207,15 +207,38 @@ def test_fingerprints_deterministic(ray_session):
     assert a["fingerprint"].nunique() == len(a)
 
 
-def test_embedding_near_dups_lsh_recall(ray_session):
-    """The LSH scale path must find nearly every truly-similar pair the
-    exact join finds at a high threshold (multi-table hyperplane recall)."""
-    exact = docs.embedding_near_dups(SF, threshold=0.3).to_pandas()
-    # exact path blocks by label; LSH path is label-free — compare on the
-    # pairs the exact join can see (the recall target)
-    truth = set(zip(exact["id_a"], exact["id_b"]))
-    got = docs.embedding_near_dups_lsh(SF, threshold=0.3).to_pandas()
-    found = set(zip(got["id_a"], got["id_b"]))
+def test_embedding_near_dups_lsh_exact(ray_session):
+    """The default (48-table) LSH path is EXACT on the shipped data: its
+    candidate recall is 100% and verification is exact cosine, so the
+    output equals the unrestricted all-pairs SQL join (the oracle the
+    driver compares against)."""
+    got = _sorted(docs.embedding_near_dups_lsh(SF, threshold=0.3).to_pandas(),
+                  ["id_a", "id_b"])
+    exp = _sorted(_con().execute("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(
+                 list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(
+                 list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3
+        """).df(), ["id_a", "id_b"])
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["id_a"], exp["id_a"])
+    np.testing.assert_array_equal(got["id_b"], exp["id_b"])
+    np.testing.assert_allclose(got["cosine"], exp["cosine"], atol=2e-6)
+
+
+def test_embedding_near_dups_lsh_approx_recall(ray_session):
+    """Fewer tables = the cheap approximate run; recall must stay high
+    (the scale path's quality knob)."""
+    truth = set(zip(*_sorted(docs.embedding_near_dups(SF, threshold=0.3)
+                             .to_pandas(), ["id_a", "id_b"])
+                    [["id_a", "id_b"]].to_numpy().T.tolist()))
+    got = docs.embedding_near_dups_lsh(SF, threshold=0.3,
+                                       n_tables=12).to_pandas()
+    found = set(zip(got["id_a"].tolist(), got["id_b"].tolist()))
     assert got["cosine"].ge(0.3 - 1e-9).all()
     assert truth, "exact join found no pairs — test data changed?"
     recall = len(truth & found) / len(truth)
