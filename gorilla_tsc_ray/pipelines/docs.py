@@ -257,7 +257,8 @@ def _prefix_filtered_pairs(sf_dir: str, *, threshold: float, charset: bool,
     cands = hash_exchange(
         rows, key_fn=_pair_hash_key(["block", "tok"]), n_parts=N_DOC_PARTS,
         kernel=dd.candidate_pairs_partition, fmt="pandas",
-        kernel_kwargs={"bucket_cols": ["block", "tok"]})
+        kernel_kwargs={"bucket_cols": ["block", "tok"],
+                       "jaccard_threshold": threshold})
     return _verify_id_pairs(
         cands, sets.select_columns(["doc_id", "elems"]),
         payload_id="doc_id", payload_col="elems", attach_out="elems_a",
