@@ -584,3 +584,49 @@ int64_t gtsc_decode_v2_batch(const uint64_t *words, const int64_t *w_off,
     }
     return out_off[n_blocks];
 }
+
+/* ========== candidate-pair enumeration (dedup/similarity stages) ========
+ *
+ * Decodes every in-bucket (i < j) pair over pre-sorted candidate rows and
+ * writes surviving id pairs — the allocation-free native form of the
+ * numpy triangular decode in stages/dedup.py:candidate_pairs_partition
+ * (the vectorized form allocates ~90 B of intermediates per raw pair,
+ * which serializes across parallel reduce tasks on first-touch).  With
+ * threshold >= 0 and sz/pos arrays present, applies the PPJoin length +
+ * positional filters; an integer m >= ceil(x) test is equivalent to
+ * (double)m >= x, so no libm ceil is needed and results are bit-identical
+ * to the numpy filter.  Returns the pair count, or -1 if cap is hit
+ * (callers size cap to the unfiltered pair total, so that is unreachable).
+ */
+
+int64_t gtsc_pair_candidates(const int64_t *ids, const int32_t *sz,
+                             const int32_t *pos, const int64_t *starts,
+                             const int64_t *sizes, int64_t n_buckets,
+                             double threshold, int64_t *out_a,
+                             int64_t *out_b, int64_t cap)
+{
+    int64_t n_out = 0;
+    int use_f = threshold >= 0.0 && sz != 0 && pos != 0;
+    double tfrac = use_f ? threshold / (1.0 + threshold) : 0.0;
+    for (int64_t b = 0; b < n_buckets; b++) {
+        int64_t s = starts[b], e = starts[b] + sizes[b];
+        for (int64_t j = s + 1; j < e; j++) {
+            for (int64_t i = s; i < j; i++) {
+                if (use_f) {
+                    int64_t sa = sz[i], sb = sz[j];
+                    int64_t mn = sa < sb ? sa : sb;
+                    int64_t mx = sa < sb ? sb : sa;
+                    if ((double)mn < threshold * (double)mx) continue;
+                    int64_t ra = sa - pos[i], rb = sb - pos[j];
+                    int64_t ub = ra < rb ? ra : rb;
+                    if ((double)ub < tfrac * (double)(sa + sb)) continue;
+                }
+                if (n_out >= cap) return -1;
+                out_a[n_out] = ids[i];
+                out_b[n_out] = ids[j];
+                n_out++;
+            }
+        }
+    }
+    return n_out;
+}

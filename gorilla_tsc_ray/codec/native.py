@@ -88,6 +88,10 @@ try:
     _enc_dfcm = _sig(_lib.gtsc_encode_v2_dfcm, _c_i64,
                      [_c_i64, _p_i64, _p_u64, _c_i64, _c_i64, _p_u64,
                       _c_i64, ctypes.c_int, _p_u64, _c_i64, _p_i64])
+    _p_i32 = ctypes.POINTER(ctypes.c_int32)
+    _pair_cands = _sig(_lib.gtsc_pair_candidates, _c_i64,
+                       [_p_i64, _p_i32, _p_i32, _p_i64, _p_i64, _c_i64,
+                        ctypes.c_double, _p_i64, _p_i64, _c_i64])
     AVAILABLE = True
 except Exception:  # pragma: no cover - exercised only without a compiler
     AVAILABLE = False
@@ -200,3 +204,36 @@ def encode(block_ts: int, ts: np.ndarray, vb: np.ndarray,
     """Encode one series → ``(words uint64[], total_bits)`` with the exact
     ``getLongArray`` word-count semantics of the streaming writer."""
     return _encode(codec, block_ts, ts, vb, closed, table_size)
+
+
+def pair_candidates(ids_s: np.ndarray, starts: np.ndarray,
+                    sizes: np.ndarray, sz_s: np.ndarray | None = None,
+                    pos_s: np.ndarray | None = None,
+                    threshold: float = -1.0):
+    """In-bucket pair enumeration over pre-sorted candidate rows → two
+    pre-dedup ``int64`` id arrays, with the optional PPJoin length +
+    positional filter applied in-loop (``threshold >= 0`` plus int32
+    ``sz_s``/``pos_s``).  Bit-identical to the numpy triangular decode in
+    ``stages/dedup.py`` but allocates only the output arrays — the numpy
+    form's ~90 B/pair of intermediates serialize on first-touch across
+    parallel reduce tasks (BASELINE.md memory-wall analysis)."""
+    ids_s = np.ascontiguousarray(ids_s, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    tot = int((sizes * (sizes - 1) // 2).sum())
+    out_a = np.empty(tot, dtype=np.int64)
+    out_b = np.empty(tot, dtype=np.int64)
+    if sz_s is not None and threshold >= 0:
+        sz_s = np.ascontiguousarray(sz_s, dtype=np.int32)
+        pos_s = np.ascontiguousarray(pos_s, dtype=np.int32)
+        sz_p = sz_s.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        pos_p = pos_s.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    else:
+        sz_p = pos_p = None
+        threshold = -1.0
+    n = _pair_cands(_as_i64_ptr(ids_s), sz_p, pos_p, _as_i64_ptr(starts),
+                    _as_i64_ptr(sizes), len(starts), float(threshold),
+                    _as_i64_ptr(out_a), _as_i64_ptr(out_b), tot)
+    if n < 0:
+        raise RuntimeError("pair_candidates output capacity exceeded")
+    return out_a[:n], out_b[:n]

@@ -26,6 +26,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
+from ..codec import native as _native
 from ..util import round_half_away
 
 MERSENNE = (1 << 61) - 1
@@ -497,30 +498,42 @@ def candidate_pairs_partition(df: pd.DataFrame, *, bucket_cols,
     tot = int(m.sum())
     if tot == 0:
         return empty
-    run_of = np.repeat(np.arange(len(starts)), m)
-    p = (np.arange(tot, dtype=np.int64)
-         - np.repeat(np.concatenate(([0], np.cumsum(m)[:-1])), m))
-    # decode pair index p -> (i, j), i < j, j-major enumeration
-    j = ((1.0 + np.sqrt(1.0 + 8.0 * p.astype(np.float64))) / 2.0).astype(
-        np.int64)
-    j -= j * (j - 1) // 2 > p
-    j += p >= j * (j - 1) // 2 + j
-    i = p - j * (j - 1) // 2
-    ga = starts[run_of] + i
-    gb = starts[run_of] + j
+    sz_s = pos_s = None
     if jaccard_threshold is not None:
-        t = jaccard_threshold
-        sz_s = df["sz"].to_numpy()[order]
-        pos_s = df["pos"].to_numpy()[order]
-        sa, sb = sz_s[ga].astype(np.int64), sz_s[gb].astype(np.int64)
-        need = np.ceil(t / (1.0 + t) * (sa + sb)).astype(np.int64)
-        ok = np.minimum(sa, sb) >= np.ceil(t * np.maximum(sa, sb))
-        ok &= np.minimum(sa - pos_s[ga], sb - pos_s[gb]) >= need
-        ga, gb = ga[ok], gb[ok]
-        if len(ga) == 0:
+        sz_s = df["sz"].to_numpy()[order].astype(np.int32)
+        pos_s = df["pos"].to_numpy()[order].astype(np.int32)
+    if _native.AVAILABLE:
+        # allocation-free enumeration + filter (the numpy form below
+        # allocates ~90 B of intermediates per RAW pair, which serializes
+        # across parallel reduce tasks on anonymous-memory first-touch)
+        id_a, id_b = _native.pair_candidates(
+            ids_s, starts, sizes, sz_s, pos_s,
+            -1.0 if jaccard_threshold is None else jaccard_threshold)
+        if len(id_a) == 0:
             return empty
-    id_a = ids_s[ga].astype(np.int64)
-    id_b = ids_s[gb].astype(np.int64)
+    else:
+        run_of = np.repeat(np.arange(len(starts)), m)
+        p = (np.arange(tot, dtype=np.int64)
+             - np.repeat(np.concatenate(([0], np.cumsum(m)[:-1])), m))
+        # decode pair index p -> (i, j), i < j, j-major enumeration
+        j = ((1.0 + np.sqrt(1.0 + 8.0 * p.astype(np.float64))) / 2.0).astype(
+            np.int64)
+        j -= j * (j - 1) // 2 > p
+        j += p >= j * (j - 1) // 2 + j
+        i = p - j * (j - 1) // 2
+        ga = starts[run_of] + i
+        gb = starts[run_of] + j
+        if jaccard_threshold is not None:
+            t = jaccard_threshold
+            sa, sb = sz_s[ga].astype(np.int64), sz_s[gb].astype(np.int64)
+            need = np.ceil(t / (1.0 + t) * (sa + sb)).astype(np.int64)
+            ok = np.minimum(sa, sb) >= np.ceil(t * np.maximum(sa, sb))
+            ok &= np.minimum(sa - pos_s[ga], sb - pos_s[gb]) >= need
+            ga, gb = ga[ok], gb[ok]
+            if len(ga) == 0:
+                return empty
+        id_a = ids_s[ga].astype(np.int64)
+        id_b = ids_s[gb].astype(np.int64)
     # within-partition dedup: numpy sort + adjacent-drop (pandas hash
     # dedup is ~3× slower on the multi-million-pair hot partitions)
     order = np.lexsort((id_b, id_a))

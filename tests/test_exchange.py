@@ -170,6 +170,43 @@ def test_candidate_pairs_partition_matches_naive():
     assert got == exp
 
 
+def test_candidate_pairs_native_matches_numpy():
+    """The native enumeration+filter and the numpy fallback must be
+    bit-identical, with and without the PPJoin filter columns."""
+    import gorilla_tsc_ray.codec.native as native
+
+    if not native.AVAILABLE:
+        import pytest
+
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(23)
+    n = 600
+    df = pd.DataFrame({
+        "block": rng.choice(["x", "y"], n),
+        "tok": rng.integers(0, 12, n).astype(np.uint64),
+        "doc_id": rng.permutation(10_000)[:n].astype(np.int64),
+        "sz": rng.integers(1, 40, n).astype(np.int32),
+    }).drop_duplicates(["block", "tok", "doc_id"])
+    df["pos"] = (rng.integers(0, 40, len(df)) % df["sz"]).astype(np.int32)
+
+    def both(**kw):
+        got_native = dd.candidate_pairs_partition(df, **kw)
+        orig = native.AVAILABLE
+        native.AVAILABLE = False
+        try:
+            got_numpy = dd.candidate_pairs_partition(df, **kw)
+        finally:
+            native.AVAILABLE = orig
+        pd.testing.assert_frame_equal(got_native, got_numpy)
+        return got_native
+
+    unfiltered = both(bucket_cols=["block", "tok"])
+    filtered = both(bucket_cols=["block", "tok"], jaccard_threshold=0.5)
+    assert len(filtered) < len(unfiltered)  # the filter actually prunes
+    # truncation path parity too
+    both(bucket_cols=["block", "tok"], max_bucket=20)
+
+
 def test_distinct_sorted_sets_flat_matches_naive():
     """Vectorized set builder == the round-2 per-element reference order."""
     texts = pd.Series(["the cat sat on the mat", "a b a b c",
