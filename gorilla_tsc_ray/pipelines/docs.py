@@ -183,15 +183,47 @@ def _bucketed_pairs(rows_ds, bucket_cols, per_bucket_kernel):
                          n_parts=N_DOC_PARTS, kernel=kernel, fmt="pandas")
 
 
+# payload tables at or below this size verify via ONE broadcast exchange
+# instead of the two co-partitioned payload exchanges (a ray.put'd payload
+# is fetched zero-copy once per task; the a-side payload column otherwise
+# rides the verify exchange once per PAIR, the dominant volume on
+# near-dup-heavy data).  64 MB is comfortable worker-heap territory;
+# corpus-scale payloads always exceed it and take the exchange route.
+BROADCAST_PAYLOAD_BYTES = 64 << 20
+
+
 def _verify_id_pairs(cands_ds, payload_ds, *, payload_id: str,
                      payload_col: str, attach_out: str, verify_kernel,
                      verify_kwargs: dict, n_parts: int = N_DOC_PARTS):
-    """Slim pair-verify: candidate (id_a, id_b) rows → two co-partitioned
-    payload exchanges.  Exchange A (pairs by hash(id_a) × payload by
-    hash(id)) dedups the pairs — every duplicate hashes to the same
-    partition — and attaches a's payload; exchange B (by id_b) attaches
-    b's and runs the vectorized verify kernel.  Payload rows ride each
-    exchange once per doc/vector, never once per candidate row."""
+    """Slim pair-verify: candidate (id_a, id_b) rows → exact verification,
+    broadcast-or-shuffle selected by payload size.
+
+    Small payload (≤ ``BROADCAST_PAYLOAD_BYTES``): ONE exchange on
+    hash(id_a, id_b) dedups the pairs and probes both sides' payloads from
+    a broadcast table (:func:`...stages.dedup.pair_verify_bcast`).
+
+    Large payload: two co-partitioned exchanges — exchange A (pairs by
+    hash(id_a) × payload by hash(id)) dedups the pairs and attaches a's
+    payload; exchange B (by id_b) attaches b's and runs the vectorized
+    verify kernel.  Payload rows ride each exchange once per doc/vector,
+    never once per candidate row."""
+    import pyarrow as pa
+    import ray
+
+    size = payload_ds.size_bytes() or 0
+    if 0 < size <= BROADCAST_PAYLOAD_BYTES:
+        blocks = [t.replace_schema_metadata(None)
+                  for t in ray.get(payload_ds.to_arrow_refs())]
+        ref = ray.put(pa.concat_tables(
+            [b.select([payload_id, payload_col]) for b in blocks]))
+        return hash_exchange(
+            cands_ds, key_fn=_pair_hash_key(["id_a", "id_b"]),
+            n_parts=n_parts, kernel=dd.pair_verify_bcast, fmt="pyarrow",
+            kernel_kwargs={
+                "payload_ref": ref, "id_col": payload_id,
+                "payload_col": payload_col, "attach_out": attach_out,
+                "verify_kernel": verify_kernel,
+                "verify_kwargs": {**verify_kwargs, "id_col": payload_id}})
     paired = hash_exchange_multi(
         [(cands_ds, _pair_hash_key(["id_a"])),
          (payload_ds, _pair_hash_key([payload_id]))],

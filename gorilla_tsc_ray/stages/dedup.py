@@ -596,6 +596,40 @@ def attach_payload_a(pairs, payload, *, id_col: str = "doc_id",
     })
 
 
+def pair_verify_bcast(pairs, *, payload_ref, id_col, payload_col,
+                      attach_out, verify_kernel, verify_kwargs):
+    """Single-exchange broadcast form of the attach+verify pair (pairs
+    keyed by hash(id_a, id_b), so every duplicate of a pair lands here and
+    is dropped), with BOTH sides' payloads gathered from the broadcast
+    payload table — ``ray.put`` once, fetched zero-copy per task — instead
+    of riding the exchanges once per pair (the a-side payload column is
+    the dominant shuffle volume on near-dup-heavy data).  The pipeline
+    picks this path only when the whole payload table is small
+    (``docs._verify_id_pairs`` size check); at corpus scale the id-keyed
+    co-partitioned exchanges remain the route."""
+    import pyarrow as pa
+    import ray
+
+    payload = ray.get(payload_ref)
+    ia = pairs.column("id_a").to_numpy()
+    ib = pairs.column("id_b").to_numpy()
+    if len(ia):
+        order = np.lexsort((ib, ia))
+        ia, ib = ia[order], ib[order]
+        keep = np.concatenate(
+            ([True], (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])))
+        ia, ib = ia[keep], ib[keep]
+    pos = _payload_lookup(ia, payload, id_col)
+    col = payload.column(payload_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    pairs2 = pa.table({
+        "id_a": pa.array(ia, pa.int64()),
+        "id_b": pa.array(ib, pa.int64()),
+        attach_out: col.take(pa.array(pos, pa.int64())),
+    })
+    return verify_kernel(pairs2, payload, **verify_kwargs)
+
+
 def set_jaccard_verify(pairs, payload, *, threshold: float, sim_col: str,
                        id_col: str = "doc_id") -> pd.DataFrame:
     """Multi-exchange kernel (pairs keyed by id_b, payload keyed by id):

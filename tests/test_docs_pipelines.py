@@ -245,6 +245,15 @@ def test_embedding_near_dups_lsh_approx_recall(ray_session):
     assert recall >= 0.85, f"recall {recall:.2f} over {len(truth)} pairs"
 
 
+def test_verify_broadcast_matches_exchange_path(ray_session, monkeypatch):
+    """The broadcast-verify shortcut (small payload) and the co-partitioned
+    exchange route (corpus scale) must produce identical pairs."""
+    bc = _sorted(docs.token_jaccard(SF).to_pandas(), ["id_a", "id_b"])
+    monkeypatch.setattr(docs, "BROADCAST_PAYLOAD_BYTES", 0)
+    ex = _sorted(docs.token_jaccard(SF).to_pandas(), ["id_a", "id_b"])
+    pd.testing.assert_frame_equal(bc, ex)
+
+
 def test_knn_ivf_recall(ray_session):
     """IVF ANN must recover most of the exact top-k (n_probe/n_lists
     trade-off; seeded k-means → deterministic)."""
