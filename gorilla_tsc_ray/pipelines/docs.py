@@ -450,7 +450,7 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.3,
     # id pairs; exact cosine verifies via the id-keyed embedding payload
     # exchanges (vectors ride once per vector).
     rows = ds.map_batches(
-        sim.MultiHyperplaneLSH, batch_format="pandas",
+        sim.MultiHyperplaneLSH, batch_format="pyarrow",
         concurrency=2, num_cpus=0.5,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
                                "n_tables": n_tables})

@@ -188,9 +188,20 @@ class MultiHyperplaneLSH:
         self.id_col = id_col
         self.vec_col = vec_col
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        m = _stack_embeddings(df[self.vec_col])
-        n = len(df)
+    def __call__(self, batch):
+        # Arrow in (list<float> stays Arrow — a pandas round-trip of the
+        # embedding column re-infers tensor-extension schemas), long-format
+        # pandas out of three plain int64 columns.
+        if isinstance(batch, pd.DataFrame):
+            ids = batch[self.id_col].to_numpy()
+            n = len(batch)
+        else:
+            ids = batch.column(self.id_col).to_numpy()
+            n = batch.num_rows
+        if n == 0:
+            m = np.zeros((0, self.planes.shape[1]), dtype=np.float64)
+        else:
+            m = _batch_matrix(batch, self.vec_col)
         buckets = np.empty((n, self.n_tables), dtype=np.int64)
         for t in range(self.n_tables):
             signs = (m @ self.planes[t]) > 0
@@ -199,8 +210,7 @@ class MultiHyperplaneLSH:
                 bucket |= signs[:, j].astype(np.int64) << j
             buckets[:, t] = bucket
         return pd.DataFrame({
-            self.id_col: np.repeat(df[self.id_col].to_numpy(),
-                                   self.n_tables),
+            self.id_col: np.repeat(ids, self.n_tables),
             "table": np.tile(np.arange(self.n_tables, dtype=np.int64), n),
             "bucket": buckets.reshape(-1),
         })
