@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": docs.exact_dedup,
         "docs_charset_jaccard": docs.charset_jaccard,
         "docs_token_jaccard": docs.token_jaccard,
+        "docs_ngram_jaccard": docs.ngram_jaccard,
         "docs_minhash_pairs": docs.minhash_pairs,
         "docs_simhash_pairs": docs.simhash_pairs,
         # — training-data ops: similarity search —
@@ -467,6 +468,27 @@ WITH t AS (
   FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, round(j, 6) AS token_jaccard FROM s WHERE j >= 0.5
+""",
+        # exact word-3-gram Jaccard: same shingle truth as the minhash
+        # oracle, but the engine reaches it via the DETERMINISTIC prefix
+        # filter (100% recall by the AllPairs theorem, no LSH probability)
+        "docs_ngram_jaccard": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM t
+), s AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shs, b.shs)) * 1.0 /
+         greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(j, 6) AS ngram_jaccard FROM s WHERE j >= 0.5
 """,
         "emb_knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id,

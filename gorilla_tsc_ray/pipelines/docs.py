@@ -306,6 +306,31 @@ def charset_jaccard(sf_dir: str, threshold: float = 0.8):
                                   sim_col="jaccard_sim")
 
 
+def ngram_jaccard(sf_dir: str, threshold: float = 0.5, k: int = 3):
+    """Exact word-k-gram (shingle) set-Jaccard join — DETERMINISTIC 100%
+    recall via the AllPairs/PPJoin prefix filter over hash-sorted shingle
+    sets (no LSH probability argument, unlike :func:`minhash_pairs` which
+    shares the same SQL truth but generates candidates via banded LSH).
+    Shingle hashes are near-unique, so hash order serves as the global
+    prefix order and no frequency-rank estimation pass is needed; there is
+    no block column — blocking comes entirely from shared prefix shingles."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sets = ds.map_batches(dd.shingle_sets_table, batch_format="pandas",
+                          fn_kwargs={"k": k}).materialize()
+    rows = sets.map_batches(dd.prefix_token_rows, batch_format="pyarrow",
+                            fn_kwargs={"threshold": threshold})
+    cands = hash_exchange(
+        rows, key_fn=_pair_hash_key(["tok"]), n_parts=N_DOC_PARTS,
+        kernel=dd.candidate_pairs_partition, fmt="pandas",
+        kernel_kwargs={"bucket_cols": ["tok"],
+                       "jaccard_threshold": threshold})
+    return _verify_id_pairs(
+        cands, sets.select_columns(["doc_id", "elems"]),
+        payload_id="doc_id", payload_col="elems", attach_out="elems_a",
+        verify_kernel=dd.set_jaccard_verify,
+        verify_kwargs={"threshold": threshold, "sim_col": "ngram_jaccard"})
+
+
 def token_jaccard(sf_dir: str, threshold: float = 0.5):
     """Exact token-set Jaccard pairs (the n-gram Jaccard operator with
     n=1; oracle-checked via DuckDB list functions), computed with the

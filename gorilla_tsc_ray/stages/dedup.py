@@ -389,13 +389,16 @@ def doc_sets_table(df: pd.DataFrame, *, order_rank: dict | None,
 
 
 def shingle_sets_table(df: pd.DataFrame, *, id_col: str = "doc_id",
-                       text_col: str = "text"):
+                       text_col: str = "text", k: int = 3):
     """map_batches stage → pa.Table ``(doc_id, elems list<uint64>)`` of the
-    DISTINCT word-3-shingle hashes per doc — the payload for exact minhash
-    verification (same shingle family as :class:`MinHasher`)."""
+    DISTINCT word-k-shingle hashes per doc, hash-sorted within each doc —
+    the payload for exact minhash verification (same shingle family as
+    :class:`MinHasher`) and the input to the exact n-gram prefix join
+    (hash order IS a consistent global order, so the prefix-filter theorem
+    applies without a frequency-rank pass)."""
     import pyarrow as pa
 
-    sh, bounds = _doc_shingle_hashes(df[text_col])
+    sh, bounds = _doc_shingle_hashes(df[text_col], k=k)
     n = len(df)
     lens = np.diff(bounds)
     doc_of = np.repeat(np.arange(n), lens)
@@ -419,7 +422,8 @@ def prefix_token_rows(tbl, *, threshold: float):
     size) and ``pos`` (0-based position of the token in the doc's
     order-sorted set) are two int32 columns that let the candidate kernel
     apply the PPJoin length + positional filters — nothing else rides the
-    candidate shuffle."""
+    candidate shuffle.  Inputs without a ``block`` column (un-blocked
+    joins, e.g. the n-gram shingle join) omit it from the output too."""
     import pyarrow as pa
 
     elems = tbl.column("elems")
@@ -438,13 +442,13 @@ def prefix_token_rows(tbl, *, threshold: float):
                           prefix))
     pos = starts[rep] + within
     rep_idx = pa.array(rep)
-    return pa.table({
-        "doc_id": tbl.column("doc_id").take(rep_idx),
-        "block": tbl.column("block").take(rep_idx),
-        "tok": elems.values.take(pa.array(pos)),
-        "sz": pa.array(lens[rep].astype(np.int32), pa.int32()),
-        "pos": pa.array(within.astype(np.int32), pa.int32()),
-    })
+    cols = {"doc_id": tbl.column("doc_id").take(rep_idx)}
+    if "block" in tbl.column_names:
+        cols["block"] = tbl.column("block").take(rep_idx)
+    cols["tok"] = elems.values.take(pa.array(pos))
+    cols["sz"] = pa.array(lens[rep].astype(np.int32), pa.int32())
+    cols["pos"] = pa.array(within.astype(np.int32), pa.int32())
+    return pa.table(cols)
 
 
 def candidate_pairs_partition(df: pd.DataFrame, *, bucket_cols,

@@ -135,6 +135,39 @@ def test_minhash_pairs_exact_oracle(ray_session):
     np.testing.assert_allclose(got["jaccard"], exp["jaccard"], atol=2e-6)
 
 
+def test_ngram_jaccard_exact_oracle(ray_session):
+    """Exact prefix-filter shingle join: output must EQUAL the all-pairs
+    SQL shingle-Jaccard truth — recall is 100% by the AllPairs theorem,
+    not by an LSH probability bound (contrast: minhash_pairs)."""
+    got = _sorted(docs.ngram_jaccard(SF, threshold=0.5).to_pandas(),
+                  ["id_a", "id_b"])
+    exp = _sorted(_con().execute("""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(toks) - 2, 1) + 1),
+            i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                        coalesce(toks[i+2], '')))) AS shs
+          FROM t
+        ), s AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.shs, b.shs)) * 1.0 /
+                 greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1)
+                   AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, round(j, 6) AS ngram_jaccard FROM s
+        WHERE j >= 0.5
+        """).df(), ["id_a", "id_b"])
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["id_a"], exp["id_a"])
+    np.testing.assert_array_equal(got["id_b"], exp["id_b"])
+    np.testing.assert_allclose(got["ngram_jaccard"], exp["ngram_jaccard"],
+                               atol=2e-6)
+
+
 def test_simhash_pairs_symmetry(ray_session):
     got = docs.simhash_pairs(SF, max_hamming=10).to_pandas()
     assert (got["id_a"] < got["id_b"]).all()
