@@ -446,7 +446,8 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.3):
 
 
 def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.3,
-                            n_planes: int = 3, n_tables: int = 48):
+                            n_planes: int = 3, n_tables: int = 48,
+                            triangle_groups: int | None = None):
     """Scale path for embedding near-dups, EXACT-VERIFIED: multi-table
     random-hyperplane LSH buckets generate candidate pairs (a pair at
     angle θ collides in one table w.p. (1−θ/π)^planes), exact cosine
@@ -479,12 +480,30 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.3,
         concurrency=2, num_cpus=0.5,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
                                "n_tables": n_tables})
-    cands = hash_exchange(
-        rows, key_fn=_pair_hash_key(["table", "bucket"]),
-        n_parts=N_DOC_PARTS,
-        kernel=dd.candidate_pairs_partition, fmt="pandas",
-        kernel_kwargs={"bucket_cols": ["table", "bucket"],
-                       "id_col": "vec_id", "max_bucket": 2000})
+    if triangle_groups:
+        # hot-bucket scale path: an LSH cell holds ~n/2^planes vectors BY
+        # CONSTRUCTION, so at corpus scale every bucket is a straggler (or
+        # a recall-losing truncation).  Triangle blocking splits each
+        # bucket's pair triangle into g(g+1)/2 cells keyed into the
+        # exchange — per-task work drops quadratically for g× row
+        # replication, and the pair set is IDENTICAL (test-pinned).
+        rows = rows.map_batches(
+            dd.triangle_expand, batch_format="pyarrow",
+            fn_kwargs={"id_col": "vec_id", "n_groups": triangle_groups})
+        cands = hash_exchange(
+            rows, key_fn=_pair_hash_key(["table", "bucket", "ci", "cj"]),
+            n_parts=N_DOC_PARTS,
+            kernel=dd.triangle_pairs_partition, fmt="pandas",
+            kernel_kwargs={"bucket_cols": ["table", "bucket"],
+                           "id_col": "vec_id",
+                           "n_groups": triangle_groups})
+    else:
+        cands = hash_exchange(
+            rows, key_fn=_pair_hash_key(["table", "bucket"]),
+            n_parts=N_DOC_PARTS,
+            kernel=dd.candidate_pairs_partition, fmt="pandas",
+            kernel_kwargs={"bucket_cols": ["table", "bucket"],
+                           "id_col": "vec_id", "max_bucket": 2000})
     return _verify_id_pairs(
         cands, ds, payload_id="vec_id", payload_col="embedding",
         attach_out="emb_a", verify_kernel=sim.cosine_verify,

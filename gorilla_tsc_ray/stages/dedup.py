@@ -547,6 +547,135 @@ def candidate_pairs_partition(df: pd.DataFrame, *, bucket_cols,
     return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
 
 
+# ---- 2D triangle blocking for hot candidate buckets -----------------------
+# A bucket of n rows owns n²/2 candidate pairs, and the hash exchange gives
+# ONE reduce task the whole bucket — at 100 TB a structurally hot bucket
+# (an LSH cell holds n/2^planes vectors by construction) becomes a single
+# straggler or a recall-losing truncation.  Triangle blocking splits the
+# bucket's pair triangle into a g×g grid: rows are assigned a group by id
+# hash, each row is replicated to the g cells containing its group, the
+# exchange keys on (bucket, ci, cj), and each cell enumerates only its own
+# pairs (diagonal cells: within-group triangle; off-diagonal: cross product
+# between the two groups).  Every pair is generated in EXACTLY one cell —
+# work per task drops g(g+1)/2-fold for g× map-side row replication.
+
+def _id_group(ids: np.ndarray, n_groups: int) -> np.ndarray:
+    return (splitmix64(ids.astype(np.uint64))
+            % _U(n_groups)).astype(np.int32)
+
+
+def triangle_expand(tbl, *, id_col: str = "vec_id", n_groups: int = 8):
+    """map_batches stage over candidate rows → g copies per row with
+    ``(ci, cj)`` cell columns (``ci ≤ cj``, the row's group is one of the
+    two).  Key the following exchange on ``bucket_cols + [\"ci\", \"cj\"]``
+    and reduce with :func:`triangle_pairs_partition`."""
+    import pyarrow as pa
+
+    ids = tbl.column(id_col).to_numpy()
+    n = len(ids)
+    grp = _id_group(ids, n_groups)
+    idx = np.tile(np.arange(n, dtype=np.int64), n_groups)
+    other = np.repeat(np.arange(n_groups, dtype=np.int32), n)
+    grp_rep = np.tile(grp, n_groups)
+    out = tbl.take(pa.array(idx))
+    out = out.append_column(
+        "ci", pa.array(np.minimum(grp_rep, other), pa.int32()))
+    return out.append_column(
+        "cj", pa.array(np.maximum(grp_rep, other), pa.int32()))
+
+
+def triangle_pairs_partition(df: pd.DataFrame, *, bucket_cols,
+                             id_col: str = "vec_id", n_groups: int = 8,
+                             max_cell: int = 1_000_000) -> pd.DataFrame:
+    """Exchange partition of triangle-expanded candidate rows → distinct id
+    pairs.  Runs are (bucket..., ci, cj) cells; diagonal cells enumerate the
+    within-group triangle, off-diagonal cells the ci×cj cross product — so
+    each bucket pair is produced in exactly one cell and the union over
+    cells equals the plain bucket enumeration (test-pinned).  ``max_cell``
+    bounds a degenerate CELL (log-truncated); with g groups it protects
+    g(g+1)/2× more bucket size than the flat kernel's cap."""
+    n = len(df)
+    empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                          "id_b": np.array([], dtype=np.int64)})
+    if n < 2:
+        return empty
+    ids = df[id_col].to_numpy()
+    grp = _id_group(ids, n_groups)
+    ci = df["ci"].to_numpy()
+    cj = df["cj"].to_numpy()
+    col_codes = [pd.factorize(df[c].to_numpy())[0] for c in bucket_cols]
+    order = np.lexsort((ids, grp, cj, ci, *col_codes[::-1]))
+    ids_s, grp_s = ids[order], grp[order]
+    ci_s, cj_s = ci[order], cj[order]
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for cc in col_codes:
+        cs = cc[order]
+        change[1:] |= cs[1:] != cs[:-1]
+    change[1:] |= (ci_s[1:] != ci_s[:-1]) | (cj_s[1:] != cj_s[:-1])
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.append(starts, n))
+    if (sizes > max_cell).any():
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "triangle cell truncated: %d cells over cap %d (largest %d)",
+            int((sizes > max_cell).sum()), max_cell, int(sizes.max()))
+        sizes = np.minimum(sizes, max_cell)
+    diag = ci_s[starts] == cj_s[starts]
+    # rows are (grp, id)-sorted within a run, so group-ci rows are the
+    # prefix of an off-diagonal run; after a cap, the prefix clips to the
+    # truncated extent
+    n1 = np.minimum(
+        np.add.reduceat((grp_s == ci_s).astype(np.int64), starts), sizes)
+    ga_parts, gb_parts = [], []
+    # diagonal cells: triangular decode (closed form, no per-run Python)
+    dsz = sizes[diag]
+    m = dsz * (dsz - 1) // 2
+    if m.sum():
+        dstarts = starts[diag]
+        run_of = np.repeat(np.arange(len(dsz)), m)
+        p = (np.arange(int(m.sum()), dtype=np.int64)
+             - np.repeat(np.concatenate(([0], np.cumsum(m)[:-1])), m))
+        j = ((1.0 + np.sqrt(1.0 + 8.0 * p.astype(np.float64))) / 2.0).astype(
+            np.int64)
+        j -= j * (j - 1) // 2 > p
+        j += p >= j * (j - 1) // 2 + j
+        i = p - j * (j - 1) // 2
+        ga_parts.append(dstarts[run_of] + i)
+        gb_parts.append(dstarts[run_of] + j)
+    # off-diagonal cells: n1 × n2 cross product
+    xsel = ~diag
+    xn1, xn2 = n1[xsel], sizes[xsel] - n1[xsel]
+    xm = xn1 * xn2
+    if xm.sum():
+        xstarts = starts[xsel]
+        keep = xm > 0
+        xn1, xn2, xm, xstarts = xn1[keep], xn2[keep], xm[keep], xstarts[keep]
+        run_of = np.repeat(np.arange(len(xm)), xm)
+        p = (np.arange(int(xm.sum()), dtype=np.int64)
+             - np.repeat(np.concatenate(([0], np.cumsum(xm)[:-1])), xm))
+        i = p // xn2[run_of]
+        j = p - i * xn2[run_of]
+        ga_parts.append(xstarts[run_of] + i)
+        gb_parts.append(xstarts[run_of] + xn1[run_of] + j)
+    if not ga_parts:
+        return empty
+    ga = np.concatenate(ga_parts)
+    gb = np.concatenate(gb_parts)
+    a = ids_s[ga].astype(np.int64)
+    b = ids_s[gb].astype(np.int64)
+    id_a, id_b = np.minimum(a, b), np.maximum(a, b)
+    order = np.lexsort((id_b, id_a))
+    id_a, id_b = id_a[order], id_b[order]
+    keep = np.concatenate(
+        ([True], (id_a[1:] != id_a[:-1]) | (id_b[1:] != id_b[:-1])))
+    keep &= id_a != id_b
+    if not keep.any():
+        return empty
+    return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
+
+
 def _list_flat(arr):
     """(values ndarray, lengths ndarray) of a pa.ListArray, robust to
     slice offsets (take/concat outputs)."""

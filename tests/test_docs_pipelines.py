@@ -263,6 +263,20 @@ def test_embedding_near_dups_lsh_exact(ray_session):
     np.testing.assert_allclose(got["cosine"], exp["cosine"], atol=2e-6)
 
 
+def test_embedding_near_dups_lsh_triangle_blocking(ray_session):
+    """The triangle-blocked hot-bucket path (pair triangle split into
+    g(g+1)/2 exchange cells) must produce EXACTLY the flat path's output —
+    same pairs, same cosines."""
+    flat = _sorted(docs.embedding_near_dups_lsh(SF, threshold=0.3,
+                                                n_tables=12).to_pandas(),
+                   ["id_a", "id_b"])
+    tri = _sorted(docs.embedding_near_dups_lsh(SF, threshold=0.3,
+                                               n_tables=12,
+                                               triangle_groups=4).to_pandas(),
+                  ["id_a", "id_b"])
+    pd.testing.assert_frame_equal(tri, flat)
+
+
 def test_embedding_near_dups_lsh_approx_recall(ray_session):
     """Fewer tables = the cheap approximate run; recall must stay high
     (the scale path's quality knob)."""

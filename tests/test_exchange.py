@@ -260,3 +260,61 @@ def test_set_jaccard_verify_kernel():
         a, b = set(sets[ia[k]].tolist()), set(sets[ib[k]].tolist())
         exp = len(a & b) / max(len(a | b), 1)
         assert got["sim"].iloc[k] == pytest.approx(exp, abs=1e-6)
+
+
+def test_triangle_blocking_equals_flat_enumeration():
+    """2D triangle blocking: the union of per-cell pair enumerations over
+    the g×g grid must EQUAL the flat per-bucket enumeration — every pair in
+    exactly one cell — while each cell holds only ~2/g of the bucket."""
+    rng = np.random.default_rng(31)
+    hot = pd.DataFrame({          # one hot bucket + a few cold ones
+        "table": np.int32(0),
+        "bucket": np.int64(7),
+        "vec_id": rng.permutation(100_000)[:500].astype(np.int64)})
+    cold = pd.DataFrame({
+        "table": rng.integers(1, 4, 60).astype(np.int32),
+        "bucket": rng.integers(0, 3, 60).astype(np.int64),
+        "vec_id": rng.permutation(100_000)[:60].astype(np.int64)})
+    df = pd.concat([hot, cold], ignore_index=True)
+    df = df.drop_duplicates(["table", "bucket", "vec_id"])
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+
+    g = 4
+    ex = dd.triangle_expand(tbl, id_col="vec_id", n_groups=g)
+    assert ex.num_rows == tbl.num_rows * g
+    exdf = ex.to_pandas()
+    # per-cell row bound: a cell holds at most two groups of the bucket
+    cell_sizes = exdf[(exdf["table"] == 0) & (exdf["bucket"] == 7)] \
+        .groupby(["ci", "cj"]).size()
+    assert len(cell_sizes) == g * (g + 1) // 2
+    assert cell_sizes.max() < 2 * len(hot) / g * 1.8  # ~2n/g with slack
+
+    got = dd.triangle_pairs_partition(
+        exdf, bucket_cols=["table", "bucket"], id_col="vec_id", n_groups=g)
+    flat = dd.candidate_pairs_partition(
+        df, bucket_cols=["table", "bucket"], id_col="vec_id")
+    assert (set(zip(got["id_a"], got["id_b"]))
+            == set(zip(flat["id_a"], flat["id_b"])))
+    # no duplicate pair generation across cells (each pair in ONE cell)
+    assert not got.duplicated(["id_a", "id_b"]).any()
+
+
+def test_triangle_pairs_cells_disjoint():
+    """Each (id_a, id_b) pair of a bucket is generated by exactly one cell
+    even when cells are evaluated in separate partitions."""
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "table": np.int32(0), "bucket": np.int64(1),
+        "vec_id": np.arange(80, dtype=np.int64)})
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    g = 3
+    exdf = dd.triangle_expand(tbl, id_col="vec_id", n_groups=g).to_pandas()
+    all_pairs = []
+    for _, cell in exdf.groupby(["ci", "cj"]):  # one partition per cell
+        p = dd.triangle_pairs_partition(
+            cell, bucket_cols=["table", "bucket"], id_col="vec_id",
+            n_groups=g)
+        all_pairs.append(p)
+    allp = pd.concat(all_pairs, ignore_index=True)
+    assert not allp.duplicated(["id_a", "id_b"]).any()
+    assert len(allp) == 80 * 79 // 2
