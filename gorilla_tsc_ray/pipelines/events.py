@@ -26,23 +26,45 @@ from ..util import hash_partition_ids
 
 EVENT_COLS = ["user_id", "ts", "value"]
 N_PARTS = 64
+_PART_BYTES = 128 << 10
 
 
-def _user_key_fn(tbl):
+def _n_parts(sf_dir: str) -> int:
+    """Exchange/read partition count, adaptive to the events table size:
+    one partition per ~128 KB of input, floor 8, cap ``N_PARTS`` (≈2
+    reduce waves on a 32-cpu session; scale-out beyond one node comes from
+    node count, not a larger per-table constant).  At small scale exchange
+    cost is pure task scheduling, not compute — 64 fixed partitions
+    measured 2.8× slower than 16 on the 2 MB sf0.1 events table."""
+    import os
+
+    try:
+        sz = os.path.getsize(f"{sf_dir.rstrip('/')}/events.parquet")
+    except OSError:
+        return N_PARTS
+    return min(N_PARTS, max(8, int(sz // _PART_BYTES)))
+
+
+def _user_key_fn(n_parts: int):
     """Partition id per row from the user hash (exchange key)."""
-    key = tbl.column("user_id").to_pandas()
-    return (pd.util.hash_pandas_object(key, index=False).to_numpy()
-            % np.uint64(N_PARTS)).astype(np.int64)
+
+    def key_fn(tbl):
+        key = tbl.column("user_id").to_pandas()
+        return (pd.util.hash_pandas_object(key, index=False).to_numpy()
+                % np.uint64(n_parts)).astype(np.int64)
+
+    return key_fn
 
 
-def _read_points(sf_dir: str):
+def _read_points(sf_dir: str, n_blocks: int | None = None):
     """Column-pruned read + vectorized ms-epoch derivation."""
     import pyarrow.compute as pc
     import ray.data
 
     tune_context()
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=EVENT_COLS,
-                               override_num_blocks=N_PARTS)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=EVENT_COLS,
+        override_num_blocks=n_blocks or _n_parts(sf_dir))
 
     def to_ms(batch):
         ts_us = pc.cast(batch["ts"], "int64")  # timestamp[us] → int64 us
@@ -53,7 +75,8 @@ def _read_points(sf_dir: str):
     return ds.map_batches(to_ms, batch_format="pyarrow")
 
 
-def _encode_by_partition(keyed_ds, codec: str = "gorilla2"):
+def _encode_by_partition(keyed_ds, codec: str = "gorilla2",
+                         n_parts: int = N_PARTS):
     """Hash (user, day-block) series into bounded partitions; encode every
     series of a partition in one vectorized kernel (one Python call per
     partition, not per series).
@@ -73,13 +96,13 @@ def _encode_by_partition(keyed_ds, codec: str = "gorilla2"):
         # salt with the DAY INDEX (bs is a multiple of DAY_MS, which shares
         # factors with the power-of-two partition count)
         h = h * np.uint64(1_000_003) + (bs // DAY_MS).astype(np.uint64)
-        return (h % np.uint64(N_PARTS)).astype(np.int64)
+        return (h % np.uint64(n_parts)).astype(np.int64)
 
     def enc(df: pd.DataFrame) -> pd.DataFrame:
         return encode_partition(df, key_cols=["user_id"], metric_col=None,
                                 codec=codec)
 
-    return hash_exchange(keyed_ds, key_fn=key_fn, n_parts=N_PARTS,
+    return hash_exchange(keyed_ds, key_fn=key_fn, n_parts=n_parts,
                          kernel=enc, fmt="pandas")
 
 
@@ -95,7 +118,8 @@ def points_roundtrip_dfcm(sf_dir: str):
 
     blocks = _encode_by_partition(ds.map_batches(add_block,
                                                  batch_format="pyarrow"),
-                                  codec="gorilla2_dfcm")
+                                  codec="gorilla2_dfcm",
+                                  n_parts=_n_parts(sf_dir))
     return blocks.map_batches(
         decode_blocks_batch, batch_format="pandas",
         fn_kwargs={"key_cols": ["user_id"]},
@@ -116,7 +140,8 @@ def points_roundtrip_v1(sf_dir: str):
 
     blocks = _encode_by_partition(ds.map_batches(add_block,
                                                  batch_format="pyarrow"),
-                                  codec="gorilla1")
+                                  codec="gorilla1",
+                                  n_parts=_n_parts(sf_dir))
     return blocks.map_batches(
         decode_blocks_batch, batch_format="pandas",
         fn_kwargs={"key_cols": ["user_id"]},
@@ -136,7 +161,8 @@ def points_roundtrip(sf_dir: str):
         return batch.append_column("block_start", bs)
 
     blocks = _encode_by_partition(ds.map_batches(add_block,
-                                                  batch_format="pyarrow"))
+                                                 batch_format="pyarrow"),
+                                  n_parts=_n_parts(sf_dir))
     points = blocks.map_batches(
         decode_blocks_batch, batch_format="pandas",
         fn_kwargs={"key_cols": ["user_id"]},
@@ -163,19 +189,21 @@ def points_roundtrip_long(sf_dir: str):
                 .append_column("value", pa.array(cents))
                 .append_column("block_start", bs))
 
+    P = _n_parts(sf_dir)
+
     def key_fn(tbl):
         key = tbl.column("user_id").to_pandas()
         h = pd.util.hash_pandas_object(key, index=False).to_numpy()
         bs = tbl.column("block_start").to_numpy(zero_copy_only=False)
         h = h * np.uint64(1_000_003) + (bs // DAY_MS).astype(np.uint64)
-        return (h % np.uint64(N_PARTS)).astype(np.int64)
+        return (h % np.uint64(P)).astype(np.int64)
 
     def enc(df: pd.DataFrame) -> pd.DataFrame:
         return encode_partition(df, key_cols=["user_id"], metric_col=None,
                                 value_kind="long")
 
     blocks = hash_exchange(ds.map_batches(to_cents, batch_format="pyarrow"),
-                           key_fn=key_fn, n_parts=N_PARTS, kernel=enc,
+                           key_fn=key_fn, n_parts=P, kernel=enc,
                            fmt="pandas")
     pts = blocks.map_batches(decode_blocks_batch, batch_format="pandas",
                              fn_kwargs={"key_cols": ["user_id"]})
@@ -200,7 +228,8 @@ def encode_blocks(sf_dir: str):
         return batch.append_column("block_start", bs)
 
     return _encode_by_partition(ds.map_batches(add_block,
-                                                batch_format="pyarrow"))
+                                               batch_format="pyarrow"),
+                                n_parts=_n_parts(sf_dir))
 
 
 def _finalize_rollup(ds):
@@ -217,7 +246,8 @@ def _finalize_rollup(ds):
 
 def rollup(sf_dir: str, tier: str):
     ds = _read_points(sf_dir)
-    rolled = rollup_dataset(ds, key_cols=["user_id"], tier=tier)
+    rolled = rollup_dataset(ds, key_cols=["user_id"], tier=tier,
+                            n_parts=_n_parts(sf_dir))
     return _finalize_rollup(
         rolled).select_columns(["user_id", "bucket_ms", "sum_v", "cnt",
                                 "min_v", "max_v", "last_v"])
@@ -230,16 +260,18 @@ def rollup_by_type(sf_dir: str, tier: str = "1h"):
     import ray.data
 
     tune_context()
+    P = _n_parts(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_type", "ts", "value"],
-                               override_num_blocks=N_PARTS)
+                               override_num_blocks=P)
 
     def to_ms(batch):
         ts_ms = pc.divide(pc.cast(batch["ts"], "int64"), 1000)
         return batch.drop_columns(["ts"]).append_column("ts_ms", ts_ms)
 
     pts = ds.map_batches(to_ms, batch_format="pyarrow")
-    rolled = rollup_dataset(pts, key_cols=["user_id", "event_type"], tier=tier)
+    rolled = rollup_dataset(pts, key_cols=["user_id", "event_type"], tier=tier,
+                            n_parts=P)
     return _finalize_rollup(rolled).select_columns(
         ["user_id", "event_type", "bucket_ms", "sum_v", "cnt",
          "min_v", "max_v", "last_v"])
@@ -250,8 +282,9 @@ def rollup_1h_via_cascade(sf_dir: str):
     re-reads raw points).  Must equal the direct 1h rollup — the oracle SQL
     is the same as ``rollup(sf_dir, "1h")``'s."""
     ds = _read_points(sf_dir)
-    one_m = rollup_dataset(ds, key_cols=["user_id"], tier="1m")
-    one_h = cascade_dataset(one_m, key_cols=["user_id"], tier="1h")
+    P = _n_parts(sf_dir)
+    one_m = rollup_dataset(ds, key_cols=["user_id"], tier="1m", n_parts=P)
+    one_h = cascade_dataset(one_m, key_cols=["user_id"], tier="1h", n_parts=P)
     return _finalize_rollup(
         one_h).select_columns(["user_id", "bucket_ms", "sum_v", "cnt",
                                "min_v", "max_v", "last_v"])
@@ -263,10 +296,11 @@ def gapfill(sf_dir: str, tier: str = "1h"):
     users hash into bounded partitions, one vectorized multi-series
     gap-fill kernel per partition."""
     ds = _read_points(sf_dir)
-    rolled = rollup_dataset(ds, key_cols=["user_id"], tier=tier)
+    P = _n_parts(sf_dir)
+    rolled = rollup_dataset(ds, key_cols=["user_id"], tier=tier, n_parts=P)
 
     filled = hash_exchange(
-        rolled, key_fn=_user_key_fn, n_parts=N_PARTS,
+        rolled, key_fn=_user_key_fn(P), n_parts=P,
         kernel=lambda df: gapfill_partition(df, bucket_ms=TIER_MS[tier],
                                             key_cols=["user_id"]),
         fmt="pandas")
@@ -299,9 +333,10 @@ def sessionize(sf_dir: str, gap_ms: int = 1_800_000,
     same global session iff ``next.start − prev.end ≤ gap_ms`` — the merge
     rule below."""
     ds = _read_points(sf_dir)
+    P = _n_parts(sf_dir)
     if slice_ms is None:
         return hash_exchange(
-            ds, key_fn=_user_key_fn, n_parts=N_PARTS,
+            ds, key_fn=_user_key_fn(P), n_parts=P,
             kernel=_sessions_kernel, fmt="pandas",
             kernel_kwargs={"gap_ms": gap_ms, "finalize": True})
 
@@ -311,10 +346,10 @@ def sessionize(sf_dir: str, gap_ms: int = 1_800_000,
         sl = (tbl.column("ts_ms").to_numpy(zero_copy_only=False)
               // slice_ms).astype(np.uint64)
         return ((h * np.uint64(1_000_003) + sl)
-                % np.uint64(N_PARTS)).astype(np.int64)
+                % np.uint64(P)).astype(np.int64)
 
     local = hash_exchange(
-        ds, key_fn=key_fn, n_parts=N_PARTS, kernel=_sessions_kernel,
+        ds, key_fn=key_fn, n_parts=P, kernel=_sessions_kernel,
         fmt="pandas",
         kernel_kwargs={"gap_ms": gap_ms, "finalize": False,
                        "slice_ms": slice_ms})
@@ -355,7 +390,7 @@ def sessionize(sf_dir: str, gap_ms: int = 1_800_000,
         out["duration_ms"] = out["session_end"] - out["session_start"]
         return out
 
-    return hash_exchange(local, key_fn=_user_key_fn, n_parts=N_PARTS,
+    return hash_exchange(local, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=stitch, fmt="pandas")
 
 
@@ -428,10 +463,11 @@ def asof_last_match(sf_dir: str, match_type: str = "purchase",
     import ray.data
 
     tune_context()
+    P = _n_parts(sf_dir)
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "event_type", "ts", "value"],
-        override_num_blocks=N_PARTS)
+        override_num_blocks=P)
 
     def to_us(batch):
         ts_us = pc.cast(batch["ts"], "int64")  # timestamp[us] -> int64 us
@@ -478,7 +514,7 @@ def asof_last_match(sf_dir: str, match_type: str = "purchase",
         return out
 
     if slice_ms is None:
-        return hash_exchange(pts, key_fn=_user_key_fn, n_parts=N_PARTS,
+        return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
                              kernel=local_asof, fmt="pandas",
                              kernel_kwargs={"sliced": False})
 
@@ -493,10 +529,10 @@ def asof_last_match(sf_dir: str, match_type: str = "purchase",
                 sl = tbl.column("slice_idx").to_numpy(
                     zero_copy_only=False).astype(np.uint64)
             return ((h * np.uint64(1_000_003) + sl)
-                    % np.uint64(N_PARTS)).astype(np.int64)
+                    % np.uint64(P)).astype(np.int64)
         return key_fn
 
-    local = hash_exchange(pts, key_fn=sliced_key(True), n_parts=N_PARTS,
+    local = hash_exchange(pts, key_fn=sliced_key(True), n_parts=P,
                           kernel=local_asof, fmt="pandas",
                           kernel_kwargs={"sliced": True})
 
@@ -523,7 +559,7 @@ def asof_last_match(sf_dir: str, match_type: str = "purchase",
                              "p_ts_ms": (us[last] // 1000).astype(np.int64),
                              "p_value": v[last]})
 
-    summaries = hash_exchange(pts, key_fn=sliced_key(True), n_parts=N_PARTS,
+    summaries = hash_exchange(pts, key_fn=sliced_key(True), n_parts=P,
                               kernel=summarize, fmt="pandas")
 
     # distinct (user, slice) pairs that still need a carry-in
@@ -590,11 +626,11 @@ def asof_last_match(sf_dir: str, match_type: str = "purchase",
     carry = hash_exchange_multi(
         [(need_ds, lambda t: (pd.util.hash_pandas_object(
             t.column("user_id").to_pandas(), index=False).to_numpy()
-            % np.uint64(N_PARTS)).astype(np.int64)),
+            % np.uint64(P)).astype(np.int64)),
          (summaries, lambda t: (pd.util.hash_pandas_object(
              t.column("user_id").to_pandas(), index=False).to_numpy()
-             % np.uint64(N_PARTS)).astype(np.int64))],
-        n_parts=N_PARTS, kernel=carry_kernel, fmt="pandas")
+             % np.uint64(P)).astype(np.int64))],
+        n_parts=P, kernel=carry_kernel, fmt="pandas")
 
     # co-partitioned fill: rows and carries keyed by (user, slice)
     def fill_kernel(rows: pd.DataFrame, car: pd.DataFrame) -> pd.DataFrame:
@@ -619,7 +655,7 @@ def asof_last_match(sf_dir: str, match_type: str = "purchase",
 
     return hash_exchange_multi(
         [(local, sliced_key(False)), (carry, sliced_key(False))],
-        n_parts=N_PARTS, kernel=fill_kernel, fmt="pandas")
+        n_parts=P, kernel=fill_kernel, fmt="pandas")
 
 
 def user_quantiles(sf_dir: str, qs=(0.5, 0.95, 0.99)):
@@ -652,7 +688,8 @@ def user_quantiles(sf_dir: str, qs=(0.5, 0.95, 0.99)):
             out[f"p{int(q * 100)}"] = round_half_away(lerp, 6)
         return pd.DataFrame(out)
 
-    return hash_exchange(ds, key_fn=_user_key_fn, n_parts=N_PARTS,
+    return hash_exchange(ds, key_fn=_user_key_fn(_n_parts(sf_dir)),
+                         n_parts=_n_parts(sf_dir),
                          kernel=quant_partition, fmt="pandas")
 
 
@@ -677,5 +714,6 @@ def event_gaps(sf_dir: str):
             gap[first] = np.nan
         return pd.DataFrame({"user_id": user, "ts_ms": ts, "gap_ms": gap})
 
-    return hash_exchange(ds, key_fn=_user_key_fn, n_parts=N_PARTS,
+    return hash_exchange(ds, key_fn=_user_key_fn(_n_parts(sf_dir)),
+                         n_parts=_n_parts(sf_dir),
                          kernel=gaps_partition, fmt="pandas")

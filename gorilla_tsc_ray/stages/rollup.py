@@ -132,7 +132,8 @@ def reaggregate_partials(df: pd.DataFrame, *, key_cols: list[str],
 
 
 def rollup_dataset(points_ds, *, key_cols: list[str], tier: str,
-                   ts_col: str = "ts_ms", value_col: str = "value"):
+                   ts_col: str = "ts_ms", value_col: str = "value",
+                   n_parts: int = 64):
     """points Dataset → finalized rollup Dataset for one tier.
 
     Shuffle economics: the only all-to-all exchange is the groupby on
@@ -146,10 +147,11 @@ def rollup_dataset(points_ds, *, key_cols: list[str], tier: str,
                    "ts_col": ts_col, "value_col": value_col},
         batch_format="pandas",
     )
-    return finalize_by_partition(partial, key_cols=key_cols)
+    return finalize_by_partition(partial, key_cols=key_cols, n_parts=n_parts)
 
 
-def cascade_dataset(finer_rollup_ds, *, key_cols: list[str], tier: str):
+def cascade_dataset(finer_rollup_ds, *, key_cols: list[str], tier: str,
+                    n_parts: int = 64):
     """1m rollup Dataset → coarser tier via partial+final re-aggregation."""
     bucket_ms = TIER_MS[tier]
     partial = finer_rollup_ds.map_batches(
@@ -157,7 +159,7 @@ def cascade_dataset(finer_rollup_ds, *, key_cols: list[str], tier: str):
         fn_kwargs={"key_cols": key_cols, "bucket_ms": bucket_ms},
         batch_format="pandas",
     )
-    return finalize_by_partition(partial, key_cols=key_cols)
+    return finalize_by_partition(partial, key_cols=key_cols, n_parts=n_parts)
 
 
 def gapfill_partition(df: pd.DataFrame, *, bucket_ms: int,
