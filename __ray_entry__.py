@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1h": lambda sf: ev.rollup(sf, "1h"),
         "events_rollup_1d": lambda sf: ev.rollup(sf, "1d"),
         "events_rollup_1h_cascade": ev.rollup_1h_via_cascade,
+        "events_rollup_1h_hop15m": ev.rollup_hopping,
         "events_gapfill_1h": lambda sf: ev.gapfill(sf, "1h"),
         "events_gaps": ev.event_gaps,
         "events_rollup_1h_by_type": lambda sf: ev.rollup_by_type(sf, "1h"),
@@ -218,6 +219,22 @@ FROM events
         "events_rollup_1h": ev_rollup(3_600_000),
         "events_rollup_1d": ev_rollup(86_400_000),
         "events_rollup_1h_cascade": ev_rollup(3_600_000),
+        # hopping window: every event in the k = window/hop hop-aligned
+        # windows ending at its own hop bucket
+        "events_rollup_1h_hop15m": _EVENT_POINTS + """
+, e AS (
+  SELECT user_id, ts_ms, value,
+         ts_ms - ts_ms % 900000 - i.i * 900000 AS bucket_ms
+  FROM p CROSS JOIN (SELECT unnest(range(4)) AS i) i
+)
+SELECT user_id, bucket_ms,
+       round(sum(value), 6) AS sum_v,
+       count(*) AS cnt,
+       min(value) AS min_v,
+       max(value) AS max_v,
+       arg_max(value, ts_ms) AS last_v
+FROM e GROUP BY ALL
+""",
         "events_gapfill_1h": _EVENT_POINTS + """
 , r AS (
   SELECT user_id, ts_ms - ts_ms % 3600000 AS bucket_ms,

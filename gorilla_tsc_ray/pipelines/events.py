@@ -19,8 +19,10 @@ from ..util import round_half_away
 
 from ..context import tune_context
 from ..stages.exchange import hash_exchange, hash_exchange_multi
-from ..stages.rollup import (TIER_MS, cascade_dataset, gapfill_partition,
-                             rollup_dataset)
+from ..stages.rollup import (HOUR_MS, TIER_MS, cascade_dataset,
+                             gapfill_partition, partial_rollup,
+                             reaggregate_partials, rollup_dataset)
+from ..stages.rollup import finalize_by_partition
 from ..stages.series import DAY_MS, decode_blocks_batch, encode_partition
 from ..util import hash_partition_ids
 
@@ -288,6 +290,52 @@ def rollup_1h_via_cascade(sf_dir: str):
     return _finalize_rollup(
         one_h).select_columns(["user_id", "bucket_ms", "sum_v", "cnt",
                                "min_v", "max_v", "last_v"])
+
+
+def rollup_hopping(sf_dir: str, window_ms: int = HOUR_MS,
+                   hop_ms: int = 900_000):
+    """Hopping (sliding) window aggregate: one row per (user, window-start)
+    for every window ``[s, s + window_ms)`` that contains ≥1 event, with
+    window starts advancing every ``hop_ms`` (default 1 h windows every
+    15 min — each event lands in 4 overlapping windows).
+
+    Pane ("slicing") optimization: points are first combined to
+    NON-overlapping ``hop_ms`` panes with the same in-batch partial kernel
+    the tumbling tiers use; each pane partial is then replicated to the
+    ``window_ms / hop_ms`` windows containing it and merged by the one
+    finalize exchange.  Raw points never multiply across the shuffle —
+    only pane partials do (bounded: users × panes/batch × k rows), because
+    sum/cnt/min/max/last all decompose over panes that lie entirely inside
+    each window.
+    """
+    if window_ms % hop_ms:
+        raise ValueError("window_ms must be a multiple of hop_ms")
+    k = window_ms // hop_ms
+    ds = _read_points(sf_dir)
+    P = _n_parts(sf_dir)
+
+    panes = ds.map_batches(
+        partial_rollup,
+        fn_kwargs={"key_cols": ["user_id"], "bucket_ms": hop_ms},
+        batch_format="pandas")
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        rep = df.loc[df.index.repeat(k)].reset_index(drop=True)
+        rep["bucket_ms"] = (rep["bucket_ms"].to_numpy()
+                            - np.tile(np.arange(k, dtype=np.int64) * hop_ms,
+                                      len(df)))
+        # window starts are hop-aligned, so re-bucketing at hop_ms is the
+        # identity — this call only merges same-(user, window) pane rows
+        # within the batch before the shuffle
+        return reaggregate_partials(rep, key_cols=["user_id"],
+                                    bucket_ms=hop_ms)
+
+    expanded = panes.map_batches(expand, batch_format="pandas")
+    final = finalize_by_partition(expanded, key_cols=["user_id"], n_parts=P)
+    return _finalize_rollup(final).select_columns(
+        ["user_id", "bucket_ms", "sum_v", "cnt", "min_v", "max_v", "last_v"])
 
 
 def gapfill(sf_dir: str, tier: str = "1h"):

@@ -59,6 +59,38 @@ def test_rollup_tiers(ray_session, sf_small, tier):
     )
 
 
+def test_rollup_hopping(ray_session, sf_small):
+    # 1 h windows hopping every 15 min: each event lands in 4 windows;
+    # the pane-expansion path must equal the naive expand-then-group SQL
+    _cmp(
+        ev.rollup_hopping(sf_small),
+        """
+        WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        e AS (
+          SELECT user_id, ts_ms, value,
+                 ts_ms - ts_ms % 900000 - i.i * 900000 AS bucket_ms
+          FROM p CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        )
+        SELECT user_id, bucket_ms,
+               round(sum(value), 6) AS sum_v, count(*) AS cnt,
+               min(value) AS min_v, max(value) AS max_v,
+               arg_max(value, ts_ms) AS last_v
+        FROM e GROUP BY ALL
+        """,
+        sf_small, ["user_id", "bucket_ms"], float_cols=("sum_v",), atol=1e-6,
+    )
+    # every tumbling 1h row must appear as the hop-aligned window whose
+    # start equals the tumbling bucket (hopping ⊇ tumbling at hop | window)
+    hop = ev.rollup_hopping(sf_small).to_pandas()
+    tumb = ev.rollup(sf_small, "1h").to_pandas()
+    merged = tumb.merge(hop, on=["user_id", "bucket_ms"],
+                        suffixes=("_t", "_h"))
+    assert len(merged) == len(tumb)
+    np.testing.assert_allclose(merged["sum_v_t"], merged["sum_v_h"],
+                               atol=1e-6, rtol=0)
+    np.testing.assert_array_equal(merged["cnt_t"], merged["cnt_h"])
+
+
 def test_cascade_equals_direct(ray_session, sf_small):
     direct = ev.rollup(sf_small, "1h").to_pandas().sort_values(
         ["user_id", "bucket_ms"]).reset_index(drop=True)
