@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1d": lambda sf: ev.rollup(sf, "1d"),
         "events_rollup_1h_cascade": ev.rollup_1h_via_cascade,
         "events_rollup_1h_hop15m": ev.rollup_hopping,
+        "events_rollup_1h_delta": lambda sf: ev.rollup_delta(sf, "1h"),
+        "events_top_types_per_user": ev.top_types_per_user,
         "events_gapfill_1h": lambda sf: ev.gapfill(sf, "1h"),
         "events_gaps": ev.event_gaps,
         "events_rollup_1h_by_type": lambda sf: ev.rollup_by_type(sf, "1h"),
@@ -234,6 +236,32 @@ SELECT user_id, bucket_ms,
        max(value) AS max_v,
        arg_max(value, ts_ms) AS last_v
 FROM e GROUP BY ALL
+""",
+        # per-series bucket derivative (delta vs previous existing bucket)
+        "events_rollup_1h_delta": _EVENT_POINTS + """
+, r AS (
+  SELECT user_id, ts_ms - ts_ms % 3600000 AS bucket_ms,
+         round(sum(value), 6) AS sum_v
+  FROM p GROUP BY 1, 2
+)
+SELECT user_id, bucket_ms, sum_v, delta_sum,
+       round(delta_sum / span_s, 9) AS rate_per_s
+FROM (
+  SELECT user_id, bucket_ms, sum_v,
+         round(sum_v - lag(sum_v) OVER w, 6) AS delta_sum,
+         (bucket_ms - lag(bucket_ms) OVER w) / 1000.0 AS span_s
+  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ms)
+)
+""",
+        # top-k per group: 2 most frequent event types per user, type-name
+        # tie-break
+        "events_top_types_per_user": """
+SELECT user_id, event_type, count(*) AS cnt,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY count(*) DESC, event_type)
+            AS BIGINT) AS rnk
+FROM events GROUP BY user_id, event_type
+QUALIFY rnk <= 2
 """,
         "events_gapfill_1h": _EVENT_POINTS + """
 , r AS (

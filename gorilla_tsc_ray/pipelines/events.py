@@ -338,6 +338,81 @@ def rollup_hopping(sf_dir: str, window_ms: int = HOUR_MS,
         ["user_id", "bucket_ms", "sum_v", "cnt", "min_v", "max_v", "last_v"])
 
 
+def rollup_delta(sf_dir: str, tier: str = "1h"):
+    """Per-series derivative of a rollup (PromQL ``delta``/``rate`` shape):
+    for each user's bucket, the change in ``sum_v`` vs the user's previous
+    EXISTING bucket and the per-second rate over the elapsed bucket span
+    (NaN on each user's first bucket).  One user-hash exchange after the
+    rollup; the lag is a vectorized per-partition groupby shift."""
+    bucket_ms = TIER_MS[tier]
+    ds = _read_points(sf_dir)
+    P = _n_parts(sf_dir)
+    rolled = rollup_dataset(ds, key_cols=["user_id"], tier=tier, n_parts=P)
+
+    def delta_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in
+                                 ["user_id", "bucket_ms", "sum_v",
+                                  "delta_sum", "rate_per_s"]})
+        df = df.sort_values(["user_id", "bucket_ms"], kind="stable")
+        sum_v = round_half_away(df["sum_v"].to_numpy(), 6)
+        g = df.groupby("user_id", sort=False)
+        prev_sum = round_half_away(
+            g["sum_v"].shift(1).to_numpy(), 6)
+        prev_bucket = g["bucket_ms"].shift(1).to_numpy()
+        delta = round_half_away(sum_v - prev_sum, 6)
+        span_s = (df["bucket_ms"].to_numpy() - prev_bucket) / 1000.0
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "bucket_ms": df["bucket_ms"].to_numpy(),
+            "sum_v": sum_v,
+            "delta_sum": delta,
+            "rate_per_s": round_half_away(delta / span_s, 9),
+        })
+
+    return hash_exchange(rolled, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=delta_kernel, fmt="pandas")
+
+
+def top_types_per_user(sf_dir: str, k: int = 2):
+    """Top-k event types per user by event count (ties broken by type
+    name) — nested aggregation + per-group top-k.  In-batch partial counts
+    per (user, type) ride ONE user-hash exchange; rank is a vectorized
+    sort + cumcount per partition, never a per-group Python call."""
+    import ray.data
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"],
+                               override_num_blocks=P)
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["user_id", "event_type"], sort=False,
+                          observed=True).size().rename("cnt").reset_index())
+        return out
+
+    partial = ds.map_batches(partial_counts, batch_format="pandas")
+
+    def topk_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "event_type", "cnt", "rnk"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        merged = (df.groupby(["user_id", "event_type"], sort=False,
+                             observed=True)["cnt"].sum().reset_index())
+        merged = merged.sort_values(
+            ["user_id", "cnt", "event_type"],
+            ascending=[True, False, True], kind="stable")
+        merged["rnk"] = merged.groupby("user_id", sort=False).cumcount() + 1
+        out = merged[merged["rnk"] <= k].reset_index(drop=True)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        out["rnk"] = out["rnk"].astype(np.int64)
+        return out[cols]
+
+    return hash_exchange(partial, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=topk_kernel, fmt="pandas")
+
+
 def gapfill(sf_dir: str, tier: str = "1h"):
     """Gap-filled rollup: every bucket between a user's min and max bucket,
     cnt=0 / sum_v=0 / LOCF last_v on filled buckets.  Partition-level:

@@ -91,6 +91,45 @@ def test_rollup_hopping(ray_session, sf_small):
     np.testing.assert_array_equal(merged["cnt_t"], merged["cnt_h"])
 
 
+def test_rollup_delta(ray_session, sf_small):
+    _cmp(
+        ev.rollup_delta(sf_small, "1h"),
+        """
+        WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        r AS (
+          SELECT user_id, ts_ms - ts_ms % 3600000 AS bucket_ms,
+                 round(sum(value), 6) AS sum_v
+          FROM p GROUP BY 1, 2
+        )
+        SELECT user_id, bucket_ms, sum_v, delta_sum,
+               round(delta_sum / span_s, 9) AS rate_per_s
+        FROM (
+          SELECT user_id, bucket_ms, sum_v,
+                 round(sum_v - lag(sum_v) OVER w, 6) AS delta_sum,
+                 (bucket_ms - lag(bucket_ms) OVER w) / 1000.0 AS span_s
+          FROM r WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ms)
+        )
+        """,
+        sf_small, ["user_id", "bucket_ms"],
+        float_cols=("sum_v", "delta_sum", "rate_per_s"), atol=1e-9,
+    )
+
+
+def test_top_types_per_user(ray_session, sf_small):
+    _cmp(
+        ev.top_types_per_user(sf_small),
+        """
+        SELECT user_id, event_type, count(*) AS cnt,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY count(*) DESC, event_type)
+                    AS BIGINT) AS rnk
+        FROM events GROUP BY user_id, event_type
+        QUALIFY rnk <= 2
+        """,
+        sf_small, ["user_id", "rnk"],
+    )
+
+
 def test_cascade_equals_direct(ray_session, sf_small):
     direct = ev.rollup(sf_small, "1h").to_pandas().sort_values(
         ["user_id", "bucket_ms"]).reset_index(drop=True)
