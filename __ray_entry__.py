@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1h_cascade": ev.rollup_1h_via_cascade,
         "events_rollup_1h_hop15m": ev.rollup_hopping,
         "events_rollup_1h_delta": lambda sf: ev.rollup_delta(sf, "1h"),
+        "events_twa_1h": lambda sf: ev.twa(sf, "1h"),
         "events_top_types_per_user": ev.top_types_per_user,
         "events_gapfill_1h": lambda sf: ev.gapfill(sf, "1h"),
         "events_gaps": ev.event_gaps,
@@ -252,6 +253,39 @@ FROM (
          (bucket_ms - lag(bucket_ms) OVER w) / 1000.0 AS span_s
   FROM r WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ms)
 )
+""",
+        # time-weighted average, LOCF interpolation: each consecutive-point
+        # segment contributes a tail piece to its start bucket and a head
+        # piece to its end bucket (buckets strictly between are point-free
+        # and not emitted); TWA = integral / covered time
+        "events_twa_1h": _EVENT_POINTS + """
+, s AS (
+  SELECT user_id, ts_ms, value,
+         lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS next_ts
+  FROM p
+), contrib AS (
+  SELECT user_id, ts_ms - ts_ms % 3600000 AS bucket_ms,
+         value * (least(next_ts, ts_ms - ts_ms % 3600000 + 3600000) - ts_ms)
+           AS wv,
+         CAST(least(next_ts, ts_ms - ts_ms % 3600000 + 3600000) - ts_ms
+              AS DOUBLE) AS w
+  FROM s WHERE next_ts IS NOT NULL
+  UNION ALL
+  SELECT user_id, next_ts - next_ts % 3600000,
+         value * (next_ts - (next_ts - next_ts % 3600000)),
+         CAST(next_ts - (next_ts - next_ts % 3600000) AS DOUBLE)
+  FROM s
+  WHERE next_ts IS NOT NULL
+    AND next_ts - next_ts % 3600000 > ts_ms - ts_ms % 3600000
+), sums AS (
+  SELECT user_id, bucket_ms, sum(wv) AS wv, sum(w) AS w
+  FROM contrib GROUP BY 1, 2
+), pts AS (
+  SELECT DISTINCT user_id, ts_ms - ts_ms % 3600000 AS bucket_ms FROM p
+)
+SELECT pts.user_id, pts.bucket_ms,
+       round(CASE WHEN s.w > 0 THEN s.wv / s.w END, 6) AS twa
+FROM pts LEFT JOIN sums s USING (user_id, bucket_ms)
 """,
         # top-k per group: 2 most frequent event types per user, type-name
         # tie-break

@@ -413,6 +413,74 @@ def top_types_per_user(sf_dir: str, k: int = 2):
                          kernel=topk_kernel, fmt="pandas")
 
 
+def twa(sf_dir: str, tier: str = "1h"):
+    """Time-weighted average per (user, bucket) with LOCF interpolation —
+    the TimescaleDB ``time_weight('LOCF')`` shape.  Each consecutive-point
+    segment ``[t_i, t_{i+1})`` carries ``v_i``; a bucket's TWA is the
+    integral of the carried value over the bucket divided by the covered
+    time.  Only buckets containing ≥1 point are emitted (a bucket whose
+    only point is the user's final sample and has no carry-in covers zero
+    time → NULL).
+
+    Exactness argument for the two-piece decomposition: a segment contains
+    no interior points, so every bucket strictly between its endpoints'
+    buckets is point-free and never emitted — a segment therefore
+    contributes to at most TWO emitted buckets: a tail piece in its start
+    bucket and a head piece in its end bucket.  Both sides (this kernel
+    and the SQL oracle) enumerate exactly those pieces in integer ms, so
+    the sums agree bit-for-bit before the one final division.
+    """
+    W = TIER_MS[tier]
+    ds = _read_points(sf_dir)
+    P = _n_parts(sf_dir)
+
+    def twa_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": [], "bucket_ms": [], "twa": []})
+        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts_ms"].to_numpy()
+        v = df["value"].to_numpy()
+        bs = (ts // W) * W
+        # consecutive-point segments within each user
+        has_next = np.empty(len(df), dtype=bool)
+        has_next[:-1] = uid[:-1] == uid[1:]
+        has_next[-1] = False
+        i = np.flatnonzero(has_next)
+        nxt = ts[i + 1]
+        nxt_bs = (nxt // W) * W
+        # piece 1: [t_i, min(t_{i+1}, bucket_end)) in the start bucket
+        len1 = np.minimum(nxt, bs[i] + W) - ts[i]
+        # piece 2: [bucket_start(t_{i+1}), t_{i+1}) when the segment crosses
+        cross = nxt_bs > bs[i]
+        j = i[cross]
+        len2 = nxt[cross] - nxt_bs[cross]
+        contrib = pd.DataFrame({
+            "user_id": np.concatenate([uid[i], uid[j]]),
+            "bucket_ms": np.concatenate([bs[i], nxt_bs[cross]]),
+            "wv": np.concatenate([v[i] * len1, v[j] * len2]),
+            "w": np.concatenate([len1, len2]).astype(np.float64),
+        })
+        sums = (contrib.groupby(["user_id", "bucket_ms"], sort=True)
+                [["wv", "w"]].sum().reset_index())
+        # emitted groups = every (user, bucket) containing a point
+        pts = (pd.DataFrame({"user_id": uid, "bucket_ms": bs})
+               .drop_duplicates())
+        out = pts.merge(sums, how="left", on=["user_id", "bucket_ms"])
+        wv = out["wv"].to_numpy()
+        w = out["w"].to_numpy()
+        out_twa = np.divide(wv, w, out=np.full(len(out), np.nan),
+                            where=w > 0)
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(),
+            "bucket_ms": out["bucket_ms"].to_numpy(),
+            "twa": round_half_away(out_twa, 6),
+        })
+
+    return hash_exchange(ds, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=twa_kernel, fmt="pandas")
+
+
 def gapfill(sf_dir: str, tier: str = "1h"):
     """Gap-filled rollup: every bucket between a user's min and max bucket,
     cnt=0 / sum_v=0 / LOCF last_v on filled buckets.  Partition-level:

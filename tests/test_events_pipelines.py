@@ -130,6 +130,93 @@ def test_top_types_per_user(ray_session, sf_small):
     )
 
 
+def test_twa_oracle(ray_session, sf_small):
+    _cmp(
+        ev.twa(sf_small, "1h"),
+        """
+        WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        s AS (
+          SELECT user_id, ts_ms, value,
+                 lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+                   AS next_ts
+          FROM p
+        ), contrib AS (
+          SELECT user_id, ts_ms - ts_ms % 3600000 AS bucket_ms,
+                 value * (least(next_ts, ts_ms - ts_ms % 3600000 + 3600000)
+                          - ts_ms) AS wv,
+                 CAST(least(next_ts, ts_ms - ts_ms % 3600000 + 3600000)
+                      - ts_ms AS DOUBLE) AS w
+          FROM s WHERE next_ts IS NOT NULL
+          UNION ALL
+          SELECT user_id, next_ts - next_ts % 3600000,
+                 value * (next_ts - (next_ts - next_ts % 3600000)),
+                 CAST(next_ts - (next_ts - next_ts % 3600000) AS DOUBLE)
+          FROM s
+          WHERE next_ts IS NOT NULL
+            AND next_ts - next_ts % 3600000 > ts_ms - ts_ms % 3600000
+        ), sums AS (
+          SELECT user_id, bucket_ms, sum(wv) AS wv, sum(w) AS w
+          FROM contrib GROUP BY 1, 2
+        ), pts AS (
+          SELECT DISTINCT user_id, ts_ms - ts_ms % 3600000 AS bucket_ms
+          FROM p
+        )
+        SELECT pts.user_id, pts.bucket_ms,
+               round(CASE WHEN s.w > 0 THEN s.wv / s.w END, 6) AS twa
+        FROM pts LEFT JOIN sums s USING (user_id, bucket_ms)
+        """,
+        sf_small, ["user_id", "bucket_ms"], float_cols=("twa",), atol=1e-6,
+    )
+
+
+def test_twa_edge_cases(ray_session, tmp_path):
+    """Crafted input: boundary-aligned points, a segment spanning 3 buckets
+    (middle bucket point-free → never emitted), a constant-value user, and
+    a single-point user (zero covered time → NULL)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    H = 3_600_000
+    t0 = 1_600_000_000_000 - 1_600_000_000_000 % H  # bucket-aligned
+    rows = [
+        # user 1: v=2 for 30 min, then v=4 exactly at the next boundary,
+        # then a 2.5-bucket gap to t0+3h+30m (head piece lands in bucket 3)
+        (1, t0, 2.0),
+        (1, t0 + 30 * 60_000, 4.0),
+        (1, t0 + H, 6.0),
+        (1, t0 + 3 * H + 30 * 60_000, 8.0),
+        # user 2: constant value → twa == value in every bucket
+        (2, t0 + 10, 5.0),
+        (2, t0 + H + 10, 5.0),
+        (2, t0 + 2 * H + 10, 5.0),
+        # user 3: single point → NULL twa
+        (3, t0 + 42, 9.0),
+    ]
+    uid, ts, val = map(np.array, zip(*rows))
+    pq.write_table(pa.table({
+        "user_id": pa.array(uid.astype(np.int64)),
+        "ts": pa.array(ts.astype(np.int64),
+                       pa.timestamp("ms")).cast(pa.timestamp("us")),
+        "value": pa.array(val.astype(np.float64)),
+    }), str(tmp_path / "events.parquet"))
+
+    got = (ev.twa(str(tmp_path), "1h").to_pandas()
+           .sort_values(["user_id", "bucket_ms"]).reset_index(drop=True))
+
+    # user 1 bucket 0: v=2 for 30m then v=4 for 30m → 3.0 over full cover
+    # user 1 bucket 1: v=6 carried from t0+H for the full bucket → 6.0
+    #   (the segment to t0+3.5H covers bucket 1 fully, bucket 2 is
+    #   point-free and NOT emitted, bucket 3 gets a 30m head of v=6)
+    # user 1 bucket 3: only the 30m head piece carrying 6.0 → 6.0
+    u1 = got[got.user_id == 1]
+    assert list(u1.bucket_ms) == [t0, t0 + H, t0 + 3 * H]
+    np.testing.assert_allclose(u1.twa.to_numpy(), [3.0, 6.0, 6.0])
+    u2 = got[got.user_id == 2]
+    np.testing.assert_allclose(u2.twa.to_numpy(), [5.0, 5.0, 5.0])
+    u3 = got[got.user_id == 3]
+    assert len(u3) == 1 and np.isnan(u3.twa.iloc[0])
+
+
 def test_cascade_equals_direct(ray_session, sf_small):
     direct = ev.rollup(sf_small, "1h").to_pandas().sort_values(
         ["user_id", "bucket_ms"]).reset_index(drop=True)
