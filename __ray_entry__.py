@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1h_hop15m": ev.rollup_hopping,
         "events_rollup_1h_delta": lambda sf: ev.rollup_delta(sf, "1h"),
         "events_twa_1h": lambda sf: ev.twa(sf, "1h"),
+        "events_counter_increase_1h": lambda sf: ev.counter_increase(sf, "1h"),
         "events_top_types_per_user": ev.top_types_per_user,
         "events_gapfill_1h": lambda sf: ev.gapfill(sf, "1h"),
         "events_gaps": ev.event_gaps,
@@ -286,6 +287,23 @@ FROM (
 SELECT pts.user_id, pts.bucket_ms,
        round(CASE WHEN s.w > 0 THEN s.wv / s.w END, 6) AS twa
 FROM pts LEFT JOIN sums s USING (user_id, bucket_ms)
+""",
+        # PromQL-style counter increase with reset detection, microsecond
+        # lag order (ms ties exist in principle; us timestamps are unique)
+        "events_counter_increase_1h": """
+WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+s AS (
+  SELECT user_id, ts_us, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_v
+  FROM p
+)
+SELECT user_id, (ts_us // 1000 // 3600000) * 3600000 AS bucket_ms,
+       round(sum(CASE WHEN value >= prev_v THEN value - prev_v
+                      ELSE value END), 6) AS increase,
+       CAST(sum(CASE WHEN value < prev_v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resets
+FROM s WHERE prev_v IS NOT NULL
+GROUP BY 1, 2
 """,
         # top-k per group: 2 most frequent event types per user, type-name
         # tie-break

@@ -481,6 +481,56 @@ def twa(sf_dir: str, tier: str = "1h"):
                          kernel=twa_kernel, fmt="pandas")
 
 
+def counter_increase(sf_dir: str, tier: str = "1h"):
+    """PromQL-style ``increase`` with counter-reset detection: per user in
+    microsecond-timestamp order, each point with a predecessor contributes
+    ``v - prev_v`` when the counter moved forward, else ``v`` (the counter
+    reset and re-accumulated).  Aggregated per (user, bucket of the
+    observing point); a user's first point contributes nothing.  One
+    user-hash exchange, vectorized shift/clamp kernel."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    W = TIER_MS[tier]
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=EVENT_COLS, override_num_blocks=P)
+
+    def to_us(batch):
+        ts_us = pc.cast(batch["ts"], "int64")
+        return batch.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    pts = ds.map_batches(to_us, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "bucket_ms", "increase", "n_resets"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        v = df["value"].to_numpy()
+        has_prev = np.empty(len(df), dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = uid[1:] == uid[:-1]
+        prev_v = np.empty_like(v)
+        prev_v[1:] = v[:-1]
+        i = np.flatnonzero(has_prev)
+        reset = v[i] < prev_v[i]
+        contrib = np.where(reset, v[i], v[i] - prev_v[i])
+        bucket = (df["ts_us"].to_numpy()[i] // 1000 // W) * W
+        out = (pd.DataFrame({"user_id": uid[i], "bucket_ms": bucket,
+                             "c": contrib, "r": reset.astype(np.int64)})
+               .groupby(["user_id", "bucket_ms"], sort=True)
+               .agg(increase=("c", "sum"), n_resets=("r", "sum"))
+               .reset_index())
+        out["increase"] = round_half_away(out["increase"].to_numpy(), 6)
+        return out[cols]
+
+    return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
 def gapfill(sf_dir: str, tier: str = "1h"):
     """Gap-filled rollup: every bucket between a user's min and max bucket,
     cnt=0 / sum_v=0 / LOCF last_v on filled buckets.  Partition-level:

@@ -217,6 +217,54 @@ def test_twa_edge_cases(ray_session, tmp_path):
     assert len(u3) == 1 and np.isnan(u3.twa.iloc[0])
 
 
+def test_counter_increase(ray_session, sf_small):
+    _cmp(
+        ev.counter_increase(sf_small, "1h"),
+        """
+        WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        s AS (
+          SELECT user_id, ts_us, value,
+                 lag(value) OVER (PARTITION BY user_id ORDER BY ts_us)
+                   AS prev_v
+          FROM p
+        )
+        SELECT user_id, (ts_us // 1000 // 3600000) * 3600000 AS bucket_ms,
+               round(sum(CASE WHEN value >= prev_v THEN value - prev_v
+                              ELSE value END), 6) AS increase,
+               CAST(sum(CASE WHEN value < prev_v THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_resets
+        FROM s WHERE prev_v IS NOT NULL
+        GROUP BY 1, 2
+        """,
+        sf_small, ["user_id", "bucket_ms"], float_cols=("increase",),
+        atol=1e-6,
+    )
+
+
+def test_counter_increase_resets(ray_session, tmp_path):
+    """Monotone ramps with explicit resets: increase must count forward
+    motion only and n_resets the drops."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    H = 3_600_000
+    t0 = 1_600_000_000_000 - 1_600_000_000_000 % H
+    # counter: 0→10→25 | reset → 3→9 (same bucket) | next bucket 9→12
+    ts = np.array([t0 + k * 60_000 for k in range(5)] + [t0 + H + 60_000])
+    vals = np.array([0.0, 10.0, 25.0, 3.0, 9.0, 12.0])
+    pq.write_table(pa.table({
+        "user_id": pa.array(np.full(len(ts), 1, dtype=np.int64)),
+        "ts": pa.array(ts.astype(np.int64),
+                       pa.timestamp("ms")).cast(pa.timestamp("us")),
+        "value": pa.array(vals),
+    }), str(tmp_path / "events.parquet"))
+    got = (ev.counter_increase(str(tmp_path), "1h").to_pandas()
+           .sort_values("bucket_ms").reset_index(drop=True))
+    # bucket 0: +10 +15 | reset contributes 3 | +6  → 34, one reset
+    np.testing.assert_allclose(got["increase"], [34.0, 3.0])
+    np.testing.assert_array_equal(got["n_resets"], [1, 0])
+
+
 def test_cascade_equals_direct(ray_session, sf_small):
     direct = ev.rollup(sf_small, "1h").to_pandas().sort_values(
         ["user_id", "bucket_ms"]).reset_index(drop=True)
