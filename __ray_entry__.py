@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_roundtrip_gorilla1": ev.points_roundtrip_v1,
         "events_roundtrip_dfcm": ev.points_roundtrip_dfcm,
         "events_roundtrip_long": ev.points_roundtrip_long,
+        "events_streaming_roundtrip": ev.streaming_roundtrip,
         "events_rollup_1m": lambda sf: ev.rollup(sf, "1m"),
         "events_rollup_1h": lambda sf: ev.rollup(sf, "1h"),
         "events_rollup_1d": lambda sf: ev.rollup(sf, "1d"),
@@ -219,6 +220,10 @@ SELECT user_id, epoch_ms(ts) AS ts_ms,
        CAST(round(value * 100) AS BIGINT) AS cents
 FROM events
 """,
+        # stream-batch equivalence: streaming actor-pool ingest must decode
+        # back to exactly the batch points
+        "events_streaming_roundtrip":
+            "SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events",
         "events_rollup_1m": ev_rollup(60_000),
         "events_rollup_1h": ev_rollup(3_600_000),
         "events_rollup_1d": ev_rollup(86_400_000),

@@ -531,6 +531,50 @@ def counter_increase(sf_dir: str, tier: str = "1h"):
                          kernel=kernel, fmt="pandas")
 
 
+def streaming_roundtrip(sf_dir: str, n_actors: int = 4):
+    """Stream-batch equivalence gate for the streaming ingest operator:
+    events flow through the ``StreamingBlockEncoder`` actor pool in
+    event-time arrival order (a global ts sort keeps every series
+    in-order, which the append watermark requires), blocks are sealed and
+    decoded back — the result must equal the batch round-trip exactly, so
+    the oracle is the same SQL as ``events_roundtrip``.
+
+    The driver-side feed loop is inherent to the operator's seam: this is
+    the documented raw-actor last resort (an unbounded source with
+    watermarks is the one shape the Dataset API can't express) — a real
+    deployment replaces the loop with a Kafka-style consumer per router.
+    Decode runs back on the Dataset API."""
+    import ray.data
+
+    from ..state.streaming import StreamingRouter
+
+    ds = _read_points(sf_dir).sort("ts_ms")
+    router = StreamingRouter(n_actors=n_actors)
+    for batch in ds.iter_batches(batch_format="pandas", batch_size=16384):
+        keys = batch["user_id"].to_numpy()
+        bits = batch["value"].to_numpy().view(np.uint64)
+        router.append_batch(keys.astype(str).tolist(),
+                            ["value"] * len(batch),
+                            batch["ts_ms"].to_numpy(), bits)
+    blocks = pd.DataFrame(router.seal())
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        out = decode_blocks_batch(df, key_cols=["key"])
+        return pd.DataFrame({
+            "user_id": out["key"].astype(np.int64),
+            "ts_ms": out["ts_ms"],
+            "value": out["value"],
+        })
+
+    if len(blocks) == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"user_id": pd.Series([], dtype=np.int64),
+             "ts_ms": pd.Series([], dtype=np.int64),
+             "value": pd.Series([], dtype=np.float64)}))
+    return ray.data.from_pandas(blocks).map_batches(
+        decode, batch_format="pandas")
+
+
 def gapfill(sf_dir: str, tier: str = "1h"):
     """Gap-filled rollup: every bucket between a user's min and max bucket,
     cnt=0 / sum_v=0 / LOCF last_v on filled buckets.  Partition-level:

@@ -143,14 +143,18 @@ class _EncoderCore:
 class StreamingRouter:
     """Driver-side facade: hash-routes point batches to a fixed actor pool.
 
-    Uses ``num_cpus=1`` actors; batches are pre-partitioned locally
-    (vectorized) so each actor receives only its own series.
+    Uses fractional-CPU actors (repo convention: a full-CPU pool can
+    consume every slot of a small session and starve the Dataset tasks
+    feeding it — measured deadlock with 4×num_cpus=1 actors plus a lazy
+    upstream sort on a 4-cpu test session); batches are pre-partitioned
+    locally (vectorized) so each actor receives only its own series.
     """
 
-    def __init__(self, n_actors: int = 4, block_span_ms: int = DAY_MS) -> None:
+    def __init__(self, n_actors: int = 4, block_span_ms: int = DAY_MS,
+                 num_cpus: float = 0.5) -> None:
         import ray
 
-        self._actor_cls = ray.remote(num_cpus=1)(_EncoderCore)
+        self._actor_cls = ray.remote(num_cpus=num_cpus)(_EncoderCore)
         self.actors = [self._actor_cls.remote(block_span_ms)
                        for _ in range(n_actors)]
         self.n = n_actors

@@ -265,6 +265,15 @@ def test_counter_increase_resets(ray_session, tmp_path):
     np.testing.assert_array_equal(got["n_resets"], [1, 0])
 
 
+def test_streaming_equals_batch_roundtrip(ray_session, sf_small):
+    key = ["user_id", "ts_ms"]
+    stream = (ev.streaming_roundtrip(sf_small).to_pandas()
+              .sort_values(key).reset_index(drop=True))
+    batch = (ev.points_roundtrip(sf_small).to_pandas()
+             .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(stream, batch[stream.columns])
+
+
 def test_cascade_equals_direct(ray_session, sf_small):
     direct = ev.rollup(sf_small, "1h").to_pandas().sort_values(
         ["user_id", "bucket_ms"]).reset_index(drop=True)
