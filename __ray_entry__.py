@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1h_by_type": lambda sf: ev.rollup_by_type(sf, "1h"),
         "events_sessions": ev.sessionize,
         "events_asof_last_purchase": ev.asof_last_match,
+        "events_purchase_window_join": ev.purchase_window_join,
         "events_user_quantiles": ev.user_quantiles,
         # — transcripts (flagship; oracle reads the same /tmp parquet) —
         "transcripts_canonical_turns": ingest.canonical_turns,
@@ -292,6 +293,19 @@ FROM (
 SELECT pts.user_id, pts.bucket_ms,
        round(CASE WHEN s.w > 0 THEN s.wv / s.w END, 6) AS twa
 FROM pts LEFT JOIN sums s USING (user_id, bucket_ms)
+""",
+        # range join: per purchase, same-user events in the following 5 min
+        "events_purchase_window_join": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+                  event_type FROM events),
+p AS (SELECT * FROM e WHERE event_type = 'purchase')
+SELECT p.user_id, p.event_id, p.ts_us // 1000 AS pts_ms,
+       CAST(count(f.event_id) AS BIGINT) AS n_follow,
+       round(coalesce(sum(f.value), 0), 6) AS sum_follow
+FROM p LEFT JOIN e f
+  ON f.user_id = p.user_id
+ AND f.ts_us > p.ts_us AND f.ts_us <= p.ts_us + 300000000
+GROUP BY 1, 2, 3
 """,
         # PromQL-style counter increase with reset detection, microsecond
         # lag order (ms ties exist in principle; us timestamps are unique)

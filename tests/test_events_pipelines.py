@@ -274,6 +274,60 @@ def test_streaming_equals_batch_roundtrip(ray_session, sf_small):
     pd.testing.assert_frame_equal(stream, batch[stream.columns])
 
 
+def test_purchase_window_join(ray_session, sf_small):
+    _cmp(
+        ev.purchase_window_join(sf_small),
+        """
+        WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+                          event_type FROM events),
+        p AS (SELECT * FROM e WHERE event_type = 'purchase')
+        SELECT p.user_id, p.event_id, p.ts_us // 1000 AS pts_ms,
+               CAST(count(f.event_id) AS BIGINT) AS n_follow,
+               round(coalesce(sum(f.value), 0), 6) AS sum_follow
+        FROM p LEFT JOIN e f
+          ON f.user_id = p.user_id
+         AND f.ts_us > p.ts_us AND f.ts_us <= p.ts_us + 300000000
+        GROUP BY 1, 2, 3
+        """,
+        sf_small, ["user_id", "event_id"], float_cols=("sum_follow",),
+        atol=1e-6,
+    )
+
+
+def test_purchase_window_join_boundaries(ray_session, tmp_path):
+    """Window semantics: strict > at the purchase instant, inclusive at
+    purchase+W; neighbors' events never leak across users."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    W = 300_000  # ms
+    t0 = 1_600_000_000_000
+    rows = [
+        # user 1: purchase at t0; events at t0 (excluded), t0+1 (in),
+        # t0+W (inclusive end, in), t0+W+1 (out)
+        (10, 1, t0, "purchase", 100.0),
+        (11, 1, t0, "view", 1.0),
+        (12, 1, t0 + 1, "view", 2.0),
+        (13, 1, t0 + W, "view", 4.0),
+        (14, 1, t0 + W + 1, "view", 8.0),
+        # user 2: an event inside user 1's window must not count
+        (20, 2, t0 + 2, "view", 16.0),
+    ]
+    eid, uid, ts, et, val = map(np.array, zip(*rows))
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid.astype(np.int64)),
+        "user_id": pa.array(uid.astype(np.int64)),
+        "ts": pa.array(ts.astype(np.int64),
+                       pa.timestamp("ms")).cast(pa.timestamp("us")),
+        "event_type": pa.array(et.astype(str)),
+        "value": pa.array(val.astype(np.float64)),
+    }), str(tmp_path / "events.parquet"))
+    got = ev.purchase_window_join(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert got["n_follow"].iloc[0] == 2          # t0+1 and t0+W only
+    assert got["sum_follow"].iloc[0] == 6.0      # 2 + 4
+
+
 def test_cascade_equals_direct(ray_session, sf_small):
     direct = ev.rollup(sf_small, "1h").to_pandas().sort_values(
         ["user_id", "bucket_ms"]).reset_index(drop=True)
