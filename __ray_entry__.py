@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": docs.minhash_pairs,
         "docs_simhash_pairs": docs.simhash_pairs,
         # — training-data ops: similarity search —
+        "emb_centroids": docs.emb_centroids,
         "emb_knn_cosine": docs.knn,
         "emb_knn_lsh": docs.knn_lsh,                     # rows-only (approx)
         "emb_knn_ivf": docs.knn_ivf,                     # rows-only (approx
@@ -539,6 +540,17 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY text
 """,
         "docs_simhash_pairs": _simhash_sql(),
+        # per-label embedding centroid, flat (label, dim) rows
+        "emb_centroids": """
+WITH u AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS cnt, round(avg(v), 6) AS centroid
+FROM u GROUP BY 1, 2
+""",
         # minhash is exact-verified (round 3): LSH buckets only GENERATE
         # candidates; the output is pairs whose exact word-3-shingle
         # Jaccard ≥ 0.5.  With 32 bands × 2 rows a qualifying pair misses

@@ -90,6 +90,55 @@ def exact_dedup(sf_dir: str):
         final_kernel=lambda df: df[["doc_id", "n_dups"]])
 
 
+def emb_centroids(sf_dir: str):
+    """Per-label embedding centroid (vector aggregation): each batch
+    reduces to one float64 sum vector + count per label (``np.add.at`` on
+    the (labels, dim) matrix), flattened to (label, dim, s, cnt) rows so
+    nothing list-typed rides the exchange; one label-dim-hash exchange
+    merges partials and emits flat (label, dim, cnt, centroid) rows —
+    list-free output keeps the driver compare dtype-stable."""
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t.column("embedding")
+        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+               else col)
+        mat = sim._list_matrix(arr)
+        if mat.size == 0:
+            return pd.DataFrame({"label": [], "dim": [], "s": [], "cnt": []})
+        labs, codes = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(labs), mat.shape[1]))
+        np.add.at(sums, codes, mat)
+        counts = np.bincount(codes).astype(np.int64)
+        dim = mat.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(labs, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), len(labs)),
+            "s": sums.reshape(-1),
+            "cnt": np.repeat(counts, dim),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["label", "dim", "cnt", "centroid"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        g = (df.groupby(["label", "dim"], sort=True)[["s", "cnt"]]
+             .sum().reset_index())
+        from ..util import round_half_away
+        g["centroid"] = round_half_away(
+            g["s"].to_numpy() / g["cnt"].to_numpy(), 6)
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g[cols]
+
+    return hash_exchange(partials, key_fn=_pair_hash_key(["label", "dim"]),
+                         n_parts=N_DOC_PARTS, kernel=merge, fmt="pandas")
+
+
 def minhash_pairs(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH near-dup pairs, EXACT-VERIFIED: sign (actor pool) emits
     (doc, band, band_hash) rows only → ONE candidate exchange on (band,

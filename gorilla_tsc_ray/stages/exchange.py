@@ -100,6 +100,12 @@ def _split_remote():
             return (*([tbl] * n_parts),
                     np.zeros(n_parts, dtype=np.int64))
         ids = np.asarray(key_fn(tbl), dtype=np.int64)
+        if ids.size and (ids.min() < 0 or ids.max() >= n_parts):
+            raise ValueError(
+                f"key_fn produced partition ids in "
+                f"[{ids.min()}, {ids.max()}] outside [0, {n_parts}) — "
+                "a key function with a baked-in modulus was paired with a "
+                "different n_parts")
         order = np.argsort(ids, kind="stable")
         tbl = tbl.take(pa.array(order))  # block-sized take: safe
         counts = np.bincount(ids, minlength=n_parts).astype(np.int64)

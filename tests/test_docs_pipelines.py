@@ -310,3 +310,21 @@ def test_knn_ivf_recall(ray_session):
     g = set(zip(got["query_id"], got["vec_id"]))
     recall = len(t & g) / len(t)
     assert recall >= 0.7, f"IVF recall {recall:.2f}"
+
+
+def test_emb_centroids(ray_session):
+    got = _sorted(docs.emb_centroids(SF).to_pandas(), ["label", "dim"])
+    exp = _sorted(_con().execute("""
+        WITH u AS (
+          SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) - 1 AS dim
+          FROM embeddings
+        )
+        SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+               CAST(count(*) AS BIGINT) AS cnt, round(avg(v), 6) AS centroid
+        FROM u GROUP BY 1, 2
+    """).df(), ["label", "dim"])
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["label"], exp["label"])
+    np.testing.assert_array_equal(got["cnt"], exp["cnt"])
+    np.testing.assert_allclose(got["centroid"], exp["centroid"], atol=1e-6)

@@ -318,3 +318,18 @@ def test_triangle_pairs_cells_disjoint():
     allp = pd.concat(all_pairs, ignore_index=True)
     assert not allp.duplicated(["id_a", "id_b"]).any()
     assert len(allp) == 80 * 79 // 2
+
+
+def test_out_of_range_partition_ids_rejected(ray_session):
+    """A key_fn whose modulus disagrees with n_parts must fail loudly in
+    the split task, not silently corrupt partition slicing."""
+    import ray
+    import ray.data
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": np.arange(20)}))
+    # the split counts are fetched eagerly, so the exchange call itself
+    # surfaces the error
+    with pytest.raises(Exception, match="outside"):
+        hash_exchange(
+            ds, key_fn=lambda t: t.column("k").to_numpy() % 16,  # ids ≤ 15
+            n_parts=4, kernel=lambda df: df, fmt="pandas")
