@@ -40,11 +40,13 @@ def _n_parts(sf_dir: str) -> int:
     measured 2.8× slower than 16 on the 2 MB sf0.1 events table."""
     import os
 
-    try:
-        sz = os.path.getsize(f"{sf_dir.rstrip('/')}/events.parquet")
-    except OSError:
-        return N_PARTS
-    return min(N_PARTS, max(8, int(sz // _PART_BYTES)))
+    for ext in ("parquet", "csv", "jsonl"):
+        try:
+            sz = os.path.getsize(f"{sf_dir.rstrip('/')}/events.{ext}")
+            return min(N_PARTS, max(8, int(sz // _PART_BYTES)))
+        except OSError:
+            continue
+    return N_PARTS
 
 
 def _user_key_fn(n_parts: int):
@@ -58,15 +60,29 @@ def _user_key_fn(n_parts: int):
     return key_fn
 
 
+def _read_events(sf_dir: str, columns: list[str],
+                 n_blocks: int | None = None):
+    """Format-autodetecting events read (parquet > csv > jsonl) with the
+    canonical column types enforced (non-parquet readers infer e.g.
+    string-typed timestamps)."""
+    import pyarrow as pa
+
+    from ..sources.tables import read_table_auto
+
+    tune_context()
+    return read_table_auto(
+        sf_dir, "events", columns=columns,
+        override_num_blocks=n_blocks or _n_parts(sf_dir),
+        cast={"ts": pa.timestamp("us"), "user_id": pa.int64(),
+              "event_id": pa.int64(), "value": pa.float64()})
+
+
 def _read_points(sf_dir: str, n_blocks: int | None = None):
     """Column-pruned read + vectorized ms-epoch derivation."""
     import pyarrow.compute as pc
     import ray.data
 
-    tune_context()
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=EVENT_COLS,
-        override_num_blocks=n_blocks or _n_parts(sf_dir))
+    ds = _read_events(sf_dir, EVENT_COLS, n_blocks)
 
     def to_ms(batch):
         ts_us = pc.cast(batch["ts"], "int64")  # timestamp[us] → int64 us
@@ -263,9 +279,7 @@ def rollup_by_type(sf_dir: str, tier: str = "1h"):
 
     tune_context()
     P = _n_parts(sf_dir)
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "event_type", "ts", "value"],
-                               override_num_blocks=P)
+    ds = _read_events(sf_dir, ["user_id", "event_type", "ts", "value"], P)
 
     def to_ms(batch):
         ts_ms = pc.divide(pc.cast(batch["ts"], "int64"), 1000)
@@ -383,9 +397,7 @@ def top_types_per_user(sf_dir: str, k: int = 2):
 
     tune_context()
     P = _n_parts(sf_dir)
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "event_type"],
-                               override_num_blocks=P)
+    ds = _read_events(sf_dir, ["user_id", "event_type"], P)
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         out = (df.groupby(["user_id", "event_type"], sort=False,
@@ -494,8 +506,7 @@ def counter_increase(sf_dir: str, tier: str = "1h"):
     W = TIER_MS[tier]
     tune_context()
     P = _n_parts(sf_dir)
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=EVENT_COLS, override_num_blocks=P)
+    ds = _read_events(sf_dir, EVENT_COLS, P)
 
     def to_us(batch):
         ts_us = pc.cast(batch["ts"], "int64")
@@ -589,10 +600,8 @@ def purchase_window_join(sf_dir: str, window_ms: int = 300_000,
 
     tune_context()
     P = _n_parts(sf_dir)
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "ts", "event_type", "value"],
-        override_num_blocks=P)
+    ds = _read_events(sf_dir,
+                      ["event_id", "user_id", "ts", "event_type", "value"], P)
 
     def to_us(batch):
         ts_us = pc.cast(batch["ts"], "int64")
@@ -807,10 +816,8 @@ def asof_last_match(sf_dir: str, match_type: str = "purchase",
 
     tune_context()
     P = _n_parts(sf_dir)
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "event_type", "ts", "value"],
-        override_num_blocks=P)
+    ds = _read_events(sf_dir,
+                      ["event_id", "user_id", "event_type", "ts", "value"], P)
 
     def to_us(batch):
         ts_us = pc.cast(batch["ts"], "int64")  # timestamp[us] -> int64 us

@@ -620,3 +620,31 @@ def test_hot_user_time_sliced_boundary_stitching(ray_session, tmp_path):
     # sessions really cross slice cuts (stitching fired)
     cut = 6 * 3_600_000
     assert ((b["session_start"] // cut) != (b["session_end"] // cut)).any()
+
+
+def test_multi_format_source_equivalence(ray_session, tmp_path, sf_small):
+    """The same pipeline over events.csv / events.jsonl must equal the
+    parquet result exactly (format-autodetecting source + canonical-type
+    normalization)."""
+    import duckdb
+
+    csv_dir = tmp_path / "csv"
+    jsonl_dir = tmp_path / "jsonl"
+    csv_dir.mkdir()
+    jsonl_dir.mkdir()
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT * FROM '{sf_small}/events.parquet')
+        TO '{csv_dir}/events.csv' (HEADER, DELIMITER ',')""")
+    con.execute(f"""
+        COPY (SELECT * FROM '{sf_small}/events.parquet')
+        TO '{jsonl_dir}/events.jsonl' (FORMAT JSON)""")
+
+    key = ["user_id", "bucket_ms"]
+    base = (ev.rollup(sf_small, "1h").to_pandas()
+            .sort_values(key).reset_index(drop=True))
+    for d in (csv_dir, jsonl_dir):
+        got = (ev.rollup(str(d), "1h").to_pandas()
+               .sort_values(key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, base, check_exact=False,
+                                      atol=1e-9)
