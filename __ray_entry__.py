@@ -56,7 +56,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_twa_1h": lambda sf: ev.twa(sf, "1h"),
         "events_counter_increase_1h": lambda sf: ev.counter_increase(sf, "1h"),
         "events_top_types_per_user": ev.top_types_per_user,
+        "events_sliding_1h": ev.sliding_window,
+        "events_value_histogram": ev.value_histogram,
+        "events_user_stats": ev.user_stats,
+        "events_ewma": ev.ewma_last,
         "events_gapfill_1h": lambda sf: ev.gapfill(sf, "1h"),
+        "events_gapfill_1h_interp": lambda sf: ev.gapfill_interp(sf, "1h"),
         "events_gaps": ev.event_gaps,
         "events_rollup_1h_by_type": lambda sf: ev.rollup_by_type(sf, "1h"),
         "events_sessions": ev.sessionize,
@@ -335,6 +340,38 @@ SELECT user_id, event_type, count(*) AS cnt,
 FROM events GROUP BY user_id, event_type
 QUALIFY rnk <= 2
 """,
+        # sliding (RANGE) window: trailing 1 h per event, peers share a
+        # window — the engine's double-searchsorted prefix-sum kernel
+        "events_sliding_1h": """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events)
+SELECT event_id, user_id, ts_us // 1000 AS ts_ms,
+       CAST(count(*) OVER w AS BIGINT) AS w_cnt,
+       round(sum(value) OVER w, 6) AS w_sum
+FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+        "events_value_histogram": """
+SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+       count(*) AS cnt, round(sum(value), 6) AS sum_v
+FROM events GROUP BY 1, 2
+""",
+        "events_user_stats": """
+SELECT user_id, count(*) AS cnt,
+       round(avg(value), 6) AS mean_v,
+       round(stddev_samp(value), 6) AS std_v,
+       round(corr(value, epoch_ms(ts)), 6) AS corr_ts
+FROM events GROUP BY 1
+""",
+        # recursive fold: DuckDB evaluates acc*0.8 + 0.2*x in float64 —
+        # measured bit-identical to pandas' grouped ewm(adjust=False)
+        "events_ewma": """
+WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+l AS (SELECT user_id, list(value ORDER BY ts_us) AS vs FROM p GROUP BY 1)
+SELECT user_id,
+       round(list_reduce(vs, (acc, x) -> acc * 0.8 + 0.2 * x), 6) AS ewma
+FROM l
+""",
         "events_gapfill_1h": _EVENT_POINTS + """
 , r AS (
   SELECT user_id, ts_ms - ts_ms % 3600000 AS bucket_ms,
@@ -354,6 +391,43 @@ SELECT g.user_id, g.bucket_ms,
          OVER (PARTITION BY g.user_id ORDER BY g.bucket_ms) AS last_v,
        r.user_id IS NULL AS filled
 FROM grid g LEFT JOIN r ON g.user_id = r.user_id AND g.bucket_ms = r.bucket_ms
+""",
+        # linear-interpolation gap-fill: filled buckets take the straight
+        # line between the nearest present buckets (interp from RAW sums,
+        # round once at the end — matching the engine's kernel)
+        "events_gapfill_1h_interp": _EVENT_POINTS + """
+, r AS (
+  SELECT user_id, ts_ms - ts_ms % 3600000 AS bucket_ms,
+         sum(value) AS sum_v
+  FROM p GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(bucket_ms) AS lo, max(bucket_ms) AS hi FROM r GROUP BY 1
+), grid AS (
+  SELECT b.user_id, gs.g AS bucket_ms
+  FROM bounds b, LATERAL (SELECT unnest(generate_series(b.lo, b.hi, 3600000)) AS g) gs
+), j AS (
+  SELECT g.user_id, g.bucket_ms, r.sum_v, r.user_id IS NULL AS filled
+  FROM grid g LEFT JOIN r ON g.user_id = r.user_id AND g.bucket_ms = r.bucket_ms
+), w AS (
+  SELECT *,
+    last_value(sum_v IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY bucket_ms) AS pv,
+    last_value(CASE WHEN NOT filled THEN bucket_ms END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY bucket_ms) AS pb,
+    first_value(sum_v IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY bucket_ms
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN NOT filled THEN bucket_ms END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY bucket_ms
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM j
+)
+SELECT user_id, bucket_ms,
+       round(CASE WHEN filled
+                  THEN pv + (nv - pv) * (bucket_ms - pb) / (nb - pb)
+                  ELSE sum_v END, 6) AS v,
+       filled
+FROM w
 """,
         "events_rollup_1h_by_type": """
 WITH p AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value FROM events)

@@ -1067,3 +1067,190 @@ def event_gaps(sf_dir: str):
     return hash_exchange(ds, key_fn=_user_key_fn(_n_parts(sf_dir)),
                          n_parts=_n_parts(sf_dir),
                          kernel=gaps_partition, fmt="pandas")
+
+
+def sliding_window(sf_dir: str, window_ms: int = HOUR_MS):
+    """Sliding (RANGE) window aggregate: for EVERY event, the count/sum of
+    the same user's events in the trailing ``[ts − W, ts]`` interval —
+    SQL ``RANGE BETWEEN W PRECEDING AND CURRENT ROW`` semantics, so
+    equal-timestamp peers share one window.  Completes the window-type
+    family (tumbling/hopping = ``rollup`` / ``rollup_hopping``, session =
+    ``sessionize``).  One user-hash exchange; the per-partition kernel is a
+    composite-key double ``searchsorted`` against a prefix sum (same
+    dataset-relative-stride construction as :func:`purchase_window_join`)
+    — no per-event Python, no self-join pair materialization."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"], P)
+
+    def to_us(batch):
+        ts_us = pc.cast(batch["ts"], "int64")
+        return batch.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    pts = ds.map_batches(to_us, batch_format="pyarrow")
+    W_us = window_ms * 1000
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "user_id", "ts_ms", "w_cnt", "w_sum"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        uid_codes, _ = pd.factorize(df["user_id"], sort=False)
+        ts = df["ts_us"].to_numpy()
+        rel = ts - ts.min()
+        # users separated by more than any window → the left bound can
+        # never cross a user boundary (see purchase_window_join)
+        stride = np.int64(rel.max()) + np.int64(W_us) + 2
+        key = uid_codes.astype(np.int64) * stride + rel
+        csum = np.concatenate(([0.0], np.cumsum(df["value"].to_numpy())))
+        lo = np.searchsorted(key, key - W_us, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "ts_ms": ts // 1000,
+            "w_cnt": (hi - lo).astype(np.int64),
+            "w_sum": round_half_away(csum[hi] - csum[lo], 6),
+        })
+
+    return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def value_histogram(sf_dir: str, bin_width: float = 10.0):
+    """Fixed-width value histogram per event type.  Partial (type, bin)
+    cells combine INSIDE each map batch (pandas hash groupby), so the
+    exchange carries ~types × bins rows per input block, never raw events
+    (pre-aggregate-before-shuffle, SURVEY §4)."""
+    tune_context()
+    P = 8  # types × bins is tiny; a handful of reduce tasks suffice
+    ds = _read_events(sf_dir, ["event_type", "value"], _n_parts(sf_dir))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(bin=np.floor(df["value"].to_numpy() / bin_width)
+                       .astype(np.int64))
+        return (df.groupby(["event_type", "bin"], as_index=False, sort=False)
+                .agg(cnt=("value", "size"), sum_v=("value", "sum")))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def key_fn(tbl):
+        h = pd.util.hash_pandas_object(
+            tbl.column("event_type").to_pandas(), index=False).to_numpy()
+        h = h * np.uint64(1_000_003) + tbl.column("bin").to_numpy().astype(
+            np.uint64)
+        return (h % np.uint64(P)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["event_type", "bin"], as_index=False, sort=False)
+               .agg(cnt=("cnt", "sum"), sum_v=("sum_v", "sum")))
+        out["cnt"] = out["cnt"].astype(np.int64)
+        out["sum_v"] = round_half_away(out["sum_v"].to_numpy(), 6)
+        return out
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=P, kernel=merge,
+                         fmt="pandas")
+
+
+def user_stats(sf_dir: str):
+    """Per-user statistical aggregates: count, mean, sample stddev and the
+    value↔time Pearson correlation.  Moments are CENTERED per partition —
+    raw (Σt², Σv·t) sums over epoch-ms timestamps lose ~8 digits to
+    cancellation; centering keeps ~1e-12 agreement with DuckDB's stable
+    aggregates, comfortably inside the 6-decimal round.  (Correlation is
+    shift-invariant, so centering at the partition's own per-user means is
+    exact.)"""
+    P = _n_parts(sf_dir)
+    pts = _read_points(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "cnt", "mean_v", "std_v", "corr_ts"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        codes, users = pd.factorize(df["user_id"], sort=False)
+        v = df["value"].to_numpy(dtype=np.float64)
+        t = df["ts_ms"].to_numpy(dtype=np.float64)
+        n = np.bincount(codes)
+        mv = np.bincount(codes, weights=v) / n
+        mt = np.bincount(codes, weights=t) / n
+        dv = v - mv[codes]
+        dt = t - mt[codes]
+        m2v = np.bincount(codes, weights=dv * dv)
+        m2t = np.bincount(codes, weights=dt * dt)
+        cvt = np.bincount(codes, weights=dv * dt)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            std = np.where(n > 1, np.sqrt(m2v / np.maximum(n - 1, 1)), np.nan)
+            corr = np.where((m2v > 0) & (m2t > 0),
+                            cvt / np.sqrt(m2v * m2t), np.nan)
+        return pd.DataFrame({
+            "user_id": users, "cnt": n.astype(np.int64),
+            "mean_v": round_half_away(mv, 6),
+            "std_v": round_half_away(std, 6),
+            "corr_ts": round_half_away(corr, 6),
+        })
+
+    return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def ewma_last(sf_dir: str, alpha: float = 0.2):
+    """Final EWMA per user — the recursive ``y ← (1−α)·y + α·x`` fold over
+    event-time order (seeded with the first value).  pandas' grouped
+    ``ewm(adjust=False)`` is a Cython kernel evaluating exactly
+    ``old_wt·y + new_wt·x`` with ``old_wt + new_wt = 1`` — measured
+    bit-identical to an explicit fold AND to DuckDB's ``list_reduce``
+    lambda, so the 6-decimal round is a formality."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts", "value"], P)
+
+    def to_us(batch):
+        ts_us = pc.cast(batch["ts"], "int64")
+        return batch.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    pts = ds.map_batches(to_us, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "ewma"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        ew = (df.groupby("user_id", sort=False)["value"]
+              .ewm(alpha=alpha, adjust=False).mean().to_numpy())
+        uid = df["user_id"].to_numpy()
+        last = np.concatenate((uid[1:] != uid[:-1], [True]))
+        return pd.DataFrame({"user_id": uid[last],
+                             "ewma": round_half_away(ew[last], 6)})
+
+    return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def gapfill_interp(sf_dir: str, tier: str = "1h"):
+    """Gap-filled rollup with LINEAR interpolation (vs :func:`gapfill`'s
+    LOCF): a filled bucket takes the straight line between the nearest
+    present buckets on each side (both always exist — each user's grid is
+    bounded by its own min/max present bucket)."""
+    from ..stages.rollup import interp_partition
+
+    ds = _read_points(sf_dir)
+    P = _n_parts(sf_dir)
+    rolled = rollup_dataset(ds, key_cols=["user_id"], tier=tier, n_parts=P)
+
+    filled = hash_exchange(
+        rolled, key_fn=_user_key_fn(P), n_parts=P,
+        kernel=lambda df: interp_partition(df, bucket_ms=TIER_MS[tier],
+                                           key_cols=["user_id"]),
+        fmt="pandas")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["v"] = round_half_away(df["v"].to_numpy(), 6)
+        return df
+
+    return filled.map_batches(fin, batch_format="pandas").select_columns(
+        ["user_id", "bucket_ms", "v", "filled"])

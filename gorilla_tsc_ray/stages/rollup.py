@@ -221,6 +221,65 @@ def gapfill_partition(df: pd.DataFrame, *, bucket_ms: int,
     return pd.DataFrame(out)[out_cols]
 
 
+def interp_partition(df: pd.DataFrame, *, bucket_ms: int,
+                     key_cols: list[str]) -> pd.DataFrame:
+    """Linear-interpolation gap-fill for MANY series in one partition
+    (vs :func:`gapfill_partition`'s LOCF): a filled bucket's ``v`` is the
+    straight line between the nearest PRESENT buckets on each side.  Both
+    neighbours always exist — each series' grid is bounded by its own
+    min/max present bucket — and can never belong to another series, so one
+    global accumulate pass per direction serves every series at once."""
+    out_cols = key_cols + ["bucket_ms", "v", "filled"]
+    if len(df) == 0:
+        return pd.DataFrame({c: [] for c in out_cols})
+    codes = np.zeros(len(df), dtype=np.int64)
+    for c in key_cols:
+        cc, _ = pd.factorize(df[c], sort=False)
+        codes = codes * np.int64(cc.max() + 1) + cc
+    bucket = df["bucket_ms"].to_numpy()
+    order = np.lexsort((bucket, codes))
+    codes = codes[order]
+    bucket = bucket[order]
+    sum_v = df["sum_v"].to_numpy()[order]
+
+    change = np.concatenate(([True], codes[1:] != codes[:-1]))
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(codes))
+    lo = bucket[starts]
+    hi = bucket[ends - 1]
+    counts = (hi - lo) // bucket_ms + 1
+    total = int(counts.sum())
+    g_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    rep = np.repeat(np.arange(len(starts)), counts)
+    within = np.arange(total) - np.repeat(g_off, counts)
+    grid_bucket = lo[rep] + within * bucket_ms
+
+    row_series = np.repeat(np.arange(len(starts)), ends - starts)
+    gpos = g_off[row_series] + (bucket - lo[row_series]) // bucket_ms
+
+    o_sum = np.zeros(total, dtype=np.float64)
+    filled = np.ones(total, dtype=bool)
+    o_sum[gpos] = sum_v
+    filled[gpos] = False
+    idx = np.arange(total)
+    prev_src = np.maximum.accumulate(np.where(filled, -1, idx))
+    # next present index ≥ i: accumulate over REVERSED positions (idx is the
+    # reversed position there), then map back with total-1-·
+    next_src = total - 1 - np.maximum.accumulate(
+        np.where(filled[::-1], -1, idx))[::-1]
+    pv, pb = o_sum[prev_src], grid_bucket[prev_src]
+    nv, nb = o_sum[next_src], grid_bucket[next_src]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        v = np.where(filled,
+                     pv + (nv - pv) * (grid_bucket - pb) / (nb - pb), o_sum)
+
+    out = {c: df[c].to_numpy()[order][starts][rep] for c in key_cols}
+    out["bucket_ms"] = grid_bucket
+    out["v"] = v
+    out["filled"] = filled
+    return pd.DataFrame(out)[out_cols]
+
+
 def gapfill_group(df: pd.DataFrame, *, bucket_ms: int,
                   key_cols: list[str]) -> pd.DataFrame:
     """map_groups UDF: fill empty buckets for ONE series between its min and

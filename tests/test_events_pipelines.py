@@ -648,3 +648,192 @@ def test_multi_format_source_equivalence(ray_session, tmp_path, sf_small):
                .sort_values(key).reset_index(drop=True))
         pd.testing.assert_frame_equal(got, base, check_exact=False,
                                       atol=1e-9)
+
+
+def test_sliding_window_oracle(ray_session, sf_small):
+    _cmp(
+        ev.sliding_window(sf_small),
+        """
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                   FROM events)
+        SELECT event_id, user_id, ts_us // 1000 AS ts_ms,
+               CAST(count(*) OVER w AS BIGINT) AS w_cnt,
+               round(sum(value) OVER w, 6) AS w_sum
+        FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                            RANGE BETWEEN 3600000000 PRECEDING
+                                  AND CURRENT ROW)
+        """,
+        sf_small, ["event_id"], atol=1e-9,
+    )
+
+
+def test_sliding_window_boundaries(ray_session, tmp_path):
+    """RANGE window semantics: [ts−W, ts] inclusive both ends; equal-ts
+    peers share one window; users never leak into each other."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    W = 3_600_000  # ms
+    t0 = 1_600_000_000_000
+    rows = [
+        # user 1: a at t0, b at t0+W (a is exactly at b's left bound → IN),
+        # c at t0+W+1 (a is OUT of c's window), d/e equal-ts peers
+        (1, 1, t0, 1.0),
+        (2, 1, t0 + W, 2.0),
+        (3, 1, t0 + W + 1, 4.0),
+        (4, 1, t0 + 2 * W + 2, 8.0),
+        (5, 1, t0 + 2 * W + 2, 16.0),
+        # user 2 inside user 1's span
+        (6, 2, t0 + 1, 32.0),
+    ]
+    eid, uid, ts, val = map(np.array, zip(*rows))
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid.astype(np.int64)),
+        "user_id": pa.array(uid.astype(np.int64)),
+        "ts": pa.array(ts.astype(np.int64),
+                       pa.timestamp("ms")).cast(pa.timestamp("us")),
+        "event_type": pa.array(np.full(len(eid), "view")),
+        "value": pa.array(val.astype(np.float64)),
+    }), str(tmp_path / "events.parquet"))
+    got = (ev.sliding_window(str(tmp_path)).to_pandas()
+           .set_index("event_id").sort_index())
+    assert got.loc[1, "w_cnt"] == 1 and got.loc[1, "w_sum"] == 1.0
+    assert got.loc[2, "w_cnt"] == 2 and got.loc[2, "w_sum"] == 3.0
+    assert got.loc[3, "w_cnt"] == 2 and got.loc[3, "w_sum"] == 6.0
+    # equal-ts peers: both rows see both values (plus nothing else in range)
+    assert got.loc[4, "w_cnt"] == 2 and got.loc[4, "w_sum"] == 24.0
+    assert got.loc[5, "w_cnt"] == 2 and got.loc[5, "w_sum"] == 24.0
+    assert got.loc[6, "w_cnt"] == 1 and got.loc[6, "w_sum"] == 32.0
+
+
+def test_value_histogram(ray_session, sf_small):
+    _cmp(
+        ev.value_histogram(sf_small),
+        """
+        SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+               count(*) AS cnt, round(sum(value), 6) AS sum_v
+        FROM events GROUP BY 1, 2
+        """,
+        sf_small, ["event_type", "bin"], atol=1e-6,
+    )
+
+
+def test_user_stats(ray_session, sf_small):
+    _cmp(
+        ev.user_stats(sf_small),
+        """
+        SELECT user_id, count(*) AS cnt,
+               round(avg(value), 6) AS mean_v,
+               round(stddev_samp(value), 6) AS std_v,
+               round(corr(value, epoch_ms(ts)), 6) AS corr_ts
+        FROM events GROUP BY 1
+        """,
+        sf_small, ["user_id"], atol=1e-9,
+    )
+
+
+def test_user_stats_single_point_user(ray_session, tmp_path):
+    """A single-point user gets NULL stddev/corr (sample moments undefined)
+    — NaN on the engine side, matching SQL NULL semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([1_600_000_000_000_000 + i * 1_000_000
+                        for i in range(3)], pa.timestamp("us")),
+        "event_type": pa.array(["view"] * 3),
+        "value": pa.array([1.0, 3.0, 7.0]),
+    }), str(tmp_path / "events.parquet"))
+    got = (ev.user_stats(str(tmp_path)).to_pandas()
+           .set_index("user_id").sort_index())
+    assert got.loc[1, "cnt"] == 2 and got.loc[1, "mean_v"] == 2.0
+    assert got.loc[2, "cnt"] == 1
+    assert np.isnan(got.loc[2, "std_v"]) and np.isnan(got.loc[2, "corr_ts"])
+
+
+def test_ewma(ray_session, sf_small):
+    _cmp(
+        ev.ewma_last(sf_small),
+        """
+        WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        l AS (SELECT user_id, list(value ORDER BY ts_us) AS vs
+              FROM p GROUP BY 1)
+        SELECT user_id,
+               round(list_reduce(vs, (acc, x) -> acc * 0.8 + 0.2 * x), 6)
+                 AS ewma
+        FROM l
+        """,
+        sf_small, ["user_id"], atol=0.0,
+    )
+
+
+def test_gapfill_interp(ray_session, sf_small):
+    _cmp(
+        ev.gapfill_interp(sf_small, "1h"),
+        """
+        WITH r AS (
+          SELECT user_id,
+                 epoch_ms(ts) - epoch_ms(ts) % 3600000 AS bucket_ms,
+                 sum(value) AS sum_v
+          FROM events GROUP BY 1, 2
+        ), bounds AS (
+          SELECT user_id, min(bucket_ms) AS lo, max(bucket_ms) AS hi
+          FROM r GROUP BY 1
+        ), grid AS (
+          SELECT b.user_id, gs.g AS bucket_ms
+          FROM bounds b, LATERAL
+            (SELECT unnest(generate_series(b.lo, b.hi, 3600000)) AS g) gs
+        ), j AS (
+          SELECT g.user_id, g.bucket_ms, r.sum_v, r.user_id IS NULL AS filled
+          FROM grid g LEFT JOIN r
+            ON g.user_id = r.user_id AND g.bucket_ms = r.bucket_ms
+        ), w AS (
+          SELECT *,
+            last_value(sum_v IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY bucket_ms) AS pv,
+            last_value(CASE WHEN NOT filled THEN bucket_ms END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY bucket_ms) AS pb,
+            first_value(sum_v IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY bucket_ms
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN NOT filled THEN bucket_ms END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY bucket_ms
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+          FROM j
+        )
+        SELECT user_id, bucket_ms,
+               round(CASE WHEN filled
+                          THEN pv + (nv - pv) * (bucket_ms - pb) / (nb - pb)
+                          ELSE sum_v END, 6) AS v,
+               filled
+        FROM w
+        """,
+        sf_small, ["user_id", "bucket_ms"], atol=1e-6,
+    )
+
+
+def test_interp_partition_matches_np_interp():
+    """The multi-series vectorized interpolation kernel equals per-series
+    np.interp on the filled positions."""
+    from gorilla_tsc_ray.stages.rollup import interp_partition
+
+    rng = np.random.default_rng(7)
+    frames = []
+    for uid in range(5):
+        n = rng.integers(2, 12)
+        buckets = np.sort(rng.choice(np.arange(30), size=n, replace=False))
+        frames.append(pd.DataFrame({
+            "user_id": uid, "bucket_ms": buckets * 100,
+            "sum_v": rng.uniform(-5, 5, n)}))
+    df = pd.concat(frames, ignore_index=True).sample(frac=1, random_state=3)
+    got = interp_partition(df, bucket_ms=100, key_cols=["user_id"])
+    for uid, g in got.groupby("user_id"):
+        src = df[df["user_id"] == uid].sort_values("bucket_ms")
+        exp = np.interp(g["bucket_ms"].to_numpy(),
+                        src["bucket_ms"].to_numpy(), src["sum_v"].to_numpy())
+        np.testing.assert_allclose(g["v"].to_numpy(), exp, atol=1e-12)
+        present = set(src["bucket_ms"])
+        assert (~g["filled"]).sum() == len(present)
+        assert set(g.loc[~g["filled"], "bucket_ms"]) == present
