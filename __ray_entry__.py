@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_value_events": relational.high_value_filter,
         "orders_by_nation": relational.orders_by_nation,
         "distinct_event_types": relational.distinct_event_types,
+        "customers_without_big_orders":
+            relational.customers_without_big_orders,
         # — training-data ops: text analysis —
         "docs_token_stats": docs.token_stats,
         "docs_quality": docs.quality,
@@ -549,6 +551,13 @@ GROUP BY 1
 """,
         "distinct_event_types": """
 SELECT DISTINCT event_type FROM events
+""",
+        # distributed ANTI join (NOT EXISTS) with scan-pushed predicate
+        "customers_without_big_orders": """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000.0)
 """,
         "docs_token_stats": r"""
 SELECT doc_id,

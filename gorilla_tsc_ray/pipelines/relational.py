@@ -143,6 +143,46 @@ def distinct_event_types(sf_dir: str):
         fmt="pandas", chunk_rows=1 << 20)
 
 
+def customers_without_big_orders(sf_dir: str, threshold: float = 400_000.0):
+    """Distributed ANTI join (NOT EXISTS): customers with no order above
+    ``threshold``.  The order-side predicate is pushed into the parquet
+    scan; surviving order keys dedup INSIDE each map batch, so the exchange
+    carries at most one row per (block, custkey) — never raw orders.  Both
+    sides ride ONE co-partitioned exchange (``hash_exchange_multi``) and the
+    partition kernel is a vectorized ``isin`` NOT-IN."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..stages.exchange import hash_exchange_multi
+
+    tune_context()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > threshold)
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_custkey": df["o_custkey"].unique()})
+
+    big = orders.map_batches(uniq, batch_format="pandas")
+
+    def key_of(col):
+        def key_fn(tbl):
+            h = pd.util.hash_pandas_object(
+                tbl.column(col).to_pandas(), index=False).to_numpy()
+            return (h % np.uint64(N_PARTS)).astype(np.int64)
+        return key_fn
+
+    def anti(cust_df: pd.DataFrame, big_df: pd.DataFrame) -> pd.DataFrame:
+        keep = ~cust_df["c_custkey"].isin(big_df["o_custkey"].unique())
+        return cust_df.loc[keep].reset_index(drop=True)
+
+    return hash_exchange_multi(
+        [(cust, key_of("c_custkey")), (big, key_of("o_custkey"))],
+        n_parts=N_PARTS, kernel=anti, fmt="pandas")
+
+
 def high_value_filter(sf_dir: str, threshold: float = 90.0):
     """Vectorized predicate filter + projection (prune at read)."""
     import pyarrow.compute as pc

@@ -1,0 +1,49 @@
+"""Relational operator tests (the TPC-H-ish surface is otherwise covered
+by the driver-gate oracles; these pin the anti-join edge semantics)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from gorilla_tsc_ray.pipelines import relational
+
+
+def test_anti_join_oracle(ray_session, sf_small):
+    got = (relational.customers_without_big_orders(sf_small).to_pandas()
+           .sort_values("c_custkey").reset_index(drop=True))
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM '{sf_small}/customer.parquet' c
+        WHERE NOT EXISTS (SELECT 1 FROM '{sf_small}/orders.parquet' o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000.0)
+    """).df().sort_values("c_custkey").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_anti_join_edges(ray_session, tmp_path):
+    """Customers with zero qualifying orders all survive; a customer whose
+    only qualifying order sits in another block is still dropped; order
+    keys with no matching customer emit nothing."""
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": pa.array(["a", "b", "c"]),
+        "c_acctbal": pa.array([10.0, 20.0, 30.0]),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        # customer 2 qualifies (600k); customer 99 has no customer row;
+        # customer 3's orders are all under threshold
+        "o_custkey": pa.array([2, 99, 3, 3], pa.int64()),
+        "o_totalprice": pa.array([600_000.0, 700_000.0, 100.0, 5.0]),
+    }), str(tmp_path / "orders.parquet"))
+    got = (relational.customers_without_big_orders(str(tmp_path))
+           .to_pandas().sort_values("c_custkey").reset_index(drop=True))
+    assert list(got["c_custkey"]) == [1, 3]
+    assert list(got["c_name"]) == ["a", "c"]
+    np.testing.assert_allclose(got["c_acctbal"], [10.0, 30.0])
