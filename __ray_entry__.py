@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_charset_jaccard": docs.charset_jaccard,
         "docs_token_jaccard": docs.token_jaccard,
         "docs_ngram_jaccard": docs.ngram_jaccard,
+        "docs_dup_clusters": docs.dup_clusters,
         "docs_minhash_pairs": docs.minhash_pairs,
         "docs_simhash_pairs": docs.simhash_pairs,
         # — training-data ops: similarity search —
@@ -700,6 +701,34 @@ WITH t AS (
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, round(j, 6) AS ngram_jaccard FROM s WHERE j >= 0.5
+""",
+        # connected components of the n-gram near-dup pair graph: engine =
+        # distributed min-label propagation; oracle = recursive transitive
+        # closure + min reachable id (same pair truth as docs_ngram_jaccard)
+        "docs_dup_clusters": """
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM t
+), s AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shs, b.shs)) * 1.0 /
+         greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), pr AS (SELECT id_a, id_b FROM s WHERE j >= 0.5),
+e AS (SELECT id_a AS a, id_b AS b FROM pr
+      UNION SELECT id_b, id_a FROM pr),
+r AS (
+  SELECT a AS n, a AS m FROM e
+  UNION
+  SELECT r.n, e.b FROM r JOIN e ON r.m = e.a
+)
+SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id FROM r GROUP BY 1
 """,
         "emb_knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id,

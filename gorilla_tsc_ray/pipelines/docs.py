@@ -192,14 +192,14 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 N_DOC_PARTS = 32
 
 
-def _pair_hash_key(cols):
+def _pair_hash_key(cols, n_parts: int = N_DOC_PARTS):
     def key_fn(tbl):
         h = pd.util.hash_pandas_object(
             tbl.column(cols[0]).to_pandas(), index=False).to_numpy()
         for c in cols[1:]:
             h = h * np.uint64(1_000_003) + pd.util.hash_pandas_object(
                 tbl.column(c).to_pandas(), index=False).to_numpy()
-        return (h % np.uint64(N_DOC_PARTS)).astype(np.int64)
+        return (h % np.uint64(n_parts)).astype(np.int64)
     return key_fn
 
 
@@ -557,3 +557,90 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.3,
         cands, ds, payload_id="vec_id", payload_col="embedding",
         attach_out="emb_a", verify_kernel=sim.cosine_verify,
         verify_kwargs={"threshold": threshold})
+
+
+# ---------- dedup clustering (connected components) ----------
+
+def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
+                  n_parts: int = N_DOC_PARTS, max_iters: int = 64):
+    """Connected components of an undirected pair graph by distributed
+    MIN-LABEL PROPAGATION: every node's label starts as its own id; each
+    round, one co-partitioned exchange joins current labels onto edge
+    sources and proposes them to destinations, a second merges proposals
+    into node labels (vectorized groupby-min per partition).  Converges in
+    O(component diameter) rounds — near-dup clusters are shallow — under a
+    hard ``max_iters`` cap.  The driver only ever sees the per-round
+    changed-count scalar; edges are materialized once and re-split each
+    round (zero-copy block slices).
+
+    Returns a Dataset of ``(node, label)`` — label = min node id reachable.
+    """
+    pairs = pairs_ds.materialize()
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[id_a].to_numpy(dtype=np.int64)
+        b = df[id_b].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"src": np.concatenate((a, b)),
+                             "dst": np.concatenate((b, a))})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    def uniq_src(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": pd.unique(df["src"])})
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.sort(pd.unique(df["node"]))
+        return pd.DataFrame({"node": u, "label": u,
+                             "changed": np.zeros(len(u), dtype=np.int64)})
+
+    labels = hash_exchange(
+        edges.map_batches(uniq_src, batch_format="pandas"),
+        key_fn=_pair_hash_key(["node"], n_parts), n_parts=n_parts,
+        kernel=init_labels, fmt="pandas")
+
+    def propose(e: pd.DataFrame, lab: pd.DataFrame) -> pd.DataFrame:
+        m = e.merge(lab[["node", "label"]], left_on="src", right_on="node",
+                    how="inner")
+        return pd.DataFrame({"dst": m["dst"], "label": m["label"]})
+
+    def merge_labels(lab: pd.DataFrame, prop: pd.DataFrame) -> pd.DataFrame:
+        cat = pd.concat(
+            [lab[["node", "label"]],
+             prop.rename(columns={"dst": "node"})[["node", "label"]]],
+            ignore_index=True)
+        new = cat.groupby("node", sort=False)["label"].min().reset_index()
+        old = lab.set_index("node")["label"]
+        new["changed"] = (new["label"].to_numpy()
+                          < old.reindex(new["node"]).to_numpy()
+                          ).astype(np.int64)
+        return new
+
+    for _ in range(max_iters):
+        proposals = hash_exchange_multi(
+            [(edges, _pair_hash_key(["src"], n_parts)),
+             (labels, _pair_hash_key(["node"], n_parts))],
+            n_parts=n_parts, kernel=propose, fmt="pandas")
+        labels = hash_exchange_multi(
+            [(labels, _pair_hash_key(["node"], n_parts)),
+             (proposals, _pair_hash_key(["dst"], n_parts))],
+            n_parts=n_parts, kernel=merge_labels, fmt="pandas").materialize()
+        if not labels.sum("changed"):
+            break
+
+    return labels.select_columns(["node", "label"])
+
+
+def dup_clusters(sf_dir: str, threshold: float = 0.5):
+    """Duplicate-cluster assignment — the canonicalization step a dedup
+    pipeline runs after pair generation: every doc that appears in a
+    near-dup pair maps to the min doc_id of its duplicate cluster
+    (``cluster_id == doc_id`` marks the keeper).  Pair truth is the
+    oracle-checked exact n-gram join (:func:`ngram_jaccard`); clustering is
+    distributed label propagation (:func:`cluster_pairs`)."""
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["node"].astype(np.int64),
+                             "cluster_id": df["label"].astype(np.int64)})
+
+    return cluster_pairs(ngram_jaccard(sf_dir, threshold=threshold)
+                         ).map_batches(rename, batch_format="pandas")

@@ -328,3 +328,51 @@ def test_emb_centroids(ray_session):
     np.testing.assert_array_equal(got["label"], exp["label"])
     np.testing.assert_array_equal(got["cnt"], exp["cnt"])
     np.testing.assert_allclose(got["centroid"], exp["centroid"], atol=1e-6)
+
+
+def test_cluster_pairs_label_propagation(ray_session):
+    """Min-label propagation equals a union-find reference on a graph that
+    needs MANY rounds (a 14-node chain entered from the high end) plus a
+    separate triangle and an isolated pair; nodes outside any pair don't
+    appear."""
+    import ray.data
+
+    chain = [(i, i + 1) for i in range(100, 114)]        # diameter 14
+    tri = [(200, 201), (201, 202), (200, 202)]
+    iso = [(300, 301)]
+    edges = chain + tri + iso
+    pairs = pd.DataFrame({"id_a": [a for a, _ in edges],
+                          "id_b": [b for _, b in edges]})
+    got = (docs.cluster_pairs(ray.data.from_pandas(pairs), n_parts=8)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = pd.DataFrame(sorted((n, find(n)) for n in parent),
+                       columns=["node", "label"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_dup_clusters_consistent_with_pairs(ray_session):
+    """Every oracle pair's endpoints share a cluster; every clustered doc
+    appears in at least one pair; keepers are cluster minima."""
+    sf = "/root/testdata/sf0.001"
+    pairs = docs.ngram_jaccard(sf).to_pandas()
+    clusters = docs.dup_clusters(sf).to_pandas()
+    lab = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    assert len(pairs) > 0
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        assert lab[a] == lab[b]
+    assert set(clusters["doc_id"]) == set(pairs["id_a"]) | set(pairs["id_b"])
+    g = clusters.groupby("cluster_id")["doc_id"].min()
+    assert (g.index == g.to_numpy()).all()
