@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_rollup_1d": lambda sf: ingest.rollup_tier(sf, "1d"),
         "transcripts_roundtrip_text_len": lambda sf: ingest.blocks_roundtrip(sf, "text_len"),
         "transcripts_gapfill_1h": lambda sf: ingest.gapfill_tier(sf, "1h", "turn_count"),
+        "transcripts_gap_quantiles": ingest.gap_quantiles,
         # — relational operator coverage —
         "q1_pricing_summary": relational.pricing_summary,
         "top_event_users": relational.top_event_users,
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": docs.quality,
         "docs_lang_id": docs.lang_id,
         "docs_fingerprints": docs.fingerprints,
+        "docs_hash_split": docs.hash_split,
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
         "docs_charset_jaccard": docs.charset_jaccard,
@@ -528,6 +530,15 @@ SELECT g.conv_id, g.metric, g.bucket_ms,
 FROM grid g LEFT JOIN r
   ON g.conv_id = r.conv_id AND g.metric = r.metric AND g.bucket_ms = r.bucket_ms
 """,
+        # exact per-conv quantiles of the turn-gap metric (single-turn
+        # convs have no gap and are absent on both sides)
+        "transcripts_gap_quantiles": tmetrics + """
+SELECT conv_id,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM m WHERE metric = 'turn_gap_ms' GROUP BY 1
+""",
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
@@ -618,6 +629,17 @@ SELECT doc_id, CAST(list_reduce(
     (h, x) -> (h * 1000003 + x) % 2305843009213693951) AS BIGINT)
   AS fingerprint
 FROM t
+""",
+        # deterministic train/val split: md5_number_upper = little-endian
+        # FIRST 8 digest bytes (flipped naming; CLAUDE.md), matching the
+        # engine's int.from_bytes(md5(str(id))[:8], 'little')
+        "docs_hash_split": """
+SELECT doc_id,
+       CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 AS BIGINT)
+         AS bucket,
+       CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 90
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
 """,
         "docs_exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_dups

@@ -644,3 +644,30 @@ def dup_clusters(sf_dir: str, threshold: float = 0.5):
 
     return cluster_pairs(ngram_jaccard(sf_dir, threshold=threshold)
                          ).map_batches(rename, batch_format="pandas")
+
+
+# ---------- deterministic train/val split ----------
+
+def hash_split(sf_dir: str, train_pct: int = 90):
+    """Deterministic train/validation split — content-independent,
+    engine-reproducible: bucket = first 8 md5 digest bytes (little-endian)
+    of the decimal doc_id, mod 100 (exactly DuckDB's
+    ``md5_number_upper(CAST(doc_id AS VARCHAR)) % 100``, so the assignment
+    is SQL-checkable and portable).  md5 here is one C call per row on an
+    8-16 byte input (~2 M rows/s/core) inside map_batches — embarrassingly
+    parallel, no shuffle, no state."""
+    import hashlib
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        bucket = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                            "little") % 100 for i in ids),
+            count=len(ids), dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": ids, "bucket": bucket,
+            "split": np.where(bucket < train_pct, "train", "val"),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        assign, batch_format="pandas")

@@ -1015,32 +1015,14 @@ def user_quantiles(sf_dir: str, qs=(0.5, 0.95, 0.99)):
     quantiles come from index arithmetic over run bounds (numpy's switched
     lerp replicated exactly → bit-matches DuckDB ``quantile_cont`` after
     6-decimal rounding)."""
+    from ..stages.rollup import quantiles_by_key
+
     ds = _read_points(sf_dir)
-
-    def quant_partition(df: pd.DataFrame) -> pd.DataFrame:
-        user = df["user_id"].to_numpy()
-        val = df["value"].to_numpy()
-        order = np.lexsort((val, user))
-        user, val = user[order], val[order]
-        change = np.concatenate(([True], user[1:] != user[:-1]))
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(user))
-        cnt = ends - starts
-        out = {"user_id": user[starts]}
-        for q in qs:
-            h = q * (cnt - 1)
-            f = np.floor(h).astype(np.int64)
-            t = h - f
-            a = val[starts + f]
-            b = val[np.minimum(starts + f + 1, ends - 1)]
-            # numpy _lerp: switched form above t=0.5 for accuracy
-            lerp = np.where(t < 0.5, a + t * (b - a), b - (1 - t) * (b - a))
-            out[f"p{int(q * 100)}"] = round_half_away(lerp, 6)
-        return pd.DataFrame(out)
-
-    return hash_exchange(ds, key_fn=_user_key_fn(_n_parts(sf_dir)),
-                         n_parts=_n_parts(sf_dir),
-                         kernel=quant_partition, fmt="pandas")
+    return hash_exchange(
+        ds, key_fn=_user_key_fn(_n_parts(sf_dir)),
+        n_parts=_n_parts(sf_dir),
+        kernel=lambda df: quantiles_by_key(df, key_col="user_id", qs=qs),
+        fmt="pandas")
 
 
 def event_gaps(sf_dir: str):

@@ -572,3 +572,29 @@ def ingest_to_store(sf_dir: str, out_root: str, resume: bool = True):
     results["lineage_rows"] = len(rows)
     results["run_id"] = run_id
     return results
+
+
+def gap_quantiles(sf_dir: str, qs=(0.5, 0.95, 0.99)):
+    """Per-conversation response-latency percentiles: exact quantiles of
+    the ``turn_gap_ms`` metric, fused dedup → derive → quantile in ONE
+    conv-partitioned pass (bucketed lake → shuffle-free map tasks; the
+    quantile math is the shared switched-lerp kernel that bit-matches
+    DuckDB ``quantile_cont`` after the 6-decimal round).  Conversations
+    with a single turn have no gap and are absent, matching the SQL."""
+    import pyarrow.compute as pc
+
+    from ..stages.metrics import CUSTOM_METRICS, derive_metrics_arrow
+    from ..stages.rollup import quantiles_by_key
+
+    custom = dict(CUSTOM_METRICS)
+
+    def kernel(batch):
+        m = derive_metrics_arrow(batch, custom)
+        m = m.filter(pc.equal(pc.cast(m["metric"], "string"), "turn_gap_ms"))
+        df = pd.DataFrame({
+            "conv_id": m["conv_id"].to_pandas().astype(str),
+            "value": m["value"].to_numpy(zero_copy_only=False),
+        })
+        return quantiles_by_key(df, key_col="conv_id", qs=qs)
+
+    return _conv_partitioned(sf_dir, kernel, fmt="pyarrow")

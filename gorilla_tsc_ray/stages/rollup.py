@@ -221,6 +221,39 @@ def gapfill_partition(df: pd.DataFrame, *, bucket_ms: int,
     return pd.DataFrame(out)[out_cols]
 
 
+def quantiles_by_key(df: pd.DataFrame, *, key_col: str,
+                     value_col: str = "value",
+                     qs=(0.5, 0.95, 0.99)) -> pd.DataFrame:
+    """Exact per-key quantiles for MANY keys in one partition: sort
+    (key, value) once, then every key's quantiles come from index
+    arithmetic over run bounds.  The lerp replicates numpy's switched form
+    exactly, which bit-matches DuckDB ``quantile_cont`` after the 6-decimal
+    round (shared by events.user_quantiles and ingest.gap_quantiles)."""
+    from ..util import round_half_away
+
+    cols = [key_col] + [f"p{int(q * 100)}" for q in qs]
+    if len(df) == 0:
+        return pd.DataFrame({c: [] for c in cols})
+    codes, keys = pd.factorize(df[key_col], sort=False)
+    val = df[value_col].to_numpy()
+    order = np.lexsort((val, codes))
+    k, v = codes[order], val[order]
+    change = np.concatenate(([True], k[1:] != k[:-1]))
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(k))
+    cnt = ends - starts
+    out = {key_col: np.asarray(keys)[k[starts]]}
+    for q in qs:
+        h = q * (cnt - 1)
+        f = np.floor(h).astype(np.int64)
+        t = h - f
+        a = v[starts + f]
+        b = v[np.minimum(starts + f + 1, ends - 1)]
+        lerp = np.where(t < 0.5, a + t * (b - a), b - (1 - t) * (b - a))
+        out[f"p{int(q * 100)}"] = round_half_away(lerp, 6)
+    return pd.DataFrame(out)[cols]
+
+
 def interp_partition(df: pd.DataFrame, *, bucket_ms: int,
                      key_cols: list[str]) -> pd.DataFrame:
     """Linear-interpolation gap-fill for MANY series in one partition

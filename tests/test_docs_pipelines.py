@@ -376,3 +376,23 @@ def test_dup_clusters_consistent_with_pairs(ray_session):
     assert set(clusters["doc_id"]) == set(pairs["id_a"]) | set(pairs["id_b"])
     g = clusters.groupby("cluster_id")["doc_id"].min()
     assert (g.index == g.to_numpy()).all()
+
+
+def test_hash_split(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = docs.hash_split(sf).to_pandas()
+    sql = f"""
+    SELECT doc_id,
+           CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 AS BIGINT)
+             AS bucket,
+           CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM '{sf}/documents.parquet'
+    """
+    exp = duckdb.connect().execute(sql).df()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    # both classes occupied and ~90/10 (binomial tolerance on 50 docs)
+    frac = (got["split"] == "train").mean()
+    assert 0.7 < frac < 1.0 and (got["split"] == "val").any()

@@ -262,3 +262,29 @@ def test_unbucketed_fallback_path_matches(ray_session, tmp_path):
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
     finally:
         shutil.rmtree(cache_dir, ignore_errors=True)
+
+
+def test_gap_quantiles(ray_session):
+    got = (ingest.gap_quantiles(SF).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    path = transcripts_dir(SF)
+    sql = DEDUP_CTE.format(path=path) + """
+    , g AS (
+      SELECT conv_id,
+             CAST(ts_ms - lag(ts_ms) OVER (PARTITION BY conv_id
+                                           ORDER BY turn_idx) AS DOUBLE)
+               AS value
+      FROM d QUALIFY lag(ts_ms) OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) IS NOT NULL
+    )
+    SELECT conv_id,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM g GROUP BY 1
+    """
+    exp = (duckdb.connect().execute(sql).df()
+           .sort_values("conv_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-9)
