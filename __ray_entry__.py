@@ -85,12 +85,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": relational.distinct_event_types,
         "customers_without_big_orders":
             relational.customers_without_big_orders,
+        "nation_order_quantiles": relational.nation_order_quantiles,
         # — training-data ops: text analysis —
         "docs_token_stats": docs.token_stats,
         "docs_quality": docs.quality,
         "docs_lang_id": docs.lang_id,
         "docs_fingerprints": docs.fingerprints,
         "docs_hash_split": docs.hash_split,
+        "docs_top_quality_per_lang": docs.top_quality_per_lang,
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
         "docs_charset_jaccard": docs.charset_jaccard,
@@ -564,6 +566,15 @@ GROUP BY 1
         "distinct_event_types": """
 SELECT DISTINCT event_type FROM events
 """,
+        # broadcast dimension join + exact per-nation price percentiles
+        "nation_order_quantiles": """
+SELECT n.n_name,
+       round(quantile_cont(o.o_totalprice, 0.5), 6) AS p50,
+       round(quantile_cont(o.o_totalprice, 0.95), 6) AS p95
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
         # distributed ANTI join (NOT EXISTS) with scan-pushed predicate
         "customers_without_big_orders": """
 SELECT c_custkey, c_name, c_acctbal FROM customer c
@@ -629,6 +640,22 @@ SELECT doc_id, CAST(list_reduce(
     (h, x) -> (h * 1000003 + x) % 2305843009213693951) AS BIGINT)
   AS fingerprint
 FROM t
+""",
+        # stratified quality selection: same rounded alpha_ratio as the
+        # engine's quality kernel; doc_id tie-break on both sides
+        "docs_top_quality_per_lang": """
+WITH s AS (
+  SELECT doc_id, lang,
+         round(length(regexp_extract_all(text, '[A-Za-z]'))
+               / greatest(CAST(length(text) AS DOUBLE), 1.0), 6)
+           AS alpha_ratio
+  FROM documents
+)
+SELECT lang, doc_id, alpha_ratio,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY alpha_ratio DESC, doc_id)
+            AS BIGINT) AS rnk
+FROM s QUALIFY rnk <= 10
 """,
         # deterministic train/val split: md5_number_upper = little-endian
         # FIRST 8 digest bytes (flipped naming; CLAUDE.md), matching the

@@ -156,11 +156,32 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
     timed_docs("emb_near_dups_lsh",
                lambda: docs.embedding_near_dups_lsh(sf_dir).count())
 
+    # late-round-3 operators — separate section so headline/docs sums stay
+    # comparable across rounds
+    extra_queries = {}
+
+    def timed_extra(name, fn):
+        best = float("inf")
+        for _ in range(2):
+            t = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t)
+        extra_queries[name] = round(best, 3)
+
+    timed_extra("events_sliding_1h", lambda: ev.sliding_window(sf_dir).count())
+    timed_extra("events_gapfill_1h_interp",
+                lambda: ev.gapfill_interp(sf_dir, "1h").count())
+    timed_extra("transcripts_gap_quantiles",
+                lambda: ingest.gap_quantiles(sf_dir).count())
+    timed_extra("docs_dup_clusters", lambda: docs.dup_clusters(sf_dir).count())
+
     result = {
         "queries": queries,
         "total_sec": total,
         "docs_queries": docs_queries,
         "docs_sec": round(sum(docs_queries.values()), 3),
+        "extra_queries": extra_queries,
+        "extra_sec": round(sum(extra_queries.values()), 3),
         "n_turns": int(n_turns),
         "turns_per_sec": round(n_turns / max(ingest_sec, 1e-9), 1),
         "bytes_per_point": round(bytes_per_point, 3),
@@ -279,6 +300,8 @@ def main() -> None:
         "queries": pipe["queries"],
         "docs_queries": pipe["docs_queries"],
         "docs_sec": pipe["docs_sec"],
+        "extra_queries": pipe["extra_queries"],
+        "extra_sec": pipe["extra_sec"],
         "sf": _sf_tag(sf_dir), "num_cpus": num_cpus,
         "n_turns": pipe["n_turns"],
         "turns_per_sec": pipe["turns_per_sec"],

@@ -671,3 +671,39 @@ def hash_split(sf_dir: str, train_pct: int = 90):
 
     return _read(sf_dir, "documents", ["doc_id"]).map_batches(
         assign, batch_format="pandas")
+
+
+# ---------- stratified quality selection ----------
+
+def top_quality_per_lang(sf_dir: str, k: int = 10):
+    """Class-balanced quality filtering: the ``k`` highest-quality docs per
+    language (quality = ``alpha_ratio`` from the quality kernel,
+    deterministic doc_id tie-break) — the stratified selection step of a
+    training-data pipeline.  In-batch partial top-k per lang trims each
+    block to ≤ k·langs rows BEFORE the one lang-hash exchange; the final
+    kernel is the same vectorized sort + cumcount (self-merging, so it
+    chunk-streams)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        q = tx.quality_scores(df)
+        return pd.DataFrame({"doc_id": q["doc_id"], "lang": df["lang"],
+                             "alpha_ratio": q["alpha_ratio"]})
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "alpha_ratio", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        rnk = df.groupby("lang", sort=False).cumcount() + 1
+        out = df.loc[rnk.to_numpy() <= k].copy()
+        return out.reset_index(drop=True)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = topk(df)
+        df["rnk"] = (df.groupby("lang", sort=False).cumcount() + 1
+                     ).astype(np.int64)
+        return df[["lang", "doc_id", "alpha_ratio", "rnk"]]
+
+    partials = ds.map_batches(score, batch_format="pandas").map_batches(
+        topk, batch_format="pandas")
+    return hash_exchange(partials, key_fn=_pair_hash_key(["lang"]),
+                         n_parts=N_DOC_PARTS, kernel=finalize, fmt="pandas")

@@ -191,3 +191,41 @@ def high_value_filter(sf_dir: str, threshold: float = 90.0):
     return ds.map_batches(
         lambda t: t.filter(pc.greater(t["value"], threshold)),
         batch_format="pyarrow")
+
+
+def nation_order_quantiles(sf_dir: str):
+    """Join + exact-quantile composition: per-nation order-price
+    percentiles.  The customer→nation dimension is broadcast (built once on
+    the driver, captured by the batch UDF); orders then need only ONE
+    nation-hash exchange into the shared multi-key switched-lerp quantile
+    kernel (25 nations — bounded-cardinality key; the partition holds each
+    nation's raw prices, the same partitioning assumption as
+    events.user_quantiles)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.rollup import quantiles_by_key
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = dict(zip(
+        cust["c_custkey"],
+        cust["c_nationkey"].map(dict(zip(nation["n_nationkey"],
+                                         nation["n_name"])))))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": df["o_custkey"].map(cust_to_nation),
+            "o_totalprice": df["o_totalprice"],
+        })
+
+    priced = ds.map_batches(assign, batch_format="pandas")
+    return hash_exchange(
+        priced, key_fn=_hash_key(["n_name"]), n_parts=N_PARTS,
+        kernel=lambda df: quantiles_by_key(df, key_col="n_name",
+                                           value_col="o_totalprice",
+                                           qs=(0.5, 0.95)),
+        fmt="pandas")

@@ -396,3 +396,25 @@ def test_hash_split(ray_session):
     # both classes occupied and ~90/10 (binomial tolerance on 50 docs)
     frac = (got["split"] == "train").mean()
     assert 0.7 < frac < 1.0 and (got["split"] == "val").any()
+
+
+def test_top_quality_per_lang(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = (docs.top_quality_per_lang(sf, k=5).to_pandas()
+           .sort_values(["lang", "rnk"]).reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        WITH s AS (
+          SELECT doc_id, lang,
+                 round(length(regexp_extract_all(text, '[A-Za-z]'))
+                       / greatest(CAST(length(text) AS DOUBLE), 1.0), 6)
+                   AS alpha_ratio
+          FROM '{sf}/documents.parquet'
+        )
+        SELECT lang, doc_id, alpha_ratio,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY alpha_ratio DESC, doc_id)
+                    AS BIGINT) AS rnk
+        FROM s QUALIFY rnk <= 5
+    """).df().sort_values(["lang", "rnk"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)

@@ -47,3 +47,20 @@ def test_anti_join_edges(ray_session, tmp_path):
     assert list(got["c_custkey"]) == [1, 3]
     assert list(got["c_name"]) == ["a", "c"]
     np.testing.assert_allclose(got["c_acctbal"], [10.0, 30.0])
+
+
+def test_nation_order_quantiles(ray_session, sf_small):
+    got = (relational.nation_order_quantiles(sf_small).to_pandas()
+           .sort_values("n_name").reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        SELECT n.n_name,
+               round(quantile_cont(o.o_totalprice, 0.5), 6) AS p50,
+               round(quantile_cont(o.o_totalprice, 0.95), 6) AS p95
+        FROM '{sf_small}/orders.parquet' o
+        JOIN '{sf_small}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{sf_small}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    """).df().sort_values("n_name").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-9)
