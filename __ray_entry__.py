@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_counter_increase_1h": lambda sf: ev.counter_increase(sf, "1h"),
         "events_top_types_per_user": ev.top_types_per_user,
         "events_sliding_1h": ev.sliding_window,
+        "events_signup_funnel_1h": ev.signup_purchase_funnel,
+        "events_daily_distinct_types": ev.daily_distinct_types,
         "events_value_histogram": ev.value_histogram,
         "events_user_stats": ev.user_stats,
         "events_ewma": ev.ewma_last,
@@ -77,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_roundtrip_text_len": lambda sf: ingest.blocks_roundtrip(sf, "text_len"),
         "transcripts_gapfill_1h": lambda sf: ingest.gapfill_tier(sf, "1h", "turn_count"),
         "transcripts_gap_quantiles": ingest.gap_quantiles,
+        "transcripts_rollup_1h_wide": lambda sf: ingest.rollup_wide(sf, "1h"),
         # — relational operator coverage —
         "q1_pricing_summary": relational.pricing_summary,
         "top_event_users": relational.top_event_users,
@@ -93,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprints": docs.fingerprints,
         "docs_hash_split": docs.hash_split,
         "docs_top_quality_per_lang": docs.top_quality_per_lang,
+        "docs_top_tokens": docs.top_tokens,
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
         "docs_charset_jaccard": docs.charset_jaccard,
@@ -358,6 +362,27 @@ SELECT event_id, user_id, ts_us // 1000 AS ts_ms,
 FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """,
+        # funnel step: first same-user purchase strictly after each signup,
+        # inclusive at signup + 1h; -1 sentinel keeps the column BIGINT
+        "events_signup_funnel_1h": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'signup'),
+p AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'purchase')
+SELECT e.event_id, e.user_id, e.ts_us // 1000 AS ts_ms,
+       coalesce(min(p.ts_us) // 1000, -1) AS first_purchase_ms,
+       count(p.ts_us) > 0 AS converted
+FROM e LEFT JOIN p
+  ON p.user_id = e.user_id
+ AND p.ts_us > e.ts_us AND p.ts_us <= e.ts_us + 3600000000
+GROUP BY 1, 2, 3
+""",
+        "events_daily_distinct_types": """
+SELECT user_id,
+       epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY 1, 2
+""",
         "events_value_histogram": """
 SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
        count(*) AS cnt, round(sum(value), 6) AS sum_v
@@ -532,6 +557,19 @@ SELECT g.conv_id, g.metric, g.bucket_ms,
 FROM grid g LEFT JOIN r
   ON g.conv_id = r.conv_id AND g.metric = r.metric AND g.bucket_ms = r.bucket_ms
 """,
+        # long→wide pivot of the 1h rollup (absent metric → 0.0)
+        "transcripts_rollup_1h_wide": tmetrics + """
+SELECT conv_id, ts_ms - ts_ms % 3600000 AS bucket_ms,
+       round(coalesce(sum(value) FILTER (metric = 'turn_count'), 0), 6)
+         AS turn_count,
+       round(coalesce(sum(value) FILTER (metric = 'text_len'), 0), 6)
+         AS text_len,
+       round(coalesce(sum(value) FILTER (metric = 'tool_call'), 0), 6)
+         AS tool_call,
+       round(coalesce(sum(value) FILTER (metric = 'turn_gap_ms'), 0), 6)
+         AS turn_gap_ms
+FROM m GROUP BY 1, 2
+""",
         # exact per-conv quantiles of the turn-gap metric (single-turn
         # convs have no gap and are absent on both sides)
         "transcripts_gap_quantiles": tmetrics + """
@@ -640,6 +678,16 @@ SELECT doc_id, CAST(list_reduce(
     (h, x) -> (h * 1000003 + x) % 2305843009213693951) AS BIGINT)
   AS fingerprint
 FROM t
+""",
+        # global token-frequency top-k (explode shape); (cnt desc, tok)
+        # tie-break on both sides
+        "docs_top_tokens": """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+)
+SELECT tok, count(*) AS cnt FROM tok
+GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 20
 """,
         # stratified quality selection: same rounded alpha_ratio as the
         # engine's quality kernel; doc_id tie-break on both sides

@@ -707,3 +707,41 @@ def top_quality_per_lang(sf_dir: str, k: int = 10):
         topk, batch_format="pandas")
     return hash_exchange(partials, key_fn=_pair_hash_key(["lang"]),
                          n_parts=N_DOC_PARTS, kernel=finalize, fmt="pandas")
+
+
+# ---------- token frequency (explode / flat_map coverage) ----------
+
+def top_tokens(sf_dir: str, k: int = 20):
+    """Global token-frequency top-k — the explode/flat_map shape: each
+    batch flattens its docs to tokens but emits only (token, count) VOCAB
+    rows (factorize + bincount), never token occurrences; one token-hash
+    exchange merges counts (full counts per token live in one partition),
+    each partition pre-trims to its local top-k, and a tiny global sort
+    finishes.  Deterministic (cnt desc, token asc) tie-break."""
+    import itertools
+
+    from ..stages.text import WORD_RE
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(WORD_RE)
+        flat = np.asarray(list(itertools.chain.from_iterable(toks)),
+                          dtype=object)
+        if len(flat) == 0:
+            return pd.DataFrame({"tok": [], "cnt": []})
+        codes, uniq = pd.factorize(flat)
+        return pd.DataFrame({"tok": uniq,
+                             "cnt": np.bincount(codes).astype(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("tok", sort=False)["cnt"].sum().reset_index()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out.sort_values(["cnt", "tok"],
+                               ascending=[False, True]).iloc[:k]
+
+    counts = hash_exchange(partials, key_fn=_pair_hash_key(["tok"]),
+                           n_parts=N_DOC_PARTS, kernel=merge, fmt="pandas")
+    return counts.sort(["cnt", "tok"], descending=[True, False]).limit(k)

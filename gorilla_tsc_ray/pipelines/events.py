@@ -1236,3 +1236,101 @@ def gapfill_interp(sf_dir: str, tier: str = "1h"):
 
     return filled.map_batches(fin, batch_format="pandas").select_columns(
         ["user_id", "bucket_ms", "v", "filled"])
+
+
+def signup_purchase_funnel(sf_dir: str, window_ms: int = HOUR_MS):
+    """Funnel step (sequential event pattern): for each signup, did the
+    SAME user purchase within the following window (strictly after,
+    inclusive end), and when first — the conversion shape of event
+    analytics.  One user-hash exchange; the per-partition kernel finds
+    each signup's first following purchase with a composite-key
+    ``searchsorted`` against the purchase stream (no per-signup Python)."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"], P)
+
+    def to_us(batch):
+        ts_us = pc.cast(batch["ts"], "int64")
+        return batch.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    pts = ds.map_batches(to_us, batch_format="pyarrow")
+    W_us = window_ms * 1000
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "user_id", "ts_ms", "first_purchase_ms",
+                "converted"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        uid_codes, _ = pd.factorize(df["user_id"], sort=False)
+        ts = df["ts_us"].to_numpy()
+        rel = ts - ts.min()
+        stride = np.int64(rel.max()) + np.int64(W_us) + 2
+        key = uid_codes.astype(np.int64) * stride + rel
+        is_p = (df["event_type"] == "purchase").to_numpy()
+        is_s = (df["event_type"] == "signup").to_numpy()
+        pkey = key[is_p]
+        pts_us = ts[is_p]
+        # first purchase strictly after the signup; same-user guaranteed
+        # within [key, key+W] by the stride construction
+        pos = np.searchsorted(pkey, key[is_s], side="right")
+        hit = np.zeros(is_s.sum(), dtype=bool)
+        first = np.full(is_s.sum(), -1, dtype=np.int64)
+        valid = pos < len(pkey)
+        inwin = np.zeros_like(hit)
+        inwin[valid] = pkey[pos[valid]] <= key[is_s][valid] + W_us
+        hit = valid & inwin
+        first[hit] = pts_us[pos[hit]] // 1000
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy()[is_s],
+            "user_id": df["user_id"].to_numpy()[is_s],
+            "ts_ms": ts[is_s] // 1000,
+            "first_purchase_ms": first,
+            "converted": hit,
+        })
+
+    return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def daily_distinct_types(sf_dir: str):
+    """Per-(user, day) distinct-count aggregate: in-batch triple dedup
+    (the combiner — at most types×users×days rows leave a block), one
+    (user, day)-hash exchange, vectorized per-partition dedup +
+    ``nunique``."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_type"], P)
+
+    def to_day(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"), 1000)
+        day_ms = pc.multiply(pc.divide(ts_ms, DAY_MS), DAY_MS)
+        return batch.drop_columns(["ts"]).append_column("day_ms", day_ms)
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["user_id", "day_ms", "event_type"],
+                                  ignore_index=True)
+
+    triples = ds.map_batches(to_day, batch_format="pyarrow").map_batches(
+        uniq, batch_format="pandas")
+
+    def key_fn(tbl):
+        h = pd.util.hash_pandas_object(
+            tbl.column("user_id").to_pandas(), index=False).to_numpy()
+        h = (h * np.uint64(1_000_003)
+             + tbl.column("day_ms").to_numpy().astype(np.uint64))
+        return (h % np.uint64(P)).astype(np.int64)
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day_ms", "event_type"])
+        out = (df.groupby(["user_id", "day_ms"], sort=False)["event_type"]
+               .nunique().rename("n_types").reset_index())
+        out["n_types"] = out["n_types"].astype(np.int64)
+        return out
+
+    return hash_exchange(triples, key_fn=key_fn, n_parts=P,
+                         kernel=count_distinct, fmt="pandas")

@@ -598,3 +598,30 @@ def gap_quantiles(sf_dir: str, qs=(0.5, 0.95, 0.99)):
         return quantiles_by_key(df, key_col="conv_id", qs=qs)
 
     return _conv_partitioned(sf_dir, kernel, fmt="pyarrow")
+
+
+def rollup_wide(sf_dir: str, tier: str = "1h"):
+    """Long→wide PIVOT of the metric rollup: one row per (conv, bucket)
+    with one summed column per standard metric — the reshape operator,
+    fused into the same conv-partitioned pass (whole conversations per
+    block ⇒ whole (conv, bucket) groups per task; no exchange).  Metric
+    absent in a bucket → 0.0, matching the SQL ``coalesce(sum(...)
+    FILTER ...)``."""
+    from ..stages.metrics import CUSTOM_METRICS, rollup_turns_arrow
+
+    bucket_ms = TIER_MS[tier]
+    metrics = ["turn_count", "text_len", "tool_call", "turn_gap_ms"]
+    custom = dict(CUSTOM_METRICS)
+
+    def kernel(batch):
+        t = _finalize_tbl(rollup_turns_arrow(batch, bucket_ms, custom),
+                          plain_strings=True)
+        df = t.select(["conv_id", "metric", "bucket_ms",
+                       "sum_v"]).to_pandas()
+        wide = (df.set_index(["conv_id", "bucket_ms", "metric"])["sum_v"]
+                .unstack("metric").reindex(columns=metrics)
+                .fillna(0.0).reset_index())
+        wide.columns.name = None
+        return wide
+
+    return _conv_partitioned(sf_dir, kernel, fmt="pyarrow")

@@ -418,3 +418,17 @@ def test_top_quality_per_lang(ray_session):
     """).df().sort_values(["lang", "rnk"]).reset_index(drop=True)
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_top_tokens(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = docs.top_tokens(sf, k=10).to_pandas().reset_index(drop=True)
+    exp = duckdb.connect().execute(f"""
+        WITH tok AS (
+          SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+          FROM '{sf}/documents.parquet'
+        )
+        SELECT tok, count(*) AS cnt FROM tok
+        GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 10
+    """).df()
+    pd.testing.assert_frame_equal(got[exp.columns], exp)

@@ -837,3 +837,51 @@ def test_interp_partition_matches_np_interp():
         present = set(src["bucket_ms"])
         assert (~g["filled"]).sum() == len(present)
         assert set(g.loc[~g["filled"], "bucket_ms"]) == present
+
+
+def test_signup_funnel_boundaries(ray_session, tmp_path):
+    """Strictly-after start, inclusive window end, first purchase wins,
+    other users' purchases never convert a signup."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    W = 3_600_000
+    t0 = 1_600_000_000_000
+    rows = [
+        (1, 1, t0, "signup", 0.0),          # converts: purchase at t0+W
+        (2, 1, t0, "purchase", 1.0),        # same instant → does NOT count
+        (3, 1, t0 + W, "purchase", 2.0),    # inclusive end → counts
+        (4, 1, t0 + W + 1, "purchase", 3.0),
+        (5, 1, t0 + 2 * W, "signup", 0.0),  # no purchase after → no convert
+        (6, 2, t0 + 1, "purchase", 4.0),    # other user
+        (7, 2, t0 + 2, "signup", 0.0),      # user 2: no purchase after
+    ]
+    eid, uid, ts, et, val = map(np.array, zip(*rows))
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid.astype(np.int64)),
+        "user_id": pa.array(uid.astype(np.int64)),
+        "ts": pa.array(ts.astype(np.int64),
+                       pa.timestamp("ms")).cast(pa.timestamp("us")),
+        "event_type": pa.array(et.astype(str)),
+        "value": pa.array(val.astype(np.float64)),
+    }), str(tmp_path / "events.parquet"))
+    got = (ev.signup_purchase_funnel(str(tmp_path)).to_pandas()
+           .set_index("event_id").sort_index())
+    assert bool(got.loc[1, "converted"]) is True
+    assert got.loc[1, "first_purchase_ms"] == t0 + W
+    assert bool(got.loc[5, "converted"]) is False
+    assert got.loc[5, "first_purchase_ms"] == -1
+    assert bool(got.loc[7, "converted"]) is False
+
+
+def test_daily_distinct_types(ray_session, sf_small):
+    _cmp(
+        ev.daily_distinct_types(sf_small),
+        """
+        SELECT user_id,
+               epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events GROUP BY 1, 2
+        """,
+        sf_small, ["user_id", "day_ms"],
+    )

@@ -288,3 +288,30 @@ def test_gap_quantiles(ray_session):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_exact=False, atol=1e-9)
+
+
+def test_rollup_wide(ray_session):
+    got = (ingest.rollup_wide(SF, "1h").to_pandas()
+           .sort_values(["conv_id", "bucket_ms"]).reset_index(drop=True))
+    path = transcripts_dir(SF)
+    sql = METRICS_SQL.format(path=path).replace(
+        "SELECT conv_id, ts_ms, metric, value FROM (",
+        "SELECT * FROM (")  # keep the long CTE shape
+    wide_sql = f"""
+    WITH m AS ({sql})
+    SELECT conv_id, ts_ms - ts_ms % 3600000 AS bucket_ms,
+           round(coalesce(sum(value) FILTER (metric = 'turn_count'), 0), 6)
+             AS turn_count,
+           round(coalesce(sum(value) FILTER (metric = 'text_len'), 0), 6)
+             AS text_len,
+           round(coalesce(sum(value) FILTER (metric = 'tool_call'), 0), 6)
+             AS tool_call,
+           round(coalesce(sum(value) FILTER (metric = 'turn_gap_ms'), 0), 6)
+             AS turn_gap_ms
+    FROM m GROUP BY 1, 2
+    """
+    exp = (duckdb.connect().execute(wide_sql).df()
+           .sort_values(["conv_id", "bucket_ms"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-9)
