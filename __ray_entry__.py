@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_1h": ev.sliding_window,
         "events_signup_funnel_1h": ev.signup_purchase_funnel,
         "events_daily_distinct_types": ev.daily_distinct_types,
+        "events_running_total": ev.running_total,
         "events_value_histogram": ev.value_histogram,
         "events_user_stats": ev.user_stats,
         "events_ewma": ev.ewma_last,
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_big_orders":
             relational.customers_without_big_orders,
         "nation_order_quantiles": relational.nation_order_quantiles,
+        "customer_big_order_counts": relational.customer_big_order_counts,
         # — training-data ops: text analysis —
         "docs_token_stats": docs.token_stats,
         "docs_quality": docs.quality,
@@ -362,6 +364,15 @@ SELECT event_id, user_id, ts_us // 1000 AS ts_ms,
 FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """,
+        # prefix-scan window function (running total per user, us order)
+        "events_running_total": """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events)
+SELECT event_id, user_id, ts_us // 1000 AS ts_ms,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_sum
+FROM p
+""",
         # funnel step: first same-user purchase strictly after each signup,
         # inclusive at signup + 1h; -1 sentinel keeps the column BIGINT
         "events_signup_funnel_1h": """
@@ -612,6 +623,14 @@ SELECT n.n_name,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1
+""",
+        # LEFT OUTER join aggregate preserving zero-match customers
+        "customer_big_order_counts": """
+SELECT c.c_custkey, c.c_name,
+       CAST(count(o.o_custkey) AS BIGINT) AS n_big
+FROM customer c LEFT JOIN orders o
+  ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+GROUP BY 1, 2
 """,
         # distributed ANTI join (NOT EXISTS) with scan-pushed predicate
         "customers_without_big_orders": """

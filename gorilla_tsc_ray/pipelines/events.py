@@ -1334,3 +1334,44 @@ def daily_distinct_types(sf_dir: str):
 
     return hash_exchange(triples, key_fn=key_fn, n_parts=P,
                          kernel=count_distinct, fmt="pandas")
+
+
+def running_total(sf_dir: str):
+    """Cumulative running total per user in event-time order (ROWS
+    UNBOUNDED PRECEDING window): one user-hash exchange, per-partition
+    sort + segmented cumsum (subtract each user's pre-segment offset) —
+    the classic prefix-scan window function, fully vectorized."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"], P)
+
+    def to_us(batch):
+        ts_us = pc.cast(batch["ts"], "int64")
+        return batch.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    pts = ds.map_batches(to_us, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "user_id", "ts_ms", "running_sum"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        v = df["value"].to_numpy()
+        csum = np.cumsum(v)
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        starts = np.flatnonzero(first)
+        # offset = cumulative sum BEFORE each user's segment
+        seg_off = np.concatenate(([0.0], csum[starts[1:] - 1]))
+        run = csum - np.repeat(seg_off, np.diff(np.append(starts, len(uid))))
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": uid,
+            "ts_ms": df["ts_us"].to_numpy() // 1000,
+            "running_sum": round_half_away(run, 6),
+        })
+
+    return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

@@ -229,3 +229,43 @@ def nation_order_quantiles(sf_dir: str):
                                            value_col="o_totalprice",
                                            qs=(0.5, 0.95)),
         fmt="pandas")
+
+
+def customer_big_order_counts(sf_dir: str, threshold: float = 400_000.0):
+    """LEFT OUTER join aggregate with zero preservation: every customer and
+    how many of their orders exceed ``threshold`` (0 when none — the rows
+    an inner join would drop).  Order-side predicate pushed into the scan,
+    per-batch partial counts, then ONE co-partitioned exchange where the
+    kernel left-merges count partials onto the customer partition."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..stages.exchange import hash_exchange_multi
+
+    tune_context()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > threshold)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("o_custkey", sort=False).size()
+                .rename("n_big").reset_index())
+
+    counts = orders.map_batches(partial, batch_format="pandas")
+
+    def key_of(col):
+        def key_fn(tbl):
+            h = pd.util.hash_pandas_object(
+                tbl.column(col).to_pandas(), index=False).to_numpy()
+            return (h % np.uint64(N_PARTS)).astype(np.int64)
+        return key_fn
+
+    def left_merge(cust_df: pd.DataFrame, cnt_df: pd.DataFrame):
+        agg = cnt_df.groupby("o_custkey", sort=False)["n_big"].sum()
+        n = cust_df["c_custkey"].map(agg).fillna(0).astype(np.int64)
+        return cust_df.assign(n_big=n)
+
+    return hash_exchange_multi(
+        [(cust, key_of("c_custkey")), (counts, key_of("o_custkey"))],
+        n_parts=N_PARTS, kernel=left_merge, fmt="pandas")

@@ -885,3 +885,19 @@ def test_daily_distinct_types(ray_session, sf_small):
         """,
         sf_small, ["user_id", "day_ms"],
     )
+
+
+def test_running_total(ray_session, sf_small):
+    _cmp(
+        ev.running_total(sf_small),
+        """
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                   FROM events)
+        SELECT event_id, user_id, ts_us // 1000 AS ts_ms,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING), 6)
+                 AS running_sum
+        FROM p
+        """,
+        sf_small, ["event_id"], atol=1e-9,
+    )

@@ -64,3 +64,19 @@ def test_nation_order_quantiles(ray_session, sf_small):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_exact=False, atol=1e-9)
+
+
+def test_customer_big_order_counts(ray_session, sf_small):
+    got = (relational.customer_big_order_counts(sf_small).to_pandas()
+           .sort_values("c_custkey").reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        SELECT c.c_custkey, c.c_name,
+               CAST(count(o.o_custkey) AS BIGINT) AS n_big
+        FROM '{sf_small}/customer.parquet' c
+        LEFT JOIN '{sf_small}/orders.parquet' o
+          ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+        GROUP BY 1, 2
+    """).df().sort_values("c_custkey").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["n_big"] == 0).any()          # zero-match rows preserved
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
