@@ -1221,7 +1221,10 @@ def gapfill_interp(sf_dir: str, tier: str = "1h"):
 
     ds = _read_points(sf_dir)
     P = _n_parts(sf_dir)
-    rolled = rollup_dataset(ds, key_cols=["user_id"], tier=tier, n_parts=P)
+    # interp only needs sum_v — slim the exchange to 3 columns
+    rolled = rollup_dataset(ds, key_cols=["user_id"], tier=tier,
+                            n_parts=P).select_columns(
+                                ["user_id", "bucket_ms", "sum_v"])
 
     filled = hash_exchange(
         rolled, key_fn=_user_key_fn(P), n_parts=P,
