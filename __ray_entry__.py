@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_signup_funnel_1h": ev.signup_purchase_funnel,
         "events_daily_distinct_types": ev.daily_distinct_types,
         "events_running_total": ev.running_total,
+        "events_value_percent_rank": ev.value_percent_rank,
         "events_value_histogram": ev.value_histogram,
         "events_user_stats": ev.user_stats,
         "events_ewma": ev.ewma_last,
@@ -363,6 +364,13 @@ SELECT event_id, user_id, ts_us // 1000 AS ts_ms,
        round(sum(value) OVER w, 6) AS w_sum
 FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+        # rank-family windows: SQL rank() tie semantics, percent_rank
+        "events_value_percent_rank": _EVENT_POINTS + """
+SELECT user_id, ts_ms, value,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM p WINDOW w AS (PARTITION BY user_id ORDER BY value)
 """,
         # prefix-scan window function (running total per user, us order)
         "events_running_total": """

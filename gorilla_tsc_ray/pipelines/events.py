@@ -1378,3 +1378,46 @@ def running_total(sf_dir: str):
 
     return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def value_percent_rank(sf_dir: str):
+    """Rank-family window function: SQL ``rank()`` (ties share the rank of
+    their first equal value, gaps after) and ``percent_rank()`` =
+    (rank−1)/(n−1) per user.  One user-hash exchange; per partition a
+    single (user, value) lexsort gives every row's rank as
+    first-equal-run index − segment start + 1 — no per-user Python."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    pts = _read_points(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "ts_ms", "value", "rnk", "pct_rank"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        codes, _ = pd.factorize(df["user_id"], sort=False)
+        val = df["value"].to_numpy()
+        order = np.lexsort((val, codes))
+        c, v = codes[order], val[order]
+        n = len(c)
+        idx = np.arange(n)
+        seg_first = np.concatenate(([True], c[1:] != c[:-1]))
+        run_first = np.concatenate(([True], (c[1:] != c[:-1])
+                                    | (v[1:] != v[:-1])))
+        seg_start = idx[seg_first][np.cumsum(seg_first) - 1]
+        run_start = idx[run_first][np.cumsum(run_first) - 1]
+        seg_sizes = np.diff(np.append(idx[seg_first], n))
+        n_seg = np.repeat(seg_sizes, seg_sizes)
+        rnk = run_start - seg_start + 1
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pct = np.where(n_seg > 1, (rnk - 1) / (n_seg - 1), 0.0)
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy()[order],
+            "ts_ms": df["ts_ms"].to_numpy()[order],
+            "value": v,
+            "rnk": rnk.astype(np.int64),
+            "pct_rank": round_half_away(pct, 6),
+        })
+        return out
+
+    return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

@@ -901,3 +901,52 @@ def test_running_total(ray_session, sf_small):
         """,
         sf_small, ["event_id"], atol=1e-9,
     )
+
+
+def test_percent_rank_ties(ray_session, tmp_path):
+    """SQL rank() semantics: ties share the first-equal rank, gaps after;
+    percent_rank = (rank-1)/(n-1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = 1_600_000_000_000
+    vals = [5.0, 1.0, 5.0, 3.0]  # ranks by value: 1→1, 3→2, 5→3, 5→3
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "user_id": pa.array(np.ones(4, dtype=np.int64)),
+        "ts": pa.array([t0 + i for i in range(4)],
+                       pa.timestamp("ms")).cast(pa.timestamp("us")),
+        "event_type": pa.array(["view"] * 4),
+        "value": pa.array(vals),
+    }), str(tmp_path / "events.parquet"))
+    got = (ev.value_percent_rank(str(tmp_path)).to_pandas()
+           .sort_values(["value", "ts_ms"]).reset_index(drop=True))
+    assert list(got["rnk"]) == [1, 2, 3, 3]
+    np.testing.assert_allclose(got["pct_rank"],
+                               [0.0, 1 / 3, 2 / 3, 2 / 3], atol=1e-6)
+
+
+@pytest.mark.parametrize("op", [
+    lambda sf: ev.sliding_window(sf),
+    lambda sf: ev.value_histogram(sf),
+    lambda sf: ev.user_stats(sf),
+    lambda sf: ev.ewma_last(sf),
+    lambda sf: ev.signup_purchase_funnel(sf),
+    lambda sf: ev.daily_distinct_types(sf),
+    lambda sf: ev.running_total(sf),
+    lambda sf: ev.value_percent_rank(sf),
+])
+def test_new_ops_empty_input(ray_session, tmp_path, op):
+    """Every new operator returns an empty result (not an error) on an
+    empty events table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+    assert op(str(tmp_path)).count() == 0
