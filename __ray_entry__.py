@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_distinct_types": ev.daily_distinct_types,
         "events_running_total": ev.running_total,
         "events_value_percent_rank": ev.value_percent_rank,
+        "events_props_k_stats": ev.props_k_stats,
         "events_value_histogram": ev.value_histogram,
         "events_user_stats": ev.user_stats,
         "events_ewma": ev.ewma_last,
@@ -364,6 +365,19 @@ SELECT event_id, user_id, ts_us // 1000 AS ts_ms,
        round(sum(value) OVER w, 6) AS w_sum
 FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+        # semi-structured extraction: JSON props ->> k, per-type aggregate
+        # (sum(BIGINT) is HUGEINT in DuckDB → cast back; avg over non-null)
+        "events_props_k_stats": """
+WITH e AS (
+  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS cnt,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k,
+       round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+FROM e GROUP BY 1
 """,
         # rank-family windows: SQL rank() tie semantics, percent_rank
         "events_value_percent_rank": _EVENT_POINTS + """

@@ -1421,3 +1421,48 @@ def value_percent_rank(sf_dir: str):
 
     return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def props_k_stats(sf_dir: str):
+    """Semi-structured extraction + aggregate: parse the integer ``k`` out
+    of the JSON ``props`` column and aggregate per event type.  Extraction
+    is a vectorized regex (the column is flat single-key JSON; a general
+    nested path would swap in a per-batch JSON parser at the same seam);
+    per-batch partials combine before the one small exchange.  Null /
+    unparseable props are skipped, matching SQL's NULL-skipping
+    aggregates."""
+    tune_context()
+    P = 8
+    ds = _read_events(sf_dir, ["event_type", "props"], _n_parts(sf_dir))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(
+            df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False),
+            errors="coerce")
+        ok = k.notna().to_numpy()
+        sub = pd.DataFrame({"event_type": df["event_type"].to_numpy()[ok],
+                            "k": k.to_numpy()[ok].astype(np.int64)})
+        g = sub.groupby("event_type", sort=False)["k"]
+        return g.agg(cnt="size", sum_k="sum", min_k="min",
+                     max_k="max").reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def key_fn(tbl):
+        h = pd.util.hash_pandas_object(
+            tbl.column("event_type").to_pandas(), index=False).to_numpy()
+        return (h % np.uint64(P)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)
+        out = g.agg(cnt=("cnt", "sum"), sum_k=("sum_k", "sum"),
+                    min_k=("min_k", "min"), max_k=("max_k", "max")
+                    ).reset_index()
+        for c in ("cnt", "sum_k", "min_k", "max_k"):
+            out[c] = out[c].astype(np.int64)
+        out["avg_k"] = round_half_away(
+            out["sum_k"].to_numpy() / out["cnt"].to_numpy(), 6)
+        return out
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=P, kernel=merge,
+                         fmt="pandas")

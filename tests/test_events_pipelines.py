@@ -950,3 +950,43 @@ def test_new_ops_empty_input(ray_session, tmp_path, op):
         "value": pa.array([], pa.float64()),
     }), str(tmp_path / "events.parquet"))
     assert op(str(tmp_path)).count() == 0
+
+
+def test_props_k_stats(ray_session, sf_small):
+    _cmp(
+        ev.props_k_stats(sf_small),
+        """
+        WITH e AS (
+          SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+        )
+        SELECT event_type,
+               CAST(count(k) AS BIGINT) AS cnt,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               min(k) AS min_k, max(k) AS max_k,
+               round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+        FROM e GROUP BY 1
+        """,
+        sf_small, ["event_type"], atol=1e-9,
+    )
+
+
+def test_props_k_stats_malformed(ray_session, tmp_path):
+    """NULL / unparseable props are skipped like SQL NULL aggregates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = 1_600_000_000_000
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "user_id": pa.array(np.ones(4, dtype=np.int64)),
+        "ts": pa.array([t0 + i for i in range(4)],
+                       pa.timestamp("ms")).cast(pa.timestamp("us")),
+        "event_type": pa.array(["view"] * 4),
+        "value": pa.array([1.0] * 4),
+        "props": pa.array(['{"k": 5}', "not json", None, '{"k": -2}']),
+    }), str(tmp_path / "events.parquet"))
+    got = ev.props_k_stats(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["cnt"] == 2 and row["sum_k"] == 3
+    assert row["min_k"] == -2 and row["max_k"] == 5
