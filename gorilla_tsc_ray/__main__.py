@@ -5,6 +5,8 @@
                                         [--t-hi MS] [--conv ID ...] --out DIR
     python -m gorilla_tsc_ray retention --store STORE --now-ms N
                                         [--keep tier=days ...] [--dry-run]
+    python -m gorilla_tsc_ray dedup     --sf-dir DIR --out DIR
+                                        [--threshold 0.5]
 
 Owns its Ray session (library code never calls ``ray.init``); on a cluster,
 drop ``address="local"`` via ``--address auto``.
@@ -47,6 +49,12 @@ def main(argv=None) -> int:
     pq.add_argument("--conv", nargs="*", default=None)
     pq.add_argument("--out", required=True)
 
+    pd_ = sub.add_parser(
+        "dedup", help="near-dup dedup: clusters + surviving doc ids")
+    pd_.add_argument("--sf-dir", required=True)
+    pd_.add_argument("--out", required=True)
+    pd_.add_argument("--threshold", type=float, default=0.5)
+
     pr = sub.add_parser("retention", help="apply retention policy to a store")
     pr.add_argument("--store", required=True)
     pr.add_argument("--now-ms", type=int, required=True)
@@ -73,6 +81,17 @@ def main(argv=None) -> int:
                              metric=args.metric)
             ds.write_parquet(args.out)
             print(json.dumps({"rows": ds.count(), "out": args.out}))
+        elif args.cmd == "dedup":
+            from .pipelines.docs import dedup_survivors, dup_clusters
+
+            clusters = dup_clusters(args.sf_dir, threshold=args.threshold)
+            clusters.write_parquet(f"{args.out}/clusters")
+            survivors = dedup_survivors(args.sf_dir,
+                                        threshold=args.threshold)
+            survivors.write_parquet(f"{args.out}/survivors")
+            print(json.dumps({"clustered": clusters.count(),
+                              "survivors": survivors.count(),
+                              "out": args.out}))
         elif args.cmd == "retention":
             from .pipelines.retention import apply_retention
 

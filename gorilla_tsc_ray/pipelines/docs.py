@@ -745,3 +745,29 @@ def top_tokens(sf_dir: str, k: int = 20):
     counts = hash_exchange(partials, key_fn=_pair_hash_key(["tok"]),
                            n_parts=N_DOC_PARTS, kernel=merge, fmt="pandas")
     return counts.sort(["cnt", "tok"], descending=[True, False]).limit(k)
+
+
+def dedup_survivors(sf_dir: str, threshold: float = 0.5):
+    """End-to-end near-dup dedup DECISION: every doc_id that survives
+    keep-min-per-cluster dedup over the exact n-gram pair graph (docs in no
+    pair survive trivially).  Cluster assignment is the oracle-checked
+    :func:`dup_clusters`; the survivor filter is a distributed anti-join of
+    the corpus ids against the cluster non-minima (dropped ids are a tiny
+    fraction, shipped once)."""
+    clusters = cluster_pairs(ngram_jaccard(sf_dir, threshold=threshold))
+
+    def dropped(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.loc[df["node"] != df["label"], ["node"]]
+                .reset_index(drop=True))
+
+    drop_ds = clusters.map_batches(dropped, batch_format="pandas")
+    ids = _read(sf_dir, "documents", ["doc_id"])
+
+    def anti(ids_df: pd.DataFrame, drop_df: pd.DataFrame) -> pd.DataFrame:
+        keep = ~ids_df["doc_id"].isin(drop_df["node"].unique())
+        return ids_df.loc[keep].reset_index(drop=True)
+
+    return hash_exchange_multi(
+        [(ids, _pair_hash_key(["doc_id"])),
+         (drop_ds, _pair_hash_key(["node"]))],
+        n_parts=N_DOC_PARTS, kernel=anti, fmt="pandas")

@@ -432,3 +432,21 @@ def test_top_tokens(ray_session):
         GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 10
     """).df()
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_dedup_survivors_consistent(ray_session):
+    """Survivors == cluster minima ∪ docs in no pair; dropped docs are
+    exactly the cluster non-minima."""
+    import duckdb as _dd
+
+    sf = "/root/testdata/sf0.001"
+    surv = set(docs.dedup_survivors(sf).to_pandas()["doc_id"])
+    clusters = docs.dup_clusters(sf).to_pandas()
+    all_ids = set(_dd.connect().execute(
+        f"SELECT doc_id FROM '{sf}/documents.parquet'").df()["doc_id"])
+    keep = set(clusters.loc[clusters["doc_id"] == clusters["cluster_id"],
+                            "doc_id"])
+    drop = set(clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
+                            "doc_id"])
+    assert surv == (all_ids - drop)
+    assert keep <= surv and len(drop) > 0
