@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_last_purchase": ev.asof_last_match,
         "events_purchase_window_join": ev.purchase_window_join,
         "events_user_quantiles": ev.user_quantiles,
+        "events_user_quantiles_sketch": ev.user_quantiles_sketch,
         # — transcripts (flagship; oracle reads the same /tmp parquet) —
         "transcripts_canonical_turns": ingest.canonical_turns,
         "transcripts_metrics": ingest.metric_points,
@@ -530,6 +531,17 @@ SELECT user_id, session_seq,
 FROM s GROUP BY 1, 2
 """,
         "events_user_quantiles": """
+SELECT user_id,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
+""",
+        # KLL-sketch quantiles: EXACT whenever a user's count ≤ k=200 (no
+        # compaction → unit weights → identical switched-lerp), which holds
+        # at sf0.01 (~67 events/user) — compaction rank error is gated in
+        # tests/test_sketch.py at n=200k
+        "events_user_quantiles_sketch": """
 SELECT user_id,
        round(quantile_cont(value, 0.5), 6) AS p50,
        round(quantile_cont(value, 0.95), 6) AS p95,

@@ -1466,3 +1466,32 @@ def props_k_stats(sf_dir: str):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=P, kernel=merge,
                          fmt="pandas")
+
+
+def user_quantiles_sketch(sf_dir: str, qs=(0.5, 0.95, 0.99),
+                          k: int = 200):
+    """Per-user quantiles via the mergeable KLL-style sketch
+    (``stages/sketch.py``) — the 100 TB shape: the exchange carries ≤
+    k·log(n/k) weighted rows per (user, block) instead of every raw value,
+    so a pathological hot key can no longer melt its reduce task.  EXACT
+    whenever a user's count stays ≤ k (no compaction → all weights 1 → the
+    weighted estimator reduces bit-exactly to ``quantiles_by_key``), which
+    holds at the driver's correctness scale — hence the `quantile_cont`
+    oracle; the compaction path's rank error is gated in
+    ``tests/test_sketch.py``."""
+    from ..stages.sketch import quantiles_from_sketch, sketch_batch
+
+    P = _n_parts(sf_dir)
+    pts = _read_points(sf_dir, P)
+
+    partials = pts.map_batches(
+        lambda df: sketch_batch(df, key_col="user_id", k=k),
+        batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        merged = sketch_batch(df, key_col="user_id", k=k,
+                              weight_col="weight")
+        return quantiles_from_sketch(merged, key_col="user_id", qs=qs)
+
+    return hash_exchange(partials, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=final, fmt="pandas")

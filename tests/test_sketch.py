@@ -1,0 +1,88 @@
+"""KLL-style quantile sketch: exact-below-capacity equivalence, merge
+associativity, and the compaction rank-error gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from gorilla_tsc_ray.stages.rollup import quantiles_by_key
+from gorilla_tsc_ray.stages.sketch import (compact, quantiles_from_sketch,
+                                           sketch_batch)
+
+
+def _exact_rank_error(est: float, values: np.ndarray) -> float:
+    """|rank of estimate − target rank| / n for the quantile it answers."""
+    return np.searchsorted(np.sort(values), est) / len(values)
+
+
+def test_exact_below_capacity_matches_quantiles_by_key():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "user_id": np.repeat(np.arange(20, dtype=np.int64), 150),
+        "value": rng.normal(0, 100, 3000),
+    })
+    sk = sketch_batch(df, key_col="user_id", k=200)
+    assert (sk["weight"] == 1).all()          # never compacted
+    got = quantiles_from_sketch(sk, key_col="user_id")
+    exp = quantiles_by_key(df, key_col="user_id")
+    got = got.sort_values("user_id").reset_index(drop=True)
+    exp = exp.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp[got.columns])
+
+
+def test_merge_equals_single_pass_when_exact():
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"user_id": np.zeros(120, dtype=np.int64),
+                       "value": rng.uniform(-1, 1, 120)})
+    whole = sketch_batch(df, key_col="user_id", k=200)
+    a = sketch_batch(df.iloc[:70], key_col="user_id", k=200)
+    b = sketch_batch(df.iloc[70:], key_col="user_id", k=200)
+    merged = sketch_batch(pd.concat([a, b], ignore_index=True),
+                          key_col="user_id", k=200, weight_col="weight")
+    q1 = quantiles_from_sketch(whole, key_col="user_id")
+    q2 = quantiles_from_sketch(merged, key_col="user_id")
+    pd.testing.assert_frame_equal(q1, q2)
+
+
+def test_compaction_preserves_total_weight():
+    rng = np.random.default_rng(3)
+    n = 50_000
+    key = np.zeros(n, dtype=np.int64)
+    k2, v2, w2 = compact(key, rng.normal(size=n),
+                         np.ones(n, dtype=np.int64), k=128)
+    # each odd-sized compaction drifts total weight by ±2^level (inherent
+    # to KLL); the drift stays a vanishing fraction of n
+    assert abs(int(w2.sum()) - n) < 0.01 * n
+    # bounded state: ≤ k items per level
+    for lvl in np.unique(w2):
+        assert (w2 == lvl).sum() <= 128
+
+
+def test_compaction_rank_error_gate():
+    """Rank error of p50/p95/p99 stays within ~2.5·log2(n/k)/k on heavy
+    compaction (KLL bound with slack for the deterministic parity)."""
+    rng = np.random.default_rng(7)
+    n, k = 200_000, 200
+    for dist in (rng.normal(size=n), rng.lognormal(size=n),
+                 np.sort(rng.uniform(size=n))):
+        df = pd.DataFrame({"user_id": np.zeros(n, dtype=np.int64),
+                           "value": dist})
+        sk = sketch_batch(df, key_col="user_id", k=k)
+        assert len(sk) < 30 * k               # bounded state
+        got = quantiles_from_sketch(sk, key_col="user_id")
+        tol = 2.5 * np.log2(n / k) / k
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            est = got[col].iloc[0]
+            rank = np.searchsorted(np.sort(dist), est) / n
+            assert abs(rank - q) < tol, (col, rank, q, tol)
+
+
+def test_pipeline_matches_exact_at_small_scale(ray_session, sf_small):
+    from gorilla_tsc_ray.pipelines import events as ev
+
+    exact = (ev.user_quantiles(sf_small).to_pandas()
+             .sort_values("user_id").reset_index(drop=True))
+    sk = (ev.user_quantiles_sketch(sf_small).to_pandas()
+          .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(sk[exact.columns], exact)
