@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.customers_without_big_orders,
         "nation_order_quantiles": relational.nation_order_quantiles,
         "customer_big_order_counts": relational.customer_big_order_counts,
+        "brand_revenue": relational.brand_revenue,
         # — training-data ops: text analysis —
         "docs_token_stats": docs.token_stats,
         "docs_quality": docs.quality,
@@ -656,6 +657,16 @@ SELECT n.n_name,
        round(quantile_cont(o.o_totalprice, 0.95), 6) AS p95
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+        # three-table star join: part dimension broadcast, supplier
+        # distinct-count + revenue per brand
+        "brand_revenue": """
+SELECT p.p_brand,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       count(*) AS n_items,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY 1
 """,
         # LEFT OUTER join aggregate preserving zero-match customers

@@ -269,3 +269,52 @@ def customer_big_order_counts(sf_dir: str, threshold: float = 400_000.0):
     return hash_exchange_multi(
         [(cust, key_of("c_custkey")), (counts, key_of("o_custkey"))],
         n_parts=N_PARTS, kernel=left_merge, fmt="pandas")
+
+
+def brand_revenue(sf_dir: str):
+    """Three-table star join: per-brand lineitem revenue + distinct
+    supplier count.  The part→brand dimension is broadcast; revenue
+    partials and deduped (brand, suppkey) pairs combine INSIDE each batch,
+    so the one brand-hash exchange carries ~brands + brands×suppliers rows
+    per block, never raw lineitems."""
+    import pyarrow.parquet as pq
+
+    tune_context()
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    part_to_brand = dict(zip(part["p_partkey"], part["p_brand"]))
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        brand = df["l_partkey"].map(part_to_brand)
+        rev = (df["l_extendedprice"].to_numpy()
+               * (1.0 - df["l_discount"].to_numpy()))
+        g = pd.DataFrame({"p_brand": brand, "rev": rev,
+                          "l_suppkey": df["l_suppkey"]})
+        sums = (g.groupby("p_brand", sort=False)
+                .agg(revenue=("rev", "sum"), n_items=("rev", "size"))
+                .reset_index())
+        pairs = g[["p_brand", "l_suppkey"]].drop_duplicates()
+        out = sums.merge(
+            pairs.groupby("p_brand", sort=False)["l_suppkey"]
+            .agg(lambda s: list(s)).rename("supps").reset_index(),
+            on="p_brand")
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("p_brand", sort=False)
+               .agg(revenue=("revenue", "sum"), n_items=("n_items", "sum"))
+               .reset_index())
+        n_supp = (df.groupby("p_brand", sort=False)["supps"]
+                  .agg(lambda lists: len({s for l in lists for s in l})))
+        out["n_suppliers"] = out["p_brand"].map(n_supp).astype(np.int64)
+        out["revenue"] = round_half_away(out["revenue"].to_numpy(), 4)
+        out["n_items"] = out["n_items"].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=_hash_key(["p_brand"]),
+                         n_parts=N_PARTS, kernel=merge, fmt="pandas")

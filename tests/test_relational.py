@@ -80,3 +80,21 @@ def test_customer_big_order_counts(ray_session, sf_small):
     assert len(got) == len(exp)
     assert (got["n_big"] == 0).any()          # zero-match rows preserved
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_brand_revenue(ray_session, sf_small):
+    got = (relational.brand_revenue(sf_small).to_pandas()
+           .sort_values("p_brand").reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        SELECT p.p_brand,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                 AS revenue,
+               count(*) AS n_items,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+        FROM '{sf_small}/lineitem.parquet' l
+        JOIN '{sf_small}/part.parquet' p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+    """).df().sort_values("p_brand").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-6)
