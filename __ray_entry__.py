@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_order_quantiles": relational.nation_order_quantiles,
         "customer_big_order_counts": relational.customer_big_order_counts,
         "brand_revenue": relational.brand_revenue,
+        "orders_by_region": relational.orders_by_region,
         # — training-data ops: text analysis —
         "docs_token_stats": docs.token_stats,
         "docs_quality": docs.quality,
@@ -657,6 +658,15 @@ SELECT n.n_name,
        round(quantile_cont(o.o_totalprice, 0.95), 6) AS p95
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+        # snowflake chain customer→nation→region, composed broadcast hops
+        "orders_by_region": """
+SELECT r.r_name, round(sum(o.o_totalprice), 4) AS total,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY 1
 """,
         # three-table star join: part dimension broadcast, supplier

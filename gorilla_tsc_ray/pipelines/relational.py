@@ -318,3 +318,44 @@ def brand_revenue(sf_dir: str):
 
     return hash_exchange(partials, key_fn=_hash_key(["p_brand"]),
                          n_parts=N_PARTS, kernel=merge, fmt="pandas")
+
+
+def orders_by_region(sf_dir: str):
+    """Multi-hop dimension chain (customer → nation → region), all hops
+    broadcast as one composed driver-side map — the snowflake-schema
+    lookup; orders then aggregate with in-batch partials like
+    :func:`orders_by_nation`."""
+    import pyarrow.parquet as pq
+
+    tune_context()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nat_to_region = dict(zip(
+        nation["n_nationkey"],
+        nation["n_regionkey"].map(dict(zip(region["r_regionkey"],
+                                           region["r_name"])))))
+    cust_to_region = dict(zip(cust["c_custkey"],
+                              cust["c_nationkey"].map(nat_to_region)))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(r_name=df["o_custkey"].map(cust_to_region)).groupby(
+            "r_name", sort=False)
+        return g.agg(total=("o_totalprice", "sum"),
+                     n_orders=("o_totalprice", "count")).reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("r_name", sort=False)
+               .agg(total=("total", "sum"), n_orders=("n_orders", "sum"))
+               .reset_index())
+        out["total"] = round_half_away(out["total"].to_numpy(), 4)
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return out
+
+    return hash_exchange(ds.map_batches(partial, batch_format="pandas"),
+                         key_fn=_hash_key(["r_name"]), n_parts=N_PARTS,
+                         kernel=merge, fmt="pandas")

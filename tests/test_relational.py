@@ -98,3 +98,20 @@ def test_brand_revenue(ray_session, sf_small):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_exact=False, atol=1e-6)
+
+
+def test_orders_by_region(ray_session, sf_small):
+    got = (relational.orders_by_region(sf_small).to_pandas()
+           .sort_values("r_name").reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        SELECT r.r_name, round(sum(o.o_totalprice), 4) AS total,
+               count(*) AS n_orders
+        FROM '{sf_small}/orders.parquet' o
+        JOIN '{sf_small}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{sf_small}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+        JOIN '{sf_small}/region.parquet' r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1
+    """).df().sort_values("r_name").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-6)
