@@ -174,6 +174,8 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
     timed_extra("transcripts_gap_quantiles",
                 lambda: ingest.gap_quantiles(sf_dir).count())
     timed_extra("docs_dup_clusters", lambda: docs.dup_clusters(sf_dir).count())
+    timed_extra("events_user_quantiles_sketch",
+                lambda: ev.user_quantiles_sketch(sf_dir).count())
 
     result = {
         "queries": queries,
