@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_purchase_window_join": ev.purchase_window_join,
         "events_user_quantiles": ev.user_quantiles,
         "events_user_quantiles_sketch": ev.user_quantiles_sketch,
+        "events_type_user_counts_sketch": ev.type_user_counts_sketch,
         # — transcripts (flagship; oracle reads the same /tmp parquet) —
         "transcripts_canonical_turns": ingest.canonical_turns,
         "transcripts_metrics": ingest.metric_points,
@@ -104,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_split": docs.hash_split,
         "docs_top_quality_per_lang": docs.top_quality_per_lang,
         "docs_top_tokens": docs.top_tokens,
+        "docs_top_tokens_sketch": docs.top_tokens_sketch,
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
         "docs_charset_jaccard": docs.charset_jaccard,
@@ -368,6 +370,12 @@ SELECT event_id, user_id, ts_us // 1000 AS ts_ms,
        round(sum(value) OVER w, 6) AS w_sum
 FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+        # KMV distinct sketch: exact below capacity (150 users < k=1024 at
+        # sf0.01 → every hash kept); estimator error gated in tests
+        "events_type_user_counts_sketch": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY 1
 """,
         # semi-structured extraction: JSON props ->> k, per-type aggregate
         # (sum(BIGINT) is HUGEINT in DuckDB → cast back; avg over non-null)
@@ -756,6 +764,17 @@ FROM t
         # global token-frequency top-k (explode shape); (cnt desc, tok)
         # tie-break on both sides
         "docs_top_tokens": """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+)
+SELECT tok, count(*) AS cnt FROM tok
+GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 20
+""",
+        # Misra-Gries heavy hitters: exact when no block's vocab exceeds
+        # the counter budget (31-token vocab ≪ 4096) — same truth as the
+        # exact top-tokens path; undercount bound gated in tests
+        "docs_top_tokens_sketch": """
 WITH tok AS (
   SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
   FROM documents

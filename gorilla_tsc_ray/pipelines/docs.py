@@ -771,3 +771,39 @@ def dedup_survivors(sf_dir: str, threshold: float = 0.5):
         [(ids, _pair_hash_key(["doc_id"])),
          (drop_ds, _pair_hash_key(["node"]))],
         n_parts=N_DOC_PARTS, kernel=anti, fmt="pandas")
+
+
+def top_tokens_sketch(sf_dir: str, k: int = 20, k_counters: int = 4096):
+    """Token heavy hitters via the mergeable Misra-Gries sketch — the
+    bounded-state sibling of :func:`top_tokens`: per-block counter sets
+    are trimmed to ``k_counters`` entries however large the vocabulary;
+    per-token counter sums ride one exchange, global top-k finishes.
+    EXACT whenever no block's vocabulary exceeds ``k_counters`` (no
+    decrement ever fires), which holds at driver scale — hence the same
+    SQL oracle as the exact path; the undercount bound (≤ n/(k+1)
+    additive across merges) is gated in ``tests/test_sketch.py``."""
+    import itertools
+
+    from ..stages.sketch import misra_gries
+    from ..stages.text import WORD_RE
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(WORD_RE)
+        flat = np.asarray(list(itertools.chain.from_iterable(toks)),
+                          dtype=object)
+        return misra_gries(pd.DataFrame({"tok": flat}), item_col="tok",
+                           count_col=None, k=k_counters)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("tok", sort=False)["cnt"].sum().reset_index()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out.sort_values(["cnt", "tok"],
+                               ascending=[False, True]).iloc[:k]
+
+    counts = hash_exchange(partials, key_fn=_pair_hash_key(["tok"]),
+                           n_parts=N_DOC_PARTS, kernel=merge, fmt="pandas")
+    return counts.sort(["cnt", "tok"], descending=[True, False]).limit(k)

@@ -1495,3 +1495,36 @@ def user_quantiles_sketch(sf_dir: str, qs=(0.5, 0.95, 0.99),
 
     return hash_exchange(partials, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=final, fmt="pandas")
+
+
+def type_user_counts_sketch(sf_dir: str, k: int = 1024):
+    """Distinct users per event type via the mergeable KMV sketch
+    (``stages/sketch.py``) — the bounded-state sibling of
+    :func:`daily_distinct_types`'s exact dedup: the exchange carries ≤ k
+    hash rows per (type, block) however many distinct users exist.  EXACT
+    below capacity (every hash kept), which holds at driver scale — hence
+    the ``count(DISTINCT)`` oracle; the estimator's relative error is
+    gated in ``tests/test_sketch.py``."""
+    from ..stages.sketch import kmv_estimate, kmv_rows
+
+    tune_context()
+    P = 8
+    ds = _read_events(sf_dir, ["event_type", "user_id"], _n_parts(sf_dir))
+
+    partials = ds.map_batches(
+        lambda df: kmv_rows(df, key_col="event_type", value_col="user_id",
+                            k=k),
+        batch_format="pandas")
+
+    def key_fn(tbl):
+        h = pd.util.hash_pandas_object(
+            tbl.column("event_type").to_pandas(), index=False).to_numpy()
+        return (h % np.uint64(P)).astype(np.int64)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        merged = kmv_rows(df, key_col="event_type", value_col="h",
+                          k=k, hashed=True)
+        return kmv_estimate(merged, key_col="event_type", k=k)
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=P, kernel=final,
+                         fmt="pandas")

@@ -147,3 +147,84 @@ def quantiles_from_sketch(df: pd.DataFrame, *, key_col: str,
         lerp = np.where(t < 0.5, a + t * (b - a), b - (1 - t) * (b - a))
         out[f"p{int(q * 100)}"] = round_half_away(lerp, 6)
     return pd.DataFrame(out)[cols]
+
+
+# ---------- KMV distinct-count sketch ----------
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64) + _MIX
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def kmv_rows(df: pd.DataFrame, *, key_col: str, value_col: str,
+             k: int = 1024, hashed: bool = False) -> pd.DataFrame:
+    """K-minimum-values distinct sketch rows: per key, the ≤ k smallest
+    splitmix hashes of the values — DETERMINISTIC (no sampling), mergeable
+    (union + keep k smallest = the same kernel, self-merging), and EXACT
+    below capacity (fewer than k distinct values → every hash kept →
+    count is exact).  ``hashed=True`` is the merge path (input rows are
+    already (key, h))."""
+    if len(df) == 0:
+        return pd.DataFrame({key_col: [], "h": []})
+    key = df[key_col].to_numpy()
+    h = (df["h"].to_numpy(dtype=np.uint64) if hashed
+         else _splitmix(df[value_col].to_numpy(dtype=np.int64)))
+    codes, uniq = pd.factorize(key, sort=False)
+    order = np.lexsort((h, codes))
+    c, hh = codes[order], h[order]
+    dup = np.concatenate(([False], (c[1:] == c[:-1]) & (hh[1:] == hh[:-1])))
+    c, hh = c[~dup], hh[~dup]
+    seg_first = np.concatenate(([True], c[1:] != c[:-1]))
+    starts = np.flatnonzero(seg_first)
+    pos = np.arange(len(c)) - starts[np.cumsum(seg_first) - 1]
+    keep = pos < k
+    return pd.DataFrame({key_col: np.asarray(uniq)[c[keep]], "h": hh[keep]})
+
+
+def kmv_estimate(df: pd.DataFrame, *, key_col: str,
+                 k: int = 1024) -> pd.DataFrame:
+    """Distinct-count estimate per key from KMV rows: exact (= kept count)
+    below capacity; (k−1)/U_(k) above, with U_(k) the k-th smallest hash
+    normalized to (0, 1)."""
+    cols = [key_col, "n_distinct"]
+    if len(df) == 0:
+        return pd.DataFrame({c: [] for c in cols})
+    key = df[key_col].to_numpy()
+    h = df["h"].to_numpy(dtype=np.uint64)
+    codes, uniq = pd.factorize(key, sort=False)
+    order = np.lexsort((h, codes))
+    c, hh = codes[order], h[order]
+    seg_first = np.concatenate(([True], c[1:] != c[:-1]))
+    starts = np.flatnonzero(seg_first)
+    sizes = np.diff(np.append(starts, len(c)))
+    kth = hh[np.minimum(starts + k - 1, starts + sizes - 1)]
+    u = (kth.astype(np.float64) + 1.0) / 2.0 ** 64
+    est = np.where(sizes < k, sizes.astype(np.float64), (k - 1) / u)
+    return pd.DataFrame({key_col: np.asarray(uniq)[c[starts]],
+                         "n_distinct": np.round(est).astype(np.int64)})
+
+
+# ---------- Misra-Gries heavy-hitters sketch ----------
+
+def misra_gries(df: pd.DataFrame, *, item_col: str, count_col: str | None,
+                k: int = 4096) -> pd.DataFrame:
+    """Batch Misra-Gries: count items (or sum incoming partial counters),
+    and if more than k distinct items remain, subtract the (k+1)-th
+    largest count from all and drop the non-positive — the classic
+    frequent-items guarantee (per-item undercount ≤ n/(k+1), additive
+    across merges).  DETERMINISTIC, self-merging, and EXACT whenever the
+    distinct-item count never exceeds k (no subtraction ever fires)."""
+    if len(df) == 0:
+        return pd.DataFrame({item_col: [], "cnt": []})
+    codes, uniq = pd.factorize(df[item_col].to_numpy(), sort=False)
+    w = (df[count_col].to_numpy(dtype=np.int64) if count_col
+         else np.ones(len(df), dtype=np.int64))
+    cnt = np.bincount(codes, weights=w).astype(np.int64)
+    if len(cnt) > k:
+        thresh = np.partition(cnt, len(cnt) - k - 1)[len(cnt) - k - 1]
+        cnt = cnt - thresh
+    keep = cnt > 0
+    return pd.DataFrame({item_col: np.asarray(uniq)[keep],
+                         "cnt": cnt[keep]})

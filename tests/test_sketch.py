@@ -86,3 +86,66 @@ def test_pipeline_matches_exact_at_small_scale(ray_session, sf_small):
     sk = (ev.user_quantiles_sketch(sf_small).to_pandas()
           .sort_values("user_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(sk[exact.columns], exact)
+
+
+def test_kmv_exact_below_capacity_and_merge():
+    rng = np.random.default_rng(2)
+    from gorilla_tsc_ray.stages.sketch import kmv_estimate, kmv_rows
+
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 500),
+        "v": np.concatenate((rng.integers(0, 200, 500),      # ~200 distinct
+                             rng.integers(0, 40, 500))),     # ~40 distinct
+    })
+    sk = kmv_rows(df, key_col="g", value_col="v", k=1024)
+    est = kmv_estimate(sk, key_col="g", k=1024).set_index("g")["n_distinct"]
+    exact = df.groupby("g")["v"].nunique()
+    assert (est == exact).all()                   # below capacity → exact
+    # split + merge == single pass
+    a = kmv_rows(df.iloc[:300], key_col="g", value_col="v", k=1024)
+    b = kmv_rows(df.iloc[300:], key_col="g", value_col="v", k=1024)
+    merged = kmv_rows(pd.concat([a, b], ignore_index=True), key_col="g",
+                      value_col="v", k=1024, hashed=True)
+    est2 = kmv_estimate(merged, key_col="g",
+                        k=1024).set_index("g")["n_distinct"]
+    assert (est2 == exact).all()
+
+
+def test_kmv_estimator_error_gate():
+    """Relative error above capacity ~ 1/sqrt(k) (KMV standard bound)."""
+    from gorilla_tsc_ray.stages.sketch import kmv_estimate, kmv_rows
+
+    rng = np.random.default_rng(9)
+    n_distinct = 100_000
+    df = pd.DataFrame({"g": np.zeros(n_distinct, dtype=np.int64),
+                       "v": np.arange(n_distinct, dtype=np.int64)})
+    for k in (256, 1024):
+        sk = kmv_rows(df, key_col="g", value_col="v", k=k)
+        assert len(sk) == k                       # bounded state
+        est = kmv_estimate(sk, key_col="g", k=k)["n_distinct"].iloc[0]
+        rel = abs(est - n_distinct) / n_distinct
+        assert rel < 4 / np.sqrt(k), (k, est, rel)
+
+
+def test_misra_gries_exact_and_undercount_bound():
+    from gorilla_tsc_ray.stages.sketch import misra_gries
+
+    rng = np.random.default_rng(4)
+    # exact when distinct ≤ k
+    small = pd.DataFrame({"tok": rng.choice(list("abcde"), 1000)})
+    mg = misra_gries(small, item_col="tok", count_col=None, k=64)
+    exact = small["tok"].value_counts()
+    got = mg.set_index("tok")["cnt"]
+    assert (got.sort_index() == exact.sort_index()).all()
+    # heavy compaction: undercount ≤ n/(k+1), heavy items survive
+    n, k = 100_000, 128
+    zipf = np.minimum(rng.zipf(1.5, n), 10_000)
+    df = pd.DataFrame({"tok": zipf.astype(str)})
+    mg = misra_gries(df, item_col="tok", count_col=None, k=k)
+    assert len(mg) <= k
+    truth = df["tok"].value_counts()
+    est = mg.set_index("tok")["cnt"]
+    for tok in truth.index[:10]:                  # the heavy hitters
+        assert tok in est.index
+        under = truth[tok] - est[tok]
+        assert 0 <= under <= n / (k + 1), (tok, truth[tok], est[tok])
