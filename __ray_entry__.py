@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1h_cascade": ev.rollup_1h_via_cascade,
         "events_rollup_1h_hop15m": ev.rollup_hopping,
         "events_rollup_1h_delta": lambda sf: ev.rollup_delta(sf, "1h"),
+        "events_ohlc_1h": lambda sf: ev.ohlc(sf, "1h"),
         "events_twa_1h": lambda sf: ev.twa(sf, "1h"),
         "events_counter_increase_1h": lambda sf: ev.counter_increase(sf, "1h"),
         "events_top_types_per_user": ev.top_types_per_user,
@@ -286,6 +287,16 @@ FROM (
          (bucket_ms - lag(bucket_ms) OVER w) / 1000.0 AS span_s
   FROM r WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ms)
 )
+""",
+        # OHLC bars: first/last by MICROsecond arg-min/arg-max, high/low
+        "events_ohlc_1h": """
+WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events)
+SELECT user_id, (ts_us // 1000 // 3600000) * 3600000 AS bucket_ms,
+       round(arg_min(value, ts_us), 6) AS open_v,
+       round(max(value), 6) AS high_v,
+       round(min(value), 6) AS low_v,
+       round(arg_max(value, ts_us), 6) AS close_v
+FROM p GROUP BY 1, 2
 """,
         # time-weighted average, LOCF interpolation: each consecutive-point
         # segment contributes a tail piece to its start bucket and a head

@@ -1528,3 +1528,70 @@ def type_user_counts_sketch(sf_dir: str, k: int = 1024):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=P, kernel=final,
                          fmt="pandas")
+
+
+def ohlc(sf_dir: str, tier: str = "1h"):
+    """OHLC bars (finance-style rollup): per (user, bucket) the FIRST,
+    max, min and LAST value in event-time order.  Decomposable
+    partial+final shape: each batch keeps one (first_ts, first_v, last_ts,
+    last_v, min, max) row per (user, bucket) (rows pre-sorted by ts →
+    first/last are head/tail), the exchange merges partials by
+    arg-min/arg-max over the boundary timestamps.  Microsecond order (ms
+    ties cannot flip open/close)."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts", "value"], P)
+    bucket_ms = TIER_MS[tier]
+
+    def to_us(batch):
+        ts_us = pc.cast(batch["ts"], "int64")
+        return batch.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    pts = ds.map_batches(to_us, batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in
+                                 ["user_id", "bucket_ms", "first_ts",
+                                  "open_v", "last_ts", "close_v",
+                                  "high_v", "low_v"]})
+        df = df.sort_values("ts_us", kind="stable")
+        work = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "bucket_ms": (df["ts_us"].to_numpy() // 1000
+                          // bucket_ms) * bucket_ms,
+            "ts_us": df["ts_us"].to_numpy(),
+            "v": df["value"].to_numpy(),
+        })
+        g = work.groupby(["user_id", "bucket_ms"], sort=False)
+        out = g.agg(first_ts=("ts_us", "first"), open_v=("v", "first"),
+                    last_ts=("ts_us", "last"), close_v=("v", "last"),
+                    high_v=("v", "max"), low_v=("v", "min"))
+        return out.reset_index()
+
+    partials = pts.map_batches(partial, batch_format="pandas")
+
+    def key_fn(tbl):
+        h = pd.util.hash_pandas_object(
+            tbl.column("user_id").to_pandas(), index=False).to_numpy()
+        h = (h * np.uint64(1_000_003)
+             + tbl.column("bucket_ms").to_numpy().astype(np.uint64))
+        return (h % np.uint64(P)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("first_ts", kind="stable")
+        g = df.groupby(["user_id", "bucket_ms"], sort=False)
+        head = g.agg(open_v=("open_v", "first"),
+                     high_v=("high_v", "max"), low_v=("low_v", "min"))
+        tail = (df.sort_values("last_ts", kind="stable")
+                .groupby(["user_id", "bucket_ms"], sort=False)
+                .agg(close_v=("close_v", "last")))
+        out = head.join(tail).reset_index()
+        for c in ("open_v", "close_v", "high_v", "low_v"):
+            out[c] = round_half_away(out[c].to_numpy(), 6)
+        return out
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=P, kernel=merge,
+                         fmt="pandas")

@@ -990,3 +990,19 @@ def test_props_k_stats_malformed(ray_session, tmp_path):
     row = got.iloc[0]
     assert row["cnt"] == 2 and row["sum_k"] == 3
     assert row["min_k"] == -2 and row["max_k"] == 5
+
+
+def test_ohlc(ray_session, sf_small):
+    _cmp(
+        ev.ohlc(sf_small, "1h"),
+        """
+        WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events)
+        SELECT user_id, (ts_us // 1000 // 3600000) * 3600000 AS bucket_ms,
+               round(arg_min(value, ts_us), 6) AS open_v,
+               round(max(value), 6) AS high_v,
+               round(min(value), 6) AS low_v,
+               round(arg_max(value, ts_us), 6) AS close_v
+        FROM p GROUP BY 1, 2
+        """,
+        sf_small, ["user_id", "bucket_ms"], atol=1e-9,
+    )
