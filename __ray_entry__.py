@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1h_hop15m": ev.rollup_hopping,
         "events_rollup_1h_delta": lambda sf: ev.rollup_delta(sf, "1h"),
         "events_ohlc_1h": lambda sf: ev.ohlc(sf, "1h"),
+        "events_vwap_1h": lambda sf: ev.vwap(sf, "1h"),
         "events_twa_1h": lambda sf: ev.twa(sf, "1h"),
         "events_counter_increase_1h": lambda sf: ev.counter_increase(sf, "1h"),
         "events_top_types_per_user": ev.top_types_per_user,
@@ -287,6 +288,18 @@ FROM (
          (bucket_ms - lag(bucket_ms) OVER w) / 1000.0 AS span_s
   FROM r WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ms)
 )
+""",
+        # weighted-average rollup, weight = JSON props k (NULL-skipping)
+        "events_vwap_1h": """
+WITH p AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+         CAST(props->>'$.k' AS BIGINT) AS k
+  FROM events
+)
+SELECT user_id, ts_ms - ts_ms % 3600000 AS bucket_ms,
+       round(sum(value * k) / sum(k), 6) AS vwap,
+       CAST(sum(k) AS BIGINT) AS sum_w
+FROM p WHERE k IS NOT NULL GROUP BY 1, 2
 """,
         # OHLC bars: first/last by MICROsecond arg-min/arg-max, high/low
         "events_ohlc_1h": """

@@ -1595,3 +1595,53 @@ def ohlc(sf_dir: str, tier: str = "1h"):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=P, kernel=merge,
                          fmt="pandas")
+
+
+def vwap(sf_dir: str, tier: str = "1h"):
+    """Weighted-average rollup (VWAP shape): per (user, bucket),
+    sum(value·w)/sum(w) with the weight extracted from the JSON props
+    column — weighted aggregates + semi-structured extraction in one
+    decomposable partial+final pass.  Rows with missing weight drop on
+    both sides (SQL NULL-skipping sums)."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts", "value", "props"], P)
+    bucket_ms = TIER_MS[tier]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(
+            df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False),
+            errors="coerce")
+        ok = k.notna().to_numpy()
+        ts_ms = (df["ts"].astype("int64").to_numpy() // 1000)[ok]
+        work = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy()[ok],
+            "bucket_ms": (ts_ms // bucket_ms) * bucket_ms,
+            "vk": df["value"].to_numpy()[ok] * k.to_numpy()[ok],
+            "k": k.to_numpy()[ok].astype(np.int64),
+        })
+        g = work.groupby(["user_id", "bucket_ms"], sort=False)
+        return g.agg(sum_vk=("vk", "sum"), sum_w=("k", "sum")).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def key_fn(tbl):
+        h = pd.util.hash_pandas_object(
+            tbl.column("user_id").to_pandas(), index=False).to_numpy()
+        h = (h * np.uint64(1_000_003)
+             + tbl.column("bucket_ms").to_numpy().astype(np.uint64))
+        return (h % np.uint64(P)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "bucket_ms"], sort=False)
+        out = g.agg(sum_vk=("sum_vk", "sum"),
+                    sum_w=("sum_w", "sum")).reset_index()
+        out["vwap"] = round_half_away(
+            out["sum_vk"].to_numpy() / out["sum_w"].to_numpy(), 6)
+        out["sum_w"] = out["sum_w"].astype(np.int64)
+        return out[["user_id", "bucket_ms", "vwap", "sum_w"]]
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=P, kernel=merge,
+                         fmt="pandas")

@@ -1006,3 +1006,21 @@ def test_ohlc(ray_session, sf_small):
         """,
         sf_small, ["user_id", "bucket_ms"], atol=1e-9,
     )
+
+
+def test_vwap(ray_session, sf_small):
+    _cmp(
+        ev.vwap(sf_small, "1h"),
+        """
+        WITH p AS (
+          SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+                 CAST(props->>'$.k' AS BIGINT) AS k
+          FROM events
+        )
+        SELECT user_id, ts_ms - ts_ms % 3600000 AS bucket_ms,
+               round(sum(value * k) / sum(k), 6) AS vwap,
+               CAST(sum(k) AS BIGINT) AS sum_w
+        FROM p WHERE k IS NOT NULL GROUP BY 1, 2
+        """,
+        sf_small, ["user_id", "bucket_ms"], atol=1e-9,
+    )
