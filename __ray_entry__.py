@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill_1h": lambda sf: ev.gapfill(sf, "1h"),
         "events_gapfill_1h_interp": lambda sf: ev.gapfill_interp(sf, "1h"),
         "events_gaps": ev.event_gaps,
+        "events_next_gaps": ev.next_gaps,
         "events_rollup_1h_by_type": lambda sf: ev.rollup_by_type(sf, "1h"),
         "events_sessions": ev.sessionize,
         "events_asof_last_purchase": ev.asof_last_match,
@@ -105,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id": docs.lang_id,
         "docs_fingerprints": docs.fingerprints,
         "docs_hash_split": docs.hash_split,
+        "docs_normalized": docs.normalize_text,
         "docs_top_quality_per_lang": docs.top_quality_per_lang,
         "docs_top_tokens": docs.top_tokens,
         "docs_top_tokens_sketch": docs.top_tokens_sketch,
@@ -603,6 +605,12 @@ SELECT user_id, epoch_ms(ts) AS ts_ms,
             OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS gap_ms
 FROM events
 """,
+        "events_next_gaps": """
+SELECT user_id, epoch_ms(ts) AS ts_ms,
+       CAST(lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+            - epoch_ms(ts) AS DOUBLE) AS next_gap_ms
+FROM events
+""",
         "transcripts_canonical_turns":
             tdedup + "SELECT conv_id, turn_idx, role, text, tool, ts_ms FROM d",
         "transcripts_metrics":
@@ -831,6 +839,13 @@ SELECT doc_id,
          AS bucket,
        CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 90
             THEN 'train' ELSE 'val' END AS split
+FROM documents
+""",
+        # per-record cleaning transform (lower → despecial → collapse → trim)
+        "docs_normalized": """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
 FROM documents
 """,
         "docs_exact_dedup": """

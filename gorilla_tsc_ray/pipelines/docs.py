@@ -807,3 +807,20 @@ def top_tokens_sketch(sf_dir: str, k: int = 20, k_counters: int = 4096):
     counts = hash_exchange(partials, key_fn=_pair_hash_key(["tok"]),
                            n_parts=N_DOC_PARTS, kernel=merge, fmt="pandas")
     return counts.sort(["cnt", "tok"], descending=[True, False]).limit(k)
+
+
+def normalize_text(sf_dir: str):
+    """Per-record text normalization (the cleaning step before hashing /
+    shingling in a real corpus pipeline): lowercase, non-alphanumerics →
+    space, collapse runs, trim.  Pure vectorized map — no shuffle, no
+    state; regex semantics chosen to match the SQL oracle exactly."""
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df["text"].str.lower()
+             .str.replace(r"[^a-z0-9 ]+", " ", regex=True)
+             .str.replace(r" +", " ", regex=True)
+             .str.strip())
+        return pd.DataFrame({"doc_id": df["doc_id"], "norm_text": t})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        norm, batch_format="pandas")

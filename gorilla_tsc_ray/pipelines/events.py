@@ -1645,3 +1645,28 @@ def vwap(sf_dir: str, tier: str = "1h"):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=P, kernel=merge,
                          fmt="pandas")
+
+
+def next_gaps(sf_dir: str):
+    """LEAD-window complement of :func:`event_gaps`: per-user gap to the
+    NEXT event (NaN at each user's last event) — same one-exchange
+    partition kernel, diff shifted the other way."""
+    ds = _read_points(sf_dir)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        user = df["user_id"].to_numpy()
+        order = np.lexsort((df["ts_ms"].to_numpy(), user))
+        user = user[order]
+        ts = df["ts_ms"].to_numpy()[order]
+        gap = np.empty(len(ts), dtype=np.float64)
+        if len(ts):
+            gap[-1] = np.nan
+            gap[:-1] = np.diff(ts).astype(np.float64)
+            last = np.concatenate((user[1:] != user[:-1], [True]))
+            gap[last] = np.nan
+        return pd.DataFrame({"user_id": user, "ts_ms": ts,
+                             "next_gap_ms": gap})
+
+    return hash_exchange(ds, key_fn=_user_key_fn(_n_parts(sf_dir)),
+                         n_parts=_n_parts(sf_dir),
+                         kernel=kernel, fmt="pandas")
