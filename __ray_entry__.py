@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_1h": ev.sliding_window,
         "events_signup_funnel_1h": ev.signup_purchase_funnel,
         "events_daily_distinct_types": ev.daily_distinct_types,
+        "events_type_share": ev.type_share,
         "events_running_total": ev.running_total,
         "events_value_percent_rank": ev.value_percent_rank,
         "events_props_k_stats": ev.props_k_stats,
@@ -446,6 +447,12 @@ FROM e LEFT JOIN p
   ON p.user_id = e.user_id
  AND p.ts_us > e.ts_us AND p.ts_us <= e.ts_us + 3600000000
 GROUP BY 1, 2, 3
+""",
+        # two-level global aggregate: per-type share of all events
+        "events_type_share": """
+SELECT event_type, count(*) AS cnt,
+       round(count(*) * 1.0 / (SELECT count(*) FROM events), 6) AS share
+FROM events GROUP BY 1
 """,
         "events_daily_distinct_types": """
 SELECT user_id,

@@ -1670,3 +1670,30 @@ def next_gaps(sf_dir: str):
     return hash_exchange(ds, key_fn=_user_key_fn(_n_parts(sf_dir)),
                          n_parts=_n_parts(sf_dir),
                          kernel=kernel, fmt="pandas")
+
+
+def type_share(sf_dir: str):
+    """Two-level global aggregate: each type's share of ALL events.  Type
+    counts combine per batch; the final kernel needs the global total, so
+    the (tiny, bounded-cardinality) count rows land in ONE partition —
+    the share division must see every type, and 'types' is a small
+    domain by schema, unlike user-cardinality keys."""
+    tune_context()
+    ds = _read_events(sf_dir, ["event_type"], _n_parts(sf_dir))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("event_type", sort=False).size()
+                .rename("cnt").reset_index())
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", sort=False)["cnt"].sum().reset_index()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        out["share"] = round_half_away(
+            out["cnt"].to_numpy() * 1.0 / out["cnt"].sum(), 6)
+        return out
+
+    return hash_exchange(partials, key_fn=lambda tbl: np.zeros(
+        tbl.num_rows, dtype=np.int64), n_parts=1, kernel=merge,
+        fmt="pandas")

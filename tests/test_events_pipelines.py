@@ -1024,3 +1024,16 @@ def test_vwap(ray_session, sf_small):
         """,
         sf_small, ["user_id", "bucket_ms"], atol=1e-9,
     )
+
+
+def test_type_share(ray_session, sf_small):
+    _cmp(
+        ev.type_share(sf_small),
+        """
+        SELECT event_type, count(*) AS cnt,
+               round(count(*) * 1.0 / (SELECT count(*) FROM events), 6)
+                 AS share
+        FROM events GROUP BY 1
+        """,
+        sf_small, ["event_type"], atol=1e-9,
+    )
