@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_roundtrip_text_len": lambda sf: ingest.blocks_roundtrip(sf, "text_len"),
         "transcripts_gapfill_1h": lambda sf: ingest.gapfill_tier(sf, "1h", "turn_count"),
         "transcripts_gap_quantiles": ingest.gap_quantiles,
+        "transcripts_conv_stats": ingest.conv_stats,
         "transcripts_rollup_1h_wide": lambda sf: ingest.rollup_wide(sf, "1h"),
         # — relational operator coverage —
         "q1_pricing_summary": relational.pricing_summary,
@@ -650,6 +651,15 @@ SELECT g.conv_id, g.metric, g.bucket_ms,
        r.conv_id IS NULL AS filled
 FROM grid g LEFT JOIN r
   ON g.conv_id = r.conv_id AND g.metric = r.metric AND g.bucket_ms = r.bucket_ms
+""",
+        # conversation-level feature table (fused dedup → aggregate)
+        "transcripts_conv_stats": tdedup + """
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+       round(avg(CASE WHEN tool <> '' THEN 1.0 ELSE 0.0 END), 6)
+         AS tool_ratio,
+       max(ts_ms) - min(ts_ms) AS duration_ms
+FROM d GROUP BY 1
 """,
         # long→wide pivot of the 1h rollup (absent metric → 0.0)
         "transcripts_rollup_1h_wide": tmetrics + """

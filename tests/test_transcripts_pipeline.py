@@ -315,3 +315,22 @@ def test_rollup_wide(ray_session):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_exact=False, atol=1e-9)
+
+
+def test_conv_stats(ray_session):
+    got = (ingest.conv_stats(SF).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    path = transcripts_dir(SF)
+    sql = DEDUP_CTE.format(path=path) + """
+    SELECT conv_id, count(*) AS n_turns,
+           CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+           round(avg(CASE WHEN tool <> '' THEN 1.0 ELSE 0.0 END), 6)
+             AS tool_ratio,
+           max(ts_ms) - min(ts_ms) AS duration_ms
+    FROM d GROUP BY 1
+    """
+    exp = (duckdb.connect().execute(sql).df()
+           .sort_values("conv_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-9)
