@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": docs.simhash_pairs,
         # — training-data ops: similarity search —
         "emb_centroids": docs.emb_centroids,
+        "emb_norms": docs.emb_norms,
         "emb_knn_cosine": docs.knn,
         "emb_knn_lsh": docs.knn_lsh,                     # rows-only (approx)
         "emb_knn_ivf": docs.knn_ivf,                     # rows-only (approx
@@ -880,6 +881,14 @@ WITH u AS (
 SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
        CAST(count(*) AS BIGINT) AS cnt, round(avg(v), 6) AS centroid
 FROM u GROUP BY 1, 2
+""",
+        # per-vector L2 norm (cast to double BEFORE squaring, both sides)
+        "emb_norms": """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(
+         list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         x -> x * x))), 6) AS l2_norm
+FROM embeddings
 """,
         # minhash is exact-verified (round 3): LSH buckets only GENERATE
         # candidates; the output is pairs whose exact word-3-shingle

@@ -824,3 +824,27 @@ def normalize_text(sf_dir: str):
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         norm, batch_format="pandas")
+
+
+def emb_norms(sf_dir: str):
+    """Vector scalar function: per-embedding L2 norm (float64 accumulate
+    over the float32 vector, matching the SQL cast-then-square order) —
+    pure Arrow-in map, no shuffle."""
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def norms(t: pa.Table) -> pd.DataFrame:
+        from ..util import round_half_away
+
+        col = t.column("embedding")
+        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+               else col)
+        mat = sim._list_matrix(arr).astype(np.float64)
+        return pd.DataFrame({
+            "vec_id": t.column("vec_id").to_numpy(zero_copy_only=False),
+            "l2_norm": round_half_away(
+                np.sqrt((mat * mat).sum(axis=1)), 6),
+        })
+
+    return ds.map_batches(norms, batch_format="pyarrow")

@@ -450,3 +450,19 @@ def test_dedup_survivors_consistent(ray_session):
                             "doc_id"])
     assert surv == (all_ids - drop)
     assert keep <= surv and len(drop) > 0
+
+
+def test_emb_norms(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = (docs.emb_norms(sf).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        SELECT vec_id,
+               round(sqrt(list_sum(list_transform(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 x -> x * x))), 6) AS l2_norm
+        FROM '{sf}/embeddings.parquet'
+    """).df().sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-9)
