@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_signup_funnel_1h": ev.signup_purchase_funnel,
         "events_daily_distinct_types": ev.daily_distinct_types,
         "events_type_share": ev.type_share,
+        "events_hourly_profile": ev.hourly_profile,
         "events_running_total": ev.running_total,
         "events_value_percent_rank": ev.value_percent_rank,
         "events_props_k_stats": ev.props_k_stats,
@@ -449,6 +450,16 @@ FROM e LEFT JOIN p
   ON p.user_id = e.user_id
  AND p.ts_us > e.ts_us AND p.ts_us <= e.ts_us + 3600000000
 GROUP BY 1, 2, 3
+""",
+        # calendar-dimension profile: (type, UTC hour-of-day) cells
+        "events_hourly_profile": """
+WITH p AS (
+  SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hour, value
+  FROM events
+)
+SELECT event_type, hour, count(*) AS cnt,
+       round(sum(value) / count(*), 6) AS mean_v
+FROM p GROUP BY 1, 2
 """,
         # two-level global aggregate: per-type share of all events
         "events_type_share": """

@@ -1697,3 +1697,47 @@ def type_share(sf_dir: str):
     return hash_exchange(partials, key_fn=lambda tbl: np.zeros(
         tbl.num_rows, dtype=np.int64), n_parts=1, kernel=merge,
         fmt="pandas")
+
+
+def hourly_profile(sf_dir: str):
+    """Calendar-dimension aggregate: events and mean value by (type,
+    UTC hour-of-day) — the activity-profile shape.  Hour derivation is
+    integer arithmetic on the ms epoch; partial cells combine per batch."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = 8
+    ds = _read_events(sf_dir, ["event_type", "ts", "value"],
+                      _n_parts(sf_dir))
+
+    def partial(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"),
+                          1000).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            # no mod kernel in this pyarrow — numpy on the zero-copy int64s
+            "hour": (ts_ms // 3_600_000) % 24,
+            "value": batch["value"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["event_type", "hour"], sort=False)["value"]
+        return g.agg(cnt="size", sum_v="sum").reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def key_fn(tbl):
+        h = pd.util.hash_pandas_object(
+            tbl.column("event_type").to_pandas(), index=False).to_numpy()
+        h = h * np.uint64(31) + tbl.column("hour").to_numpy().astype(
+            np.uint64)
+        return (h % np.uint64(P)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "hour"], sort=False)
+        out = g.agg(cnt=("cnt", "sum"), sum_v=("sum_v", "sum")).reset_index()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        out["mean_v"] = round_half_away(
+            out["sum_v"].to_numpy() / out["cnt"].to_numpy(), 6)
+        return out[["event_type", "hour", "cnt", "mean_v"]]
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=P, kernel=merge,
+                         fmt="pandas")

@@ -1037,3 +1037,19 @@ def test_type_share(ray_session, sf_small):
         """,
         sf_small, ["event_type"], atol=1e-9,
     )
+
+
+def test_hourly_profile(ray_session, sf_small):
+    _cmp(
+        ev.hourly_profile(sf_small),
+        """
+        WITH p AS (
+          SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hour, value
+          FROM events
+        )
+        SELECT event_type, hour, count(*) AS cnt,
+               round(sum(value) / count(*), 6) AS mean_v
+        FROM p GROUP BY 1, 2
+        """,
+        sf_small, ["event_type", "hour"], atol=1e-9,
+    )
