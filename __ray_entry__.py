@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_distinct_types": ev.daily_distinct_types,
         "events_type_share": ev.type_share,
         "events_hourly_profile": ev.hourly_profile,
+        "events_grouping_sets": ev.grouping_sets,
         "events_running_total": ev.running_total,
         "events_value_percent_rank": ev.value_percent_rank,
         "events_props_k_stats": ev.props_k_stats,
@@ -450,6 +451,15 @@ FROM e LEFT JOIN p
   ON p.user_id = e.user_id
  AND p.ts_us > e.ts_us AND p.ts_us <= e.ts_us + 3600000000
 GROUP BY 1, 2, 3
+""",
+        # GROUPING SETS from shared partials; (-1, 'ALL') sentinels
+        "events_grouping_sets": """
+SELECT coalesce(user_id, -1) AS user_id,
+       coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS cnt, round(sum(value), 6) AS sum_v
+FROM events
+GROUP BY GROUPING SETS ((user_id, event_type), (user_id),
+                        (event_type), ())
 """,
         # calendar-dimension profile: (type, UTC hour-of-day) cells
         "events_hourly_profile": """

@@ -1741,3 +1741,76 @@ def hourly_profile(sf_dir: str):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=P, kernel=merge,
                          fmt="pandas")
+
+
+def grouping_sets(sf_dir: str):
+    """GROUPING SETS ((user, type), (user), (type), ()) from ONE pass of
+    shared partials: the in-batch combiner emits (user, type) cells once;
+    every coarser granularity re-aggregates those cells, never raw events.
+    (user,type)+(user) finalize on the user-hash exchange, (type) on a
+    type-hash exchange over the same partials, the grand total folds the
+    tiny per-type cells.  Sentinels (-1, 'ALL') mark rolled-up dimensions
+    (user ids are ≥ 0 by schema)."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type", "value"], P)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], sort=False)["value"]
+        return g.agg(cnt="size", sum_v="sum").reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas").materialize()
+
+    def fin_cols(out):
+        out["cnt"] = out["cnt"].astype(np.int64)
+        out["sum_v"] = round_half_away(out["sum_v"].to_numpy(), 6)
+        return out[["user_id", "event_type", "cnt", "sum_v"]]
+
+    def by_user(df: pd.DataFrame) -> pd.DataFrame:
+        fine = (df.groupby(["user_id", "event_type"], sort=False)
+                .agg(cnt=("cnt", "sum"), sum_v=("sum_v", "sum"))
+                .reset_index())
+        coarse = (fine.groupby("user_id", sort=False)
+                  .agg(cnt=("cnt", "sum"), sum_v=("sum_v", "sum"))
+                  .reset_index().assign(event_type="ALL"))
+        return fin_cols(pd.concat([fine, coarse], ignore_index=True))
+
+    user_cells = hash_exchange(partials, key_fn=_user_key_fn(P), n_parts=P,
+                               kernel=by_user, fmt="pandas")
+
+    def type_key(tbl):
+        h = pd.util.hash_pandas_object(
+            tbl.column("event_type").to_pandas(), index=False).to_numpy()
+        return (h % np.uint64(8)).astype(np.int64)
+
+    def by_type(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("event_type", sort=False)
+               .agg(cnt=("cnt", "sum"), sum_v=("sum_v", "sum"))
+               .reset_index().assign(user_id=np.int64(-1)))
+        return fin_cols(out)
+
+    type_cells = hash_exchange(partials, key_fn=type_key, n_parts=8,
+                               kernel=by_type, fmt="pandas")
+
+    def grand(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": [np.int64(-1)],
+                            "event_type": ["ALL"],
+                            "cnt": [np.int64(df["cnt"].sum())],
+                            "sum_v": [df["sum_v"].sum()]})
+        # re-round: the grand total folds UNROUNDED per-type sums
+        return out
+
+    def by_type_raw(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("event_type", sort=False)
+               .agg(cnt=("cnt", "sum"), sum_v=("sum_v", "sum"))
+               .reset_index())
+        return out
+
+    type_raw = hash_exchange(partials, key_fn=type_key, n_parts=8,
+                             kernel=by_type_raw, fmt="pandas")
+    grand_cell = hash_exchange(
+        type_raw, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1,
+        kernel=lambda df: fin_cols(grand(df)), fmt="pandas")
+
+    return user_cells.union(type_cells).union(grand_cell)

@@ -1053,3 +1053,18 @@ def test_hourly_profile(ray_session, sf_small):
         """,
         sf_small, ["event_type", "hour"], atol=1e-9,
     )
+
+
+def test_grouping_sets(ray_session, sf_small):
+    _cmp(
+        ev.grouping_sets(sf_small),
+        """
+        SELECT coalesce(user_id, -1) AS user_id,
+               coalesce(event_type, 'ALL') AS event_type,
+               count(*) AS cnt, round(sum(value), 6) AS sum_v
+        FROM events
+        GROUP BY GROUPING SETS ((user_id, event_type), (user_id),
+                                (event_type), ())
+        """,
+        sf_small, ["user_id", "event_type"], atol=1e-6,
+    )
