@@ -615,9 +615,16 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
                           ).astype(np.int64)
         return new
 
+    # the edge set is CONSTANT across rounds: split it once and reuse the
+    # co-partitioned refs every iteration (hash + slice fan-out amortized)
+    from ..stages.exchange import PresplitInput
+
+    edges_pre = PresplitInput(edges, _pair_hash_key(["src"], n_parts),
+                              n_parts)
+
     for _ in range(max_iters):
         proposals = hash_exchange_multi(
-            [(edges, _pair_hash_key(["src"], n_parts)),
+            [edges_pre,
              (labels, _pair_hash_key(["node"], n_parts))],
             n_parts=n_parts, kernel=propose, fmt="pandas")
         labels = hash_exchange_multi(

@@ -220,6 +220,30 @@ def hash_exchange(ds, *, key_fn, n_parts: int, kernel, fmt: str = "pandas",
     return out
 
 
+class PresplitInput:
+    """Split-once handle for :func:`hash_exchange_multi`: an iterative
+    algorithm that co-partitions a CONSTANT input every round (label
+    propagation's edge set) pays the hash + zero-copy-slice task fan-out
+    each time — pre-splitting amortizes it to one pass.  Holds the split
+    refs (keepalive) for its own lifetime; pass the instance in place of a
+    ``(ds, key_fn)`` tuple."""
+
+    def __init__(self, ds, key_fn, n_parts: int):
+        import ray
+
+        self.n_parts = n_parts
+        self.ds = ds
+        split_block = _split_remote()
+        refs = _block_refs(ds)
+        self.splits = [split_block.options(num_returns=n_parts + 1)
+                       .remote(ref, n_parts, key_fn) for ref in refs]
+        self.counts = (np.stack(
+            ray.get([s[n_parts] for s in self.splits]))
+            if self.splits else np.zeros((0, n_parts), dtype=np.int64))
+        self.empty_ref = (None if self.splits
+                          else ray.put(_empty_table(ds)))
+
+
 def hash_exchange_multi(inputs, *, n_parts: int, kernel,
                         fmt: str = "pandas",
                         kernel_kwargs: dict | None = None):
@@ -256,8 +280,20 @@ def hash_exchange_multi(inputs, *, n_parts: int, kernel,
         datas = [g if fmt == "pyarrow" else g.to_pandas() for g in groups]
         return _to_arrow(kernel(*datas, **kernel_kwargs))
 
-    all_splits, all_counts, empty_refs = [], [], []
-    for ds, key_fn in inputs:
+    all_splits, all_counts, empty_refs, all_ds = [], [], [], []
+    for item in inputs:
+        if isinstance(item, PresplitInput):
+            if item.n_parts != n_parts:
+                raise ValueError(
+                    f"PresplitInput built for n_parts={item.n_parts}, "
+                    f"exchange runs with {n_parts}")
+            all_splits.append(item.splits)
+            all_counts.append(item.counts)
+            empty_refs.append(item.empty_ref)
+            all_ds.append(item.ds)
+            continue
+        ds, key_fn = item
+        all_ds.append(ds)
         refs = _block_refs(ds)
         splits = [split_block.options(num_returns=n_parts + 1)
                   .remote(ref, n_parts, key_fn) for ref in refs]
@@ -276,13 +312,13 @@ def hash_exchange_multi(inputs, *, n_parts: int, kernel,
     def _empty_result():
         try:
             datas = []
-            for ds, _ in inputs:
+            for ds in all_ds:
                 empty = _empty_table(ds)
                 datas.append(empty if fmt == "pyarrow" else empty.to_pandas())
             return ray.data.from_arrow(_to_arrow(kernel(*datas,
                                                         **kernel_kwargs)))
         except Exception:
-            return inputs[0][0].limit(0)
+            return all_ds[0].limit(0)
 
     if not part_rows0.any():
         return _empty_result()

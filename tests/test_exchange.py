@@ -333,3 +333,49 @@ def test_out_of_range_partition_ids_rejected(ray_session):
         hash_exchange(
             ds, key_fn=lambda t: t.column("k").to_numpy() % 16,  # ids ≤ 15
             n_parts=4, kernel=lambda df: df, fmt="pandas")
+
+
+def test_presplit_input_reuse(ray_session):
+    """A PresplitInput reused across two multi-exchanges gives identical
+    results to fresh (ds, key_fn) splits; n_parts mismatch is loud."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from gorilla_tsc_ray.stages.exchange import (PresplitInput,
+                                                 hash_exchange_multi)
+
+    edges = pd.DataFrame({"src": np.arange(40, dtype=np.int64) % 7,
+                          "dst": np.arange(40, dtype=np.int64) % 5})
+    vals = pd.DataFrame({"node": np.arange(7, dtype=np.int64),
+                         "label": np.arange(7, dtype=np.int64) * 10})
+
+    def key_of(col, P):
+        def key_fn(tbl):
+            return (tbl.column(col).to_numpy().astype(np.uint64)
+                    % np.uint64(P)).astype(np.int64)
+        return key_fn
+
+    def join(e, v):
+        m = e.merge(v, left_on="src", right_on="node")
+        return m[["dst", "label"]]
+
+    P = 4
+    e_ds = ray.data.from_pandas(edges)
+    v_ds = ray.data.from_pandas(vals)
+    fresh = hash_exchange_multi(
+        [(e_ds, key_of("src", P)), (v_ds, key_of("node", P))],
+        n_parts=P, kernel=join).to_pandas()
+    pre = PresplitInput(e_ds, key_of("src", P), P)
+    for _ in range(2):                       # reuse across rounds
+        got = hash_exchange_multi(
+            [pre, (v_ds, key_of("node", P))],
+            n_parts=P, kernel=join).to_pandas()
+        s = ["dst", "label"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(s).reset_index(drop=True),
+            fresh.sort_values(s).reset_index(drop=True))
+    with pytest.raises(ValueError, match="n_parts"):
+        hash_exchange_multi([pre, (v_ds, key_of("node", 8))],
+                            n_parts=8, kernel=join)
