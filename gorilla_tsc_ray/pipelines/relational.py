@@ -59,15 +59,17 @@ def pricing_summary(sf_dir: str):
         return out.reset_index()
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.iloc[:1][["l_returnflag", "l_linestatus"]].copy()
+        out = (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+               .sum().reset_index())
         for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
-            out[c] = round_half_away(df[c].sum(), 4)
-        out["count_order"] = int(df["count_order"].sum())
+            out[c] = round_half_away(out[c].to_numpy(), 4)
+        out["count_order"] = out["count_order"].astype(np.int64)
         return out
 
-    return (ds.map_batches(partial, batch_format="pandas")
-            .groupby(["l_returnflag", "l_linestatus"])
-            .map_groups(merge, batch_format="pandas"))
+    return hash_exchange(
+        ds.map_batches(partial, batch_format="pandas"),
+        key_fn=_hash_key(["l_returnflag", "l_linestatus"]),
+        n_parts=N_PARTS, kernel=merge, fmt="pandas")
 
 
 def top_event_users(sf_dir: str, k: int = 10):
@@ -118,13 +120,16 @@ def orders_by_nation(sf_dir: str):
                      n_orders=("o_totalprice", "count")).reset_index()
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.iloc[:1][["n_name"]].copy()
-        out["total"] = round_half_away(df["total"].sum(), 4)
-        out["n_orders"] = int(df["n_orders"].sum())
+        out = (df.groupby("n_name", sort=False)
+               .agg(total=("total", "sum"), n_orders=("n_orders", "sum"))
+               .reset_index())
+        out["total"] = round_half_away(out["total"].to_numpy(), 4)
+        out["n_orders"] = out["n_orders"].astype(np.int64)
         return out
 
-    return (ds.map_batches(partial, batch_format="pandas")
-            .groupby("n_name").map_groups(merge, batch_format="pandas"))
+    return hash_exchange(ds.map_batches(partial, batch_format="pandas"),
+                         key_fn=_hash_key(["n_name"]), n_parts=N_PARTS,
+                         kernel=merge, fmt="pandas")
 
 
 def distinct_event_types(sf_dir: str):
