@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_share": ev.type_share,
         "events_hourly_profile": ev.hourly_profile,
         "events_grouping_sets": ev.grouping_sets,
+        "events_above_user_mean": ev.above_user_mean,
         "events_running_total": ev.running_total,
         "events_value_percent_rank": ev.value_percent_rank,
         "events_props_k_stats": ev.props_k_stats,
@@ -451,6 +452,13 @@ FROM e LEFT JOIN p
   ON p.user_id = e.user_id
  AND p.ts_us > e.ts_us AND p.ts_us <= e.ts_us + 3600000000
 GROUP BY 1, 2, 3
+""",
+        # correlated-aggregate filter (strict >; float mean agreement is
+        # ~1e-14 on both sides and values are never that close to a mean)
+        "events_above_user_mean": """
+WITH m AS (SELECT user_id, avg(value) AS mv FROM events GROUP BY 1)
+SELECT e.user_id, epoch_ms(e.ts) AS ts_ms, e.value
+FROM events e JOIN m USING (user_id) WHERE e.value > m.mv
 """,
         # GROUPING SETS from shared partials; (-1, 'ALL') sentinels
         "events_grouping_sets": """

@@ -1814,3 +1814,29 @@ def grouping_sets(sf_dir: str):
         kernel=lambda df: fin_cols(grand(df)), fmt="pandas")
 
     return user_cells.union(type_cells).union(grand_cell)
+
+
+def above_user_mean(sf_dir: str):
+    """Correlated-aggregate filter: events strictly above their OWN user's
+    mean value — the aggregate-then-rejoin shape (SQL correlated subquery /
+    join against a grouped aggregate).  One user-hash exchange; the kernel
+    computes each user's mean and filters its rows in the same pass."""
+    P = _n_parts(sf_dir)
+    pts = _read_points(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "ts_ms", "value"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        codes, _ = pd.factorize(df["user_id"], sort=False)
+        v = df["value"].to_numpy()
+        mean = np.bincount(codes, weights=v) / np.bincount(codes)
+        keep = v > mean[codes]
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy()[keep],
+            "ts_ms": df["ts_ms"].to_numpy()[keep],
+            "value": v[keep],
+        })
+
+    return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

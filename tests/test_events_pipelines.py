@@ -1068,3 +1068,15 @@ def test_grouping_sets(ray_session, sf_small):
         """,
         sf_small, ["user_id", "event_type"], atol=1e-6,
     )
+
+
+def test_above_user_mean(ray_session, sf_small):
+    _cmp(
+        ev.above_user_mean(sf_small),
+        """
+        WITH m AS (SELECT user_id, avg(value) AS mv FROM events GROUP BY 1)
+        SELECT e.user_id, epoch_ms(e.ts) AS ts_ms, e.value
+        FROM events e JOIN m USING (user_id) WHERE e.value > m.mv
+        """,
+        sf_small, ["user_id", "ts_ms"], atol=0.0,
+    )
