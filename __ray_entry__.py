@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_profile": ev.hourly_profile,
         "events_grouping_sets": ev.grouping_sets,
         "events_above_user_mean": ev.above_user_mean,
+        "events_retention_cohorts": ev.retention_cohorts,
         "events_running_total": ev.running_total,
         "events_value_percent_rank": ev.value_percent_rank,
         "events_props_k_stats": ev.props_k_stats,
@@ -452,6 +453,20 @@ FROM e LEFT JOIN p
   ON p.user_id = e.user_id
  AND p.ts_us > e.ts_us AND p.ts_us <= e.ts_us + 3600000000
 GROUP BY 1, 2, 3
+""",
+        # cohort retention: first-event-day cohorts × week offsets
+        "events_retention_cohorts": """
+WITH d AS (
+  SELECT user_id, epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms
+  FROM events
+), f AS (
+  SELECT user_id, min(day_ms) AS cohort_day FROM d GROUP BY 1
+)
+SELECT f.cohort_day,
+       (d.day_ms - f.cohort_day) // 604800000 AS week_offset,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
 """,
         # correlated-aggregate filter (strict >; float mean agreement is
         # ~1e-14 on both sides and values are never that close to a mean)

@@ -1840,3 +1840,50 @@ def above_user_mean(sf_dir: str):
 
     return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: users grouped by FIRST-event day, counted
+    as active per week offset since their cohort day — the product-
+    analytics shape.  One user-hash exchange derives each user's cohort +
+    deduped (cohort, week) activity (a user lives in exactly one
+    partition, so the per-partition dedup is globally exact and the second
+    exchange only sums tiny (cohort, week, cnt) cells)."""
+    P = _n_parts(sf_dir)
+    pts = _read_points(sf_dir, P)
+    WEEK_MS = 7 * DAY_MS
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["cohort_day", "week_offset", "cnt"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        codes, _ = pd.factorize(df["user_id"], sort=False)
+        day = (df["ts_ms"].to_numpy() // DAY_MS) * DAY_MS
+        order = np.lexsort((day, codes))
+        c, d = codes[order], day[order]
+        seg_first = np.concatenate(([True], c[1:] != c[:-1]))
+        cohort = d[np.flatnonzero(seg_first)][np.cumsum(seg_first) - 1]
+        off = (d - cohort) // WEEK_MS
+        cells = pd.DataFrame({"cohort_day": cohort, "week_offset": off,
+                              "u": c}).drop_duplicates()
+        out = (cells.groupby(["cohort_day", "week_offset"], sort=False)
+               .size().rename("cnt").reset_index())
+        return out
+
+    partials = hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                             kernel=per_user, fmt="pandas")
+
+    def key_fn(tbl):
+        h = (tbl.column("cohort_day").to_numpy().astype(np.uint64)
+             * np.uint64(1_000_003)
+             + tbl.column("week_offset").to_numpy().astype(np.uint64))
+        return (h % np.uint64(8)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["cohort_day", "week_offset"], sort=False)["cnt"]
+               .sum().reset_index())
+        out["n_users"] = out.pop("cnt").astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=8, kernel=merge,
+                         fmt="pandas")

@@ -1080,3 +1080,23 @@ def test_above_user_mean(ray_session, sf_small):
         """,
         sf_small, ["user_id", "ts_ms"], atol=0.0,
     )
+
+
+def test_retention_cohorts(ray_session, sf_small):
+    _cmp(
+        ev.retention_cohorts(sf_small),
+        """
+        WITH d AS (
+          SELECT user_id, epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms
+          FROM events
+        ), f AS (
+          SELECT user_id, min(day_ms) AS cohort_day FROM d GROUP BY 1
+        )
+        SELECT f.cohort_day,
+               (d.day_ms - f.cohort_day) // 604800000 AS week_offset,
+               CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        FROM d JOIN f USING (user_id)
+        GROUP BY 1, 2
+        """,
+        sf_small, ["cohort_day", "week_offset"],
+    )
