@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grouping_sets": ev.grouping_sets,
         "events_above_user_mean": ev.above_user_mean,
         "events_retention_cohorts": ev.retention_cohorts,
+        "events_outliers": ev.outliers,
         "events_running_total": ev.running_total,
         "events_value_percent_rank": ev.value_percent_rank,
         "events_props_k_stats": ev.props_k_stats,
@@ -453,6 +454,17 @@ FROM e LEFT JOIN p
   ON p.user_id = e.user_id
  AND p.ts_us > e.ts_us AND p.ts_us <= e.ts_us + 3600000000
 GROUP BY 1, 2, 3
+""",
+        # z-score outliers vs the user's own mean/stddev (strict >)
+        "events_outliers": """
+WITH m AS (
+  SELECT user_id, avg(value) AS mv, stddev_samp(value) AS sv
+  FROM events GROUP BY 1
+)
+SELECT e.user_id, epoch_ms(e.ts) AS ts_ms, e.value,
+       round((e.value - m.mv) / m.sv, 6) AS zscore
+FROM events e JOIN m USING (user_id)
+WHERE abs(e.value - m.mv) > 2.0 * m.sv
 """,
         # cohort retention: first-event-day cohorts × week offsets
         "events_retention_cohorts": """

@@ -1887,3 +1887,36 @@ def retention_cohorts(sf_dir: str):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=8, kernel=merge,
                          fmt="pandas")
+
+
+def outliers(sf_dir: str, n_sigma: float = 2.0):
+    """Per-series anomaly flagging: events whose value deviates more than
+    ``n_sigma`` sample standard deviations from their OWN user's mean —
+    the z-score outlier shape.  Same fused aggregate-then-filter kernel as
+    :func:`above_user_mean` (centered moments, one exchange)."""
+    P = _n_parts(sf_dir)
+    pts = _read_points(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "ts_ms", "value", "zscore"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        codes, _ = pd.factorize(df["user_id"], sort=False)
+        v = df["value"].to_numpy()
+        n = np.bincount(codes)
+        mean = np.bincount(codes, weights=v) / n
+        d = v - mean[codes]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            std = np.sqrt(np.bincount(codes, weights=d * d)
+                          / np.maximum(n - 1, 1))
+            z = d / std[codes]
+        keep = (n[codes] > 1) & (np.abs(d) > n_sigma * std[codes])
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy()[keep],
+            "ts_ms": df["ts_ms"].to_numpy()[keep],
+            "value": v[keep],
+            "zscore": round_half_away(z[keep], 6),
+        })
+
+    return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

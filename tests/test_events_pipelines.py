@@ -1100,3 +1100,20 @@ def test_retention_cohorts(ray_session, sf_small):
         """,
         sf_small, ["cohort_day", "week_offset"],
     )
+
+
+def test_outliers(ray_session, sf_small):
+    _cmp(
+        ev.outliers(sf_small),
+        """
+        WITH m AS (
+          SELECT user_id, avg(value) AS mv, stddev_samp(value) AS sv
+          FROM events GROUP BY 1
+        )
+        SELECT e.user_id, epoch_ms(e.ts) AS ts_ms, e.value,
+               round((e.value - m.mv) / m.sv, 6) AS zscore
+        FROM events e JOIN m USING (user_id)
+        WHERE abs(e.value - m.mv) > 2.0 * m.sv
+        """,
+        sf_small, ["user_id", "ts_ms"], atol=1e-9,
+    )
