@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_above_user_mean": ev.above_user_mean,
         "events_retention_cohorts": ev.retention_cohorts,
         "events_outliers": ev.outliers,
+        "events_user_type_entropy": ev.user_type_entropy,
+        "events_latest_per_user": ev.latest_event_per_user,
         "events_running_total": ev.running_total,
         "events_value_percent_rank": ev.value_percent_rank,
         "events_props_k_stats": ev.props_k_stats,
@@ -454,6 +456,27 @@ FROM e LEFT JOIN p
   ON p.user_id = e.user_id
  AND p.ts_us > e.ts_us AND p.ts_us <= e.ts_us + 3600000000
 GROUP BY 1, 2, 3
+""",
+        # Shannon entropy (nats) of each user's type distribution
+        "events_user_type_entropy": """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT user_id, sum(cnt) AS tot FROM c GROUP BY 1
+)
+SELECT c.user_id, CAST(t.tot AS BIGINT) AS n_events,
+       round(-sum((c.cnt * 1.0 / t.tot) * ln(c.cnt * 1.0 / t.tot)), 6)
+         AS entropy
+FROM c JOIN t USING (user_id) GROUP BY 1, 2
+""",
+        # row-level arg-max: the user's latest event, full payload
+        "events_latest_per_user": """
+SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms,
+       event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts) DESC) = 1
 """,
         # z-score outliers vs the user's own mean/stddev (strict >)
         "events_outliers": """

@@ -1920,3 +1920,73 @@ def outliers(sf_dir: str, n_sigma: float = 2.0):
 
     return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def user_type_entropy(sf_dir: str):
+    """Information-theoretic aggregate: Shannon entropy (nats) of each
+    user's event-type distribution — the behavioral-diversity feature.
+    In-batch (user, type) count partials; entropy per user in the merge."""
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type"], P)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["user_id", "event_type"], sort=False)
+                .size().rename("cnt").reset_index())
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n_events", "entropy"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        g = (df.groupby(["user_id", "event_type"], sort=False)["cnt"]
+             .sum().reset_index())
+        codes, users = pd.factorize(g["user_id"], sort=False)
+        cnt = g["cnt"].to_numpy(dtype=np.float64)
+        tot = np.bincount(codes, weights=cnt)
+        p = cnt / tot[codes]
+        ent = -np.bincount(codes, weights=p * np.log(p))
+        return pd.DataFrame({
+            "user_id": np.asarray(users),
+            "n_events": tot.astype(np.int64),
+            "entropy": round_half_away(ent, 6),
+        })
+
+    return hash_exchange(partials, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=merge, fmt="pandas")
+
+
+def latest_event_per_user(sf_dir: str):
+    """Row-level arg-max: each user's LATEST event with its full payload
+    (the current-state lookup shape) — per-partition sort, take each user
+    segment's tail; microsecond order."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir,
+                      ["event_id", "user_id", "ts", "event_type", "value"],
+                      P)
+
+    def to_us(batch):
+        ts_us = pc.cast(batch["ts"], "int64")
+        return batch.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    pts = ds.map_batches(to_us, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "event_id", "ts_ms", "event_type", "value"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        last = np.concatenate((uid[1:] != uid[:-1], [True]))
+        out = df.loc[last].reset_index(drop=True)
+        return pd.DataFrame({
+            "user_id": out["user_id"], "event_id": out["event_id"],
+            "ts_ms": out["ts_us"].to_numpy() // 1000,
+            "event_type": out["event_type"], "value": out["value"],
+        })
+
+    return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

@@ -1117,3 +1117,36 @@ def test_outliers(ray_session, sf_small):
         """,
         sf_small, ["user_id", "ts_ms"], atol=1e-9,
     )
+
+
+def test_user_type_entropy(ray_session, sf_small):
+    _cmp(
+        ev.user_type_entropy(sf_small),
+        """
+        WITH c AS (
+          SELECT user_id, event_type, count(*) AS cnt
+          FROM events GROUP BY 1, 2
+        ), t AS (
+          SELECT user_id, sum(cnt) AS tot FROM c GROUP BY 1
+        )
+        SELECT c.user_id, CAST(t.tot AS BIGINT) AS n_events,
+               round(-sum((c.cnt * 1.0 / t.tot)
+                          * ln(c.cnt * 1.0 / t.tot)), 6) AS entropy
+        FROM c JOIN t USING (user_id) GROUP BY 1, 2
+        """,
+        sf_small, ["user_id"], atol=1e-9,
+    )
+
+
+def test_latest_event_per_user(ray_session, sf_small):
+    _cmp(
+        ev.latest_event_per_user(sf_small),
+        """
+        SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms,
+               event_type, value
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts) DESC) = 1
+        """,
+        sf_small, ["user_id"],
+    )
