@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": ev.outliers,
         "events_user_type_entropy": ev.user_type_entropy,
         "events_latest_per_user": ev.latest_event_per_user,
+        "events_type_transitions": ev.type_transitions,
+        "events_time_in_state": ev.time_in_state,
         "events_running_total": ev.running_total,
         "events_value_percent_rank": ev.value_percent_rank,
         "events_props_k_stats": ev.props_k_stats,
@@ -456,6 +458,35 @@ FROM e LEFT JOIN p
   ON p.user_id = e.user_id
  AND p.ts_us > e.ts_us AND p.ts_us <= e.ts_us + 3600000000
 GROUP BY 1, 2, 3
+""",
+        # Markov bigram transitions over each user's us-ordered stream
+        "events_type_transitions": """
+WITH s AS (
+  SELECT user_id, event_type AS cur_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts)) AS next_type
+  FROM events
+), c AS (
+  SELECT cur_type, next_type, count(*) AS cnt FROM s
+  WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT cur_type, next_type, cnt,
+       round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY cur_type), 6)
+         AS p_next
+FROM c
+""",
+        # LOCF state durations (last event open-ended, excluded)
+        "events_time_in_state": """
+WITH s AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts)) AS next_us
+  FROM events
+)
+SELECT user_id, event_type,
+       CAST(sum((next_us - ts_us) // 1000) AS BIGINT) AS total_ms,
+       CAST(count(*) AS BIGINT) AS n_stays
+FROM s WHERE next_us IS NOT NULL GROUP BY 1, 2
 """,
         # Shannon entropy (nats) of each user's type distribution
         "events_user_type_entropy": """

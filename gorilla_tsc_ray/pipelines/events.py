@@ -1990,3 +1990,95 @@ def latest_event_per_user(sf_dir: str):
 
     return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def type_transitions(sf_dir: str):
+    """Sequence bigrams (Markov transitions): counts and row-conditional
+    probability of each (current type → next type) step within a user's
+    event-time-ordered stream.  Per-partition shift-compare (one sort),
+    (a, b) cell partials, tiny merge."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_type"], P)
+
+    def to_us(batch):
+        ts_us = pc.cast(batch["ts"], "int64")
+        return batch.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    pts = ds.map_batches(to_us, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["cur_type", "next_type", "cnt"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        out = pd.DataFrame({"cur_type": et[:-1][same],
+                            "next_type": et[1:][same]})
+        return (out.groupby(["cur_type", "next_type"], sort=False)
+                .size().rename("cnt").reset_index())
+
+    partials = hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                             kernel=pairs, fmt="pandas")
+
+    def key_fn(tbl):
+        h = pd.util.hash_pandas_object(
+            tbl.column("cur_type").to_pandas(), index=False).to_numpy()
+        return (h % np.uint64(8)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["cur_type", "next_type"], sort=False)["cnt"]
+               .sum().reset_index())
+        out["cnt"] = out["cnt"].astype(np.int64)
+        tot = out.groupby("cur_type", sort=False)["cnt"].transform("sum")
+        out["p_next"] = round_half_away(
+            out["cnt"].to_numpy() / tot.to_numpy(), 6)
+        return out
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=8, kernel=merge,
+                         fmt="pandas")
+
+
+def time_in_state(sf_dir: str):
+    """State-duration aggregate: total milliseconds each user spends 'in'
+    each event type under LOCF semantics (a state lasts until the next
+    event; the last event of a user is open-ended and contributes
+    nothing).  Same one-sort shift kernel as :func:`type_transitions`."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_type"], P)
+
+    def to_us(batch):
+        ts_us = pc.cast(batch["ts"], "int64")
+        return batch.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    pts = ds.map_batches(to_us, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "event_type", "total_ms", "n_stays"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        dur = pd.DataFrame({
+            "user_id": uid[:-1][same],
+            "event_type": et[:-1][same],
+            "ms": (ts[1:][same] - ts[:-1][same]) // 1000,
+        })
+        out = (dur.groupby(["user_id", "event_type"], sort=False)["ms"]
+               .agg(total_ms="sum", n_stays="size").reset_index())
+        out["total_ms"] = out["total_ms"].astype(np.int64)
+        out["n_stays"] = out["n_stays"].astype(np.int64)
+        return out
+
+    return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

@@ -1150,3 +1150,44 @@ def test_latest_event_per_user(ray_session, sf_small):
         """,
         sf_small, ["user_id"],
     )
+
+
+def test_type_transitions(ray_session, sf_small):
+    _cmp(
+        ev.type_transitions(sf_small),
+        """
+        WITH s AS (
+          SELECT user_id, event_type AS cur_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts)) AS next_type
+          FROM events
+        ), c AS (
+          SELECT cur_type, next_type, count(*) AS cnt FROM s
+          WHERE next_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT cur_type, next_type, cnt,
+               round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY cur_type), 6)
+                 AS p_next
+        FROM c
+        """,
+        sf_small, ["cur_type", "next_type"], atol=1e-9,
+    )
+
+
+def test_time_in_state(ray_session, sf_small):
+    _cmp(
+        ev.time_in_state(sf_small),
+        """
+        WITH s AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                 lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts)) AS next_us
+          FROM events
+        )
+        SELECT user_id, event_type,
+               CAST(sum((next_us - ts_us) // 1000) AS BIGINT) AS total_ms,
+               CAST(count(*) AS BIGINT) AS n_stays
+        FROM s WHERE next_us IS NOT NULL GROUP BY 1, 2
+        """,
+        sf_small, ["user_id", "event_type"],
+    )
