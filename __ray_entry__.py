@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_quality_per_lang": docs.top_quality_per_lang,
         "docs_top_tokens": docs.top_tokens,
         "docs_top_tokens_sketch": docs.top_tokens_sketch,
+        "docs_token_cooccurrence": docs.token_cooccurrence,
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
         "docs_charset_jaccard": docs.charset_jaccard,
@@ -930,6 +931,30 @@ WITH tok AS (
 )
 SELECT tok, count(*) AS cnt FROM tok
 GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 20
+""",
+        # co-occurrence + PMI over the top-20 vocabulary (top-k ranked by
+        # OCCURRENCES with (cnt desc, tok) tie-break — same as top_tokens;
+        # presence is distinct-per-doc)
+        "docs_token_cooccurrence": """
+WITH occ AS (
+  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+), top AS (
+  SELECT tok FROM (SELECT tok, count(*) AS c FROM occ GROUP BY 1)
+  QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 20
+), p AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text,
+    '[A-Za-z0-9]+')) AS tok
+  FROM documents
+), pv AS (SELECT * FROM p WHERE tok IN (SELECT tok FROM top)),
+nd AS (SELECT count(*) AS n FROM documents),
+ca AS (SELECT tok, count(*) AS c FROM pv GROUP BY 1)
+SELECT a.tok AS t1, b.tok AS t2, count(*) AS n_both,
+       round(ln(count(*) * 1.0 * (SELECT n FROM nd) / (c1.c * c2.c)), 6)
+         AS pmi
+FROM pv a JOIN pv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+JOIN ca c1 ON c1.tok = a.tok JOIN ca c2 ON c2.tok = b.tok
+GROUP BY a.tok, b.tok, c1.c, c2.c
 """,
         # Misra-Gries heavy hitters: exact when no block's vocab exceeds
         # the counter budget (31-token vocab ≪ 4096) — same truth as the

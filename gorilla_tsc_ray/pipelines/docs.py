@@ -855,3 +855,68 @@ def emb_norms(sf_dir: str):
         })
 
     return ds.map_batches(norms, batch_format="pyarrow")
+
+
+def token_cooccurrence(sf_dir: str, v: int = 20):
+    """Token co-occurrence + PMI over the top-``v`` vocabulary: for token
+    pairs, in how many docs both appear, and ln(n_docs·c_ab/(c_a·c_b)).
+    The vocabulary is the deterministic global top-k (broadcast to every
+    batch); each batch reduces to ONE V×V presence-count matrix via a
+    matmul (flattened to ≤ V² partial cells + a doc-count cell), so the
+    final exchange folds tiny matrices however large the corpus."""
+    import itertools
+
+    from ..stages.text import WORD_RE
+
+    vocab = top_tokens(sf_dir, k=v).to_pandas()["tok"].tolist()
+    vidx = {t: i for i, t in enumerate(vocab)}
+    V = len(vocab)
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(WORD_RE)
+        n_docs = len(df)
+        M = np.zeros((n_docs, V), dtype=np.float64)
+        doc_ids = np.repeat(np.arange(n_docs),
+                            toks.str.len().to_numpy().astype(np.int64))
+        flat = np.asarray(list(itertools.chain.from_iterable(toks)),
+                          dtype=object)
+        keep = np.asarray([t in vidx for t in flat], dtype=bool)
+        cols = np.asarray([vidx[t] for t in flat[keep]], dtype=np.int64)
+        M[doc_ids[keep], cols] = 1.0
+        C = M.T @ M  # co-doc counts; diagonal = per-token doc counts
+        iu, ju = np.triu_indices(V)
+        rows = pd.DataFrame({"i": iu, "j": ju,
+                             "c": C[iu, ju].astype(np.int64)})
+        rows = pd.concat([rows, pd.DataFrame(
+            {"i": [-1], "j": [-1], "c": [np.int64(n_docs)]})],
+            ignore_index=True)
+        return rows.loc[rows["c"] > 0].reset_index(drop=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["t1", "t2", "n_both", "pmi"]
+        g = df.groupby(["i", "j"], sort=False)["c"].sum()
+        n_docs = float(g.get((-1, -1), 0))
+        diag = {i: float(g.get((i, i), 0)) for i in range(V)}
+        out = {"t1": [], "t2": [], "n_both": [], "pmi": []}
+        for (i, j), c in g.items():
+            if i < 0 or i == j:
+                continue
+            a, b = sorted((vocab[i], vocab[j]))
+            out["t1"].append(a)
+            out["t2"].append(b)
+            out["n_both"].append(np.int64(c))
+            out["pmi"].append(float(
+                np.log(c * n_docs / (diag[i] * diag[j]))))
+        res = pd.DataFrame(out)
+        from ..util import round_half_away
+        res["pmi"] = round_half_away(res["pmi"].to_numpy(), 6)
+        return res[cols]
+
+    return hash_exchange(
+        partials,
+        key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1, kernel=merge, fmt="pandas")

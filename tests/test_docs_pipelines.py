@@ -466,3 +466,33 @@ def test_emb_norms(ray_session):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_exact=False, atol=1e-9)
+
+
+def test_token_cooccurrence(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = (docs.token_cooccurrence(sf, v=10).to_pandas()
+           .sort_values(["t1", "t2"]).reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        WITH occ AS (
+          SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+          FROM '{sf}/documents.parquet'
+        ), top AS (
+          SELECT tok FROM (SELECT tok, count(*) AS c FROM occ GROUP BY 1)
+          QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 10
+        ), p AS (
+          SELECT DISTINCT doc_id, unnest(regexp_extract_all(text,
+            '[A-Za-z0-9]+')) AS tok
+          FROM '{sf}/documents.parquet'
+        ), pv AS (SELECT * FROM p WHERE tok IN (SELECT tok FROM top)),
+        nd AS (SELECT count(*) AS n FROM '{sf}/documents.parquet'),
+        ca AS (SELECT tok, count(*) AS c FROM pv GROUP BY 1)
+        SELECT a.tok AS t1, b.tok AS t2, count(*) AS n_both,
+               round(ln(count(*) * 1.0 * (SELECT n FROM nd)
+                        / (c1.c * c2.c)), 6) AS pmi
+        FROM pv a JOIN pv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        JOIN ca c1 ON c1.tok = a.tok JOIN ca c2 ON c2.tok = b.tok
+        GROUP BY a.tok, b.tok, c1.c, c2.c
+    """).df().sort_values(["t1", "t2"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-9)
