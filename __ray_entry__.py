@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": docs.top_tokens,
         "docs_top_tokens_sketch": docs.top_tokens_sketch,
         "docs_token_cooccurrence": docs.token_cooccurrence,
+        "docs_tfidf": docs.tfidf,
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
         "docs_charset_jaccard": docs.charset_jaccard,
@@ -931,6 +932,24 @@ WITH tok AS (
 )
 SELECT tok, count(*) AS cnt FROM tok
 GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 20
+""",
+        # TF-IDF over the top-20 vocabulary (same occurrence-ranked top-k)
+        "docs_tfidf": """
+WITH occ AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+), top AS (
+  SELECT tok FROM (SELECT tok, count(*) AS c FROM occ GROUP BY 1)
+  QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 20
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM occ
+  WHERE tok IN (SELECT tok FROM top) GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+), nd AS (SELECT count(*) AS n FROM documents)
+SELECT tf.doc_id, tf.tok, tf.tf,
+       round(tf.tf * ln((SELECT n FROM nd) * 1.0 / d.df), 6) AS tfidf
+FROM tf JOIN dfreq d USING (tok)
 """,
         # co-occurrence + PMI over the top-20 vocabulary (top-k ranked by
         # OCCURRENCES with (cnt desc, tok) tie-break — same as top_tokens;

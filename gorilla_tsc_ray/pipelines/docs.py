@@ -920,3 +920,61 @@ def token_cooccurrence(sf_dir: str, v: int = 20):
         partials,
         key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
         n_parts=1, kernel=merge, fmt="pandas")
+
+
+def tfidf(sf_dir: str, v: int = 20):
+    """TF-IDF document features over the top-``v`` vocabulary — the
+    classic sparse text featurization.  Two bounded passes: (1) document
+    frequencies per vocab token (≤ v+1 rows; broadcast back like any small
+    dimension), (2) per-batch term counts — FINAL immediately, because a
+    doc's rows never span batches — weighted by the broadcast ln(N/df)."""
+    import itertools
+
+    from ..stages.text import WORD_RE
+    from ..util import round_half_away
+
+    vocab = set(top_tokens(sf_dir, k=v).to_pandas()["tok"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(WORD_RE)
+        doc_ids = np.repeat(df["doc_id"].to_numpy(),
+                            toks.str.len().to_numpy().astype(np.int64))
+        flat = np.asarray(list(itertools.chain.from_iterable(toks)),
+                          dtype=object)
+        keep = np.asarray([t in vocab for t in flat], dtype=bool)
+        pres = pd.DataFrame({"doc_id": doc_ids[keep],
+                             "tok": flat[keep]}).drop_duplicates()
+        out = (pres.groupby("tok", sort=False).size()
+               .rename("df").reset_index())
+        return pd.concat([out, pd.DataFrame(
+            {"tok": ["\x00n_docs"], "df": [np.int64(len(df))]})],
+            ignore_index=True)
+
+    df_tbl = hash_exchange(
+        ds.map_batches(df_partial, batch_format="pandas"),
+        key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64), n_parts=1,
+        kernel=lambda d: d.groupby("tok", sort=False)["df"]
+        .sum().reset_index(),
+        fmt="pandas").to_pandas()
+    n_docs = float(df_tbl.loc[df_tbl["tok"] == "\x00n_docs", "df"].iloc[0])
+    idf = {t: float(np.log(n_docs / c)) for t, c in
+           zip(df_tbl["tok"], df_tbl["df"]) if t != "\x00n_docs"}
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(WORD_RE)
+        doc_ids = np.repeat(df["doc_id"].to_numpy(),
+                            toks.str.len().to_numpy().astype(np.int64))
+        flat = np.asarray(list(itertools.chain.from_iterable(toks)),
+                          dtype=object)
+        keep = np.asarray([t in vocab for t in flat], dtype=bool)
+        tf = (pd.DataFrame({"doc_id": doc_ids[keep], "tok": flat[keep]})
+              .groupby(["doc_id", "tok"], sort=False).size()
+              .rename("tf").reset_index())
+        tf["tf"] = tf["tf"].astype(np.int64)
+        w = tf["tf"].to_numpy() * np.asarray(
+            [idf[t] for t in tf["tok"]], dtype=np.float64)
+        tf["tfidf"] = round_half_away(w, 6)
+        return tf
+
+    return ds.map_batches(tf_rows, batch_format="pandas")

@@ -496,3 +496,31 @@ def test_token_cooccurrence(ray_session):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_exact=False, atol=1e-9)
+
+
+def test_tfidf(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = (docs.tfidf(sf, v=10).to_pandas()
+           .sort_values(["doc_id", "tok"]).reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        WITH occ AS (
+          SELECT doc_id, unnest(regexp_extract_all(text,
+            '[A-Za-z0-9]+')) AS tok
+          FROM '{sf}/documents.parquet'
+        ), top AS (
+          SELECT tok FROM (SELECT tok, count(*) AS c FROM occ GROUP BY 1)
+          QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 10
+        ), tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM occ
+          WHERE tok IN (SELECT tok FROM top) GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+        ), nd AS (SELECT count(*) AS n FROM '{sf}/documents.parquet')
+        SELECT tf.doc_id, tf.tok, tf.tf,
+               round(tf.tf * ln((SELECT n FROM nd) * 1.0 / d.df), 6)
+                 AS tfidf
+        FROM tf JOIN dfreq d USING (tok)
+    """).df().sort_values(["doc_id", "tok"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-9)
