@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_gapfill_1h": lambda sf: ingest.gapfill_tier(sf, "1h", "turn_count"),
         "transcripts_gap_quantiles": ingest.gap_quantiles,
         "transcripts_conv_stats": ingest.conv_stats,
+        "transcripts_role_transitions": ingest.role_transitions,
         "transcripts_rollup_1h_wide": lambda sf: ingest.rollup_wide(sf, "1h"),
         # — relational operator coverage —
         "q1_pricing_summary": relational.pricing_summary,
@@ -764,6 +765,17 @@ SELECT g.conv_id, g.metric, g.bucket_ms,
        r.conv_id IS NULL AS filled
 FROM grid g LEFT JOIN r
   ON g.conv_id = r.conv_id AND g.metric = r.metric AND g.bucket_ms = r.bucket_ms
+""",
+        # role bigrams over canonical (dedup'd, turn_idx-ordered) turns
+        "transcripts_role_transitions": tdedup + """
+, s AS (
+  SELECT conv_id, role AS cur_role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS next_role
+  FROM d
+)
+SELECT cur_role, next_role, count(*) AS cnt
+FROM s WHERE next_role IS NOT NULL GROUP BY 1, 2
 """,
         # conversation-level feature table (fused dedup → aggregate)
         "transcripts_conv_stats": tdedup + """

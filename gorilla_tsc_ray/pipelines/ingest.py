@@ -662,3 +662,42 @@ def conv_stats(sf_dir: str):
                     "duration_ms"]]
 
     return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+
+def role_transitions(sf_dir: str):
+    """Role bigrams over canonical turn order (user→assistant patterns):
+    per-conv shift-compare inside the shuffle-free conv pass, tiny (cur,
+    next) cells merged in one small exchange."""
+    from ..stages.exchange import hash_exchange
+    from ..stages.metrics import canonical_turns_arrow
+
+    def kernel(batch):
+        t = canonical_turns_arrow(batch)
+        df = pd.DataFrame({
+            "conv_id": t["conv_id"].to_pandas().astype(str),
+            "role": t["role"].to_pandas().astype(str),
+        })
+        # canonical order within conv is (turn_idx) — already sorted
+        conv = df["conv_id"].to_numpy()
+        role = df["role"].to_numpy()
+        same = conv[1:] == conv[:-1]
+        out = pd.DataFrame({"cur_role": role[:-1][same],
+                            "next_role": role[1:][same]})
+        return (out.groupby(["cur_role", "next_role"], sort=False)
+                .size().rename("cnt").reset_index())
+
+    partials = _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+    def key_fn(tbl):
+        h = pd.util.hash_pandas_object(
+            tbl.column("cur_role").to_pandas(), index=False).to_numpy()
+        return (h % np.uint64(4)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["cur_role", "next_role"], sort=False)["cnt"]
+               .sum().reset_index())
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=4, kernel=merge,
+                         fmt="pandas")

@@ -334,3 +334,23 @@ def test_conv_stats(ray_session):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_exact=False, atol=1e-9)
+
+
+def test_role_transitions(ray_session):
+    got = (ingest.role_transitions(SF).to_pandas()
+           .sort_values(["cur_role", "next_role"]).reset_index(drop=True))
+    path = transcripts_dir(SF)
+    sql = DEDUP_CTE.format(path=path) + """
+    , s AS (
+      SELECT conv_id, role AS cur_role,
+             lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS next_role
+      FROM d
+    )
+    SELECT cur_role, next_role, count(*) AS cnt
+    FROM s WHERE next_role IS NOT NULL GROUP BY 1, 2
+    """
+    exp = (duckdb.connect().execute(sql).df()
+           .sort_values(["cur_role", "next_role"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
