@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_in_state": ev.time_in_state,
         "events_running_total": ev.running_total,
         "events_value_percent_rank": ev.value_percent_rank,
+        "events_value_ntile": ev.value_ntile,
         "events_props_k_stats": ev.props_k_stats,
         "events_value_histogram": ev.value_histogram,
         "events_user_stats": ev.user_stats,
@@ -430,6 +431,13 @@ SELECT event_type,
        min(k) AS min_k, max(k) AS max_k,
        round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
 FROM e GROUP BY 1
+""",
+        # ntile(4) per user over deterministic (value, event_id) order
+        "events_value_ntile": """
+SELECT event_id, user_id, value,
+       CAST(ntile(4) OVER (PARTITION BY user_id
+                           ORDER BY value, event_id) AS BIGINT) AS tile
+FROM events
 """,
         # rank-family windows: SQL rank() tie semantics, percent_rank
         "events_value_percent_rank": _EVENT_POINTS + """

@@ -2082,3 +2082,43 @@ def time_in_state(sf_dir: str):
 
     return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def value_ntile(sf_dir: str, k: int = 4):
+    """ntile window function: SQL tile assignment (first ``n % k`` tiles
+    get the extra row) per user over (value, event_id) deterministic
+    order; one lexsort + segment position arithmetic per partition."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["event_id", "user_id", "value"], P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "user_id", "value", "tile"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        codes, _ = pd.factorize(df["user_id"], sort=False)
+        order = np.lexsort((df["event_id"].to_numpy(),
+                            df["value"].to_numpy(), codes))
+        c = codes[order]
+        n_all = len(c)
+        idx = np.arange(n_all)
+        seg_first = np.concatenate(([True], c[1:] != c[:-1]))
+        seg_start = idx[seg_first][np.cumsum(seg_first) - 1]
+        seg_sizes = np.diff(np.append(idx[seg_first], n_all))
+        n = np.repeat(seg_sizes, seg_sizes)
+        pos = idx - seg_start
+        base, rem = n // k, n % k
+        big = rem * (base + 1)
+        tile = np.where(pos < big, pos // np.maximum(base + 1, 1),
+                        rem + (pos - big) // np.maximum(base, 1)) + 1
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy()[order],
+            "user_id": df["user_id"].to_numpy()[order],
+            "value": df["value"].to_numpy()[order],
+            "tile": tile.astype(np.int64),
+        })
+
+    return hash_exchange(ds, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

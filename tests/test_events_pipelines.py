@@ -1191,3 +1191,17 @@ def test_time_in_state(ray_session, sf_small):
         """,
         sf_small, ["user_id", "event_type"],
     )
+
+
+def test_value_ntile(ray_session, sf_small):
+    _cmp(
+        ev.value_ntile(sf_small),
+        """
+        SELECT event_id, user_id, value,
+               CAST(ntile(4) OVER (PARTITION BY user_id
+                                   ORDER BY value, event_id) AS BIGINT)
+                 AS tile
+        FROM events
+        """,
+        sf_small, ["event_id"],
+    )
