@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # — training-data ops: similarity search —
         "emb_centroids": docs.emb_centroids,
         "emb_norms": docs.emb_norms,
+        "emb_centroid_distances": docs.centroid_distances,
         "emb_knn_cosine": docs.knn,
         "emb_knn_lsh": docs.knn_lsh,                     # rows-only (approx)
         "emb_knn_ivf": docs.knn_ivf,                     # rows-only (approx
@@ -1055,6 +1056,21 @@ WITH u AS (
 SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
        CAST(count(*) AS BIGINT) AS cnt, round(avg(v), 6) AS centroid
 FROM u GROUP BY 1, 2
+""",
+        # pairwise Euclidean distance between per-label centroids
+        "emb_centroid_distances": """
+WITH u AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+), c AS (
+  SELECT label, dim, avg(v) AS c FROM u GROUP BY 1, 2
+)
+SELECT CAST(a.label AS BIGINT) AS label_a,
+       CAST(b.label AS BIGINT) AS label_b,
+       round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 6) AS dist
+FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+GROUP BY 1, 2
 """,
         # per-vector L2 norm (cast to double BEFORE squaring, both sides)
         "emb_norms": """

@@ -978,3 +978,67 @@ def tfidf(sf_dir: str, v: int = 20):
         return tf
 
     return ds.map_batches(tf_rows, batch_format="pandas")
+
+
+def centroid_distances(sf_dir: str):
+    """Aggregate-then-geometry composition: pairwise Euclidean distances
+    between per-label embedding centroids.  Per-batch (label, dim, sum,
+    cnt) partials (same shape as :func:`emb_centroids`); the single final
+    kernel folds them (labels × dim is tiny by construction) and emits the
+    label-pair distance matrix."""
+    import pyarrow as pa
+
+    from ..util import round_half_away
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        col = t.column("embedding")
+        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+               else col)
+        mat = sim._list_matrix(arr)
+        if mat.size == 0:
+            return pd.DataFrame({"label": [], "dim": [], "s": [],
+                                 "cnt": []})
+        labs, codes = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(labs), mat.shape[1]))
+        np.add.at(sums, codes, mat)
+        counts = np.bincount(codes).astype(np.int64)
+        dim = mat.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(labs, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), len(labs)),
+            "s": sums.reshape(-1),
+            "cnt": np.repeat(counts, dim),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["label_a", "label_b", "dist"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        g = (df.groupby(["label", "dim"], sort=True)[["s", "cnt"]]
+             .sum().reset_index())
+        labels = np.sort(g["label"].unique())
+        D = int(g["dim"].max()) + 1
+        C = np.zeros((len(labels), D))
+        li = {l: i for i, l in enumerate(labels)}
+        C[[li[l] for l in g["label"]], g["dim"].to_numpy()] = (
+            g["s"].to_numpy() / g["cnt"].to_numpy())
+        out = {"label_a": [], "label_b": [], "dist": []}
+        for i in range(len(labels)):
+            for j in range(i + 1, len(labels)):
+                out["label_a"].append(labels[i])
+                out["label_b"].append(labels[j])
+                out["dist"].append(float(np.sqrt(
+                    ((C[i] - C[j]) ** 2).sum())))
+        res = pd.DataFrame(out)
+        res["dist"] = round_half_away(res["dist"].to_numpy(), 6)
+        return res
+
+    return hash_exchange(
+        partials, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1, kernel=final, fmt="pandas")

@@ -524,3 +524,26 @@ def test_tfidf(ray_session):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_exact=False, atol=1e-9)
+
+
+def test_centroid_distances(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = (docs.centroid_distances(sf).to_pandas()
+           .sort_values(["label_a", "label_b"]).reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        WITH u AS (
+          SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) - 1 AS dim
+          FROM '{sf}/embeddings.parquet'
+        ), c AS (
+          SELECT label, dim, avg(v) AS c FROM u GROUP BY 1, 2
+        )
+        SELECT CAST(a.label AS BIGINT) AS label_a,
+               CAST(b.label AS BIGINT) AS label_b,
+               round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 6) AS dist
+        FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+    """).df().sort_values(["label_a", "label_b"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-9)
