@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.customers_without_big_orders,
         "nation_order_quantiles": relational.nation_order_quantiles,
         "customer_big_order_counts": relational.customer_big_order_counts,
+        "orders_monthly": relational.orders_monthly,
+        "late_shipment_orders": relational.late_shipment_orders,
         "brand_revenue": relational.brand_revenue,
         "orders_by_region": relational.orders_by_region,
         # — training-data ops: text analysis —
@@ -868,6 +870,21 @@ SELECT p.p_brand,
        count(*) AS n_items,
        CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+""",
+        # DATE truncation rollup (month as string keeps dtypes stable)
+        "orders_monthly": """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+       count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+FROM orders GROUP BY 1, 2
+""",
+        # EXISTS semi-join with date arithmetic (TPC-H Q4 shape)
+        "late_shipment_orders": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
 GROUP BY 1
 """,
         # LEFT OUTER join aggregate preserving zero-match customers

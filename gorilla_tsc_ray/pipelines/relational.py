@@ -364,3 +364,75 @@ def orders_by_region(sf_dir: str):
     return hash_exchange(ds.map_batches(partial, batch_format="pandas"),
                          key_fn=_hash_key(["r_name"]), n_parts=N_PARTS,
                          kernel=merge, fmt="pandas")
+
+
+def orders_monthly(sf_dir: str):
+    """DATE-dimension rollup: monthly order count + revenue by priority
+    (date truncation on a date32 column; month emitted as 'YYYY-MM' string
+    so the compare surface is dtype-stable)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        month = pd.to_datetime(df["o_orderdate"]).dt.strftime("%Y-%m")
+        g = (pd.DataFrame({"month": month,
+                           "o_orderpriority": df["o_orderpriority"],
+                           "p": df["o_totalprice"]})
+             .groupby(["month", "o_orderpriority"], sort=False)["p"])
+        return g.agg(n_orders="size", revenue="sum").reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["month", "o_orderpriority"], sort=False)
+               .agg(n_orders=("n_orders", "sum"),
+                    revenue=("revenue", "sum")).reset_index())
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        out["revenue"] = round_half_away(out["revenue"].to_numpy(), 4)
+        return out
+
+    return hash_exchange(
+        ds.map_batches(partial, batch_format="pandas"),
+        key_fn=_hash_key(["month", "o_orderpriority"]), n_parts=N_PARTS,
+        kernel=merge, fmt="pandas")
+
+
+def late_shipment_orders(sf_dir: str, grace_days: int = 30):
+    """TPC-H Q4-shaped EXISTS semi-join with date arithmetic: orders with
+    at least one lineitem shipped more than ``grace_days`` after the order
+    date, counted per priority.  Both sides co-partition on the NEW join
+    key (orderkey); the kernel joins, flags late lines vectorized, and
+    emits tiny per-priority partials."""
+    from ..stages.exchange import hash_exchange_multi
+
+    tune_context()
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def key_of(col):
+        def key_fn(tbl):
+            return (tbl.column(col).to_numpy().astype(np.uint64)
+                    % np.uint64(N_PARTS)).astype(np.int64)
+        return key_fn
+
+    def kernel(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        m = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        late = (pd.to_datetime(m["l_shipdate"])
+                > pd.to_datetime(m["o_orderdate"])
+                + pd.Timedelta(days=grace_days))
+        late_keys = m.loc[late.to_numpy(), "o_orderkey"].unique()
+        hit = o["o_orderkey"].isin(late_keys)
+        return (o.loc[hit].groupby("o_orderpriority", sort=False)
+                .size().rename("n_orders").reset_index())
+
+    partials = hash_exchange_multi(
+        [(orders, key_of("o_orderkey")), (lines, key_of("l_orderkey"))],
+        n_parts=N_PARTS, kernel=kernel, fmt="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("o_orderpriority", sort=False)["n_orders"]
+               .sum().reset_index())
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=_hash_key(["o_orderpriority"]),
+                         n_parts=N_PARTS, kernel=merge, fmt="pandas")

@@ -115,3 +115,31 @@ def test_orders_by_region(ray_session, sf_small):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_exact=False, atol=1e-6)
+
+
+def test_orders_monthly(ray_session, sf_small):
+    got = (relational.orders_monthly(sf_small).to_pandas()
+           .sort_values(["month", "o_orderpriority"]).reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+               count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+        FROM '{sf_small}/orders.parquet' GROUP BY 1, 2
+    """).df().sort_values(["month", "o_orderpriority"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-6)
+
+
+def test_late_shipment_orders(ray_session, sf_small):
+    got = (relational.late_shipment_orders(sf_small).to_pandas()
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM '{sf_small}/orders.parquet' o
+        WHERE EXISTS (SELECT 1 FROM '{sf_small}/lineitem.parquet' l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY 1
+    """).df().sort_values("o_orderpriority").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
