@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_big_order_counts": relational.customer_big_order_counts,
         "orders_monthly": relational.orders_monthly,
         "late_shipment_orders": relational.late_shipment_orders,
+        "q6_forecast_revenue": relational.forecast_revenue,
+        "segment_revenue": relational.segment_revenue,
         "brand_revenue": relational.brand_revenue,
         "orders_by_region": relational.orders_by_region,
         # — training-data ops: text analysis —
@@ -870,6 +872,19 @@ SELECT p.p_brand,
        count(*) AS n_items,
        CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+""",
+        # TPC-H Q6 shape: scalar aggregate under a pushed multi-predicate
+        "q6_forecast_revenue": """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+        # revenue by customer market segment (broadcast dimension)
+        "segment_revenue": """
+SELECT c.c_mktsegment, round(sum(o.o_totalprice), 4) AS total,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1
 """,
         # DATE truncation rollup (month as string keeps dtypes stable)

@@ -436,3 +436,61 @@ def late_shipment_orders(sf_dir: str, grace_days: int = 30):
 
     return hash_exchange(partials, key_fn=_hash_key(["o_orderpriority"]),
                          n_parts=N_PARTS, kernel=merge, fmt="pandas")
+
+
+def forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: one scalar aggregate under a multi-predicate scan —
+    every predicate pushed into the parquet read (row-group pruning at
+    scale), per-batch partial sums, single-cell fold."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    tune_context()
+    f = ((pads.field("l_discount") >= 0.05)
+         & (pads.field("l_discount") <= 0.07)
+         & (pads.field("l_quantity") < 24.0))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"], filter=f)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"revenue": [
+            (df["l_extendedprice"].to_numpy()
+             * df["l_discount"].to_numpy()).sum()]})
+
+    return hash_exchange(
+        ds.map_batches(partial, batch_format="pandas"),
+        key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64), n_parts=1,
+        kernel=lambda df: pd.DataFrame(
+            {"revenue": [round_half_away(df["revenue"].sum(), 4)]}),
+        fmt="pandas")
+
+
+def segment_revenue(sf_dir: str):
+    """Order revenue by customer market segment (broadcast the
+    custkey→segment dimension, in-batch partials)."""
+    import pyarrow.parquet as pq
+
+    tune_context()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_of = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.assign(c_mktsegment=df["o_custkey"].map(seg_of))
+             .groupby("c_mktsegment", sort=False)["o_totalprice"])
+        return g.agg(total="sum", n_orders="size").reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("c_mktsegment", sort=False)
+               .agg(total=("total", "sum"), n_orders=("n_orders", "sum"))
+               .reset_index())
+        out["total"] = round_half_away(out["total"].to_numpy(), 4)
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return out
+
+    return hash_exchange(ds.map_batches(partial, batch_format="pandas"),
+                         key_fn=_hash_key(["c_mktsegment"]),
+                         n_parts=N_PARTS, kernel=merge, fmt="pandas")

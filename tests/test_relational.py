@@ -143,3 +143,29 @@ def test_late_shipment_orders(ray_session, sf_small):
     """).df().sort_values("o_orderpriority").reset_index(drop=True)
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_forecast_revenue(ray_session, sf_small):
+    got = relational.forecast_revenue(sf_small).to_pandas()
+    exp = duckdb.connect().execute(f"""
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        FROM '{sf_small}/lineitem.parquet'
+        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """).df()
+    assert len(got) == 1
+    np.testing.assert_allclose(got["revenue"], exp["revenue"], atol=1e-3)
+
+
+def test_segment_revenue(ray_session, sf_small):
+    got = (relational.segment_revenue(sf_small).to_pandas()
+           .sort_values("c_mktsegment").reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        SELECT c.c_mktsegment, round(sum(o.o_totalprice), 4) AS total,
+               count(*) AS n_orders
+        FROM '{sf_small}/orders.parquet' o
+        JOIN '{sf_small}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """).df().sort_values("c_mktsegment").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-6)
