@@ -176,6 +176,9 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
     timed_extra("docs_dup_clusters", lambda: docs.dup_clusters(sf_dir).count())
     timed_extra("events_user_quantiles_sketch",
                 lambda: ev.user_quantiles_sketch(sf_dir).count())
+    timed_extra("events_ohlc_1h", lambda: ev.ohlc(sf_dir, "1h").count())
+    timed_extra("events_vwap_1h", lambda: ev.vwap(sf_dir, "1h").count())
+    timed_extra("docs_tfidf", lambda: docs.tfidf(sf_dir).count())
 
     result = {
         "queries": queries,

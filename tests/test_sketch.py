@@ -149,3 +149,39 @@ def test_misra_gries_exact_and_undercount_bound():
         assert tok in est.index
         under = truth[tok] - est[tok]
         assert 0 <= under <= n / (k + 1), (tok, truth[tok], est[tok])
+
+
+def test_sketch_property_random():
+    """Hypothesis-style property over random shapes: for arbitrary key
+    layouts and value distributions, every estimated quantile's true rank
+    stays within the KLL bound of its target."""
+    from gorilla_tsc_ray.stages.sketch import (quantiles_from_sketch,
+                                               sketch_batch)
+
+    rng = np.random.default_rng(123)
+    for trial in range(6):
+        n_keys = int(rng.integers(1, 6))
+        sizes = rng.integers(1, 30_000, n_keys)
+        k = int(rng.choice([64, 128, 256]))
+        frames = []
+        for u, n in enumerate(sizes):
+            dist = rng.choice([0, 1, 2])
+            v = (rng.normal(size=n) if dist == 0
+                 else rng.lognormal(size=n) if dist == 1
+                 else rng.integers(0, 5, n).astype(float))  # heavy ties
+            frames.append(pd.DataFrame({
+                "user_id": np.full(n, u, dtype=np.int64), "value": v}))
+        df = pd.concat(frames, ignore_index=True)
+        sk = sketch_batch(df, key_col="user_id", k=k)
+        got = quantiles_from_sketch(sk, key_col="user_id")
+        for u, n in enumerate(sizes):
+            vals = np.sort(df.loc[df["user_id"] == u, "value"].to_numpy())
+            tol = (3.0 * np.log2(max(n / k, 2)) / k) + 2.0 / n
+            row = got.loc[got["user_id"] == u].iloc[0]
+            for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+                est = row[col]
+                lo = np.searchsorted(vals, est, side="left") / n
+                hi = np.searchsorted(vals, est, side="right") / n
+                # with ties the estimate covers a rank RANGE [lo, hi)
+                dist_to_q = max(lo - q, q - hi, 0.0)
+                assert dist_to_q < tol, (trial, u, col, lo, hi, q, tol)
