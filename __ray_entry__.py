@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly": relational.orders_monthly,
         "late_shipment_orders": relational.late_shipment_orders,
         "q6_forecast_revenue": relational.forecast_revenue,
+        "q3_shipping_priority": relational.q3_shipping_priority,
         "segment_revenue": relational.segment_revenue,
         "brand_revenue": relational.brand_revenue,
         "orders_by_region": relational.orders_by_region,
@@ -873,6 +874,20 @@ SELECT p.p_brand,
        CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY 1
+""",
+        # TPC-H Q3 shape: 3-way join, date predicates, top-k by revenue
+        "q3_shipping_priority": """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       epoch_ms(o.o_orderdate) AS orderdate_ms, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, l_orderkey LIMIT 10
 """,
         # TPC-H Q6 shape: scalar aggregate under a pushed multi-predicate
         "q6_forecast_revenue": """

@@ -494,3 +494,72 @@ def segment_revenue(sf_dir: str):
     return hash_exchange(ds.map_batches(partial, batch_format="pandas"),
                          key_fn=_hash_key(["c_mktsegment"]),
                          n_parts=N_PARTS, kernel=merge, fmt="pandas")
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1998-06-01", k: int = 10):
+    """TPC-H Q3 shape: 3-way join (broadcast segment filter + orderkey
+    co-partition), date predicates pushed into BOTH scans, revenue per
+    order finalized partition-locally (an order's lines and its order row
+    co-locate), per-partition top-k pre-trim, tiny global sort."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.exchange import hash_exchange_multi
+
+    tune_context()
+    cut = _dt.datetime.fromisoformat(cutoff)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_keys = set(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cut)
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cut)
+
+    def seg_filter(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["o_custkey"].isin(seg_keys)].reset_index(drop=True)
+
+    orders = orders.map_batches(seg_filter, batch_format="pandas")
+
+    def key_of(col):
+        def key_fn(tbl):
+            return (tbl.column(col).to_numpy().astype(np.uint64)
+                    % np.uint64(N_PARTS)).astype(np.int64)
+        return key_fn
+
+    def kernel(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        m = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        if len(m) == 0:
+            return pd.DataFrame({c: [] for c in
+                                 ["l_orderkey", "revenue", "orderdate_ms",
+                                  "o_orderpriority"]})
+        m["rev"] = (m["l_extendedprice"].to_numpy()
+                    * (1.0 - m["l_discount"].to_numpy()))
+        g = (m.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"],
+                       sort=False)["rev"].sum().reset_index())
+        out = pd.DataFrame({
+            "l_orderkey": g["l_orderkey"],
+            "revenue": round_half_away(g["rev"].to_numpy(), 4),
+            "orderdate_ms": (g["o_orderdate"].to_numpy()
+                             .astype("datetime64[ms]").astype(np.int64)),
+            "o_orderpriority": g["o_orderpriority"],
+        })
+        return (out.sort_values(["revenue", "l_orderkey"],
+                                ascending=[False, True]).iloc[:k]
+                .reset_index(drop=True))
+
+    tops = hash_exchange_multi(
+        [(orders, key_of("o_orderkey")), (lines, key_of("l_orderkey"))],
+        n_parts=N_PARTS, kernel=kernel, fmt="pandas")
+    return tops.sort(["revenue", "l_orderkey"],
+                     descending=[True, False]).limit(k)

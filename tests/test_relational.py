@@ -169,3 +169,26 @@ def test_segment_revenue(ray_session, sf_small):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_exact=False, atol=1e-6)
+
+
+def test_q3_shipping_priority(ray_session, sf_small):
+    got = relational.q3_shipping_priority(sf_small).to_pandas()
+    exp = duckdb.connect().execute(f"""
+        SELECT l.l_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                 AS revenue,
+               epoch_ms(o.o_orderdate) AS orderdate_ms, o.o_orderpriority
+        FROM '{sf_small}/customer.parquet' c
+        JOIN '{sf_small}/orders.parquet' o ON c.c_custkey = o.o_custkey
+        JOIN '{sf_small}/lineitem.parquet' l
+          ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY 1, 3, 4
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """).df()
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got[exp.columns].reset_index(drop=True), exp,
+        check_exact=False, atol=1e-6)
