@@ -1205,3 +1205,73 @@ def test_value_ntile(ray_session, sf_small):
         """,
         sf_small, ["event_id"],
     )
+
+
+def test_sliding_window_matches_bruteforce_random(ray_session, tmp_path):
+    """Property: the searchsorted sliding kernel equals an O(n²) brute
+    force on random event layouts (ties, bursts, singleton users)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(17)
+    n = 400
+    uid = rng.integers(1, 6, n)
+    t0 = 1_600_000_000_000
+    ts = t0 + np.sort(rng.integers(0, 20 * 3_600_000, n))
+    ts[rng.random(n) < 0.1] = ts[0]          # deliberate equal-ts peers
+    val = rng.uniform(0, 10, n).round(3)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(uid.astype(np.int64)),
+        "ts": pa.array(ts.astype(np.int64),
+                       pa.timestamp("ms")).cast(pa.timestamp("us")),
+        "event_type": pa.array(np.full(n, "view")),
+        "value": pa.array(val.astype(np.float64)),
+    }), str(tmp_path / "events.parquet"))
+    got = (ev.sliding_window(str(tmp_path)).to_pandas()
+           .set_index("event_id").sort_index())
+    W_us = 3_600_000_000
+    ts_us = ts * 1000
+    for i in range(n):
+        mask = ((uid == uid[i]) & (ts_us >= ts_us[i] - W_us)
+                & (ts_us <= ts_us[i]))
+        assert got.loc[i, "w_cnt"] == mask.sum()
+        np.testing.assert_allclose(got.loc[i, "w_sum"],
+                                   round(val[mask].sum(), 6), atol=1e-6)
+
+
+def test_windowed_ops_hot_user(ray_session, tmp_path):
+    """Skew correctness: one user owning 95% of events still gets exact
+    running totals and tiles (the per-user-sequential ops are documented
+    as partition-bounded; this pins correctness, not speed)."""
+    import duckdb as _dd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    uid = np.where(rng.random(n) < 0.95, 7, rng.integers(1, 4, n))
+    t0 = 1_600_000_000_000_000
+    ts = t0 + np.sort(rng.choice(np.arange(10_000_000), n, replace=False))
+    val = rng.uniform(0, 100, n)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(uid.astype(np.int64)),
+        "ts": pa.array(ts.astype(np.int64), pa.timestamp("us")),
+        "event_type": pa.array(np.full(n, "view")),
+        "value": pa.array(val.astype(np.float64)),
+    }), str(tmp_path / "events.parquet"))
+    got = (ev.running_total(str(tmp_path)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    con = _dd.connect()
+    exp = con.execute(f"""
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                   FROM '{tmp_path}/events.parquet')
+        SELECT event_id, user_id, ts_us // 1000 AS ts_ms,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING), 6)
+                 AS running_sum
+        FROM p ORDER BY event_id
+    """).df()
+    np.testing.assert_allclose(got["running_sum"], exp["running_sum"],
+                               atol=1e-6)
