@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_charset_jaccard": docs.charset_jaccard,
         "docs_token_jaccard": docs.token_jaccard,
         "docs_ngram_jaccard": docs.ngram_jaccard,
+        "docs_char_ngram_jaccard": docs.char_ngram_jaccard,
         "docs_dup_clusters": docs.dup_clusters,
         "docs_minhash_pairs": docs.minhash_pairs,
         "docs_simhash_pairs": docs.simhash_pairs,
@@ -1193,6 +1194,23 @@ WITH t AS (
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, round(j, 6) AS ngram_jaccard FROM s WHERE j >= 0.5
+""",
+        # exact char-3-gram Jaccard (substring windows; engine zero-pads
+        # past the doc end exactly like SQL substring truncation)
+        "docs_char_ngram_jaccard": """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(length(text) - 2, 1) + 1),
+    i -> substring(text, i, 3))) AS shs
+  FROM documents
+), s AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shs, b.shs)) * 1.0 /
+         greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(j, 6) AS char_ngram_jaccard
+FROM s WHERE j >= 0.8
 """,
         # connected components of the n-gram near-dup pair graph: engine =
         # distributed min-label propagation; oracle = recursive transitive

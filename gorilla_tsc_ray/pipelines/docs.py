@@ -1042,3 +1042,27 @@ def centroid_distances(sf_dir: str):
     return hash_exchange(
         partials, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
         n_parts=1, kernel=final, fmt="pandas")
+
+
+def char_ngram_jaccard(sf_dir: str, threshold: float = 0.8, k: int = 3):
+    """Exact char-k-gram set-Jaccard join (the dedup unit for
+    whitespace-free scripts) — completes the n-gram family across units:
+    word-1 (token), word-3 (ngram), char-1 (charset), char-3.  Same
+    deterministic prefix-filter join as :func:`ngram_jaccard`, over the
+    codepoint-window shingle builder."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sets = ds.map_batches(dd.char_shingle_sets_table, batch_format="pandas",
+                          fn_kwargs={"k": k}).materialize()
+    rows = sets.map_batches(dd.prefix_token_rows, batch_format="pyarrow",
+                            fn_kwargs={"threshold": threshold})
+    cands = hash_exchange(
+        rows, key_fn=_pair_hash_key(["tok"]), n_parts=N_DOC_PARTS,
+        kernel=dd.candidate_pairs_partition, fmt="pandas",
+        kernel_kwargs={"bucket_cols": ["tok"],
+                       "jaccard_threshold": threshold})
+    return _verify_id_pairs(
+        cands, sets.select_columns(["doc_id", "elems"]),
+        payload_id="doc_id", payload_col="elems", attach_out="elems_a",
+        verify_kernel=dd.set_jaccard_verify,
+        verify_kwargs={"threshold": threshold,
+                       "sim_col": "char_ngram_jaccard"})

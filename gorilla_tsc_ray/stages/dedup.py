@@ -887,3 +887,53 @@ def charset_jaccard_pairs(df: pd.DataFrame, *, id_col: str = "doc_id",
         "id_b": ids[ib[keep]].astype(np.int64),
         "jaccard_sim": round_half_away(sim[ia, ib][keep], 6),
     })
+
+
+def char_shingle_sets_table(df: pd.DataFrame, *, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 3):
+    """map_batches stage → pa.Table ``(doc_id, elems list<uint64>)`` of the
+    DISTINCT char-k-gram hashes per doc — the set-similarity unit for
+    whitespace-free scripts.  Codepoint windows over one C-level utf-32
+    encode (no per-character Python); windows that run past a doc's end
+    zero-pad, mirroring SQL ``substring(text, i, k)`` truncation (the
+    substring↔window mapping stays injective — U+0000 never occurs in
+    text).  Hash-sorted per doc: hash order serves as the global prefix
+    order, like the word-shingle join."""
+    import pyarrow as pa
+
+    P = np.uint64(0x110000)
+    texts = df[text_col]
+    lens = texts.str.len().to_numpy().astype(np.int64)
+    joined = "".join(texts.tolist())
+    cp = np.frombuffer(joined.encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.uint64)
+    n = len(df)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    n_sh = np.maximum(lens - k + 1, 1)
+    total = int(n_sh.sum())
+    sh_doc = np.repeat(np.arange(n), n_sh)
+    offs_sh = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+    within = np.arange(total) - np.repeat(offs_sh, n_sh)
+    g = starts[sh_doc] + within
+    h = np.zeros(total, dtype=np.uint64)
+    limit = max(len(cp) - 1, 0)
+    for j in range(k):
+        valid = within + j < lens[sh_doc]
+        cj = np.where(valid, cp[np.minimum(g + j, limit)]
+                      if len(cp) else 0, np.uint64(0))
+        h = h * P + cj
+    h = splitmix64(h)
+    order = np.lexsort((h, sh_doc))
+    d, v = sh_doc[order], h[order]
+    if len(d):
+        keep = np.concatenate(([True],
+                               (d[1:] != d[:-1]) | (v[1:] != v[:-1])))
+        d, v = d[keep], v[keep]
+    counts = (np.bincount(d, minlength=n) if len(d)
+              else np.zeros(n, np.int64))
+    offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    return pa.table({
+        id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+        "elems": pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                          pa.array(v, pa.uint64())),
+    })

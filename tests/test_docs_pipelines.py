@@ -547,3 +547,42 @@ def test_centroid_distances(ray_session):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_exact=False, atol=1e-9)
+
+
+def test_char_ngram_jaccard(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = (docs.char_ngram_jaccard(sf).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        WITH sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(length(text) - 2, 1) + 1),
+            i -> substring(text, i, 3))) AS shs
+          FROM '{sf}/documents.parquet'
+        ), s AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.shs, b.shs)) * 1.0 /
+                 greatest(len(list_distinct(list_concat(a.shs, b.shs))),
+                          1) AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, round(j, 6) AS char_ngram_jaccard
+        FROM s WHERE j >= 0.8
+    """).df().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-9)
+
+
+def test_char_shingles_short_docs(ray_session):
+    """Docs shorter than k zero-pad like SQL substring truncation: equal
+    short docs match, different ones don't."""
+    from gorilla_tsc_ray.stages import dedup as dd
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["ab", "ab", "a", ""]})
+    t = dd.char_shingle_sets_table(df)
+    elems = t["elems"].to_pylist()
+    assert elems[0] == elems[1]               # identical short docs
+    assert elems[0] != elems[2] and elems[2] != elems[3]
+    assert all(len(e) == 1 for e in elems)    # one (padded) window each
