@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_next_gaps": ev.next_gaps,
         "events_rollup_1h_by_type": lambda sf: ev.rollup_by_type(sf, "1h"),
         "events_sessions": ev.sessionize,
+        "events_session_conversion": ev.session_conversion,
         "events_asof_last_purchase": ev.asof_last_match,
         "events_purchase_window_join": ev.purchase_window_join,
         "events_user_quantiles": ev.user_quantiles,
@@ -702,6 +703,32 @@ SELECT user_id, session_seq,
        count(*) AS n_events, round(sum(value), 6) AS sum_value,
        max(ts_ms) - min(ts_ms) AS duration_ms
 FROM s GROUP BY 1, 2
+""",
+        # session-level conversion (same gap rule as events_sessions; ms
+        # ties are gap-0 so tie order can never move a session break)
+        "events_session_conversion": """
+WITH p AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+              OR lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                 IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM p
+), agg AS (
+  SELECT user_id, sess,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(conv) AS BIGINT) AS n_converting,
+       round(sum(conv) * 1.0 / count(*), 6) AS conv_rate
+FROM agg GROUP BY 1
 """,
         "events_user_quantiles": """
 SELECT user_id,

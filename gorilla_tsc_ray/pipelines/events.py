@@ -2122,3 +2122,49 @@ def value_ntile(sf_dir: str, k: int = 4):
 
     return hash_exchange(ds, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def session_conversion(sf_dir: str, gap_ms: int = 1_800_000):
+    """Session-level conversion rate: the share of each user's sessions
+    (same 30-min-gap rule as :func:`sessionize`) containing ≥1 purchase.
+    One user-hash exchange; the kernel re-derives session ids (vectorized
+    gap-break cumsum), flags converting sessions with a segment max, and
+    emits per-user counts."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_type"], P)
+
+    def to_ms(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"), 1000)
+        return batch.drop_columns(["ts"]).append_column("ts_ms", ts_ms)
+
+    pts = ds.map_batches(to_ms, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n_sessions", "n_converting", "conv_rate"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts_ms"].to_numpy()
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        brk = new_user | np.concatenate(([True],
+                                         (ts[1:] - ts[:-1]) > gap_ms))
+        sess = np.cumsum(brk) - 1            # global session id
+        is_p = (df["event_type"] == "purchase").to_numpy()
+        conv = np.bincount(sess, weights=is_p) > 0
+        sess_user = uid[brk]                 # one row per session
+        codes, users = pd.factorize(sess_user, sort=False)
+        n_sessions = np.bincount(codes)
+        n_conv = np.bincount(codes, weights=conv).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": np.asarray(users),
+            "n_sessions": n_sessions.astype(np.int64),
+            "n_converting": n_conv,
+            "conv_rate": round_half_away(n_conv / n_sessions, 6),
+        })
+
+    return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

@@ -1275,3 +1275,20 @@ def test_windowed_ops_hot_user(ray_session, tmp_path):
     """).df()
     np.testing.assert_allclose(got["running_sum"], exp["running_sum"],
                                atol=1e-6)
+
+
+def test_session_conversion(ray_session, sf_small):
+    got = (ev.session_conversion(sf_small).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    # cross-check against the oracle-green sessionize output: session
+    # counts must agree
+    sessions = ev.sessionize(sf_small).to_pandas()
+    n_per_user = (sessions.groupby("user_id")["session_seq"].nunique()
+                  .sort_index())
+    assert (got.set_index("user_id")["n_sessions"].sort_index()
+            == n_per_user).all()
+    assert ((got["n_converting"] >= 0)
+            & (got["n_converting"] <= got["n_sessions"])).all()
+    np.testing.assert_allclose(
+        got["conv_rate"],
+        (got["n_converting"] / got["n_sessions"]).round(6), atol=1e-9)
