@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprints": docs.fingerprints,
         "docs_hash_split": docs.hash_split,
         "docs_normalized": docs.normalize_text,
+        "docs_length_quantiles": docs.length_quantiles,
         "docs_top_quality_per_lang": docs.top_quality_per_lang,
         "docs_top_tokens": docs.top_tokens,
         "docs_top_tokens_sketch": docs.top_tokens_sketch,
@@ -1108,6 +1109,13 @@ SELECT doc_id,
        CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 90
             THEN 'train' ELSE 'val' END AS split
 FROM documents
+""",
+        # per-language length-distribution audit
+        "docs_length_quantiles": """
+SELECT lang,
+       round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 6) AS p50,
+       round(quantile_cont(CAST(length(text) AS DOUBLE), 0.95), 6) AS p95
+FROM documents GROUP BY 1
 """,
         # per-record cleaning transform (lower → despecial → collapse → trim)
         "docs_normalized": """

@@ -1066,3 +1066,25 @@ def char_ngram_jaccard(sf_dir: str, threshold: float = 0.8, k: int = 3):
         verify_kernel=dd.set_jaccard_verify,
         verify_kwargs={"threshold": threshold,
                        "sim_col": "char_ngram_jaccard"})
+
+
+def length_quantiles(sf_dir: str):
+    """Per-language document-length percentiles — the corpus length-
+    distribution audit (quality filtering picks thresholds off these).
+    Shared multi-key switched-lerp quantile kernel, one lang-hash
+    exchange of (lang, length) pairs."""
+    from ..stages.rollup import quantiles_by_key
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def lengths(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "value": df["text"].str.len().astype(np.float64)})
+
+    return hash_exchange(
+        ds.map_batches(lengths, batch_format="pandas"),
+        key_fn=_pair_hash_key(["lang"]), n_parts=N_DOC_PARTS,
+        kernel=lambda df: quantiles_by_key(df, key_col="lang",
+                                           qs=(0.5, 0.95)),
+        fmt="pandas")

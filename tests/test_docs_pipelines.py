@@ -586,3 +586,20 @@ def test_char_shingles_short_docs(ray_session):
     assert elems[0] == elems[1]               # identical short docs
     assert elems[0] != elems[2] and elems[2] != elems[3]
     assert all(len(e) == 1 for e in elems)    # one (padded) window each
+
+
+def test_length_quantiles(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = (docs.length_quantiles(sf).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        SELECT lang,
+               round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 6)
+                 AS p50,
+               round(quantile_cont(CAST(length(text) AS DOUBLE), 0.95), 6)
+                 AS p95
+        FROM '{sf}/documents.parquet' GROUP BY 1
+    """).df().sort_values("lang").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-9)
