@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1h": lambda sf: ev.rollup(sf, "1h"),
         "events_rollup_1d": lambda sf: ev.rollup(sf, "1d"),
         "events_rollup_1h_cascade": ev.rollup_1h_via_cascade,
+        "events_rollup_multi_tier": ev.rollup_multi_tier,
         "events_rollup_1h_hop15m": ev.rollup_hopping,
         "events_rollup_1h_delta": lambda sf: ev.rollup_delta(sf, "1h"),
         "events_ohlc_1h": lambda sf: ev.ohlc(sf, "1h"),
@@ -284,6 +285,21 @@ FROM events
         "events_rollup_1h": ev_rollup(3_600_000),
         "events_rollup_1d": ev_rollup(86_400_000),
         "events_rollup_1h_cascade": ev_rollup(3_600_000),
+        # shared-scan multi-tier rollup (union of the three tiers)
+        "events_rollup_multi_tier": _EVENT_POINTS + """
+, t AS (
+  SELECT '1m' AS tier, 60000 AS b FROM (VALUES (1))
+  UNION ALL SELECT '1h', 3600000 UNION ALL SELECT '1d', 86400000
+)
+SELECT t.tier, p.user_id,
+       p.ts_ms - p.ts_ms % t.b AS bucket_ms,
+       round(sum(p.value), 6) AS sum_v,
+       count(*) AS cnt,
+       min(p.value) AS min_v,
+       max(p.value) AS max_v,
+       arg_max(p.value, p.ts_ms) AS last_v
+FROM p CROSS JOIN t GROUP BY 1, 2, 3
+""",
         # hopping window: every event in the k = window/hop hop-aligned
         # windows ending at its own hop bucket
         "events_rollup_1h_hop15m": _EVENT_POINTS + """

@@ -2168,3 +2168,35 @@ def session_conversion(sf_dir: str, gap_ms: int = 1_800_000):
 
     return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def rollup_multi_tier(sf_dir: str):
+    """Shared-scan multi-output: the 1m/1h/1d tiers from ONE read — 1m
+    partials are computed once per batch; the coarser tiers re-aggregate
+    those partials (decomposable cascade), never raw points.  Output is
+    the union with a ``tier`` label column."""
+    ds = _read_points(sf_dir)
+    P = _n_parts(sf_dir)
+    partials = ds.map_batches(
+        partial_rollup,
+        fn_kwargs={"key_cols": ["user_id"], "bucket_ms": TIER_MS["1m"]},
+        batch_format="pandas").materialize()
+
+    outs = []
+    for tier in ("1m", "1h", "1d"):
+        if tier == "1m":
+            rolled = finalize_by_partition(partials, key_cols=["user_id"],
+                                           n_parts=P)
+        else:
+            rolled = cascade_dataset(partials, key_cols=["user_id"],
+                                     tier=tier, n_parts=P)
+
+        def tag(df: pd.DataFrame, tier=tier) -> pd.DataFrame:
+            df = df.copy()
+            df["sum_v"] = round_half_away(df["sum_v"].to_numpy(), 6)
+            df["tier"] = tier
+            return df[["tier", "user_id", "bucket_ms", "sum_v", "cnt",
+                       "min_v", "max_v", "last_v"]]
+
+        outs.append(rolled.map_batches(tag, batch_format="pandas"))
+    return outs[0].union(outs[1]).union(outs[2])

@@ -1292,3 +1292,17 @@ def test_session_conversion(ray_session, sf_small):
     np.testing.assert_allclose(
         got["conv_rate"],
         (got["n_converting"] / got["n_sessions"]).round(6), atol=1e-9)
+
+
+def test_rollup_multi_tier(ray_session, sf_small):
+    multi = ev.rollup_multi_tier(sf_small).to_pandas()
+    for tier in ("1m", "1h", "1d"):
+        part = (multi.loc[multi["tier"] == tier]
+                .drop(columns="tier")
+                .sort_values(["user_id", "bucket_ms"])
+                .reset_index(drop=True))
+        single = (ev.rollup(sf_small, tier).to_pandas()
+                  .sort_values(["user_id", "bucket_ms"])
+                  .reset_index(drop=True))
+        pd.testing.assert_frame_equal(part[single.columns], single,
+                                      check_exact=False, atol=1e-9)
