@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_1h": ev.sliding_window,
         "events_signup_funnel_1h": ev.signup_purchase_funnel,
         "events_daily_distinct_types": ev.daily_distinct_types,
+        "events_busy_user_days": ev.busy_user_days,
         "events_type_share": ev.type_share,
         "events_hourly_profile": ev.hourly_profile,
         "events_grouping_sets": ev.grouping_sets,
@@ -595,6 +596,13 @@ WITH p AS (
 SELECT event_type, hour, count(*) AS cnt,
        round(sum(value) / count(*), 6) AS mean_v
 FROM p GROUP BY 1, 2
+""",
+        # HAVING shape: post-aggregation filter on (user, day) cells
+        "events_busy_user_days": """
+SELECT user_id,
+       epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2 HAVING count(*) >= 3
 """,
         # two-level global aggregate: per-type share of all events
         "events_type_share": """

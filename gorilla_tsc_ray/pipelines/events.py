@@ -2200,3 +2200,42 @@ def rollup_multi_tier(sf_dir: str):
 
         outs.append(rolled.map_batches(tag, batch_format="pandas"))
     return outs[0].union(outs[1]).union(outs[2])
+
+
+def busy_user_days(sf_dir: str, min_events: int = 3):
+    """Post-aggregation filter (HAVING shape): (user, day) cells with at
+    least ``min_events`` events — partial counts combine per batch, the
+    merge applies the HAVING predicate after the final sum."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts"], P)
+
+    def partial(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"), 1000)
+        day_ms = pc.multiply(pc.divide(ts_ms, DAY_MS), DAY_MS)
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "day_ms": day_ms.to_numpy(zero_copy_only=False),
+        })
+        return (df.groupby(["user_id", "day_ms"], sort=False).size()
+                .rename("cnt").reset_index())
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def key_fn(tbl):
+        h = pd.util.hash_pandas_object(
+            tbl.column("user_id").to_pandas(), index=False).to_numpy()
+        h = (h * np.uint64(1_000_003)
+             + tbl.column("day_ms").to_numpy().astype(np.uint64))
+        return (h % np.uint64(P)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["user_id", "day_ms"], sort=False)["cnt"]
+               .sum().reset_index())
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out.loc[out["cnt"] >= min_events].reset_index(drop=True)
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=P, kernel=merge,
+                         fmt="pandas")

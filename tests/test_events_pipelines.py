@@ -1306,3 +1306,16 @@ def test_rollup_multi_tier(ray_session, sf_small):
                   .reset_index(drop=True))
         pd.testing.assert_frame_equal(part[single.columns], single,
                                       check_exact=False, atol=1e-9)
+
+
+def test_busy_user_days(ray_session, sf_small):
+    _cmp(
+        ev.busy_user_days(sf_small),
+        """
+        SELECT user_id,
+               epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2 HAVING count(*) >= 3
+        """,
+        sf_small, ["user_id", "day_ms"],
+    )
