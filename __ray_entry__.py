@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": ev.sessionize,
         "events_session_conversion": ev.session_conversion,
         "events_asof_last_purchase": ev.asof_last_match,
+        "events_asof_next_purchase": ev.asof_next_match,
         "events_purchase_window_join": ev.purchase_window_join,
         "events_user_quantiles": ev.user_quantiles,
         "events_user_quantiles_sketch": ev.user_quantiles_sketch,
@@ -787,6 +788,20 @@ SELECT e.event_id, e.user_id, e.ts_ms,
        coalesce(p.pvalue, -1.0) AS last_match_value
 FROM e ASOF LEFT JOIN p
   ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+        # FORWARD as-of: nearest strictly-following purchase per event
+        "events_asof_next_purchase": """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, ts FROM events
+), p AS (
+  SELECT user_id, epoch_ms(ts) AS pts_ms, value AS pvalue, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, e.ts_ms,
+       coalesce(p.pts_ms, -1) AS next_match_ts,
+       coalesce(p.pvalue, -1.0) AS next_match_value
+FROM e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts < p.ts
 """,
         "events_gaps": """
 SELECT user_id, epoch_ms(ts) AS ts_ms,

@@ -2239,3 +2239,59 @@ def busy_user_days(sf_dir: str, min_events: int = 3):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=P, kernel=merge,
                          fmt="pandas")
+
+
+def asof_next_match(sf_dir: str, match_type: str = "purchase"):
+    """FORWARD as-of join: for every event, the same user's NEXT match
+    strictly after it (direction complement of :func:`asof_last_match`);
+    −1 sentinels keep the columns non-nullable.  One user-hash exchange,
+    composite-key searchsorted against the match stream."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir,
+                      ["event_id", "user_id", "ts", "event_type", "value"],
+                      P)
+
+    def to_us(batch):
+        ts_us = pc.cast(batch["ts"], "int64")
+        return batch.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    pts = ds.map_batches(to_us, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "user_id", "ts_ms", "next_match_ts",
+                "next_match_value"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        uid_codes, _ = pd.factorize(df["user_id"], sort=False)
+        ts = df["ts_us"].to_numpy()
+        rel = ts - ts.min()
+        stride = np.int64(rel.max()) + 2
+        key = uid_codes.astype(np.int64) * stride + rel
+        is_m = (df["event_type"] == match_type).to_numpy()
+        mkey = key[is_m]
+        mts = ts[is_m]
+        mval = df["value"].to_numpy()[is_m]
+        pos = np.searchsorted(mkey, key, side="right")
+        ok = pos < len(mkey)
+        # same-user check: the stride separates users, so a hit in the
+        # next user's segment differs in key // stride
+        same = np.zeros(len(key), dtype=bool)
+        same[ok] = (mkey[pos[ok]] // stride) == (key[ok] // stride)
+        nts = np.full(len(key), -1, dtype=np.int64)
+        nval = np.full(len(key), -1.0)
+        nts[same] = mts[pos[same]] // 1000
+        nval[same] = mval[pos[same]]
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "ts_ms": ts // 1000,
+            "next_match_ts": nts,
+            "next_match_value": nval,
+        })
+
+    return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

@@ -1319,3 +1319,23 @@ def test_busy_user_days(ray_session, sf_small):
         """,
         sf_small, ["user_id", "day_ms"],
     )
+
+
+def test_asof_next_purchase(ray_session, sf_small):
+    _cmp(
+        ev.asof_next_match(sf_small),
+        """
+        WITH e AS (
+          SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, ts FROM events
+        ), p AS (
+          SELECT user_id, epoch_ms(ts) AS pts_ms, value AS pvalue, ts
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT e.event_id, e.user_id, e.ts_ms,
+               coalesce(p.pts_ms, -1) AS next_match_ts,
+               coalesce(p.pvalue, -1.0) AS next_match_value
+        FROM e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND e.ts < p.ts
+        """,
+        sf_small, ["event_id"],
+    )
