@@ -470,6 +470,7 @@ FROM events
         "events_value_percent_rank": _EVENT_POINTS + """
 SELECT user_id, ts_ms, value,
        CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
        round(percent_rank() OVER w, 6) AS pct_rank
 FROM p WINDOW w AS (PARTITION BY user_id ORDER BY value)
 """,

@@ -1391,7 +1391,8 @@ def value_percent_rank(sf_dir: str):
     pts = _read_points(sf_dir, P)
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["user_id", "ts_ms", "value", "rnk", "pct_rank"]
+        cols = ["user_id", "ts_ms", "value", "rnk", "dense_rnk",
+                "pct_rank"]
         if len(df) == 0:
             return pd.DataFrame({c: [] for c in cols})
         codes, _ = pd.factorize(df["user_id"], sort=False)
@@ -1408,6 +1409,9 @@ def value_percent_rank(sf_dir: str):
         seg_sizes = np.diff(np.append(idx[seg_first], n))
         n_seg = np.repeat(seg_sizes, seg_sizes)
         rnk = run_start - seg_start + 1
+        # dense_rank: count of value runs up to this one within the segment
+        run_id = np.cumsum(run_first)
+        dense = run_id - run_id[seg_start] + 1
         with np.errstate(invalid="ignore", divide="ignore"):
             pct = np.where(n_seg > 1, (rnk - 1) / (n_seg - 1), 0.0)
         out = pd.DataFrame({
@@ -1415,6 +1419,7 @@ def value_percent_rank(sf_dir: str):
             "ts_ms": df["ts_ms"].to_numpy()[order],
             "value": v,
             "rnk": rnk.astype(np.int64),
+            "dense_rnk": dense.astype(np.int64),
             "pct_rank": round_half_away(pct, 6),
         })
         return out

@@ -922,6 +922,7 @@ def test_percent_rank_ties(ray_session, tmp_path):
     got = (ev.value_percent_rank(str(tmp_path)).to_pandas()
            .sort_values(["value", "ts_ms"]).reset_index(drop=True))
     assert list(got["rnk"]) == [1, 2, 3, 3]
+    assert list(got["dense_rnk"]) == [1, 2, 3, 3]
     np.testing.assert_allclose(got["pct_rank"],
                                [0.0, 1 / 3, 2 / 3, 2 / 3], atol=1e-6)
 
