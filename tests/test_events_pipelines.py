@@ -910,21 +910,21 @@ def test_percent_rank_ties(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
     t0 = 1_600_000_000_000
-    vals = [5.0, 1.0, 5.0, 3.0]  # ranks by value: 1→1, 3→2, 5→3, 5→3
+    vals = [5.0, 1.0, 5.0, 3.0, 7.0]  # sorted 1,3,5,5,7 → rank 1,2,3,3,5
     pq.write_table(pa.table({
-        "event_id": pa.array(np.arange(4, dtype=np.int64)),
-        "user_id": pa.array(np.ones(4, dtype=np.int64)),
-        "ts": pa.array([t0 + i for i in range(4)],
+        "event_id": pa.array(np.arange(5, dtype=np.int64)),
+        "user_id": pa.array(np.ones(5, dtype=np.int64)),
+        "ts": pa.array([t0 + i for i in range(5)],
                        pa.timestamp("ms")).cast(pa.timestamp("us")),
-        "event_type": pa.array(["view"] * 4),
+        "event_type": pa.array(["view"] * 5),
         "value": pa.array(vals),
     }), str(tmp_path / "events.parquet"))
     got = (ev.value_percent_rank(str(tmp_path)).to_pandas()
            .sort_values(["value", "ts_ms"]).reset_index(drop=True))
-    assert list(got["rnk"]) == [1, 2, 3, 3]
-    assert list(got["dense_rnk"]) == [1, 2, 3, 3]
+    assert list(got["rnk"]) == [1, 2, 3, 3, 5]
+    assert list(got["dense_rnk"]) == [1, 2, 3, 3, 4]
     np.testing.assert_allclose(got["pct_rank"],
-                               [0.0, 1 / 3, 2 / 3, 2 / 3], atol=1e-6)
+                               [0.0, 0.25, 0.5, 0.5, 1.0], atol=1e-6)
 
 
 @pytest.mark.parametrize("op", [
