@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_roundtrip_dfcm": ev.points_roundtrip_dfcm,
         "events_roundtrip_long": ev.points_roundtrip_long,
         "events_streaming_roundtrip": ev.streaming_roundtrip,
+        "events_streaming_out_of_order": ev.streaming_out_of_order,
         "events_rollup_1m": lambda sf: ev.rollup(sf, "1m"),
         "events_rollup_1h": lambda sf: ev.rollup(sf, "1h"),
         "events_rollup_1d": lambda sf: ev.rollup(sf, "1d"),
@@ -283,6 +284,20 @@ FROM events
         # back to exactly the batch points
         "events_streaming_roundtrip":
             "SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events",
+        # out-of-order streaming: the watermark drops every point at-or-
+        # behind the running max of earlier arrivals (arrival order =
+        # (value, ts)); running max of ARRIVED == of ACCEPTED since a
+        # rejected point can never raise the max
+        "events_streaming_out_of_order": """
+WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+a AS (
+  SELECT *, max(ts_ms) OVER (PARTITION BY user_id ORDER BY value, ts_ms
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS wm
+  FROM p
+)
+SELECT user_id, ts_ms, value FROM a WHERE wm IS NULL OR ts_ms > wm
+""",
         "events_rollup_1m": ev_rollup(60_000),
         "events_rollup_1h": ev_rollup(3_600_000),
         "events_rollup_1d": ev_rollup(86_400_000),

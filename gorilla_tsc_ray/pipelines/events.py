@@ -2300,3 +2300,42 @@ def asof_next_match(sf_dir: str, match_type: str = "purchase"):
 
     return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def streaming_out_of_order(sf_dir: str, n_actors: int = 4):
+    """Out-of-order streaming ingest gate: events arrive in a DETERMINISTIC
+    scrambled order (sorted by (value, ts) — thoroughly out of time order),
+    so the per-series watermark DROPS every point at-or-behind the running
+    max of earlier arrivals.  The accepted subset is exactly SQL-expressible
+    (running max over the same arrival order), making the late-data path —
+    not just the in-order happy path of :func:`streaming_roundtrip` —
+    oracle-checkable end to end.  Decode runs back on the Dataset API."""
+    import ray.data
+
+    from ..state.streaming import StreamingRouter
+
+    ds = _read_points(sf_dir).sort(["value", "ts_ms"])
+    router = StreamingRouter(n_actors=n_actors)
+    for batch in ds.iter_batches(batch_format="pandas", batch_size=16384):
+        keys = batch["user_id"].to_numpy()
+        bits = batch["value"].to_numpy().view(np.uint64)
+        router.append_batch(keys.astype(str).tolist(),
+                            ["value"] * len(batch),
+                            batch["ts_ms"].to_numpy(), bits)
+    blocks = pd.DataFrame(router.seal())
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        out = decode_blocks_batch(df, key_cols=["key"])
+        return pd.DataFrame({
+            "user_id": out["key"].astype(np.int64),
+            "ts_ms": out["ts_ms"],
+            "value": out["value"],
+        })
+
+    if len(blocks) == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"user_id": pd.Series([], dtype=np.int64),
+             "ts_ms": pd.Series([], dtype=np.int64),
+             "value": pd.Series([], dtype=np.float64)}))
+    return ray.data.from_pandas(blocks).map_batches(
+        decode, batch_format="pandas")

@@ -1340,3 +1340,22 @@ def test_asof_next_purchase(ray_session, sf_small):
         """,
         sf_small, ["event_id"],
     )
+
+
+def test_streaming_out_of_order(ray_session, sf_small):
+    _cmp(
+        ev.streaming_out_of_order(sf_small),
+        """
+        WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value
+                   FROM events),
+        a AS (
+          SELECT *, max(ts_ms) OVER (PARTITION BY user_id
+                                     ORDER BY value, ts_ms
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS wm
+          FROM p
+        )
+        SELECT user_id, ts_ms, value FROM a WHERE wm IS NULL OR ts_ms > wm
+        """,
+        sf_small, ["user_id", "ts_ms"],
+    )
