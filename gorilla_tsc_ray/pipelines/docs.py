@@ -629,6 +629,7 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
     edges_pre = PresplitInput(edges, _pair_hash_key(["src"], n_parts),
                               n_parts)
 
+    converged = False
     for _ in range(max_iters):
         proposals = hash_exchange_multi(
             [edges_pre,
@@ -639,7 +640,19 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
              (proposals, _pair_hash_key(["dst"], n_parts))],
             n_parts=n_parts, kernel=merge_labels, fmt="pandas").materialize()
         if not labels.sum("changed"):
+            converged = True
             break
+    if not converged:
+        # min-label propagation needs O(longest min-chain) rounds — a
+        # pathological path graph can exceed any fixed cap; labels are
+        # then a valid PARTIAL merge (still a coarsening), but clusters
+        # may be split.  Say so loudly instead of returning silently.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "cluster_pairs hit max_iters=%d before convergence — "
+            "components with min-chains longer than the cap are split; "
+            "raise max_iters for path-like graphs", max_iters)
 
     return labels.select_columns(["node", "label"])
 
