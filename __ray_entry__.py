@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_centroids": docs.emb_centroids,
         "emb_norms": docs.emb_norms,
         "emb_centroid_distances": docs.centroid_distances,
+        "docs_label_quality": docs.label_quality,
         "emb_knn_cosine": docs.knn,
         "emb_knn_lsh": docs.knn_lsh,                     # rows-only (approx)
         "emb_knn_ivf": docs.knn_ivf,                     # rows-only (approx
@@ -1194,6 +1195,16 @@ WITH u AS (
 SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
        CAST(count(*) AS BIGINT) AS cnt, round(avg(v), 6) AS centroid
 FROM u GROUP BY 1, 2
+""",
+        # cross-modal join: text quality per embedding label
+        "docs_label_quality": """
+SELECT CAST(e.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(round(length(regexp_extract_all(d.text, '[A-Za-z]'))
+                 / greatest(CAST(length(d.text) AS DOUBLE), 1.0), 6)), 6)
+         AS mean_alpha
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY 1
 """,
         # pairwise Euclidean distance between per-label centroids
         "emb_centroid_distances": """

@@ -1108,3 +1108,40 @@ def length_quantiles(sf_dir: str):
         kernel=lambda df: quantiles_by_key(df, key_col="lang",
                                            qs=(0.5, 0.95)),
         fmt="pandas")
+
+
+def label_quality(sf_dir: str):
+    """Cross-modal join: text-derived quality features attached to vector
+    metadata (documents.doc_id = embeddings.vec_id) — mean alpha_ratio and
+    doc count per embedding label.  Both sides co-partition on the id; the
+    kernel joins and emits tiny per-label partials."""
+    ds_docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds_emb = _read(sf_dir, "embeddings", ["vec_id", "label"])
+
+    scored = ds_docs.map_batches(
+        lambda df: tx.quality_scores(df)[["doc_id", "alpha_ratio"]],
+        batch_format="pandas")
+
+    def kernel(q: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        m = q.merge(e, left_on="doc_id", right_on="vec_id")
+        g = m.groupby("label", sort=False)["alpha_ratio"]
+        return g.agg(n_docs="size", s="sum").reset_index()
+
+    partials = hash_exchange_multi(
+        [(scored, _pair_hash_key(["doc_id"])),
+         (ds_emb, _pair_hash_key(["vec_id"]))],
+        n_parts=N_DOC_PARTS, kernel=kernel, fmt="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        from ..util import round_half_away
+
+        out = (df.groupby("label", sort=False)
+               .agg(n_docs=("n_docs", "sum"), s=("s", "sum")).reset_index())
+        out["label"] = out["label"].astype(np.int64)
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["mean_alpha"] = round_half_away(
+            out["s"].to_numpy() / out["n_docs"].to_numpy(), 6)
+        return out[["label", "n_docs", "mean_alpha"]]
+
+    return hash_exchange(partials, key_fn=_pair_hash_key(["label"], 8),
+                         n_parts=8, kernel=merge, fmt="pandas")

@@ -603,3 +603,22 @@ def test_length_quantiles(ray_session):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_exact=False, atol=1e-9)
+
+
+def test_label_quality(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = (docs.label_quality(sf).to_pandas()
+           .sort_values("label").reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        SELECT CAST(e.label AS BIGINT) AS label,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(round(length(regexp_extract_all(d.text,
+                     '[A-Za-z]')) / greatest(CAST(length(d.text) AS DOUBLE),
+                     1.0), 6)), 6) AS mean_alpha
+        FROM '{sf}/documents.parquet' d
+        JOIN '{sf}/embeddings.parquet' e ON d.doc_id = e.vec_id
+        GROUP BY 1
+    """).df().sort_values("label").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-9)
