@@ -192,3 +192,29 @@ def test_q3_shipping_priority(ray_session, sf_small):
     pd.testing.assert_frame_equal(
         got[exp.columns].reset_index(drop=True), exp,
         check_exact=False, atol=1e-6)
+
+
+def test_attach_dim_exchange_matches_broadcast(ray_session, sf_small,
+                                               monkeypatch):
+    """The size-guarded dimension attach (VERDICT r3 #1) must produce
+    identical results on both routes: broadcast probe (small dim) and
+    co-partitioned exchange (corpus-scale dim, forced via threshold=0).
+    Covers a join-aggregate, the snowflake chain, and the Q3 semi-join."""
+    def run_all():
+        return {
+            "nation": (relational.orders_by_nation(sf_small).to_pandas()
+                       .sort_values("n_name").reset_index(drop=True)),
+            "region": (relational.orders_by_region(sf_small).to_pandas()
+                       .sort_values("r_name").reset_index(drop=True)),
+            "brand": (relational.brand_revenue(sf_small).to_pandas()
+                      .sort_values("p_brand").reset_index(drop=True)),
+            "q3": (relational.q3_shipping_priority(sf_small).to_pandas()
+                   .reset_index(drop=True)),
+        }
+
+    bcast = run_all()
+    monkeypatch.setattr(relational, "DIM_BROADCAST_BYTES", 0)
+    exch = run_all()
+    for k in bcast:
+        pd.testing.assert_frame_equal(bcast[k], exch[k][bcast[k].columns],
+                                      check_exact=False, atol=1e-9)
