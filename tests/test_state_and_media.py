@@ -153,9 +153,47 @@ class TestMedia:
         b = out2.sort_values("media_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
 
-    def test_real_decoder_is_stubbed(self):
+    def test_video_decode_is_stubbed(self):
         with pytest.raises(NotImplementedError):
-            media.RealDecoder()
+            media.RealDecoder(kind="video")
+
+    def test_real_wav_decode(self):
+        """RealDecoder must recover the exact synthesized samples: rebuild
+        the generator's RNG stream and compare hand-computed features."""
+        df = media.synthesize_media_table(40).to_pandas()
+        audio = df[df["kind"] == "audio"].reset_index(drop=True)
+        assert len(audio) > 0
+        out = media.RealDecoder(kind="audio")(audio)
+        import io
+        import wave
+
+        for i, payload in enumerate(audio["payload"]):
+            w = wave.open(io.BytesIO(payload), "rb")
+            s = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+            assert out["n_samples"][i] == len(s)
+            assert out["sum_samples"][i] == s.sum(dtype=np.int64)
+            assert out["max_abs"][i] == np.abs(s.astype(np.int64)).max()
+            assert out["sample_rate"][i] == w.getframerate()
+            assert out["n_channels"][i] == 1
+
+    def test_real_bmp_decode(self):
+        """BMP path: a hand-built 3×2 image with known pixel bytes."""
+        import struct
+
+        w, h = 3, 2
+        rows = [bytes([1, 2, 3, 4, 5, 6, 7, 8, 9]),
+                bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])]
+        pad = b"\x00" * ((4 - (w * 3) % 4) % 4)
+        body = rows[0] + pad + rows[1] + pad
+        payload = (struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+                   + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                 len(body), 2835, 2835, 0, 0) + body)
+        df = pd.DataFrame({"media_id": [5], "payload": [payload]})
+        out = media.RealDecoder(kind="image")(df)
+        assert out["width"][0] == 3 and out["height"][0] == 2
+        assert out["sum_rgb"][0] == sum(rows[0]) + sum(rows[1])
+        assert out["max_byte"][0] == 90
+        assert out["n_pixels"][0] == 6
 
     def test_frame_sample_plan(self):
         df = media.synthesize_media_table(30).to_pandas()
