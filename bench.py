@@ -54,11 +54,30 @@ def codec_microbench(n: int = 1_000_000) -> dict:
         dts, _ = decode_series(words, n_points=n)
         dec_s = min(dec_s, time.perf_counter() - t)
     assert len(dts) == n
-    return {
+    out = {
         "encode_mpoints_per_sec": round(n / enc_s / 1e6, 3),
         "decode_mpoints_per_sec": round(n / dec_s / 1e6, 3),
         "bytes_per_point_dense": round(len(words) * 8 / n, 3),
     }
+    # Kernel-capability decode (buffer reuse): the end-to-end number above
+    # allocates fresh 16 MB outputs per call, and fresh-page first-touch is
+    # globally serialized on this host class — under tenancy it swings
+    # 35–137 M pts/s within ONE build (r4 same-session bisect, BASELINE.md)
+    # and is what BENCH_r03's apparent decode drop measured.  Reusing the
+    # buffers isolates the actual bit-unpacking kernel.
+    from gorilla_tsc_ray.codec import native as _native
+    if _native.AVAILABLE:
+        w = np.ascontiguousarray(words, dtype=np.uint64)
+        out_ts = np.empty(n, dtype=np.int64)
+        out_vb = np.empty(n, dtype=np.uint64)
+        k_s = float("inf")
+        for _ in range(4):
+            t = time.perf_counter()
+            kts, _kv = _native.decode(w, n, out_ts=out_ts, out_v=out_vb)
+            k_s = min(k_s, time.perf_counter() - t)
+        assert len(kts) == n
+        out["decode_kernel_mpoints_per_sec"] = round(n / k_s / 1e6, 3)
+    return out
 
 
 def run_pipelines(sf_dir: str, num_cpus: int) -> dict:

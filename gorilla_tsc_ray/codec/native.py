@@ -118,15 +118,22 @@ def _dfcm_scratch(table_size: int) -> np.ndarray:
 
 
 def decode(words: np.ndarray, n_points: int, codec: str = "gorilla2",
-           table_size: int = 1024):
+           table_size: int = 1024, out_ts: np.ndarray | None = None,
+           out_v: np.ndarray | None = None):
     """Decode one block → ``(ts int64[], value_bits uint64[])``.
 
     ``n_points`` is the stored point count (block-store schema carries it);
     decoding stops there or at the EOF marker, whichever first.
+    ``out_ts``/``out_v``: optional pre-allocated output buffers (≥
+    n_points) — fresh-allocation first-touch is globally serialized on
+    this host class and can dominate a decode timing (BASELINE.md r4
+    bisect), so benchmarks measuring kernel capability reuse buffers.
     """
     words = np.ascontiguousarray(words, dtype=np.uint64)
-    out_ts = np.empty(n_points, dtype=np.int64)
-    out_v = np.empty(n_points, dtype=np.uint64)
+    if out_ts is None:
+        out_ts = np.empty(n_points, dtype=np.int64)
+    if out_v is None:
+        out_v = np.empty(n_points, dtype=np.uint64)
     if codec == "gorilla1":
         n = _dec_v1(_as_u64_ptr(words), len(words), n_points,
                     _as_i64_ptr(out_ts), _as_u64_ptr(out_v))
