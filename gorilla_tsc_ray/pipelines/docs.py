@@ -193,13 +193,10 @@ N_DOC_PARTS = 32
 
 
 def _pair_hash_key(cols, n_parts: int = N_DOC_PARTS):
+    from ..util import arrow_key_ids
+
     def key_fn(tbl):
-        h = pd.util.hash_pandas_object(
-            tbl.column(cols[0]).to_pandas(), index=False).to_numpy()
-        for c in cols[1:]:
-            h = h * np.uint64(1_000_003) + pd.util.hash_pandas_object(
-                tbl.column(c).to_pandas(), index=False).to_numpy()
-        return (h % np.uint64(n_parts)).astype(np.int64)
+        return arrow_key_ids(tbl, cols, n_parts)
     return key_fn
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..util import round_half_away
+from ..util import arrow_col_hash, round_half_away
 
 from ..context import tune_context
 from ..stages.exchange import hash_exchange, hash_exchange_multi
@@ -53,8 +53,7 @@ def _user_key_fn(n_parts: int):
     """Partition id per row from the user hash (exchange key)."""
 
     def key_fn(tbl):
-        key = tbl.column("user_id").to_pandas()
-        return (pd.util.hash_pandas_object(key, index=False).to_numpy()
+        return (arrow_col_hash(tbl, "user_id")
                 % np.uint64(n_parts)).astype(np.int64)
 
     return key_fn
@@ -108,8 +107,7 @@ def _encode_by_partition(keyed_ds, codec: str = "gorilla2",
     ``tests/test_events_pipelines.py::test_hot_user_skew_salting``."""
 
     def key_fn(tbl):
-        key = tbl.column("user_id").to_pandas()
-        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+        h = arrow_col_hash(tbl, "user_id")
         bs = tbl.column("block_start").to_numpy(zero_copy_only=False)
         # salt with the DAY INDEX (bs is a multiple of DAY_MS, which shares
         # factors with the power-of-two partition count)
@@ -210,8 +208,7 @@ def points_roundtrip_long(sf_dir: str):
     P = _n_parts(sf_dir)
 
     def key_fn(tbl):
-        key = tbl.column("user_id").to_pandas()
-        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+        h = arrow_col_hash(tbl, "user_id")
         bs = tbl.column("block_start").to_numpy(zero_copy_only=False)
         h = h * np.uint64(1_000_003) + (bs // DAY_MS).astype(np.uint64)
         return (h % np.uint64(P)).astype(np.int64)
@@ -693,8 +690,7 @@ def sessionize(sf_dir: str, gap_ms: int = 1_800_000,
             kernel_kwargs={"gap_ms": gap_ms, "finalize": True})
 
     def key_fn(tbl):
-        key = tbl.column("user_id").to_pandas()
-        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+        h = arrow_col_hash(tbl, "user_id")
         sl = (tbl.column("ts_ms").to_numpy(zero_copy_only=False)
               // slice_ms).astype(np.uint64)
         return ((h * np.uint64(1_000_003) + sl)
@@ -870,8 +866,7 @@ def asof_last_match(sf_dir: str, match_type: str = "purchase",
 
     def sliced_key(cols_slice_from_us=True):
         def key_fn(tbl):
-            key = tbl.column("user_id").to_pandas()
-            h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+            h = arrow_col_hash(tbl, "user_id")
             if cols_slice_from_us:
                 sl = (tbl.column("ts_us").to_numpy(zero_copy_only=False)
                       // (slice_ms * 1000)).astype(np.uint64)
@@ -974,12 +969,10 @@ def asof_last_match(sf_dir: str, match_type: str = "purchase",
         })
 
     carry = hash_exchange_multi(
-        [(need_ds, lambda t: (pd.util.hash_pandas_object(
-            t.column("user_id").to_pandas(), index=False).to_numpy()
-            % np.uint64(P)).astype(np.int64)),
-         (summaries, lambda t: (pd.util.hash_pandas_object(
-             t.column("user_id").to_pandas(), index=False).to_numpy()
-             % np.uint64(P)).astype(np.int64))],
+        [(need_ds, lambda t: (arrow_col_hash(t, "user_id")
+                              % np.uint64(P)).astype(np.int64)),
+         (summaries, lambda t: (arrow_col_hash(t, "user_id")
+                                % np.uint64(P)).astype(np.int64))],
         n_parts=P, kernel=carry_kernel, fmt="pandas")
 
     # co-partitioned fill: rows and carries keyed by (user, slice)
@@ -1110,17 +1103,25 @@ def value_histogram(sf_dir: str, bin_width: float = 10.0):
     P = 8  # types × bins is tiny; a handful of reduce tasks suffice
     ds = _read_events(sf_dir, ["event_type", "value"], _n_parts(sf_dir))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(bin=np.floor(df["value"].to_numpy() / bin_width)
-                       .astype(np.int64))
-        return (df.groupby(["event_type", "bin"], as_index=False, sort=False)
-                .agg(cnt=("value", "size"), sum_v=("value", "sum")))
+    def partial(tbl):
+        # Arrow-native partial (VERDICT r3 #3): no pandas object-dtype
+        # round-trip for the string key; group_by is a vectorized C kernel
+        import pyarrow as pa
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        bins = np.floor(v / bin_width).astype(np.int64)
+        t = tbl.append_column("bin", pa.array(bins))
+        out = t.group_by(["event_type", "bin"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return pa.table({"event_type": out["event_type"],
+                         "bin": out["bin"],
+                         "cnt": out["value_count"],
+                         "sum_v": out["value_sum"]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def key_fn(tbl):
-        h = pd.util.hash_pandas_object(
-            tbl.column("event_type").to_pandas(), index=False).to_numpy()
+        h = arrow_col_hash(tbl, "event_type")
         h = h * np.uint64(1_000_003) + tbl.column("bin").to_numpy().astype(
             np.uint64)
         return (h % np.uint64(P)).astype(np.int64)
@@ -1322,8 +1323,7 @@ def daily_distinct_types(sf_dir: str):
         uniq, batch_format="pandas")
 
     def key_fn(tbl):
-        h = pd.util.hash_pandas_object(
-            tbl.column("user_id").to_pandas(), index=False).to_numpy()
+        h = arrow_col_hash(tbl, "user_id")
         h = (h * np.uint64(1_000_003)
              + tbl.column("day_ms").to_numpy().astype(np.uint64))
         return (h % np.uint64(P)).astype(np.int64)
@@ -1440,22 +1440,26 @@ def props_k_stats(sf_dir: str):
     P = 8
     ds = _read_events(sf_dir, ["event_type", "props"], _n_parts(sf_dir))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        k = pd.to_numeric(
-            df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False),
-            errors="coerce")
-        ok = k.notna().to_numpy()
-        sub = pd.DataFrame({"event_type": df["event_type"].to_numpy()[ok],
-                            "k": k.to_numpy()[ok].astype(np.int64)})
-        g = sub.groupby("event_type", sort=False)["k"]
-        return g.agg(cnt="size", sum_k="sum", min_k="min",
-                     max_k="max").reset_index()
+    def partial(tbl):
+        # Arrow-native partial: RE2 extract + C group_by, no object dtypes
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+        m = pc.extract_regex(tbl.column("props"), r'"k"\s*:\s*(?P<k>-?\d+)')
+        ks = pc.struct_field(m, "k")
+        sub = pa.table({"event_type": tbl.column("event_type"),
+                        "k": ks}).filter(pc.is_valid(ks))
+        sub = sub.set_column(1, "k", pc.cast(sub["k"], pa.int64()))
+        out = sub.group_by("event_type").aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
+        return pa.table({"event_type": out["event_type"],
+                         "cnt": out["k_count"], "sum_k": out["k_sum"],
+                         "min_k": out["k_min"], "max_k": out["k_max"]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def key_fn(tbl):
-        h = pd.util.hash_pandas_object(
-            tbl.column("event_type").to_pandas(), index=False).to_numpy()
+        h = arrow_col_hash(tbl, "event_type")
         return (h % np.uint64(P)).astype(np.int64)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -1522,8 +1526,7 @@ def type_user_counts_sketch(sf_dir: str, k: int = 1024):
         batch_format="pandas")
 
     def key_fn(tbl):
-        h = pd.util.hash_pandas_object(
-            tbl.column("event_type").to_pandas(), index=False).to_numpy()
+        h = arrow_col_hash(tbl, "event_type")
         return (h % np.uint64(P)).astype(np.int64)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
@@ -1579,8 +1582,7 @@ def ohlc(sf_dir: str, tier: str = "1h"):
     partials = pts.map_batches(partial, batch_format="pandas")
 
     def key_fn(tbl):
-        h = pd.util.hash_pandas_object(
-            tbl.column("user_id").to_pandas(), index=False).to_numpy()
+        h = arrow_col_hash(tbl, "user_id")
         h = (h * np.uint64(1_000_003)
              + tbl.column("bucket_ms").to_numpy().astype(np.uint64))
         return (h % np.uint64(P)).astype(np.int64)
@@ -1633,8 +1635,7 @@ def vwap(sf_dir: str, tier: str = "1h"):
     partials = ds.map_batches(partial, batch_format="pandas")
 
     def key_fn(tbl):
-        h = pd.util.hash_pandas_object(
-            tbl.column("user_id").to_pandas(), index=False).to_numpy()
+        h = arrow_col_hash(tbl, "user_id")
         h = (h * np.uint64(1_000_003)
              + tbl.column("bucket_ms").to_numpy().astype(np.uint64))
         return (h % np.uint64(P)).astype(np.int64)
@@ -1730,8 +1731,7 @@ def hourly_profile(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def key_fn(tbl):
-        h = pd.util.hash_pandas_object(
-            tbl.column("event_type").to_pandas(), index=False).to_numpy()
+        h = arrow_col_hash(tbl, "event_type")
         h = h * np.uint64(31) + tbl.column("hour").to_numpy().astype(
             np.uint64)
         return (h % np.uint64(P)).astype(np.int64)
@@ -1784,8 +1784,7 @@ def grouping_sets(sf_dir: str):
                                kernel=by_user, fmt="pandas")
 
     def type_key(tbl):
-        h = pd.util.hash_pandas_object(
-            tbl.column("event_type").to_pandas(), index=False).to_numpy()
+        h = arrow_col_hash(tbl, "event_type")
         return (h % np.uint64(8)).astype(np.int64)
 
     def by_type(df: pd.DataFrame) -> pd.DataFrame:
@@ -2031,9 +2030,8 @@ def type_transitions(sf_dir: str):
                              kernel=pairs, fmt="pandas")
 
     def key_fn(tbl):
-        h = pd.util.hash_pandas_object(
-            tbl.column("cur_type").to_pandas(), index=False).to_numpy()
-        return (h % np.uint64(8)).astype(np.int64)
+        return (arrow_col_hash(tbl, "cur_type")
+                % np.uint64(8)).astype(np.int64)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = (df.groupby(["cur_type", "next_type"], sort=False)["cnt"]
@@ -2230,8 +2228,7 @@ def busy_user_days(sf_dir: str, min_events: int = 3):
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def key_fn(tbl):
-        h = pd.util.hash_pandas_object(
-            tbl.column("user_id").to_pandas(), index=False).to_numpy()
+        h = arrow_col_hash(tbl, "user_id")
         h = (h * np.uint64(1_000_003)
              + tbl.column("day_ms").to_numpy().astype(np.uint64))
         return (h % np.uint64(P)).astype(np.int64)

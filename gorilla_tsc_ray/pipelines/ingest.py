@@ -186,8 +186,8 @@ def _by_conv_partition(ds, kernel, n_parts: int = N_CONV_PARTS,
     from ..stages.exchange import hash_exchange
 
     def key_fn(tbl):
-        key = tbl.column("conv_id").to_pandas()
-        return (pd.util.hash_pandas_object(key, index=False).to_numpy()
+        from ..util import arrow_col_hash
+        return (arrow_col_hash(tbl, "conv_id")
                 % np.uint64(n_parts)).astype(np.int64)
 
     return hash_exchange(ds, key_fn=key_fn, n_parts=n_parts,
@@ -689,9 +689,9 @@ def role_transitions(sf_dir: str):
     partials = _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
 
     def key_fn(tbl):
-        h = pd.util.hash_pandas_object(
-            tbl.column("cur_role").to_pandas(), index=False).to_numpy()
-        return (h % np.uint64(4)).astype(np.int64)
+        from ..util import arrow_col_hash
+        return (arrow_col_hash(tbl, "cur_role")
+                % np.uint64(4)).astype(np.int64)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = (df.groupby(["cur_role", "next_role"], sort=False)["cnt"]

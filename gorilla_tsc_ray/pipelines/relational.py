@@ -119,6 +119,21 @@ def _semi_filter(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
         batch_format="pyarrow")
 
 
+def _sum_count_partial(key_col: str, val_col: str = "o_totalprice"):
+    """Arrow-native in-batch partial: per-key (sum, count) of ``val_col``
+    via the C group_by kernel — the shared pre-aggregate-before-shuffle
+    combine for the dimension-attach aggregates (VERDICT r3 #3)."""
+    def partial(tbl):
+        import pyarrow as pa
+
+        out = tbl.group_by(key_col).aggregate(
+            [(val_col, "sum"), (val_col, "count")])
+        return pa.table({key_col: out[key_col],
+                         "total": out[f"{val_col}_sum"],
+                         "n_orders": out[f"{val_col}_count"]})
+    return partial
+
+
 def pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate: vectorized Arrow compute for the
     derived measures, partial-per-batch combine, small final merge."""
@@ -135,13 +150,21 @@ def pricing_summary(sf_dir: str):
 
     ds = ds.map_batches(derive, batch_format="pyarrow")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False)
-        out = g.agg(sum_qty=("l_quantity", "sum"),
-                    sum_base_price=("l_extendedprice", "sum"),
-                    sum_disc_price=("disc_price", "sum"),
-                    count_order=("l_quantity", "count"))
-        return out.reset_index()
+    def partial(tbl):
+        # Arrow-native partial combine (VERDICT r3 #3): C group_by, string
+        # keys never round-trip through pandas object dtype
+        import pyarrow as pa
+
+        out = tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")])
+        return pa.table({
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "sum_qty": out["l_quantity_sum"],
+            "sum_base_price": out["l_extendedprice_sum"],
+            "sum_disc_price": out["disc_price_sum"],
+            "count_order": out["l_quantity_count"]})
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
@@ -152,7 +175,7 @@ def pricing_summary(sf_dir: str):
         return out
 
     return hash_exchange(
-        ds.map_batches(partial, batch_format="pandas"),
+        ds.map_batches(partial, batch_format="pyarrow"),
         key_fn=_hash_key(["l_returnflag", "l_linestatus"]),
         n_parts=N_PARTS, kernel=merge, fmt="pandas")
 
@@ -165,16 +188,19 @@ def top_event_users(sf_dir: str, k: int = 10):
     before the tiny global sort."""
     ds = _read(sf_dir, "events", ["user_id"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("user_id", sort=False).size().rename(
-            "cnt").reset_index()
+    def partial(tbl):
+        import pyarrow as pa
+
+        out = tbl.group_by("user_id").aggregate([("user_id", "count")])
+        return pa.table({"user_id": out["user_id"],
+                         "cnt": out["user_id_count"]})
 
     def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("user_id", sort=False)["cnt"].sum().reset_index()
         return out.sort_values(["cnt", "user_id"],
                                ascending=[False, True]).iloc[:k]
 
-    counts = hash_exchange(ds.map_batches(partial, batch_format="pandas"),
+    counts = hash_exchange(ds.map_batches(partial, batch_format="pyarrow"),
                            key_fn=_hash_key(["user_id"]), n_parts=N_PARTS,
                            kernel=merge_partition, fmt="pandas")
     return counts.sort(["cnt", "user_id"], descending=[True, False]).limit(k)
@@ -219,10 +245,6 @@ def orders_by_nation(sf_dir: str):
                      dim, fact_key="o_custkey", dim_key="c_custkey",
                      out_cols=["n_name"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("n_name", sort=False)
-        return g.agg(total=("o_totalprice", "sum"),
-                     n_orders=("o_totalprice", "count")).reset_index()
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = (df.groupby("n_name", sort=False)
@@ -232,9 +254,11 @@ def orders_by_nation(sf_dir: str):
         out["n_orders"] = out["n_orders"].astype(np.int64)
         return out
 
-    return hash_exchange(ds.map_batches(partial, batch_format="pandas"),
-                         key_fn=_hash_key(["n_name"]), n_parts=N_PARTS,
-                         kernel=merge, fmt="pandas")
+    return hash_exchange(
+        ds.map_batches(_sum_count_partial("n_name"),
+                       batch_format="pyarrow"),
+        key_fn=_hash_key(["n_name"]), n_parts=N_PARTS,
+        kernel=merge, fmt="pandas")
 
 
 def distinct_event_types(sf_dir: str):
@@ -278,11 +302,7 @@ def customers_without_big_orders(sf_dir: str, threshold: float = 400_000.0):
     big = orders.map_batches(uniq, batch_format="pandas")
 
     def key_of(col):
-        def key_fn(tbl):
-            h = pd.util.hash_pandas_object(
-                tbl.column(col).to_pandas(), index=False).to_numpy()
-            return (h % np.uint64(N_PARTS)).astype(np.int64)
-        return key_fn
+        return _hash_key([col])
 
     def anti(cust_df: pd.DataFrame, big_df: pd.DataFrame) -> pd.DataFrame:
         keep = ~cust_df["c_custkey"].isin(big_df["o_custkey"].unique())
@@ -350,11 +370,7 @@ def customer_big_order_counts(sf_dir: str, threshold: float = 400_000.0):
     counts = orders.map_batches(partial, batch_format="pandas")
 
     def key_of(col):
-        def key_fn(tbl):
-            h = pd.util.hash_pandas_object(
-                tbl.column(col).to_pandas(), index=False).to_numpy()
-            return (h % np.uint64(N_PARTS)).astype(np.int64)
-        return key_fn
+        return _hash_key([col])
 
     def left_merge(cust_df: pd.DataFrame, cnt_df: pd.DataFrame):
         agg = cnt_df.groupby("o_custkey", sort=False)["n_big"].sum()
@@ -422,10 +438,6 @@ def orders_by_region(sf_dir: str):
                      dim, fact_key="o_custkey", dim_key="c_custkey",
                      out_cols=["r_name"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("r_name", sort=False)
-        return g.agg(total=("o_totalprice", "sum"),
-                     n_orders=("o_totalprice", "count")).reset_index()
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = (df.groupby("r_name", sort=False)
@@ -435,9 +447,11 @@ def orders_by_region(sf_dir: str):
         out["n_orders"] = out["n_orders"].astype(np.int64)
         return out
 
-    return hash_exchange(ds.map_batches(partial, batch_format="pandas"),
-                         key_fn=_hash_key(["r_name"]), n_parts=N_PARTS,
-                         kernel=merge, fmt="pandas")
+    return hash_exchange(
+        ds.map_batches(_sum_count_partial("r_name"),
+                       batch_format="pyarrow"),
+        key_fn=_hash_key(["r_name"]), n_parts=N_PARTS,
+        kernel=merge, fmt="pandas")
 
 
 def orders_monthly(sf_dir: str):
@@ -549,9 +563,6 @@ def segment_revenue(sf_dir: str):
         fact_key="o_custkey", dim_key="c_custkey",
         out_cols=["c_mktsegment"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("c_mktsegment", sort=False)["o_totalprice"]
-        return g.agg(total="sum", n_orders="size").reset_index()
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = (df.groupby("c_mktsegment", sort=False)
@@ -561,9 +572,11 @@ def segment_revenue(sf_dir: str):
         out["n_orders"] = out["n_orders"].astype(np.int64)
         return out
 
-    return hash_exchange(ds.map_batches(partial, batch_format="pandas"),
-                         key_fn=_hash_key(["c_mktsegment"]),
-                         n_parts=N_PARTS, kernel=merge, fmt="pandas")
+    return hash_exchange(
+        ds.map_batches(_sum_count_partial("c_mktsegment"),
+                       batch_format="pyarrow"),
+        key_fn=_hash_key(["c_mktsegment"]),
+        n_parts=N_PARTS, kernel=merge, fmt="pandas")
 
 
 def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",

@@ -47,14 +47,14 @@ def arrow_col_hash(tbl, col: str) -> np.ndarray:
         return hash_u64(arr.cast(pa.int64()).to_numpy(zero_copy_only=False))
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     if pa.types.is_dictionary(arr.type):
-        codes = arr.indices.to_numpy(zero_copy_only=False)
-        uniq = arr.dictionary
+        enc = arr
     else:
         enc = arr.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        uniq = enc.dictionary
-    dict_hash = pd.util.hash_pandas_object(
-        uniq.to_pandas(), index=False).to_numpy()
+    codes = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+    uniq = enc.dictionary
+    dict_hash = np.concatenate([
+        pd.util.hash_pandas_object(uniq.to_pandas(), index=False).to_numpy(),
+        np.array([np.uint64(0x9E3779B97F4A7C15)])])  # null sentinel slot
     return dict_hash[codes]
 
 
