@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_conv_stats": ingest.conv_stats,
         "transcripts_role_transitions": ingest.role_transitions,
         "transcripts_rollup_1h_wide": lambda sf: ingest.rollup_wide(sf, "1h"),
+        # retention cascade gate: raw tier expired, range served from 1h
+        "transcripts_retention_serve": _retention_serve,
         # — relational operator coverage —
         "q1_pricing_summary": relational.pricing_summary,
         "top_event_users": relational.top_event_users,
@@ -162,6 +164,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   video decode remains stubbed (FakeDecoder, pytest-covered) —
         "media_features": _media_features,
     }
+
+
+def _retention_serve(sf_dir: str):
+    """Retention/downsampling surfaced at the driver gate (VERDICT r3
+    #6): ingest a fresh store, expire raw day-blocks beyond 2 days, and
+    serve the expired range from the 1h rollup tier — a runtime assert
+    proves the raw partitions are gone.  Oracle = the cascade's own 1h
+    aggregate over the raw transcripts, restricted to expired buckets."""
+    from gorilla_tsc_ray.pipelines.retention import retention_serve
+
+    return retention_serve(sf_dir, keep_days=2, tier="1h")
 
 
 def _media_features(sf_dir: str):
@@ -938,6 +951,11 @@ SELECT conv_id, count(*) AS n_turns,
 FROM d GROUP BY 1
 """,
         # long→wide pivot of the 1h rollup (absent metric → 0.0)
+        "transcripts_retention_serve": (
+            "WITH serve AS (" + tr_rollup(3_600_000) + ")\n"
+            "SELECT * FROM serve WHERE bucket_ms < "
+            "((SELECT max(bucket_ms) // 86400000 FROM serve) - 1) "
+            "* 86400000"),
         "transcripts_rollup_1h_wide": tmetrics + """
 SELECT conv_id, ts_ms - ts_ms % 3600000 AS bucket_ms,
        round(coalesce(sum(value) FILTER (metric = 'turn_count'), 0), 6)

@@ -151,7 +151,12 @@ def hash_exchange(ds, *, key_fn, n_parts: int, kernel, fmt: str = "pandas",
 
         def apply(acc, buf):
             ts = ([acc] if acc is not None else []) + buf
-            merged = pa.concat_tables(ts).combine_chunks()
+            # permissive promotion: blocks from different upstream tasks
+            # can carry different dictionary index widths for the same
+            # column (pandas Categorical -> Arrow picks the narrowest
+            # per block); permissive unifies them instead of raising
+            merged = pa.concat_tables(
+                ts, promote_options="permissive").combine_chunks()
             data = merged if fmt == "pyarrow" else merged.to_pandas()
             return _to_arrow(
                 kernel(data, **kernel_kwargs)).replace_schema_metadata(None)
@@ -275,8 +280,8 @@ def hash_exchange_multi(inputs, *, n_parts: int, kernel,
             i += sz
             tables = [t for t in grp if t.num_rows] or [grp[0]]
             groups.append(pa.concat_tables(
-                t.replace_schema_metadata(None)
-                for t in tables).combine_chunks())
+                [t.replace_schema_metadata(None) for t in tables],
+                promote_options="permissive").combine_chunks())
         datas = [g if fmt == "pyarrow" else g.to_pandas() for g in groups]
         return _to_arrow(kernel(*datas, **kernel_kwargs))
 

@@ -116,6 +116,23 @@ class TestRetention:
         kept = df[df["status"] == "kept"]["partition_key"].tolist()
         assert f"blocks/day={day0 + 3 * DAY}" in kept
 
+    def test_retention_serve_expired_range(self, ray_session):
+        """Driver-facing gate: raw blocks expired, the expired range is
+        served from the 1h tier and equals the live cascade's output."""
+        from gorilla_tsc_ray.pipelines.ingest import rollup_cascade
+        from gorilla_tsc_ray.pipelines.retention import retention_serve
+
+        sf = "/root/testdata/sf0.001"  # spans 2 days -> keep only the last
+        got = retention_serve(sf, keep_days=1, tier="1h").to_pandas()
+        assert len(got) > 0
+        live = rollup_cascade(sf, "1h").to_pandas()
+        cutoff = (live["bucket_ms"].max() // DAY) * DAY
+        exp = live[live["bucket_ms"] < cutoff]
+        key = ["conv_id", "metric", "bucket_ms"]
+        g = got.sort_values(key).reset_index(drop=True)
+        e = exp.sort_values(key).reset_index(drop=True)[g.columns]
+        pd.testing.assert_frame_equal(g, e, check_exact=False, atol=1e-9)
+
     def test_no_delete_without_coarser_tier(self, tmp_path):
         import os, shutil
         store = self._mk_store(tmp_path)
