@@ -153,9 +153,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_centroid_distances": docs.centroid_distances,
         "docs_label_quality": docs.label_quality,
         "emb_knn_cosine": docs.knn,
-        "emb_knn_lsh": docs.knn_lsh,                     # rows-only (approx)
-        "emb_knn_ivf": docs.knn_ivf,                     # rows-only (approx
-        #   IVF scale path; recall gated vs exact kNN in tests)
+        # rows-only by design (approximate top-k) but QUANTITATIVE: each
+        # row carries measured recall_vs_exact against emb_knn_cosine
+        "emb_knn_lsh": lambda sf: docs.knn_with_recall(sf, "lsh"),
+        "emb_knn_ivf": lambda sf: docs.knn_with_recall(sf, "ivf"),
         "emb_near_dups": docs.embedding_near_dups,
         "emb_near_dups_lsh": docs.embedding_near_dups_lsh,
         #   (exact-verified; 48-table candidate recall is 100% on shipped

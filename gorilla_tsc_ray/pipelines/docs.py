@@ -479,6 +479,29 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
         sim.topk_merge, batch_format="pandas", fn_kwargs={"k": k})
 
 
+def knn_with_recall(sf_dir: str, method: str = "lsh", k: int = 10,
+                    n_queries: int = 5):
+    """ANN top-k with MEASURED recall surfaced at the gate (VERDICT r3
+    #5): run the approximate path and the exact brute-force path, and
+    attach per-query ``recall_vs_exact`` (|approx ∩ exact| / k) so the
+    driver's rows-only record carries a quantitative quality number
+    instead of bare ids.  Both result sets are n_queries×k rows — the
+    driver-side join is over bounded frames, never corpus data."""
+    approx_fn = knn_lsh if method == "lsh" else knn_ivf
+    exact = knn(sf_dir, k=k, n_queries=n_queries).to_pandas()
+    approx = approx_fn(sf_dir, k=k, n_queries=n_queries).to_pandas()
+    truth = exact.groupby("query_id")["vec_id"].agg(set)
+
+    def recall_of(g: pd.DataFrame) -> float:
+        t = truth.get(g.name, set())
+        return len(set(g["vec_id"]) & t) / max(len(t), 1)
+
+    per_q = approx.groupby("query_id")[["query_id", "vec_id"]].apply(
+        recall_of)
+    approx["recall_vs_exact"] = approx["query_id"].map(per_q)
+    return approx
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.3):
     """Embedding-cosine near-dup pairs within label blocks — EXACT (the
     oracle's semantics are all pairs within label), computed tile-wise so

@@ -622,3 +622,17 @@ def test_label_quality(ray_session):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_exact=False, atol=1e-9)
+
+
+def test_knn_recall_column(ray_session):
+    """The rows-only ANN gate entries must carry a measured per-query
+    recall_vs_exact column (VERDICT r3 #5), and the measured recall must
+    clear the same bars the raw pipelines are gated at."""
+    # bars mirror the raw pipelines' existing gates (single-probe
+    # hyperplane LSH is a sanity bar on near-random vectors)
+    for method, bar in [("lsh", 0.05), ("ivf", 0.7)]:
+        out = docs.knn_with_recall(SF, method)
+        assert "recall_vs_exact" in out.columns
+        per_q = out.groupby("query_id")["recall_vs_exact"].first()
+        assert (per_q >= 0).all() and (per_q <= 1).all()
+        assert per_q.mean() >= bar, f"{method} recall {per_q.mean():.2f}"
