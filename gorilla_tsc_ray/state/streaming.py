@@ -140,6 +140,63 @@ class _EncoderCore:
         return core
 
 
+def feed_parquet_distributed(router, path: str, *, order_cols,
+                             metric: str = "value",
+                             batch_rows: int = 16384) -> int:
+    """Distributed feed for the streaming gates (VERDICT r3 #8): one
+    reader TASK per encoder actor replaces the driver-side
+    ``iter_batches`` loop — the driver never touches point data, only the
+    accepted counts.
+
+    Each reader scans the pruned (user_id, ts, value) columns, filters to
+    the series whose hash owns its actor, sorts ITS slice by
+    ``order_cols`` (the arrival order), and appends batches directly to
+    the actor.  Per-series arrival order is the only thing the watermark
+    semantics depend on, and a series lives wholly in one slice, so a
+    per-slice sort reproduces the global arrival order exactly — no
+    cross-reader coordination.  The price is n_actors× read fan-out of
+    three pruned columns (embarrassingly parallel; at scale each reader
+    would take the row groups of its own bucketed files instead).
+
+    Actor tasks from one submitter run in submission order, so the
+    sequential ``append_batch`` stream per actor stays in-order.
+    """
+    import ray
+
+    @ray.remote
+    def slice_reader(actor, part: int, n: int) -> int:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path, columns=["user_id", "ts", "value"])
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        uu, codes = np.unique(uid, return_inverse=True)
+        owner = np.array([_hash_key(str(u)) % n for u in uu])
+        mask = owner[codes] == part
+        if not mask.any():
+            return 0
+        uid = uid[mask]
+        ts_ms = (tbl.column("ts").cast(pa.int64())
+                 .to_numpy(zero_copy_only=False)[mask] // 1000)
+        val = tbl.column("value").to_numpy(zero_copy_only=False)[mask]
+        arrays = {"ts_ms": ts_ms, "value": val}
+        order = np.lexsort(tuple(arrays[c]
+                                 for c in reversed(list(order_cols))))
+        uid, ts_ms = uid[order], ts_ms[order]
+        bits = val[order].view(np.uint64)
+        keys = uid.astype(str).tolist()
+        futs = []
+        for i in range(0, len(keys), batch_rows):
+            j = min(i + batch_rows, len(keys))
+            futs.append(actor.append_batch.remote(
+                keys[i:j], [metric] * (j - i), ts_ms[i:j], bits[i:j]))
+        return int(sum(ray.get(futs)))
+
+    return int(sum(ray.get([
+        slice_reader.remote(a, i, router.n)
+        for i, a in enumerate(router.actors)])))
+
+
 class StreamingRouter:
     """Driver-side facade: hash-routes point batches to a fixed actor pool.
 
