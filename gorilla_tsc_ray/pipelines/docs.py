@@ -314,8 +314,91 @@ def _common_rank(ds, *, text_col: str = "text", charset: bool = False,
     return {e: i for i, e in enumerate(top.index)}
 
 
+def _prefix_candidates(rows, *, bucket_cols, threshold: float,
+                       hot_bucket: int | None = None,
+                       n_groups: int = 8):
+    """Candidate id pairs from prefix rows: ONE (bucket)-hash exchange with
+    the in-loop PPJoin filters — plus, behind the opt-in ``hot_bucket``
+    trigger, 2D triangle blocking for buckets whose row count exceeds the
+    cap (VERDICT r3 #9 / CLAUDE r4 #1).
+
+    With ``hot_bucket`` set, an exact count pre-pass finds hot buckets
+    (only buckets OVER the cap reach the driver — a bounded set by
+    construction), hot rows triangle-expand so the exchange spreads one
+    bucket's n²/2 pairs over g(g+1)/2 cells/tasks, and cold rows take the
+    normal route.  Hot-cell enumeration skips the PPJoin positional filter
+    (a superset — the exact verify downstream keeps only true pairs), so
+    the union is exactly the un-truncated flat enumeration (test-pinned).
+    Default ``None`` = off: zero overhead, and the count pre-pass over
+    near-unique shingle tokens would otherwise double the dominant
+    shuffle — enable it for workloads with known hot keys."""
+    flat = hash_exchange(
+        rows, key_fn=_pair_hash_key(bucket_cols), n_parts=N_DOC_PARTS,
+        kernel=dd.candidate_pairs_partition, fmt="pandas",
+        kernel_kwargs={"bucket_cols": bucket_cols,
+                       "jaccard_threshold": threshold})
+    if hot_bucket is None:
+        return flat
+
+    import pyarrow as pa
+    import ray
+
+    def cnt_partial(tbl):
+        out = tbl.group_by(bucket_cols).aggregate([("doc_id", "count")])
+        return out.rename_columns(list(bucket_cols) + ["n"])
+
+    def cnt_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(list(bucket_cols), sort=False)["n"].sum()
+        out = out[out > hot_bucket].reset_index()
+        return out
+
+    hot = hash_exchange(
+        rows.map_batches(cnt_partial, batch_format="pyarrow"),
+        key_fn=_pair_hash_key(bucket_cols), n_parts=N_DOC_PARTS,
+        kernel=cnt_merge, fmt="pandas").to_pandas()
+    if len(hot) == 0:
+        return flat
+
+    hot_keys = set(map(tuple, hot[list(bucket_cols)].itertuples(
+        index=False, name=None)))
+    ref = ray.put(hot_keys)
+
+    def split_mask(tbl):
+        keys = ray.get(ref)
+        cols = [tbl.column(c).to_numpy(zero_copy_only=False)
+                for c in bucket_cols]
+        mask = np.fromiter(
+            (t in keys for t in zip(*cols)), dtype=bool, count=len(cols[0]))
+        return mask
+
+    def cold_rows(tbl):
+        return tbl.filter(pa.array(~split_mask(tbl)))
+
+    def hot_rows(tbl):
+        sub = tbl.filter(pa.array(split_mask(tbl)))
+        if sub.num_rows == 0:
+            return dd.triangle_expand(sub, id_col="doc_id",
+                                      n_groups=n_groups)
+        return dd.triangle_expand(sub, id_col="doc_id", n_groups=n_groups)
+
+    cold = hash_exchange(
+        rows.map_batches(cold_rows, batch_format="pyarrow"),
+        key_fn=_pair_hash_key(bucket_cols), n_parts=N_DOC_PARTS,
+        kernel=dd.candidate_pairs_partition, fmt="pandas",
+        kernel_kwargs={"bucket_cols": bucket_cols,
+                       "jaccard_threshold": threshold})
+    tri_cols = list(bucket_cols) + ["ci", "cj"]
+    hot_cands = hash_exchange(
+        rows.map_batches(hot_rows, batch_format="pyarrow"),
+        key_fn=_pair_hash_key(tri_cols), n_parts=N_DOC_PARTS,
+        kernel=dd.triangle_pairs_partition, fmt="pandas",
+        kernel_kwargs={"bucket_cols": bucket_cols, "id_col": "doc_id",
+                       "n_groups": n_groups})
+    return cold.union(hot_cands)
+
+
 def _prefix_filtered_pairs(sf_dir: str, *, threshold: float, charset: bool,
-                           sim_col: str):
+                           sim_col: str, hot_bucket: int | None = None):
     """Exact set-similarity join: prefix-token blocking (100% recall at the
     threshold — outputs equal the all-pairs SQL oracle) + exact verify via
     the id-keyed payload exchanges.
@@ -332,11 +415,8 @@ def _prefix_filtered_pairs(sf_dir: str, *, threshold: float, charset: bool,
                    "block_col": "lang"}).materialize()
     rows = sets.map_batches(dd.prefix_token_rows, batch_format="pyarrow",
                             fn_kwargs={"threshold": threshold})
-    cands = hash_exchange(
-        rows, key_fn=_pair_hash_key(["block", "tok"]), n_parts=N_DOC_PARTS,
-        kernel=dd.candidate_pairs_partition, fmt="pandas",
-        kernel_kwargs={"bucket_cols": ["block", "tok"],
-                       "jaccard_threshold": threshold})
+    cands = _prefix_candidates(rows, bucket_cols=["block", "tok"],
+                               threshold=threshold, hot_bucket=hot_bucket)
     return _verify_id_pairs(
         cands, sets.select_columns(["doc_id", "elems"]),
         payload_id="doc_id", payload_col="elems", attach_out="elems_a",
@@ -344,15 +424,18 @@ def _prefix_filtered_pairs(sf_dir: str, *, threshold: float, charset: bool,
         verify_kwargs={"threshold": threshold, "sim_col": sim_col})
 
 
-def charset_jaccard(sf_dir: str, threshold: float = 0.8):
+def charset_jaccard(sf_dir: str, threshold: float = 0.8,
+                    hot_bucket: int | None = None):
     """Exact char-set Jaccard pairs — semantics of DuckDB ``jaccard()``
     within language blocks (oracle-checked), computed with the prefix
     filter join (scale-safe; no lang-wide all-pairs)."""
     return _prefix_filtered_pairs(sf_dir, threshold=threshold, charset=True,
-                                  sim_col="jaccard_sim")
+                                  sim_col="jaccard_sim",
+                                  hot_bucket=hot_bucket)
 
 
-def ngram_jaccard(sf_dir: str, threshold: float = 0.5, k: int = 3):
+def ngram_jaccard(sf_dir: str, threshold: float = 0.5, k: int = 3,
+                  hot_bucket: int | None = None):
     """Exact word-k-gram (shingle) set-Jaccard join — DETERMINISTIC 100%
     recall via the AllPairs/PPJoin prefix filter over hash-sorted shingle
     sets (no LSH probability argument, unlike :func:`minhash_pairs` which
@@ -365,11 +448,8 @@ def ngram_jaccard(sf_dir: str, threshold: float = 0.5, k: int = 3):
                           fn_kwargs={"k": k}).materialize()
     rows = sets.map_batches(dd.prefix_token_rows, batch_format="pyarrow",
                             fn_kwargs={"threshold": threshold})
-    cands = hash_exchange(
-        rows, key_fn=_pair_hash_key(["tok"]), n_parts=N_DOC_PARTS,
-        kernel=dd.candidate_pairs_partition, fmt="pandas",
-        kernel_kwargs={"bucket_cols": ["tok"],
-                       "jaccard_threshold": threshold})
+    cands = _prefix_candidates(rows, bucket_cols=["tok"],
+                               threshold=threshold, hot_bucket=hot_bucket)
     return _verify_id_pairs(
         cands, sets.select_columns(["doc_id", "elems"]),
         payload_id="doc_id", payload_col="elems", attach_out="elems_a",
@@ -377,12 +457,14 @@ def ngram_jaccard(sf_dir: str, threshold: float = 0.5, k: int = 3):
         verify_kwargs={"threshold": threshold, "sim_col": "ngram_jaccard"})
 
 
-def token_jaccard(sf_dir: str, threshold: float = 0.5):
+def token_jaccard(sf_dir: str, threshold: float = 0.5,
+                  hot_bucket: int | None = None):
     """Exact token-set Jaccard pairs (the n-gram Jaccard operator with
     n=1; oracle-checked via DuckDB list functions), computed with the
     prefix filter join."""
     return _prefix_filtered_pairs(sf_dir, threshold=threshold, charset=False,
-                                  sim_col="token_jaccard")
+                                  sim_col="token_jaccard",
+                                  hot_bucket=hot_bucket)
 
 
 # ---------- similarity search ----------
