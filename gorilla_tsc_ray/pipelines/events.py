@@ -1020,15 +1020,48 @@ def asof_last_match(sf_dir: str, match_type: str = "purchase",
         n_parts=P, kernel=fill_kernel, fmt="pandas")
 
 
-def user_quantiles(sf_dir: str, qs=(0.5, 0.95, 0.99)):
+# Heavy-key auto-route (VERDICT r3 #9 / CLAUDE r4 #7): the exact quantile
+# kernel holds one partition's RAW values in one reduce task — its
+# documented partitioning assumption.  When the estimated rows-per-
+# partition exceeds this bound, the query auto-flips to its bounded-state
+# KLL sketch sibling (exact below capacity; compaction rank error gated in
+# tests/test_sketch.py).  5M rows ≈ 120 MB of (user, ts, value) per reduce
+# task — comfortable worker-heap territory with headroom for skew.
+HEAVY_PARTITION_ROWS = 5_000_000
+
+
+def _est_rows(sf_dir: str) -> int:
+    """Row-count estimate from parquet metadata (no scan); 0 when the
+    input is csv/jsonl (the exact route then keeps its assumption)."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.ParquetFile(
+            f"{sf_dir.rstrip('/')}/events.parquet").metadata.num_rows
+    except Exception:
+        return 0
+
+
+def user_quantiles(sf_dir: str, qs=(0.5, 0.95, 0.99),
+                   heavy_partition_rows: int | None = None):
     """Exact per-user value quantiles (p50/p95/p99) — the windowed
     percentile operator monitoring stacks expect.  Partition-level
     vectorized: sort (user, value) once per partition, then every user's
     quantiles come from index arithmetic over run bounds (numpy's switched
     lerp replicated exactly → bit-matches DuckDB ``quantile_cont`` after
-    6-decimal rounding)."""
+    6-decimal rounding).
+
+    AUTO-ROUTES to :func:`user_quantiles_sketch` when the estimated
+    rows-per-partition exceeds ``HEAVY_PARTITION_ROWS`` — beyond that the
+    exact kernel's one-partition-per-task assumption breaks, and the KLL
+    sibling's exchange carries ≤ k·log(n/k) weighted rows per (user,
+    block) instead of every raw value."""
     from ..stages.rollup import quantiles_by_key
 
+    limit = (HEAVY_PARTITION_ROWS if heavy_partition_rows is None
+             else heavy_partition_rows)
+    if _est_rows(sf_dir) > limit * _n_parts(sf_dir):
+        return user_quantiles_sketch(sf_dir, qs=qs)
     ds = _read_points(sf_dir)
     return hash_exchange(
         ds, key_fn=_user_key_fn(_n_parts(sf_dir)),

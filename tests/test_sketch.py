@@ -185,3 +185,18 @@ def test_sketch_property_random():
                 # with ties the estimate covers a rank RANGE [lo, hi)
                 dist_to_q = max(lo - q, q - hi, 0.0)
                 assert dist_to_q < tol, (trial, u, col, lo, hi, q, tol)
+
+
+def test_user_quantiles_heavy_key_auto_route(ray_session):
+    """Forcing the heavy-partition threshold to 0 must flip user_quantiles
+    to the KLL sketch sibling, and at this scale (every user below sketch
+    capacity -> exact) the flipped output equals the exact kernel's."""
+    from gorilla_tsc_ray.pipelines import events as ev
+
+    sf = "/root/testdata/sf0.001"
+    exact = (ev.user_quantiles(sf).to_pandas()
+             .sort_values("user_id").reset_index(drop=True))
+    routed = (ev.user_quantiles(sf, heavy_partition_rows=0).to_pandas()
+              .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(exact, routed[exact.columns],
+                                  check_exact=False, atol=1e-9)
