@@ -139,10 +139,10 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
         batch_format="pandas").to_pandas().sum()
     bytes_per_point = float(bstats["payload_bytes"]) / max(1, int(bstats["n_points"]))
     # decode the store back (query path)
-    from gorilla_tsc_ray.stages.series import decode_blocks_batch
+    from gorilla_tsc_ray.stages.series import decode_blocks_batch_arrow
     timed("transcripts_decode_blocks",
           lambda: blocks.map_batches(
-              decode_blocks_batch, batch_format="pandas",
+              decode_blocks_batch_arrow, batch_format="pyarrow",
               fn_kwargs={"key_cols": ["conv_id", "metric"]}).count())
     # events codec round-trip (driver tables path)
     timed("events_roundtrip", lambda: ev.points_roundtrip(sf_dir).count())

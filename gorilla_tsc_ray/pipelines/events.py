@@ -23,7 +23,8 @@ from ..stages.rollup import (HOUR_MS, TIER_MS, cascade_dataset,
                              gapfill_partition, partial_rollup,
                              reaggregate_partials, rollup_dataset)
 from ..stages.rollup import finalize_by_partition
-from ..stages.series import DAY_MS, decode_blocks_batch, encode_partition
+from ..stages.series import (DAY_MS, decode_blocks_batch,
+                             decode_blocks_batch_arrow, encode_partition)
 from ..util import hash_partition_ids
 
 EVENT_COLS = ["user_id", "ts", "value"]
@@ -137,7 +138,7 @@ def points_roundtrip_dfcm(sf_dir: str):
                                   codec="gorilla2_dfcm",
                                   n_parts=_n_parts(sf_dir))
     return blocks.map_batches(
-        decode_blocks_batch, batch_format="pandas",
+        decode_blocks_batch_arrow, batch_format="pyarrow",
         fn_kwargs={"key_cols": ["user_id"]},
     ).select_columns(["user_id", "ts_ms", "value"])
 
@@ -159,7 +160,7 @@ def points_roundtrip_v1(sf_dir: str):
                                   codec="gorilla1",
                                   n_parts=_n_parts(sf_dir))
     return blocks.map_batches(
-        decode_blocks_batch, batch_format="pandas",
+        decode_blocks_batch_arrow, batch_format="pyarrow",
         fn_kwargs={"key_cols": ["user_id"]},
     ).select_columns(["user_id", "ts_ms", "value"])
 
@@ -180,7 +181,7 @@ def points_roundtrip(sf_dir: str):
                                                  batch_format="pyarrow"),
                                   n_parts=_n_parts(sf_dir))
     points = blocks.map_batches(
-        decode_blocks_batch, batch_format="pandas",
+        decode_blocks_batch_arrow, batch_format="pyarrow",
         fn_kwargs={"key_cols": ["user_id"]},
     )
     return points.select_columns(["user_id", "ts_ms", "value"])
@@ -220,7 +221,7 @@ def points_roundtrip_long(sf_dir: str):
     blocks = hash_exchange(ds.map_batches(to_cents, batch_format="pyarrow"),
                            key_fn=key_fn, n_parts=P, kernel=enc,
                            fmt="pandas")
-    pts = blocks.map_batches(decode_blocks_batch, batch_format="pandas",
+    pts = blocks.map_batches(decode_blocks_batch_arrow, batch_format="pyarrow",
                              fn_kwargs={"key_cols": ["user_id"]})
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:

@@ -32,7 +32,8 @@ import pandas as pd
 from ..context import tune_context
 from ..sources.transcripts import transcripts_dir
 from ..stages.rollup import TIER_MS, gapfill_partition
-from ..stages.series import DAY_MS, decode_blocks_batch, encode_partition
+from ..stages.series import (DAY_MS, decode_blocks_batch,
+                             decode_blocks_batch_arrow, encode_partition)
 from ..util import round_half_away
 
 TRANSCRIPT_KEYS = ["conv_id", "metric"]
@@ -424,7 +425,7 @@ def blocks_roundtrip(sf_dir: str, metric: str = "text_len"):
     """Block store decoded back to points — must equal the metric stream."""
     blocks = gorilla_blocks(sf_dir, metric)
     return blocks.map_batches(
-        decode_blocks_batch, batch_format="pandas",
+        decode_blocks_batch_arrow, batch_format="pyarrow",
         fn_kwargs={"key_cols": ["conv_id", "metric"]},
     ).select_columns(["conv_id", "metric", "ts_ms", "value"])
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import pandas as pd
 
 from ..context import tune_context
-from ..stages.series import DAY_MS, decode_blocks_batch
+from ..stages.series import DAY_MS, decode_blocks_batch_arrow
 
 
 def scan_points(blocks_root: str, *, t_lo: int | None = None,
@@ -44,7 +44,7 @@ def scan_points(blocks_root: str, *, t_lo: int | None = None,
         flt = _and(flt, pads.field("metric") == metric)
 
     ds = ray.data.read_parquet(blocks_root, filter=flt)
-    pts = ds.map_batches(decode_blocks_batch, batch_format="pandas",
+    pts = ds.map_batches(decode_blocks_batch_arrow, batch_format="pyarrow",
                          fn_kwargs={"key_cols": list(key_cols)})
 
     if t_lo is None and t_hi is None:

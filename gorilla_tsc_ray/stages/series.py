@@ -282,6 +282,98 @@ def decode_blocks_batch(df: pd.DataFrame, *, key_cols: list[str],
     return pd.DataFrame(out)
 
 
+def decode_blocks_batch_arrow(tbl, *, key_cols: list[str],
+                              ts_out: str = "ts_ms", value_out: str = "value"):
+    """Arrow-in/Arrow-out twin of :func:`decode_blocks_batch` (pinned equal
+    by ``tests/test_series_arrow.py``): the block batch arrives zero-copy
+    from the object store and the payload bytes are consumed straight from
+    the Arrow binary buffer.
+
+    Why this exists: with ``batch_format="pandas"`` every binary payload is
+    materialized as a Python ``bytes`` object and re-joined with
+    ``b"".join`` before the native batch decode.  Arrow binary arrays
+    already store row values CONTIGUOUSLY in one data buffer, so when every
+    row takes the native fast path the concatenated word stream is a
+    zero-copy slice of that buffer — no per-row bytes objects, no join.
+    Mixed-codec batches gather only the fast rows' byte ranges with one
+    vectorized fancy-index."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n_rows = tbl.num_rows
+    if n_rows == 0:
+        cols = {c: tbl.column(c) for c in key_cols}
+        cols[ts_out] = pa.array([], type=pa.int64())
+        cols[value_out] = pa.array([], type=pa.float64())
+        return pa.table(cols)
+
+    names = tbl.schema.names
+    codecs = (tbl.column("codec").to_numpy(zero_copy_only=False)
+              if "codec" in names else np.full(n_rows, "gorilla2", dtype=object))
+    kinds = (tbl.column("value_kind").to_numpy(zero_copy_only=False)
+             if "value_kind" in names else np.full(n_rows, "double", dtype=object))
+    n_points = tbl.column("n_points").to_numpy().astype(np.int64)
+
+    pay = tbl.column("payload").combine_chunks()
+    if isinstance(pay, pa.ChunkedArray):
+        pay = pay.chunk(0)
+    off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+    offsets = np.frombuffer(pay.buffers()[1], dtype=off_dtype)[
+        pay.offset: pay.offset + n_rows + 1].astype(np.int64)
+    data = np.frombuffer(pay.buffers()[2], dtype=np.uint8)
+
+    fast = ((codecs == "gorilla2") & (kinds == "double")
+            if native.AVAILABLE else np.zeros(n_rows, dtype=bool))
+
+    parts_ts: list[np.ndarray] = []
+    parts_v: list[np.ndarray] = []
+    parts_rep: list[np.ndarray] = []
+
+    if fast.any():
+        idx = np.flatnonzero(fast)
+        starts = offsets[idx]
+        lens = offsets[idx + 1] - starts
+        if len(idx) == n_rows:
+            # all rows fast: the word stream IS the data buffer (binary
+            # values are stored back-to-back) — zero-copy slice
+            blob = data[offsets[0]:offsets[-1]]
+        else:
+            cl = np.concatenate(([0], np.cumsum(lens)))
+            blob = data[np.arange(cl[-1]) + np.repeat(starts - cl[:-1], lens)]
+        try:
+            words = blob.view(">u8").astype(np.uint64)
+        except ValueError:  # unaligned slice start — one copy, still no
+            words = np.frombuffer(blob.tobytes(), dtype=">u8").astype(np.uint64)
+        w_off = np.concatenate(([0], np.cumsum(lens // 8)))
+        ts, vb, _ = native.decode_batch_v2(words, w_off, n_points[idx])
+        parts_ts.append(ts)
+        parts_v.append(vb.view(np.float64))
+        parts_rep.append(np.repeat(idx, n_points[idx]))
+
+    for i in np.flatnonzero(~fast):
+        payload = data[offsets[i]:offsets[i + 1]].tobytes()
+        n = int(n_points[i])
+        words = payload_to_words(payload)
+        if codecs[i] == "gorilla1":
+            ts, vb = decode_series_v1(words, n)
+        elif codecs[i] == "gorilla2_dfcm":
+            ts, vb = decode_series_dfcm(words, n)
+        else:
+            ts, vb = decode_series(words, n_points=n)
+        parts_ts.append(ts)
+        if kinds[i] == "double":
+            parts_v.append(vb.view(np.float64))
+        else:
+            parts_v.append(vb.view(np.int64).astype(np.float64))
+        parts_rep.append(np.full(len(ts), i, dtype=np.int64))
+
+    rep = pa.array(np.concatenate(parts_rep))
+    cols = {c: pc.take(tbl.column(c), rep) for c in key_cols}
+    cols[ts_out] = pa.array(np.concatenate(parts_ts))
+    cols[value_out] = pa.array(np.concatenate(parts_v))
+    return pa.table(cols)
+
+
 def compressed_stats(block_df: pd.DataFrame) -> pd.DataFrame:
     """Per-batch compression metrics: bytes of payload and point counts
     (drives the bytes/point benchmark figure)."""

@@ -1,0 +1,89 @@
+"""decode_blocks_batch_arrow must be pinned equal to the pandas twin.
+
+The Arrow path consumes payload bytes straight from the Arrow binary
+buffer (zero-copy slice when every row takes the native fast path); any
+divergence from the row-wise pandas kernel is a correctness bug, not a
+perf trade.  Covers: all three codecs, mixed-codec batches, long values,
+sliced tables (non-zero Arrow offset), empty batches.
+"""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from gorilla_tsc_ray.stages.series import (decode_blocks_batch,
+                                           decode_blocks_batch_arrow,
+                                           encode_partition)
+
+
+def _points(n=50_000, seed=7, int_values=False):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n).astype(np.int64),
+        "ts_ms": np.sort(rng.integers(0, 86_400_000 * 3, n)).astype(np.int64),
+        "value": (rng.integers(-1000, 1000, n).astype(np.int64)
+                  if int_values else rng.normal(size=n)),
+    })
+    df["block_start"] = (df["ts_ms"] // 86_400_000) * 86_400_000
+    return df
+
+
+def _assert_equal(blocks: pd.DataFrame, tbl: pa.Table = None):
+    out_pd = decode_blocks_batch(blocks, key_cols=["user_id"])
+    if tbl is None:
+        tbl = pa.Table.from_pandas(blocks, preserve_index=False)
+    out_ar = decode_blocks_batch_arrow(tbl, key_cols=["user_id"]).to_pandas()
+    for o in (out_pd, out_ar):
+        o.sort_values(["user_id", "ts_ms", "value"], inplace=True,
+                      kind="stable")
+        o.reset_index(drop=True, inplace=True)
+    pd.testing.assert_frame_equal(out_pd, out_ar)
+    return out_ar
+
+
+@pytest.mark.parametrize("codec", ["gorilla2", "gorilla1", "gorilla2_dfcm"])
+def test_arrow_decode_matches_pandas(codec):
+    blocks = encode_partition(_points(), key_cols=["user_id"], codec=codec,
+                              metric_col=None)
+    out = _assert_equal(blocks)
+    assert len(out) == 50_000
+
+
+def test_arrow_decode_mixed_codec_batch():
+    df = _points()
+    b1 = encode_partition(df.iloc[:20_000], key_cols=["user_id"],
+                          codec="gorilla2", metric_col=None)
+    b2 = encode_partition(df.iloc[20_000:], key_cols=["user_id"],
+                          codec="gorilla1", metric_col=None)
+    mix = (pd.concat([b1, b2]).sample(frac=1, random_state=3)
+           .reset_index(drop=True))
+    out = _assert_equal(mix)
+    assert len(out) == 50_000
+
+
+def test_arrow_decode_long_values():
+    blocks = encode_partition(_points(int_values=True), key_cols=["user_id"],
+                              metric_col=None, value_kind="long")
+    _assert_equal(blocks)
+
+
+def test_arrow_decode_sliced_table():
+    df = _points()
+    b1 = encode_partition(df.iloc[:20_000], key_cols=["user_id"],
+                          codec="gorilla2", metric_col=None)
+    b2 = encode_partition(df.iloc[20_000:], key_cols=["user_id"],
+                          codec="gorilla1", metric_col=None)
+    mix = (pd.concat([b1, b2]).sample(frac=1, random_state=3)
+           .reset_index(drop=True))
+    # non-zero Arrow offset: the offsets/data buffer bookkeeping must hold
+    sl = pa.Table.from_pandas(mix, preserve_index=False).slice(5, 40)
+    _assert_equal(mix.iloc[5:45].reset_index(drop=True), tbl=sl)
+
+
+def test_arrow_decode_empty():
+    blocks = encode_partition(_points(), key_cols=["user_id"],
+                              metric_col=None)
+    tbl = pa.Table.from_pandas(blocks, preserve_index=False).slice(0, 0)
+    out = decode_blocks_batch_arrow(tbl, key_cols=["user_id"])
+    assert out.num_rows == 0
+    assert out.schema.names == ["user_id", "ts_ms", "value"]
