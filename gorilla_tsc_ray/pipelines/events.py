@@ -21,7 +21,8 @@ from ..context import tune_context
 from ..stages.exchange import hash_exchange, hash_exchange_multi
 from ..stages.rollup import (HOUR_MS, TIER_MS, cascade_dataset,
                              gapfill_partition, partial_rollup,
-                             reaggregate_partials, rollup_dataset)
+                             partial_rollup_arrow, reaggregate_partials,
+                             reaggregate_partials_arrow, rollup_dataset)
 from ..stages.rollup import finalize_by_partition
 from ..stages.series import (DAY_MS, decode_blocks_batch,
                              decode_blocks_batch_arrow, encode_partition)
@@ -327,24 +328,27 @@ def rollup_hopping(sf_dir: str, window_ms: int = HOUR_MS,
     P = _n_parts(sf_dir)
 
     panes = ds.map_batches(
-        partial_rollup,
+        partial_rollup_arrow,
         fn_kwargs={"key_cols": ["user_id"], "bucket_ms": hop_ms},
-        batch_format="pandas")
+        batch_format="pyarrow")
 
-    def expand(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df
-        rep = df.loc[df.index.repeat(k)].reset_index(drop=True)
-        rep["bucket_ms"] = (rep["bucket_ms"].to_numpy()
-                            - np.tile(np.arange(k, dtype=np.int64) * hop_ms,
-                                      len(df)))
+    def expand(t):
+        import pyarrow as pa
+        if t.num_rows == 0:
+            return t
+        n = t.num_rows
+        rep = t.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), k)))
+        shift = np.tile(np.arange(k, dtype=np.int64) * hop_ms, n)
+        nb = pa.array(rep.column("bucket_ms").to_numpy() - shift)
+        rep = rep.set_column(rep.schema.get_field_index("bucket_ms"),
+                             "bucket_ms", nb)
         # window starts are hop-aligned, so re-bucketing at hop_ms is the
         # identity — this call only merges same-(user, window) pane rows
         # within the batch before the shuffle
-        return reaggregate_partials(rep, key_cols=["user_id"],
-                                    bucket_ms=hop_ms)
+        return reaggregate_partials_arrow(rep, key_cols=["user_id"],
+                                          bucket_ms=hop_ms)
 
-    expanded = panes.map_batches(expand, batch_format="pandas")
+    expanded = panes.map_batches(expand, batch_format="pyarrow")
     final = finalize_by_partition(expanded, key_cols=["user_id"], n_parts=P)
     return _finalize_rollup(final).select_columns(
         ["user_id", "bucket_ms", "sum_v", "cnt", "min_v", "max_v", "last_v"])
@@ -2234,9 +2238,9 @@ def rollup_multi_tier(sf_dir: str):
     ds = _read_points(sf_dir)
     P = _n_parts(sf_dir)
     partials = ds.map_batches(
-        partial_rollup,
+        partial_rollup_arrow,
         fn_kwargs={"key_cols": ["user_id"], "bucket_ms": TIER_MS["1m"]},
-        batch_format="pandas").materialize()
+        batch_format="pyarrow").materialize()
 
     outs = []
     for tier in ("1m", "1h", "1d"):

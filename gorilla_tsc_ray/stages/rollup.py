@@ -53,6 +53,62 @@ def partial_rollup(df: pd.DataFrame, *, key_cols: list[str], bucket_ms: int,
     return out.reset_index()
 
 
+_PARTIAL_RENAME = {"v_sum": "sum_v", "v_count": "cnt", "v_min": "min_v",
+                   "v_max": "max_v", "ts_last": "last_ts", "v_last": "last_v"}
+
+
+def partial_rollup_arrow(tbl, *, key_cols: list[str], bucket_ms: int,
+                         ts_col: str = "ts_ms", value_col: str = "value"):
+    """Arrow-in/Arrow-out twin of :func:`partial_rollup` (pinned equal by
+    ``tests/test_rollup_arrow.py``): one ``Table.group_by`` C kernel per
+    batch instead of a pandas groupby over object-dtype keys.  ``last``
+    semantics match the pandas kernel because Arrow's ``sort_by`` is
+    stable and ``use_threads=False`` keeps hash-aggregate scan order."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        cols = {c: tbl.column(c) for c in key_cols}
+        cols["bucket_ms"] = pa.array([], pa.int64())
+        for c, t in (("sum_v", pa.float64()), ("cnt", pa.int64()),
+                     ("min_v", pa.float64()), ("max_v", pa.float64()),
+                     ("last_ts", pa.int64()), ("last_v", pa.float64())):
+            cols[c] = pa.array([], t)
+        return pa.table(cols)
+    work = pa.table({**{c: tbl.column(c) for c in key_cols},
+                     "ts": tbl.column(ts_col), "v": tbl.column(value_col)})
+    work = work.sort_by("ts")
+    bucket = pc.multiply(pc.divide(work.column("ts"), bucket_ms), bucket_ms)
+    work = work.append_column("bucket_ms", bucket)
+    agg = work.group_by(key_cols + ["bucket_ms"], use_threads=False).aggregate(
+        [("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max"),
+         ("ts", "last"), ("v", "last")])
+    agg = agg.rename_columns([_PARTIAL_RENAME.get(c, c)
+                              for c in agg.schema.names])
+    return agg.select(key_cols + ["bucket_ms"] + PARTIAL_COLS)
+
+
+def reaggregate_partials_arrow(tbl, *, key_cols: list[str], bucket_ms: int):
+    """Arrow twin of :func:`reaggregate_partials` (pinned equal by test)."""
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return tbl
+    bucket = pc.multiply(pc.divide(tbl.column("bucket_ms"), bucket_ms),
+                         bucket_ms)
+    tbl = tbl.set_column(tbl.schema.get_field_index("bucket_ms"),
+                         "bucket_ms", bucket)
+    tbl = tbl.sort_by("last_ts")
+    agg = tbl.group_by(key_cols + ["bucket_ms"], use_threads=False).aggregate(
+        [("sum_v", "sum"), ("cnt", "sum"), ("min_v", "min"),
+         ("max_v", "max"), ("last_ts", "last"), ("last_v", "last")])
+    ren = {"sum_v_sum": "sum_v", "cnt_sum": "cnt", "min_v_min": "min_v",
+           "max_v_max": "max_v", "last_ts_last": "last_ts",
+           "last_v_last": "last_v"}
+    agg = agg.rename_columns([ren.get(c, c) for c in agg.schema.names])
+    return agg.select(key_cols + ["bucket_ms"] + PARTIAL_COLS)
+
+
 def merge_partials(df: pd.DataFrame) -> pd.DataFrame:
     """Final merge of partial rows for ONE (key, bucket) group."""
     i_last = int(np.argmax(df["last_ts"].to_numpy()))
@@ -142,10 +198,10 @@ def rollup_dataset(points_ds, *, key_cols: list[str], tier: str,
     """
     bucket_ms = TIER_MS[tier]
     partial = points_ds.map_batches(
-        partial_rollup,
+        partial_rollup_arrow,
         fn_kwargs={"key_cols": key_cols, "bucket_ms": bucket_ms,
                    "ts_col": ts_col, "value_col": value_col},
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
     return finalize_by_partition(partial, key_cols=key_cols, n_parts=n_parts)
 
@@ -155,9 +211,9 @@ def cascade_dataset(finer_rollup_ds, *, key_cols: list[str], tier: str,
     """1m rollup Dataset → coarser tier via partial+final re-aggregation."""
     bucket_ms = TIER_MS[tier]
     partial = finer_rollup_ds.map_batches(
-        reaggregate_partials,
+        reaggregate_partials_arrow,
         fn_kwargs={"key_cols": key_cols, "bucket_ms": bucket_ms},
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
     return finalize_by_partition(partial, key_cols=key_cols, n_parts=n_parts)
 
