@@ -31,18 +31,18 @@ def _read(sf_dir: str, table: str, columns=None):
 
 def token_stats(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        tx.token_stats, batch_format="pandas")
+        tx.token_stats_arrow, batch_format="pyarrow")
 
 
 def quality(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        tx.quality_scores, batch_format="pandas")
+        tx.quality_scores_arrow, batch_format="pyarrow")
 
 
 def lang_id(sf_dir: str):
     """Actor-pool stage (compiled regexes once per actor)."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        tx.LangId, batch_format="pandas", concurrency=2, num_cpus=0.5)
+        tx.LangIdArrow, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
 
 
 def fingerprints(sf_dir: str):
@@ -814,10 +814,12 @@ def top_quality_per_lang(sf_dir: str, k: int = 10):
     chunk-streams)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        q = tx.quality_scores(df)
-        return pd.DataFrame({"doc_id": q["doc_id"], "lang": df["lang"],
-                             "alpha_ratio": q["alpha_ratio"]})
+    def score(t):
+        import pyarrow as pa
+        q = tx.quality_scores_arrow(t)
+        return pa.table({"doc_id": q.column("doc_id"),
+                         "lang": t.column("lang"),
+                         "alpha_ratio": q.column("alpha_ratio")})
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["lang", "alpha_ratio", "doc_id"],
@@ -832,7 +834,7 @@ def top_quality_per_lang(sf_dir: str, k: int = 10):
                      ).astype(np.int64)
         return df[["lang", "doc_id", "alpha_ratio", "rnk"]]
 
-    partials = ds.map_batches(score, batch_format="pandas").map_batches(
+    partials = ds.map_batches(score, batch_format="pyarrow").map_batches(
         topk, batch_format="pandas")
     return hash_exchange(partials, key_fn=_pair_hash_key(["lang"]),
                          n_parts=N_DOC_PARTS, kernel=finalize, fmt="pandas")
@@ -1221,8 +1223,8 @@ def label_quality(sf_dir: str):
     ds_emb = _read(sf_dir, "embeddings", ["vec_id", "label"])
 
     scored = ds_docs.map_batches(
-        lambda df: tx.quality_scores(df)[["doc_id", "alpha_ratio"]],
-        batch_format="pandas")
+        lambda t: tx.quality_scores_arrow(t).select(["doc_id", "alpha_ratio"]),
+        batch_format="pyarrow")
 
     def kernel(q: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
         m = q.merge(e, left_on="doc_id", right_on="vec_id")

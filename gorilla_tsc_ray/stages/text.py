@@ -73,6 +73,121 @@ def quality_scores(df: pd.DataFrame, *, text_col: str = "text",
     })
 
 
+def _utf8_view(text_col):
+    """(data_u8, offsets_i64) zero-copy views of an Arrow string column:
+    ``data[offsets[i]:offsets[i+1]]`` is row i's UTF-8 bytes."""
+    import pyarrow as pa
+
+    arr = text_col.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    # normalize to offsets[0] == 0 so cumsum indexing is direct
+    data = data[offsets[0]:offsets[-1]]
+    offsets = offsets - offsets[0]
+    return data, offsets
+
+
+def _class_counts(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row count of True bytes: one cumsum + a gather at row bounds."""
+    cs = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
+def _run_counts(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row count of maximal True-byte runs (== regex ``[class]+`` match
+    count): a run starts where mask is True and the previous byte (within
+    the same row) is not."""
+    if len(mask) == 0:
+        return np.zeros(len(offsets) - 1, dtype=np.int64)
+    prev = np.empty_like(mask)
+    prev[0] = False
+    prev[1:] = mask[:-1]
+    prev[offsets[:-1][offsets[:-1] < len(mask)]] = False  # row boundaries
+    return _class_counts(mask & ~prev, offsets)
+
+
+def _is_alpha(b: np.ndarray) -> np.ndarray:
+    lo = b | np.uint8(0x20)
+    return (lo >= 97) & (lo <= 122)
+
+
+def _is_digit(b: np.ndarray) -> np.ndarray:
+    return (b >= 48) & (b <= 57)
+
+
+def _is_pyspace(b: np.ndarray) -> np.ndarray:
+    # Python re \s ASCII part: [ \t\n\r\f\v].  The synthetic corpus has no
+    # Unicode whitespace, where Python \s and RE2/DuckDB \s (ASCII-only)
+    # would diverge — the pinned-equality test is the tripwire.
+    return (b == 32) | ((b >= 9) & (b <= 13))
+
+
+def token_stats_arrow(tbl, *, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Arrow twin of :func:`token_stats` (pinned equal by
+    ``tests/test_text_arrow.py``): counts run over the zero-copy UTF-8
+    buffer with numpy byte-class kernels — no object-dtype strings, no
+    per-row regex engine.  Byte-level run counting of ASCII classes equals
+    codepoint-level counting because multibyte UTF-8 sequences never
+    contain ASCII bytes (every byte of them is >= 0x80).  Only the BPE
+    pretokenizer count still needs a real regex (RE2 C kernel).  The
+    patterns were chosen so Python re, RE2 and DuckDB agree (module
+    docstring), so the engine swap preserves the SQL-oracle contract."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = tbl.column(text_col)
+    data, offsets = _utf8_view(text)
+    word = _is_alpha(data) | _is_digit(data)
+    # codepoint length == count of non-continuation bytes
+    n_chars = _class_counts((data & np.uint8(0xC0)) != 0x80, offsets)
+    return pa.table({
+        id_col: tbl.column(id_col),
+        "n_tokens": pa.array(_run_counts(word, offsets)),
+        "n_ws_tokens": pa.array(_run_counts(~_is_pyspace(data), offsets)),
+        "n_bpe_tokens": pc.cast(pc.count_substring_regex(text, BPE_RE),
+                                pa.int64()),
+        "n_chars": pa.array(n_chars),
+    })
+
+
+def quality_scores_arrow(tbl, *, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """Arrow twin of :func:`quality_scores` (pinned equal by test) — all
+    six ratios from ONE pass of numpy byte-class kernels over the
+    zero-copy UTF-8 buffer (see :func:`token_stats_arrow` for why byte
+    classes are exact)."""
+    import pyarrow as pa
+
+    data, offsets = _utf8_view(tbl.column(text_col))
+    alpha = _is_alpha(data)
+    digit = _is_digit(data)
+    n = _class_counts((data & np.uint8(0xC0)) != 0x80, offsets).astype(
+        np.float64)
+    nz = np.maximum(n, 1.0)
+    n_alpha = _class_counts(alpha, offsets).astype(np.float64)
+    n_tok = _run_counts(alpha | digit, offsets).astype(np.float64)
+    punct = ((data == 46) | (data == 44) | (data == 59) | (data == 58)
+             | (data == 33) | (data == 63))  # [.,;:!?]
+    return pa.table({
+        id_col: tbl.column(id_col),
+        "n_chars": pa.array(n.astype(np.int64)),
+        "alpha_ratio": pa.array(round_half_away(n_alpha / nz, 6)),
+        "digit_ratio": pa.array(round_half_away(
+            _class_counts(digit, offsets) / nz, 6)),
+        "space_ratio": pa.array(round_half_away(
+            _class_counts(data == 32, offsets) / nz, 6)),
+        "punct_ratio": pa.array(round_half_away(
+            _class_counts(punct, offsets) / nz, 6)),
+        "mean_token_len": pa.array(round_half_away(
+            n_alpha / np.maximum(n_tok, 1.0), 6)),
+    })
+
+
 class LangId:
     """Actor-pool stage: compiled marker regexes once per actor, batch
     scoring in ``__call__``.  Deterministic argmax with alphabetical
@@ -103,6 +218,39 @@ class LangId:
             self.id_col: df[self.id_col].to_numpy(),
             "pred_lang": pred,
             "marker_hits": total.astype(np.int64),
+        })
+
+
+class LangIdArrow:
+    """Arrow twin of :class:`LangId` (pinned equal by test): marker counts
+    via RE2 ``count_substring_regex`` over the zero-copy string column.
+    Same actor-pool shape; the per-batch RE2 compile of the four tiny
+    marker patterns is noise next to the text scan they drive."""
+
+    def __init__(self, min_hits: int = 1, text_col: str = "text",
+                 id_col: str = "doc_id") -> None:
+        self.patterns = {lang: r"\b(?:" + "|".join(words) + r")\b"
+                         for lang, words in sorted(LANG_MARKERS.items())}
+        self.min_hits = min_hits
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        text = tbl.column(self.text_col)
+        langs = sorted(self.patterns)
+        mat = np.stack([pc.count_substring_regex(
+            text, self.patterns[lang]).to_numpy(zero_copy_only=False)
+            for lang in langs])  # (L, n)
+        best = np.argmax(mat, axis=0)  # first max = alphabetical tiebreak
+        total = mat.sum(axis=0)
+        pred = np.where(total >= self.min_hits, np.array(langs)[best], "und")
+        return pa.table({
+            self.id_col: tbl.column(self.id_col),
+            "pred_lang": pa.array(pred),
+            "marker_hits": pa.array(total.astype(np.int64)),
         })
 
 
