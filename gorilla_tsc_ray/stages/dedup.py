@@ -171,16 +171,26 @@ class MinHasher:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         sh, bounds = _doc_shingle_hashes(df[self.text_col])
-        starts = bounds[:-1]
         n = len(df)
-        # (n_shingles, num_perm) in perm chunks to bound the temp
+        # permute UNIQUE shingles only, and drop intra-doc duplicates:
+        # min over a multiset equals min over its support, so the output
+        # is bit-identical (pinned by test) while the splitmix work drops
+        # from (occurrences × perms) to (unique × perms) — measured ~10×
+        # fewer on the docs corpus — and the reduceat scans fewer rows.
+        uniq, codes = np.unique(sh, return_inverse=True)
+        doc_of = np.repeat(np.arange(n, dtype=np.uint64), np.diff(bounds))
+        key = np.unique((doc_of << np.uint64(32)) | codes.astype(np.uint64))
+        dcodes = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        dcounts = np.bincount((key >> np.uint64(32)).astype(np.int64),
+                              minlength=n)
+        dstarts = np.concatenate(([0], np.cumsum(dcounts)[:-1]))
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
         CH = 16
         for p0 in range(0, self.num_perm, CH):
             seeds = self.seeds[p0:p0 + CH]
-            vals = splitmix64(sh[:, None] ^ seeds[None, :])
-            sigs[:, p0:p0 + len(seeds)] = np.minimum.reduceat(vals, starts,
-                                                              axis=0)
+            vals_u = splitmix64(uniq[:, None] ^ seeds[None, :])
+            sigs[:, p0:p0 + len(seeds)] = np.minimum.reduceat(
+                vals_u[dcodes], dstarts, axis=0)
         # band hash = wrapping-uint64 polynomial over the band's rows
         bh = np.empty((n, self.bands), dtype=np.uint64)
         for b in range(self.bands):

@@ -178,3 +178,43 @@ def test_canonical_arrow_equals_pandas(seed):
     b = _sorted(canonical_turns_partition(part), key)
     pd.testing.assert_frame_equal(a, b[a.columns].reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_minhasher_unique_path_bit_identical():
+    """The signer permutes UNIQUE shingles and drops intra-doc duplicates
+    (min over a multiset == min over its support); the banded output must
+    be bit-identical to the straightforward occurrence-based signature."""
+    import numpy as np
+    import pandas as pd
+
+    from gorilla_tsc_ray.stages import dedup as dd
+
+    rng = np.random.default_rng(5)
+    vocab = ["tok%d" % i for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 60)))
+             for _ in range(200)] + ["", "one", "one two"]
+    df = pd.DataFrame({"doc_id": np.arange(203, dtype=np.int64),
+                       "text": texts})
+    mh = dd.MinHasher()
+    got = mh(df).reset_index(drop=True)
+
+    sh, bounds = dd._doc_shingle_hashes(df["text"])
+    n = len(df)
+    sigs = np.empty((n, mh.num_perm), dtype=np.uint64)
+    for p0 in range(0, mh.num_perm, 16):
+        seeds = mh.seeds[p0:p0 + 16]
+        vals = dd.splitmix64(sh[:, None] ^ seeds[None, :])
+        sigs[:, p0:p0 + len(seeds)] = np.minimum.reduceat(
+            vals, bounds[:-1], axis=0)
+    bh = np.empty((n, mh.bands), dtype=np.uint64)
+    for b in range(mh.bands):
+        seg = sigs[:, b * mh.rows_per_band:(b + 1) * mh.rows_per_band]
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(mh.rows_per_band):
+            h = h * dd._U(1_000_003) + seg[:, j]
+        bh[:, b] = dd.splitmix64(h)
+    want = pd.DataFrame({
+        "doc_id": np.repeat(df["doc_id"].to_numpy(), mh.bands),
+        "band": np.tile(np.arange(mh.bands, dtype=np.int32), n),
+        "band_hash": bh.reshape(-1)})
+    pd.testing.assert_frame_equal(want, got)
