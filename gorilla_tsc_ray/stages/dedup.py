@@ -70,14 +70,116 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> _U(31))
 
 
+def _token_byte_occurrences(texts: pd.Series):
+    """Vectorized ``[A-Za-z0-9]+`` token extraction straight over the
+    batch's concatenated UTF-8 bytes (no Python token lists): token
+    boundaries are mask-edge positions of the alnum byte class, with
+    row-boundary resets.  Byte-level extraction of an ASCII class is exact
+    under UTF-8 — multibyte sequences never contain ASCII bytes.
+
+    Returns ``(data, tok_start, tok_len, doc_lens)``; tokens are emitted
+    doc-major in positional order, matching ``str.findall``."""
+    import pyarrow as pa
+
+    arr = pa.array(texts, type=pa.string(), from_pandas=True)
+    n = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + n + 1].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = (np.frombuffer(buf, dtype=np.uint8)[offs[0]:offs[-1]]
+            if buf is not None else np.empty(0, np.uint8))
+    offs = offs - offs[0]
+    empty = (data, np.empty(0, np.int64), np.empty(0, np.int64),
+             np.zeros(n, np.int64))
+    if len(data) == 0:
+        return empty
+    lo = data | np.uint8(0x20)
+    m = ((lo >= 97) & (lo <= 122)) | ((data >= 48) & (data <= 57))
+    prev = np.empty_like(m)
+    prev[0] = False
+    prev[1:] = m[:-1]
+    row_starts = offs[:-1][offs[:-1] < len(m)]
+    prev[row_starts] = False
+    nxt = np.empty_like(m)
+    nxt[-1] = False
+    nxt[:-1] = m[1:]
+    nonempty = offs[1:] > offs[:-1]
+    nxt[offs[1:][nonempty] - 1] = False  # each row's last byte ends its run
+    tok_start = np.flatnonzero(m & ~prev)
+    tok_len = np.flatnonzero(m & ~nxt) + 1 - tok_start
+    doc_of = np.searchsorted(offs, tok_start, side="right") - 1
+    doc_lens = np.bincount(doc_of, minlength=n).astype(np.int64)
+    return data, tok_start, tok_len, doc_lens
+
+
+def _unique_token_reps(texts: pd.Series):
+    """(unique_token_strings, occurrence_codes, doc_lens) with only
+    vocab-sized Python work: each token's bytes are packed big-endian into
+    ``ceil(max_len/8)`` uint64 words — EXACT and injective, because alnum
+    bytes are never 0 so right-zero padding is unambiguous — and the
+    unique pass runs on the packed words (no hashing, no collisions, no
+    verification needed)."""
+    data, ts, tl, doc_lens = _token_byte_occurrences(texts)
+    n = len(ts)
+    if n == 0:
+        return [], np.empty(0, np.int64), doc_lens
+    max_len = int(tl.max())
+    n_words = (max_len + 7) // 8
+    # overlapping big-endian u64 window over the (zero-padded) byte
+    # buffer: packing a token's next 8 bytes is ONE gather + a tail mask
+    # instead of an (n, 8) 2-D gather
+    padded = np.concatenate([data, np.zeros(8, np.uint8)])
+    win = np.ndarray(shape=(len(padded) - 7,), dtype=">u8", buffer=padded,
+                     strides=(1,))
+    words = np.empty((n_words, n), dtype=np.uint64)
+    for w in range(n_words):
+        rem = tl - 8 * w
+        nb = np.clip(rem, 1, 8).astype(np.uint64)
+        mask = np.left_shift(~np.uint64(0), np.uint64(64) - nb * np.uint64(8))
+        mask[rem <= 0] = 0
+        words[w] = win[np.minimum(ts + 8 * w, len(win) - 1)].astype(
+            np.uint64) & mask
+    if n_words == 1:
+        _, first_idx, codes = np.unique(words[0], return_index=True,
+                                        return_inverse=True)
+    else:
+        order = np.lexsort(words[::-1])
+        sw = words[:, order]
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for w in range(n_words):
+            change[1:] |= sw[w, 1:] != sw[w, :-1]
+        gid = np.cumsum(change) - 1
+        codes = np.empty(n, dtype=np.int64)
+        codes[order] = gid
+        first_idx = order[np.flatnonzero(change)]
+    rep_s, rep_l = ts[first_idx], tl[first_idx]
+    uniq = [bytes(data[s:s + l]).decode()
+            for s, l in zip(rep_s.tolist(), rep_l.tolist())]
+    return uniq, codes, doc_lens
+
+
 def _token_hash_flat(texts: pd.Series):
     """Vectorized batch tokenization + 64-bit token hashing.
 
     Returns ``(tok_h, lens)``: one uint64 hash per token occurrence
-    (flattened doc-major) and the per-doc token counts.  Hashing is
-    ``pd.util.hash_pandas_object`` over the UNIQUE tokens only (the vocab is
-    tiny next to the occurrence count), fanned out by factorize codes —
-    no per-token Python, no md5."""
+    (flattened doc-major) and the per-doc token counts.  Tokenization is
+    the byte-run kernel (:func:`_token_byte_occurrences`); hashing is
+    ``pd.util.hash_pandas_object`` over the UNIQUE tokens only (exact
+    word-packed grouping — see :func:`_unique_token_reps`), fanned out by
+    group codes — values bit-identical to the historical findall+factorize
+    path (pinned by test), with no per-token Python."""
+    uniq, codes, lens = _unique_token_reps(texts)
+    if not len(codes):
+        return np.array([], dtype=np.uint64), lens
+    uh = splitmix64(pd.util.hash_pandas_object(
+        pd.Series(uniq, dtype=object), index=False).to_numpy())
+    return uh[codes], lens
+
+
+def _token_hash_flat_objects(texts: pd.Series):
+    """Historical findall+factorize tokenizer — the collision fallback of
+    :func:`_token_hash_flat` and its equality pin in tests."""
     import itertools
 
     tok_lists = texts.str.findall(_WORD_RE)
@@ -96,6 +198,16 @@ def _md5_token_hash_flat(texts: pd.Series):
     (little-endian first 8 digest bytes == DuckDB ``md5_number_upper``),
     still md5-ing only the unique tokens — used where a SQL oracle must
     reproduce the hash exactly."""
+    uniq, codes, lens = _unique_token_reps(texts)
+    if not len(codes):
+        return np.array([], dtype=np.uint64), lens
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+         for t in uniq), dtype=np.uint64, count=len(uniq))
+    return uh[codes], lens
+
+
+def _md5_token_hash_flat_objects(texts: pd.Series):
     import itertools
 
     tok_lists = texts.str.findall(_WORD_RE)

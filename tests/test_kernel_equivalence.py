@@ -218,3 +218,29 @@ def test_minhasher_unique_path_bit_identical():
         "band": np.tile(np.arange(mh.bands, dtype=np.int32), n),
         "band_hash": bh.reshape(-1)})
     pd.testing.assert_frame_equal(want, got)
+
+
+def test_word_packed_tokenizer_bit_identical():
+    """_token_hash_flat / _md5_token_hash_flat run the byte-run + packed-
+    word tokenizer; hashes and per-doc counts must be bit-identical to the
+    historical findall+factorize path on the real corpus + adversarial
+    strings (empty docs, unicode, >8- and >16-byte tokens, trailing
+    token at buffer end)."""
+    import numpy as np
+    import pandas as pd
+
+    from gorilla_tsc_ray.stages import dedup as dd
+
+    df = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["text"])
+    texts = pd.concat([df["text"], pd.Series([
+        "", "   ", "one", "one two", "l'école—déjà 3.14 ¡hola! K2 a1b2",
+        "x" * 300, "superlongtoken9chars andmore café", "trailingtok",
+    ])], ignore_index=True)
+    for new, old in [(dd._token_hash_flat, dd._token_hash_flat_objects),
+                     (dd._md5_token_hash_flat,
+                      dd._md5_token_hash_flat_objects)]:
+        h_new, l_new = new(texts)
+        h_old, l_old = old(texts)
+        assert np.array_equal(l_new, l_old)
+        assert np.array_equal(h_new, h_old)
