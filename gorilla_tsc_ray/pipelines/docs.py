@@ -856,14 +856,12 @@ def top_tokens(sf_dir: str, k: int = 20):
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.findall(WORD_RE)
-        flat = np.asarray(list(itertools.chain.from_iterable(toks)),
-                          dtype=object)
-        if len(flat) == 0:
+        uniq, codes, _ = dd.unique_tokens(df["text"])
+        if len(codes) == 0:
             return pd.DataFrame({"tok": [], "cnt": []})
-        codes, uniq = pd.factorize(flat)
         return pd.DataFrame({"tok": uniq,
-                             "cnt": np.bincount(codes).astype(np.int64)})
+                             "cnt": np.bincount(
+                                 codes, minlength=len(uniq)).astype(np.int64)})
 
     partials = ds.map_batches(partial, batch_format="pandas")
 
@@ -921,11 +919,11 @@ def top_tokens_sketch(sf_dir: str, k: int = 20, k_counters: int = 4096):
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.findall(WORD_RE)
-        flat = np.asarray(list(itertools.chain.from_iterable(toks)),
-                          dtype=object)
-        return misra_gries(pd.DataFrame({"tok": flat}), item_col="tok",
-                           count_col=None, k=k_counters)
+        # uniq[codes] reproduces the positional token stream exactly, so
+        # the MG counter state is identical to the findall-era stream
+        uniq, codes, _ = dd.unique_tokens(df["text"])
+        return misra_gries(pd.DataFrame({"tok": uniq[codes]}),
+                           item_col="tok", count_col=None, k=k_counters)
 
     partials = ds.map_batches(partial, batch_format="pandas")
 
@@ -999,16 +997,16 @@ def token_cooccurrence(sf_dir: str, v: int = 20):
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.findall(WORD_RE)
+        uniq, codes, doc_lens = dd.unique_tokens(df["text"])
         n_docs = len(df)
         M = np.zeros((n_docs, V), dtype=np.float64)
-        doc_ids = np.repeat(np.arange(n_docs),
-                            toks.str.len().to_numpy().astype(np.int64))
-        flat = np.asarray(list(itertools.chain.from_iterable(toks)),
-                          dtype=object)
-        keep = np.asarray([t in vidx for t in flat], dtype=bool)
-        cols = np.asarray([vidx[t] for t in flat[keep]], dtype=np.int64)
-        M[doc_ids[keep], cols] = 1.0
+        doc_ids = np.repeat(np.arange(n_docs), doc_lens)
+        # vocab lookup once per UNIQUE token, fanned out by code
+        lut = np.fromiter((vidx.get(t, -1) for t in uniq),
+                          dtype=np.int64, count=len(uniq))
+        cols_all = lut[codes] if len(codes) else np.empty(0, np.int64)
+        keep = cols_all >= 0
+        M[doc_ids[keep], cols_all[keep]] = 1.0
         C = M.T @ M  # co-doc counts; diagonal = per-token doc counts
         iu, ju = np.triu_indices(V)
         rows = pd.DataFrame({"i": iu, "j": ju,
@@ -1061,14 +1059,13 @@ def tfidf(sf_dir: str, v: int = 20):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def df_partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.findall(WORD_RE)
-        doc_ids = np.repeat(df["doc_id"].to_numpy(),
-                            toks.str.len().to_numpy().astype(np.int64))
-        flat = np.asarray(list(itertools.chain.from_iterable(toks)),
-                          dtype=object)
-        keep = np.asarray([t in vocab for t in flat], dtype=bool)
+        uniq, codes, doc_lens = dd.unique_tokens(df["text"])
+        doc_ids = np.repeat(df["doc_id"].to_numpy(), doc_lens)
+        keep = (np.fromiter((t in vocab for t in uniq), dtype=bool,
+                            count=len(uniq))[codes]
+                if len(codes) else np.empty(0, bool))
         pres = pd.DataFrame({"doc_id": doc_ids[keep],
-                             "tok": flat[keep]}).drop_duplicates()
+                             "tok": uniq[codes][keep]}).drop_duplicates()
         out = (pres.groupby("tok", sort=False).size()
                .rename("df").reset_index())
         return pd.concat([out, pd.DataFrame(
@@ -1086,13 +1083,13 @@ def tfidf(sf_dir: str, v: int = 20):
            zip(df_tbl["tok"], df_tbl["df"]) if t != "\x00n_docs"}
 
     def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.findall(WORD_RE)
-        doc_ids = np.repeat(df["doc_id"].to_numpy(),
-                            toks.str.len().to_numpy().astype(np.int64))
-        flat = np.asarray(list(itertools.chain.from_iterable(toks)),
-                          dtype=object)
-        keep = np.asarray([t in vocab for t in flat], dtype=bool)
-        tf = (pd.DataFrame({"doc_id": doc_ids[keep], "tok": flat[keep]})
+        uniq, codes, doc_lens = dd.unique_tokens(df["text"])
+        doc_ids = np.repeat(df["doc_id"].to_numpy(), doc_lens)
+        keep = (np.fromiter((t in vocab for t in uniq), dtype=bool,
+                            count=len(uniq))[codes]
+                if len(codes) else np.empty(0, bool))
+        tf = (pd.DataFrame({"doc_id": doc_ids[keep],
+                            "tok": uniq[codes][keep]})
               .groupby(["doc_id", "tok"], sort=False).size()
               .rename("tf").reset_index())
         tf["tf"] = tf["tf"].astype(np.int64)

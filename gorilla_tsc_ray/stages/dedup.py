@@ -159,6 +159,16 @@ def _unique_token_reps(texts: pd.Series):
     return uniq, codes, doc_lens
 
 
+def unique_tokens(texts: pd.Series):
+    """Public tokenizer entry: ``(uniq, codes, doc_lens)`` where ``uniq``
+    is a vocab-sized object array of the batch's distinct tokens and
+    ``uniq[codes]`` reproduces the doc-major positional token stream of
+    ``str.findall(_WORD_RE)`` exactly — lets counting/vocab-lookup
+    partials run on integer codes instead of object token arrays."""
+    uniq, codes, lens = _unique_token_reps(texts)
+    return np.asarray(uniq, dtype=object), codes, lens
+
+
 def _token_hash_flat(texts: pd.Series):
     """Vectorized batch tokenization + 64-bit token hashing.
 
