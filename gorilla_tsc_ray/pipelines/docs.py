@@ -295,11 +295,10 @@ def _common_rank(ds, *, text_col: str = "text", charset: bool = False,
     driver — never a full corpus vocabulary."""
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
-        flat, lens = dd._flat_elements(df[text_col], charset)
-        if flat.size == 0:
+        codes, uniq, lens = dd._element_codes(df[text_col], charset)
+        if len(codes) == 0:
             return pd.DataFrame({"e": np.array([], dtype=object),
                                  "n": np.array([], dtype=np.int64)})
-        codes, uniq = dd._factorize_elements(flat)
         # distinct per doc (set semantics, matching the join's sets)
         _, c = dd._distinct_doc_pairs(codes, lens, len(uniq))
         n = np.bincount(c, minlength=len(uniq)).astype(np.int64)

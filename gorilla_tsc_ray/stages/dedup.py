@@ -439,6 +439,20 @@ def _flat_elements(texts: pd.Series, charset: bool):
     return flat, lens
 
 
+def _element_codes(texts: pd.Series, charset: bool):
+    """(codes, uniq, doc_lens) for either element kind: charset elements
+    via the utf-32 codepoint LUT, tokens via the byte-run + packed-word
+    tokenizer (:func:`unique_tokens` — no object token arrays)."""
+    if not charset:
+        uniq, codes, lens = unique_tokens(texts)
+        return codes, uniq, lens
+    flat, lens = _flat_elements(texts, True)
+    if flat.size == 0:
+        return np.empty(0, np.int64), np.array([], dtype=np.uint32), lens
+    codes, uniq = _factorize_elements(flat)
+    return codes, uniq, lens
+
+
 def _factorize_elements(flat: np.ndarray):
     """(codes, uniques).  Integer elements (charset codepoints) go through
     a bincount LUT — ~20× cheaper than a hash factorize of 1-char object
@@ -476,12 +490,11 @@ def distinct_sorted_sets_flat(texts: pd.Series, order_rank: dict | None,
 
     Order key parity with the round-2 per-element key(): unranked (rare)
     elements first by hash, then ranked elements by (rank, hash)."""
-    flat, lens = _flat_elements(texts, charset)
+    codes, uniq, lens = _element_codes(texts, charset)
     n_docs = len(lens)
-    if flat.size == 0:
+    if len(codes) == 0:
         return (np.array([], dtype=np.uint64),
                 np.zeros(n_docs + 1, dtype=np.int64))
-    codes, uniq = _factorize_elements(flat)
     uh = splitmix64(pd.util.hash_pandas_object(
         pd.Series(uniq), index=False).to_numpy())
     if order_rank:
