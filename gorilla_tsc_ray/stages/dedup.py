@@ -159,6 +159,18 @@ def _unique_token_reps(texts: pd.Series):
     return uniq, codes, doc_lens
 
 
+def _is_all_ascii(texts: pd.Series) -> bool:
+    """True iff no byte of the batch's UTF-8 is >= 0x80 (one C scan)."""
+    import pyarrow as pa
+
+    arr = pa.array(texts, type=pa.string(), from_pandas=True)
+    buf = arr.buffers()[2]
+    if buf is None:
+        return True
+    return not bool(
+        (np.frombuffer(buf, dtype=np.uint8) >= 0x80).any())
+
+
 def unique_tokens(texts: pd.Series):
     """Public tokenizer entry: ``(uniq, codes, doc_lens)`` where ``uniq``
     is a vocab-sized object array of the batch's distinct tokens and

@@ -286,16 +286,30 @@ def fingerprint(df: pd.DataFrame, *, text_col: str = "text",
     loop (tested), and SQL-checkable via DuckDB's ``md5_number_upper``
     (DuckDB's naming is flipped: _upper returns the FIRST 8 digest
     bytes little-endian — see the docs_fingerprints oracle)."""
-    import itertools
+    from .dedup import _is_all_ascii, unique_tokens
 
-    texts = df[text_col].str.lower()
-    tok_lists = texts.str.findall(WORD_RE)
-    lens = tok_lists.str.len().to_numpy().astype(np.int64)
     n_docs = len(df)
-    h = np.zeros(n_docs, dtype=np.uint64)
-    if lens.sum():
+    # fast path: for a pure-ASCII batch (the shipped corpora), lowercasing
+    # commutes with [A-Za-z0-9]+ tokenization (case folding never moves a
+    # token boundary), so tokens come from the byte-run tokenizer and only
+    # the vocab-sized unique set is lowercased + case-merged.  Non-ASCII
+    # batches (where e.g. U+212A KELVIN SIGN lowercases INTO ASCII 'k')
+    # take the exact str.lower() path.
+    if _is_all_ascii(df[text_col]):
+        uniq, codes, lens = unique_tokens(df[text_col])
+        lcodes, luniq = pd.factorize(
+            np.asarray([t.lower() for t in uniq], dtype=object))
+        codes = (lcodes[codes] if len(codes) else codes)
+        uniq = luniq
+    else:
+        import itertools
+
+        tok_lists = df[text_col].str.lower().str.findall(WORD_RE)
+        lens = tok_lists.str.len().to_numpy().astype(np.int64)
         flat = list(itertools.chain.from_iterable(tok_lists))
         codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    h = np.zeros(n_docs, dtype=np.uint64)
+    if lens.sum():
         # little-endian FIRST 8 digest bytes == DuckDB
         # md5_number_upper(tok) (flipped naming), which is what makes
         # the SQL oracle for this operator expressible

@@ -49,3 +49,34 @@ def test_lang_id_arrow_matches():
     df = _docs()
     tbl = pa.Table.from_pandas(df, preserve_index=False)
     _cmp(tx.LangId()(df), tx.LangIdArrow()(tbl))
+
+
+def test_fingerprint_fast_path_matches_reference_loop():
+    """The ASCII fast path (byte-run tokens + vocab-sized lowercase merge)
+    and the non-ASCII str.lower() fallback must both equal the per-doc
+    reference modulo chain — including U+212A KELVIN SIGN, which
+    lowercases INTO ASCII 'k' and so must route to the fallback."""
+    import hashlib
+    import re
+
+    from gorilla_tsc_ray.stages import text as tx
+
+    M = (1 << 61) - 1
+
+    def ref_fp(t):
+        h = 0
+        for tok in re.findall(tx.WORD_RE, t.lower()):
+            d = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
+                               "little")
+            h = (h * 1_000_003 + d) % M
+        return h
+
+    df = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    adv = pd.DataFrame({"doc_id": np.arange(6) + 10_000_000, "text": [
+        "The THE the", "temKperature 300K", "café Lait", "",
+        "Mixed CASE mixed case", "K"]})
+    for frame in (df, adv):
+        got = tx.fingerprint(frame)["fingerprint"].to_numpy()
+        want = frame["text"].map(ref_fp).astype(np.int64).to_numpy()
+        assert np.array_equal(got, want)
