@@ -155,7 +155,7 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.5):
     # autoscaling pool: signing is the CPU-heavy stage (shingle hashing +
     # 64 permutations); 2..8 half-cpu actors fit the 4-cpu test session
     # and still fan out on a full node
-    bands = ds.map_batches(dd.MinHasher, batch_format="pandas",
+    bands = ds.map_batches(dd.MinHasher, batch_format="pyarrow",
                            concurrency=(2, 8), num_cpus=0.5)
     cands = hash_exchange(
         bands, key_fn=_pair_hash_key(["band", "band_hash"]),
@@ -163,7 +163,7 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.5):
         kernel=dd.candidate_pairs_partition, fmt="pandas",
         kernel_kwargs={"bucket_cols": ["band", "band_hash"]})
     sets = ds.map_batches(dd.shingle_sets_table,
-                          batch_format="pandas").materialize()
+                          batch_format="pyarrow").materialize()
     return _verify_id_pairs(
         cands, sets, payload_id="doc_id", payload_col="elems",
         attach_out="elems_a",
@@ -179,7 +179,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     import ray.data  # noqa: F401
 
     sh = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        dd.simhash_batch, batch_format="pandas")
+        dd.simhash_batch, batch_format="pyarrow")
     parts = []
     for seg in range(4):
         parts.append(_bucketed_pairs(
@@ -409,7 +409,7 @@ def _prefix_filtered_pairs(sf_dir: str, *, threshold: float, charset: bool,
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     rank = _common_rank(ds, charset=charset)
     sets = ds.map_batches(
-        dd.doc_sets_table, batch_format="pandas",
+        dd.doc_sets_table, batch_format="pyarrow",
         fn_kwargs={"order_rank": rank, "charset": charset,
                    "block_col": "lang"}).materialize()
     rows = sets.map_batches(dd.prefix_token_rows, batch_format="pyarrow",
@@ -443,7 +443,7 @@ def ngram_jaccard(sf_dir: str, threshold: float = 0.5, k: int = 3,
     prefix order and no frequency-rank estimation pass is needed; there is
     no block column — blocking comes entirely from shared prefix shingles."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    sets = ds.map_batches(dd.shingle_sets_table, batch_format="pandas",
+    sets = ds.map_batches(dd.shingle_sets_table, batch_format="pyarrow",
                           fn_kwargs={"k": k}).materialize()
     rows = sets.map_batches(dd.prefix_token_rows, batch_format="pyarrow",
                             fn_kwargs={"threshold": threshold})

@@ -81,9 +81,10 @@ def _token_byte_occurrences(texts: pd.Series):
     doc-major in positional order, matching ``str.findall``."""
     import pyarrow as pa
 
-    arr = pa.array(texts, type=pa.string(), from_pandas=True)
+    arr = _as_string_array(texts)
     n = len(arr)
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
         arr.offset: arr.offset + n + 1].astype(np.int64)
     buf = arr.buffers()[2]
     data = (np.frombuffer(buf, dtype=np.uint8)[offs[0]:offs[-1]]
@@ -159,11 +160,32 @@ def _unique_token_reps(texts: pd.Series):
     return uniq, codes, doc_lens
 
 
-def _is_all_ascii(texts: pd.Series) -> bool:
-    """True iff no byte of the batch's UTF-8 is >= 0x80 (one C scan)."""
+def _as_string_array(texts):
+    """pd.Series | pa.Array | pa.ChunkedArray → one pa string Array
+    (zero-copy for Arrow inputs — the point of Arrow-format stages)."""
     import pyarrow as pa
 
-    arr = pa.array(texts, type=pa.string(), from_pandas=True)
+    if isinstance(texts, pd.Series):
+        return pa.array(texts, type=pa.string(), from_pandas=True)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+        if isinstance(texts, pa.ChunkedArray):  # 0-chunk edge
+            texts = (texts.chunk(0) if texts.num_chunks
+                     else pa.array([], type=pa.string()))
+    return texts
+
+
+def _batch_cols(batch, *names):
+    """Column access for pandas OR pa.Table batches (each stage kernel
+    stays one function whichever batch_format its call site picks)."""
+    if isinstance(batch, pd.DataFrame):
+        return len(batch), *(batch[n] for n in names)
+    return batch.num_rows, *(batch.column(n) for n in names)
+
+
+def _is_all_ascii(texts) -> bool:
+    """True iff no byte of the batch's UTF-8 is >= 0x80 (one C scan)."""
+    arr = _as_string_array(texts)
     buf = arr.buffers()[2]
     if buf is None:
         return True
@@ -303,9 +325,9 @@ class MinHasher:
         self.text_col = text_col
         self.id_col = id_col
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sh, bounds = _doc_shingle_hashes(df[self.text_col])
-        n = len(df)
+    def __call__(self, batch) -> pd.DataFrame:
+        n, texts, ids_col = _batch_cols(batch, self.text_col, self.id_col)
+        sh, bounds = _doc_shingle_hashes(texts)
         # permute UNIQUE shingles only, and drop intra-doc duplicates:
         # min over a multiset equals min over its support, so the output
         # is bit-identical (pinned by test) while the splitmix work drops
@@ -333,7 +355,7 @@ class MinHasher:
             for j in range(self.rows_per_band):
                 h = h * _U(1_000_003) + seg[:, j]
             bh[:, b] = splitmix64(h)
-        ids = df[self.id_col].to_numpy()
+        ids = ids_col.to_numpy()
         return pd.DataFrame({
             self.id_col: np.repeat(ids, self.bands),
             "band": np.tile(np.arange(self.bands, dtype=np.int32), n),
@@ -341,7 +363,7 @@ class MinHasher:
         })
 
 
-def simhash_batch(df: pd.DataFrame, *, text_col: str = "text",
+def simhash_batch(df, *, text_col: str = "text",
                   id_col: str = "doc_id") -> pd.DataFrame:
     """64-bit SimHash over word hashes + 4×16-bit segment keys for
     Hamming-distance blocking (two docs within distance 3 share ≥1 of the
@@ -352,8 +374,8 @@ def simhash_batch(df: pd.DataFrame, *, text_col: str = "text",
     Token hash is md5 (unique tokens only), so the whole operator is
     reproducible in SQL (``md5_number_upper`` + bit arithmetic — see the
     ``docs_simhash_pairs`` oracle)."""
-    tok_h, lens = _md5_token_hash_flat(df[text_col])
-    n_docs = len(df)
+    n_docs, texts, ids_col = _batch_cols(df, text_col, id_col)
+    tok_h, lens = _md5_token_hash_flat(texts)
     out_hash = np.zeros(n_docs, dtype=np.uint64)
     if len(tok_h):
         shifts = np.arange(64, dtype=np.uint64)
@@ -369,7 +391,7 @@ def simhash_batch(df: pd.DataFrame, *, text_col: str = "text",
         out_hash = (pos.astype(np.uint64) <<
                     np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1,
                                                                  dtype=np.uint64)
-    out = pd.DataFrame({id_col: df[id_col].to_numpy(), "simhash": out_hash})
+    out = pd.DataFrame({id_col: ids_col.to_numpy(), "simhash": out_hash})
     for s in range(4):
         out[f"seg{s}"] = ((out_hash >> np.uint64(16 * s)) & np.uint64(0xFFFF)).astype(np.int64)
     return out
@@ -458,6 +480,8 @@ def _element_codes(texts: pd.Series, charset: bool):
     if not charset:
         uniq, codes, lens = unique_tokens(texts)
         return codes, uniq, lens
+    if not isinstance(texts, pd.Series):  # charset path is utf-32-based
+        texts = texts.to_pandas()
     flat, lens = _flat_elements(texts, True)
     if flat.size == 0:
         return np.empty(0, np.int64), np.array([], dtype=np.uint32), lens
@@ -525,7 +549,7 @@ def distinct_sorted_sets_flat(texts: pd.Series, order_rank: dict | None,
     return uh[c2], offsets
 
 
-def doc_sets_table(df: pd.DataFrame, *, order_rank: dict | None,
+def doc_sets_table(df, *, order_rank: dict | None,
                    charset: bool, id_col: str = "doc_id",
                    text_col: str = "text", block_col: str | None = "lang"):
     """map_batches stage → pa.Table ``(doc_id, [block,] elems)`` with an
@@ -535,17 +559,20 @@ def doc_sets_table(df: pd.DataFrame, *, order_rank: dict | None,
     whatever the per-block shape distribution."""
     import pyarrow as pa
 
-    vals, offs = distinct_sorted_sets_flat(df[text_col], order_rank, charset)
-    cols = {id_col: pa.array(df[id_col].to_numpy(), pa.int64())}
+    _, texts, ids_col = _batch_cols(df, text_col, id_col)
+    vals, offs = distinct_sorted_sets_flat(texts, order_rank, charset)
+    cols = {id_col: pa.array(ids_col.to_numpy(), pa.int64())}
     if block_col:
-        cols["block"] = pa.array(df[block_col].astype(str).tolist(),
-                                 pa.string())
+        blk = _batch_cols(df, block_col)[1]
+        if not isinstance(blk, pd.Series):
+            blk = blk.to_pandas()
+        cols["block"] = pa.array(blk.astype(str).tolist(), pa.string())
     cols["elems"] = pa.ListArray.from_arrays(
         pa.array(offs, pa.int32()), pa.array(vals, pa.uint64()))
     return pa.table(cols)
 
 
-def shingle_sets_table(df: pd.DataFrame, *, id_col: str = "doc_id",
+def shingle_sets_table(df, *, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3):
     """map_batches stage → pa.Table ``(doc_id, elems list<uint64>)`` of the
     DISTINCT word-k-shingle hashes per doc, hash-sorted within each doc —
@@ -555,8 +582,8 @@ def shingle_sets_table(df: pd.DataFrame, *, id_col: str = "doc_id",
     applies without a frequency-rank pass)."""
     import pyarrow as pa
 
-    sh, bounds = _doc_shingle_hashes(df[text_col], k=k)
-    n = len(df)
+    n, texts, ids_col = _batch_cols(df, text_col, id_col)
+    sh, bounds = _doc_shingle_hashes(texts, k=k)
     lens = np.diff(bounds)
     doc_of = np.repeat(np.arange(n), lens)
     order = np.lexsort((sh, doc_of))
@@ -567,7 +594,7 @@ def shingle_sets_table(df: pd.DataFrame, *, id_col: str = "doc_id",
     counts = np.bincount(d, minlength=n) if len(d) else np.zeros(n, np.int64)
     offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
     return pa.table({
-        id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+        id_col: pa.array(ids_col.to_numpy(), pa.int64()),
         "elems": pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
                                           pa.array(v, pa.uint64())),
     })
