@@ -1627,27 +1627,37 @@ def ohlc(sf_dir: str, tier: str = "1h"):
 
     pts = ds.map_batches(to_us, batch_format="pyarrow")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({c: [] for c in
-                                 ["user_id", "bucket_ms", "first_ts",
-                                  "open_v", "last_ts", "close_v",
-                                  "high_v", "low_v"]})
-        df = df.sort_values("ts_us", kind="stable")
-        work = pd.DataFrame({
-            "user_id": df["user_id"].to_numpy(),
-            "bucket_ms": (df["ts_us"].to_numpy() // 1000
-                          // bucket_ms) * bucket_ms,
-            "ts_us": df["ts_us"].to_numpy(),
-            "v": df["value"].to_numpy(),
-        })
-        g = work.groupby(["user_id", "bucket_ms"], sort=False)
-        out = g.agg(first_ts=("ts_us", "first"), open_v=("v", "first"),
-                    last_ts=("ts_us", "last"), close_v=("v", "last"),
-                    high_v=("v", "max"), low_v=("v", "min"))
-        return out.reset_index()
+    def partial(t):
+        # Arrow twin of the pandas combiner (stable sort_by + ordered
+        # first/last, same semantics as the rollup twins)
+        import pyarrow as pa
 
-    partials = pts.map_batches(partial, batch_format="pandas")
+        cols = ["user_id", "bucket_ms", "first_ts", "open_v", "last_ts",
+                "close_v", "high_v", "low_v"]
+        if t.num_rows == 0:
+            return pa.table({"user_id": t.column("user_id"),
+                             **{c: pa.array([], pa.int64()) if "ts" in c
+                                or c == "bucket_ms"
+                                else pa.array([], pa.float64())
+                                for c in cols[1:]}})
+        t = t.sort_by("ts_us")
+        ts_us = t.column("ts_us")
+        bucket = pc.multiply(pc.divide(pc.divide(ts_us, 1000), bucket_ms),
+                             bucket_ms)
+        work = pa.table({"user_id": t.column("user_id"),
+                         "bucket_ms": bucket, "ts_us": ts_us,
+                         "v": t.column("value")})
+        agg = work.group_by(["user_id", "bucket_ms"],
+                            use_threads=False).aggregate(
+            [("ts_us", "first"), ("v", "first"), ("ts_us", "last"),
+             ("v", "last"), ("v", "max"), ("v", "min")])
+        ren = {"ts_us_first": "first_ts", "v_first": "open_v",
+               "ts_us_last": "last_ts", "v_last": "close_v",
+               "v_max": "high_v", "v_min": "low_v"}
+        agg = agg.rename_columns([ren.get(c, c) for c in agg.schema.names])
+        return agg.select(cols)
+
+    partials = pts.map_batches(partial, batch_format="pyarrow")
 
     def key_fn(tbl):
         h = arrow_col_hash(tbl, "user_id")
@@ -1685,22 +1695,34 @@ def vwap(sf_dir: str, tier: str = "1h"):
     ds = _read_events(sf_dir, ["user_id", "ts", "value", "props"], P)
     bucket_ms = TIER_MS[tier]
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        k = pd.to_numeric(
-            df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False),
-            errors="coerce")
-        ok = k.notna().to_numpy()
-        ts_ms = (df["ts"].astype("int64").to_numpy() // 1000)[ok]
-        work = pd.DataFrame({
-            "user_id": df["user_id"].to_numpy()[ok],
-            "bucket_ms": (ts_ms // bucket_ms) * bucket_ms,
-            "vk": df["value"].to_numpy()[ok] * k.to_numpy()[ok],
-            "k": k.to_numpy()[ok].astype(np.int64),
-        })
-        g = work.groupby(["user_id", "bucket_ms"], sort=False)
-        return g.agg(sum_vk=("vk", "sum"), sum_w=("k", "sum")).reset_index()
+    def partial(t):
+        # Arrow twin: RE2 extract_regex (named group) + one group_by —
+        # the JSON props column never becomes object-dtype strings
+        import pyarrow as pa
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+        k = pc.struct_field(
+            pc.extract_regex(t.column("props"), r'"k"\s*:\s*(?P<k>-?\d+)'),
+            "k")
+        k = pc.cast(k, pa.int64())
+        keep = pc.is_valid(k)
+        t2 = t.append_column("_k", k).filter(keep)
+        ts_ms = pc.divide(pc.cast(t2.column("ts"), "int64"), 1000)
+        bucket = pc.multiply(pc.divide(ts_ms, bucket_ms), bucket_ms)
+        work = pa.table({
+            "user_id": t2.column("user_id"),
+            "bucket_ms": bucket,
+            "vk": pc.multiply(t2.column("value"),
+                              pc.cast(t2.column("_k"), pa.float64())),
+            "k": t2.column("_k"),
+        })
+        agg = work.group_by(["user_id", "bucket_ms"],
+                            use_threads=False).aggregate(
+            [("vk", "sum"), ("k", "sum")])
+        ren = {"vk_sum": "sum_vk", "k_sum": "sum_w"}
+        agg = agg.rename_columns([ren.get(c, c) for c in agg.schema.names])
+        return agg.select(["user_id", "bucket_ms", "sum_vk", "sum_w"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def key_fn(tbl):
         h = arrow_col_hash(tbl, "user_id")
