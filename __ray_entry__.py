@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": docs.simhash_pairs,
         # — training-data ops: similarity search —
         "emb_centroids": docs.emb_centroids,
+        "emb_quantize_sq8": docs.emb_quantize_sq8,
         "emb_norms": docs.emb_norms,
         "emb_centroid_distances": docs.centroid_distances,
         "docs_label_quality": docs.label_quality,
@@ -1266,6 +1267,23 @@ WITH u AS (
 SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
        CAST(count(*) AS BIGINT) AS cnt, round(avg(v), 6) AS centroid
 FROM u GROUP BY 1, 2
+""",
+        # SQ8 scalar quantization: exact f64 mirror of the engine math —
+        # ((v-mn)/(mx-mn))*255 half-away-rounded, constant dims → 0
+        "emb_quantize_sq8": """
+WITH flat AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), rng AS (
+  SELECT dim, min(v) AS mn, max(v) AS mx FROM flat GROUP BY dim
+)
+SELECT f.vec_id, f.dim,
+       CAST(CASE WHEN r.mx > r.mn
+                 THEN round(((f.v - r.mn) / (r.mx - r.mn)) * 255)
+                 ELSE 0 END AS BIGINT) AS q
+FROM flat f JOIN rng r USING (dim)
 """,
         # cross-modal join: text quality per embedding label
         "docs_label_quality": """

@@ -801,6 +801,61 @@ def hash_split(sf_dir: str, train_pct: int = 90):
         assign, batch_format="pandas")
 
 
+def emb_quantize_sq8(sf_dir: str):
+    """Scalar (SQ8) quantization of the embedding column — the vector-
+    compression step an ANN index at 100 TB wants (int8 codes are 4× the
+    density of f32 and the brute-force scorer can run on them).  Two
+    passes: (1) per-batch per-dim min/max partials (dims × blocks rows —
+    bounded, driver-folded like the lineage partials), broadcast as a
+    64-float closure constant; (2) map-only quantize emitting flat
+    (vec_id, dim, q) rows.  The arithmetic mirrors the SQL oracle
+    operation-for-operation (f64 IEEE: ((v-mn)/(mx-mn))*255, half-away
+    round), so the comparison is exact; constant dims quantize to 0 on
+    both sides."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..util import round_half_away
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _mat(t: pa.Table) -> np.ndarray:
+        col = t.column("embedding")
+        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+               else col)
+        return sim._list_matrix(arr)
+
+    def rng_partial(t: pa.Table) -> pd.DataFrame:
+        mat = _mat(t)
+        if mat.size == 0:
+            return pd.DataFrame({"dim": np.array([], dtype=np.int64),
+                                 "mn": [], "mx": []})
+        return pd.DataFrame({
+            "dim": np.arange(mat.shape[1], dtype=np.int64),
+            "mn": mat.min(axis=0), "mx": mat.max(axis=0)})
+
+    rng = (ds.map_batches(rng_partial, batch_format="pyarrow")
+           .to_pandas())  # bounded: dims × blocks rows
+    g = rng.groupby("dim", sort=True)
+    mn = g["mn"].min().to_numpy()
+    span = g["mx"].max().to_numpy() - mn
+
+    def quant(t: pa.Table) -> pa.Table:
+        mat = _mat(t)
+        n, d = mat.shape if mat.size else (t.num_rows, 0)
+        scaled = np.where(span[None, :] > 0,
+                          ((mat - mn[None, :]) / span[None, :]) * 255.0, 0.0)
+        q = round_half_away(scaled, 0).astype(np.int64)
+        return pa.table({
+            "vec_id": pc.take(t.column("vec_id"), pa.array(
+                np.repeat(np.arange(n, dtype=np.int64), d))),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "q": pa.array(q.reshape(-1)),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
 # ---------- stratified quality selection ----------
 
 def top_quality_per_lang(sf_dir: str, k: int = 10):

@@ -652,3 +652,37 @@ def test_hot_bucket_triangle_split_matches_flat(ray_session):
     tric = _sorted(docs.charset_jaccard(SF, hot_bucket=20).to_pandas(),
                    ["id_a", "id_b"])
     pd.testing.assert_frame_equal(flatc, tric)
+
+
+def test_emb_quantize_sq8(ray_session):
+    """SQ8 codes are in [0, 255], match the DuckDB f64 mirror exactly, and
+    dequantization reconstructs every value within span/510 per dim (the
+    half-step bound of 8-bit scalar quantization)."""
+    got = _sorted(docs.emb_quantize_sq8(SF).to_pandas(), ["vec_id", "dim"])
+    assert got["q"].between(0, 255).all()
+    want = _sorted(_con().execute("""
+WITH flat AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), rng AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM flat GROUP BY dim)
+SELECT f.vec_id, f.dim,
+       CAST(CASE WHEN r.mx > r.mn
+                 THEN round(((f.v - r.mn) / (r.mx - r.mn)) * 255)
+                 ELSE 0 END AS BIGINT) AS q
+FROM flat f JOIN rng r USING (dim)
+""").df(), ["vec_id", "dim"])
+    pd.testing.assert_frame_equal(got, want)
+
+    flat = _con().execute("""
+SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
+""").df()
+    m = flat.merge(got, on=["vec_id", "dim"])
+    rng = flat.groupby("dim")["v"].agg(["min", "max"])
+    span = (rng["max"] - rng["min"]).reindex(m["dim"]).to_numpy()
+    recon = rng["min"].reindex(m["dim"]).to_numpy() + (
+        m["q"].to_numpy() / 255.0) * span
+    err = np.abs(recon - m["v"].to_numpy())
+    assert (err <= span / 510 + 1e-12).all()
