@@ -4,6 +4,15 @@ document fingerprinting.
 Everything is vectorized pandas/regex per batch; regexes use character
 classes with identical semantics in Python ``re`` and DuckDB RE2 so the
 token/quality metrics are SQL-oracle-checkable.
+
+Cross-engine whitespace contract: Python ``re`` counts ``\\x0b``,
+``\\x1c``–``\\x1f`` and unicode spaces (U+0085, U+00A0, U+2000…) as
+``\\s``; RE2/DuckDB (the gate oracle) counts only ``[\\t\\n\\f\\r ]``.
+Inputs containing those Python-only whitespace codepoints are OUTSIDE the
+contract — the two reference engines themselves disagree there (found by
+``tests/test_text_property.py`` via ``'\\x0b\\x80'``).  The shipped
+corpora are pure ASCII without them; the property tests pin equality on
+the agreed domain.
 """
 
 from __future__ import annotations
