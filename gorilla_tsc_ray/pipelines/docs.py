@@ -47,7 +47,7 @@ def lang_id(sf_dir: str):
 
 def fingerprints(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        tx.fingerprint, batch_format="pandas")
+        tx.fingerprint, batch_format="pyarrow")
 
 
 # ---------- dedup ----------
@@ -484,7 +484,7 @@ def knn(sf_dir: str, k: int = 10, n_queries: int = 5):
     queries = _query_vectors(sf_dir, n_queries)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     cands = ds.map_batches(
-        sim.BruteForceScorer, batch_format="pandas", concurrency=2, num_cpus=0.5,
+        sim.BruteForceScorer, batch_format="pyarrow", concurrency=2, num_cpus=0.5,
         fn_constructor_kwargs={"queries": queries, "k": k})
     return cands.groupby("query_id").map_groups(
         sim.topk_merge, batch_format="pandas", fn_kwargs={"k": k})
@@ -512,7 +512,7 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 5):
                                  value_set=pa.array(wanted, pa.int64())))
 
     cands = ds.map_batches(in_buckets, batch_format="pyarrow").map_batches(
-        sim.BruteForceScorer, batch_format="pandas", concurrency=2, num_cpus=0.5,
+        sim.BruteForceScorer, batch_format="pyarrow", concurrency=2, num_cpus=0.5,
         fn_constructor_kwargs={"queries": queries, "k": k})
     return cands.groupby("query_id").map_groups(
         sim.topk_merge, batch_format="pandas", fn_kwargs={"k": k})
@@ -554,7 +554,7 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
                                  value_set=pa.array(wanted_arr, pa.int64())))
 
     cands = ds.map_batches(in_lists, batch_format="pyarrow").map_batches(
-        sim.BruteForceScorer, batch_format="pandas", concurrency=2,
+        sim.BruteForceScorer, batch_format="pyarrow", concurrency=2,
         num_cpus=0.5, fn_constructor_kwargs={"queries": queries, "k": k})
     return cands.groupby("query_id").map_groups(
         sim.topk_merge, batch_format="pandas", fn_kwargs={"k": k})

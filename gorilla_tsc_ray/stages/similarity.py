@@ -41,10 +41,19 @@ class BruteForceScorer:
         self.id_col = id_col
         self.vec_col = vec_col
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        m = _normalize(_stack_embeddings(df[self.vec_col]))
+    def __call__(self, batch) -> pd.DataFrame:
+        if isinstance(batch, pd.DataFrame):
+            m = _normalize(_stack_embeddings(batch[self.vec_col]))
+            ids = batch[self.id_col].to_numpy()
+        else:  # pa.Table — zero-copy (n, dim) view, no object rows
+            import pyarrow as pa
+
+            col = batch.column(self.vec_col)
+            arr = (col.combine_chunks()
+                   if isinstance(col, pa.ChunkedArray) else col)
+            m = _normalize(_list_matrix(arr))
+            ids = batch.column(self.id_col).to_numpy()
         scores = self.qm @ m.T  # (nq, nb)
-        ids = df[self.id_col].to_numpy()
         k = min(self.k, scores.shape[1])
         top = np.argpartition(-scores, k - 1, axis=1)[:, :k]
         out_q, out_id, out_s = [], [], []

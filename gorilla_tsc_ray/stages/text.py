@@ -295,17 +295,17 @@ def fingerprint(df: pd.DataFrame, *, text_col: str = "text",
     loop (tested), and SQL-checkable via DuckDB's ``md5_number_upper``
     (DuckDB's naming is flipped: _upper returns the FIRST 8 digest
     bytes little-endian — see the docs_fingerprints oracle)."""
-    from .dedup import _is_all_ascii, unique_tokens
+    from .dedup import _batch_cols, _is_all_ascii, unique_tokens
 
-    n_docs = len(df)
+    n_docs, texts_col, ids_col = _batch_cols(df, text_col, id_col)
     # fast path: for a pure-ASCII batch (the shipped corpora), lowercasing
     # commutes with [A-Za-z0-9]+ tokenization (case folding never moves a
     # token boundary), so tokens come from the byte-run tokenizer and only
     # the vocab-sized unique set is lowercased + case-merged.  Non-ASCII
     # batches (where e.g. U+212A KELVIN SIGN lowercases INTO ASCII 'k')
     # take the exact str.lower() path.
-    if _is_all_ascii(df[text_col]):
-        uniq, codes, lens = unique_tokens(df[text_col])
+    if _is_all_ascii(texts_col):
+        uniq, codes, lens = unique_tokens(texts_col)
         lcodes, luniq = pd.factorize(
             np.asarray([t.lower() for t in uniq], dtype=object))
         codes = (lcodes[codes] if len(codes) else codes)
@@ -313,7 +313,9 @@ def fingerprint(df: pd.DataFrame, *, text_col: str = "text",
     else:
         import itertools
 
-        tok_lists = df[text_col].str.lower().str.findall(WORD_RE)
+        texts_pd = (texts_col if isinstance(texts_col, pd.Series)
+                    else texts_col.to_pandas())
+        tok_lists = texts_pd.str.lower().str.findall(WORD_RE)
         lens = tok_lists.str.len().to_numpy().astype(np.int64)
         flat = list(itertools.chain.from_iterable(tok_lists))
         codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
@@ -337,5 +339,5 @@ def fingerprint(df: pd.DataFrame, *, text_col: str = "text",
         # exact residue in [0, M) to match the reference modulo chain
         h = _mersenne_fold(h)
         h = np.where(h >= _M61, h - _M61, h)
-    return pd.DataFrame({id_col: df[id_col].to_numpy(),
+    return pd.DataFrame({id_col: ids_col.to_numpy(),
                          "fingerprint": h.astype(np.int64)})
