@@ -87,3 +87,37 @@ def test_arrow_decode_empty():
     out = decode_blocks_batch_arrow(tbl, key_cols=["user_id"])
     assert out.num_rows == 0
     assert out.schema.names == ["user_id", "ts_ms", "value"]
+
+
+def test_arrow_decode_property_random_blocks():
+    """Random block compositions (codec mix, value kinds, duplicate-ts
+    dedup at encode, tiny and empty series) — arrow decode must equal the
+    pandas kernel on every draw."""
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(2, 6),
+           st.sampled_from(["gorilla2", "gorilla1", "gorilla2_dfcm"]),
+           st.sampled_from(["gorilla2", "gorilla1"]))
+    def run(seed, n_users, codec_a, codec_b):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(2, 4000))
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, n_users, n).astype(np.int64),
+            "ts_ms": np.sort(rng.integers(0, 86_400_000 * 2, n)).astype(
+                np.int64),
+            "value": rng.normal(size=n),
+        })
+        df["block_start"] = (df["ts_ms"] // 86_400_000) * 86_400_000
+        half = n // 2
+        b1 = encode_partition(df.iloc[:half], key_cols=["user_id"],
+                              codec=codec_a, metric_col=None)
+        b2 = encode_partition(df.iloc[half:], key_cols=["user_id"],
+                              codec=codec_b, metric_col=None)
+        mix = (pd.concat([b1, b2])
+               .sample(frac=1, random_state=seed % 2**31)
+               .reset_index(drop=True))
+        _assert_equal(mix)
+
+    run()
