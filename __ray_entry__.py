@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # — training-data ops: similarity search —
         "emb_centroids": docs.emb_centroids,
         "emb_quantize_sq8": docs.emb_quantize_sq8,
+        "docs_unigram_logprob": docs.unigram_logprob,
         "emb_norms": docs.emb_norms,
         "emb_centroid_distances": docs.centroid_distances,
         "docs_label_quality": docs.label_quality,
@@ -1267,6 +1268,21 @@ WITH u AS (
 SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
        CAST(count(*) AS BIGINT) AS cnt, round(avg(v), 6) AS centroid
 FROM u GROUP BY 1, 2
+""",
+        # perplexity-style quality score: mean unigram logprob over the
+        # top-1000 vocab (ties broken like the engine's top_tokens)
+        "docs_unigram_logprob": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok
+  ORDER BY cnt DESC, tok LIMIT 1000
+), tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS s FROM freq)
+SELECT t.doc_id, round(avg(ln(f.cnt / tot.s)), 6) AS mean_logprob,
+       CAST(count(*) AS BIGINT) AS n_scored
+FROM tok t JOIN freq f USING (tok), tot
+GROUP BY t.doc_id
 """,
         # SQ8 scalar quantization: exact f64 mirror of the engine math —
         # ((v-mn)/(mx-mn))*255 half-away-rounded, constant dims → 0

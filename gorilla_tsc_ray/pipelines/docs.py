@@ -801,6 +801,48 @@ def hash_split(sf_dir: str, train_pct: int = 90):
         assign, batch_format="pandas")
 
 
+def unigram_logprob(sf_dir: str, v: int = 1000):
+    """Statistical quality score (perplexity-style filtering): per doc,
+    the mean unigram log-probability of its tokens under the corpus
+    unigram model restricted to the top-``v`` vocabulary (the same
+    bounded-vocab discipline as TF-IDF — full-vocab exactness is
+    vocabulary-unbounded at 100 TB; OOV tokens are skipped on both sides,
+    docs with no in-vocab tokens drop).  One bounded vocab pass
+    (:func:`top_tokens` — per-block counter rows, deterministic
+    (cnt desc, tok) tie-break matching the SQL ``ORDER BY ... LIMIT``),
+    logprob LUT broadcast as a closure, then a map-only scoring pass on
+    integer token codes."""
+    from ..util import round_half_away
+
+    vocab_df = top_tokens(sf_dir, k=v).to_pandas()
+    total = float(vocab_df["cnt"].sum())
+    lp = {t: float(np.log(c / total))
+          for t, c in zip(vocab_df["tok"], vocab_df["cnt"])}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        uniq, codes, lens = dd.unique_tokens(df["text"])
+        if not len(codes):
+            return pd.DataFrame({
+                "doc_id": np.array([], dtype=np.int64),
+                "mean_logprob": np.array([], dtype=np.float64),
+                "n_scored": np.array([], dtype=np.int64)})
+        lut = np.fromiter((lp.get(t, np.nan) for t in uniq),
+                          dtype=np.float64, count=len(uniq))
+        vals = lut[codes]
+        ok = ~np.isnan(vals)
+        doc_of = np.repeat(np.arange(len(df)), lens)
+        sums = np.bincount(doc_of[ok], weights=vals[ok], minlength=len(df))
+        cnts = np.bincount(doc_of[ok], minlength=len(df)).astype(np.int64)
+        keep = cnts > 0
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[keep],
+            "mean_logprob": round_half_away(sums[keep] / cnts[keep], 6),
+            "n_scored": cnts[keep]})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")
+
+
 def emb_quantize_sq8(sf_dir: str):
     """Scalar (SQ8) quantization of the embedding column — the vector-
     compression step an ANN index at 100 TB wants (int8 codes are 4× the

@@ -686,3 +686,24 @@ SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
         m["q"].to_numpy() / 255.0) * span
     err = np.abs(recon - m["v"].to_numpy())
     assert (err <= span / 510 + 1e-12).all()
+
+
+def test_unigram_logprob(ray_session):
+    """Mean unigram logprob matches the DuckDB mirror at sf0.001 and every
+    logprob is negative (probabilities < 1)."""
+    got = _sorted(docs.unigram_logprob(SF).to_pandas(), ["doc_id"])
+    assert (got["mean_logprob"] < 0).all()
+    want = _sorted(_con().execute("""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok
+  ORDER BY cnt DESC, tok LIMIT 1000
+), tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS s FROM freq)
+SELECT t.doc_id, round(avg(ln(f.cnt / tot.s)), 6) AS mean_logprob,
+       CAST(count(*) AS BIGINT) AS n_scored
+FROM tok t JOIN freq f USING (tok), tot
+GROUP BY t.doc_id
+""").df(), ["doc_id"])
+    pd.testing.assert_frame_equal(got, want, atol=1e-9, rtol=0)
