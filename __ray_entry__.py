@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_centroids": docs.emb_centroids,
         "emb_quantize_sq8": docs.emb_quantize_sq8,
         "docs_unigram_logprob": docs.unigram_logprob,
+        "docs_decontaminate": docs.decontaminate,
         "emb_norms": docs.emb_norms,
         "emb_centroid_distances": docs.centroid_distances,
         "docs_label_quality": docs.label_quality,
@@ -1268,6 +1269,31 @@ WITH u AS (
 SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
        CAST(count(*) AS BIGINT) AS cnt, round(avg(v), 6) AS centroid
 FROM u GROUP BY 1, 2
+""",
+        # benchmark decontamination: train docs (md5 split bucket < 95)
+        # sharing >=1 distinct word-3-shingle with the eval union
+        # (bucket >= 95); shingle string identical to the minhash oracle's
+        "docs_decontaminate": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], ''))))) AS s
+  FROM t
+), split AS (
+  SELECT doc_id,
+         md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 >= 95 AS is_eval
+  FROM documents
+), eval_sh AS (
+  SELECT DISTINCT s FROM sh JOIN split USING (doc_id) WHERE is_eval
+)
+SELECT sh.doc_id, CAST(count(DISTINCT sh.s) AS BIGINT) AS n_shared
+FROM sh JOIN split USING (doc_id) JOIN eval_sh USING (s)
+WHERE NOT is_eval
+GROUP BY sh.doc_id
 """,
         # perplexity-style quality score: mean unigram logprob over the
         # top-1000 vocab (ties broken like the engine's top_tokens)

@@ -801,6 +801,72 @@ def hash_split(sf_dir: str, train_pct: int = 90):
         assign, batch_format="pandas")
 
 
+def _md5_bucket(ids: np.ndarray) -> np.ndarray:
+    """DuckDB-identical `md5_number_upper(CAST(id AS VARCHAR)) % 100`
+    (little-endian first 8 digest bytes — the hash_split convention)."""
+    import hashlib
+
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                        "little") % 100 for i in ids),
+        count=len(ids), dtype=np.int64)
+
+
+def decontaminate(sf_dir: str, eval_cut: int = 95):
+    """Benchmark decontamination — the training-data op that removes train
+    documents overlapping the evaluation set: docs in the top
+    ``100-eval_cut`` % of the deterministic md5 split are the EVAL side;
+    every TRAIN doc sharing ≥1 distinct word-3-shingle with the eval union
+    is flagged with its shared-shingle count.  Eval benchmarks are small
+    by nature, so the eval shingle union is collected once and broadcast
+    into a membership actor pool (sorted-array searchsorted per batch) —
+    the train side streams map-only, no shuffle.  Shingle identity is the
+    SQL oracle's own chr(1)-joined string (md5-prefix digests, the
+    exact_dedup discipline)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = _md5_bucket(df["doc_id"].to_numpy())
+        sub = df.loc[bucket >= eval_cut]
+        if not len(sub):
+            return pd.DataFrame({"s": np.array([], dtype=np.uint64)})
+        _, sh = dd.doc_shingle_md5_sets(sub["text"])
+        return pd.DataFrame({"s": np.unique(sh)})
+
+    ev = (ds.map_batches(eval_shingles, batch_format="pandas")
+          .to_pandas())  # bounded: the eval side fits a broadcast
+    eval_sorted = np.unique(ev["s"].to_numpy().astype(np.uint64))
+
+    class Flagger:
+        def __init__(self, eval_sorted: np.ndarray) -> None:
+            self.ev = eval_sorted
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            bucket = _md5_bucket(df["doc_id"].to_numpy())
+            sub = df.loc[bucket < eval_cut]
+            empty = pd.DataFrame({
+                "doc_id": np.array([], dtype=np.int64),
+                "n_shared": np.array([], dtype=np.int64)})
+            if not len(sub):
+                return empty
+            d, sh = dd.doc_shingle_md5_sets(sub["text"])
+            if not len(d):
+                return empty
+            pos = np.searchsorted(self.ev, sh)
+            hit = ((pos < len(self.ev)) &
+                   (self.ev[np.minimum(pos, len(self.ev) - 1)] == sh))
+            n = np.bincount(d[hit], minlength=len(sub)).astype(np.int64)
+            keep = n > 0
+            return pd.DataFrame({
+                "doc_id": sub["doc_id"].to_numpy()[keep],
+                "n_shared": n[keep]})
+
+    return ds.map_batches(Flagger,
+                          fn_constructor_kwargs={"eval_sorted": eval_sorted},
+                          batch_format="pandas", concurrency=2,
+                          num_cpus=0.5)
+
+
 def unigram_logprob(sf_dir: str, v: int = 1000):
     """Statistical quality score (perplexity-style filtering): per doc,
     the mean unigram log-probability of its tokens under the corpus

@@ -203,6 +203,59 @@ def unique_tokens(texts: pd.Series):
     return np.asarray(uniq, dtype=object), codes, lens
 
 
+def doc_shingle_md5_sets(texts):
+    """Per-doc DISTINCT word-3-shingle identities as md5-prefix uint64 of
+    the chr(1)-joined shingle STRING — the same shingle string the SQL
+    oracles build (``concat(t1, chr(1), t2, chr(1), t3)`` with ``''`` for
+    out-of-range positions), so membership across engine and SQL compares
+    the identical value space (md5-prefix collisions are the repo's
+    established digest discipline, cf. exact_dedup).  Python work is
+    bounded by the batch's UNIQUE shingle count: triples are packed-code
+    uint64s; only unique triples materialize strings and md5.
+
+    Returns ``(doc_idx, sh_u64)`` — unique pairs, doc-major."""
+    uniq, codes, lens = _unique_token_reps(texts)
+    n_docs = len(lens)
+    if len(uniq) + 1 >= (1 << 21):  # 3×21-bit packing bound per batch
+        raise ValueError("batch vocabulary exceeds the 2^21 packing bound")
+    empty_code = len(uniq)  # sentinel: out-of-range position == ''
+    n_sh = np.maximum(lens - 2, 1)
+    total = int(n_sh.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_sh)
+    offs_sh = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+    within = np.arange(total) - np.repeat(offs_sh, n_sh)
+    tok_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    base = tok_starts[doc_of] + within
+    codes_i64 = (np.asarray(codes, dtype=np.int64)
+                 if len(codes) else np.empty(0, np.int64))
+    limit = max(len(codes_i64) - 1, 0)
+    tri = np.empty((3, total), dtype=np.uint64)
+    for k in range(3):
+        in_range = within + k < lens[doc_of]
+        idx = np.minimum(base + k, limit)
+        ck = (codes_i64[idx] if len(codes_i64)
+              else np.zeros(total, np.int64))
+        tri[k] = np.where(in_range, ck, empty_code).astype(np.uint64)
+    packed = (tri[0] << np.uint64(42)) | (tri[1] << np.uint64(21)) | tri[2]
+    up, pcodes = np.unique(packed, return_inverse=True)
+    ext = list(uniq) + [""]
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.md5(
+            (ext[int(p >> np.uint64(42))] + "\x01"
+             + ext[int((p >> np.uint64(21)) & np.uint64(0x1FFFFF))] + "\x01"
+             + ext[int(p & np.uint64(0x1FFFFF))]).encode()).digest()[:8],
+            "little") for p in up),
+        dtype=np.uint64, count=len(up))
+    sh = uh[pcodes]
+    # distinct per doc
+    order = np.lexsort((sh, doc_of))
+    d, v = doc_of[order], sh[order]
+    keep = np.concatenate(([True], (d[1:] != d[:-1]) | (v[1:] != v[:-1])))
+    return d[keep], v[keep]
+
+
 def _token_hash_flat(texts: pd.Series):
     """Vectorized batch tokenization + 64-bit token hashing.
 

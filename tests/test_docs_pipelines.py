@@ -707,3 +707,37 @@ FROM tok t JOIN freq f USING (tok), tot
 GROUP BY t.doc_id
 """).df(), ["doc_id"])
     pd.testing.assert_frame_equal(got, want, atol=1e-9, rtol=0)
+
+
+def test_decontaminate(ray_session):
+    """Flagged train docs and shared-shingle counts equal the SQL mirror;
+    no eval-bucket doc may appear in the output."""
+    got = _sorted(docs.decontaminate(SF).to_pandas(), ["doc_id"])
+    want = _sorted(_con().execute("""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], ''))))) AS s
+  FROM t
+), split AS (
+  SELECT doc_id,
+         md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 >= 95 AS is_eval
+  FROM documents
+), eval_sh AS (
+  SELECT DISTINCT s FROM sh JOIN split USING (doc_id) WHERE is_eval
+)
+SELECT sh.doc_id, CAST(count(DISTINCT sh.s) AS BIGINT) AS n_shared
+FROM sh JOIN split USING (doc_id) JOIN eval_sh USING (s)
+WHERE NOT is_eval
+GROUP BY sh.doc_id
+""").df(), ["doc_id"])
+    pd.testing.assert_frame_equal(got, want)
+    ev = _con().execute(
+        "SELECT doc_id FROM documents "
+        "WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 >= 95"
+    ).df()["doc_id"]
+    assert not got["doc_id"].isin(set(ev)).any()
