@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_above_user_mean": ev.above_user_mean,
         "events_retention_cohorts": ev.retention_cohorts,
         "events_outliers": ev.outliers,
+        "events_seasonal_anomalies": ev.seasonal_anomalies,
         "events_user_type_entropy": ev.user_type_entropy,
         "events_latest_per_user": ev.latest_event_per_user,
         "events_type_transitions": ev.type_transitions,
@@ -643,6 +644,23 @@ SELECT e.user_id, epoch_ms(e.ts) AS ts_ms, e.value,
        round((e.value - m.mv) / m.sv, 6) AS zscore
 FROM events e JOIN m USING (user_id)
 WHERE abs(e.value - m.mv) > 2.0 * m.sv
+""",
+        # seasonal anomalies: z vs the (event_type, hour-of-day) diurnal
+        # baseline — a value normal at 14:00 can be anomalous at 03:00
+        "events_seasonal_anomalies": """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+         (epoch_ms(ts) // 3600000) % 24 AS hr
+  FROM events
+), s AS (
+  SELECT event_type, hr, avg(value) AS mu, stddev_samp(value) AS sd,
+         count(*) AS n
+  FROM e GROUP BY 1, 2
+)
+SELECT e.user_id, e.ts_ms, e.event_type, e.value,
+       round((e.value - s.mu) / s.sd, 6) AS zscore
+FROM e JOIN s ON e.event_type = s.event_type AND e.hr = s.hr
+WHERE s.n > 1 AND s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 3
 """,
         # cohort retention: first-event-day cohorts × week offsets
         "events_retention_cohorts": """

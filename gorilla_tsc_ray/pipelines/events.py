@@ -1246,6 +1246,84 @@ def user_stats(sf_dir: str):
                          kernel=kernel, fmt="pandas")
 
 
+def seasonal_anomalies(sf_dir: str, z_thresh: float = 3.0):
+    """Seasonal-baseline anomaly detection: events whose value deviates
+    more than ``z_thresh`` sample standard deviations from the
+    (event_type, hour-of-day) diurnal profile — a value normal at 14:00
+    can be anomalous at 03:00.  Two passes, no shuffle of raw rows: the
+    baseline is ≤ types×24 cells, folded from per-batch Arrow partials on
+    the driver (the SQ8 min/max pattern) and broadcast into a map-only
+    flag pass.  Raw (Σv, Σv²) moments are safe here: values are O(100)
+    with μ≈σ, so the (Σv² − (Σv)²/n) subtraction loses ~1 digit — the
+    catastrophic-cancellation warning applies to epoch-ms magnitudes,
+    not these."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type", "ts", "value"], P)
+
+    def to_ms(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"), 1000)
+        return batch.drop_columns(["ts"]).append_column("ts_ms", ts_ms)
+
+    pts = ds.map_batches(to_ms, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        # pyarrow.compute has no mod kernel — numpy on the zero-copy view
+        hr = pa.array((t.column("ts_ms").to_numpy() // 3_600_000) % 24)
+        v = t.column("value")
+        work = pa.table({"event_type": t.column("event_type"), "hr": hr,
+                         "v": v, "v2": pc.multiply(v, v)})
+        agg = work.group_by(["event_type", "hr"],
+                            use_threads=False).aggregate(
+            [("v", "sum"), ("v2", "sum"), ("v", "count")])
+        ren = {"v_sum": "s", "v2_sum": "ss", "v_count": "n"}
+        return agg.rename_columns(
+            [ren.get(c, c) for c in agg.schema.names])
+
+    cells = (pts.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())  # bounded: ≤ types×24 rows per block
+    g = cells.groupby(["event_type", "hr"], sort=False).agg(
+        s=("s", "sum"), ss=("ss", "sum"), n=("n", "sum"))
+    n = g["n"].to_numpy().astype(np.float64)
+    mu = g["s"].to_numpy() / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sd = np.sqrt((g["ss"].to_numpy() - g["s"].to_numpy() * mu)
+                     / np.maximum(n - 1, 1))
+    base = {k: (m, d, int(c)) for k, m, d, c in
+            zip(g.index, mu, sd, n)}
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "ts_ms", "event_type", "value", "zscore"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        hr = (df["ts_ms"].to_numpy() // 3_600_000) % 24
+        et = df["event_type"].to_numpy()
+        # baseline lookup once per UNIQUE (type, hour) cell (≤ types×24)
+        tcodes, ttypes = pd.factorize(et, sort=False)
+        cell = tcodes.astype(np.int64) * 24 + hr
+        ucell, ccodes = np.unique(cell, return_inverse=True)
+        stats = np.array([base.get((ttypes[int(c // 24)], int(c % 24)),
+                                   (0.0, 0.0, 0)) for c in ucell])
+        mu_r, sd_r, n_r = (stats[ccodes, 0], stats[ccodes, 1],
+                           stats[ccodes, 2])
+        v = df["value"].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (v - mu_r) / sd_r
+        keep = (n_r > 1) & (sd_r > 0) & (np.abs(z) > z_thresh)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy()[keep],
+            "ts_ms": df["ts_ms"].to_numpy()[keep],
+            "event_type": et[keep],
+            "value": v[keep],
+            "zscore": round_half_away(z[keep], 6),
+        })
+
+    return pts.map_batches(flag, batch_format="pandas")
+
+
 def ewma_last(sf_dir: str, alpha: float = 0.2):
     """Final EWMA per user — the recursive ``y ← (1−α)·y + α·x`` fold over
     event-time order (seeded with the first value).  pandas' grouped

@@ -1359,3 +1359,28 @@ def test_streaming_out_of_order(ray_session, sf_small):
         """,
         sf_small, ["user_id", "ts_ms"],
     )
+
+
+def test_seasonal_anomalies(ray_session):
+    """Flags match the DuckDB (event_type, hour-of-day) baseline mirror;
+    every flagged row exceeds the threshold."""
+    sf = "/root/testdata/sf0.001"
+    ds = ev.seasonal_anomalies(sf)
+    got = ds.to_pandas()
+    if len(got):
+        assert (got["zscore"].abs() > 3).all()
+    _cmp(ds, """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+         (epoch_ms(ts) // 3600000) % 24 AS hr
+  FROM events
+), s AS (
+  SELECT event_type, hr, avg(value) AS mu, stddev_samp(value) AS sd,
+         count(*) AS n
+  FROM e GROUP BY 1, 2
+)
+SELECT e.user_id, e.ts_ms, e.event_type, e.value,
+       round((e.value - s.mu) / s.sd, 6) AS zscore
+FROM e JOIN s ON e.event_type = s.event_type AND e.hr = s.hr
+WHERE s.n > 1 AND s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 3
+""", sf, ["user_id", "ts_ms", "event_type"], atol=1e-9)
