@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantize_sq8": docs.emb_quantize_sq8,
         "docs_unigram_logprob": docs.unigram_logprob,
         "docs_decontaminate": docs.decontaminate,
+        "docs_chunks": docs.chunk_documents,
         "emb_norms": docs.emb_norms,
         "emb_centroid_distances": docs.centroid_distances,
         "docs_label_quality": docs.label_quality,
@@ -1287,6 +1288,21 @@ WITH u AS (
 SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
        CAST(count(*) AS BIGINT) AS cnt, round(avg(v), 6) AS centroid
 FROM u GROUP BY 1, 2
+""",
+        # pretraining chunking: 64-token chunks + md5 chunk digests
+        # (digest = md5_number_upper of the chr(1)-joined chunk tokens)
+        "docs_chunks": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok,
+         generate_subscripts(regexp_extract_all(text, '[A-Za-z0-9]+'), 1)
+           - 1 AS pos
+  FROM documents
+)
+SELECT doc_id, CAST(pos // 64 AS BIGINT) AS chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       md5_number_upper(string_agg(tok, chr(1) ORDER BY pos)) AS digest
+FROM tok GROUP BY doc_id, pos // 64
 """,
         # benchmark decontamination: train docs (md5 split bucket < 95)
         # sharing >=1 distinct word-3-shingle with the eval union

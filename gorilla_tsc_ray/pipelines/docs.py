@@ -867,6 +867,56 @@ def decontaminate(sf_dir: str, eval_cut: int = 95):
                           num_cpus=0.5)
 
 
+def chunk_documents(sf_dir: str, chunk_tokens: int = 64):
+    """Training-data chunking: split every document's token stream into
+    fixed-size chunks of ``chunk_tokens`` word tokens (last chunk ragged)
+    and emit one row per chunk with its token count and an md5-prefix
+    content digest of the chr(1)-joined chunk tokens — the unit a
+    pretraining pipeline feeds to packing/shuffling, with the digest
+    giving chunk-level exact dedup for free.  Map-only (chunk boundaries
+    are per-doc positions — no shuffle); Python work is one join+md5 per
+    CHUNK (tokens/chunk_tokens of the batch), the SQL-identity price, on
+    vocab-coded token streams."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "chunk_idx", "n_tokens", "digest"]
+        uniq, codes, lens = dd.unique_tokens(df["text"])
+        if not len(codes):
+            return pd.DataFrame({
+                "doc_id": np.array([], dtype=np.int64),
+                "chunk_idx": np.array([], dtype=np.int64),
+                "n_tokens": np.array([], dtype=np.int64),
+                "digest": np.array([], dtype=np.uint64)})
+        n_docs = len(df)
+        doc_of = np.repeat(np.arange(n_docs), lens)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(len(codes)) - starts[doc_of]
+        chunk_idx = pos // chunk_tokens
+        # chunk boundaries in the flat occurrence stream
+        new_chunk = np.concatenate(([True],
+                                    (doc_of[1:] != doc_of[:-1])
+                                    | (chunk_idx[1:] != chunk_idx[:-1])))
+        cstart = np.flatnonzero(new_chunk)
+        cend = np.append(cstart[1:], len(codes))
+        uniq_l = list(uniq)
+        dig = np.fromiter(
+            (int.from_bytes(hashlib.md5("\x01".join(
+                uniq_l[c] for c in codes[s:e]).encode()).digest()[:8],
+                "little") for s, e in zip(cstart, cend)),
+            dtype=np.uint64, count=len(cstart))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[doc_of[cstart]],
+            "chunk_idx": chunk_idx[cstart].astype(np.int64),
+            "n_tokens": (cend - cstart).astype(np.int64),
+            "digest": dig,
+        })[cols]
+
+    return ds.map_batches(chunks, batch_format="pandas")
+
+
 def unigram_logprob(sf_dir: str, v: int = 1000):
     """Statistical quality score (perplexity-style filtering): per doc,
     the mean unigram log-probability of its tokens under the corpus

@@ -741,3 +741,33 @@ GROUP BY sh.doc_id
         "WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 >= 95"
     ).df()["doc_id"]
     assert not got["doc_id"].isin(set(ev)).any()
+
+
+def test_chunk_documents(ray_session):
+    """Chunk rows equal the SQL mirror; chunk sizes are exactly 64 except
+    each doc's last chunk, and per-doc token totals are preserved."""
+    got = _sorted(docs.chunk_documents(SF).to_pandas(),
+                  ["doc_id", "chunk_idx"])
+    want = _sorted(_con().execute("""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok,
+         generate_subscripts(regexp_extract_all(text, '[A-Za-z0-9]+'), 1)
+           - 1 AS pos
+  FROM documents
+)
+SELECT doc_id, CAST(pos // 64 AS BIGINT) AS chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       md5_number_upper(string_agg(tok, chr(1) ORDER BY pos)) AS digest
+FROM tok GROUP BY doc_id, pos // 64
+""").df(), ["doc_id", "chunk_idx"])
+    pd.testing.assert_frame_equal(got, want)
+    last = got.groupby("doc_id")["chunk_idx"].transform("max")
+    assert (got.loc[got["chunk_idx"] < last, "n_tokens"] == 64).all()
+    stats = _con().execute(
+        "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) n "
+        "FROM documents WHERE len(regexp_extract_all(text,"
+        " '[A-Za-z0-9]+')) > 0").df()
+    tot = got.groupby("doc_id")["n_tokens"].sum()
+    assert (stats.set_index("doc_id")["n"].sort_index()
+            == tot.sort_index()).all()
