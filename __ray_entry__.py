@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill_1h": lambda sf: ev.gapfill(sf, "1h"),
         "events_gapfill_1h_interp": lambda sf: ev.gapfill_interp(sf, "1h"),
         "events_gaps": ev.event_gaps,
+        "events_burstiness": ev.burstiness,
         "events_next_gaps": ev.next_gaps,
         "events_rollup_1h_by_type": lambda sf: ev.rollup_by_type(sf, "1h"),
         "events_sessions": ev.sessionize,
@@ -913,6 +914,23 @@ SELECT user_id, epoch_ms(ts) AS ts_ms,
        CAST(epoch_ms(ts) - lag(epoch_ms(ts))
             OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS gap_ms
 FROM events
+""",
+        # Goh–Barabási burstiness over each user's inter-event gaps
+        "events_burstiness": """
+WITH g AS (
+  SELECT user_id,
+         CAST(epoch_ms(ts) - lag(epoch_ms(ts))
+              OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS gap
+  FROM events
+), s AS (
+  SELECT user_id, count(gap) AS n_gaps, avg(gap) AS mu,
+         stddev_samp(gap) AS sd
+  FROM g WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+       round(mu, 3) AS mean_gap_ms, round(sd, 3) AS std_gap_ms,
+       round((sd - mu) / (sd + mu), 6) AS burstiness
+FROM s WHERE n_gaps >= 2 AND (sd + mu) > 0
 """,
         "events_next_gaps": """
 SELECT user_id, epoch_ms(ts) AS ts_ms,

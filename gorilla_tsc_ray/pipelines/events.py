@@ -1112,6 +1112,55 @@ def event_gaps(sf_dir: str):
                          kernel=gaps_partition, fmt="pandas")
 
 
+def burstiness(sf_dir: str):
+    """Goh–Barabási burstiness index per user: B = (σ−μ)/(σ+μ) over the
+    user's inter-event gaps (B→−1 periodic, 0 Poisson, →1 bursty) — the
+    behavioral-features aggregate built on the gap derivation.  One
+    user-hash exchange; the gap multiset is tie-order invariant (gaps of
+    a SORTED sequence depend only on the sorted values), so the lag-window
+    oracle matches exactly.  Centered moments (the user_stats discipline);
+    users with fewer than 2 gaps or σ+μ = 0 drop like the SQL guards."""
+    P = _n_parts(sf_dir)
+    ds = _read_points(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n_gaps", "mean_gap_ms", "std_gap_ms",
+                "burstiness"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        user = df["user_id"].to_numpy()
+        order = np.lexsort((df["ts_ms"].to_numpy(), user))
+        user = user[order]
+        ts = df["ts_ms"].to_numpy()[order]
+        gap = np.diff(ts).astype(np.float64)
+        same = user[1:] == user[:-1]
+        gap, guser = gap[same], user[1:][same]
+        if not len(gap):
+            return pd.DataFrame({c: [] for c in cols})
+        codes, users = pd.factorize(guser, sort=False)
+        n = np.bincount(codes)
+        mu = np.bincount(codes, weights=gap) / n
+        dv = gap - mu[codes]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sd = np.sqrt(np.bincount(codes, weights=dv * dv)
+                         / np.maximum(n - 1, 1))
+            b = (sd - mu) / (sd + mu)
+        keep = (n >= 2) & ((sd + mu) > 0)
+        return pd.DataFrame({
+            "user_id": users[keep],
+            "n_gaps": n[keep].astype(np.int64),
+            # 3 decimals: at ms-gap magnitudes (~1e7) a 6-decimal round
+            # sits at 14 significant digits, inside f64 summation-order
+            # noise between engine and oracle — measured one boundary flip
+            "mean_gap_ms": round_half_away(mu[keep], 3),
+            "std_gap_ms": round_half_away(sd[keep], 3),
+            "burstiness": round_half_away(b[keep], 6),
+        })
+
+    return hash_exchange(ds, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
 def sliding_window(sf_dir: str, window_ms: int = HOUR_MS):
     """Sliding (RANGE) window aggregate: for EVERY event, the count/sum of
     the same user's events in the trailing ``[ts − W, ts]`` interval —

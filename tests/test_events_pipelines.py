@@ -1384,3 +1384,28 @@ SELECT e.user_id, e.ts_ms, e.event_type, e.value,
 FROM e JOIN s ON e.event_type = s.event_type AND e.hr = s.hr
 WHERE s.n > 1 AND s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 3
 """, sf, ["user_id", "ts_ms", "event_type"], atol=1e-9)
+
+
+def test_burstiness(ray_session):
+    """Gap-CV burstiness matches the lag-window SQL mirror; B is within
+    (-1, 1) by construction."""
+    sf = "/root/testdata/sf0.001"
+    ds = ev.burstiness(sf)
+    got = ds.to_pandas()
+    assert got["burstiness"].between(-1, 1).all()
+    _cmp(ds, """
+WITH g AS (
+  SELECT user_id,
+         CAST(epoch_ms(ts) - lag(epoch_ms(ts))
+              OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS gap
+  FROM events
+), s AS (
+  SELECT user_id, count(gap) AS n_gaps, avg(gap) AS mu,
+         stddev_samp(gap) AS sd
+  FROM g WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+       round(mu, 3) AS mean_gap_ms, round(sd, 3) AS std_gap_ms,
+       round((sd - mu) / (sd + mu), 6) AS burstiness
+FROM s WHERE n_gaps >= 2 AND (sd + mu) > 0
+""", sf, ["user_id"], atol=1e-9)
