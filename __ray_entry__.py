@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_unigram_logprob": docs.unigram_logprob,
         "docs_decontaminate": docs.decontaminate,
         "docs_chunks": docs.chunk_documents,
+        "docs_boilerplate_chunks": docs.boilerplate_chunks,
         "emb_norms": docs.emb_norms,
         "emb_centroid_distances": docs.centroid_distances,
         "docs_label_quality": docs.label_quality,
@@ -1321,6 +1322,23 @@ SELECT doc_id, CAST(pos // 64 AS BIGINT) AS chunk_idx,
        CAST(count(*) AS BIGINT) AS n_tokens,
        md5_number_upper(string_agg(tok, chr(1) ORDER BY pos)) AS digest
 FROM tok GROUP BY doc_id, pos // 64
+""",
+        # boilerplate: chunk digests occurring more than once anywhere
+        "docs_boilerplate_chunks": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok,
+         generate_subscripts(regexp_extract_all(text, '[A-Za-z0-9]+'), 1)
+           - 1 AS pos
+  FROM documents
+), ch AS (
+  SELECT doc_id,
+         md5_number_upper(string_agg(tok, chr(1) ORDER BY pos)) AS digest
+  FROM tok GROUP BY doc_id, pos // 64
+)
+SELECT digest, CAST(count(*) AS BIGINT) AS n_copies,
+       min(doc_id) AS min_doc_id
+FROM ch GROUP BY digest HAVING count(*) > 1
 """,
         # benchmark decontamination: train docs (md5 split bucket < 95)
         # sharing >=1 distinct word-3-shingle with the eval union

@@ -917,6 +917,53 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 64):
     return ds.map_batches(chunks, batch_format="pandas")
 
 
+def boilerplate_chunks(sf_dir: str, chunk_tokens: int = 64):
+    """Boilerplate detection: chunk digests occurring MORE THAN ONCE in
+    the corpus (repeated passages — headers, disclaimers, templates —
+    within or across documents; the chunk-level complement of whole-doc
+    dedup).  Composition: the map-only chunker, then one digest-hash
+    exchange carrying (digest, doc_id) rows with a self-merging count/min
+    kernel (the exact_dedup shape)."""
+    chunks = chunk_documents(sf_dir, chunk_tokens)
+
+    def with_unit(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "digest": df["digest"].to_numpy(),
+            "n_chunks": np.ones(len(df), dtype=np.int64),
+            "doc_id": df["doc_id"].to_numpy(),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        dig = df["digest"].to_numpy().astype(np.uint64)
+        ids = df["doc_id"].to_numpy()
+        cnt = df["n_chunks"].to_numpy()
+        order = np.lexsort((ids, dig))
+        dig, ids, cnt = dig[order], ids[order], cnt[order]
+        change = np.concatenate(([True], dig[1:] != dig[:-1]))
+        starts = np.flatnonzero(change)
+        bounds = np.append(starts, len(dig))
+        csum = np.concatenate(([0], np.cumsum(cnt)))
+        return pd.DataFrame({
+            "digest": dig[starts],
+            "n_chunks": (csum[bounds[1:]] - csum[starts]).astype(np.int64),
+            "doc_id": ids[starts],  # min doc_id: ids sorted within digest
+        })
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.loc[df["n_chunks"] > 1]
+        return pd.DataFrame({
+            "digest": out["digest"].to_numpy(),
+            "n_copies": out["n_chunks"].to_numpy().astype(np.int64),
+            "min_doc_id": out["doc_id"].to_numpy(),
+        })
+
+    return hash_exchange(
+        chunks.map_batches(with_unit, batch_format="pandas"),
+        key_fn=_pair_hash_key(["digest"]), n_parts=N_DOC_PARTS,
+        kernel=merge, fmt="pandas", chunk_rows=1 << 20,
+        final_kernel=final)
+
+
 def unigram_logprob(sf_dir: str, v: int = 1000):
     """Statistical quality score (perplexity-style filtering): per doc,
     the mean unigram log-probability of its tokens under the corpus

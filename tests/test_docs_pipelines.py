@@ -771,3 +771,25 @@ FROM tok GROUP BY doc_id, pos // 64
     tot = got.groupby("doc_id")["n_tokens"].sum()
     assert (stats.set_index("doc_id")["n"].sort_index()
             == tot.sort_index()).all()
+
+
+def test_boilerplate_chunks(ray_session):
+    got = _sorted(docs.boilerplate_chunks(SF).to_pandas(), ["digest"])
+    want = _sorted(_con().execute("""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok,
+         generate_subscripts(regexp_extract_all(text, '[A-Za-z0-9]+'), 1)
+           - 1 AS pos
+  FROM documents
+), ch AS (
+  SELECT doc_id,
+         md5_number_upper(string_agg(tok, chr(1) ORDER BY pos)) AS digest
+  FROM tok GROUP BY doc_id, pos // 64
+)
+SELECT digest, CAST(count(*) AS BIGINT) AS n_copies,
+       min(doc_id) AS min_doc_id
+FROM ch GROUP BY digest HAVING count(*) > 1
+""").df(), ["digest"])
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["n_copies"] > 1).all()
