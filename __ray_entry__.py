@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": docs.decontaminate,
         "docs_chunks": docs.chunk_documents,
         "docs_boilerplate_chunks": docs.boilerplate_chunks,
+        "docs_clean_corpus": docs.clean_corpus,
         "emb_norms": docs.emb_norms,
         "emb_centroid_distances": docs.centroid_distances,
         "docs_label_quality": docs.label_quality,
@@ -1322,6 +1323,44 @@ SELECT doc_id, CAST(pos // 64 AS BIGINT) AS chunk_idx,
        CAST(count(*) AS BIGINT) AS n_tokens,
        md5_number_upper(string_agg(tok, chr(1) ORDER BY pos)) AS digest
 FROM tok GROUP BY doc_id, pos // 64
+""",
+        # end-to-end corpus cleaning: train split ∩ exact-dedup survivor
+        # ∩ not decontamination-flagged ∩ quality floor
+        "docs_clean_corpus": """
+WITH surv AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+), t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], ''))))) AS s
+  FROM t
+), split AS (
+  SELECT doc_id,
+         md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 >= 95 AS is_eval
+  FROM documents
+), eval_sh AS (
+  SELECT DISTINCT s FROM sh JOIN split USING (doc_id) WHERE is_eval
+), cont AS (
+  SELECT DISTINCT sh.doc_id
+  FROM sh JOIN split USING (doc_id) JOIN eval_sh USING (s)
+  WHERE NOT is_eval
+), q AS (
+  SELECT doc_id,
+         round(length(regexp_extract_all(text, '[A-Za-z]'))
+               / greatest(CAST(length(text) AS DOUBLE), 1.0), 6)
+           AS alpha_ratio
+  FROM documents
+)
+SELECT d.doc_id, q.alpha_ratio
+FROM documents d JOIN q USING (doc_id) JOIN surv USING (doc_id)
+JOIN split USING (doc_id)
+WHERE NOT is_eval
+  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+  AND q.alpha_ratio >= 0.55
 """,
         # boilerplate: chunk digests occurring more than once anywhere
         "docs_boilerplate_chunks": """

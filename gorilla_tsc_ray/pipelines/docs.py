@@ -917,6 +917,49 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 64):
     return ds.map_batches(chunks, batch_format="pandas")
 
 
+def clean_corpus(sf_dir: str, min_alpha: float = 0.55, eval_cut: int = 95):
+    """The end-to-end corpus-cleaning story in one co-partitioned pass:
+    keep a document iff it is (a) in the train split (md5 bucket <
+    ``eval_cut``), (b) the exact-dedup SURVIVOR of its content-digest
+    group, (c) NOT flagged by benchmark decontamination, and (d) at or
+    above the ``min_alpha`` quality floor.  The four signals are the
+    existing pipelines (exact_dedup survivors, decontaminate flags,
+    quality scores); they co-partition on doc_id through ONE multi-input
+    exchange — no driver-side sets, no full-document shuffles.  Output:
+    the kept doc_ids with their quality score."""
+    docs_ids = _read(sf_dir, "documents", ["doc_id"])
+    survivors = exact_dedup(sf_dir)           # (doc_id, n_dups) survivors
+    contaminated = decontaminate(sf_dir, eval_cut=eval_cut)
+    scores = quality(sf_dir)                  # (doc_id, ..., alpha_ratio)
+
+    k = _pair_hash_key(["doc_id"])
+
+    def kernel(ids_t, surv_t, cont_t, q_t):
+        ids = ids_t.column("doc_id").to_numpy()
+        bucket = _md5_bucket(ids)
+        surv = np.sort(surv_t.column("doc_id").to_numpy())
+        cont = np.sort(cont_t.column("doc_id").to_numpy())
+        q_ids = q_t.column("doc_id").to_numpy()
+        q_alpha = q_t.column("alpha_ratio").to_numpy()
+        qo = np.argsort(q_ids, kind="stable")
+        q_ids, q_alpha = q_ids[qo], q_alpha[qo]
+        if len(q_ids):
+            pos = np.minimum(np.searchsorted(q_ids, ids), len(q_ids) - 1)
+            alpha = np.where(q_ids[pos] == ids, q_alpha[pos], 0.0)
+        else:
+            alpha = np.zeros(len(ids), dtype=np.float64)
+        keep = ((bucket < eval_cut)
+                & np.isin(ids, surv)
+                & ~np.isin(ids, cont)
+                & (alpha >= min_alpha))
+        return pd.DataFrame({"doc_id": ids[keep],
+                             "alpha_ratio": alpha[keep]})
+
+    return hash_exchange_multi(
+        [(docs_ids, k), (survivors, k), (contaminated, k), (scores, k)],
+        n_parts=N_DOC_PARTS, kernel=kernel, fmt="pyarrow")
+
+
 def boilerplate_chunks(sf_dir: str, chunk_tokens: int = 64):
     """Boilerplate detection: chunk digests occurring MORE THAN ONCE in
     the corpus (repeated passages — headers, disclaimers, templates —

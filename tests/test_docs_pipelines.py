@@ -793,3 +793,47 @@ FROM ch GROUP BY digest HAVING count(*) > 1
 """).df(), ["digest"])
     pd.testing.assert_frame_equal(got, want)
     assert (got["n_copies"] > 1).all()
+
+
+def test_clean_corpus(ray_session):
+    """Kept set equals the four-condition SQL mirror; every kept doc is a
+    train-split exact-dedup survivor above the quality floor."""
+    got = _sorted(docs.clean_corpus(SF).to_pandas(), ["doc_id"])
+    assert (got["alpha_ratio"] >= 0.55).all()
+    want = _sorted(_con().execute("""
+WITH surv AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+), t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], ''))))) AS s
+  FROM t
+), split AS (
+  SELECT doc_id,
+         md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 >= 95 AS is_eval
+  FROM documents
+), eval_sh AS (
+  SELECT DISTINCT s FROM sh JOIN split USING (doc_id) WHERE is_eval
+), cont AS (
+  SELECT DISTINCT sh.doc_id
+  FROM sh JOIN split USING (doc_id) JOIN eval_sh USING (s)
+  WHERE NOT is_eval
+), q AS (
+  SELECT doc_id,
+         round(length(regexp_extract_all(text, '[A-Za-z]'))
+               / greatest(CAST(length(text) AS DOUBLE), 1.0), 6)
+           AS alpha_ratio
+  FROM documents
+)
+SELECT d.doc_id, q.alpha_ratio
+FROM documents d JOIN q USING (doc_id) JOIN surv USING (doc_id)
+JOIN split USING (doc_id)
+WHERE NOT is_eval
+  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+  AND q.alpha_ratio >= 0.55
+""").df(), ["doc_id"])
+    pd.testing.assert_frame_equal(got, want)
