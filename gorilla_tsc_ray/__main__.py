@@ -55,6 +55,13 @@ def main(argv=None) -> int:
     pd_.add_argument("--out", required=True)
     pd_.add_argument("--threshold", type=float, default=0.5)
 
+    pc_ = sub.add_parser(
+        "clean", help="end-to-end corpus clean: train split + exact-dedup "
+        "survivor + decontaminated + quality floor")
+    pc_.add_argument("--sf-dir", required=True)
+    pc_.add_argument("--out", required=True)
+    pc_.add_argument("--min-alpha", type=float, default=0.55)
+
     pr = sub.add_parser("retention", help="apply retention policy to a store")
     pr.add_argument("--store", required=True)
     pr.add_argument("--now-ms", type=int, required=True)
@@ -92,6 +99,12 @@ def main(argv=None) -> int:
             print(json.dumps({"clustered": clusters.count(),
                               "survivors": survivors.count(),
                               "out": args.out}))
+        elif args.cmd == "clean":
+            from .pipelines.docs import clean_corpus
+
+            kept = clean_corpus(args.sf_dir, min_alpha=args.min_alpha)
+            kept.write_parquet(args.out)
+            print(json.dumps({"kept": kept.count(), "out": args.out}))
         elif args.cmd == "retention":
             from .pipelines.retention import apply_retention
 
