@@ -585,6 +585,38 @@ int64_t gtsc_decode_v2_batch(const uint64_t *words, const int64_t *w_off,
     return out_off[n_blocks];
 }
 
+/* ============== batched v2 encode (one call per partition) ==============
+ *
+ * Encodes n_series closed v2 blocks back-to-back into one word buffer.
+ * bounds[s]..bounds[s+1] delimits series s in the concatenated ts/vals
+ * arrays (timestamps already strictly increasing per series); block_ts[s]
+ * is its block header.  Writes exclusive word offsets into out_w_off
+ * (n_series + 1 entries) and returns the total word count, or -(s+1) if
+ * series s failed (capacity — callers size cap to the worst case, so
+ * unreachable in practice).  This replaces a per-series Python+ctypes
+ * round-trip in the encode partition kernel (stages/series.py), the
+ * encode-side twin of gtsc_decode_v2_batch above. */
+
+int64_t gtsc_encode_v2_batch(const int64_t *block_ts, const int64_t *ts,
+                             const uint64_t *vals, const int64_t *bounds,
+                             int64_t n_series, uint64_t *out_words,
+                             int64_t cap, int64_t *out_w_off)
+{
+    int64_t w = 0;
+    out_w_off[0] = 0;
+    for (int64_t s = 0; s < n_series; s++) {
+        int64_t tb;
+        int64_t nw = gtsc_encode_v2(block_ts[s], ts + bounds[s],
+                                    vals + bounds[s],
+                                    bounds[s + 1] - bounds[s], 1,
+                                    out_words + w, cap - w, &tb);
+        if (nw < 0) return -(s + 1);
+        w += nw;
+        out_w_off[s + 1] = w;
+    }
+    return w;
+}
+
 /* ========== candidate-pair enumeration (dedup/similarity stages) ========
  *
  * Decodes every in-bucket (i < j) pair over pre-sorted candidate rows and

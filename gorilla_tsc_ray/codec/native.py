@@ -82,6 +82,9 @@ try:
     _enc_v2 = _sig(_lib.gtsc_encode_v2, _c_i64,
                    [_c_i64, _p_i64, _p_u64, _c_i64, ctypes.c_int,
                     _p_u64, _c_i64, _p_i64])
+    _enc_v2_batch = _sig(_lib.gtsc_encode_v2_batch, _c_i64,
+                         [_p_i64, _p_i64, _p_u64, _p_i64, _c_i64,
+                          _p_u64, _c_i64, _p_i64])
     _enc_v1 = _sig(_lib.gtsc_encode_v1, _c_i64,
                    [_c_i64, _p_i64, _p_u64, _c_i64, ctypes.c_int,
                     _p_u64, _c_i64, _p_i64])
@@ -175,6 +178,36 @@ def decode_batch_v2(words_concat: np.ndarray, word_offsets: np.ndarray,
     if rc < 0:
         raise ValueError(f"malformed gorilla block #{-rc - 1} in batch")
     return out_ts, out_v, out_off
+
+
+def encode_batch_v2(block_ts: np.ndarray, ts_concat: np.ndarray,
+                    vb_concat: np.ndarray, bounds: np.ndarray):
+    """Encode MANY closed v2 (LastValue) blocks in ONE native call — the
+    encode-side twin of :func:`decode_batch_v2`.
+
+    ``bounds`` is an int64 array of n_series+1 exclusive offsets into the
+    concatenated ``ts_concat``/``vb_concat`` (per-series timestamps must
+    already be strictly increasing); ``block_ts`` is the per-series block
+    header.  Returns ``(words_concat uint64[], word_offsets int64[])`` —
+    payload s is ``words_concat[word_offsets[s]:word_offsets[s+1]]``.
+    Bit-identical to per-series :func:`encode` (pinned by
+    ``tests/test_series_arrow.py``)."""
+    block_ts = np.ascontiguousarray(block_ts, dtype=np.int64)
+    ts_concat = np.ascontiguousarray(ts_concat, dtype=np.int64)
+    vb_concat = np.ascontiguousarray(vb_concat, dtype=np.uint64)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    n_series = len(bounds) - 1
+    n_pts = int(bounds[-1])
+    # worst case ≈ 114 bits/point + header + EOF per series; pad generously
+    cap = (114 * n_pts) // 64 + 8 * n_series + 8
+    out = np.empty(cap, dtype=np.uint64)
+    w_off = np.empty(n_series + 1, dtype=np.int64)
+    nw = _enc_v2_batch(_as_i64_ptr(block_ts), _as_i64_ptr(ts_concat),
+                       _as_u64_ptr(vb_concat), _as_i64_ptr(bounds),
+                       n_series, _as_u64_ptr(out), cap, _as_i64_ptr(w_off))
+    if nw < 0:
+        raise ValueError(f"native batch encode failed at series {-nw - 1}")
+    return out[:nw], w_off
 
 
 def _encode(fn_tag: str, block_ts: int, ts: np.ndarray, vb: np.ndarray,

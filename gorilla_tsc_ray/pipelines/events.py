@@ -25,7 +25,8 @@ from ..stages.rollup import (HOUR_MS, TIER_MS, cascade_dataset,
                              reaggregate_partials_arrow, rollup_dataset)
 from ..stages.rollup import finalize_by_partition
 from ..stages.series import (DAY_MS, decode_blocks_batch,
-                             decode_blocks_batch_arrow, encode_partition)
+                             decode_blocks_batch_arrow, encode_partition,
+                             encode_partition_arrow)
 from ..util import hash_partition_ids
 
 EVENT_COLS = ["user_id", "ts", "value"]
@@ -131,12 +132,15 @@ def _encode_by_partition(keyed_ds, codec: str = "gorilla2",
         h = h * np.uint64(1_000_003) + (bs // DAY_MS).astype(np.uint64)
         return (h % np.uint64(n_parts)).astype(np.int64)
 
-    def enc(df: pd.DataFrame) -> pd.DataFrame:
-        return encode_partition(df, key_cols=["user_id"], metric_col=None,
-                                codec=codec)
+    def enc(tbl):
+        # Arrow-in encode: zero-copy columns, one native batch-encode call
+        # per partition (pinned equal to the pandas kernel —
+        # tests/test_series_arrow.py)
+        return encode_partition_arrow(tbl, key_cols=["user_id"],
+                                      metric_col=None, codec=codec)
 
     return hash_exchange(keyed_ds, key_fn=key_fn, n_parts=n_parts,
-                         kernel=enc, fmt="pandas")
+                         kernel=enc, fmt="pyarrow")
 
 
 def points_roundtrip_dfcm(sf_dir: str):
@@ -230,13 +234,13 @@ def points_roundtrip_long(sf_dir: str):
         h = h * np.uint64(1_000_003) + (bs // DAY_MS).astype(np.uint64)
         return (h % np.uint64(P)).astype(np.int64)
 
-    def enc(df: pd.DataFrame) -> pd.DataFrame:
-        return encode_partition(df, key_cols=["user_id"], metric_col=None,
-                                value_kind="long")
+    def enc(tbl):
+        return encode_partition_arrow(tbl, key_cols=["user_id"],
+                                      metric_col=None, value_kind="long")
 
     blocks = hash_exchange(ds.map_batches(to_cents, batch_format="pyarrow"),
                            key_fn=key_fn, n_parts=P, kernel=enc,
-                           fmt="pandas")
+                           fmt="pyarrow")
     pts = blocks.map_batches(decode_blocks_batch_arrow, batch_format="pyarrow",
                              fn_kwargs={"key_cols": ["user_id"]})
 

@@ -216,6 +216,144 @@ def encode_partition(df: pd.DataFrame, *, key_cols: list[str],
     return res
 
 
+def payload_binary_from_words(words: np.ndarray, w_off: np.ndarray):
+    """One concatenated uint64 word stream + per-block word offsets → an
+    Arrow binary payload column: one byteswap of the whole stream becomes
+    the data buffer, offsets are word offsets × 8 (big-endian on-disk word
+    order, ``LongArrayOutput.getLongArray``).  No per-block Python bytes
+    objects — the batch-encode output feeds Arrow directly."""
+    import pyarrow as pa
+
+    n = len(w_off) - 1
+    data = np.ascontiguousarray(words).astype(">u8").view(np.uint8)
+    byte_off64 = np.asarray(w_off, dtype=np.int64) * 8
+    if n and int(byte_off64[-1]) > np.iinfo(np.int32).max:  # >2 GB partition
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n, [None, pa.py_buffer(byte_off64),
+                                   pa.py_buffer(data)])
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(byte_off64.astype(np.int32)),
+                         pa.py_buffer(data)])
+
+
+def encode_partition_arrow(tbl, *, key_cols: list[str],
+                           ts_col: str = "ts_ms", value_col: str = "value",
+                           metric_col: str | None = "metric",
+                           value_kind: str = "double",
+                           codec: str = CODEC_NAME):
+    """Arrow-in/Arrow-out twin of :func:`encode_partition` (pinned equal by
+    ``tests/test_series_arrow.py``): the partition arrives zero-copy from
+    the exchange, numeric columns are consumed as zero-copy numpy views,
+    string group columns via their dictionary codes, and — on the default
+    v2/native path — ALL series of the partition encode in ONE
+    ``native.encode_batch_v2`` call.  The payload column is built from one
+    byteswap of the concatenated word stream + the word offsets
+    (``pa.BinaryArray.from_buffers``): no per-series Python bytes objects,
+    no per-series ctypes round-trips.
+
+    Why this exists: the pandas form materializes object-dtype key/payload
+    columns per batch and pays one Python+ctypes call per series; this was
+    the last pandas-in leg of the ``events_roundtrip`` headline pipeline
+    (CLAUDE.md round-5 candidate #2)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_names = (key_cols + ["metric", "block_start", "n_points", "codec",
+                             "value_kind", "payload"])
+    if tbl.num_rows == 0:
+        cols = {}
+        for c in key_cols:
+            cols[c] = pa.chunked_array([[]], type=tbl.schema.field(c).type)
+        cols["metric"] = pa.array([], pa.string())
+        cols["block_start"] = pa.array([], pa.int64())
+        cols["n_points"] = pa.array([], pa.int64())
+        cols["codec"] = pa.array([], pa.string())
+        cols["value_kind"] = pa.array([], pa.string())
+        cols["payload"] = pa.array([], pa.binary())
+        return pa.table({n: cols[n] for n in out_names})
+
+    group_cols = ([metric_col] if metric_col else []) + key_cols
+    # Arrow's sort_indices is a STABLE multi-key sort and measures ~25%
+    # faster than np.lexsort on this shape; stability is load-bearing —
+    # duplicate-timestamp dedup below keeps the FIRST occurrence, matching
+    # the pandas kernel (pinned with differing-value duplicates in
+    # tests/test_series_arrow.py).
+    order_arr = pc.sort_indices(
+        tbl.select(group_cols + ["block_start", ts_col]),
+        sort_keys=[(c, "ascending")
+                   for c in group_cols + ["block_start", ts_col]])
+    order = order_arr.to_numpy()
+
+    ts_s = tbl.column(ts_col).to_numpy()[order]
+    bs_s = tbl.column("block_start").to_numpy()[order]
+    change = np.zeros(tbl.num_rows, dtype=bool)
+    for c in group_cols:
+        col = tbl.column(c)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) \
+                or pa.types.is_dictionary(col.type):
+            enc = col if pa.types.is_dictionary(col.type) \
+                else pc.dictionary_encode(col.combine_chunks())
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy().astype(np.int64)
+        else:
+            codes = col.to_numpy()
+        cs = codes[order]
+        change[1:] |= cs[1:] != cs[:-1]
+    change[1:] |= bs_s[1:] != bs_s[:-1]
+    change[0] = True
+    # drop duplicate timestamps within a series (strict in-order append is
+    # a format precondition, README.adoc:150); the first row of each series
+    # is a change row, so it always survives
+    keep = change.copy()
+    keep[1:] |= ts_s[1:] > ts_s[:-1]
+
+    vals = tbl.column(value_col).to_numpy()
+    if value_kind == "double":
+        vb_s = vals.astype(np.float64, copy=False).view(np.uint64)[order]
+    else:
+        vb_s = vals.astype(np.int64, copy=False).view(np.uint64)[order]
+
+    first_idx = np.flatnonzero(change)          # per-series first sorted row
+    ts_k = ts_s[keep]
+    vb_k = vb_s[keep]
+    starts_k = np.flatnonzero(change[keep])
+    bounds = np.append(starts_k, len(ts_k)).astype(np.int64)
+    n_points = np.diff(bounds)
+    bts = bs_s[first_idx].astype(np.int64)
+
+    if codec == "gorilla2" and native.AVAILABLE:
+        words, w_off = native.encode_batch_v2(bts, ts_k, vb_k, bounds)
+    else:
+        parts, w_off = [], np.zeros(len(bts) + 1, dtype=np.int64)
+        for s in range(len(bts)):
+            ts_i = ts_k[bounds[s]:bounds[s + 1]]
+            vb_i = vb_k[bounds[s]:bounds[s + 1]]
+            if codec == "gorilla1":
+                w = encode_series_v1(int(bts[s]), ts_i, vb_i)
+            elif codec == "gorilla2_dfcm":
+                w = encode_series_dfcm(int(bts[s]), ts_i, vb_i)
+            else:
+                w, _ = encode_series_auto(int(bts[s]), ts_i, vb_i)
+            parts.append(np.asarray(w, dtype=np.uint64))
+            w_off[s + 1] = w_off[s] + len(parts[-1])
+        words = (np.concatenate(parts) if parts
+                 else np.empty(0, dtype=np.uint64))
+
+    payload = payload_binary_from_words(words, w_off)
+
+    take = pa.array(order[first_idx])
+    cols = {c: pc.take(tbl.column(c), take) for c in key_cols}
+    cols["metric"] = (pc.take(tbl.column(metric_col), take) if metric_col
+                      else pa.repeat(pa.scalar("value"), len(bts)))
+    cols["block_start"] = pa.array(bts)
+    cols["n_points"] = pa.array(n_points.astype(np.int64))
+    cols["codec"] = pa.repeat(pa.scalar(codec), len(bts))
+    cols["value_kind"] = pa.repeat(pa.scalar(value_kind), len(bts))
+    cols["payload"] = payload
+    return pa.table({n: cols[n] for n in out_names})
+
+
 def decode_blocks_batch(df: pd.DataFrame, *, key_cols: list[str],
                         ts_out: str = "ts_ms", value_out: str = "value") -> pd.DataFrame:
     """map_batches UDF (stateless tasks): decode each block row back into

@@ -13,7 +13,8 @@ import pytest
 
 from gorilla_tsc_ray.stages.series import (decode_blocks_batch,
                                            decode_blocks_batch_arrow,
-                                           encode_partition)
+                                           encode_partition,
+                                           encode_partition_arrow)
 
 
 def _points(n=50_000, seed=7, int_values=False):
@@ -87,6 +88,127 @@ def test_arrow_decode_empty():
     out = decode_blocks_batch_arrow(tbl, key_cols=["user_id"])
     assert out.num_rows == 0
     assert out.schema.names == ["user_id", "ts_ms", "value"]
+
+
+def _assert_blocks_equal(a: pd.DataFrame, b: pd.DataFrame, keys):
+    a = a.sort_values(keys, kind="stable").reset_index(drop=True)
+    b = b.sort_values(keys, kind="stable").reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in a.columns:
+        if c == "payload":
+            assert all(x == y for x, y in zip(a[c], b[c])), "payload bytes"
+        else:
+            assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def _dup_points(**kw):
+    """Points with duplicate timestamps carrying DIFFERENT values — the
+    dedup keep-first semantics depend on sort stability, which is exactly
+    what the Arrow kernel's pc.sort_indices must preserve."""
+    df = _points(**kw)
+    dup = df.iloc[:700].copy()
+    dup["value"] = dup["value"].to_numpy() + 99.25
+    return pd.concat([df, dup], ignore_index=True)
+
+
+@pytest.mark.parametrize("codec", ["gorilla2", "gorilla1", "gorilla2_dfcm"])
+def test_arrow_encode_matches_pandas(codec):
+    df = _dup_points()
+    a = encode_partition(df, key_cols=["user_id"], metric_col=None,
+                         codec=codec)
+    b = encode_partition_arrow(
+        pa.Table.from_pandas(df, preserve_index=False),
+        key_cols=["user_id"], metric_col=None, codec=codec).to_pandas()
+    _assert_blocks_equal(a, b, ["user_id", "block_start"])
+
+
+def test_arrow_encode_long_values():
+    df = _dup_points(int_values=True)
+    df["value"] = df["value"].to_numpy().astype(np.int64)
+    a = encode_partition(df, key_cols=["user_id"], metric_col=None,
+                         value_kind="long")
+    b = encode_partition_arrow(
+        pa.Table.from_pandas(df, preserve_index=False),
+        key_cols=["user_id"], metric_col=None,
+        value_kind="long").to_pandas()
+    _assert_blocks_equal(a, b, ["user_id", "block_start"])
+
+
+def test_arrow_encode_metric_and_string_key():
+    df = _dup_points()
+    df["metric"] = np.where(np.arange(len(df)) % 3 == 0, "rate", "lat")
+    df["user_id"] = np.char.add("u", df["user_id"].to_numpy().astype(str))
+    a = encode_partition(df, key_cols=["user_id"], metric_col="metric")
+    b = encode_partition_arrow(
+        pa.Table.from_pandas(df, preserve_index=False),
+        key_cols=["user_id"], metric_col="metric").to_pandas()
+    _assert_blocks_equal(a, b, ["user_id", "metric", "block_start"])
+
+
+def test_arrow_encode_sliced_table():
+    df = _points(n=5_000)
+    tbl = pa.Table.from_pandas(df, preserve_index=False).slice(123, 4000)
+    a = encode_partition(df.iloc[123:4123].reset_index(drop=True),
+                         key_cols=["user_id"], metric_col=None)
+    b = encode_partition_arrow(tbl, key_cols=["user_id"],
+                               metric_col=None).to_pandas()
+    _assert_blocks_equal(a, b, ["user_id", "block_start"])
+
+
+def test_arrow_encode_empty():
+    tbl = pa.Table.from_pandas(_points(n=100),
+                               preserve_index=False).slice(0, 0)
+    out = encode_partition_arrow(tbl, key_cols=["user_id"], metric_col=None)
+    assert out.num_rows == 0
+    assert out.schema.names == ["user_id", "metric", "block_start",
+                                "n_points", "codec", "value_kind", "payload"]
+
+
+def test_arrow_encode_roundtrips_through_arrow_decode():
+    df = _dup_points()
+    blocks = encode_partition_arrow(
+        pa.Table.from_pandas(df, preserve_index=False),
+        key_cols=["user_id"], metric_col=None)
+    pts = decode_blocks_batch_arrow(blocks, key_cols=["user_id"]).to_pandas()
+    exp = (df.drop_duplicates(subset=["user_id", "block_start", "ts_ms"])
+           .sort_values(["user_id", "ts_ms"]).reset_index(drop=True))
+    got = pts.sort_values(["user_id", "ts_ms"]).reset_index(drop=True)
+    assert np.array_equal(exp["ts_ms"].to_numpy(), got["ts_ms"].to_numpy())
+    assert np.array_equal(exp["value"].to_numpy(), got["value"].to_numpy())
+
+
+def test_arrow_encode_property_random_partitions():
+    """Random partitions (seeds, user counts, codecs, dup-ts injection) —
+    the Arrow encode kernel must emit bit-identical payloads to the pandas
+    kernel on every draw."""
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(1, 8),
+           st.sampled_from(["gorilla2", "gorilla1", "gorilla2_dfcm"]),
+           st.booleans())
+    def run(seed, n_users, codec, with_dups):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 3000))
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, n_users, n).astype(np.int64),
+            "ts_ms": rng.integers(1, 86_400_000 * 2, n).astype(np.int64),
+            "value": rng.normal(size=n),
+        })
+        df["block_start"] = (df["ts_ms"] // 86_400_000) * 86_400_000
+        if with_dups:
+            dup = df.iloc[: max(1, n // 5)].copy()
+            dup["value"] = dup["value"].to_numpy() * 2 + 1
+            df = pd.concat([df, dup], ignore_index=True)
+        a = encode_partition(df, key_cols=["user_id"], metric_col=None,
+                             codec=codec)
+        b = encode_partition_arrow(
+            pa.Table.from_pandas(df, preserve_index=False),
+            key_cols=["user_id"], metric_col=None, codec=codec).to_pandas()
+        _assert_blocks_equal(a, b, ["user_id", "block_start"])
+
+    run()
 
 
 def test_arrow_decode_property_random_blocks():
