@@ -386,9 +386,11 @@ def encode_turns_arrow(batch, *, metric: str | None, day_ms: int,
                        custom: dict | None = None) -> "pa.Table":
     """Arrow-native fused dedup+derive+Gorilla-encode for one conv
     partition: per (conv, metric, day-block) series, boundaries from run
-    detection on int codes, one adaptive encode call per series."""
-    from .series import CODEC_NAME
-    from ..codec import encode_series_auto, words_to_payload
+    detection on int codes; every series of a metric family encodes in ONE
+    native batch call (per-series encode_series_auto fallback without a
+    compiler)."""
+    from .series import CODEC_NAME, payload_binary_from_words
+    from ..codec import encode_series_auto
 
     codes, conv_dict, ts, tidx, cols = _sorted_turn_arrays(batch)
     n = len(ts)
@@ -414,55 +416,75 @@ def encode_turns_arrow(batch, *, metric: str | None, day_ms: int,
     day_idx = (block - block.min()) // day_ms
     key = codes * np.int64(day_idx.max() + 1) + day_idx
     starts = _run_bounds(key)
-    ends = np.append(starts[1:], n)
 
-    same_conv = np.concatenate(([False], codes[1:] == codes[:-1]))
-    gaps = np.empty(n, dtype=np.float64)
-    gaps[0] = 0
-    gaps[1:] = np.diff(ts).astype(np.float64)
+    # per-series duplicate-ts dedup (keep-first), vectorized over the whole
+    # partition: a row survives if it opens a series or strictly advances
+    # the series timestamp
+    change = np.zeros(n, dtype=bool)
+    change[starts] = True
+    gkeep = change.copy()
+    gkeep[1:] |= ts[1:] > ts[:-1]
+    ts_k = ts[gkeep]
+    starts_k = np.flatnonzero(change[gkeep])
+    bounds_k = np.append(starts_k, len(ts_k)).astype(np.int64)
+    bts = block[starts].astype(np.int64)
+    codes_s = codes[starts]
 
-    out_code, out_metric, out_bs, out_np, out_payload = [], [], [], [], []
+    def family(metric_name, ts_c, vb_c, bounds, bts_f, codes_f):
+        """One metric's blocks for the whole partition → one pa.Table.
+        Native: ONE ctypes call encodes every series of the family
+        (encode_batch_v2) and the payload column is built from the word
+        stream without per-series bytes objects."""
+        from ..codec import native
 
-    def emit(metric_name, series_ts, series_vb, code, bs):
-        words, _ = encode_series_auto(bs, series_ts, series_vb)
-        out_code.append(code)
-        out_metric.append(metric_name)
-        out_bs.append(bs)
-        out_np.append(len(series_ts))
-        out_payload.append(words_to_payload(words))
+        nb = len(bts_f)
+        if native.AVAILABLE:
+            words, w_off = native.encode_batch_v2(bts_f, ts_c, vb_c, bounds)
+            payload = payload_binary_from_words(words, w_off)
+        else:
+            parts, w_off = [], np.zeros(nb + 1, dtype=np.int64)
+            for s in range(nb):
+                w, _ = encode_series_auto(int(bts_f[s]),
+                                          ts_c[bounds[s]:bounds[s + 1]],
+                                          vb_c[bounds[s]:bounds[s + 1]])
+                parts.append(np.asarray(w, dtype=np.uint64))
+                w_off[s + 1] = w_off[s] + len(parts[-1])
+            payload = payload_binary_from_words(
+                np.concatenate(parts) if parts
+                else np.empty(0, dtype=np.uint64), w_off)
+        return pa.table({
+            "conv_id": _dict_col(codes_f, conv_dict),
+            "metric": _const_dict(metric_name, nb),
+            "block_start": pa.array(bts_f),
+            "n_points": pa.array(np.diff(bounds)),
+            "codec": _const_dict(CODEC_NAME, nb),
+            "value_kind": _const_dict("double", nb),
+            "payload": payload,
+        })
 
-    for i in range(len(starts)):
-        lo, hi = starts[i], ends[i]
-        code = codes[lo]
-        bs = int(block[lo])
-        s_ts = ts[lo:hi]
-        dkeep = np.concatenate(([True], np.diff(s_ts) > 0))
-        clean = dkeep.all()
-        if not clean:
-            s_ts = s_ts[dkeep]
-        for m, vals in value_cols.items():
-            vb = vals[lo:hi].view(np.uint64)
-            emit(m, s_ts, vb if clean else vb[dkeep], code, bs)
-        if metric in (None, "turn_gap_ms"):
-            gmask = same_conv[lo:hi]
-            if gmask.any():
-                g_ts = ts[lo:hi][gmask]
-                g_vb = gaps[lo:hi][gmask].view(np.uint64)
-                gk = np.concatenate(([True], np.diff(g_ts) > 0))
-                if not gk.all():
-                    g_ts, g_vb = g_ts[gk], g_vb[gk]
-                emit("turn_gap_ms", g_ts, g_vb, code, bs)
+    tables = [family(m, ts_k, vals[gkeep].view(np.uint64), bounds_k,
+                     bts, codes_s)
+              for m, vals in value_cols.items()]
 
-    nb = len(out_code)
-    return pa.table({
-        "conv_id": _dict_col(np.array(out_code, dtype=np.int64), conv_dict),
-        "metric": pa.array(out_metric, pa.string()).dictionary_encode(),
-        "block_start": pa.array(np.array(out_bs, dtype=np.int64)),
-        "n_points": pa.array(np.array(out_np, dtype=np.int64)),
-        "codec": _const_dict(CODEC_NAME, nb),
-        "value_kind": _const_dict("double", nb),
-        "payload": pa.array(out_payload, pa.binary()),
-    })
+    if metric in (None, "turn_gap_ms"):
+        same_conv = np.concatenate(([False], codes[1:] == codes[:-1]))
+        sub = np.flatnonzero(same_conv)
+        if len(sub):
+            gaps = np.diff(ts).astype(np.float64)  # gaps[i-1] for row i
+            g_ts = ts[sub]
+            g_vb = gaps[sub - 1].view(np.uint64)
+            g_starts = _run_bounds(key[sub])
+            g_change = np.zeros(len(sub), dtype=bool)
+            g_change[g_starts] = True
+            g_k = g_change.copy()
+            g_k[1:] |= g_ts[1:] > g_ts[:-1]
+            g_bounds = np.append(np.flatnonzero(g_change[g_k]),
+                                 int(g_k.sum())).astype(np.int64)
+            tables.append(family("turn_gap_ms", g_ts[g_k], g_vb[g_k],
+                                 g_bounds, block[sub][g_starts].astype(
+                                     np.int64), codes[sub][g_starts]))
+
+    return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
 
 def _sorted_keep_index(batch):
