@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunks": docs.chunk_documents,
         "docs_boilerplate_chunks": docs.boilerplate_chunks,
         "docs_clean_corpus": docs.clean_corpus,
+        "docs_repetition": docs.repetition,
+        "docs_novelty": docs.novelty,
+        "emb_semdedup": docs.emb_semdedup,
         "emb_norms": docs.emb_norms,
         "emb_centroid_distances": docs.centroid_distances,
         "docs_label_quality": docs.label_quality,
@@ -1403,6 +1406,83 @@ SELECT sh.doc_id, CAST(count(DISTINCT sh.s) AS BIGINT) AS n_shared
 FROM sh JOIN split USING (doc_id) JOIN eval_sh USING (s)
 WHERE NOT is_eval
 GROUP BY sh.doc_id
+""",
+        # Gopher-style repetition signals: token 2-grams from the same
+        # [A-Za-z0-9]+ tokenization; one f64 division per doc, half-away
+        # rounded on both sides
+        "docs_repetition": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), big AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+    i -> concat(toks[i], chr(1), toks[i+1]))) AS bg
+  FROM t WHERE len(toks) >= 2
+), cnts AS (
+  SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_occ,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM cnts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(a.dup_occ, 0) * 1.0
+             / greatest(coalesce(a.nb, 0), 1), 6) AS dup2_frac,
+       round(coalesce(a.top_c, 0) * 1.0
+             / greatest(coalesce(a.nb, 0), 1), 6) AS top2_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+        # shingle novelty: same shingle construction (and md5-prefix
+        # digest identity) as docs_decontaminate; min-doc_id-first wins
+        "docs_novelty": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], ''))))) AS s
+  FROM t
+), firsts AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novelty
+FROM sh JOIN firsts f USING (s)
+GROUP BY sh.doc_id
+""",
+        # SemDeDup with deterministic centroids (the k smallest vec_ids):
+        # assignment = argmax cosine (ties -> smaller cluster, the
+        # row_number order), duplicate = any smaller-id cluster-mate with
+        # cosine >= 0.3 (the emb_near_dups threshold, measured safe)
+        "emb_semdedup": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+), scored AS (
+  SELECT e.vec_id, c.cluster, list_cosine_similarity(e.v, c.v) AS cos
+  FROM e CROSS JOIN c
+), asg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cluster) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       NOT EXISTS (
+         SELECT 1 FROM asg b JOIN e eb ON eb.vec_id = b.vec_id
+         WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+           AND list_cosine_similarity(ea.v, eb.v) >= 0.3) AS keep
+FROM asg a JOIN e ea ON ea.vec_id = a.vec_id
 """,
         # perplexity-style quality score: mean unigram logprob over the
         # top-1000 vocab (ties broken like the engine's top_tokens)

@@ -1104,6 +1104,228 @@ def emb_quantize_sq8(sf_dir: str):
     return ds.map_batches(quant, batch_format="pyarrow")
 
 
+def emb_semdedup(sf_dir: str, k: int = 8, tau: float = 0.3):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    cluster the embedding space, then drop any vector with a SMALLER-id
+    cluster-mate above the cosine threshold.  Centroids are deterministic
+    — the ``k`` smallest vec_ids' vectors — so the whole operator has an
+    exact SQL mirror (DuckDB ``list_cosine_similarity``); a production run
+    would swap in k-means centroids without touching the dataflow.
+
+    Scale shape: centroid selection is a bounded per-batch partial
+    (k × dim flat rows, driver-folded like the SQ8 range pass); assignment
+    is map-only against the broadcast (k × dim) matrix; the within-cluster
+    pass is ONE cluster-hash exchange of flat (vec_id, cluster, dim, val)
+    rows — nothing list-typed rides it — with a per-cluster vectorized
+    cosine matrix in the kernel.  At 10^12 vectors k grows ∝ N (SemDeDup's
+    own assumption) so per-cluster pair work stays bounded."""
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _mat(t: pa.Table) -> np.ndarray:
+        col = t.column("embedding")
+        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+               else col)
+        return sim._list_matrix(arr)
+
+    def cand(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = _mat(t)
+        if not len(ids):
+            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64),
+                                 "dim": np.array([], dtype=np.int64),
+                                 "val": np.array([], dtype=np.float64)})
+        take = np.argsort(ids, kind="stable")[:k]
+        sub = mat[take]
+        d = sub.shape[1]
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids[take], d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(take)),
+            "val": sub.reshape(-1).astype(np.float64)})
+
+    cands = (ds.map_batches(cand, batch_format="pyarrow")
+             .to_pandas())  # bounded: k × dim rows per block
+    piv = (cands.sort_values(["vec_id", "dim"], kind="stable")
+           .drop_duplicates(["vec_id", "dim"]))
+    top_ids = np.unique(piv["vec_id"].to_numpy())[:k]
+    piv = piv[piv["vec_id"].isin(top_ids)]
+    dim = int(piv["dim"].max()) + 1
+    cmat = piv["val"].to_numpy().reshape(len(top_ids), dim)
+    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = _mat(t).astype(np.float64, copy=False)
+        cols = ["vec_id", "cluster", "dim", "val"]
+        if not len(ids):
+            return pd.DataFrame({c: np.array(
+                [], dtype=np.float64 if c == "val" else np.int64)
+                for c in cols})
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mn = mat / np.where(norms > 0, norms, 1.0)
+        # np.argmax keeps the FIRST maximum — the SQL mirror's
+        # "ORDER BY cos DESC, cluster" tie-break
+        cl = np.argmax(mn @ cn.T, axis=1).astype(np.int64)
+        d = mat.shape[1]
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids, d),
+            "cluster": np.repeat(cl, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(ids)),
+            "val": mat.reshape(-1)})[cols]
+
+    flat = ds.map_batches(assign, batch_format="pyarrow")
+
+    def cluster_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["vec_id", "cluster", "keep"]
+        if len(df) == 0:
+            return pd.DataFrame({
+                "vec_id": np.array([], dtype=np.int64),
+                "cluster": np.array([], dtype=np.int64),
+                "keep": np.array([], dtype=bool)})
+        df = df.sort_values(["cluster", "vec_id", "dim"], kind="stable")
+        cl = df["cluster"].to_numpy()
+        ids = df["vec_id"].to_numpy()
+        vals = df["val"].to_numpy()
+        d = int(df["dim"].max()) + 1
+        out_id, out_cl, out_keep = [], [], []
+        for c in np.unique(cl):
+            m = cl == c
+            v = vals[m].reshape(-1, d)
+            vid = ids[m].reshape(-1, d)[:, 0]
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            vn = v / np.where(norms > 0, norms, 1.0)
+            g = vn @ vn.T
+            # rows sorted by vec_id: a vector is a duplicate iff any
+            # STRICTLY-EARLIER row in its cluster matches at >= tau
+            dup = (np.tril(g >= tau, k=-1)).any(axis=1)
+            out_id.append(vid)
+            out_cl.append(np.full(len(vid), c, dtype=np.int64))
+            out_keep.append(~dup)
+        return pd.DataFrame({
+            "vec_id": np.concatenate(out_id),
+            "cluster": np.concatenate(out_cl),
+            "keep": np.concatenate(out_keep)})[cols]
+
+    return hash_exchange(flat, key_fn=_pair_hash_key(["cluster"]),
+                         n_parts=N_DOC_PARTS, kernel=cluster_kernel,
+                         fmt="pandas")
+
+
+def repetition(sf_dir: str):
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    repetition-filter shape) over word tokens: per doc, the fraction of
+    2-gram occurrences belonging to a REPEATED 2-gram (``dup2_frac``) and
+    the most frequent 2-gram's share (``top2_frac``).  Map-only: 2-gram
+    identities are consecutive token-code pairs from the shared byte-run
+    tokenizer, counted with one sort per batch — no shuffle, no Python
+    per-row work.  Docs with <2 tokens emit zeros (the SQL mirror's LEFT
+    JOIN)."""
+    from ..util import round_half_away
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "n_bigrams", "dup2_frac", "top2_frac"]
+        ids = df["doc_id"].to_numpy()
+        uniq, codes, lens = dd.unique_tokens(df["text"])
+        n_docs = len(df)
+        nb = np.maximum(lens - 1, 0).astype(np.int64)
+        dup_occ = np.zeros(n_docs, dtype=np.int64)
+        top = np.zeros(n_docs, dtype=np.int64)
+        if len(codes) and nb.sum() > 0:
+            v = np.int64(len(uniq))
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            # consecutive positions within the same doc form a 2-gram
+            first = np.flatnonzero(doc_of[1:] == doc_of[:-1])
+            big = codes[first].astype(np.int64) * v + codes[first + 1]
+            comp = doc_of[first] * (v * v) + big
+            comp_s = np.sort(comp)
+            change = np.concatenate(([True], comp_s[1:] != comp_s[:-1]))
+            starts = np.flatnonzero(change)
+            cnt = np.diff(np.append(starts, len(comp_s))).astype(np.int64)
+            d2 = (comp_s[starts] // (v * v)).astype(np.int64)
+            np.add.at(dup_occ, d2, np.where(cnt >= 2, cnt, 0))
+            np.maximum.at(top, d2, cnt)
+        safe = np.maximum(nb, 1).astype(np.float64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_bigrams": nb,
+            "dup2_frac": round_half_away(dup_occ / safe, 6),
+            "top2_frac": round_half_away(top / safe, 6)})[cols]
+
+    return ds.map_batches(rep, batch_format="pandas")
+
+
+def novelty(sf_dir: str):
+    """Per-document shingle novelty — the fraction of a doc's distinct
+    word-3-shingles whose FIRST corpus occurrence (min doc_id) is this
+    doc: the incremental-dedup signal a streaming ingest pipeline uses to
+    decide whether a new document adds content.  Shingle identity is the
+    md5-prefix digest of the chr(1)-joined shingle (the decontaminate /
+    exact_dedup discipline, so the SQL mirror compares the identical
+    value space).  Two slim exchanges: (1) shingle-hash — every copy of a
+    shingle lands in one partition, min doc_id is exact there and the
+    kernel emits bounded per-doc partials; (2) doc-hash sum of partials
+    (self-merging, chunk-streamed).  Only (doc_id, u64) pairs ride the
+    wide exchange, never text."""
+    from ..util import round_half_away
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sh_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d, s = dd.doc_shingle_md5_sets(df["text"])
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[d],
+            "s": s})
+
+    rows = ds.map_batches(sh_rows, batch_format="pandas")
+
+    def novel_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "n_shingles", "n_novel"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        s = df["s"].to_numpy().astype(np.uint64)
+        ids = df["doc_id"].to_numpy()
+        order = np.lexsort((ids, s))
+        s, ids = s[order], ids[order]
+        change = np.concatenate(([True], s[1:] != s[:-1]))
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(s)))
+        novel = ids == np.repeat(ids[starts], counts)  # min id: sorted
+        labs, inv = np.unique(ids, return_inverse=True)
+        return pd.DataFrame({
+            "doc_id": labs,
+            "n_shingles": np.bincount(inv).astype(np.int64),
+            "n_novel": np.bincount(inv, weights=novel).astype(np.int64),
+        })[cols]
+
+    partials = hash_exchange(rows, key_fn=_pair_hash_key(["s"]),
+                             n_parts=N_DOC_PARTS, kernel=novel_partial,
+                             fmt="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "n_shingles", "n_novel"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        g = df.groupby("doc_id", sort=True, as_index=False)[
+            ["n_shingles", "n_novel"]].sum()
+        return g.astype(np.int64)[cols]
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["novelty"] = round_half_away(
+            df["n_novel"].to_numpy()
+            / np.maximum(df["n_shingles"].to_numpy(), 1), 6)
+        return out
+
+    return hash_exchange(partials, key_fn=_pair_hash_key(["doc_id"]),
+                         n_parts=N_DOC_PARTS, kernel=fold, fmt="pandas",
+                         chunk_rows=1 << 20, final_kernel=finalize)
+
+
 # ---------- stratified quality selection ----------
 
 def top_quality_per_lang(sf_dir: str, k: int = 10):

@@ -837,3 +837,98 @@ WHERE NOT is_eval
   AND q.alpha_ratio >= 0.55
 """).df(), ["doc_id"])
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_repetition_vs_duckdb(ray_session):
+    """Gopher-style 2-gram repetition signals equal the SQL mirror at
+    sf0.001 (the driver checks sf0.01)."""
+    got = _sorted(docs.repetition(SF).to_pandas(), ["doc_id"])
+    want = _sorted(_con().execute("""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), big AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+    i -> concat(toks[i], chr(1), toks[i+1]))) AS bg
+  FROM t WHERE len(toks) >= 2
+), cnts AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_occ,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM cnts GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(a.dup_occ, 0) * 1.0
+             / greatest(coalesce(a.nb, 0), 1), 6) AS dup2_frac,
+       round(coalesce(a.top_c, 0) * 1.0
+             / greatest(coalesce(a.nb, 0), 1), 6) AS top2_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""").df(), ["doc_id"])
+    pd.testing.assert_frame_equal(got, want)
+    # fractions live in [0, 1]; a repeated top 2-gram implies dup mass
+    assert got["dup2_frac"].between(0, 1).all()
+    assert got["top2_frac"].between(0, 1).all()
+    rep = got["top2_frac"] * got["n_bigrams"] >= 2 - 1e-9
+    assert (got.loc[rep, "dup2_frac"] > 0).all()
+
+
+def test_novelty_vs_duckdb(ray_session):
+    got = _sorted(docs.novelty(SF).to_pandas(), ["doc_id"])
+    want = _sorted(_con().execute("""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], ''))))) AS s
+  FROM t
+), firsts AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY s)
+SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novelty
+FROM sh JOIN firsts f USING (s)
+GROUP BY sh.doc_id
+""").df(), ["doc_id"])
+    pd.testing.assert_frame_equal(got, want)
+    # the smallest doc_id sees every one of its shingles first
+    first = got.iloc[0]
+    assert first["doc_id"] == got["doc_id"].min()
+    assert first["novelty"] == 1.0
+
+
+def test_emb_semdedup_vs_duckdb(ray_session):
+    got = _sorted(docs.emb_semdedup(SF).to_pandas(), ["vec_id"])
+    want = _sorted(_con().execute("""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+), scored AS (
+  SELECT e.vec_id, c.cluster, list_cosine_similarity(e.v, c.v) AS cos
+  FROM e CROSS JOIN c
+), asg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cluster) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       NOT EXISTS (
+         SELECT 1 FROM asg b JOIN e eb ON eb.vec_id = b.vec_id
+         WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+           AND list_cosine_similarity(ea.v, eb.v) >= 0.3) AS keep
+FROM asg a JOIN e ea ON ea.vec_id = a.vec_id
+""").df(), ["vec_id"])
+    pd.testing.assert_frame_equal(got, want)
+    # every vector appears exactly once; the smallest id of each cluster
+    # is always kept (nothing precedes it)
+    assert got["vec_id"].is_unique
+    firsts = got.groupby("cluster")["vec_id"].min()
+    kept = got.set_index("vec_id").loc[firsts.to_numpy(), "keep"]
+    assert kept.all()
