@@ -159,7 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean_corpus": docs.clean_corpus,
         "docs_repetition": docs.repetition,
         "docs_novelty": docs.novelty,
+        "docs_mix_sample": docs.mix_sample,
         "emb_semdedup": docs.emb_semdedup,
+        "events_seasonal_decompose": ev.seasonal_decompose,
         "emb_norms": docs.emb_norms,
         "emb_centroid_distances": docs.centroid_distances,
         "docs_label_quality": docs.label_quality,
@@ -1455,6 +1457,50 @@ SELECT sh.doc_id,
              / count(*), 6) AS novelty
 FROM sh JOIN firsts f USING (s)
 GROUP BY sh.doc_id
+""",
+        # deterministic language-mix sampling: same md5 bucket as
+        # hash_split; rates en=40 de=70 others=100
+        "docs_mix_sample": """
+SELECT doc_id, lang,
+       CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 100
+            AS BIGINT) AS bucket
+FROM documents
+WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 <
+      CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 70 ELSE 100 END
+""",
+        # STL-lite per-user hourly decomposition in EXACT integer
+        # arithmetic (2-decimal values → cents; means as num/denominator
+        # columns: trend=T/2500, detrended=D/2500, seasonal=S/(2500*N),
+        # resid=(N*D-S)/(2500*N)) — mean columns sit exactly on rounding
+        # midpoints here, so integers are the only hash-stable surface
+        "events_seasonal_decompose": """
+WITH p AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), h AS (
+  SELECT user_id, ts_ms - ts_ms % 3600000 AS bucket_ms, sum(c) AS bc
+  FROM p GROUP BY user_id, bucket_ms
+), w AS (
+  SELECT user_id, bucket_ms, bc,
+         sum(bc) OVER win AS t, count(*) OVER win AS wn
+  FROM h WINDOW win AS (PARTITION BY user_id ORDER BY bucket_ms
+                        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), f AS (
+  SELECT user_id, bucket_ms, bc, t, 25 * bc - t AS d,
+         (bucket_ms // 3600000) % 24 AS hod
+  FROM w WHERE wn = 25
+), se AS (
+  SELECT *, sum(d) OVER (PARTITION BY user_id, hod) AS s_num,
+         count(*) OVER (PARTITION BY user_id, hod) AS cell_n
+  FROM f
+)
+SELECT user_id, bucket_ms, CAST(bc AS BIGINT) AS v_cents,
+       CAST(t AS BIGINT) AS trend_sum_cents, CAST(d AS BIGINT) AS detr_num,
+       CAST(hod AS BIGINT) AS hod, CAST(cell_n AS BIGINT) AS cell_n,
+       CAST(s_num AS BIGINT) AS seasonal_num,
+       CAST(cell_n * d - s_num AS BIGINT) AS resid_num
+FROM se
 """,
         # SemDeDup with deterministic centroids (the k smallest vec_ids):
         # assignment = argmax cosine (ties -> smaller cluster, the

@@ -1326,6 +1326,39 @@ def novelty(sf_dir: str):
                          chunk_rows=1 << 20, final_kernel=finalize)
 
 
+MIX_RATES = (("en", 40), ("de", 70))  # percent kept; other langs 100
+
+
+def mix_sample(sf_dir: str):
+    """Deterministic data-mixing / stratified downsampling — the step
+    that rebalances language (or source) proportions before pretraining:
+    keep a doc iff its md5 bucket (the hash_split convention, DuckDB-
+    identical) falls below its language's target rate.  Map-only,
+    reproducible across runs and engines (no RNG state), and resumable
+    for free — membership is a pure function of doc_id."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "lang", "bucket"]
+        if len(df) == 0:
+            return pd.DataFrame({
+                "doc_id": np.array([], dtype=np.int64),
+                "lang": np.array([], dtype=object),
+                "bucket": np.array([], dtype=np.int64)})
+        b = _md5_bucket(df["doc_id"].to_numpy())
+        lang = df["lang"].to_numpy()
+        rate = np.full(len(df), 100, dtype=np.int64)
+        for lg, r in MIX_RATES:
+            rate[lang == lg] = r
+        keep = b < rate
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[keep],
+            "lang": lang[keep],
+            "bucket": b[keep]})[cols]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
 # ---------- stratified quality selection ----------
 
 def top_quality_per_lang(sf_dir: str, k: int = 10):

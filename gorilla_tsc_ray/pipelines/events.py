@@ -1377,6 +1377,93 @@ def seasonal_anomalies(sf_dir: str, z_thresh: float = 3.0):
     return pts.map_batches(flag, batch_format="pandas")
 
 
+def seasonal_decompose(sf_dir: str, half_window: int = 12):
+    """STL-lite additive decomposition of each user's hourly series, in
+    EXACT integer arithmetic: ``trend`` = centered moving average over 25
+    consecutive hourly buckets (interior rows only — STL's own edge
+    discipline), ``seasonal`` = per (user, hour-of-day) mean of the
+    detrended series, ``resid`` = v − trend − seasonal.
+
+    Value-hash discipline: ``value`` carries exactly 2 decimals, so mean
+    columns land EXACTLY on round-decimal midpoints whenever the divisor
+    has enough factors of 2 (measured: 63/90/80 rounding flips vs DuckDB
+    at 4 decimals) — no rounding width is robust.  So the query emits the
+    decomposition as exact int64-scaled columns instead: with ``c`` the
+    bucket cents, ``T`` the 25-bucket window sum, ``D = 25·c − T``
+    (detrended × 2500), ``S = Σ_cell D`` and ``N`` the cell size, the
+    real-valued components are trend = T/2500, detrended = D/2500,
+    seasonal = S/(2500·N), resid = (N·D − S)/(2500·N).  Every column is
+    an integer both engines compute exactly.
+
+    Scale shape: per-batch Arrow partials collapse raw events to
+    (user, bucket) int64 cent sums BEFORE the one user-hash exchange; the
+    kernel's window sums are two cumsum gathers, the cell sums one
+    bincount — no per-series Python."""
+    import pyarrow as pa
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    pts = _read_points(sf_dir, P)
+    hour = 3_600_000
+    w = 2 * half_window + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.multiply(pc.divide(t.column("ts_ms"), hour), hour)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = pa.array((np.sign(v) * np.floor(np.abs(v) * 100 + 0.5))
+                         .astype(np.int64))
+        work = pa.table({"user_id": t.column("user_id"), "bucket_ms": b,
+                         "c": cents})
+        agg = work.group_by(["user_id", "bucket_ms"],
+                            use_threads=False).aggregate([("c", "sum")])
+        return agg.rename_columns(
+            ["c" if c == "c_sum" else c for c in agg.schema.names])
+
+    partials = pts.map_batches(partial, batch_format="pyarrow")
+
+    def decomp(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "bucket_ms", "v_cents", "trend_sum_cents",
+                "detr_num", "hod", "cell_n", "seasonal_num", "resid_num"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        g = (df.groupby(["user_id", "bucket_ms"], sort=True, as_index=False)
+             ["c"].sum())
+        u = g["user_id"].to_numpy()
+        b = g["bucket_ms"].to_numpy()
+        c = g["c"].to_numpy().astype(np.int64)
+        n = len(g)
+        codes, _ = pd.factorize(g["user_id"], sort=False)  # sorted → runs
+        change = np.concatenate(([True], codes[1:] != codes[:-1]))
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n))
+        idx = np.arange(n)
+        s0 = np.repeat(starts, counts)
+        s1 = s0 + np.repeat(counts, counts)
+        full = (idx - half_window >= s0) & (idx + half_window + 1 <= s1)
+        csum = np.concatenate(([0], np.cumsum(c)))
+        fi = np.flatnonzero(full)
+        t_sum = csum[fi + half_window + 1] - csum[fi - half_window]
+        u, b, c, codes = u[fi], b[fi], c[fi], codes[fi]
+        d = w * c - t_sum
+        hod = (b // hour) % 24
+        cell = codes.astype(np.int64) * 24 + hod
+        ucell, cinv = np.unique(cell, return_inverse=True)
+        cell_n = np.bincount(cinv).astype(np.int64)[cinv]
+        s_num = np.bincount(cinv, weights=d).astype(np.int64)[cinv]
+        return pd.DataFrame({
+            "user_id": u, "bucket_ms": b, "v_cents": c,
+            "trend_sum_cents": t_sum, "detr_num": d,
+            "hod": hod.astype(np.int64), "cell_n": cell_n,
+            "seasonal_num": s_num,
+            "resid_num": cell_n * d - s_num})[cols]
+
+    return hash_exchange(partials, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=decomp, fmt="pandas")
+
+
 def ewma_last(sf_dir: str, alpha: float = 0.2):
     """Final EWMA per user — the recursive ``y ← (1−α)·y + α·x`` fold over
     event-time order (seeded with the first value).  pandas' grouped

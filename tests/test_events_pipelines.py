@@ -1409,3 +1409,78 @@ SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
        round((sd - mu) / (sd + mu), 6) AS burstiness
 FROM s WHERE n_gaps >= 2 AND (sd + mu) > 0
 """, sf, ["user_id"], atol=1e-9)
+
+
+def test_seasonal_decompose_vs_duckdb(ray_session):
+    """Integer-scaled STL-lite decomposition equals the SQL mirror, and the
+    scaled columns reconstruct v exactly: 25*N*c == N*T + S + resid_num +
+    N*(25c - T) identity aside, check the real-valued reconstruction."""
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.seasonal_decompose(sf), """
+WITH p AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), h AS (
+  SELECT user_id, ts_ms - ts_ms % 3600000 AS bucket_ms, sum(c) AS bc
+  FROM p GROUP BY user_id, bucket_ms
+), w AS (
+  SELECT user_id, bucket_ms, bc,
+         sum(bc) OVER win AS t, count(*) OVER win AS wn
+  FROM h WINDOW win AS (PARTITION BY user_id ORDER BY bucket_ms
+                        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), f AS (
+  SELECT user_id, bucket_ms, bc, t, 25 * bc - t AS d,
+         (bucket_ms // 3600000) % 24 AS hod
+  FROM w WHERE wn = 25
+), se AS (
+  SELECT *, sum(d) OVER (PARTITION BY user_id, hod) AS s_num,
+         count(*) OVER (PARTITION BY user_id, hod) AS cell_n
+  FROM f
+)
+SELECT user_id, bucket_ms, CAST(bc AS BIGINT) AS v_cents,
+       CAST(t AS BIGINT) AS trend_sum_cents, CAST(d AS BIGINT) AS detr_num,
+       CAST(hod AS BIGINT) AS hod, CAST(cell_n AS BIGINT) AS cell_n,
+       CAST(s_num AS BIGINT) AS seasonal_num,
+       CAST(cell_n * d - s_num AS BIGINT) AS resid_num
+FROM se
+""", sf, ["user_id", "bucket_ms"])
+    got = ev.seasonal_decompose(sf).to_pandas()
+    assert len(got)
+    # additive reconstruction: v == trend + seasonal + resid exactly in
+    # the scaled rational arithmetic
+    n = got["cell_n"].to_numpy()
+    lhs = 25 * n * got["v_cents"].to_numpy()
+    rhs = (n * got["trend_sum_cents"].to_numpy()
+           + got["seasonal_num"].to_numpy() + got["resid_num"].to_numpy())
+    np.testing.assert_array_equal(lhs, rhs)
+    # seasonal numerators sum to zero within each (user, hod) cell:
+    # sum(resid_num) over a cell == 0 by construction
+    grp = got.groupby(["user_id", "hod"])["resid_num"].sum()
+    assert (grp == 0).all()
+
+
+def test_mix_sample_vs_duckdb(ray_session):
+    from gorilla_tsc_ray.pipelines import docs
+    sf = "/root/testdata/sf0.001"
+    got = (docs.mix_sample(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    exp = con.execute("""
+SELECT doc_id, lang,
+       CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 100
+            AS BIGINT) AS bucket
+FROM documents
+WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 <
+      CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 70 ELSE 100 END
+ORDER BY doc_id""").df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # en is downsampled harder than the rest
+    full = con.execute(
+        "SELECT lang, count(*) n FROM documents GROUP BY 1").df()
+    kept = got.groupby("lang").size()
+    fr = {r["lang"]: kept.get(r["lang"], 0) / r["n"]
+          for _, r in full.iterrows()}
+    assert fr["en"] < 0.55
