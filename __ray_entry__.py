@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mix_sample": docs.mix_sample,
         "emb_semdedup": docs.emb_semdedup,
         "events_seasonal_decompose": ev.seasonal_decompose,
+        "events_winsorize": ev.winsorize,
         "emb_norms": docs.emb_norms,
         "emb_centroid_distances": docs.centroid_distances,
         "docs_label_quality": docs.label_quality,
@@ -1501,6 +1502,34 @@ SELECT user_id, bucket_ms, CAST(bc AS BIGINT) AS v_cents,
        CAST(s_num AS BIGINT) AS seasonal_num,
        CAST(cell_n * d - s_num AS BIGINT) AS resid_num
 FROM se
+""",
+        # per-user winsorized summary: exact order-statistic bounds on the
+        # integer-cent scale, pure selection + integer sums (hash-exact)
+        "events_winsorize": """
+WITH p AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT user_id, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY c) - 1 AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM p
+), b AS (
+  SELECT user_id, n,
+         max(CASE WHEN rk = ((n - 1) * 5) // 100 THEN c END) AS lo_c,
+         max(CASE WHEN rk = ((n - 1) * 95 + 99) // 100 THEN c END) AS hi_c
+  FROM r GROUP BY user_id, n
+)
+SELECT r.user_id, CAST(b.n AS BIGINT) AS n,
+       CAST(b.lo_c AS BIGINT) AS lo_cents,
+       CAST(b.hi_c AS BIGINT) AS hi_cents,
+       CAST(sum(CASE WHEN r.c < b.lo_c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN r.c > b.hi_c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clip_hi,
+       CAST(sum(least(greatest(r.c, b.lo_c), b.hi_c))
+            AS BIGINT) AS wsum_cents
+FROM r JOIN b USING (user_id)
+GROUP BY r.user_id, b.n, b.lo_c, b.hi_c
 """,
         # SemDeDup with deterministic centroids (the k smallest vec_ids):
         # assignment = argmax cosine (ties -> smaller cluster, the

@@ -1464,6 +1464,69 @@ def seasonal_decompose(sf_dir: str, half_window: int = 12):
                          kernel=decomp, fmt="pandas")
 
 
+def winsorize(sf_dir: str, lo_pct: int = 5, hi_pct: int = 95):
+    """Per-user winsorized summary — the robust-statistics cleaning step
+    (clip each user's values at their own P5/P95 before aggregating).
+    Bounds are EXACT order statistics on the integer-cent scale: with a
+    user's n values sorted ascending (0-indexed), lo = value at rank
+    ``(n−1)·5 // 100`` and hi = value at rank ``ceil((n−1)·95 / 100)`` —
+    pure selection + integer sums, so every output column is hash-exact
+    (no float arithmetic anywhere; the seasonal-decompose discipline).
+
+    Scale shape: one user-hash exchange of (user, cents) rows; the kernel
+    is one sort + rank gathers + clip-sum per partition, vectorized over
+    all its users at once."""
+    import pyarrow as pa
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    pts = _read_points(sf_dir, P)
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = pa.array((np.sign(v) * np.floor(np.abs(v) * 100 + 0.5))
+                         .astype(np.int64))
+        return pa.table({"user_id": t.column("user_id"), "c": cents})
+
+    rows = pts.map_batches(to_cents, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n", "lo_cents", "hi_cents", "n_clip_lo",
+                "n_clip_hi", "wsum_cents"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        u = df["user_id"].to_numpy()
+        c = df["c"].to_numpy().astype(np.int64)
+        order = np.lexsort((c, u))
+        u, c = u[order], c[order]
+        change = np.concatenate(([True], u[1:] != u[:-1]))
+        starts = np.flatnonzero(change)
+        n = np.diff(np.append(starts, len(u))).astype(np.int64)
+        k_lo = (n - 1) * lo_pct // 100
+        # ceil with positive operands only — DuckDB's // truncates
+        # toward zero on negatives while numpy floors (measured)
+        k_hi = ((n - 1) * hi_pct + 99) // 100
+        lo = c[starts + k_lo]
+        hi = c[starts + k_hi]
+        grp = np.cumsum(change) - 1
+        lo_r, hi_r = lo[grp], hi[grp]
+        clipped = np.minimum(np.maximum(c, lo_r), hi_r)
+        csum = np.concatenate(([0], np.cumsum(clipped)))
+        bounds = np.append(starts, len(u))
+        return pd.DataFrame({
+            "user_id": u[starts], "n": n,
+            "lo_cents": lo, "hi_cents": hi,
+            "n_clip_lo": np.bincount(grp, weights=c < lo_r)
+            .astype(np.int64),
+            "n_clip_hi": np.bincount(grp, weights=c > hi_r)
+            .astype(np.int64),
+            "wsum_cents": csum[bounds[1:]] - csum[starts]})[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
 def ewma_last(sf_dir: str, alpha: float = 0.2):
     """Final EWMA per user — the recursive ``y ← (1−α)·y + α·x`` fold over
     event-time order (seeded with the first value).  pandas' grouped

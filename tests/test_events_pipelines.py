@@ -1484,3 +1484,38 @@ ORDER BY doc_id""").df().reset_index(drop=True)
     fr = {r["lang"]: kept.get(r["lang"], 0) / r["n"]
           for _, r in full.iterrows()}
     assert fr["en"] < 0.55
+
+
+def test_winsorize_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.winsorize(sf), """
+WITH p AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT user_id, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY c) - 1 AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM p
+), b AS (
+  SELECT user_id, n,
+         max(CASE WHEN rk = ((n - 1) * 5) // 100 THEN c END) AS lo_c,
+         max(CASE WHEN rk = ((n - 1) * 95 + 99) // 100 THEN c END) AS hi_c
+  FROM r GROUP BY user_id, n
+)
+SELECT r.user_id, CAST(b.n AS BIGINT) AS n,
+       CAST(b.lo_c AS BIGINT) AS lo_cents,
+       CAST(b.hi_c AS BIGINT) AS hi_cents,
+       CAST(sum(CASE WHEN r.c < b.lo_c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN r.c > b.hi_c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clip_hi,
+       CAST(sum(least(greatest(r.c, b.lo_c), b.hi_c))
+            AS BIGINT) AS wsum_cents
+FROM r JOIN b USING (user_id)
+GROUP BY r.user_id, b.n, b.lo_c, b.hi_c
+""", sf, ["user_id"])
+    got = ev.winsorize(sf).to_pandas()
+    # clip invariants: bounds ordered, clipped mass within [n*lo, n*hi]
+    assert (got["lo_cents"] <= got["hi_cents"]).all()
+    assert (got["wsum_cents"] >= got["n"] * got["lo_cents"]).all()
+    assert (got["wsum_cents"] <= got["n"] * got["hi_cents"]).all()
