@@ -137,12 +137,17 @@ def _map_over_buckets(files: list[str], kernel, *, lean: bool, fmt: str):
                  .append_column("tool_call", tool_call))
         return kernel(t if fmt == "pyarrow" else t.to_pandas())
 
-    # task count: ~2 tasks per session CPU (≥2 waves so one straggler
-    # cannot own the wall), floored at MIN_BUCKET_TASKS, never more than
-    # files; scheduling is per-task, so the count must not grow with input
-    # size.  Files are LPT-bin-packed by byte size so every wave is
-    # balanced (zipf conv lengths make bucket sizes vary ~3×).  Each task
-    # concatenates its (conv-complete) files and runs the kernel once.
+    # task count: ~4 tasks per session CPU, floored at MIN_BUCKET_TASKS,
+    # never more than files; scheduling is per-task, so the count must not
+    # grow with input size.  Files are LPT-bin-packed by byte size so
+    # every wave is balanced (zipf conv lengths make bucket sizes vary
+    # ~3×).  Each task concatenates its (conv-complete) files and runs the
+    # kernel once.  2 tasks/CPU was the round-2 setting; after the
+    # encode-wave kernels the per-task runtime spread (byte-balanced ≠
+    # time-balanced: 149 ms–1.78 s measured at 64 tasks) made one
+    # straggler own ~half the wall — 4 waves measured best at every level
+    # (4/16/32 CPUs: 3.6/1.14/1.22 s vs 4.5/1.43/1.35 s at 2 waves; 8
+    # waves regresses to 1.52 s at 16, dispatch overhead).
     import heapq
     import os
 
@@ -152,7 +157,7 @@ def _map_over_buckets(files: list[str], kernel, *, lean: bool, fmt: str):
         cpus = int(ray.cluster_resources().get("CPU", 16))
     except Exception:
         cpus = 16
-    n_tasks = min(len(files), max(MIN_BUCKET_TASKS, 2 * cpus))
+    n_tasks = min(len(files), max(MIN_BUCKET_TASKS, 4 * cpus))
     heap = [(0, i) for i in range(n_tasks)]  # (assigned bytes, group)
     heapq.heapify(heap)
     groups: list[list[str]] = [[] for _ in range(n_tasks)]
