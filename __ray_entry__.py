@@ -163,6 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_semdedup": docs.emb_semdedup,
         "events_seasonal_decompose": ev.seasonal_decompose,
         "events_winsorize": ev.winsorize,
+        "events_m4_1h": lambda sf: ev.m4_downsample(sf, "1h"),
+        "events_cusum": ev.cusum,
+        "events_active_intervals": ev.active_intervals,
         "emb_norms": docs.emb_norms,
         "emb_centroid_distances": docs.centroid_distances,
         "docs_label_quality": docs.label_quality,
@@ -1530,6 +1533,101 @@ SELECT r.user_id, CAST(b.n AS BIGINT) AS n,
             AS BIGINT) AS wsum_cents
 FROM r JOIN b USING (user_id)
 GROUP BY r.user_id, b.n, b.lo_c, b.hi_c
+""",
+        # M4 downsampling (Jugel et al. VLDB'14): the four extremum
+        # POINTS per (user, hour) — arg timestamps ride along; value ties
+        # break to the earliest microsecond (total order on (v, ts_us))
+        "events_m4_1h": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         (epoch_us(ts) // 1000 // 3600000) * 3600000 AS bucket_ms
+  FROM events
+), rk AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY user_id, bucket_ms
+                       ORDER BY ts_us) AS r_first,
+    row_number() OVER (PARTITION BY user_id, bucket_ms
+                       ORDER BY ts_us DESC) AS r_last,
+    row_number() OVER (PARTITION BY user_id, bucket_ms
+                       ORDER BY value, ts_us) AS r_min,
+    row_number() OVER (PARTITION BY user_id, bucket_ms
+                       ORDER BY value DESC, ts_us) AS r_max
+  FROM p
+)
+SELECT user_id, bucket_ms,
+  max(CASE WHEN r_first = 1 THEN ts_us END) AS first_ts_us,
+  round(max(CASE WHEN r_first = 1 THEN value END), 6) AS first_v,
+  max(CASE WHEN r_last = 1 THEN ts_us END) AS last_ts_us,
+  round(max(CASE WHEN r_last = 1 THEN value END), 6) AS last_v,
+  max(CASE WHEN r_min = 1 THEN ts_us END) AS min_ts_us,
+  round(max(CASE WHEN r_min = 1 THEN value END), 6) AS min_v,
+  max(CASE WHEN r_max = 1 THEN ts_us END) AS max_ts_us,
+  round(max(CASE WHEN r_max = 1 THEN value END), 6) AS max_v
+FROM rk GROUP BY user_id, bucket_ms
+""",
+        # one-sided CUSUM via the closed form s_i = P_i - min(0, min P_j):
+        # one windowed sum + one windowed min — exact integers throughout
+        # (target = lower-median cents, an order statistic)
+        "events_cusum": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT user_id, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY c) - 1 AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM p
+), t AS (
+  SELECT user_id, n,
+         max(CASE WHEN rk = (n - 1) // 2 THEN c END) AS target
+  FROM r GROUP BY user_id, n
+), s AS (
+  SELECT p.user_id, p.ts_us, t.n, t.target,
+         sum(p.c - t.target) OVER (PARTITION BY p.user_id ORDER BY p.ts_us
+             ROWS UNBOUNDED PRECEDING) AS pref
+  FROM p JOIN t USING (user_id)
+), cu AS (
+  SELECT user_id, n, target, pref
+         - least(0, min(pref) OVER (PARTITION BY user_id ORDER BY ts_us
+                  ROWS UNBOUNDED PRECEDING)) AS s_stat,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_us DESC) AS rdesc
+  FROM s
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(target AS BIGINT) AS target_cents,
+       CAST(max(CASE WHEN rdesc = 1 THEN s_stat END) AS BIGINT) AS final_s,
+       CAST(max(s_stat) AS BIGINT) AS max_s,
+       CAST(sum(CASE WHEN s_stat >= 500 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarms
+FROM cu GROUP BY user_id, n, target
+""",
+        # per-user interval union (gaps-and-islands): events open
+        # [ts, ts+60s) activity windows; overlapping-or-touching merge
+        "events_active_intervals": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 1000 AS s,
+         epoch_us(ts) // 1000 + 60000 AS e FROM events
+), w AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pme
+  FROM p
+), isl AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM w
+), g AS (
+  SELECT user_id, island, min(s) AS st, max(e) AS en
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(en - st) AS BIGINT) AS active_ms,
+       CAST(max(en - st) AS BIGINT) AS max_interval_ms
+FROM g GROUP BY user_id
 """,
         # SemDeDup with deterministic centroids (the k smallest vec_ids):
         # assignment = argmax cosine (ties -> smaller cluster, the

@@ -2679,3 +2679,226 @@ def streaming_out_of_order(sf_dir: str, n_actors: int = 4):
     order matches the global sort exactly since a series lives wholly in
     one slice).  Decode runs back on the Dataset API."""
     return _streaming_gate(sf_dir, n_actors, ["value", "ts_ms"])
+
+
+def m4_downsample(sf_dir: str, tier: str = "1h"):
+    """M4 visualization-driven downsampling (Jugel et al., VLDB 2014):
+    per (user, bucket) the four extremum POINTS — first/last in event
+    time, min/max by value — each kept as its full ``(ts_us, value)``
+    pair, so a line plot drawn from ≤4 points per pixel column is
+    pixel-identical to the full-resolution series.  Unlike :func:`ohlc`
+    (values only) the ARG timestamps ride along; value ties break to the
+    EARLIEST microsecond, making every selected point deterministic
+    (total order, no sort-stability assumption).
+
+    Decomposable partial+final: each batch keeps the four candidate
+    points per (user, bucket) via Arrow sort+group_by C kernels; the
+    exchange merge re-runs the same arg-selection over the candidates."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, EVENT_COLS, P)
+    bucket_ms = TIER_MS[tier]
+    cols = ["user_id", "bucket_ms", "first_ts_us", "first_v",
+            "last_ts_us", "last_v", "min_ts_us", "min_v",
+            "max_ts_us", "max_v"]
+
+    def to_us(batch):
+        ts_us = pc.cast(batch["ts"], "int64")
+        return batch.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    pts = ds.map_batches(to_us, batch_format="pyarrow")
+
+    def partial(t):
+        import pyarrow as pa
+
+        if t.num_rows == 0:
+            return pa.table({c: pa.array(
+                [], pa.float64() if c.endswith("_v") else pa.int64())
+                for c in cols})
+        ts_us = t.column("ts_us")
+        bucket = pc.multiply(pc.divide(pc.divide(ts_us, 1000), bucket_ms),
+                             bucket_ms)
+        work = pa.table({"user_id": t.column("user_id"),
+                         "bucket_ms": bucket, "ts_us": ts_us,
+                         "v": t.column("value")})
+
+        def arg_first(sorted_tbl, ts_name, v_name):
+            a = sorted_tbl.group_by(["user_id", "bucket_ms"],
+                                    use_threads=False).aggregate(
+                [("ts_us", "first"), ("v", "first")])
+            ren = {"ts_us_first": ts_name, "v_first": v_name}
+            return a.rename_columns(
+                [ren.get(c, c) for c in a.schema.names])
+
+        by_ts = work.sort_by("ts_us")
+        ft = by_ts.group_by(["user_id", "bucket_ms"],
+                            use_threads=False).aggregate(
+            [("ts_us", "first"), ("v", "first"),
+             ("ts_us", "last"), ("v", "last")])
+        ren = {"ts_us_first": "first_ts_us", "v_first": "first_v",
+               "ts_us_last": "last_ts_us", "v_last": "last_v"}
+        ft = ft.rename_columns([ren.get(c, c) for c in ft.schema.names])
+        mn = arg_first(work.sort_by([("v", "ascending"),
+                                     ("ts_us", "ascending")]),
+                       "min_ts_us", "min_v")
+        mx = arg_first(work.sort_by([("v", "descending"),
+                                     ("ts_us", "ascending")]),
+                       "max_ts_us", "max_v")
+        out = ft.join(mn, keys=["user_id", "bucket_ms"]).join(
+            mx, keys=["user_id", "bucket_ms"])
+        return out.select(cols)
+
+    partials = pts.map_batches(partial, batch_format="pyarrow")
+
+    def key_fn(tbl):
+        h = arrow_col_hash(tbl, "user_id")
+        h = (h * np.uint64(1_000_003)
+             + tbl.column("bucket_ms").to_numpy().astype(np.uint64))
+        return (h % np.uint64(P)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ["user_id", "bucket_ms"]
+        first = (df.sort_values("first_ts_us", kind="stable")
+                 .groupby(keys, sort=False)
+                 .agg(first_ts_us=("first_ts_us", "first"),
+                      first_v=("first_v", "first")))
+        last = (df.sort_values("last_ts_us", kind="stable")
+                .groupby(keys, sort=False)
+                .agg(last_ts_us=("last_ts_us", "last"),
+                     last_v=("last_v", "last")))
+        mn = (df.sort_values(["min_v", "min_ts_us"], kind="stable")
+              .groupby(keys, sort=False)
+              .agg(min_ts_us=("min_ts_us", "first"),
+                   min_v=("min_v", "first")))
+        mx = (df.sort_values(["max_v", "max_ts_us"],
+                             ascending=[False, True], kind="stable")
+              .groupby(keys, sort=False)
+              .agg(max_ts_us=("max_ts_us", "first"),
+                   max_v=("max_v", "first")))
+        out = first.join([last, mn, mx]).reset_index()
+        for c in ("first_v", "last_v", "min_v", "max_v"):
+            out[c] = round_half_away(out[c].to_numpy(), 6)
+        return out[cols]
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=P, kernel=merge,
+                         fmt="pandas")
+
+
+def cusum(sf_dir: str, h_cents: int = 500):
+    """One-sided CUSUM drift detector per user (Page 1954) over the
+    integer-cent scale.  The recursive form ``s_i = max(0, s_{i-1} +
+    d_i)`` has the closed form ``s_i = P_i − min(0, min_{j≤i} P_j)``
+    with ``P`` the prefix sum of ``d_i = cents_i − target`` — i.e. one
+    grouped cumsum plus one grouped cummin, fully vectorized AND fully
+    window-expressible in SQL.  The target is the user's LOWER MEDIAN
+    cents (exact order statistic at rank ``(n−1)//2``), so every output
+    is an exact integer — the winsorize/seasonal-decompose discipline:
+    no float arithmetic, no rounding-midpoint hazard.
+
+    Outputs per user: n, the target, the final and max CUSUM statistic,
+    and how many samples sat at-or-above the alarm threshold ``h``."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, EVENT_COLS, P)
+
+    def to_cents(t):
+        import pyarrow as pa
+
+        ts_us = pc.cast(t["ts"], "int64")
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype(
+            np.int64)
+        return pa.table({"user_id": t.column("user_id"), "ts_us": ts_us,
+                         "c": pa.array(cents)})
+
+    rows = ds.map_batches(to_cents, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n", "target_cents", "final_s", "max_s",
+                "n_alarms"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        u = df["user_id"].to_numpy()
+        c = df["c"].to_numpy().astype(np.int64)
+        # per-user lower median: value-sorted rank gather (groups appear
+        # in the same ascending-user order as the event-time frame)
+        order = np.lexsort((c, u))
+        us, cs = u[order], c[order]
+        vchange = np.concatenate(([True], us[1:] != us[:-1]))
+        vstarts = np.flatnonzero(vchange)
+        n = np.diff(np.append(vstarts, len(us))).astype(np.int64)
+        target = cs[vstarts + (n - 1) // 2]
+
+        change = np.concatenate(([True], u[1:] != u[:-1]))
+        starts = np.flatnonzero(change)
+        grp = np.cumsum(change) - 1
+        d = c - target[grp]
+        work = pd.DataFrame({"user_id": u, "d": d})
+        g = work.groupby("user_id", sort=False)
+        pref = g["d"].cumsum().to_numpy()
+        runmin = (pd.DataFrame({"user_id": u, "p": pref})
+                  .groupby("user_id", sort=False)["p"].cummin().to_numpy())
+        s = pref - np.minimum(runmin, 0)
+        bounds = np.append(starts, len(u))
+        return pd.DataFrame({
+            "user_id": u[starts], "n": n, "target_cents": target,
+            "final_s": s[bounds[1:] - 1],
+            "max_s": np.maximum.reduceat(s, starts),
+            "n_alarms": np.bincount(
+                grp, weights=s >= h_cents).astype(np.int64)})[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def active_intervals(sf_dir: str, window_ms: int = 60_000):
+    """Per-user interval union (gaps-and-islands): each event opens an
+    activity interval ``[ts_ms, ts_ms + window)``; overlapping-or-touching
+    intervals merge, and the user's summary reports how many merged
+    intervals remain, their total coverage and the longest one — the
+    classic "total active time" operator.  Vectorized island detection:
+    a row starts a new island iff its start exceeds the grouped running
+    max of earlier ends (one grouped cummax + reduceat aggregates);
+    exact integer milliseconds end-to-end."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    pts = _read_points(sf_dir, P).select_columns(["user_id", "ts_ms"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n_intervals", "active_ms", "max_interval_ms"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+        u = df["user_id"].to_numpy()
+        s = df["ts_ms"].to_numpy().astype(np.int64)
+        e = s + window_ms
+        cme = (pd.DataFrame({"user_id": u, "e": e})
+               .groupby("user_id", sort=False)["e"].cummax().to_numpy())
+        change = np.concatenate(([True], u[1:] != u[:-1]))
+        pme = np.empty_like(cme)
+        pme[1:] = cme[:-1]
+        new = change | (s > pme)
+        isl_starts = np.flatnonzero(new)
+        st = s[isl_starts]
+        en = np.maximum.reduceat(e, isl_starts)
+        lengths = en - st
+        iu = u[isl_starts]
+        uchange = np.concatenate(([True], iu[1:] != iu[:-1]))
+        ustarts = np.flatnonzero(uchange)
+        return pd.DataFrame({
+            "user_id": iu[ustarts],
+            "n_intervals": np.diff(
+                np.append(ustarts, len(iu))).astype(np.int64),
+            "active_ms": np.add.reduceat(lengths, ustarts),
+            "max_interval_ms": np.maximum.reduceat(lengths, ustarts),
+        })[cols]
+
+    return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

@@ -1519,3 +1519,138 @@ GROUP BY r.user_id, b.n, b.lo_c, b.hi_c
     assert (got["lo_cents"] <= got["hi_cents"]).all()
     assert (got["wsum_cents"] >= got["n"] * got["lo_cents"]).all()
     assert (got["wsum_cents"] <= got["n"] * got["hi_cents"]).all()
+
+
+def test_m4_downsample_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.m4_downsample(sf, "1h"), """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         (epoch_us(ts) // 1000 // 3600000) * 3600000 AS bucket_ms
+  FROM events
+), rk AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY user_id, bucket_ms
+                       ORDER BY ts_us) AS r_first,
+    row_number() OVER (PARTITION BY user_id, bucket_ms
+                       ORDER BY ts_us DESC) AS r_last,
+    row_number() OVER (PARTITION BY user_id, bucket_ms
+                       ORDER BY value, ts_us) AS r_min,
+    row_number() OVER (PARTITION BY user_id, bucket_ms
+                       ORDER BY value DESC, ts_us) AS r_max
+  FROM p
+)
+SELECT user_id, bucket_ms,
+  max(CASE WHEN r_first = 1 THEN ts_us END) AS first_ts_us,
+  round(max(CASE WHEN r_first = 1 THEN value END), 6) AS first_v,
+  max(CASE WHEN r_last = 1 THEN ts_us END) AS last_ts_us,
+  round(max(CASE WHEN r_last = 1 THEN value END), 6) AS last_v,
+  max(CASE WHEN r_min = 1 THEN ts_us END) AS min_ts_us,
+  round(max(CASE WHEN r_min = 1 THEN value END), 6) AS min_v,
+  max(CASE WHEN r_max = 1 THEN ts_us END) AS max_ts_us,
+  round(max(CASE WHEN r_max = 1 THEN value END), 6) AS max_v
+FROM rk GROUP BY user_id, bucket_ms
+""", sf, ["user_id", "bucket_ms"])
+    got = ev.m4_downsample(sf, "1h").to_pandas()
+    # M4 invariants: the four points bound each other and sit in-bucket
+    assert (got["min_v"] <= got[["first_v", "last_v", "max_v"]]
+            .min(axis=1)).all()
+    assert (got["max_v"] >= got[["first_v", "last_v", "min_v"]]
+            .max(axis=1)).all()
+    assert (got["first_ts_us"] <= got["last_ts_us"]).all()
+    for c in ("first_ts_us", "min_ts_us", "max_ts_us", "last_ts_us"):
+        assert ((got[c] // 1000 // 3600000 * 3600000)
+                == got["bucket_ms"]).all()
+
+
+def test_cusum_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.cusum(sf), """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT user_id, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY c) - 1 AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM p
+), t AS (
+  SELECT user_id, n,
+         max(CASE WHEN rk = (n - 1) // 2 THEN c END) AS target
+  FROM r GROUP BY user_id, n
+), s AS (
+  SELECT p.user_id, p.ts_us, t.n, t.target,
+         sum(p.c - t.target) OVER (PARTITION BY p.user_id ORDER BY p.ts_us
+             ROWS UNBOUNDED PRECEDING) AS pref
+  FROM p JOIN t USING (user_id)
+), cu AS (
+  SELECT user_id, n, target, pref
+         - least(0, min(pref) OVER (PARTITION BY user_id ORDER BY ts_us
+                  ROWS UNBOUNDED PRECEDING)) AS s_stat,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_us DESC) AS rdesc
+  FROM s
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(target AS BIGINT) AS target_cents,
+       CAST(max(CASE WHEN rdesc = 1 THEN s_stat END) AS BIGINT) AS final_s,
+       CAST(max(s_stat) AS BIGINT) AS max_s,
+       CAST(sum(CASE WHEN s_stat >= 500 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarms
+FROM cu GROUP BY user_id, n, target
+""", sf, ["user_id"])
+    got = ev.cusum(sf).to_pandas()
+    # CUSUM invariants: statistic is non-negative, alarms bounded by n
+    assert (got["max_s"] >= 0).all() and (got["final_s"] >= 0).all()
+    assert (got["max_s"] >= got["final_s"]).all()
+    assert (got["n_alarms"] <= got["n"]).all()
+
+
+def test_cusum_closed_form_equals_recursion():
+    # the grouped-cummin closed form IS Page's recursion
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        d = rng.integers(-50, 50, size=rng.integers(1, 200))
+        s, out = 0, []
+        for x in d:
+            s = max(0, s + int(x))
+            out.append(s)
+        pref = np.cumsum(d)
+        closed = pref - np.minimum(np.minimum.accumulate(pref), 0)
+        np.testing.assert_array_equal(np.array(out), closed)
+
+
+def test_active_intervals_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.active_intervals(sf), """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 1000 AS s,
+         epoch_us(ts) // 1000 + 60000 AS e FROM events
+), w AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pme
+  FROM p
+), isl AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM w
+), g AS (
+  SELECT user_id, island, min(s) AS st, max(e) AS en
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(en - st) AS BIGINT) AS active_ms,
+       CAST(max(en - st) AS BIGINT) AS max_interval_ms
+FROM g GROUP BY user_id
+""", sf, ["user_id"])
+    got = ev.active_intervals(sf).to_pandas()
+    # interval-union invariants: each merged interval >= one window;
+    # total coverage between one window and n_intervals * longest
+    assert (got["max_interval_ms"] >= 60000).all()
+    assert (got["active_ms"] >= got["n_intervals"] * 60000).all()
+    assert (got["active_ms"]
+            <= got["n_intervals"] * got["max_interval_ms"]).all()
