@@ -166,6 +166,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_m4_1h": lambda sf: ev.m4_downsample(sf, "1h"),
         "events_cusum": ev.cusum,
         "events_active_intervals": ev.active_intervals,
+        "events_autocorr_moments": ev.autocorr_moments,
+        "events_mad_outliers": ev.mad_outliers,
+        "events_rle_segments": ev.rle_segments,
+        "transcripts_response_latency": ingest.response_latency,
+        "transcripts_tool_chains": ingest.tool_chains,
+        "transcripts_tool_summary": ingest.tool_summary,
         "emb_norms": docs.emb_norms,
         "emb_centroid_distances": docs.centroid_distances,
         "docs_label_quality": docs.label_quality,
@@ -1002,6 +1008,61 @@ SELECT conv_id, count(*) AS n_turns,
        max(ts_ms) - min(ts_ms) AS duration_ms
 FROM d GROUP BY 1
 """,
+        # assistant response latency per conv: user->assistant adjacent
+        # turn gaps; median = lower order statistic (exact integers)
+        "transcripts_response_latency": tdedup + """
+, s AS (
+  SELECT conv_id, ts_ms, role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nrole,
+         lead(ts_ms) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nts
+  FROM d
+), lat AS (
+  SELECT conv_id, nts - ts_ms AS lat FROM s
+  WHERE role = 'user' AND nrole = 'assistant'
+), lr AS (
+  SELECT conv_id, lat,
+         row_number() OVER (PARTITION BY conv_id ORDER BY lat) - 1 AS rk,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM lat
+)
+SELECT conv_id, CAST(n AS BIGINT) AS n_responses,
+       CAST(sum(lat) AS BIGINT) AS total_latency_ms,
+       CAST(max(lat) AS BIGINT) AS max_latency_ms,
+       CAST(max(CASE WHEN rk = (n - 1) // 2 THEN lat END) AS BIGINT)
+         AS med_latency_ms
+FROM lr GROUP BY conv_id, n
+""",
+        # tool-loop runs per conv: consecutive tool-calling turns in
+        # canonical turn order (gaps-and-islands on a boolean)
+        "transcripts_tool_chains": tdedup + """
+, s AS (
+  SELECT conv_id, turn_idx, (tool <> '') AS it,
+         lag(tool <> '') OVER (PARTITION BY conv_id
+                               ORDER BY turn_idx) AS pit
+  FROM d
+), isl AS (
+  SELECT conv_id, turn_idx, it,
+         sum(CASE WHEN it AND (pit IS NULL OR NOT pit)
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM s
+), runs AS (
+  SELECT conv_id, run_id, count(*) AS run_len
+  FROM isl WHERE it GROUP BY 1, 2
+)
+SELECT conv_id, CAST(sum(run_len) AS BIGINT) AS n_tool_turns,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS max_run_len
+FROM runs GROUP BY conv_id
+""",
+        # per-tool usage rollup over canonical turns
+        "transcripts_tool_summary": tdedup + """
+SELECT tool, CAST(count(*) AS BIGINT) AS calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len
+FROM d WHERE tool <> '' GROUP BY tool
+""",
         # long→wide pivot of the 1h rollup (absent metric → 0.0)
         "transcripts_retention_serve": (
             "WITH serve AS (" + tr_rollup(3_600_000) + ")\n"
@@ -1628,6 +1689,82 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
        CAST(sum(en - st) AS BIGINT) AS active_ms,
        CAST(max(en - st) AS BIGINT) AS max_interval_ms
 FROM g GROUP BY user_id
+""",
+        # lag-1 serial-correlation moments: exact int64 sums over
+        # consecutive (ts_us-ordered) cent pairs per user
+        "events_autocorr_moments": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+), s AS (
+  SELECT user_id, c AS x,
+         lead(c) OVER (PARTITION BY user_id ORDER BY ts_us) AS y
+  FROM p
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       CAST(sum(x * y) AS BIGINT) AS sxy,
+       CAST(sum(x * x) AS BIGINT) AS sx2,
+       CAST(sum(y * y) AS BIGINT) AS sy2
+FROM s WHERE y IS NOT NULL GROUP BY user_id
+""",
+        # robust outliers: med and MAD are LOWER medians (order
+        # statistics), outlier iff |c - med| > 3*MAD — exact integers
+        "events_mad_outliers": """
+WITH p AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT user_id, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY c) - 1 AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM p
+), m AS (
+  SELECT user_id, n, max(CASE WHEN rk = (n - 1) // 2 THEN c END) AS med
+  FROM r GROUP BY user_id, n
+), d AS (
+  SELECT p.user_id, m.n, m.med, abs(p.c - m.med) AS dev
+  FROM p JOIN m USING (user_id)
+), dr AS (
+  SELECT user_id, n, med, dev,
+         row_number() OVER (PARTITION BY user_id ORDER BY dev) - 1 AS rk
+  FROM d
+), mad AS (
+  SELECT user_id, n, med,
+         max(CASE WHEN rk = (n - 1) // 2 THEN dev END) AS mad
+  FROM dr GROUP BY user_id, n, med
+)
+SELECT d.user_id, CAST(d.n AS BIGINT) AS n,
+       CAST(d.med AS BIGINT) AS med_cents,
+       CAST(mad.mad AS BIGINT) AS mad_cents,
+       CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN mad USING (user_id)
+GROUP BY d.user_id, d.n, d.med, mad.mad
+""",
+        # value run-length profile (the Gorilla XOR zero-bit predictor):
+        # runs of consecutive equal cents per user in event-time order
+        "events_rle_segments": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+), s AS (
+  SELECT user_id, ts_us, c,
+         lag(c) OVER (PARTITION BY user_id ORDER BY ts_us) AS pc
+  FROM p
+), isl AS (
+  SELECT user_id, ts_us,
+         sum(CASE WHEN pc IS NULL OR c <> pc THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM s
+), runs AS (
+  SELECT user_id, run_id, count(*) AS run_len
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(sum(run_len) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS max_run_len
+FROM runs GROUP BY user_id
 """,
         # SemDeDup with deterministic centroids (the k smallest vec_ids):
         # assignment = argmax cosine (ties -> smaller cluster, the

@@ -2799,23 +2799,9 @@ def cusum(sf_dir: str, h_cents: int = 500):
 
     Outputs per user: n, the target, the final and max CUSUM statistic,
     and how many samples sat at-or-above the alarm threshold ``h``."""
-    import pyarrow.compute as pc
-
     tune_context()
     P = _n_parts(sf_dir)
-    ds = _read_events(sf_dir, EVENT_COLS, P)
-
-    def to_cents(t):
-        import pyarrow as pa
-
-        ts_us = pc.cast(t["ts"], "int64")
-        v = t.column("value").to_numpy(zero_copy_only=False)
-        cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype(
-            np.int64)
-        return pa.table({"user_id": t.column("user_id"), "ts_us": ts_us,
-                         "c": pa.array(cents)})
-
-    rows = ds.map_batches(to_cents, batch_format="pyarrow")
+    rows = _cents_rows(sf_dir, P)
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         cols = ["user_id", "n", "target_cents", "final_s", "max_s",
@@ -2901,4 +2887,138 @@ def active_intervals(sf_dir: str, window_ms: int = 60_000):
         })[cols]
 
     return hash_exchange(pts, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def _cents_rows(sf_dir: str, P: int):
+    """(user_id, ts_us, c) rows — half-away integer cents (the exact-
+    arithmetic input shared by cusum/mad/autocorr/rle kernels)."""
+    import pyarrow.compute as pc
+
+    ds = _read_events(sf_dir, EVENT_COLS, P)
+
+    def to_cents(t):
+        import pyarrow as pa
+
+        ts_us = pc.cast(t["ts"], "int64")
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype(
+            np.int64)
+        return pa.table({"user_id": t.column("user_id"), "ts_us": ts_us,
+                         "c": pa.array(cents)})
+
+    return ds.map_batches(to_cents, batch_format="pyarrow")
+
+
+def autocorr_moments(sf_dir: str):
+    """Per-user lag-1 serial-correlation moments over event-time order:
+    for every consecutive pair (x=cents_i, y=cents_{i+1}) the exact
+    integer moments n, Σx, Σy, Σxy, Σx², Σy² — everything Pearson's r
+    needs, kept as int64 so the result is hash-exact (callers divide at
+    presentation time; the engine never rounds a float)."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n_pairs", "sx", "sy", "sxy", "sx2", "sy2"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        u = df["user_id"].to_numpy()
+        c = df["c"].to_numpy().astype(np.int64)
+        same = u[1:] == u[:-1]
+        x, y, uu = c[:-1][same], c[1:][same], u[:-1][same]
+        if len(uu) == 0:
+            return pd.DataFrame({c_: np.array([], dtype=np.int64)
+                                 for c_ in cols})
+        change = np.concatenate(([True], uu[1:] != uu[:-1]))
+        starts = np.flatnonzero(change)
+        return pd.DataFrame({
+            "user_id": uu[starts],
+            "n_pairs": np.diff(
+                np.append(starts, len(uu))).astype(np.int64),
+            "sx": np.add.reduceat(x, starts),
+            "sy": np.add.reduceat(y, starts),
+            "sxy": np.add.reduceat(x * y, starts),
+            "sx2": np.add.reduceat(x * x, starts),
+            "sy2": np.add.reduceat(y * y, starts)})[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def mad_outliers(sf_dir: str, k: int = 3):
+    """Robust outlier counts per user: med = lower-median cents, MAD =
+    lower median of |cents − med|, outlier iff |cents − med| > k·MAD.
+    Pure order statistics + integer comparisons — the robust sibling of
+    the stddev-based :func:`outliers`, immune to the very outliers it
+    counts.  Two rank gathers per partition, vectorized over all users."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n", "med_cents", "mad_cents", "n_outliers"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        u = df["user_id"].to_numpy()
+        c = df["c"].to_numpy().astype(np.int64)
+        order = np.lexsort((c, u))
+        us, cs = u[order], c[order]
+        change = np.concatenate(([True], us[1:] != us[:-1]))
+        starts = np.flatnonzero(change)
+        n = np.diff(np.append(starts, len(us))).astype(np.int64)
+        med = cs[starts + (n - 1) // 2]
+        grp = np.cumsum(change) - 1
+        dev = np.abs(cs - med[grp])
+        order2 = np.lexsort((dev, us))
+        dev_s = dev[order2]
+        mad = dev_s[starts + (n - 1) // 2]
+        n_out = np.bincount(grp, weights=dev > mad[grp] * k).astype(
+            np.int64)
+        return pd.DataFrame({
+            "user_id": us[starts], "n": n, "med_cents": med,
+            "mad_cents": mad, "n_outliers": n_out})[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def rle_segments(sf_dir: str):
+    """Value run-length profile per user (event-time order): how many
+    runs of consecutive EQUAL cents, the longest run, and the implied
+    duplicate-point count ``n − n_runs`` — the direct predictor of the
+    Gorilla XOR zero-bit path (equal consecutive values encode in one
+    bit), surfaced as a queryable operator."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n", "n_runs", "max_run_len"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        u = df["user_id"].to_numpy()
+        c = df["c"].to_numpy().astype(np.int64)
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        run_start = new_user | np.concatenate(([True], c[1:] != c[:-1]))
+        starts = np.flatnonzero(run_start)
+        run_len = np.diff(np.append(starts, len(u))).astype(np.int64)
+        ru = u[starts]
+        uchange = np.concatenate(([True], ru[1:] != ru[:-1]))
+        ustarts = np.flatnonzero(uchange)
+        bounds = np.append(np.flatnonzero(new_user), len(u))
+        return pd.DataFrame({
+            "user_id": ru[ustarts],
+            "n": np.diff(bounds).astype(np.int64),
+            "n_runs": np.diff(
+                np.append(ustarts, len(ru))).astype(np.int64),
+            "max_run_len": np.maximum.reduceat(run_len, ustarts)})[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")

@@ -707,3 +707,143 @@ def role_transitions(sf_dir: str):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=4, kernel=merge,
                          fmt="pandas")
+
+
+def response_latency(sf_dir: str):
+    """Assistant response latency — the agent-quality metric a transcript
+    pipeline monitors: for every canonical user turn whose NEXT turn (in
+    turn_idx order) is an assistant turn, latency = the ts gap, and each
+    conversation reports count / total / max / median.  Exact integer
+    milliseconds end-to-end (median = the lower order statistic at rank
+    ``(n−1)//2``, the winsorize discipline — no float averaging).
+
+    Conversations live whole inside one bucket file, so the entire
+    computation is the shuffle-free conv pass; convs without a
+    user→assistant adjacency emit nothing (SQL inner-filter shape)."""
+    import pyarrow.compute as pc
+
+    from ..stages.metrics import canonical_turns_arrow
+
+    def kernel(batch):
+        cols = ["conv_id", "n_responses", "total_latency_ms",
+                "max_latency_ms", "med_latency_ms"]
+        t = canonical_turns_arrow(batch)
+        conv = t["conv_id"].to_pandas().astype(str).to_numpy()
+        role = t["role"].to_pandas().astype(str).to_numpy()
+        ts = t["ts_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(conv) == 0:
+            return pd.DataFrame({c: np.array(
+                [], dtype=object if c == "conv_id" else np.int64)
+                for c in cols})
+        same = conv[1:] == conv[:-1]
+        pick = same & (role[:-1] == "user") & (role[1:] == "assistant")
+        lat = (ts[1:] - ts[:-1])[pick]
+        cv = conv[:-1][pick]
+        if len(cv) == 0:
+            return pd.DataFrame({c: np.array(
+                [], dtype=object if c == "conv_id" else np.int64)
+                for c in cols})
+        order = np.lexsort((lat, cv))
+        cv, lat = cv[order], lat[order]
+        change = np.concatenate(([True], cv[1:] != cv[:-1]))
+        starts = np.flatnonzero(change)
+        n = np.diff(np.append(starts, len(cv))).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(lat)))
+        bounds = np.append(starts, len(cv))
+        return pd.DataFrame({
+            "conv_id": cv[starts], "n_responses": n,
+            "total_latency_ms": csum[bounds[1:]] - csum[starts],
+            "max_latency_ms": lat[bounds[1:] - 1],
+            "med_latency_ms": lat[starts + (n - 1) // 2]})[cols]
+
+    return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+
+def tool_chains(sf_dir: str):
+    """Agent tool-loop detection: per conversation the RUNS of consecutive
+    tool-calling turns (``tool <> ''`` in canonical order) — how many
+    distinct runs, the longest one, and the total tool-turn count.  A
+    long max run is the "agent stuck in a tool loop" signal.  Vectorized
+    RLE (edge mask → run ids → reduceat), shuffle-free conv pass; convs
+    with zero tool turns emit nothing."""
+    from ..stages.metrics import canonical_turns_arrow
+
+    def kernel(batch):
+        import pyarrow.compute as pc
+
+        cols = ["conv_id", "n_tool_turns", "n_runs", "max_run_len"]
+        t = canonical_turns_arrow(batch)
+        conv = t["conv_id"].to_pandas().astype(str).to_numpy()
+        is_tool = pc.not_equal(
+            pc.cast(t["tool"], "string"), "").to_numpy(
+                zero_copy_only=False).astype(bool)
+        if len(conv) == 0 or not is_tool.any():
+            return pd.DataFrame({c: np.array(
+                [], dtype=object if c == "conv_id" else np.int64)
+                for c in cols})
+        new_conv = np.concatenate(([True], conv[1:] != conv[:-1]))
+        prev_tool = np.concatenate(([False], is_tool[:-1]))
+        run_start = is_tool & (new_conv | ~prev_tool)
+        # run id per tool turn (non-tool rows get a dummy id, masked out)
+        rid = np.cumsum(run_start) - 1
+        starts = np.flatnonzero(run_start)
+        run_len = np.bincount(rid[is_tool],
+                              minlength=len(starts)).astype(np.int64)
+        rc = conv[starts]
+        change = np.concatenate(([True], rc[1:] != rc[:-1]))
+        ustarts = np.flatnonzero(change)
+        return pd.DataFrame({
+            "conv_id": rc[ustarts],
+            "n_tool_turns": np.add.reduceat(run_len, ustarts),
+            "n_runs": np.diff(
+                np.append(ustarts, len(rc))).astype(np.int64),
+            "max_run_len": np.maximum.reduceat(run_len, ustarts)})[cols]
+
+    return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+
+def tool_summary(sf_dir: str):
+    """Per-tool usage rollup over canonical turns: call count, distinct
+    conversations, total text length of the tool turns.  Conv-pass
+    partials (a conv never spans buckets, so per-bucket distinct-conv
+    counts add exactly) merged in one tiny tool-keyed exchange."""
+    from ..stages.exchange import hash_exchange
+    from ..stages.metrics import canonical_turns_arrow
+
+    def kernel(batch):
+        import pyarrow.compute as pc
+
+        t = canonical_turns_arrow(batch)
+        tool = t["tool"].to_pandas().astype(str)
+        mask = (tool != "").to_numpy()
+        df = pd.DataFrame({
+            "tool": tool.to_numpy()[mask],
+            "conv_id": t["conv_id"].to_pandas().astype(str)
+            .to_numpy()[mask],
+            "text_len": pc.utf8_length(
+                pc.cast(t["text"], "string")).to_numpy(
+                    zero_copy_only=False)[mask].astype(np.int64),
+        })
+        g = df.groupby("tool", sort=False)
+        out = g.agg(calls=("conv_id", "size"),
+                    n_convs=("conv_id", "nunique"),
+                    total_text_len=("text_len", "sum")).reset_index()
+        return out
+
+    partials = _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+    def key_fn(tbl):
+        from ..util import arrow_col_hash
+        return (arrow_col_hash(tbl, "tool") % np.uint64(4)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("tool", sort=False)
+               .agg(calls=("calls", "sum"), n_convs=("n_convs", "sum"),
+                    total_text_len=("total_text_len", "sum"))
+               .reset_index())
+        for c in ("calls", "n_convs", "total_text_len"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=4, kernel=merge,
+                         fmt="pandas")

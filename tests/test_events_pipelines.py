@@ -1654,3 +1654,96 @@ FROM g GROUP BY user_id
     assert (got["active_ms"] >= got["n_intervals"] * 60000).all()
     assert (got["active_ms"]
             <= got["n_intervals"] * got["max_interval_ms"]).all()
+
+
+def test_autocorr_moments_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.autocorr_moments(sf), """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+), s AS (
+  SELECT user_id, c AS x,
+         lead(c) OVER (PARTITION BY user_id ORDER BY ts_us) AS y
+  FROM p
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       CAST(sum(x * y) AS BIGINT) AS sxy,
+       CAST(sum(x * x) AS BIGINT) AS sx2,
+       CAST(sum(y * y) AS BIGINT) AS sy2
+FROM s WHERE y IS NOT NULL GROUP BY user_id
+""", sf, ["user_id"])
+    got = ev.autocorr_moments(sf).to_pandas()
+    # Cauchy-Schwarz on the raw moments (float to avoid int64 overflow)
+    sxy = got["sxy"].to_numpy(dtype=np.float64)
+    assert (sxy * sxy <= got["sx2"].to_numpy(dtype=np.float64)
+            * got["sy2"].to_numpy(dtype=np.float64) * (1 + 1e-12)).all()
+
+
+def test_mad_outliers_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.mad_outliers(sf), """
+WITH p AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT user_id, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY c) - 1 AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM p
+), m AS (
+  SELECT user_id, n, max(CASE WHEN rk = (n - 1) // 2 THEN c END) AS med
+  FROM r GROUP BY user_id, n
+), d AS (
+  SELECT p.user_id, m.n, m.med, abs(p.c - m.med) AS dev
+  FROM p JOIN m USING (user_id)
+), dr AS (
+  SELECT user_id, n, med, dev,
+         row_number() OVER (PARTITION BY user_id ORDER BY dev) - 1 AS rk
+  FROM d
+), mad AS (
+  SELECT user_id, n, med,
+         max(CASE WHEN rk = (n - 1) // 2 THEN dev END) AS mad
+  FROM dr GROUP BY user_id, n, med
+)
+SELECT d.user_id, CAST(d.n AS BIGINT) AS n,
+       CAST(d.med AS BIGINT) AS med_cents,
+       CAST(mad.mad AS BIGINT) AS mad_cents,
+       CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN mad USING (user_id)
+GROUP BY d.user_id, d.n, d.med, mad.mad
+""", sf, ["user_id"])
+    got = ev.mad_outliers(sf).to_pandas()
+    # at least half the points sit within the MAD band by construction
+    assert (got["n_outliers"] * 2 <= got["n"]).all()
+
+
+def test_rle_segments_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.rle_segments(sf), """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+), s AS (
+  SELECT user_id, ts_us, c,
+         lag(c) OVER (PARTITION BY user_id ORDER BY ts_us) AS pc
+  FROM p
+), isl AS (
+  SELECT user_id, ts_us,
+         sum(CASE WHEN pc IS NULL OR c <> pc THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM s
+), runs AS (
+  SELECT user_id, run_id, count(*) AS run_len
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(sum(run_len) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS max_run_len
+FROM runs GROUP BY user_id
+""", sf, ["user_id"])
+    got = ev.rle_segments(sf).to_pandas()
+    assert (got["n_runs"] <= got["n"]).all()
+    assert (got["max_run_len"] * got["n_runs"] >= got["n"]).all()

@@ -354,3 +354,93 @@ def test_role_transitions(ray_session):
            .sort_values(["cur_role", "next_role"]).reset_index(drop=True))
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_response_latency(ray_session):
+    got = (ingest.response_latency(SF).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    path = transcripts_dir(SF)
+    sql = DEDUP_CTE.format(path=path) + """
+    , s AS (
+      SELECT conv_id, ts_ms, role,
+             lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS nrole,
+             lead(ts_ms) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS nts
+      FROM d
+    ), lat AS (
+      SELECT conv_id, nts - ts_ms AS lat FROM s
+      WHERE role = 'user' AND nrole = 'assistant'
+    ), lr AS (
+      SELECT conv_id, lat,
+             row_number() OVER (PARTITION BY conv_id ORDER BY lat) - 1
+               AS rk,
+             count(*) OVER (PARTITION BY conv_id) AS n
+      FROM lat
+    )
+    SELECT conv_id, CAST(n AS BIGINT) AS n_responses,
+           CAST(sum(lat) AS BIGINT) AS total_latency_ms,
+           CAST(max(lat) AS BIGINT) AS max_latency_ms,
+           CAST(max(CASE WHEN rk = (n - 1) // 2 THEN lat END) AS BIGINT)
+             AS med_latency_ms
+    FROM lr GROUP BY conv_id, n
+    """
+    exp = (duckdb.connect().execute(sql).df()
+           .sort_values("conv_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    # latency invariants
+    assert (got["med_latency_ms"] <= got["max_latency_ms"]).all()
+    assert (got["total_latency_ms"] >= got["max_latency_ms"]).all()
+
+
+def test_tool_chains(ray_session):
+    got = (ingest.tool_chains(SF).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    path = transcripts_dir(SF)
+    sql = DEDUP_CTE.format(path=path) + """
+    , s AS (
+      SELECT conv_id, turn_idx, (tool <> '') AS it,
+             lag(tool <> '') OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx) AS pit
+      FROM d
+    ), isl AS (
+      SELECT conv_id, turn_idx, it,
+             sum(CASE WHEN it AND (pit IS NULL OR NOT pit)
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM s
+    ), runs AS (
+      SELECT conv_id, run_id, count(*) AS run_len
+      FROM isl WHERE it GROUP BY 1, 2
+    )
+    SELECT conv_id, CAST(sum(run_len) AS BIGINT) AS n_tool_turns,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS max_run_len
+    FROM runs GROUP BY conv_id
+    """
+    exp = (duckdb.connect().execute(sql).df()
+           .sort_values("conv_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    assert (got["n_tool_turns"]
+            >= got["n_runs"] * 1).all()
+    assert (got["max_run_len"] * got["n_runs"]
+            >= got["n_tool_turns"]).all()
+
+
+def test_tool_summary(ray_session):
+    got = (ingest.tool_summary(SF).to_pandas()
+           .sort_values("tool").reset_index(drop=True))
+    path = transcripts_dir(SF)
+    sql = DEDUP_CTE.format(path=path) + """
+    SELECT tool, CAST(count(*) AS BIGINT) AS calls,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(sum(length(text)) AS BIGINT) AS total_text_len
+    FROM d WHERE tool <> '' GROUP BY tool
+    """
+    exp = (duckdb.connect().execute(sql).df()
+           .sort_values("tool").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
