@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_novelty": docs.novelty,
         "docs_mix_sample": docs.mix_sample,
         "emb_semdedup": docs.emb_semdedup,
+        "emb_pq_codes": docs.emb_pq_codes,
         "events_seasonal_decompose": ev.seasonal_decompose,
         "events_winsorize": ev.winsorize,
         "events_m4_1h": lambda sf: ev.m4_downsample(sf, "1h"),
@@ -1793,6 +1794,34 @@ SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
          WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
            AND list_cosine_similarity(ea.v, eb.v) >= 0.3) AS keep
 FROM asg a JOIN e ea ON ea.vec_id = a.vec_id
+""",
+        # product quantization codes: m=2 subspaces, k=8 deterministic
+        # codebooks (the 8 smallest vec_ids' subvectors); nearest centroid
+        # per subspace, ties -> smaller centroid id
+        "emb_pq_codes": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
+         v[1:32] AS s0, v[33:64] AS s1
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+), a0 AS (
+  SELECT vec_id, k AS code0 FROM (
+    SELECT e.vec_id, c.k,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_distance(e.v[1:32], c.s0), c.k) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1
+), a1 AS (
+  SELECT vec_id, k AS code1 FROM (
+    SELECT e.vec_id, c.k,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_distance(e.v[33:64], c.s1), c.k) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1
+)
+SELECT a0.vec_id, CAST(a0.code0 AS BIGINT) AS code0,
+       CAST(a1.code1 AS BIGINT) AS code1
+FROM a0 JOIN a1 USING (vec_id)
 """,
         # perplexity-style quality score: mean unigram logprob over the
         # top-1000 vocab (ties broken like the engine's top_tokens)

@@ -1803,3 +1803,71 @@ def label_quality(sf_dir: str):
 
     return hash_exchange(partials, key_fn=_pair_hash_key(["label"], 8),
                          n_parts=8, kernel=merge, fmt="pandas")
+
+
+def emb_pq_codes(sf_dir: str, m: int = 2, k: int = 8):
+    """Product quantization (Jégou et al. 2011 shape): split each vector
+    into ``m`` contiguous subspaces and store only the id of the nearest
+    codebook centroid per subspace — the memory-bound ANN scale path
+    (64 f32 dims → ``m`` bytes per vector here).  Codebooks are
+    deterministic — the ``k`` smallest vec_ids' subvectors (the semdedup
+    centroid discipline) — so assignment has an exact SQL mirror
+    (``list_distance`` + ``ORDER BY dist, k``); a production run would
+    swap in k-means codebooks without touching the dataflow.
+
+    Scale shape: codebook selection is a bounded per-batch partial
+    (k × dim flat rows, driver-folded); assignment is MAP-ONLY against
+    the broadcast (m × k × dim/m) codebook tensor — no shuffle at all.
+    Ties (equidistant centroids) break to the smaller centroid id
+    (np.argmin keeps the first minimum)."""
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _mat(t: pa.Table) -> np.ndarray:
+        col = t.column("embedding")
+        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+               else col)
+        return sim._list_matrix(arr)
+
+    def cand(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = _mat(t)
+        if not len(ids):
+            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64),
+                                 "dim": np.array([], dtype=np.int64),
+                                 "val": np.array([], dtype=np.float64)})
+        take = np.argsort(ids, kind="stable")[:k]
+        sub = mat[take]
+        d = sub.shape[1]
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids[take], d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(take)),
+            "val": sub.reshape(-1).astype(np.float64)})
+
+    cands = (ds.map_batches(cand, batch_format="pyarrow")
+             .to_pandas())  # bounded: k × dim rows per block
+    piv = (cands.sort_values(["vec_id", "dim"], kind="stable")
+           .drop_duplicates(["vec_id", "dim"]))
+    top_ids = np.unique(piv["vec_id"].to_numpy())[:k]
+    piv = piv[piv["vec_id"].isin(top_ids)]
+    dim = int(piv["dim"].max()) + 1
+    books = piv["val"].to_numpy().reshape(len(top_ids), dim)
+    sub_d = dim // m
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        cols = ["vec_id"] + [f"code{j}" for j in range(m)]
+        if not len(ids):
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        mat = _mat(t).astype(np.float64, copy=False)
+        out = {"vec_id": ids.astype(np.int64)}
+        for j in range(m):
+            x = mat[:, j * sub_d:(j + 1) * sub_d]
+            cb = books[:, j * sub_d:(j + 1) * sub_d]
+            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=-1)
+            out[f"code{j}"] = np.argmin(d2, axis=1).astype(np.int64)
+        return pd.DataFrame(out)[cols]
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -932,3 +932,39 @@ FROM asg a JOIN e ea ON ea.vec_id = a.vec_id
     firsts = got.groupby("cluster")["vec_id"].min()
     kept = got.set_index("vec_id").loc[firsts.to_numpy(), "keep"]
     assert kept.all()
+
+
+def test_emb_pq_codes_vs_duckdb(ray_session):
+    got = _sorted(docs.emb_pq_codes(SF).to_pandas(), ["vec_id"])
+    want = _sorted(_con().execute("""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
+         v[1:32] AS s0, v[33:64] AS s1
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+), a0 AS (
+  SELECT vec_id, k AS code0 FROM (
+    SELECT e.vec_id, c.k,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_distance(e.v[1:32], c.s0), c.k) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1
+), a1 AS (
+  SELECT vec_id, k AS code1 FROM (
+    SELECT e.vec_id, c.k,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_distance(e.v[33:64], c.s1), c.k) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1
+)
+SELECT a0.vec_id, CAST(a0.code0 AS BIGINT) AS code0,
+       CAST(a1.code1 AS BIGINT) AS code1
+FROM a0 JOIN a1 USING (vec_id)
+""").df(), ["vec_id"])
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # the codebook vectors must quantize to themselves
+    self_rows = got[got["vec_id"] < 8]
+    assert (self_rows["code0"].to_numpy()
+            == self_rows["vec_id"].to_numpy()).all()
+    assert (self_rows["code1"].to_numpy()
+            == self_rows["vec_id"].to_numpy()).all()
