@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mix_sample": docs.mix_sample,
         "emb_semdedup": docs.emb_semdedup,
         "emb_pq_codes": docs.emb_pq_codes,
+        "docs_dsir_weights": docs.dsir_weights,
         "events_seasonal_decompose": ev.seasonal_decompose,
         "events_winsorize": ev.winsorize,
         "events_m4_1h": lambda sf: ev.m4_downsample(sf, "1h"),
@@ -1822,6 +1823,33 @@ WITH e AS (
 SELECT a0.vec_id, CAST(a0.code0 AS BIGINT) AS code0,
        CAST(a1.code1 AS BIGINT) AS code1
 FROM a0 JOIN a1 USING (vec_id)
+""",
+        # DSIR importance weights: hashed-bigram (md5 % 64) bucket LM,
+        # target = lang='en' slice, raw = whole corpus, add-one smoothing
+        "docs_dsir_weights": """
+WITH l AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM l
+), b AS (
+  SELECT doc_id, lang,
+         CAST(md5_number_upper(g) % 64 AS BIGINT) AS bucket FROM bg
+), cnt AS (
+  SELECT bucket,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+         count(*) AS cr
+  FROM b GROUP BY bucket
+), tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(ln((cnt.ct + 1) / (tot.tt + 64.0))
+               - ln((cnt.cr + 1) / (tot.tr + 64.0))), 6) AS dsir_logweight
+FROM b JOIN cnt USING (bucket) CROSS JOIN tot
+GROUP BY b.doc_id
 """,
         # perplexity-style quality score: mean unigram logprob over the
         # top-1000 vocab (ties broken like the engine's top_tokens)

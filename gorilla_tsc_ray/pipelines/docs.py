@@ -1871,3 +1871,91 @@ def emb_pq_codes(sf_dir: str, m: int = 2, k: int = 8):
         return pd.DataFrame(out)[cols]
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def dsir_weights(sf_dir: str, n_buckets: int = 64, target_lang: str = "en"):
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): per doc the log importance ratio
+    ``Σ_g log p_target(b(g)) − log p_raw(b(g))`` over its word bigrams,
+    with both distributions estimated on HASHED bigram buckets
+    (``md5 % n_buckets`` — bounded by construction, DSIR's own device;
+    add-one smoothing).  Target = the ``target_lang`` slice of the
+    corpus, raw = the whole corpus — the standard "upweight docs that
+    look like the target domain" curation step.
+
+    Scale shape: the count pass reduces each batch to ≤``n_buckets``
+    (bucket, cnt_target, cnt_raw) rows (driver-folded like the SQ8
+    range pass — 64 numbers per block); scoring is MAP-ONLY against the
+    broadcast per-bucket log-ratio LUT.  Bigram hashing touches each
+    batch's UNIQUE bigrams only (the minhash-signer discipline); the
+    md5 matches DuckDB ``md5_number_upper`` bit-for-bit (hash_split
+    precedent), so the oracle mirrors bucket-for-bucket."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _bigram_buckets(texts: pd.Series):
+        """(bucket_per_occurrence, doc_of_occurrence) for all in-doc
+        consecutive token pairs, via unique-bigram md5 hashing."""
+        uniq, codes, lens = dd.unique_tokens(texts)
+        if not len(codes):
+            return (np.array([], dtype=np.int64),
+                    np.array([], dtype=np.int64))
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        same = doc_of[1:] == doc_of[:-1]
+        a, b = codes[:-1][same], codes[1:][same]
+        pair_doc = doc_of[:-1][same]
+        if not len(a):
+            return (np.array([], dtype=np.int64),
+                    np.array([], dtype=np.int64))
+        packed = (a.astype(np.uint64) << np.uint64(32)) | b.astype(
+            np.uint64)
+        up, inv = np.unique(packed, return_inverse=True)
+        ua = (up >> np.uint64(32)).astype(np.int64)
+        ub = (up & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        # little-endian FIRST 8 md5 bytes == DuckDB md5_number_upper
+        buckets = np.fromiter(
+            (int.from_bytes(hashlib.md5(
+                f"{uniq[x]} {uniq[y]}".encode()).digest()[:8], "little")
+             % n_buckets for x, y in zip(ua, ub)),
+            dtype=np.int64, count=len(ua))
+        return buckets[inv], pair_doc
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bucket, pair_doc = _bigram_buckets(df["text"])
+        is_t = (df["lang"].to_numpy() == target_lang)[pair_doc]
+        return pd.DataFrame({
+            "bucket": np.arange(n_buckets, dtype=np.int64),
+            "ct": np.bincount(bucket[is_t], minlength=n_buckets)
+            .astype(np.int64),
+            "cr": np.bincount(bucket, minlength=n_buckets)
+            .astype(np.int64)})
+
+    cnt = (ds.map_batches(count_partial, batch_format="pandas")
+           .to_pandas().groupby("bucket", sort=True).sum())
+    ct = cnt["ct"].to_numpy().astype(np.float64)
+    cr = cnt["cr"].to_numpy().astype(np.float64)
+    tt, tr = ct.sum(), cr.sum()
+    lut = (np.log((ct + 1) / (tt + n_buckets))
+           - np.log((cr + 1) / (tr + n_buckets)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from ..util import round_half_away
+
+        cols = ["doc_id", "n_bigrams", "dsir_logweight"]
+        bucket, pair_doc = _bigram_buckets(df["text"])
+        if not len(bucket):
+            return pd.DataFrame({
+                "doc_id": np.array([], dtype=np.int64),
+                "n_bigrams": np.array([], dtype=np.int64),
+                "dsir_logweight": np.array([], dtype=np.float64)})
+        sums = np.bincount(pair_doc, weights=lut[bucket],
+                           minlength=len(df))
+        cnts = np.bincount(pair_doc, minlength=len(df)).astype(np.int64)
+        keep = cnts > 0
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[keep],
+            "n_bigrams": cnts[keep],
+            "dsir_logweight": round_half_away(sums[keep], 6)})[cols]
+
+    return ds.map_batches(score, batch_format="pandas")

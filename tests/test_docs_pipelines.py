@@ -968,3 +968,44 @@ FROM a0 JOIN a1 USING (vec_id)
             == self_rows["vec_id"].to_numpy()).all()
     assert (self_rows["code1"].to_numpy()
             == self_rows["vec_id"].to_numpy()).all()
+
+
+def test_dsir_weights_vs_duckdb(ray_session):
+    got = _sorted(docs.dsir_weights(SF).to_pandas(), ["doc_id"])
+    want = _sorted(_con().execute("""
+WITH l AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM l
+), b AS (
+  SELECT doc_id, lang,
+         CAST(md5_number_upper(g) % 64 AS BIGINT) AS bucket FROM bg
+), cnt AS (
+  SELECT bucket,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+         count(*) AS cr
+  FROM b GROUP BY bucket
+), tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(ln((cnt.ct + 1) / (tot.tt + 64.0))
+               - ln((cnt.cr + 1) / (tot.tr + 64.0))), 6) AS dsir_logweight
+FROM b JOIN cnt USING (bucket) CROSS JOIN tot
+GROUP BY b.doc_id
+""").df(), ["doc_id"])
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got[want.columns], want,
+                                  check_exact=False, atol=1e-6)
+    # en docs must carry a HIGHER mean weight than the rest (that is the
+    # whole point of importance resampling toward the en target)
+    con = _con()
+    langs = con.execute(
+        "SELECT doc_id, lang FROM documents").df()
+    j = got.merge(langs, on="doc_id")
+    en = j[j["lang"] == "en"]["dsir_logweight"].mean()
+    rest = j[j["lang"] != "en"]["dsir_logweight"].mean()
+    assert en > rest
