@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_autocorr_moments": ev.autocorr_moments,
         "events_mad_outliers": ev.mad_outliers,
         "events_rle_segments": ev.rle_segments,
+        "events_quantile_bands_1h": lambda sf: ev.quantile_bands(sf, "1h"),
+        "events_drawdown": ev.drawdown,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_tool_summary": ingest.tool_summary,
@@ -1767,6 +1769,45 @@ SELECT user_id, CAST(sum(run_len) AS BIGINT) AS n,
        CAST(count(*) AS BIGINT) AS n_runs,
        CAST(max(run_len) AS BIGINT) AS max_run_len
 FROM runs GROUP BY user_id
+""",
+        # percentile bands per (type, hour): exact order statistics on
+        # the cent scale (lower-median p50, ceil-rank p95)
+        "events_quantile_bands_1h": """
+WITH p AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000 // 3600000) * 3600000 AS bucket_ms,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), r AS (
+  SELECT event_type, bucket_ms, c,
+         row_number() OVER (PARTITION BY event_type, bucket_ms
+                            ORDER BY c) - 1 AS rk,
+         count(*) OVER (PARTITION BY event_type, bucket_ms) AS n
+  FROM p
+)
+SELECT event_type, bucket_ms, CAST(n AS BIGINT) AS n,
+       CAST(max(CASE WHEN rk = (n - 1) * 50 // 100 THEN c END)
+            AS BIGINT) AS p50_cents,
+       CAST(max(CASE WHEN rk = ((n - 1) * 95 + 99) // 100 THEN c END)
+            AS BIGINT) AS p95_cents
+FROM r GROUP BY event_type, bucket_ms, n
+""",
+        # max peak-to-trough drawdown per user: running max - current,
+        # grouped max — exact integers
+        "events_drawdown": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+), s AS (
+  SELECT user_id, c,
+         max(c) OVER (PARTITION BY user_id ORDER BY ts_us
+                      ROWS UNBOUNDED PRECEDING) AS rm
+  FROM p
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(c) AS BIGINT) AS peak_cents,
+       CAST(max(rm - c) AS BIGINT) AS max_drawdown_cents
+FROM s GROUP BY user_id
 """,
         # SemDeDup with deterministic centroids (the k smallest vec_ids):
         # assignment = argmax cosine (ties -> smaller cluster, the

@@ -3022,3 +3022,98 @@ def rle_segments(sf_dir: str):
 
     return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def quantile_bands(sf_dir: str, tier: str = "1h"):
+    """Percentile time series per (event_type, bucket): p50/p95 exact
+    order statistics on the integer-cent scale plus the count — the
+    monitoring dashboard shape (latency bands over time).  Lower-median
+    discipline for p50, ceil-rank for p95 (the winsorize convention),
+    so every column is an exact integer.  One (type, bucket)-hash
+    exchange of (type, bucket, cents) rows; the kernel is one lexsort +
+    rank gathers vectorized over all its groups."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["event_type", "ts", "value"], P)
+    bucket_ms = TIER_MS[tier]
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        ts_us = pc.cast(t["ts"], "int64")
+        bucket = pc.multiply(pc.divide(pc.divide(ts_us, 1000), bucket_ms),
+                             bucket_ms)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype(
+            np.int64)
+        return pa.table({"event_type": pc.cast(t["event_type"], "string"),
+                         "bucket_ms": bucket, "c": pa.array(cents)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_type", "bucket_ms", "n", "p50_cents", "p95_cents"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array(
+                [], dtype=object if c == "event_type" else np.int64)
+                for c in cols})
+        et = df["event_type"].to_numpy()
+        b = df["bucket_ms"].to_numpy().astype(np.int64)
+        c = df["c"].to_numpy().astype(np.int64)
+        order = np.lexsort((c, b, et))
+        et, b, c = et[order], b[order], c[order]
+        change = np.concatenate(
+            ([True], (et[1:] != et[:-1]) | (b[1:] != b[:-1])))
+        starts = np.flatnonzero(change)
+        n = np.diff(np.append(starts, len(c))).astype(np.int64)
+        k50 = (n - 1) * 50 // 100
+        k95 = ((n - 1) * 95 + 99) // 100  # ceil with positive operands
+        return pd.DataFrame({
+            "event_type": et[starts], "bucket_ms": b[starts], "n": n,
+            "p50_cents": c[starts + k50],
+            "p95_cents": c[starts + k95]})[cols]
+
+    def key_fn(tbl):
+        h = arrow_col_hash(tbl, "event_type")
+        h = (h * np.uint64(1_000_003)
+             + tbl.column("bucket_ms").to_numpy().astype(np.uint64))
+        return (h % np.uint64(P)).astype(np.int64)
+
+    return hash_exchange(rows, key_fn=key_fn, n_parts=P, kernel=kernel,
+                         fmt="pandas")
+
+
+def drawdown(sf_dir: str):
+    """Maximum drawdown per user — the largest peak-to-trough drop of the
+    cents series in event-time order (``max_i (runmax_i − c_i)``), plus
+    the running-max peak itself.  One grouped cummax + subtract + grouped
+    max; exact integers, window-expressible in SQL (the CUSUM closed-form
+    discipline applied to the mirror statistic)."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n", "peak_cents", "max_drawdown_cents"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        u = df["user_id"].to_numpy()
+        c = df["c"].to_numpy().astype(np.int64)
+        runmax = (pd.DataFrame({"u": u, "c": c})
+                  .groupby("u", sort=False)["c"].cummax().to_numpy())
+        dd_ = runmax - c
+        change = np.concatenate(([True], u[1:] != u[:-1]))
+        starts = np.flatnonzero(change)
+        bounds = np.append(starts, len(u))
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "n": np.diff(bounds).astype(np.int64),
+            "peak_cents": runmax[bounds[1:] - 1],
+            "max_drawdown_cents": np.maximum.reduceat(dd_, starts)})[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

@@ -1747,3 +1747,50 @@ FROM runs GROUP BY user_id
     got = ev.rle_segments(sf).to_pandas()
     assert (got["n_runs"] <= got["n"]).all()
     assert (got["max_run_len"] * got["n_runs"] >= got["n"]).all()
+
+
+def test_quantile_bands_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.quantile_bands(sf, "1h"), """
+WITH p AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000 // 3600000) * 3600000 AS bucket_ms,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), r AS (
+  SELECT event_type, bucket_ms, c,
+         row_number() OVER (PARTITION BY event_type, bucket_ms
+                            ORDER BY c) - 1 AS rk,
+         count(*) OVER (PARTITION BY event_type, bucket_ms) AS n
+  FROM p
+)
+SELECT event_type, bucket_ms, CAST(n AS BIGINT) AS n,
+       CAST(max(CASE WHEN rk = (n - 1) * 50 // 100 THEN c END)
+            AS BIGINT) AS p50_cents,
+       CAST(max(CASE WHEN rk = ((n - 1) * 95 + 99) // 100 THEN c END)
+            AS BIGINT) AS p95_cents
+FROM r GROUP BY event_type, bucket_ms, n
+""", sf, ["event_type", "bucket_ms"])
+    got = ev.quantile_bands(sf, "1h").to_pandas()
+    assert (got["p50_cents"] <= got["p95_cents"]).all()
+
+
+def test_drawdown_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.drawdown(sf), """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+), s AS (
+  SELECT user_id, c,
+         max(c) OVER (PARTITION BY user_id ORDER BY ts_us
+                      ROWS UNBOUNDED PRECEDING) AS rm
+  FROM p
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(c) AS BIGINT) AS peak_cents,
+       CAST(max(rm - c) AS BIGINT) AS max_drawdown_cents
+FROM s GROUP BY user_id
+""", sf, ["user_id"])
+    got = ev.drawdown(sf).to_pandas()
+    assert (got["max_drawdown_cents"] >= 0).all()
