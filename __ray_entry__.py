@@ -40,6 +40,39 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # The driver's correctness artifact caps at the first ~50 keys, so the
+    # dict LEADS with a cross-family sample (codec, rollups, transcripts,
+    # relational, dedup, similarity, media, streaming, training-data ops);
+    # the remaining keys follow in family order.  Python dict merge keeps
+    # first-occurrence order, so every query still appears exactly once.
+    front = [
+        "events_roundtrip", "events_streaming_roundtrip",
+        "events_rollup_1m", "events_rollup_1h_cascade", "events_ohlc_1h",
+        "events_gapfill_1h", "events_sessions", "events_asof_last_purchase",
+        "events_user_quantiles", "events_seasonal_decompose",
+        "events_m4_1h", "events_cusum", "events_winsorize",
+        "transcripts_canonical_turns", "transcripts_metrics",
+        "transcripts_rollup_1m", "transcripts_retention_serve",
+        "transcripts_conv_stats", "transcripts_response_latency",
+        "transcripts_tool_chains", "q1_pricing_summary", "orders_by_nation",
+        "q3_shipping_priority", "customers_without_big_orders",
+        "docs_exact_dedup", "docs_minhash_pairs", "docs_token_jaccard",
+        "docs_dup_clusters", "docs_simhash_pairs", "docs_tfidf",
+        "docs_lang_id", "docs_quality", "docs_hash_split",
+        "docs_decontaminate", "docs_clean_corpus", "docs_dsir_weights",
+        "docs_unigram_logprob", "docs_mix_sample", "emb_near_dups_lsh",
+        "emb_knn_cosine", "emb_semdedup", "emb_centroids",
+        "emb_quantize_sq8", "emb_pq_codes", "media_features",
+        "events_streaming_out_of_order", "events_grouping_sets",
+        "events_value_histogram", "events_active_intervals",
+        "events_quantile_bands_1h",
+    ]
+    d = _all_queries()
+    assert all(k in d for k in front), [k for k in front if k not in d]
+    return {**{k: d[k] for k in front}, **d}
+
+
+def _all_queries() -> dict[str, Callable[[str], Any]]:
     return {
         # — events table (codec + rollup over the driver's own tables) —
         "events_roundtrip": ev.points_roundtrip,
