@@ -78,6 +78,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_roundtrip": ev.points_roundtrip,
         "events_roundtrip_gorilla1": ev.points_roundtrip_v1,
         "events_roundtrip_dfcm": ev.points_roundtrip_dfcm,
+        "events_roundtrip_zlib": ev.points_roundtrip_zlib,
         "events_roundtrip_long": ev.points_roundtrip_long,
         "events_streaming_roundtrip": ev.streaming_roundtrip,
         "events_streaming_out_of_order": ev.streaming_out_of_order,
@@ -399,6 +400,8 @@ def oracle_sql() -> dict[str, str]:
         "events_roundtrip":
             "SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events",
         "events_roundtrip_gorilla1":
+            "SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events",
+        "events_roundtrip_zlib":
             "SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events",
         "events_roundtrip_dfcm":
             "SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events",

@@ -163,6 +163,31 @@ def points_roundtrip_dfcm(sf_dir: str):
     ).select_columns(["user_id", "ts_ms", "value"])
 
 
+def points_roundtrip_zlib(sf_dir: str):
+    """Round-trip through the ARCHIVAL codec (``gorilla2z``): v2 Gorilla
+    blocks DEFLATE-wrapped after encode — the cold/retention-tier format
+    (the Gorilla bitstream keeps ~18–39% byte-level slack on real stores,
+    measured in BASELINE.md; zlib trades encode throughput for that
+    space).  The native batch encoder still produces the word stream in
+    one C call; only the per-block compress/decompress is Python-zlib."""
+    import pyarrow.compute as pc
+
+    ds = _read_points(sf_dir)
+
+    def add_block(batch):
+        bs = pc.multiply(pc.divide(batch["ts_ms"], DAY_MS), DAY_MS)
+        return batch.append_column("block_start", bs)
+
+    blocks = _encode_by_partition(ds.map_batches(add_block,
+                                                 batch_format="pyarrow"),
+                                  codec="gorilla2z",
+                                  n_parts=_n_parts(sf_dir))
+    return blocks.map_batches(
+        decode_blocks_batch_arrow, batch_format="pyarrow",
+        fn_kwargs={"key_cols": ["user_id"]},
+    ).select_columns(["user_id", "ts_ms", "value"])
+
+
 def points_roundtrip_v1(sf_dir: str):
     """Same round-trip through the LEGACY v1 codec (``Compressor.java`` /
     ``Decompressor.java``) — format parity for the reference's older

@@ -25,6 +25,14 @@ from ..codec import (BitReader, CompressorV1, DecompressorV1, DifferentialFCM,
 from ..codec import native
 
 
+# Archival block wrapper: DEFLATE over the finished v2 word stream.  The
+# Gorilla bitstream keeps ~18-39% byte-level slack on real stores (measured
+# in BASELINE.md), so the cold/retention tier can trade encode throughput
+# (zlib ~20-30 MB/s/core vs ~1.4 GB/s native v2) for that space.  Level 6:
+# archival is ratio-bound, not latency-bound.
+ZLIB_LEVEL = 6
+
+
 def encode_series_v1(block_ts: int, ts: np.ndarray, vb: np.ndarray):
     """v1 (legacy) block (``Compressor.java``); kept for format parity —
     v2 is the default (``README.adoc:39-40``).  Native C kernel when
@@ -205,7 +213,12 @@ def encode_partition(df: pd.DataFrame, *, key_cols: list[str],
         out_metric.append(df[metric_col].iloc[lo] if metric_col else "value")
         out_bs.append(int(bs_all[lo]))
         out_np.append(len(ts))
-        out_payload.append(words_to_payload(words))
+        pay = words_to_payload(words)
+        if codec == "gorilla2z":
+            import zlib
+
+            pay = zlib.compress(pay, ZLIB_LEVEL)
+        out_payload.append(pay)
     res = pd.DataFrame(out)
     res["metric"] = out_metric
     res["block_start"] = out_bs
@@ -322,7 +335,7 @@ def encode_partition_arrow(tbl, *, key_cols: list[str],
     n_points = np.diff(bounds)
     bts = bs_s[first_idx].astype(np.int64)
 
-    if codec == "gorilla2" and native.AVAILABLE:
+    if codec in ("gorilla2", "gorilla2z") and native.AVAILABLE:
         words, w_off = native.encode_batch_v2(bts, ts_k, vb_k, bounds)
     else:
         parts, w_off = [], np.zeros(len(bts) + 1, dtype=np.int64)
@@ -340,7 +353,16 @@ def encode_partition_arrow(tbl, *, key_cols: list[str],
         words = (np.concatenate(parts) if parts
                  else np.empty(0, dtype=np.uint64))
 
-    payload = payload_binary_from_words(words, w_off)
+    if codec == "gorilla2z":
+        import zlib
+
+        data = np.ascontiguousarray(words).astype(">u8").view(np.uint8)
+        off8 = np.asarray(w_off, dtype=np.int64) * 8
+        payload = pa.array(
+            [zlib.compress(data[off8[i]:off8[i + 1]].tobytes(), ZLIB_LEVEL)
+             for i in range(len(bts))], pa.binary())
+    else:
+        payload = payload_binary_from_words(words, w_off)
 
     take = pa.array(order[first_idx])
     cols = {c: pc.take(tbl.column(c), take) for c in key_cols}
@@ -399,6 +421,10 @@ def decode_blocks_batch(df: pd.DataFrame, *, key_cols: list[str],
     for i in np.flatnonzero(~fast):
         payload = df["payload"].iloc[i]
         n = int(n_points[i])
+        if codecs[i] == "gorilla2z":
+            import zlib
+
+            payload = zlib.decompress(payload)
         words = payload_to_words(payload)
         if codecs[i] == "gorilla1":
             ts, vb = decode_series_v1(words, n)
@@ -490,6 +516,10 @@ def decode_blocks_batch_arrow(tbl, *, key_cols: list[str],
 
     for i in np.flatnonzero(~fast):
         payload = data[offsets[i]:offsets[i + 1]].tobytes()
+        if codecs[i] == "gorilla2z":
+            import zlib
+
+            payload = zlib.decompress(payload)
         n = int(n_points[i])
         words = payload_to_words(payload)
         if codecs[i] == "gorilla1":
