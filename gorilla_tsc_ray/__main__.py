@@ -68,6 +68,9 @@ def main(argv=None) -> int:
     pr.add_argument("--keep", nargs="*", default=["blocks=7", "rollup_1m=30"],
                     metavar="tier=days")
     pr.add_argument("--dry-run", action="store_true")
+    pr.add_argument("--archive", action="store_true",
+                    help="demote expired raw blocks to the gorilla2z "
+                         "archival tier instead of deleting them")
 
     args = p.parse_args(argv)
     _init_ray(args)
@@ -113,7 +116,7 @@ def main(argv=None) -> int:
                 tier, days = kv.split("=", 1)
                 policy[tier] = int(days)
             df = apply_retention(args.store, policy, now_ms=args.now_ms,
-                                 dry_run=args.dry_run)
+                                 dry_run=args.dry_run, archive=args.archive)
             print(df.groupby("status").size().to_json())
     finally:
         ray.shutdown()

@@ -52,10 +52,52 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _archive_partition(pdir: str, out_dir: str) -> int:
+    """Re-wrap one raw day partition into the archival codec: every
+    ``gorilla2`` payload is DEFLATE-wrapped IN PLACE of decode — a pure
+    column transform (blocks are already encoded; archive = zlib over the
+    finished payload + codec column rewrite), so archiving never touches
+    the points.  Returns the archived byte size."""
+    import zlib
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from ..stages.series import ZLIB_LEVEL
+
+    os.makedirs(out_dir, exist_ok=True)
+    total = 0
+    for name in sorted(os.listdir(pdir)):
+        if not name.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(pdir, name))
+        codecs = t.column("codec").to_pylist()
+        pays = t.column("payload").to_pylist()
+        new_pay = [zlib.compress(b, ZLIB_LEVEL) if c == "gorilla2" else b
+                   for c, b in zip(codecs, pays)]
+        new_codec = ["gorilla2z" if c == "gorilla2" else c for c in codecs]
+        t = t.set_column(t.schema.get_field_index("payload"), "payload",
+                         pa.array(new_pay, t.schema.field("payload").type))
+        t = t.set_column(t.schema.get_field_index("codec"), "codec",
+                         pa.array(new_codec, t.schema.field("codec").type))
+        out_path = os.path.join(out_dir, name)
+        pq.write_table(t, out_path)
+        total += os.path.getsize(out_path)
+    return total
+
+
 def apply_retention(store_root: str, policy_days: dict[str, int],
-                    now_ms: int, dry_run: bool = False) -> pd.DataFrame:
+                    now_ms: int, dry_run: bool = False,
+                    archive: bool = False) -> pd.DataFrame:
     """Apply a retention policy: ``policy_days[tier]`` = keep partitions
     whose day is within that many days of ``now_ms``.
+
+    ``archive=True`` turns raw-block expiry into tier demotion: expired
+    ``blocks`` partitions are re-wrapped with the archival codec
+    (``gorilla2z``) under ``blocks_archive/`` before the raw partition is
+    removed — the cold tier keeps FULL point fidelity at the measured
+    ~0.83× payload size (BASELINE.md), while rollup tiers still serve the
+    hot queries.  Lineage records both byte sizes per partition.
 
     Returns the per-partition metrics frame (also persisted to lineage).
     """
@@ -69,19 +111,27 @@ def apply_retention(store_root: str, policy_days: dict[str, int],
         cutoff = now_ms - keep_days * DAY_MS
         for day_ms, pdir in sorted(_day_partitions(tier_dir).items()):
             expired = day_ms < cutoff - (cutoff % DAY_MS)
+            can_archive = archive and tier == "blocks"
             if not expired:
                 status = "kept"
-            elif coarser and day_ms not in coarser_parts:
+            elif coarser and day_ms not in coarser_parts and not can_archive:
                 status = "kept_no_coarser_tier"
+            elif dry_run:
+                status = "would_archive" if can_archive else "would_delete"
             else:
-                status = "deleted" if not dry_run else "would_delete"
+                status = "archived" if can_archive else "deleted"
             nbytes = _dir_bytes(pdir)
-            if status == "deleted":
+            rows_out = 0
+            if status == "archived":
+                rows_out = _archive_partition(
+                    pdir, os.path.join(store_root, "blocks_archive",
+                                       f"day={day_ms}"))
+            if status in ("deleted", "archived"):
                 shutil.rmtree(pdir)
             records.append({
                 "partition_key": f"{tier}/day={day_ms}",
                 "input_files": [pdir],
-                "rows_in": 0, "rows_out": 0,
+                "rows_in": 0, "rows_out": rows_out,
                 "bytes_payload": nbytes,
                 "watermark": day_ms,
                 "status": status,

@@ -142,6 +142,49 @@ class TestRetention:
         assert (df["status"] == "kept_no_coarser_tier").any()
         assert not (df["status"] == "deleted").any()
 
+    def test_archive_demotes_to_gorilla2z(self, tmp_path):
+        """archive=True re-wraps expired raw blocks into the archival
+        codec with FULL point fidelity: the archived partition decodes to
+        exactly the original points, the raw partition is gone, and the
+        archive works even without a coarser tier (it preserves
+        everything)."""
+        import os
+        import shutil
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gorilla_tsc_ray.stages import series as se
+
+        root = tmp_path
+        day0 = T0 - T0 % DAY
+        rng = np.random.default_rng(3)
+        n = 500
+        ts = (day0 + np.sort(rng.choice(np.arange(1, DAY), n, replace=False))
+              ).astype(np.int64)
+        vals = np.round(rng.normal(50, 4, n), 2)
+        df = pd.DataFrame({
+            "conv_id": "c1", "metric": "value", "ts_ms": ts, "value": vals,
+            "block_start": np.full(n, day0, dtype=np.int64)})
+        blocks = se.encode_partition(df, key_cols=["conv_id"])
+        pdir = root / "blocks" / f"day={day0}"
+        os.makedirs(pdir)
+        pq.write_table(pa.Table.from_pandas(blocks), pdir / "part-0.parquet")
+        # no coarser tier on purpose: archive preserves everything
+        now = day0 + 10 * DAY
+        out = apply_retention(str(root), {"blocks": 1}, now_ms=now,
+                              archive=True)
+        assert (out["status"] == "archived").all()
+        assert not os.path.isdir(pdir)
+        adir = root / "blocks_archive" / f"day={day0}"
+        archived = pq.read_table(adir / "part-0.parquet").to_pandas()
+        assert (archived["codec"] == "gorilla2z").all()
+        dec = se.decode_blocks_batch(archived, key_cols=["conv_id"])
+        dec = dec.sort_values("ts_ms").reset_index(drop=True)
+        np.testing.assert_array_equal(dec["ts_ms"].to_numpy(), ts)
+        np.testing.assert_array_equal(dec["value"].to_numpy(), vals)
+
     def test_dry_run(self, tmp_path):
         import os
         store = self._mk_store(tmp_path)
