@@ -144,6 +144,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_rollup_1h_wide": lambda sf: ingest.rollup_wide(sf, "1h"),
         # retention cascade gate: raw tier expired, range served from 1h
         "transcripts_retention_serve": _retention_serve,
+        "transcripts_archive_serve": _archive_serve,
         # — relational operator coverage —
         "q1_pricing_summary": relational.pricing_summary,
         "top_event_users": relational.top_event_users,
@@ -237,6 +238,16 @@ def _retention_serve(sf_dir: str):
     from gorilla_tsc_ray.pipelines.retention import retention_serve
 
     return retention_serve(sf_dir, keep_days=2, tier="1h")
+
+
+def _archive_serve(sf_dir: str):
+    """Cold-tier archive gate: expire raw day-blocks INTO the gorilla2z
+    archival tier and decode the expired range's points straight from
+    it — full point fidelity through the DEFLATE wrapper, value-hashed
+    against the raw metric stream."""
+    from gorilla_tsc_ray.pipelines.retention import archive_serve
+
+    return archive_serve(sf_dir, keep_days=1, metric="text_len")
 
 
 def _media_features(sf_dir: str):
@@ -1005,6 +1016,13 @@ FROM events
         "transcripts_roundtrip_text_len": tdedup + """
 SELECT conv_id, 'text_len' AS metric, ts_ms,
        CAST(length(text) AS DOUBLE) AS value FROM d
+""",
+        # archive gate: the expired (archived) days' points only — the
+        # last day stays in the raw tier with keep_days=1
+        "transcripts_archive_serve": tdedup + """
+SELECT conv_id, 'text_len' AS metric, ts_ms,
+       CAST(length(text) AS DOUBLE) AS value FROM d
+WHERE ts_ms < (SELECT (max(ts_ms) // 86400000) * 86400000 FROM d)
 """,
         "transcripts_gapfill_1h": tmetrics + """
 , r AS (

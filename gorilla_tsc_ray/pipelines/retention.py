@@ -192,3 +192,64 @@ def retention_serve(sf_dir: str, keep_days: int = 2, tier: str = "1h"):
         return out
 
     return ds.map_batches(finalize, batch_format="pandas")
+
+
+def archive_serve(sf_dir: str, keep_days: int = 1,
+                  metric: str = "text_len"):
+    """Driver-facing ARCHIVE gate: build a fresh store, demote expired
+    raw day-blocks to the ``gorilla2z`` archival tier
+    (``apply_retention(archive=True)``), then decode the expired range's
+    POINTS straight from ``blocks_archive/`` — proving the cold tier
+    preserves full point fidelity through the DEFLATE wrapper, at the
+    driver's value-hash gate.  Oracle: the same metric points from the
+    raw transcripts restricted to the expired (archived) days."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..context import tune_context
+    from ..sources.transcripts import CACHE_ROOT
+    from ..stages.series import decode_blocks_batch_arrow
+    from .ingest import ingest_to_store
+
+    tune_context()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(CACHE_ROOT, f"archive_store_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    ingest_to_store(sf_dir, store, resume=False)
+
+    days = sorted(_day_partitions(os.path.join(store, "blocks")))
+    now_ms = max(days) + DAY_MS
+    apply_retention(store, {"blocks": keep_days}, now_ms=now_ms,
+                    archive=True)
+    cutoff = now_ms - keep_days * DAY_MS
+    left = [d for d in _day_partitions(os.path.join(store, "blocks"))
+            if d < cutoff]
+    if left:
+        raise RuntimeError(
+            f"archive retention left expired raw partitions: {left}")
+    arch = _day_partitions(os.path.join(store, "blocks_archive"))
+    if not arch:
+        raise RuntimeError("nothing was archived")
+
+    ds = ray.data.read_parquet(
+        os.path.join(store, "blocks_archive"),
+        filter=pads.field("metric") == metric)
+
+    def to_points(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # runtime proof the cold tier really is the archival codec
+        codecs = pc.unique(pc.cast(tbl["codec"], "string")).to_pylist()
+        bad = [c for c in codecs if c != "gorilla2z"]
+        if bad:
+            raise RuntimeError(f"non-archival codec in archive tier: {bad}")
+        pts = decode_blocks_batch_arrow(tbl,
+                                        key_cols=["conv_id", "metric"])
+        return pa.table({
+            "conv_id": pc.cast(pts["conv_id"], "string"),
+            "metric": pc.cast(pts["metric"], "string"),
+            "ts_ms": pts["ts_ms"], "value": pts["value"]})
+
+    return ds.map_batches(to_points, batch_format="pyarrow")

@@ -185,6 +185,36 @@ class TestRetention:
         np.testing.assert_array_equal(dec["ts_ms"].to_numpy(), ts)
         np.testing.assert_array_equal(dec["value"].to_numpy(), vals)
 
+    def test_archive_serve_points_equal_raw(self, ray_session):
+        """Driver-facing archive gate at sf0.001: points decoded from the
+        gorilla2z archive tier equal the raw metric stream on the
+        expired days."""
+        import duckdb
+
+        from gorilla_tsc_ray.pipelines.retention import archive_serve
+        from gorilla_tsc_ray.sources.transcripts import transcripts_dir
+
+        sf = "/root/testdata/sf0.001"
+        got = (archive_serve(sf, keep_days=1, metric="text_len")
+               .to_pandas().sort_values(["conv_id", "ts_ms"])
+               .reset_index(drop=True))
+        path = transcripts_dir(sf)
+        sql = """
+WITH t AS (
+  SELECT conv_id, turn_idx, text, epoch_ms(ts) AS ts_ms,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts, turn_idx) AS rn
+  FROM read_parquet('{path}/*.parquet')
+), d AS (SELECT * FROM t WHERE rn = 1)
+SELECT conv_id, 'text_len' AS metric, ts_ms,
+       CAST(length(text) AS DOUBLE) AS value FROM d
+WHERE ts_ms < (SELECT (max(ts_ms) // 86400000) * 86400000 FROM d)
+""".format(path=path)
+        exp = (duckdb.connect().execute(sql).df()
+               .sort_values(["conv_id", "ts_ms"]).reset_index(drop=True))
+        assert len(got) == len(exp) > 0
+        pd.testing.assert_frame_equal(got[exp.columns], exp)
+
     def test_dry_run(self, tmp_path):
         import os
         store = self._mk_store(tmp_path)
