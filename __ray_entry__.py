@@ -208,9 +208,11 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_rle_segments": ev.rle_segments,
         "events_quantile_bands_1h": lambda sf: ev.quantile_bands(sf, "1h"),
         "events_drawdown": ev.drawdown,
+        "events_rolling_5": ev.rolling_window,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_tool_summary": ingest.tool_summary,
+        "transcripts_sub_sessions": ingest.sub_sessions,
         "emb_norms": docs.emb_norms,
         "emb_centroid_distances": docs.centroid_distances,
         "docs_label_quality": docs.label_quality,
@@ -1121,6 +1123,34 @@ SELECT tool, CAST(count(*) AS BIGINT) AS calls,
        CAST(sum(length(text)) AS BIGINT) AS total_text_len
 FROM d WHERE tool <> '' GROUP BY tool
 """,
+        # conversation sub-sessionization: split at >30min turn gaps
+        "transcripts_sub_sessions": tdedup + """
+, s AS (
+  SELECT conv_id, turn_idx, ts_ms,
+         ts_ms - lag(ts_ms) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx) AS gap
+  FROM d
+), isl AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN gap > 1800000 THEN gap END AS split_gap,
+         sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+), per_sess AS (
+  SELECT conv_id, sess, count(*) AS sess_turns
+  FROM isl GROUP BY 1, 2
+), idle AS (
+  SELECT conv_id, sum(split_gap) AS idle_ms
+  FROM isl WHERE split_gap IS NOT NULL GROUP BY conv_id
+)
+SELECT p.conv_id, CAST(sum(p.sess_turns) AS BIGINT) AS n_turns,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(p.sess_turns) AS BIGINT) AS max_session_turns,
+       CAST(coalesce(any_value(i.idle_ms), 0) AS BIGINT) AS idle_ms
+FROM per_sess p LEFT JOIN idle i USING (conv_id)
+GROUP BY p.conv_id
+""",
         # long→wide pivot of the 1h rollup (absent metric → 0.0)
         "transcripts_retention_serve": (
             "WITH serve AS (" + tr_rollup(3_600_000) + ")\n"
@@ -1862,6 +1892,21 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n,
        CAST(max(c) AS BIGINT) AS peak_cents,
        CAST(max(rm - c) AS BIGINT) AS max_drawdown_cents
 FROM s GROUP BY user_id
+""",
+        # bounded-frame trailing window (ROWS 4 PRECEDING .. CURRENT ROW)
+        "events_rolling_5": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+)
+SELECT user_id, ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_w,
+       CAST(sum(c) OVER w AS BIGINT) AS sum_w,
+       CAST(min(c) OVER w AS BIGINT) AS min_w,
+       CAST(max(c) OVER w AS BIGINT) AS max_w
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
         # SemDeDup with deterministic centroids (the k smallest vec_ids):
         # assignment = argmax cosine (ties -> smaller cluster, the

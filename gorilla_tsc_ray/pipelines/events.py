@@ -3142,3 +3142,34 @@ def drawdown(sf_dir: str):
 
     return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def rolling_window(sf_dir: str, k: int = 5):
+    """Bounded-frame window features per event — the ML feature-extraction
+    shape (``ROWS BETWEEN k−1 PRECEDING AND CURRENT ROW``): trailing
+    count / sum / min / max of the cent series per user in event-time
+    order.  Sums of cents stay < 2^53 so the pandas rolling kernel's
+    float64 accumulator is EXACT and casts back to int64 losslessly;
+    every output column is an exact integer."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "ts_us", "n_w", "sum_w", "min_w", "max_w"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        g = df.groupby("user_id", sort=False)["c"].rolling(
+            k, min_periods=1)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "ts_us": df["ts_us"].to_numpy().astype(np.int64),
+            "n_w": g.count().to_numpy().astype(np.int64),
+            "sum_w": g.sum().to_numpy().astype(np.int64),
+            "min_w": g.min().to_numpy().astype(np.int64),
+            "max_w": g.max().to_numpy().astype(np.int64)})[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

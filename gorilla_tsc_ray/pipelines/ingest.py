@@ -847,3 +847,47 @@ def tool_summary(sf_dir: str):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=4, kernel=merge,
                          fmt="pandas")
+
+
+def sub_sessions(sf_dir: str, gap_ms: int = 1_800_000):
+    """Conversation sub-sessionization: split each conversation at turn
+    gaps above ``gap_ms`` (30 min default) — the "one conversation, many
+    sittings" structure a transcript pipeline models.  Per conv: number
+    of sittings, the longest sitting (turns), and the total idle time
+    swallowed by the splits.  Vectorized gaps-and-islands inside the
+    shuffle-free conv pass; exact integer milliseconds."""
+    from ..stages.metrics import canonical_turns_arrow
+
+    def kernel(batch):
+        cols = ["conv_id", "n_turns", "n_sessions", "max_session_turns",
+                "idle_ms"]
+        t = canonical_turns_arrow(batch)
+        conv = t["conv_id"].to_pandas().astype(str).to_numpy()
+        ts = t["ts_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(conv) == 0:
+            return pd.DataFrame({c: np.array(
+                [], dtype=object if c == "conv_id" else np.int64)
+                for c in cols})
+        new_conv = np.concatenate(([True], conv[1:] != conv[:-1]))
+        gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+        split = new_conv | (gap > gap_ms)
+        sess_starts = np.flatnonzero(split)
+        sess_len = np.diff(np.append(sess_starts, len(conv))).astype(
+            np.int64)
+        idle = np.where(split & ~new_conv, gap, 0)
+        sc = conv[sess_starts]
+        uchange = np.concatenate(([True], sc[1:] != sc[:-1]))
+        ustarts = np.flatnonzero(uchange)
+        conv_starts = np.flatnonzero(new_conv)
+        conv_bounds = np.append(conv_starts, len(conv))
+        icum = np.concatenate(([0], np.cumsum(idle)))
+        return pd.DataFrame({
+            "conv_id": sc[ustarts],
+            "n_turns": np.diff(conv_bounds).astype(np.int64),
+            "n_sessions": np.diff(
+                np.append(ustarts, len(sc))).astype(np.int64),
+            "max_session_turns": np.maximum.reduceat(sess_len, ustarts),
+            "idle_ms": (icum[conv_bounds[1:]]
+                        - icum[conv_starts]).astype(np.int64)})[cols]
+
+    return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")

@@ -1794,3 +1794,25 @@ FROM s GROUP BY user_id
 """, sf, ["user_id"])
     got = ev.drawdown(sf).to_pandas()
     assert (got["max_drawdown_cents"] >= 0).all()
+
+
+def test_rolling_window_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.rolling_window(sf, 5), """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+)
+SELECT user_id, ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_w,
+       CAST(sum(c) OVER w AS BIGINT) AS sum_w,
+       CAST(min(c) OVER w AS BIGINT) AS min_w,
+       CAST(max(c) OVER w AS BIGINT) AS max_w
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""", sf, ["user_id", "ts_us"])
+    got = ev.rolling_window(sf, 5).to_pandas()
+    assert got["n_w"].between(1, 5).all()
+    assert (got["min_w"] * got["n_w"] <= got["sum_w"]).all()
+    assert (got["max_w"] * got["n_w"] >= got["sum_w"]).all()

@@ -444,3 +444,44 @@ def test_tool_summary(ray_session):
            .sort_values("tool").reset_index(drop=True))
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_sub_sessions(ray_session):
+    got = (ingest.sub_sessions(SF).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    path = transcripts_dir(SF)
+    sql = DEDUP_CTE.format(path=path) + """
+    , s AS (
+      SELECT conv_id, turn_idx, ts_ms,
+             ts_ms - lag(ts_ms) OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) AS gap
+      FROM d
+    ), isl AS (
+      SELECT conv_id, turn_idx,
+             CASE WHEN gap > 1800000 THEN gap END AS split_gap,
+             sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS UNBOUNDED PRECEDING) AS sess
+      FROM s
+    ), per_sess AS (
+      SELECT conv_id, sess, count(*) AS sess_turns
+      FROM isl GROUP BY 1, 2
+    ), idle AS (
+      SELECT conv_id, sum(split_gap) AS idle_ms
+      FROM isl WHERE split_gap IS NOT NULL GROUP BY conv_id
+    )
+    SELECT p.conv_id, CAST(sum(p.sess_turns) AS BIGINT) AS n_turns,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(p.sess_turns) AS BIGINT) AS max_session_turns,
+           CAST(coalesce(any_value(i.idle_ms), 0) AS BIGINT) AS idle_ms
+    FROM per_sess p LEFT JOIN idle i USING (conv_id)
+    GROUP BY p.conv_id
+    """
+    exp = (duckdb.connect().execute(sql).df()
+           .sort_values("conv_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    # sessions partition the turns
+    assert (got["max_session_turns"] * got["n_sessions"]
+            >= got["n_turns"]).all()
+    assert (got["n_sessions"] >= 1).all()
