@@ -184,6 +184,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_clusters": docs.dup_clusters,
         "docs_minhash_pairs": docs.minhash_pairs,
         "docs_simhash_pairs": docs.simhash_pairs,
+        "docs_simhash_clusters": docs.simhash_clusters,
         # — training-data ops: similarity search —
         "emb_centroids": docs.emb_centroids,
         "emb_quantize_sq8": docs.emb_quantize_sq8,
@@ -1456,6 +1457,17 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY text
 """,
         "docs_simhash_pairs": _simhash_sql(),
+        # transitive closure over the simhash pair graph (exhaustive at
+        # Hamming <= 3, so clustering is exactly mirrorable)
+        "docs_simhash_clusters": (
+            "WITH RECURSIVE pr AS (SELECT id_a, id_b FROM ("
+            + _simhash_sql() + ") q),\n"
+            "e AS (SELECT id_a AS a, id_b AS b FROM pr "
+            "UNION SELECT id_b, id_a FROM pr),\n"
+            "r AS (SELECT a AS n, a AS m FROM e "
+            "UNION SELECT r.n, e.b FROM r JOIN e ON r.m = e.a)\n"
+            "SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id "
+            "FROM r GROUP BY 1"),
         # per-label embedding centroid, flat (label, dim) rows
         "emb_centroids": """
 WITH u AS (

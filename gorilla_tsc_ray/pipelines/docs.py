@@ -1959,3 +1959,18 @@ def dsir_weights(sf_dir: str, n_buckets: int = 64, target_lang: str = "en"):
             "dsir_logweight": round_half_away(sums[keep], 6)})[cols]
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def simhash_clusters(sf_dir: str, max_hamming: int = 3):
+    """Duplicate clusters over the SIMHASH pair graph — the same
+    distributed min-label propagation as :func:`dup_clusters`, composed
+    over a different (cheaper, bit-sketch) pair source.  Exhaustive at
+    Hamming ≤ 3 (the segment-blocking pigeonhole), so the transitive
+    closure is SQL-oracle-checkable exactly like the n-gram variant."""
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["node"].astype(np.int64),
+                             "cluster_id": df["label"].astype(np.int64)})
+
+    return cluster_pairs(simhash_pairs(sf_dir, max_hamming=max_hamming)
+                         ).map_batches(rename, batch_format="pandas")

@@ -1009,3 +1009,14 @@ GROUP BY b.doc_id
     en = j[j["lang"] == "en"]["dsir_logweight"].mean()
     rest = j[j["lang"] != "en"]["dsir_logweight"].mean()
     assert en > rest
+
+
+def test_simhash_clusters_invariants(ray_session):
+    got = _sorted(docs.simhash_clusters(SF).to_pandas(), ["doc_id"])
+    pairs = docs.simhash_pairs(SF).to_pandas()
+    # every paired doc is clustered; cluster ids are cluster minima
+    paired = set(pairs["id_a"]) | set(pairs["id_b"])
+    assert set(got["doc_id"]) == paired
+    assert (got["cluster_id"] <= got["doc_id"]).all()
+    by_cluster = got.groupby("cluster_id")["doc_id"].min()
+    assert (by_cluster.index == by_cluster.values).all()
