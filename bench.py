@@ -198,6 +198,16 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
     timed_extra("events_ohlc_1h", lambda: ev.ohlc(sf_dir, "1h").count())
     timed_extra("events_vwap_1h", lambda: ev.vwap(sf_dir, "1h").count())
     timed_extra("docs_tfidf", lambda: docs.tfidf(sf_dir).count())
+    # late-round-4 operator families
+    timed_extra("events_m4_1h", lambda: ev.m4_downsample(sf_dir).count())
+    timed_extra("events_cusum", lambda: ev.cusum(sf_dir).count())
+    timed_extra("events_rolling_5",
+                lambda: ev.rolling_window(sf_dir).count())
+    timed_extra("transcripts_response_latency",
+                lambda: ingest.response_latency(sf_dir).count())
+    timed_extra("docs_dsir_weights",
+                lambda: docs.dsir_weights(sf_dir).count())
+    timed_extra("emb_pq_codes", lambda: docs.emb_pq_codes(sf_dir).count())
 
     result = {
         "queries": queries,
