@@ -16,6 +16,8 @@ materialization and tames skew before the groupby shuffle.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 
@@ -215,8 +217,6 @@ def encode_partition(df: pd.DataFrame, *, key_cols: list[str],
         out_np.append(len(ts))
         pay = words_to_payload(words)
         if codec == "gorilla2z":
-            import zlib
-
             pay = zlib.compress(pay, ZLIB_LEVEL)
         out_payload.append(pay)
     res = pd.DataFrame(out)
@@ -354,8 +354,6 @@ def encode_partition_arrow(tbl, *, key_cols: list[str],
                  else np.empty(0, dtype=np.uint64))
 
     if codec == "gorilla2z":
-        import zlib
-
         data = np.ascontiguousarray(words).astype(">u8").view(np.uint8)
         off8 = np.asarray(w_off, dtype=np.int64) * 8
         payload = pa.array(
@@ -422,8 +420,6 @@ def decode_blocks_batch(df: pd.DataFrame, *, key_cols: list[str],
         payload = df["payload"].iloc[i]
         n = int(n_points[i])
         if codecs[i] == "gorilla2z":
-            import zlib
-
             payload = zlib.decompress(payload)
         words = payload_to_words(payload)
         if codecs[i] == "gorilla1":
@@ -517,8 +513,6 @@ def decode_blocks_batch_arrow(tbl, *, key_cols: list[str],
     for i in np.flatnonzero(~fast):
         payload = data[offsets[i]:offsets[i + 1]].tobytes()
         if codecs[i] == "gorilla2z":
-            import zlib
-
             payload = zlib.decompress(payload)
         n = int(n_points[i])
         words = payload_to_words(payload)
