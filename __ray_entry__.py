@@ -210,6 +210,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_bands_1h": lambda sf: ev.quantile_bands(sf, "1h"),
         "events_drawdown": ev.drawdown,
         "events_rolling_5": ev.rolling_window,
+        "events_records": ev.records,
+        "events_velocity_10m": ev.velocity_window,
+        "events_hhi": ev.type_concentration,
+        "events_gini": ev.gini,
+        "events_benford": ev.benford,
+        "events_interarrival_hist": ev.interarrival_hist,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_tool_summary": ingest.tool_summary,
@@ -1919,6 +1925,93 @@ SELECT user_id, ts_us,
 FROM p
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+        # running-max record ladder per user: strict > vs the running max
+        # of PRIOR rows; (user_id, ts) unique so event-time order is total
+        "events_records": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+), s AS (
+  SELECT user_id, ts_us, c,
+         max(c) OVER (PARTITION BY user_id ORDER BY ts_us
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pm
+  FROM p
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN pm IS NULL OR c > pm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_records,
+       CAST(max(CASE WHEN pm IS NULL OR c > pm THEN ts_us END)
+            AS BIGINT) AS last_record_ts_us,
+       CAST(max(c) AS BIGINT) AS record_cents
+FROM s GROUP BY user_id
+""",
+        # trailing TIME-range window (RANGE 10 min PRECEDING .. CURRENT)
+        "events_velocity_10m": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+)
+SELECT user_id, ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_w,
+       CAST(sum(c) OVER w AS BIGINT) AS sum_w
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+""",
+        # per-user event-type concentration: exact integer HHI numerator
+        "events_hhi": """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+)
+SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(cnt * cnt) AS BIGINT) AS hhi_num
+FROM c GROUP BY user_id
+""",
+        # exact pairwise-absolute-difference sum via the sorted closed
+        # form (tie order irrelevant: equal values span a contiguous rank
+        # range whose coefficient total is fixed)
+        "events_gini": """
+WITH p AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT user_id, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY c) - 1 AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM p
+)
+SELECT user_id, CAST(any_value(n) AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS sum_cents,
+       CAST(sum(c * (2 * rk - n + 1)) AS BIGINT) AS pairdiff_sum
+FROM r GROUP BY user_id
+""",
+        # Benford first-significant-digit audit per type (zero excluded)
+        "events_benford": """
+WITH p AS (
+  SELECT event_type,
+         abs(CAST(round(value * 100) AS BIGINT)) AS d FROM events
+)
+SELECT event_type,
+       CAST(substring(CAST(d AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM p WHERE d > 0 GROUP BY 1, 2
+""",
+        # log2-bucketed inter-arrival histogram per (user, type) stream;
+        # bucket = floor(log2(gap_us)) == length(bin(gap)) - 1 exactly
+        "events_interarrival_hist": """
+WITH p AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), g AS (
+  SELECT event_type,
+         ts_us - lag(ts_us) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts_us) AS gap
+  FROM p
+)
+SELECT event_type, CAST(length(bin(gap)) - 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM g WHERE gap > 0 GROUP BY 1, 2
 """,
         # SemDeDup with deterministic centroids (the k smallest vec_ids):
         # assignment = argmax cosine (ties -> smaller cluster, the

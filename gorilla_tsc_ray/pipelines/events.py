@@ -3173,3 +3173,292 @@ def rolling_window(sf_dir: str, k: int = 5):
 
     return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def records(sf_dir: str):
+    """Running-max record ladder per user: how many times the cents
+    series set a new all-time high (the first event counts), when the
+    last record fell, and the record value itself.  Strict ``>`` against
+    the running max of all PRIOR events; (user_id, ts) is unique by
+    schema so event-time order is total.  Exact integers throughout."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n", "n_records", "last_record_ts_us",
+                "record_cents"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        u = df["user_id"].to_numpy()
+        t = df["ts_us"].to_numpy().astype(np.int64)
+        c = df["c"].to_numpy().astype(np.int64)
+        runmax = (pd.DataFrame({"u": u, "c": c})
+                  .groupby("u", sort=False)["c"].cummax().to_numpy())
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        # record iff value exceeds the running max of PRIOR rows: the
+        # running max changed here (or it's the user's first event)
+        is_rec = new_user | np.concatenate(([False], runmax[1:] > runmax[:-1]))
+        starts = np.flatnonzero(new_user)
+        bounds = np.append(starts, len(u))
+        grp = np.cumsum(new_user) - 1
+        n_rec = np.bincount(grp, weights=is_rec).astype(np.int64)
+        # records are increasing in ts within a user -> last one wins
+        last_ts = np.maximum.reduceat(np.where(is_rec, t, np.int64(-1)),
+                                      starts)
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "n": np.diff(bounds).astype(np.int64),
+            "n_records": n_rec,
+            "last_record_ts_us": last_ts,
+            "record_cents": runmax[bounds[1:] - 1]})[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def velocity_window(sf_dir: str, window_us: int = 600_000_000):
+    """Trailing TIME-range window per event (``RANGE BETWEEN 10 MINUTES
+    PRECEDING AND CURRENT ROW``) — the fraud/rate-limit velocity shape:
+    events and cents volume within the last ``window_us`` microseconds,
+    per user in event-time order.  The kernel is fully vectorized across
+    every user in the partition: per-user timestamps are embedded into
+    one strictly user-separated composite axis (spacing > range+window
+    so a lower bound can never bleed into the previous user), then both
+    frame edges come from two ``np.searchsorted`` calls and the sum from
+    one prefix-cumsum difference — no per-user loop."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+    W = int(window_us)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "ts_us", "n_w", "sum_w"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        u = df["user_id"].to_numpy()
+        t = df["ts_us"].to_numpy().astype(np.int64)
+        c = df["c"].to_numpy().astype(np.int64)
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        uidx = (np.cumsum(new_user) - 1).astype(np.int64)
+        rel = t - t.min()
+        span = int(rel.max()) + W + 2
+        if (int(uidx[-1]) + 1) * span >= 2**62:  # composite would overflow
+            raise ValueError("velocity_window: ts span too large for the "
+                             "composite axis; shard the partition finer")
+        comp = uidx * span + rel
+        left = np.searchsorted(comp, comp - W, side="left")
+        right = np.searchsorted(comp, comp, side="right")
+        csum = np.concatenate(([0], np.cumsum(c)))
+        return pd.DataFrame({
+            "user_id": u, "ts_us": t,
+            "n_w": (right - left).astype(np.int64),
+            "sum_w": (csum[right] - csum[left]).astype(np.int64)})[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def type_concentration(sf_dir: str):
+    """Per-user event-type concentration: n, distinct types, and the
+    exact integer HHI numerator ``sum(cnt_t^2)`` (HHI = hhi_num / n^2 at
+    presentation time — the engine never rounds a float).  In-batch
+    Arrow count partials (cells, not raw events) ride the user-hash
+    exchange; the kernel folds cells and squares."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type"], P)
+    partials = ds.map_batches(
+        _count_partial_arrow(["user_id", "event_type"]),
+        batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n", "n_types", "hhi_num"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        cell = (df.groupby(["user_id", "event_type"], sort=False)["cnt"]
+                .sum().reset_index())
+        g = cell.groupby("user_id", sort=False)["cnt"]
+        out = g.agg(n="sum", n_types="size").reset_index()
+        out["hhi_num"] = (cell.assign(sq=cell["cnt"] ** 2)
+                          .groupby("user_id", sort=False)["sq"].sum()
+                          .to_numpy())
+        for c in ("n", "n_types", "hhi_num"):
+            out[c] = out[c].astype(np.int64)
+        return out[cols]
+
+    return hash_exchange(partials, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def gini(sf_dir: str):
+    """Per-user dispersion: the exact integer sum of pairwise absolute
+    cent differences ``sum_{i<j} |c_i - c_j|`` via the sorted closed form
+    ``sum_k c_(k) * (2k - n + 1)`` (0-indexed; tie order is irrelevant —
+    equal values occupy a contiguous rank range whose coefficient total
+    is fixed).  Gini = pairdiff_sum / (n^2 * mean) at presentation time.
+    One lexsort + reduceat, vectorized over all users."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n", "sum_cents", "pairdiff_sum"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        u = df["user_id"].to_numpy()
+        c = df["c"].to_numpy().astype(np.int64)
+        order = np.lexsort((c, u))
+        us, cs = u[order], c[order]
+        change = np.concatenate(([True], us[1:] != us[:-1]))
+        starts = np.flatnonzero(change)
+        grp = np.cumsum(change) - 1
+        n = np.diff(np.append(starts, len(us))).astype(np.int64)
+        k = np.arange(len(cs), dtype=np.int64) - starts[grp]  # in-user rank
+        coef = 2 * k - n[grp] + 1
+        return pd.DataFrame({
+            "user_id": us[starts], "n": n,
+            "sum_cents": np.add.reduceat(cs, starts),
+            "pairdiff_sum": np.add.reduceat(cs * coef, starts)})[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def benford(sf_dir: str):
+    """First-significant-digit audit per event type (Benford's-law data
+    quality check): counts of the leading digit of ``|cents|`` (zero
+    cents excluded — no leading digit).  The digit falls out of a
+    vectorized halving loop (<= 13 iterations for int64 cents), partial
+    cells combine per batch, and a tiny type-hash exchange folds them."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    ds = _read_events(sf_dir, ["event_type", "value"], _n_parts(sf_dir))
+    P = 8
+
+    def partial(t):
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype(
+            np.int64)
+        d = np.abs(cents)
+        keep = d > 0
+        d = d[keep]
+        while True:
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        df = pd.DataFrame({
+            "event_type": pc.cast(t["event_type"],
+                                  "string").to_pandas()[keep],
+            "digit": d})
+        return (df.groupby(["event_type", "digit"], sort=False)
+                .size().rename("cnt").reset_index())
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def key_fn(tbl):
+        h = arrow_col_hash(tbl, "event_type")
+        h = h * np.uint64(31) + tbl.column("digit").to_numpy().astype(
+            np.uint64)
+        return (h % np.uint64(P)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_type", "digit", "cnt"]
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_type": np.array([], dtype=object),
+                "digit": np.array([], dtype=np.int64),
+                "cnt": np.array([], dtype=np.int64)})[cols]
+        out = (df.groupby(["event_type", "digit"], sort=False)["cnt"]
+               .sum().reset_index())
+        out["digit"] = out["digit"].astype(np.int64)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out[cols]
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=P, kernel=merge,
+                         fmt="pandas")
+
+
+def interarrival_hist(sf_dir: str):
+    """Log2-bucketed inter-arrival histogram per event type: successive
+    gaps between events of the same (user, type) in event-time order,
+    bucket = floor(log2(gap_us)) (gap 0 excluded).  The bucket comes from
+    ``np.frexp`` on the exact float64 image of the int64 gap (gaps are
+    far below 2^53, and frexp's exponent is exact even AT powers of two
+    where ``floor(log2(x))`` would be one ulp away).  User-hash exchange
+    computes gaps; a tiny type-hash exchange folds the bucket cells."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type", "ts"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_type": pc.cast(t["event_type"], "string"),
+            "ts_us": pc.cast(t["ts"], "int64")})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def gaps_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_type", "bucket", "cnt"]
+        empty = pd.DataFrame({
+            "event_type": np.array([], dtype=object),
+            "bucket": np.array([], dtype=np.int64),
+            "cnt": np.array([], dtype=np.int64)})[cols]
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["user_id", "event_type", "ts_us"],
+                            kind="stable")
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        t = df["ts_us"].to_numpy().astype(np.int64)
+        same = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+        gap = (t[1:] - t[:-1])[same]
+        ety = et[1:][same]
+        pos = gap > 0
+        gap, ety = gap[pos], ety[pos]
+        if len(gap) == 0:
+            return empty
+        bucket = (np.frexp(gap.astype(np.float64))[1] - 1).astype(np.int64)
+        out = (pd.DataFrame({"event_type": ety, "bucket": bucket})
+               .groupby(["event_type", "bucket"], sort=False)
+               .size().rename("cnt").reset_index())
+        return out[cols]
+
+    partials = hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                             kernel=gaps_kernel, fmt="pandas")
+    P2 = 8
+
+    def key_fn(tbl):
+        h = arrow_col_hash(tbl, "event_type")
+        h = h * np.uint64(31) + tbl.column("bucket").to_numpy().astype(
+            np.uint64)
+        return (h % np.uint64(P2)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_type", "bucket", "cnt"]
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_type": np.array([], dtype=object),
+                "bucket": np.array([], dtype=np.int64),
+                "cnt": np.array([], dtype=np.int64)})[cols]
+        out = (df.groupby(["event_type", "bucket"], sort=False)["cnt"]
+               .sum().reset_index())
+        out["bucket"] = out["bucket"].astype(np.int64)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out[cols]
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=P2,
+                         kernel=merge, fmt="pandas")

@@ -1816,3 +1816,127 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
     assert got["n_w"].between(1, 5).all()
     assert (got["min_w"] * got["n_w"] <= got["sum_w"]).all()
     assert (got["max_w"] * got["n_w"] >= got["sum_w"]).all()
+
+
+def test_records_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.records(sf), """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+), s AS (
+  SELECT user_id, ts_us, c,
+         max(c) OVER (PARTITION BY user_id ORDER BY ts_us
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pm
+  FROM p
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN pm IS NULL OR c > pm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_records,
+       CAST(max(CASE WHEN pm IS NULL OR c > pm THEN ts_us END)
+            AS BIGINT) AS last_record_ts_us,
+       CAST(max(c) AS BIGINT) AS record_cents
+FROM s GROUP BY user_id
+""", sf, ["user_id"])
+    got = ev.records(sf).to_pandas()
+    assert (got["n_records"] >= 1).all()
+    assert (got["n_records"] <= got["n"]).all()
+
+
+def test_velocity_window_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.velocity_window(sf), """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+)
+SELECT user_id, ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_w,
+       CAST(sum(c) OVER w AS BIGINT) AS sum_w
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+""", sf, ["user_id", "ts_us"])
+    got = ev.velocity_window(sf).to_pandas()
+    assert (got["n_w"] >= 1).all()
+
+
+def test_type_concentration_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.type_concentration(sf), """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+)
+SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(cnt * cnt) AS BIGINT) AS hhi_num
+FROM c GROUP BY user_id
+""", sf, ["user_id"])
+    got = ev.type_concentration(sf).to_pandas()
+    # HHI bounds: n^2/n_types <= hhi_num <= n^2
+    assert (got["hhi_num"] * got["n_types"] >= got["n"] ** 2).all()
+    assert (got["hhi_num"] <= got["n"] ** 2).all()
+
+
+def test_gini_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.gini(sf), """
+WITH p AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT user_id, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY c) - 1 AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM p
+)
+SELECT user_id, CAST(any_value(n) AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS sum_cents,
+       CAST(sum(c * (2 * rk - n + 1)) AS BIGINT) AS pairdiff_sum
+FROM r GROUP BY user_id
+""", sf, ["user_id"])
+    got = ev.gini(sf).to_pandas()
+    assert (got["pairdiff_sum"] >= 0).all()
+
+
+def test_benford_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.benford(sf), """
+WITH p AS (
+  SELECT event_type,
+         abs(CAST(round(value * 100) AS BIGINT)) AS d FROM events
+)
+SELECT event_type,
+       CAST(substring(CAST(d AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM p WHERE d > 0 GROUP BY 1, 2
+""", sf, ["event_type", "digit"])
+    got = ev.benford(sf).to_pandas()
+    assert got["digit"].between(1, 9).all()
+
+
+def test_interarrival_hist_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.interarrival_hist(sf), """
+WITH p AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), g AS (
+  SELECT event_type,
+         ts_us - lag(ts_us) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts_us) AS gap
+  FROM p
+)
+SELECT event_type, CAST(length(bin(gap)) - 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM g WHERE gap > 0 GROUP BY 1, 2
+""", sf, ["event_type", "bucket"])
+    got = ev.interarrival_hist(sf).to_pandas()
+    assert (got["bucket"] >= 0).all()
+
+
+def test_frexp_bucket_exact_at_powers_of_two():
+    g = np.array([1, 2, 3, 4, 1023, 1024, 1025, 2**40, 2**40 - 1],
+                 dtype=np.int64)
+    bucket = np.frexp(g.astype(np.float64))[1] - 1
+    expect = np.array([len(bin(int(x))) - 3 for x in g])  # '0b' prefix
+    np.testing.assert_array_equal(bucket, expect)
