@@ -220,6 +220,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_tool_summary": ingest.tool_summary,
         "transcripts_sub_sessions": ingest.sub_sessions,
+        "transcripts_context_budget": ingest.context_budget,
         "emb_norms": docs.emb_norms,
         "emb_centroid_distances": docs.centroid_distances,
         "docs_label_quality": docs.label_quality,
@@ -1157,6 +1158,25 @@ SELECT p.conv_id, CAST(sum(p.sess_turns) AS BIGINT) AS n_turns,
        CAST(coalesce(any_value(i.idle_ms), 0) AS BIGINT) AS idle_ms
 FROM per_sess p LEFT JOIN idle i USING (conv_id)
 GROUP BY p.conv_id
+""",
+        # context-window budget audit: leading turns fitting a 1000-char
+        # running total (run is monotone within a conv, so max(run|fit)
+        # is the budgeted prefix total); exact integers
+        "transcripts_context_budget": tdedup + """
+, c AS (
+  SELECT conv_id,
+         sum(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                 ROWS UNBOUNDED PRECEDING) AS run
+  FROM d
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN run <= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS turns_in_budget,
+       CAST(coalesce(max(CASE WHEN run <= 1000 THEN run END), 0)
+            AS BIGINT) AS chars_in_budget,
+       CAST(max(run) - coalesce(max(CASE WHEN run <= 1000 THEN run END),
+                                0) AS BIGINT) AS overflow_chars
+FROM c GROUP BY conv_id
 """,
         # long→wide pivot of the 1h rollup (absent metric → 0.0)
         "transcripts_retention_serve": (

@@ -891,3 +891,51 @@ def sub_sessions(sf_dir: str, gap_ms: int = 1_800_000):
                         - icum[conv_starts]).astype(np.int64)})[cols]
 
     return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+
+def context_budget(sf_dir: str, budget_chars: int = 1_000):
+    """Context-window budget audit — the truncation planning step an
+    LLM-training transcript pipeline runs before packing conversations
+    into fixed-size contexts: per conversation, how many leading turns
+    (canonical order) fit a ``budget_chars`` running total, how many
+    characters those turns hold, and the overflow beyond the budget.
+    Exact integer arithmetic (char counts); a token budget swaps in the
+    tokenizer's counts without touching the dataflow.  Vectorized prefix
+    sums inside the shuffle-free conv pass."""
+    import pyarrow.compute as pc
+
+    from ..stages.metrics import canonical_turns_arrow
+
+    def kernel(batch):
+        cols = ["conv_id", "n_turns", "turns_in_budget",
+                "chars_in_budget", "overflow_chars"]
+        t = canonical_turns_arrow(batch)
+        conv = t["conv_id"].to_pandas().astype(str).to_numpy()
+        if len(conv) == 0:
+            return pd.DataFrame({c: np.array(
+                [], dtype=object if c == "conv_id" else np.int64)
+                for c in cols})
+        lens = pc.utf8_length(pc.cast(t["text"], "string")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new_conv = np.concatenate(([True], conv[1:] != conv[:-1]))
+        starts = np.flatnonzero(new_conv)
+        bounds = np.append(starts, len(conv))
+        n_turns = np.diff(bounds).astype(np.int64)
+        cum = np.cumsum(lens)
+        seg_off = np.repeat(cum[starts] - lens[starts], n_turns)
+        run = cum - seg_off  # inclusive running total within conv
+        fit = (run <= budget_chars).astype(np.int64)
+        fits = np.add.reduceat(fit, starts).astype(np.int64)
+        # run is monotone non-decreasing within a conv, so the budgeted
+        # prefix is exactly the first `fits` turns of each segment
+        last_fit = starts + fits - 1
+        chars_in = np.where(fits > 0, run[np.maximum(last_fit, 0)], 0)
+        total = run[bounds[1:] - 1]
+        return pd.DataFrame({
+            "conv_id": conv[starts],
+            "n_turns": n_turns,
+            "turns_in_budget": fits,
+            "chars_in_budget": chars_in.astype(np.int64),
+            "overflow_chars": (total - chars_in).astype(np.int64)})[cols]
+
+    return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")

@@ -485,3 +485,31 @@ def test_sub_sessions(ray_session):
     assert (got["max_session_turns"] * got["n_sessions"]
             >= got["n_turns"]).all()
     assert (got["n_sessions"] >= 1).all()
+
+
+def test_context_budget(ray_session):
+    got = (ingest.context_budget(SF).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    path = transcripts_dir(SF)
+    sql = DEDUP_CTE.format(path=path) + """
+    , c AS (
+      SELECT conv_id,
+             sum(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                     ROWS UNBOUNDED PRECEDING) AS run
+      FROM d
+    )
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN run <= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS turns_in_budget,
+           CAST(coalesce(max(CASE WHEN run <= 1000 THEN run END), 0)
+                AS BIGINT) AS chars_in_budget,
+           CAST(max(run) - coalesce(max(CASE WHEN run <= 1000 THEN run END),
+                                    0) AS BIGINT) AS overflow_chars
+    FROM c GROUP BY conv_id
+    """
+    exp = (duckdb.connect().execute(sql).df()
+           .sort_values("conv_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    assert (got["turns_in_budget"] <= got["n_turns"]).all()
+    assert (got["chars_in_budget"] <= 1000).all()
