@@ -162,6 +162,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": relational.segment_revenue,
         "brand_revenue": relational.brand_revenue,
         "orders_by_region": relational.orders_by_region,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q10_returned_items": relational.q10_returned_items,
+        "q14_promo_revenue": relational.q14_promo_revenue,
         # — training-data ops: text analysis —
         "docs_token_stats": docs.token_stats,
         "docs_quality": docs.quality,
@@ -1271,6 +1274,50 @@ WHERE c.c_mktsegment = 'BUILDING'
   AND l.l_shipdate > TIMESTAMP '1998-06-01'
 GROUP BY 1, 3, 4
 ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+        # TPC-H Q5 shape: same-nation customer/supplier revenue per nation
+        "q5_local_supplier_volume": """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE s.s_nationkey = c.c_nationkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+        # TPC-H Q10 shape: top-k customers by returned revenue in a quarter
+        "q10_returned_items": """
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 4, 5
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+        # TPC-H Q14 shape: PROMO revenue components for one shipdate month
+        # (exact 4-decimal components; the float ratio would be
+        # hash-fragile)
+        "q14_promo_revenue": """
+SELECT round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END), 4) AS promo_revenue,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+         AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01'
 """,
         # TPC-H Q6 shape: scalar aggregate under a pushed multi-predicate
         "q6_forecast_revenue": """

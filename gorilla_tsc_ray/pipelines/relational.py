@@ -644,3 +644,195 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         n_parts=N_PARTS, kernel=kernel, fmt="pandas")
     return tops.sort(["revenue", "l_orderkey"],
                      descending=[True, False]).limit(k)
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                             date_from: str = "1996-01-01",
+                             date_to: str = "1997-01-01"):
+    """TPC-H Q5 shape (reference has no SQL engine; shape from the public
+    TPC-H spec): revenue per nation where the ordering customer and the
+    supplying supplier sit in the SAME nation of one region.  Snowflake
+    hop (nation⋈region) composes on the driver (25/5 rows); the
+    fact-scale customer and supplier dims attach via the size-guarded
+    ``_attach_dim``; the lineitem⋈orders equality rides ONE orderkey
+    co-partition, and only per-nation partial sums leave each partition."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.exchange import hash_exchange_multi
+
+    tune_context()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    keys = set(nation.loc[nation["n_regionkey"].isin(
+        reg.loc[reg["r_name"] == region, "r_regionkey"]), "n_nationkey"])
+    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    lo = _dt.datetime.fromisoformat(date_from)
+    hi = _dt.datetime.fromisoformat(date_to)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((pads.field("o_orderdate") >= lo)
+                & (pads.field("o_orderdate") < hi)))
+    orders = _attach_dim(
+        orders, _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        fact_key="o_custkey", dim_key="c_custkey",
+        out_cols=["c_nationkey"])
+    lines = _attach_dim(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        fact_key="l_suppkey", dim_key="s_suppkey",
+        out_cols=["s_nationkey"])
+
+    def key_of(col):
+        def key_fn(tbl):
+            return (tbl.column(col).to_numpy().astype(np.uint64)
+                    % np.uint64(N_PARTS)).astype(np.int64)
+        return key_fn
+
+    def kernel(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        m = l.merge(o[["o_orderkey", "c_nationkey"]],
+                    left_on="l_orderkey", right_on="o_orderkey")
+        same = (m["c_nationkey"].to_numpy() == m["s_nationkey"].to_numpy())
+        local = np.isin(m["c_nationkey"].to_numpy(), list(keys)) & same
+        m = m.loc[local]
+        rev = (m["l_extendedprice"].to_numpy()
+               * (1.0 - m["l_discount"].to_numpy()))
+        return (pd.DataFrame({"nk": m["c_nationkey"].to_numpy(), "rev": rev})
+                .groupby("nk", sort=False)["rev"].sum().reset_index())
+
+    partials = hash_exchange_multi(
+        [(orders, key_of("o_orderkey")), (lines, key_of("l_orderkey"))],
+        n_parts=N_PARTS, kernel=kernel, fmt="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("nk", sort=False)["rev"].sum().reset_index()
+        return pd.DataFrame({
+            "n_name": out["nk"].map(nat_name),
+            "revenue": round_half_away(out["rev"].to_numpy(), 4)})
+
+    return hash_exchange(partials, key_fn=_hash_key(["nk"]),
+                         n_parts=N_PARTS, kernel=merge, fmt="pandas")
+
+
+def q10_returned_items(sf_dir: str, date_from: str = "1996-01-01",
+                       date_to: str = "1996-04-01", k: int = 20):
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned
+    lineitems in a quarter.  Return-flag and date predicates push into
+    the scans; lineitem⋈orders co-partitions on orderkey and emits
+    per-customer partial sums; the per-customer totals (customer-scale,
+    not fact-scale) take one custkey exchange where the size-guarded
+    customer attach adds name/acctbal/nation; per-partition top-k
+    pre-trim keeps the global sort tiny."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.exchange import hash_exchange_multi
+
+    tune_context()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    lo = _dt.datetime.fromisoformat(date_from)
+    hi = _dt.datetime.fromisoformat(date_to)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((pads.field("o_orderdate") >= lo)
+                & (pads.field("o_orderdate") < hi)))
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R")
+
+    def key_of(col):
+        def key_fn(tbl):
+            return (tbl.column(col).to_numpy().astype(np.uint64)
+                    % np.uint64(N_PARTS)).astype(np.int64)
+        return key_fn
+
+    def kernel(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        m = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        rev = (m["l_extendedprice"].to_numpy()
+               * (1.0 - m["l_discount"].to_numpy()))
+        return (pd.DataFrame({"c_custkey": m["o_custkey"].to_numpy(),
+                              "rev": rev})
+                .groupby("c_custkey", sort=False)["rev"].sum()
+                .reset_index())
+
+    per_cust = hash_exchange_multi(
+        [(orders, key_of("o_orderkey")), (lines, key_of("l_orderkey"))],
+        n_parts=N_PARTS, kernel=kernel, fmt="pandas")
+
+    totals = hash_exchange(
+        per_cust, key_fn=_hash_key(["c_custkey"]), n_parts=N_PARTS,
+        kernel=lambda df: df.groupby("c_custkey", sort=False)["rev"]
+        .sum().reset_index(), fmt="pandas")
+
+    joined = _attach_dim(
+        totals, _read(sf_dir, "customer",
+                      ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]),
+        fact_key="c_custkey", dim_key="c_custkey",
+        out_cols=["c_name", "c_acctbal", "c_nationkey"])
+
+    def trim(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "c_custkey": df["c_custkey"],
+            "c_name": df["c_name"],
+            "revenue": round_half_away(df["rev"].to_numpy(), 4),
+            "c_acctbal": df["c_acctbal"],
+            "n_name": df["c_nationkey"].map(nat_name)})
+        return (out.sort_values(["revenue", "c_custkey"],
+                                ascending=[False, True]).iloc[:k]
+                .reset_index(drop=True))
+
+    tops = joined.map_batches(trim, batch_format="pandas")
+    return tops.sort(["revenue", "c_custkey"],
+                     descending=[True, False]).limit(k)
+
+
+def q14_promo_revenue(sf_dir: str, date_from: str = "1996-09-01",
+                      date_to: str = "1996-10-01"):
+    """TPC-H Q14 shape: PROMO-part share of one month's revenue.  The
+    shipdate window pushes into the lineitem scan; the part→type dim
+    attaches size-guarded; each batch folds to ONE (promo, total) partial
+    row, so the final exchange carries a handful of scalars.  Emits the
+    two exact 4-decimal revenue components instead of their float ratio
+    (a derived ratio is not fixed-decimal and would be hash-fragile)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    tune_context()
+    lo = _dt.datetime.fromisoformat(date_from)
+    hi = _dt.datetime.fromisoformat(date_to)
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= lo)
+                & (pads.field("l_shipdate") < hi)))
+    ds = _attach_dim(
+        lines, _read(sf_dir, "part", ["p_partkey", "p_type"]),
+        fact_key="l_partkey", dim_key="p_partkey", out_cols=["p_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = (df["l_extendedprice"].to_numpy()
+               * (1.0 - df["l_discount"].to_numpy()))
+        promo = df["p_type"].str.startswith("PROMO").fillna(False).to_numpy()
+        return pd.DataFrame({"promo_revenue": [rev[promo].sum()],
+                             "total_revenue": [rev.sum()]})
+
+    return hash_exchange(
+        ds.map_batches(partial, batch_format="pandas"),
+        key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64), n_parts=1,
+        kernel=lambda df: pd.DataFrame({
+            "promo_revenue": [round_half_away(df["promo_revenue"].sum(), 4)],
+            "total_revenue": [round_half_away(df["total_revenue"].sum(), 4)]}),
+        fmt="pandas")

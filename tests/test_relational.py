@@ -218,3 +218,98 @@ def test_attach_dim_exchange_matches_broadcast(ray_session, sf_small,
     for k in bcast:
         pd.testing.assert_frame_equal(bcast[k], exch[k][bcast[k].columns],
                                       check_exact=False, atol=1e-9)
+
+
+def test_q5_local_supplier_volume(ray_session, sf_small):
+    got = (relational.q5_local_supplier_volume(sf_small).to_pandas()
+           .sort_values("n_name").reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                 AS revenue
+        FROM '{sf_small}/customer.parquet' c
+        JOIN '{sf_small}/orders.parquet' o ON o.o_custkey = c.c_custkey
+        JOIN '{sf_small}/lineitem.parquet' l
+          ON l.l_orderkey = o.o_orderkey
+        JOIN '{sf_small}/supplier.parquet' s ON s.s_suppkey = l.l_suppkey
+        JOIN '{sf_small}/nation.parquet' n
+          ON c.c_nationkey = n.n_nationkey
+        JOIN '{sf_small}/region.parquet' r
+          ON n.n_regionkey = r.r_regionkey
+        WHERE s.s_nationkey = c.c_nationkey AND r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """).df().sort_values("n_name").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-6)
+
+
+def test_q10_returned_items(ray_session, sf_small):
+    got = relational.q10_returned_items(sf_small).to_pandas()
+    exp = duckdb.connect().execute(f"""
+        SELECT c.c_custkey, c.c_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                 AS revenue,
+               c.c_acctbal, n.n_name
+        FROM '{sf_small}/customer.parquet' c
+        JOIN '{sf_small}/orders.parquet' o ON o.o_custkey = c.c_custkey
+        JOIN '{sf_small}/lineitem.parquet' l
+          ON l.l_orderkey = o.o_orderkey
+        JOIN '{sf_small}/nation.parquet' n
+          ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1, 2, 4, 5
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """).df()
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got[exp.columns].reset_index(drop=True), exp,
+        check_exact=False, atol=1e-6)
+
+
+def test_q14_promo_revenue(ray_session, sf_small):
+    got = relational.q14_promo_revenue(sf_small).to_pandas()
+    exp = duckdb.connect().execute(f"""
+        SELECT round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END), 4) AS promo_revenue,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                 AS total_revenue
+        FROM '{sf_small}/lineitem.parquet' l
+        JOIN '{sf_small}/part.parquet' p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """).df()
+    assert len(got) == 1
+    pd.testing.assert_frame_equal(
+        got[exp.columns].reset_index(drop=True), exp,
+        check_exact=False, atol=1e-6)
+    assert (got["promo_revenue"] <= got["total_revenue"]).all()
+
+
+def test_q5_q10_q14_exchange_matches_broadcast(ray_session, sf_small,
+                                               monkeypatch):
+    """The new Q5/Q10/Q14 shapes run all their dimension attaches through
+    the size-guarded selector; forcing the co-partitioned exchange route
+    must reproduce the broadcast-route results exactly."""
+    def run_all():
+        return {
+            "q5": (relational.q5_local_supplier_volume(sf_small)
+                   .to_pandas().sort_values("n_name")
+                   .reset_index(drop=True)),
+            "q10": (relational.q10_returned_items(sf_small).to_pandas()
+                    .reset_index(drop=True)),
+            "q14": (relational.q14_promo_revenue(sf_small).to_pandas()
+                    .reset_index(drop=True)),
+        }
+
+    bcast = run_all()
+    monkeypatch.setattr(relational, "DIM_BROADCAST_BYTES", 0)
+    exch = run_all()
+    for k in bcast:
+        pd.testing.assert_frame_equal(bcast[k], exch[k][bcast[k].columns],
+                                      check_exact=False, atol=1e-9)
