@@ -224,6 +224,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_tool_summary": ingest.tool_summary,
         "transcripts_sub_sessions": ingest.sub_sessions,
         "transcripts_context_budget": ingest.context_budget,
+        "transcripts_dialogue_audit": ingest.dialogue_audit,
+        "transcripts_conv_digest": ingest.conv_digest,
+        "transcripts_vocab_stats": ingest.vocab_stats,
         "emb_norms": docs.emb_norms,
         "emb_centroid_distances": docs.centroid_distances,
         "docs_label_quality": docs.label_quality,
@@ -1180,6 +1183,53 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        CAST(max(run) - coalesce(max(CASE WHEN run <= 1000 THEN run END),
                                 0) AS BIGINT) AS overflow_chars
 FROM c GROUP BY conv_id
+""",
+        # dialogue-structure audit: role counts, adjacent same-role
+        # repeats, first/last role — all exact integers
+        "transcripts_dialogue_audit": tdedup + """
+, s AS (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prole
+  FROM d
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool,
+       CAST(sum(CASE WHEN role = prole THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_role_repeats,
+       arg_min(role, turn_idx) AS first_role,
+       arg_max(role, turn_idx) AS last_role
+FROM s GROUP BY conv_id
+""",
+        # conv-level exact-dedup digest: md5 over the canonical
+        # 'role|tool|text' turns joined with US (chr 31)
+        "transcripts_conv_digest": tdedup + """
+SELECT conv_id,
+       md5(string_agg(role || '|' || tool || '|' || text, chr(31)
+                      ORDER BY turn_idx)) AS conv_digest,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM d GROUP BY conv_id
+""",
+        # per-conv vocabulary audit: total + case-sensitive distinct
+        # [A-Za-z0-9]+ tokens
+        "transcripts_vocab_stats": tdedup + """
+, tok AS (
+  SELECT conv_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM d
+), agg AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+  FROM tok GROUP BY conv_id
+)
+SELECT c.conv_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_distinct_tokens, 0) AS BIGINT)
+         AS n_distinct_tokens
+FROM (SELECT DISTINCT conv_id FROM d) c LEFT JOIN agg a USING (conv_id)
 """,
         # long→wide pivot of the 1h rollup (absent metric → 0.0)
         "transcripts_retention_serve": (

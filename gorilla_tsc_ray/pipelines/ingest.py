@@ -939,3 +939,141 @@ def context_budget(sf_dir: str, budget_chars: int = 1_000):
             "overflow_chars": (total - chars_in).astype(np.int64)})[cols]
 
     return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+
+def dialogue_audit(sf_dir: str):
+    """Dialogue-structure audit — the schema-sanity gate an LLM-training
+    transcript pipeline runs before packing chat templates: per
+    conversation, turn counts by role, adjacent same-role repeats
+    (alternation violations), and the first/last role.  All exact
+    integers; one shuffle-free conv pass of reduceat kernels."""
+    from ..stages.metrics import canonical_turns_arrow
+
+    def kernel(batch):
+        cols = ["conv_id", "n_turns", "n_user", "n_assistant", "n_tool",
+                "n_role_repeats", "first_role", "last_role"]
+        t = canonical_turns_arrow(batch)
+        conv = t["conv_id"].to_pandas().astype(str).to_numpy()
+        if len(conv) == 0:
+            return pd.DataFrame({c: np.array(
+                [], dtype=object if c in ("conv_id", "first_role",
+                                          "last_role") else np.int64)
+                for c in cols})
+        role = t["role"].to_pandas().to_numpy()
+        rcodes, runiq = pd.factorize(role)
+        new_conv = np.concatenate(([True], conv[1:] != conv[:-1]))
+        starts = np.flatnonzero(new_conv)
+        bounds = np.append(starts, len(conv))
+
+        def count_role(name):
+            mask = np.zeros(len(conv), np.int64)
+            w = np.flatnonzero(runiq == name)
+            if len(w):
+                mask[rcodes == w[0]] = 1
+            return np.add.reduceat(mask, starts).astype(np.int64)
+
+        rep = np.zeros(len(conv), np.int64)
+        rep[1:] = (~new_conv[1:]) & (rcodes[1:] == rcodes[:-1])
+        return pd.DataFrame({
+            "conv_id": conv[starts],
+            "n_turns": np.diff(bounds).astype(np.int64),
+            "n_user": count_role("user"),
+            "n_assistant": count_role("assistant"),
+            "n_tool": count_role("tool"),
+            "n_role_repeats": np.add.reduceat(rep, starts).astype(np.int64),
+            "first_role": role[starts],
+            "last_role": role[bounds[1:] - 1]})[cols]
+
+    return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+
+def conv_digest(sf_dir: str):
+    """Conversation-level exact-dedup surface: one md5 digest per conv
+    over the canonical serialized turns (``role|tool|text`` joined with
+    US, chr(31)).  The per-turn pieces build as ONE Arrow
+    ``binary_join_element_wise`` column, every turn's bytes land
+    contiguously in the value buffer, so each conv digest is a single
+    md5 over one buffer slice — no per-turn Python, no string
+    materialization.  Digest hex matches DuckDB ``md5(string_agg(...))``
+    byte-for-byte."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import _as_string_array
+    from ..stages.metrics import canonical_turns_arrow
+
+    def kernel(batch):
+        cols = ["conv_id", "conv_digest", "n_turns", "n_chars"]
+        t = canonical_turns_arrow(batch)
+        conv = t["conv_id"].to_pandas().astype(str).to_numpy()
+        if len(conv) == 0:
+            return pd.DataFrame({c: np.array(
+                [], dtype=np.int64 if c in ("n_turns", "n_chars")
+                else object) for c in cols})
+        piece = pc.binary_join_element_wise(
+            pc.cast(t["role"], pa.string()), pc.cast(t["tool"], pa.string()),
+            pc.cast(t["text"], pa.string()), "|")
+        piece = pc.binary_join_element_wise(piece, "\x1f", "")
+        arr = _as_string_array(piece)
+        n = len(arr)
+        off_dtype = (np.int64 if pa.types.is_large_string(arr.type)
+                     else np.int32)
+        offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+            arr.offset: arr.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        new_conv = np.concatenate(([True], conv[1:] != conv[:-1]))
+        starts = np.flatnonzero(new_conv)
+        bounds = np.append(starts, len(conv))
+        mv = memoryview(data)
+        digests = [hashlib.md5(mv[offs[s]:offs[e] - 1]).hexdigest()
+                   for s, e in zip(starts.tolist(), bounds[1:].tolist())]
+        lens = pc.utf8_length(pc.cast(t["text"], pa.string())).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "conv_id": conv[starts],
+            "conv_digest": np.asarray(digests, dtype=object),
+            "n_turns": np.diff(bounds).astype(np.int64),
+            "n_chars": np.add.reduceat(lens, starts).astype(np.int64)})[cols]
+
+    return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+
+def vocab_stats(sf_dir: str):
+    """Per-conversation vocabulary audit (type/token counts — the
+    lexical-diversity signal a pretraining mix uses to down-weight
+    template-generated chats): total ``[A-Za-z0-9]+`` tokens and
+    case-sensitive distinct tokens per conv.  Tokens come from the shared
+    byte-run tokenizer as integer codes (no object token arrays);
+    per-conv distincts are a packed (conv, code) uint64 unique."""
+    from ..stages.dedup import _unique_token_reps
+    from ..stages.metrics import canonical_turns_arrow
+
+    def kernel(batch):
+        cols = ["conv_id", "n_tokens", "n_distinct_tokens"]
+        t = canonical_turns_arrow(batch)
+        conv = t["conv_id"].to_pandas().astype(str).to_numpy()
+        if len(conv) == 0:
+            return pd.DataFrame({c: np.array(
+                [], dtype=object if c == "conv_id" else np.int64)
+                for c in cols})
+        _, codes, doc_lens = _unique_token_reps(t["text"])
+        new_conv = np.concatenate(([True], conv[1:] != conv[:-1]))
+        starts = np.flatnonzero(new_conv)
+        conv_idx = np.cumsum(new_conv) - 1
+        n_tokens = np.add.reduceat(doc_lens, starts).astype(np.int64)
+        if len(codes):
+            key = (np.repeat(conv_idx, doc_lens).astype(np.uint64)
+                   << np.uint64(32)) | codes.astype(np.uint64)
+            distinct = np.bincount(
+                (np.unique(key) >> np.uint64(32)).astype(np.int64),
+                minlength=len(starts)).astype(np.int64)
+        else:
+            distinct = np.zeros(len(starts), np.int64)
+        return pd.DataFrame({
+            "conv_id": conv[starts],
+            "n_tokens": n_tokens,
+            "n_distinct_tokens": distinct})[cols]
+
+    return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")

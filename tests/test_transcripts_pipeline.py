@@ -513,3 +513,81 @@ def test_context_budget(ray_session):
     pd.testing.assert_frame_equal(got[exp.columns], exp)
     assert (got["turns_in_budget"] <= got["n_turns"]).all()
     assert (got["chars_in_budget"] <= 1000).all()
+
+
+def test_dialogue_audit(ray_session):
+    got = (ingest.dialogue_audit(SF).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    path = transcripts_dir(SF)
+    sql = DEDUP_CTE.format(path=path) + """
+    , s AS (
+      SELECT conv_id, turn_idx, role,
+             lag(role) OVER (PARTITION BY conv_id
+                             ORDER BY turn_idx) AS prole
+      FROM d
+    )
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_user,
+           CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_assistant,
+           CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tool,
+           CAST(sum(CASE WHEN role = prole THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_role_repeats,
+           arg_min(role, turn_idx) AS first_role,
+           arg_max(role, turn_idx) AS last_role
+    FROM s GROUP BY conv_id
+    """
+    exp = (duckdb.connect().execute(sql).df()
+           .sort_values("conv_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    assert (got["n_user"] + got["n_assistant"] + got["n_tool"]
+            == got["n_turns"]).all()
+
+
+def test_conv_digest(ray_session):
+    got = (ingest.conv_digest(SF).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    path = transcripts_dir(SF)
+    sql = DEDUP_CTE.format(path=path) + """
+    SELECT conv_id,
+           md5(string_agg(role || '|' || tool || '|' || text, chr(31)
+                          ORDER BY turn_idx)) AS conv_digest,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM d GROUP BY conv_id
+    """
+    exp = (duckdb.connect().execute(sql).df()
+           .sort_values("conv_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    # digests are 32-hex and (on this synthetic corpus) unique per conv
+    assert got["conv_digest"].str.fullmatch("[0-9a-f]{32}").all()
+
+
+def test_vocab_stats(ray_session):
+    got = (ingest.vocab_stats(SF).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    path = transcripts_dir(SF)
+    sql = DEDUP_CTE.format(path=path) + """
+    , tok AS (
+      SELECT conv_id,
+             unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+      FROM d
+    ), agg AS (
+      SELECT conv_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+      FROM tok GROUP BY conv_id
+    )
+    SELECT c.conv_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.n_distinct_tokens, 0) AS BIGINT)
+             AS n_distinct_tokens
+    FROM (SELECT DISTINCT conv_id FROM d) c LEFT JOIN agg a USING (conv_id)
+    """
+    exp = (duckdb.connect().execute(sql).df()
+           .sort_values("conv_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    assert (got["n_distinct_tokens"] <= got["n_tokens"]).all()
