@@ -167,6 +167,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": relational.q14_promo_revenue,
         # — training-data ops: text analysis —
         "docs_token_stats": docs.token_stats,
+        "docs_sentence_stats": docs.sentence_stats,
         "docs_quality": docs.quality,
         "docs_lang_id": docs.lang_id,
         "docs_fingerprints": docs.fingerprints,
@@ -204,6 +205,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_weights": docs.dsir_weights,
         "events_seasonal_decompose": ev.seasonal_decompose,
         "events_winsorize": ev.winsorize,
+        "events_peaks": ev.peaks,
+        "events_stickiness": ev.stickiness,
         "events_m4_1h": lambda sf: ev.m4_downsample(sf, "1h"),
         "events_cusum": ev.cusum,
         "events_active_intervals": ev.active_intervals,
@@ -227,6 +230,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_dialogue_audit": ingest.dialogue_audit,
         "transcripts_conv_digest": ingest.conv_digest,
         "transcripts_vocab_stats": ingest.vocab_stats,
+        "transcripts_turn_window": ingest.turn_window,
         "emb_norms": docs.emb_norms,
         "emb_centroid_distances": docs.centroid_distances,
         "docs_label_quality": docs.label_quality,
@@ -1184,6 +1188,15 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
                                 0) AS BIGINT) AS overflow_chars
 FROM c GROUP BY conv_id
 """,
+        # trailing 5-turn window per turn: exact char-sum + row count
+        "transcripts_turn_window": tdedup + """
+SELECT conv_id, turn_idx,
+       CAST(count(*) OVER w AS BIGINT) AS win_n,
+       CAST(sum(length(text)) OVER w AS BIGINT) AS win_chars
+FROM d
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
         # dialogue-structure audit: role counts, adjacent same-role
         # repeats, first/last role — all exact integers
         "transcripts_dialogue_audit": tdedup + """
@@ -1411,6 +1424,18 @@ SELECT c_custkey, c_name, c_acctbal FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_totalprice > 400000.0)
+""",
+        # readability/structure audit: sentence = [^.!?]+[.!?]+ match;
+        # capitalized tokens = [A-Za-z0-9]+ runs starting with A-Z
+        "docs_sentence_stats": r"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '[^.!?]+[.!?]+')) AS n_sentences,
+       length(regexp_extract_all(text, '!')) AS n_exclaim,
+       length(regexp_extract_all(text, '\?')) AS n_question,
+       length(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                          t -> t[1] BETWEEN 'A' AND 'Z'))
+         AS n_upper_tokens
+FROM documents
 """,
         "docs_token_stats": r"""
 SELECT doc_id,
@@ -1817,6 +1842,42 @@ SELECT r.user_id, CAST(b.n AS BIGINT) AS n,
             AS BIGINT) AS wsum_cents
 FROM r JOIN b USING (user_id)
 GROUP BY r.user_id, b.n, b.lo_c, b.hi_c
+""",
+        # per-user local-extrema census: strict interior peaks/valleys on
+        # the integer-cent series in event-time order
+        "events_peaks": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), w AS (
+  SELECT user_id, c,
+         lag(c) OVER (PARTITION BY user_id ORDER BY ts_us) AS pc,
+         lead(c) OVER (PARTITION BY user_id ORDER BY ts_us) AS nc
+  FROM p
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN pc IS NOT NULL AND nc IS NOT NULL
+                     AND c > pc AND c > nc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_peaks,
+       CAST(sum(CASE WHEN pc IS NOT NULL AND nc IS NOT NULL
+                     AND c < pc AND c < nc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valleys
+FROM w GROUP BY user_id
+""",
+        # monthly DAU/MAU stickiness in exact integers (the ratio is a
+        # presentation-time division)
+        "events_stickiness": """
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+            FROM events),
+mu AS (SELECT DISTINCT strftime(ts, '%Y-%m') AS month, user_id
+       FROM events),
+a AS (SELECT strftime(d, '%Y-%m') AS month,
+             CAST(count(*) AS BIGINT) AS sum_dau,
+             CAST(count(DISTINCT d) AS BIGINT) AS n_days
+      FROM du GROUP BY 1),
+b AS (SELECT month, CAST(count(*) AS BIGINT) AS mau FROM mu GROUP BY 1)
+SELECT a.month, a.sum_dau, b.mau, a.n_days FROM a JOIN b USING (month)
 """,
         # M4 downsampling (Jugel et al. VLDB'14): the four extremum
         # POINTS per (user, hour) — arg timestamps ride along; value ties

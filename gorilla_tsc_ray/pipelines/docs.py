@@ -1974,3 +1974,11 @@ def simhash_clusters(sf_dir: str, max_hamming: int = 3):
 
     return cluster_pairs(simhash_pairs(sf_dir, max_hamming=max_hamming)
                          ).map_batches(rename, batch_format="pandas")
+
+
+def sentence_stats(sf_dir: str):
+    """Per-document readability/structure audit (sentence, punctuation
+    and capitalized-token counts) — map-only byte-class kernels, exact
+    integer outputs."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.sentence_stats_arrow, batch_format="pyarrow")

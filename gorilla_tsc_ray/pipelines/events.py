@@ -3462,3 +3462,123 @@ def interarrival_hist(sf_dir: str):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=P2,
                          kernel=merge, fmt="pandas")
+
+
+def peaks(sf_dir: str):
+    """Per-user local-extrema census over the cents series in event-time
+    order: interior points strictly above (peak) or below (valley) both
+    neighbors.  Exact integer comparisons on half-away cents; one
+    vectorized shift pass per partition, no per-user loop."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n", "n_peaks", "n_valleys"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        u = df["user_id"].to_numpy()
+        c = df["c"].to_numpy().astype(np.int64)
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        starts = np.flatnonzero(new_user)
+        bounds = np.append(starts, len(u))
+        # interior = has a prev and a next row in the SAME user series
+        interior = np.zeros(len(u), dtype=bool)
+        interior[1:-1] = ~new_user[1:-1] & ~new_user[2:]
+        pk = np.zeros(len(u), np.int64)
+        vl = np.zeros(len(u), np.int64)
+        ii = np.flatnonzero(interior)
+        pk[ii] = (c[ii] > c[ii - 1]) & (c[ii] > c[ii + 1])
+        vl[ii] = (c[ii] < c[ii - 1]) & (c[ii] < c[ii + 1])
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "n": np.diff(bounds).astype(np.int64),
+            "n_peaks": np.add.reduceat(pk, starts).astype(np.int64),
+            "n_valleys": np.add.reduceat(vl, starts).astype(np.int64),
+        })[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def stickiness(sf_dir: str):
+    """Monthly DAU/MAU stickiness audit in exact integers: per month, the
+    sum of daily distinct users (``sum_dau``), the distinct users of the
+    month (``mau``) and the active-day count — DAU/MAU is a presentation-
+    time division.  Distinct (day, user) pairs dedupe partition-locally
+    after the user-hash exchange (a user's rows co-locate, so partition
+    counts ADD globally); day identity rides as (month, day) rows that
+    the tiny month-hash final merge re-dedupes."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["ts", "user_id"], P)
+
+    def pair_partial(t):
+        import pyarrow as pa
+
+        day = (t.column("ts").to_numpy(zero_copy_only=False)
+               .astype("datetime64[D]").astype(np.int64))
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        key = np.stack([day, uid])
+        uniq = np.unique(key, axis=1)
+        return pa.table({"day": uniq[0], "user_id": uniq[1]})
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["month", "day", "du", "mu"]
+        if len(df) == 0:
+            return pd.DataFrame({"month": np.array([], dtype=object),
+                                 "day": np.array([], np.int64),
+                                 "du": np.array([], np.int64),
+                                 "mu": np.array([], np.int64)})
+        pair = df[["day", "user_id"]].drop_duplicates()
+        month = (pd.to_datetime(pair["day"].to_numpy(), unit="D")
+                 .strftime("%Y-%m"))
+        pair = pd.DataFrame({"month": month, "day": pair["day"].to_numpy(),
+                             "user_id": pair["user_id"].to_numpy()})
+        du = (pair.groupby(["month", "day"], sort=False)["user_id"]
+              .size().rename("du").reset_index())
+        du["mu"] = 0
+        mu = (pair[["month", "user_id"]].drop_duplicates()
+              .groupby("month", sort=False)["user_id"].size()
+              .rename("mu").reset_index())
+        mu["day"] = -1
+        mu["du"] = 0
+        out = pd.concat([du, mu[["month", "day", "du", "mu"]]],
+                        ignore_index=True)
+        for c in ("day", "du", "mu"):
+            out[c] = out[c].astype(np.int64)
+        return out[cols]
+
+    per_part = hash_exchange(pairs, key_fn=_user_key_fn(P), n_parts=P,
+                             kernel=kernel, fmt="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["month", "sum_dau", "mau", "n_days"]
+        if len(df) == 0:
+            return pd.DataFrame({"month": np.array([], dtype=object),
+                                 **{c: np.array([], np.int64)
+                                    for c in cols[1:]}})
+        days = df.loc[df["day"] >= 0]
+        g = days.groupby("month", sort=False)
+        out = pd.DataFrame({
+            "month": np.asarray(list(g.groups), dtype=object),
+            "sum_dau": g["du"].sum().to_numpy(),
+            "n_days": g["day"].nunique().to_numpy()})
+        mau = (df.loc[df["day"] < 0].groupby("month", sort=False)["mu"]
+               .sum())
+        out["mau"] = out["month"].map(mau).to_numpy()
+        for c in ("sum_dau", "mau", "n_days"):
+            out[c] = out[c].astype(np.int64)
+        return out[cols]
+
+    def month_key(tbl):
+        from ..util import arrow_key_ids
+
+        return arrow_key_ids(tbl, ["month"], N_PARTS)
+
+    return hash_exchange(per_part, key_fn=month_key, n_parts=N_PARTS,
+                         kernel=merge, fmt="pandas")

@@ -1077,3 +1077,42 @@ def vocab_stats(sf_dir: str):
             "n_distinct_tokens": distinct})[cols]
 
     return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+
+def turn_window(sf_dir: str, w: int = 5):
+    """Trailing ``w``-turn window per turn (ROWS ``w-1`` PRECEDING →
+    CURRENT) over the canonical conv order: window row count and exact
+    integer char-sum — the smoothing signal a transcript-quality monitor
+    plots per turn.  One cumsum difference per conv partition, no
+    per-conv loop."""
+    import pyarrow.compute as pc
+
+    from ..stages.metrics import canonical_turns_arrow
+
+    def kernel(batch):
+        cols = ["conv_id", "turn_idx", "win_n", "win_chars"]
+        t = canonical_turns_arrow(batch)
+        conv = t["conv_id"].to_pandas().astype(str).to_numpy()
+        if len(conv) == 0:
+            return pd.DataFrame({
+                "conv_id": np.array([], dtype=object),
+                "turn_idx": np.array([], np.int32),
+                "win_n": np.array([], np.int64),
+                "win_chars": np.array([], np.int64)})
+        tidx = t["turn_idx"].to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(pc.cast(t["text"], "string")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new_conv = np.concatenate(([True], conv[1:] != conv[:-1]))
+        starts = np.flatnonzero(new_conv)
+        conv_idx = np.cumsum(new_conv) - 1
+        pos = np.arange(len(conv), dtype=np.int64) - starts[conv_idx]
+        lo = np.maximum(pos - (w - 1), 0) + starts[conv_idx]
+        cum = np.concatenate(([0], np.cumsum(lens)))
+        i = np.arange(len(conv), dtype=np.int64)
+        return pd.DataFrame({
+            "conv_id": conv,
+            "turn_idx": tidx,
+            "win_n": (i - lo + 1).astype(np.int64),
+            "win_chars": (cum[i + 1] - cum[lo]).astype(np.int64)})[cols]
+
+    return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")

@@ -341,3 +341,39 @@ def fingerprint(df: pd.DataFrame, *, text_col: str = "text",
         h = np.where(h >= _M61, h - _M61, h)
     return pd.DataFrame({id_col: ids_col.to_numpy(),
                          "fingerprint": h.astype(np.int64)})
+
+
+def sentence_stats_arrow(tbl, *, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """Readability/structure audit over the zero-copy UTF-8 buffer:
+    sentence count (maximal ``[^.!?]+[.!?]+`` matches — one per
+    non-terminator→terminator byte edge, row starts excluded; exact
+    under UTF-8 because ``.!?`` are ASCII and multibyte sequences never
+    contain ASCII bytes), exclamation/question byte counts, and tokens
+    whose first byte is an ASCII uppercase letter."""
+    import pyarrow as pa
+
+    text = tbl.column(text_col)
+    data, offsets = _utf8_view(text)
+    term = (data == 0x2E) | (data == 0x21) | (data == 0x3F)
+    prevterm = np.empty_like(term)
+    if len(term):
+        prevterm[0] = True
+        prevterm[1:] = term[:-1]
+        prevterm[offsets[:-1][offsets[:-1] < len(term)]] = True
+    edge = term & ~prevterm
+    word = _is_alpha(data) | _is_digit(data)
+    prevword = np.empty_like(word)
+    if len(word):
+        prevword[0] = False
+        prevword[1:] = word[:-1]
+        prevword[offsets[:-1][offsets[:-1] < len(word)]] = False
+    tok_start = word & ~prevword
+    upper_start = tok_start & (data >= 0x41) & (data <= 0x5A)
+    return pa.table({
+        id_col: tbl.column(id_col),
+        "n_sentences": pa.array(_class_counts(edge, offsets)),
+        "n_exclaim": pa.array(_class_counts(data == 0x21, offsets)),
+        "n_question": pa.array(_class_counts(data == 0x3F, offsets)),
+        "n_upper_tokens": pa.array(_class_counts(upper_start, offsets)),
+    })

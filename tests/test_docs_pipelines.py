@@ -1020,3 +1020,23 @@ def test_simhash_clusters_invariants(ray_session):
     assert (got["cluster_id"] <= got["doc_id"]).all()
     by_cluster = got.groupby("cluster_id")["doc_id"].min()
     assert (by_cluster.index == by_cluster.values).all()
+
+
+def test_sentence_stats(ray_session, sf_small):
+    import duckdb
+
+    got = (docs.sentence_stats(sf_small).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = duckdb.connect().execute(rf"""
+        SELECT doc_id,
+               length(regexp_extract_all(text, '[^.!?]+[.!?]+'))
+                 AS n_sentences,
+               length(regexp_extract_all(text, '!')) AS n_exclaim,
+               length(regexp_extract_all(text, '\?')) AS n_question,
+               length(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                  t -> t[1] BETWEEN 'A' AND 'Z'))
+                 AS n_upper_tokens
+        FROM '{sf_small}/documents.parquet'
+    """).df().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)

@@ -1940,3 +1940,48 @@ def test_frexp_bucket_exact_at_powers_of_two():
     bucket = np.frexp(g.astype(np.float64))[1] - 1
     expect = np.array([len(bin(int(x))) - 3 for x in g])  # '0b' prefix
     np.testing.assert_array_equal(bucket, expect)
+
+
+def test_peaks_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.peaks(sf), """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+), w AS (
+  SELECT user_id, c,
+         lag(c) OVER (PARTITION BY user_id ORDER BY ts_us) AS pc,
+         lead(c) OVER (PARTITION BY user_id ORDER BY ts_us) AS nc
+  FROM p
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN pc IS NOT NULL AND nc IS NOT NULL
+                     AND c > pc AND c > nc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_peaks,
+       CAST(sum(CASE WHEN pc IS NOT NULL AND nc IS NOT NULL
+                     AND c < pc AND c < nc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valleys
+FROM w GROUP BY user_id
+""", sf, ["user_id"])
+    got = ev.peaks(sf).to_pandas()
+    # peaks and valleys alternate: counts differ by at most 1 per user
+    assert (np.abs(got["n_peaks"] - got["n_valleys"]) <= 1).all()
+
+
+def test_stickiness_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.stickiness(sf), """
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+            FROM events),
+mu AS (SELECT DISTINCT strftime(ts, '%Y-%m') AS month, user_id
+       FROM events),
+a AS (SELECT strftime(d, '%Y-%m') AS month,
+             CAST(count(*) AS BIGINT) AS sum_dau,
+             CAST(count(DISTINCT d) AS BIGINT) AS n_days
+      FROM du GROUP BY 1),
+b AS (SELECT month, CAST(count(*) AS BIGINT) AS mau FROM mu GROUP BY 1)
+SELECT a.month, a.sum_dau, b.mau, a.n_days FROM a JOIN b USING (month)
+""", sf, ["month"])
+    got = ev.stickiness(sf).to_pandas()
+    assert (got["mau"] <= got["sum_dau"]).all()  # every user has >=1 day
+    assert (got["sum_dau"] <= got["mau"] * got["n_days"]).all()

@@ -591,3 +591,22 @@ def test_vocab_stats(ray_session):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp)
     assert (got["n_distinct_tokens"] <= got["n_tokens"]).all()
+
+
+def test_turn_window(ray_session):
+    got = (ingest.turn_window(SF).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    path = transcripts_dir(SF)
+    sql = DEDUP_CTE.format(path=path) + """
+    SELECT conv_id, turn_idx,
+           CAST(count(*) OVER w AS BIGINT) AS win_n,
+           CAST(sum(length(text)) OVER w AS BIGINT) AS win_chars
+    FROM d
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """
+    exp = (duckdb.connect().execute(sql).df()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    assert (got["win_n"] <= 5).all()
