@@ -144,6 +144,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_rollup_1h_wide": lambda sf: ingest.rollup_wide(sf, "1h"),
         # retention cascade gate: raw tier expired, range served from 1h
         "transcripts_retention_serve": _retention_serve,
+        # continuous-aggregate gate: first-half ingest + second-half
+        # APPEND (delta merge + block compaction) must serve the same 1h
+        # tier as a single-shot build
+        "transcripts_incremental_serve": ingest.incremental_serve,
         "transcripts_archive_serve": _archive_serve,
         # — relational operator coverage —
         "q1_pricing_summary": relational.pricing_summary,
@@ -1032,6 +1036,9 @@ FROM events
             tmetrics + "SELECT conv_id, ts_ms, metric, value FROM m",
         "transcripts_rollup_1m": tr_rollup(60_000),
         "transcripts_rollup_1h_cascade": tr_rollup(3_600_000),
+        # the appended (first half + delta) store must serve the SAME 1h
+        # tier as a single-shot build over all turns
+        "transcripts_incremental_serve": tr_rollup(3_600_000),
         "transcripts_rollup_1d": tr_rollup(86_400_000),
         "transcripts_roundtrip_text_len": tdedup + """
 SELECT conv_id, 'text_len' AS metric, ts_ms,

@@ -41,6 +41,17 @@ def main(argv=None) -> int:
     pi.add_argument("--out", required=True)
     pi.add_argument("--no-resume", action="store_true")
 
+    pa_ = sub.add_parser(
+        "append", help="continuous-aggregate append: fold an event-time "
+        "window of new turns into an existing store (affected day "
+        "partitions only)")
+    pa_.add_argument("--sf-dir", required=True)
+    pa_.add_argument("--store", required=True)
+    pa_.add_argument("--ts-lo", type=int, default=None,
+                     help="window start (epoch ms, inclusive)")
+    pa_.add_argument("--ts-hi", type=int, default=None,
+                     help="window end (epoch ms, exclusive)")
+
     pq = sub.add_parser("query", help="pruned block scan → decoded points")
     pq.add_argument("--store", required=True)
     pq.add_argument("--metric", default=None)
@@ -82,6 +93,12 @@ def main(argv=None) -> int:
 
             res = ingest_to_store(args.sf_dir, args.out,
                                   resume=not args.no_resume)
+            print(json.dumps(res))
+        elif args.cmd == "append":
+            from .pipelines.ingest import append_to_store
+
+            res = append_to_store(args.sf_dir, args.store,
+                                  ts_lo=args.ts_lo, ts_hi=args.ts_hi)
             print(json.dumps(res))
         elif args.cmd == "query":
             from .pipelines.query import scan_points

@@ -213,13 +213,39 @@ def metric_points(sf_dir: str):
     return _conv_partitioned(sf_dir, kernel, fmt="pyarrow")
 
 
-def canonical_turns(sf_dir: str):
+def _ts_window_filter(ts_lo, ts_hi, col: str = "ts_ms"):
+    """Batch-level event-time window ``[ts_lo, ts_hi)`` (either side
+    open) — the ingest-batch boundary of the continuous-aggregate append
+    path.  Applied BEFORE dedup, so the exactly-once contract is: rows
+    duplicated ACROSS batches must be byte-identical (same ts), which the
+    upstream watermark split guarantees."""
+    import pyarrow.compute as pc
+
+    def f(batch):
+        m = None
+        if ts_lo is not None:
+            m = pc.greater_equal(batch[col], ts_lo)
+        if ts_hi is not None:
+            hi = pc.less(batch[col], ts_hi)
+            m = hi if m is None else pc.and_(m, hi)
+        return batch if m is None else batch.filter(m)
+
+    return f
+
+
+def canonical_turns(sf_dir: str, ts_lo: int | None = None,
+                    ts_hi: int | None = None):
     """Deduplicated turns under stable (conv_id, turn_idx) ordering — the
-    end-to-end text-equality gate."""
+    end-to-end text-equality gate.  ``ts_lo``/``ts_hi`` restrict to an
+    event-time window (the append-batch boundary)."""
     from ..stages.metrics import canonical_turns_arrow
 
-    return _conv_partitioned(sf_dir, canonical_turns_arrow, lean=False,
-                             fmt="pyarrow")
+    win = _ts_window_filter(ts_lo, ts_hi)
+
+    def kernel(batch):
+        return canonical_turns_arrow(win(batch))
+
+    return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
 
 
 def _finalize_tbl(tbl, plain_strings: bool = False):
@@ -347,7 +373,9 @@ def _union_blocks(blocks):
     })
 
 
-def build_store_combined(sf_dir: str, tier: str = "1m"):
+def build_store_combined(sf_dir: str, tier: str = "1m",
+                         ts_lo: int | None = None,
+                         ts_hi: int | None = None):
     """ONE input pass → BOTH store outputs: each conv partition emits its
     rollup rows AND its Gorilla block rows in a single kernel pass (union
     Arrow schema with a ``kind`` column; split downstream with cheap
@@ -361,15 +389,47 @@ def build_store_combined(sf_dir: str, tier: str = "1m"):
 
     custom = dict(CUSTOM_METRICS)
     bucket_ms = TIER_MS[tier]
+    # ``ts_hi`` cuts FUTURE rows before the kernel; ``ts_lo`` does NOT cut
+    # the input — the conv bucket's full history stays visible so
+    # adjacency-derived metrics (turn_gap_ms) are exact across the batch
+    # boundary — it restricts the EMITTED groups to (conv, day) pairs
+    # that contain at least one new row (the append-delta contract).
+    win = _ts_window_filter(None, ts_hi)
 
     def kernel(batch):
-        rolled = _finalize_tbl(rollup_turns_arrow(batch, bucket_ms, custom))
-        blocks = encode_turns_arrow(batch, metric=None, day_ms=DAY_MS,
-                                    custom=custom)
-        return pa.concat_tables([_union_rollup(rolled),
-                                 _union_blocks(blocks)])
+        batch = win(batch)
+        out = pa.concat_tables([
+            _union_rollup(_finalize_tbl(
+                rollup_turns_arrow(batch, bucket_ms, custom))),
+            _union_blocks(encode_turns_arrow(batch, metric=None,
+                                             day_ms=DAY_MS, custom=custom)),
+        ])
+        if ts_lo is not None:
+            out = _filter_new_conv_days(out, batch, ts_lo)
+        return out
 
     return _conv_partitioned(sf_dir, kernel, fmt="pyarrow")
+
+
+def _filter_new_conv_days(out, batch, ts_lo: int):
+    """Keep only output groups whose (conv, day) contains at least one
+    input row with ``ts_ms >= ts_lo`` — the append delta.  Both rollup
+    rows (``bucket_ms``) and block rows (``bucket_ms`` = day-aligned
+    ``block_start``) floor to the same day key.  Group-sized work only."""
+    import pyarrow as pa
+
+    ts = batch["ts_ms"].to_numpy(zero_copy_only=False)
+    newm = ts >= ts_lo
+    if not newm.any():
+        return out.slice(0, 0)
+    conv_in = batch["conv_id"].to_pandas().astype(str).to_numpy()[newm]
+    day_in = (ts[newm] // DAY_MS) * DAY_MS
+    out_day = (out["bucket_ms"].to_numpy(zero_copy_only=False)
+               // DAY_MS) * DAY_MS
+    out_conv = out["conv_id"].to_pandas().astype(str).to_numpy()
+    keep = pd.MultiIndex.from_arrays([out_conv, out_day]).isin(
+        pd.MultiIndex.from_arrays([conv_in, day_in]))
+    return out.filter(pa.array(keep))
 
 
 def _kind_mask(tbl, pred):
@@ -476,11 +536,14 @@ def _with_day(ds, src_col: str):
     return ds.map_batches(add, batch_format="pandas")
 
 
-def ingest_to_store(sf_dir: str, out_root: str, resume: bool = True):
+def ingest_to_store(sf_dir: str, out_root: str, resume: bool = True,
+                    ts_lo: int | None = None, ts_hi: int | None = None):
     """Materialize the full store as day-partitioned Parquet (hive layout
     ``day=<ms>``), with per-partition lineage rows and prune-on-resume:
     a rerun skips day partitions whose lineage says ``complete`` *before*
-    the shuffle (SURVEY.md §3.4)."""
+    the shuffle (SURVEY.md §3.4).  ``ts_lo``/``ts_hi`` restrict the build
+    to an event-time window — the first batch of a continuous-aggregate
+    ingest (later batches arrive via :func:`append_to_store`)."""
     from ..state.lineage import (completed_partitions, new_run_id,
                                  partition_key_for_day, write_lineage)
 
@@ -500,7 +563,7 @@ def ingest_to_store(sf_dir: str, out_root: str, resume: bool = True):
     # ONE shuffle produces both the block store and the 1m tier; coarser
     # tiers re-aggregate the (much smaller) 1m output — raw turns are read
     # exactly once for the numeric store
-    combined = build_store_combined(sf_dir, "1m").materialize()
+    combined = build_store_combined(sf_dir, "1m", ts_lo, ts_hi).materialize()
     rollup_1m, blocks = split_store_outputs(combined)
     blocks = _with_day(blocks, "block_start")
     blocks = blocks.map_batches(lambda df: not_done(df, "block_start"),
@@ -535,7 +598,7 @@ def ingest_to_store(sf_dir: str, out_root: str, resume: bool = True):
         results[f"rollup_{tier}"] = f"{out_root}/rollup_{tier}"
         finer = coarse
 
-    turns = canonical_turns(sf_dir)
+    turns = canonical_turns(sf_dir, ts_lo, ts_hi)
     turns.write_parquet(f"{out_root}/turns")
     results["turns"] = f"{out_root}/turns"
 
@@ -1116,3 +1179,260 @@ def turn_window(sf_dir: str, w: int = 5):
             "win_chars": (cum[i + 1] - cum[lo]).astype(np.int64)})[cols]
 
     return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+
+def append_to_store(sf_dir: str, out_root: str,
+                    ts_lo: int | None = None, ts_hi: int | None = None):
+    """Continuous-aggregate APPEND: fold one new event-time batch of
+    turns into an existing store WITHOUT rebuilding it — the north-rule
+    continuous-aggregates path.  Only the day partitions the delta
+    touches are rewritten, at (conv, metric, day) group granularity:
+
+    1. the delta builds like a fresh ingest (one conv pass → 1m rollup
+       rows + day blocks) over the conv bucket's FULL history cut at
+       ``ts_hi``, then keeps only groups whose (conv, day) saw a new row
+       (``_filter_new_conv_days``).  Deriving from history makes
+       adjacency metrics (turn_gap_ms) exact across the batch boundary —
+       the conv-clustered lake file IS the carry state, and the bucket
+       read loads it anyway,
+    2. affected-day ``rollup_1m``/``blocks`` partitions merge by
+       REPLACEMENT: an old group whose (conv, day) appears in the delta
+       is superseded by the recomputed group (bit-exact vs a single-shot
+       build — no partial-sum drift, no watermark ordering assumption,
+       idempotent on replay); untouched groups pass through
+       bit-identical,
+    3. ``rollup_1h``/``rollup_1d`` recompute from the merged 1m rows of
+       the affected days only (1m buckets never cross a day boundary),
+    4. canonical turns for the ``[ts_lo, ts_hi)`` window append as new
+       parquet files and a lineage row records the run per affected day.
+
+    Replacement supersession is sound because group emission is monotone
+    in the input: any (conv, metric, day) group the old build emitted
+    still has rows under the recompute, so no stale group can survive.
+    """
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from ..stages.exchange import hash_exchange
+    from ..stages.rollup import cascade_dataset
+    from ..state.lineage import (new_run_id, partition_key_for_day,
+                                 write_lineage)
+    from ..util import arrow_key_ids
+
+    tune_context()
+    run_id = new_run_id()
+    BLOCK_COLS = ["conv_id", "metric", "block_start", "n_points",
+                  "codec", "value_kind", "payload"]
+
+    combined = build_store_combined(sf_dir, "1m", ts_lo, ts_hi).materialize()
+    r1m_delta, blocks_delta = split_store_outputs(combined)
+
+    def plain(t: pa.Table) -> pa.Table:
+        for name in ("conv_id", "metric", "codec", "value_kind"):
+            if name in t.schema.names:
+                i = t.schema.get_field_index(name)
+                if pa.types.is_dictionary(t.schema.field(i).type):
+                    t = t.set_column(i, name, pc.cast(t[name], pa.string()))
+        return t
+
+    def tag(src: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("src", pa.array(
+                np.full(t.num_rows, src, dtype=np.int8)))
+        return f
+
+    r1m_delta = r1m_delta.map_batches(plain, batch_format="pyarrow")
+    r1m_delta = _with_day(r1m_delta, "bucket_ms").materialize()
+    blocks_delta = blocks_delta.map_batches(plain, batch_format="pyarrow")
+    blocks_delta = _with_day(blocks_delta, "block_start").materialize()
+
+    days = sorted({int(d) for d in r1m_delta.unique("day")}
+                  | {int(d) for d in blocks_delta.unique("day")})
+    results = {"days": days, "run_id": run_id}
+    if not days:
+        return results
+
+    def existing(tier: str, cols: list[str]):
+        dirs = [f"{out_root}/{tier}/day={d}" for d in days]
+        dirs = [p for p in dirs if os.path.isdir(p)]
+        if not dirs:
+            return None, []
+        # parquet round-trips the Arrow schema, so dictionary-encoded key
+        # columns come back dictionary-typed — normalize like the delta
+        ds = ray.data.read_parquet(dirs, columns=cols).map_batches(
+            plain, batch_format="pyarrow")
+        return ds, dirs
+
+    def key_fn(tbl):
+        return arrow_key_ids(tbl, TRANSCRIPT_KEYS, N_CONV_PARTS)
+
+    # ---- rollup_1m merge --------------------------------------------
+    delta_r = (r1m_delta.drop_columns(["day"])
+               .map_batches(tag(1), batch_format="pyarrow"))
+    old_r, old_r_dirs = existing("rollup_1m", ROLLUP_COLS)
+    union_r = (delta_r if old_r is None else
+               old_r.map_batches(tag(0), batch_format="pyarrow")
+               .union(delta_r))
+
+    def replace_groups(df: pd.DataFrame, cols: list[str], day_col: str):
+        """Old rows whose (conv, day) pair the delta recomputed are
+        superseded; delta rows and untouched old rows pass through."""
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        day = (df[day_col].to_numpy() // DAY_MS) * DAY_MS
+        src = df["src"].to_numpy()
+        new = src == 1
+        keep_old = ~pd.MultiIndex.from_arrays(
+            [df["conv_id"].to_numpy()[~new], day[~new]]).isin(
+            pd.MultiIndex.from_arrays(
+                [df["conv_id"].to_numpy()[new], day[new]]))
+        old_rows = df.loc[~new].loc[keep_old, cols]
+        return pd.concat([old_rows, df.loc[new, cols]], ignore_index=True)
+
+    def merge_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        return replace_groups(df, ROLLUP_COLS, "bucket_ms")
+
+    merged_r = hash_exchange(union_r, key_fn=key_fn, n_parts=N_CONV_PARTS,
+                             kernel=merge_rollup, fmt="pandas")
+    merged_r = _with_day(merged_r, "bucket_ms").materialize()
+    for p in old_r_dirs:
+        shutil.rmtree(p)
+    merged_r.write_parquet(f"{out_root}/rollup_1m", partition_cols=["day"])
+    results["rollup_1m"] = f"{out_root}/rollup_1m"
+
+    # ---- blocks merge / compaction ----------------------------------
+    delta_b = (blocks_delta.drop_columns(["day"])
+               .map_batches(tag(1), batch_format="pyarrow"))
+    old_b, old_b_dirs = existing("blocks", BLOCK_COLS)
+    union_b = (delta_b if old_b is None else
+               old_b.map_batches(tag(0), batch_format="pyarrow")
+               .union(delta_b))
+
+    def merge_blocks(df: pd.DataFrame) -> pd.DataFrame:
+        return replace_groups(df, BLOCK_COLS, "block_start")
+
+    merged_b = hash_exchange(union_b, key_fn=key_fn, n_parts=N_CONV_PARTS,
+                             kernel=merge_blocks, fmt="pandas")
+    merged_b = _with_day(merged_b, "block_start").materialize()
+    for p in old_b_dirs:
+        shutil.rmtree(p)
+    merged_b.write_parquet(f"{out_root}/blocks", partition_cols=["day"])
+    results["blocks"] = f"{out_root}/blocks"
+
+    # ---- coarser tiers recompute from the merged 1m (affected days) --
+    def add_lts(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(last_ts=df["bucket_ms"].astype(np.int64))
+
+    finer = (merged_r.drop_columns(["day"])
+             .map_batches(add_lts, batch_format="pandas"))
+    for tier in ("1h", "1d"):
+        coarse = cascade_dataset(finer, key_cols=TRANSCRIPT_KEYS, tier=tier)
+
+        def drop_lts(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.drop(columns=["last_ts"])
+            out["sum_v"] = round_half_away(out["sum_v"].to_numpy(), 6)
+            return out
+
+        out_ds = _with_day(coarse.map_batches(drop_lts,
+                                              batch_format="pandas"),
+                           "bucket_ms").materialize()
+        for d in days:
+            shutil.rmtree(f"{out_root}/rollup_{tier}/day={d}",
+                          ignore_errors=True)
+        out_ds.write_parquet(f"{out_root}/rollup_{tier}",
+                             partition_cols=["day"])
+        results[f"rollup_{tier}"] = f"{out_root}/rollup_{tier}"
+        finer = coarse
+
+    # ---- turns append + lineage --------------------------------------
+    canonical_turns(sf_dir, ts_lo, ts_hi).write_parquet(f"{out_root}/turns")
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["day", "rows_in", "rows_out", "bytes_payload"]
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        w = pd.DataFrame({
+            "day": df["day"].to_numpy(),
+            "rows_in": df["n_points"].to_numpy(),
+            "rows_out": np.ones(len(df), dtype=np.int64),
+            "bytes_payload": df["payload"].str.len().to_numpy(),
+        })
+        return w.groupby("day", as_index=False).sum()
+
+    parts = merged_b.map_batches(day_partial,
+                                 batch_format="pandas").to_pandas()
+    rows = []
+    if len(parts):
+        agg = parts.groupby("day", as_index=False).sum()
+        for r in agg.itertuples(index=False):
+            rows.append({
+                "partition_key": partition_key_for_day(int(r.day)),
+                "input_files": [transcripts_dir(sf_dir)],
+                "rows_in": int(r.rows_in),
+                "rows_out": int(r.rows_out),
+                "bytes_payload": int(r.bytes_payload),
+                "watermark": int(r.day) + DAY_MS - 1,
+                "status": "complete",
+            })
+    if rows:
+        write_lineage(out_root, rows, run_id)
+    results["lineage_rows"] = len(rows)
+    return results
+
+
+def incremental_serve(sf_dir: str, tier: str = "1h"):
+    """Driver-facing continuous-aggregate gate: ingest the FIRST
+    event-time half of the transcripts into a fresh scratch store, fold
+    the second half in with :func:`append_to_store` (group-wise rollup
+    merge + block compaction across the mid-day split), then serve the
+    full range from the appended store's coarser tier.  The oracle is
+    the plain 1h rollup over ALL turns — the appended store must be
+    indistinguishable from a single-shot build.  The split point comes
+    from the parquet footer min/max of ``ts`` (a metadata read)."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..sources.transcripts import CACHE_ROOT
+
+    tune_context()
+    tdir = transcripts_dir(sf_dir)
+    lo, hi = None, None
+    for f in glob.glob(os.path.join(tdir, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        ts_i = md.schema.to_arrow_schema().get_field_index("ts")
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ts_i).statistics
+            if st is None or not st.has_min_max:
+                raise RuntimeError(f"no ts statistics in {f}")
+            mn = int(st.min.timestamp() * 1000)
+            mx = int(st.max.timestamp() * 1000)
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+    split = (lo + hi) // 2
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(CACHE_ROOT, f"incr_store_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    ingest_to_store(sf_dir, store, resume=False, ts_hi=split)
+    append_to_store(sf_dir, store, ts_lo=split)
+
+    ds = ray.data.read_parquet(
+        os.path.join(store, f"rollup_{tier}"), columns=ROLLUP_COLS)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["conv_id"] = out["conv_id"].astype(str)
+        out["metric"] = out["metric"].astype(str)
+        return out[ROLLUP_COLS]
+
+    return ds.map_batches(finalize, batch_format="pandas")

@@ -610,3 +610,68 @@ def test_turn_window(ray_session):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp)
     assert (got["win_n"] <= 5).all()
+
+
+def _ts_split(sf: str) -> int:
+    import glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    vals = []
+    for f in glob.glob(transcripts_dir(sf) + "/*.parquet"):
+        ts = pq.read_table(f, columns=["ts"])["ts"]
+        vals.append((pc.min(ts).value, pc.max(ts).value))
+    lo, hi = min(v[0] for v in vals), max(v[1] for v in vals)
+    return (lo + hi) // 2
+
+
+def _load_store(root: str, tier: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(f"{root}/{tier}").to_pandas()
+    sort_cols = [c for c in ("conv_id", "metric", "bucket_ms",
+                             "block_start") if c in df.columns]
+    for c in ("conv_id", "metric", "codec", "value_kind"):
+        if c in df.columns:
+            df[c] = df[c].astype(str)
+    return (df.drop(columns=["day"])
+            .sort_values(sort_cols, kind="stable").reset_index(drop=True))
+
+
+def test_append_to_store_equals_full_build(ray_session, tmp_path):
+    """Continuous-aggregate append: first-half ingest + second-half
+    append must be indistinguishable from a single-shot build — every
+    rollup tier equal and the block tier BIT-identical (replacement
+    recompute, not partial-sum merge), including conversations whose
+    turn_gap_ms spans the batch boundary."""
+    split = _ts_split(SF)
+    full, incr = str(tmp_path / "full"), str(tmp_path / "incr")
+    ingest.ingest_to_store(SF, full, resume=False)
+    ingest.ingest_to_store(SF, incr, resume=False, ts_hi=split)
+    res = ingest.append_to_store(SF, incr, ts_lo=split)
+    assert res["days"] and res["lineage_rows"] >= 1
+    for tier in ("rollup_1m", "rollup_1h", "rollup_1d", "blocks"):
+        a, b = _load_store(full, tier), _load_store(incr, tier)
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True)
+    ta = (pd.read_parquet(f"{full}/turns")
+          .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    tb = (pd.read_parquet(f"{incr}/turns")
+          .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(ta, tb[ta.columns])
+
+
+def test_append_to_store_idempotent_replay(ray_session, tmp_path):
+    """Replaying the SAME append window must leave the store unchanged
+    (replacement supersession — no double counting), modulo the turns
+    files which append; the rollup and block tiers stay bit-equal."""
+    split = _ts_split(SF)
+    incr = str(tmp_path / "incr")
+    ingest.ingest_to_store(SF, incr, resume=False, ts_hi=split)
+    ingest.append_to_store(SF, incr, ts_lo=split)
+    before = {t: _load_store(incr, t)
+              for t in ("rollup_1m", "rollup_1h", "rollup_1d", "blocks")}
+    ingest.append_to_store(SF, incr, ts_lo=split)
+    for t, a in before.items():
+        pd.testing.assert_frame_equal(a, _load_store(incr, t)[a.columns],
+                                      check_dtype=True)
