@@ -209,6 +209,35 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
                 lambda: docs.dsir_weights(sf_dir).count())
     timed_extra("emb_pq_codes", lambda: docs.emb_pq_codes(sf_dir).count())
 
+    # continuous-aggregate append: fold the second event-time half into a
+    # first-half store vs rebuilding from scratch (single run each — store
+    # mutation is not idempotent-timeable; delta touches ~half the days)
+    import glob as _glob
+    import shutil as _shutil
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    bounds = [( _pc.min(t["ts"]).value, _pc.max(t["ts"]).value)
+              for t in (_pq.read_table(f, columns=["ts"])
+                        for f in _glob.glob(f"{tdir}/*.parquet"))]
+    split = (min(b[0] for b in bounds) + max(b[1] for b in bounds)) // 2
+    incr_root = "/tmp/bench_incr_store"
+    _shutil.rmtree(incr_root, ignore_errors=True)
+    ingest.ingest_to_store(sf_dir, incr_root, resume=False, ts_hi=split)
+    t = time.perf_counter()
+    ingest.append_to_store(sf_dir, incr_root, ts_lo=split)
+    extra_queries["transcripts_append_delta"] = round(
+        time.perf_counter() - t, 3)
+    full_root = "/tmp/bench_full_store"
+    _shutil.rmtree(full_root, ignore_errors=True)
+    t = time.perf_counter()
+    ingest.ingest_to_store(sf_dir, full_root, resume=False)
+    extra_queries["transcripts_full_rebuild"] = round(
+        time.perf_counter() - t, 3)
+    _shutil.rmtree(incr_root, ignore_errors=True)
+    _shutil.rmtree(full_root, ignore_errors=True)
+
     result = {
         "queries": queries,
         "total_sec": total,

@@ -44,6 +44,11 @@ N_CONV_PARTS = 32  # conv-hash shuffle width ≈ local cores; at cluster
 ROLLUP_COLS = ["conv_id", "metric", "bucket_ms", "sum_v", "cnt",
                "min_v", "max_v", "last_v"]
 
+# append merge: broadcast the delta's (conv, day) supersession pairs up
+# to this many bytes (one ray.put, read per task); above it, fall back
+# to the conv-hash co-partitioned exchange
+_APPEND_PAIR_BROADCAST_CAP = 64 << 20
+
 
 def read_transcripts(sf_dir: str, columns: list[str] | None = None):
     """Transcript Dataset with ``ts`` as int64 epoch-ms (``ts_ms``).
@@ -398,6 +403,8 @@ def build_store_combined(sf_dir: str, tier: str = "1m",
 
     def kernel(batch):
         batch = win(batch)
+        if ts_lo is not None:
+            batch = _append_prune_batch(batch, ts_lo)
         out = pa.concat_tables([
             _union_rollup(_finalize_tbl(
                 rollup_turns_arrow(batch, bucket_ms, custom))),
@@ -409,6 +416,32 @@ def build_store_combined(sf_dir: str, tier: str = "1m",
         return out
 
     return _conv_partitioned(sf_dir, kernel, fmt="pyarrow")
+
+
+def _append_prune_batch(batch, ts_lo: int):
+    """Delta-input pruning for the append path: keep rows of the boundary
+    day onward (``>= day_floor(ts_lo)`` — a recomputed (conv, day) group
+    needs ALL of that day's rows) plus ONE carry row per conv — the last
+    turn before the boundary day, whose timestamp anchors the first new
+    turn's ``turn_gap_ms``.  The carry row's own groups land on old days
+    and are dropped by ``_filter_new_conv_days``.  Kernel compute becomes
+    O(delta + convs) instead of O(history)."""
+    import pyarrow as pa
+
+    ts = batch["ts_ms"].to_numpy(zero_copy_only=False)
+    day0 = (ts_lo // DAY_MS) * DAY_MS
+    keep = ts >= day0
+    if keep.all() or not keep.any():
+        return batch if keep.all() else batch.slice(0, 0)
+    old = np.flatnonzero(~keep)
+    codes, _ = pd.factorize(batch["conv_id"].to_pandas(), sort=False)
+    tidx = batch["turn_idx"].to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ts[old], tidx[old], codes[old]))
+    o = old[order]
+    last_of_conv = np.concatenate((codes[o][1:] != codes[o][:-1], [True]))
+    keep[o[last_of_conv]] = True
+    return batch.filter(pa.array(keep))
 
 
 def _filter_new_conv_days(out, batch, ts_lo: int):
@@ -1240,12 +1273,6 @@ def append_to_store(sf_dir: str, out_root: str,
                     t = t.set_column(i, name, pc.cast(t[name], pa.string()))
         return t
 
-    def tag(src: int):
-        def f(t: pa.Table) -> pa.Table:
-            return t.append_column("src", pa.array(
-                np.full(t.num_rows, src, dtype=np.int8)))
-        return f
-
     r1m_delta = r1m_delta.map_batches(plain, batch_format="pyarrow")
     r1m_delta = _with_day(r1m_delta, "bucket_ms").materialize()
     blocks_delta = blocks_delta.map_batches(plain, batch_format="pyarrow")
@@ -1268,25 +1295,57 @@ def append_to_store(sf_dir: str, out_root: str,
             plain, batch_format="pyarrow")
         return ds, dirs
 
+    # The supersession set is GROUP-sized — unique (conv, day) pairs of
+    # the delta — so the default merge is a map-side anti-join against a
+    # broadcast pair index + a union with the delta: NO exchange.  Above
+    # the ≤64 MB broadcast cap (same selector rationale as
+    # ``relational._attach_dim``) it falls back to the conv-hash
+    # co-partitioned exchange where old and delta rows of one conv meet
+    # in one task and supersession is decided locally.
+    def pair_partial(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "conv_id": t["conv_id"].to_pandas().astype(str),
+            "day": t["day"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+
+    pairs = pd.concat([
+        r1m_delta.select_columns(["conv_id", "day"]).map_batches(
+            pair_partial, batch_format="pyarrow").to_pandas(),
+        blocks_delta.select_columns(["conv_id", "day"]).map_batches(
+            pair_partial, batch_format="pyarrow").to_pandas(),
+    ], ignore_index=True).drop_duplicates()
+    pair_bytes = pairs.memory_usage(deep=True).sum()
+    broadcast = pair_bytes <= _APPEND_PAIR_BROADCAST_CAP
+    pairs_ref = ray.put(pd.MultiIndex.from_frame(pairs)) if broadcast \
+        else None
+
+    def drop_superseded(day_col: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            day = (df[day_col].to_numpy() // DAY_MS) * DAY_MS
+            hit = pd.MultiIndex.from_arrays(
+                [df["conv_id"].to_numpy(), day]).isin(ray.get(pairs_ref))
+            return df.loc[~hit]
+        return f
+
+    def tag(src: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("src", pa.array(
+                np.full(t.num_rows, src, dtype=np.int8)))
+        return f
+
     def key_fn(tbl):
         return arrow_key_ids(tbl, TRANSCRIPT_KEYS, N_CONV_PARTS)
 
-    # ---- rollup_1m merge --------------------------------------------
-    delta_r = (r1m_delta.drop_columns(["day"])
-               .map_batches(tag(1), batch_format="pyarrow"))
-    old_r, old_r_dirs = existing("rollup_1m", ROLLUP_COLS)
-    union_r = (delta_r if old_r is None else
-               old_r.map_batches(tag(0), batch_format="pyarrow")
-               .union(delta_r))
-
     def replace_groups(df: pd.DataFrame, cols: list[str], day_col: str):
-        """Old rows whose (conv, day) pair the delta recomputed are
-        superseded; delta rows and untouched old rows pass through."""
+        """Exchange-route kernel: old rows whose (conv, day) pair the
+        co-partitioned delta recomputed are superseded; delta rows and
+        untouched old rows pass through."""
         if len(df) == 0:
             return pd.DataFrame({c: [] for c in cols})
         day = (df[day_col].to_numpy() // DAY_MS) * DAY_MS
-        src = df["src"].to_numpy()
-        new = src == 1
+        new = df["src"].to_numpy() == 1
         keep_old = ~pd.MultiIndex.from_arrays(
             [df["conv_id"].to_numpy()[~new], day[~new]]).isin(
             pd.MultiIndex.from_arrays(
@@ -1294,35 +1353,31 @@ def append_to_store(sf_dir: str, out_root: str,
         old_rows = df.loc[~new].loc[keep_old, cols]
         return pd.concat([old_rows, df.loc[new, cols]], ignore_index=True)
 
-    def merge_rollup(df: pd.DataFrame) -> pd.DataFrame:
-        return replace_groups(df, ROLLUP_COLS, "bucket_ms")
+    def merge_tier(tier: str, delta, cols: list[str], day_col: str):
+        old, old_dirs = existing(tier, cols)
+        delta = delta.drop_columns(["day"])
+        if old is None:
+            merged = delta
+        elif broadcast:
+            merged = old.map_batches(drop_superseded(day_col),
+                                     batch_format="pandas").union(delta)
+        else:
+            union = (old.map_batches(tag(0), batch_format="pyarrow")
+                     .union(delta.map_batches(tag(1),
+                                              batch_format="pyarrow")))
+            merged = hash_exchange(
+                union, key_fn=key_fn, n_parts=N_CONV_PARTS,
+                kernel=lambda df: replace_groups(df, cols, day_col),
+                fmt="pandas")
+        merged = _with_day(merged, day_col).materialize()
+        for p in old_dirs:
+            shutil.rmtree(p)
+        merged.write_parquet(f"{out_root}/{tier}", partition_cols=["day"])
+        results[tier] = f"{out_root}/{tier}"
+        return merged
 
-    merged_r = hash_exchange(union_r, key_fn=key_fn, n_parts=N_CONV_PARTS,
-                             kernel=merge_rollup, fmt="pandas")
-    merged_r = _with_day(merged_r, "bucket_ms").materialize()
-    for p in old_r_dirs:
-        shutil.rmtree(p)
-    merged_r.write_parquet(f"{out_root}/rollup_1m", partition_cols=["day"])
-    results["rollup_1m"] = f"{out_root}/rollup_1m"
-
-    # ---- blocks merge / compaction ----------------------------------
-    delta_b = (blocks_delta.drop_columns(["day"])
-               .map_batches(tag(1), batch_format="pyarrow"))
-    old_b, old_b_dirs = existing("blocks", BLOCK_COLS)
-    union_b = (delta_b if old_b is None else
-               old_b.map_batches(tag(0), batch_format="pyarrow")
-               .union(delta_b))
-
-    def merge_blocks(df: pd.DataFrame) -> pd.DataFrame:
-        return replace_groups(df, BLOCK_COLS, "block_start")
-
-    merged_b = hash_exchange(union_b, key_fn=key_fn, n_parts=N_CONV_PARTS,
-                             kernel=merge_blocks, fmt="pandas")
-    merged_b = _with_day(merged_b, "block_start").materialize()
-    for p in old_b_dirs:
-        shutil.rmtree(p)
-    merged_b.write_parquet(f"{out_root}/blocks", partition_cols=["day"])
-    results["blocks"] = f"{out_root}/blocks"
+    merged_r = merge_tier("rollup_1m", r1m_delta, ROLLUP_COLS, "bucket_ms")
+    merged_b = merge_tier("blocks", blocks_delta, BLOCK_COLS, "block_start")
 
     # ---- coarser tiers recompute from the merged 1m (affected days) --
     def add_lts(df: pd.DataFrame) -> pd.DataFrame:

@@ -661,6 +661,23 @@ def test_append_to_store_equals_full_build(ray_session, tmp_path):
     pd.testing.assert_frame_equal(ta, tb[ta.columns])
 
 
+def test_append_exchange_route_matches_broadcast(ray_session, tmp_path,
+                                                 monkeypatch):
+    """Forcing the >cap fallback (conv-hash co-partitioned exchange) must
+    produce the same store as the default broadcast anti-join merge —
+    the pinned-equal guard for the scale path."""
+    split = _ts_split(SF)
+    bc, ex = str(tmp_path / "bc"), str(tmp_path / "ex")
+    ingest.ingest_to_store(SF, bc, resume=False, ts_hi=split)
+    ingest.ingest_to_store(SF, ex, resume=False, ts_hi=split)
+    ingest.append_to_store(SF, bc, ts_lo=split)
+    monkeypatch.setattr(ingest, "_APPEND_PAIR_BROADCAST_CAP", -1)
+    ingest.append_to_store(SF, ex, ts_lo=split)
+    for tier in ("rollup_1m", "rollup_1h", "rollup_1d", "blocks"):
+        a, b = _load_store(bc, tier), _load_store(ex, tier)
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True)
+
+
 def test_append_to_store_idempotent_replay(ray_session, tmp_path):
     """Replaying the SAME append window must leave the store unchanged
     (replacement supersession — no double counting), modulo the turns
