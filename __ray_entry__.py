@@ -169,6 +169,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q10_returned_items": relational.q10_returned_items,
         "q14_promo_revenue": relational.q14_promo_revenue,
+        "q18_large_volume_customers": relational.q18_large_volume_customers,
+        "q7_nation_volume": relational.q7_nation_volume,
+        "q19_disjunct_revenue": relational.q19_disjunct_revenue,
         # — training-data ops: text analysis —
         "docs_token_stats": docs.token_stats,
         "docs_sentence_stats": docs.sentence_stats,
@@ -1388,6 +1391,43 @@ SELECT round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
   AND l.l_shipdate < TIMESTAMP '1996-10-01'
+""",
+        # TPC-H Q18 shape: orders above a total-quantity threshold
+        "q18_large_volume_customers": """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       sum(l.l_quantity) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4, 5
+HAVING sum(l.l_quantity) > 250
+ORDER BY total_qty DESC, o_orderkey LIMIT 20
+""",
+        # TPC-H Q7 shape: nation-pair shipping revenue by shipdate year
+        "q7_nation_volume": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE (s.s_nationkey = 3 AND c.c_nationkey = 8)
+   OR (s.s_nationkey = 8 AND c.c_nationkey = 3)
+GROUP BY 1, 2, 3
+""",
+        # TPC-H Q19 shape: OR-disjunct brand/size/quantity-band revenue
+        "q19_disjunct_revenue": """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
 """,
         # TPC-H Q6 shape: scalar aggregate under a pushed multi-predicate
         "q6_forecast_revenue": """

@@ -836,3 +836,169 @@ def q14_promo_revenue(sf_dir: str, date_from: str = "1996-09-01",
             "promo_revenue": [round_half_away(df["promo_revenue"].sum(), 4)],
             "total_revenue": [round_half_away(df["total_revenue"].sum(), 4)]}),
         fmt="pandas")
+
+
+def q18_large_volume_customers(sf_dir: str, qty_threshold: float = 250.0,
+                               k: int = 20):
+    """TPC-H Q18 shape (shape from the public TPC-H spec; the reference
+    engine has no SQL surface): orders whose total lineitem quantity
+    exceeds a threshold, with the ordering customer attached.  The
+    quantity HAVING folds as additive per-batch partials (groupby inside
+    ``map_batches``) before ONE orderkey co-partition with the orders
+    side — raw lineitem rows never ride the exchange twice; the customer
+    name attaches through the size-guarded ``_attach_dim``; per-partition
+    top-k pre-trim keeps the global sort tiny."""
+    import ray.data  # noqa: F401  (Dataset ops via _read)
+
+    from ..stages.exchange import hash_exchange_multi
+
+    tune_context()
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("l_orderkey", sort=False)["l_quantity"].sum()
+                .reset_index())
+
+    partials = lines.map_batches(partial, batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def kernel(p: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        tot = (p.groupby("l_orderkey", sort=False)["l_quantity"].sum()
+               .reset_index())
+        tot = tot.loc[tot["l_quantity"].to_numpy() > qty_threshold]
+        m = tot.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        return pd.DataFrame({
+            "c_custkey": m["o_custkey"].to_numpy(),
+            "o_orderkey": m["o_orderkey"].to_numpy(),
+            "o_orderdate": m["o_orderdate"].to_numpy(),
+            "o_totalprice": m["o_totalprice"].to_numpy(),
+            "total_qty": m["l_quantity"].to_numpy()})
+
+    big = hash_exchange_multi(
+        [(partials, _hash_key(["l_orderkey"])),
+         (orders, _hash_key(["o_orderkey"]))],
+        n_parts=N_PARTS, kernel=kernel, fmt="pandas")
+
+    joined = _attach_dim(
+        big, _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        fact_key="c_custkey", dim_key="c_custkey", out_cols=["c_name"])
+
+    def trim(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                  "o_totalprice", "total_qty"]]
+        return (out.sort_values(["total_qty", "o_orderkey"],
+                                ascending=[False, True]).iloc[:k]
+                .reset_index(drop=True))
+
+    tops = joined.map_batches(trim, batch_format="pandas")
+    return tops.sort(["total_qty", "o_orderkey"],
+                     descending=[True, False]).limit(k)
+
+
+def q7_nation_volume(sf_dir: str, nation_a: int = 3, nation_b: int = 8):
+    """TPC-H Q7 shape: shipping revenue between one nation PAIR (both
+    directions) by shipdate year.  The supplying-nation key attaches to
+    lineitem and the ordering-customer nation to orders via the
+    size-guarded ``_attach_dim``; the lineitem⋈orders equality rides ONE
+    orderkey co-partition whose kernel folds straight to per-(supp, cust,
+    year) partial sums — at most 2 × years rows leave each partition."""
+    from ..stages.exchange import hash_exchange_multi
+
+    tune_context()
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    orders = _attach_dim(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        fact_key="o_custkey", dim_key="c_custkey",
+        out_cols=["c_nationkey"])
+    lines = _attach_dim(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+               "l_shipdate"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        fact_key="l_suppkey", dim_key="s_suppkey",
+        out_cols=["s_nationkey"])
+
+    def kernel(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        m = l.merge(o[["o_orderkey", "c_nationkey"]],
+                    left_on="l_orderkey", right_on="o_orderkey")
+        s_nk = m["s_nationkey"].to_numpy()
+        c_nk = m["c_nationkey"].to_numpy()
+        pair = (((s_nk == nation_a) & (c_nk == nation_b))
+                | ((s_nk == nation_b) & (c_nk == nation_a)))
+        m = m.loc[pair]
+        rev = (m["l_extendedprice"].to_numpy()
+               * (1.0 - m["l_discount"].to_numpy()))
+        year = m["l_shipdate"].dt.year.to_numpy().astype(np.int64)
+        return (pd.DataFrame({"s_nk": m["s_nationkey"].to_numpy(),
+                              "c_nk": m["c_nationkey"].to_numpy(),
+                              "l_year": year, "rev": rev})
+                .groupby(["s_nk", "c_nk", "l_year"], sort=False)["rev"]
+                .sum().reset_index())
+
+    partials = hash_exchange_multi(
+        [(orders, _hash_key(["o_orderkey"])),
+         (lines, _hash_key(["l_orderkey"]))],
+        n_parts=N_PARTS, kernel=kernel, fmt="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["s_nk", "c_nk", "l_year"], sort=False)["rev"]
+               .sum().reset_index())
+        return pd.DataFrame({
+            "supp_nation": out["s_nk"].map(nat_name),
+            "cust_nation": out["c_nk"].map(nat_name),
+            "l_year": out["l_year"].to_numpy().astype(np.int64),
+            "revenue": round_half_away(out["rev"].to_numpy(), 4)})
+
+    return hash_exchange(partials, key_fn=_hash_key(["s_nk", "l_year"]),
+                         n_parts=N_PARTS, kernel=merge, fmt="pandas")
+
+
+def q19_disjunct_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under three OR-disjunct (brand, size,
+    quantity-band) branches.  The shared quantity superset (≤ the max
+    band edge) pushes into the lineitem scan so non-qualifying rows never
+    leave storage; the part brand/size dim attaches size-guarded; each
+    batch evaluates the disjunction vectorized and folds to ONE revenue
+    scalar, so the final exchange carries one row per block."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    tune_context()
+    branches = [("Brand#12", 1, 5, 1.0, 11.0),
+                ("Brand#23", 1, 10, 10.0, 20.0),
+                ("Brand#3", 1, 15, 20.0, 30.0)]
+    qty_cap = max(b[4] for b in branches)
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+        filter=pads.field("l_quantity") <= qty_cap)
+    ds = _attach_dim(
+        lines, _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]),
+        fact_key="l_partkey", dim_key="p_partkey",
+        out_cols=["p_brand", "p_size"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        brand = df["p_brand"].to_numpy()
+        size = df["p_size"].to_numpy()
+        qty = df["l_quantity"].to_numpy()
+        keep = np.zeros(len(df), dtype=bool)
+        for b, s_lo, s_hi, q_lo, q_hi in branches:
+            keep |= ((brand == b) & (size >= s_lo) & (size <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        rev = (df["l_extendedprice"].to_numpy()[keep]
+               * (1.0 - df["l_discount"].to_numpy()[keep]))
+        return pd.DataFrame({"revenue": [rev.sum()]})
+
+    return hash_exchange(
+        ds.map_batches(partial, batch_format="pandas"),
+        key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64), n_parts=1,
+        kernel=lambda df: pd.DataFrame({
+            "revenue": [round_half_away(df["revenue"].sum(), 4)]}),
+        fmt="pandas")

@@ -313,3 +313,95 @@ def test_q5_q10_q14_exchange_matches_broadcast(ray_session, sf_small,
     for k in bcast:
         pd.testing.assert_frame_equal(bcast[k], exch[k][bcast[k].columns],
                                       check_exact=False, atol=1e-9)
+
+
+def test_q18_large_volume_customers(ray_session, sf_small):
+    got = relational.q18_large_volume_customers(sf_small).to_pandas()
+    exp = duckdb.connect().execute(f"""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, sum(l.l_quantity) AS total_qty
+        FROM '{sf_small}/customer.parquet' c
+        JOIN '{sf_small}/orders.parquet' o ON o.o_custkey = c.c_custkey
+        JOIN '{sf_small}/lineitem.parquet' l
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3, 4, 5
+        HAVING sum(l.l_quantity) > 250
+        ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """).df()
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got[exp.columns].reset_index(drop=True), exp,
+        check_exact=False, atol=1e-9)
+
+
+def test_q7_nation_volume(ray_session, sf_small):
+    got = (relational.q7_nation_volume(sf_small).to_pandas()
+           .sort_values(["supp_nation", "cust_nation", "l_year"])
+           .reset_index(drop=True))
+    exp = duckdb.connect().execute(f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                 AS revenue
+        FROM '{sf_small}/lineitem.parquet' l
+        JOIN '{sf_small}/orders.parquet' o
+          ON o.o_orderkey = l.l_orderkey
+        JOIN '{sf_small}/supplier.parquet' s ON s.s_suppkey = l.l_suppkey
+        JOIN '{sf_small}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        JOIN '{sf_small}/nation.parquet' n1
+          ON n1.n_nationkey = s.s_nationkey
+        JOIN '{sf_small}/nation.parquet' n2
+          ON n2.n_nationkey = c.c_nationkey
+        WHERE (s.s_nationkey = 3 AND c.c_nationkey = 8)
+           OR (s.s_nationkey = 8 AND c.c_nationkey = 3)
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """).df()
+    assert len(got) == len(exp) > 0
+    # both directions of the pair must be present
+    assert set(zip(got["supp_nation"], got["cust_nation"])) == {
+        ("NATION_3", "NATION_8"), ("NATION_8", "NATION_3")}
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-9)
+
+
+def test_q19_disjunct_revenue(ray_session, sf_small):
+    got = relational.q19_disjunct_revenue(sf_small).to_pandas()
+    exp = duckdb.connect().execute(f"""
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                 AS revenue
+        FROM '{sf_small}/lineitem.parquet' l
+        JOIN '{sf_small}/part.parquet' p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """).df()
+    assert len(got) == 1 and got["revenue"].iloc[0] > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_exact=False, atol=1e-9)
+
+
+def test_q18_q7_q19_exchange_matches_broadcast(ray_session, sf_small,
+                                               monkeypatch):
+    """Forcing the co-partitioned exchange route through every
+    size-guarded dimension attach must reproduce the broadcast-route
+    results exactly (same pin as the Q5/Q10/Q14 wave)."""
+    def run_all():
+        return {
+            "q18": (relational.q18_large_volume_customers(sf_small)
+                    .to_pandas().reset_index(drop=True)),
+            "q7": (relational.q7_nation_volume(sf_small).to_pandas()
+                   .sort_values(["supp_nation", "cust_nation", "l_year"])
+                   .reset_index(drop=True)),
+            "q19": (relational.q19_disjunct_revenue(sf_small).to_pandas()
+                    .reset_index(drop=True)),
+        }
+
+    bcast = run_all()
+    monkeypatch.setattr(relational, "DIM_BROADCAST_BYTES", 0)
+    exch = run_all()
+    for k in bcast:
+        pd.testing.assert_frame_equal(bcast[k], exch[k][bcast[k].columns],
+                                      check_exact=False, atol=1e-9)
