@@ -172,6 +172,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_customers": relational.q18_large_volume_customers,
         "q7_nation_volume": relational.q7_nation_volume,
         "q19_disjunct_revenue": relational.q19_disjunct_revenue,
+        "q12_priority_lines": relational.q12_priority_lines,
+        "q13_customer_distribution": relational.q13_customer_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "q22_idle_customers": relational.q22_idle_customers,
         # — training-data ops: text analysis —
         "docs_token_stats": docs.token_stats,
         "docs_sentence_stats": docs.sentence_stats,
@@ -1428,6 +1434,86 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
        AND l.l_quantity BETWEEN 10 AND 20)
    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 20 AND 30)
+""",
+        # TPC-H Q12 shape: late-line priority mix per line status (the
+        # lake has no l_shipmode / commit dates — grace-days lateness)
+        "q12_priority_lines": """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+GROUP BY 1
+""",
+        # TPC-H Q13 shape: customer distribution by qualifying order
+        # count, zero-order customers included (LEFT JOIN semantics)
+        "q13_customer_distribution": """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1) t GROUP BY 1
+""",
+        # TPC-H Q15 shape: supplier(s) at max quarter revenue (max taken
+        # on the 4-decimal rounded surface in both engines)
+        "q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+""",
+        # TPC-H Q17 shape: sub-20%-of-average-quantity revenue for one
+        # brand (threshold as exact 5*qty*cnt < sum_qty integer form)
+        "q17_small_quantity_revenue": """
+SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (SELECT l_partkey, sum(l_quantity) AS sq, count(*) AS cnt
+      FROM lineitem GROUP BY 1) pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23' AND 5 * l.l_quantity * pa.cnt < pa.sq
+""",
+        # TPC-H Q21 shape: only-late supplier of finished multi-supplier
+        # orders (grace-days lateness — no commit/receipt dates)
+        "q21_waiting_suppliers": """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25
+""",
+        # TPC-H Q22 shape: above-average-balance customers with no recent
+        # orders, per nation (no c_phone — nationkey is the group key)
+        "q22_idle_customers": """
+SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c.c_acctbal), 4) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY 1
 """,
         # TPC-H Q6 shape: scalar aggregate under a pushed multi-predicate
         "q6_forecast_revenue": """

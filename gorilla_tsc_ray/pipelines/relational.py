@@ -64,8 +64,18 @@ def _attach_dim(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
     dim_ds = dim_ds.materialize()
     size = dim_ds.size_bytes() or 0
     if 0 < size <= DIM_BROADCAST_BYTES:
+        # 0-row blocks from a pushed-filter read carry an EMPTY schema
+        # (measured: Ray emits "new schema: ." for them) — skip them
         blocks = [t.replace_schema_metadata(None)
-                  for t in ray.get(dim_ds.to_arrow_refs())]
+                  for t in ray.get(dim_ds.to_arrow_refs()) if t.num_rows]
+        if not blocks:
+            def probe_empty(batch: pa.Table) -> pa.Table:
+                for c in out_cols:
+                    batch = batch.append_column(
+                        c, pa.nulls(batch.num_rows))
+                return batch
+
+            return fact_ds.map_batches(probe_empty, batch_format="pyarrow")
         dim = pa.concat_tables(
             [b.select([dim_key] + out_cols) for b in blocks]).combine_chunks()
         keys = dim.column(dim_key).to_numpy(zero_copy_only=False)
@@ -102,6 +112,19 @@ def _attach_dim(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
         n_parts=n_parts, kernel=left_attach, fmt="pandas")
 
 
+def _mark_hit(dim_ds):
+    """Append the ``__hit`` marker IN ARROW — ``add_column``'s pandas
+    round-trip erases the schema of 0-row blocks (a filtered dim can
+    produce them), which breaks the broadcast path's column select."""
+    import pyarrow as pa
+
+    def mark(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__hit", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+    return dim_ds.map_batches(mark, batch_format="pyarrow")
+
+
 def _semi_filter(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
                  n_parts: int = N_PARTS):
     """Size-guarded EXISTS semi-join: keep fact rows whose key appears in
@@ -110,8 +133,7 @@ def _semi_filter(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
     import pyarrow.compute as pc
 
     marked = _attach_dim(
-        fact_ds, dim_ds.add_column(
-            "__hit", lambda df: np.ones(len(df), dtype=np.int8)),
+        fact_ds, _mark_hit(dim_ds),
         fact_key=fact_key, dim_key=dim_key, out_cols=["__hit"],
         n_parts=n_parts)
     return marked.map_batches(
@@ -1001,4 +1023,327 @@ def q19_disjunct_revenue(sf_dir: str):
         key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64), n_parts=1,
         kernel=lambda df: pd.DataFrame({
             "revenue": [round_half_away(df["revenue"].sum(), 4)]}),
+        fmt="pandas")
+
+
+def q12_priority_lines(sf_dir: str, year_from: str = "1997-01-01",
+                       year_to: str = "1998-01-01", grace_days: int = 30):
+    """TPC-H Q12 shape (the lake has no l_shipmode column, so the group
+    key is l_linestatus and "late" is shipdate > orderdate + grace — the
+    same date arithmetic the spec puts on commit/receipt dates): per line
+    status, how many LATE lines belong to high- vs low-priority orders.
+    The shipdate year window pushes into the lineitem scan; both sides
+    ride ONE orderkey co-partition whose kernel folds to ≤2 tiny rows."""
+    import datetime as _dt
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..stages.exchange import hash_exchange_multi
+
+    tune_context()
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=((pads.field("l_shipdate") >= _dt.datetime.fromisoformat(year_from))
+                & (pads.field("l_shipdate")
+                   < _dt.datetime.fromisoformat(year_to))))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def kernel(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        m = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        late = (pd.to_datetime(m["l_shipdate"]).to_numpy()
+                > (pd.to_datetime(m["o_orderdate"])
+                   + pd.Timedelta(days=grace_days)).to_numpy())
+        m = m.loc[late]
+        high = m["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        return (pd.DataFrame({"l_linestatus": m["l_linestatus"].to_numpy(),
+                              "high_line_count": high.astype(np.int64),
+                              "low_line_count": (~high).astype(np.int64)})
+                .groupby("l_linestatus", sort=False).sum().reset_index())
+
+    partials = hash_exchange_multi(
+        [(orders, _hash_key(["o_orderkey"])),
+         (lines, _hash_key(["l_orderkey"]))],
+        n_parts=N_PARTS, kernel=kernel, fmt="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("l_linestatus", sort=False).sum().reset_index()
+        out["high_line_count"] = out["high_line_count"].astype(np.int64)
+        out["low_line_count"] = out["low_line_count"].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=_hash_key(["l_linestatus"]),
+                         n_parts=N_PARTS, kernel=merge, fmt="pandas")
+
+
+def q13_customer_distribution(sf_dir: str, excl_priority: str = "1-URGENT"):
+    """TPC-H Q13 shape (the join filter lives on o_orderpriority instead
+    of the spec's comment LIKE): distribution of customers by how many
+    qualifying orders they placed, INCLUDING zero-order customers — the
+    left-join semantics ride a custkey co-partition where the kernel
+    left-attaches per-customer partial counts onto the full customer key
+    set (missing → 0).  Order rows fold to per-batch (custkey, n) partials
+    before the exchange, so raw orders never ride it."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..stages.exchange import hash_exchange_multi
+
+    tune_context()
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"],
+        filter=pads.field("o_orderpriority") != excl_priority)
+
+    def o_partial(tbl):
+        import pyarrow as pa
+
+        out = tbl.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table({"o_custkey": out["o_custkey"],
+                         "n": out["o_custkey_count"]})
+
+    partials = orders.map_batches(o_partial, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def kernel(c: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        per = p.groupby("o_custkey", sort=False)["n"].sum()
+        c_count = (c["c_custkey"].map(per).fillna(0)
+                   .to_numpy().astype(np.int64))
+        return (pd.DataFrame({"c_count": c_count})
+                .groupby("c_count", sort=False).size()
+                .rename("custdist").reset_index())
+
+    dist = hash_exchange_multi(
+        [(cust, _hash_key(["c_custkey"])),
+         (partials, _hash_key(["o_custkey"]))],
+        n_parts=N_PARTS, kernel=kernel, fmt="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("c_count", sort=False)["custdist"].sum()
+               .reset_index())
+        out["c_count"] = out["c_count"].astype(np.int64)
+        out["custdist"] = out["custdist"].astype(np.int64)
+        return out
+
+    return hash_exchange(dist, key_fn=_hash_key(["c_count"]),
+                         n_parts=N_PARTS, kernel=merge, fmt="pandas")
+
+
+def q15_top_supplier(sf_dir: str, date_from: str = "1997-01-01",
+                     date_to: str = "1997-04-01"):
+    """TPC-H Q15 shape: the supplier(s) with maximum quarter revenue.
+    Per-batch revenue partials fold through ONE suppkey exchange into
+    per-supplier totals (rounded at 4 — max-comparisons happen on the
+    rounded surface both here and in the oracle, so an ulp of float
+    summation noise can never flip the winner); the global max folds from
+    one tiny per-partition row, and only the winners fetch s_name through
+    the size-guarded attach."""
+    import datetime as _dt
+    import pyarrow.dataset as pads
+    import ray.data
+
+    tune_context()
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=((pads.field("l_shipdate") >= _dt.datetime.fromisoformat(date_from))
+                & (pads.field("l_shipdate")
+                   < _dt.datetime.fromisoformat(date_to))))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = (df["l_extendedprice"].to_numpy()
+               * (1.0 - df["l_discount"].to_numpy()))
+        return (pd.DataFrame({"l_suppkey": df["l_suppkey"].to_numpy(),
+                              "rev": rev})
+                .groupby("l_suppkey", sort=False)["rev"].sum()
+                .reset_index())
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("l_suppkey", sort=False)["rev"].sum()
+               .reset_index())
+        return pd.DataFrame({
+            "s_suppkey": out["l_suppkey"].to_numpy().astype(np.int64),
+            "total_revenue": round_half_away(out["rev"].to_numpy(), 4)})
+
+    totals = hash_exchange(
+        lines.map_batches(partial, batch_format="pandas"),
+        key_fn=_hash_key(["l_suppkey"]), n_parts=N_PARTS, kernel=merge,
+        fmt="pandas").materialize()
+
+    # global max folds from ONE row per partition — a bounded driver
+    # scalar (the Q15 view's max), never the totals table itself
+    part_max = totals.map_batches(
+        lambda df: pd.DataFrame({"m": [df["total_revenue"].max()]})
+        if len(df) else pd.DataFrame({"m": [float("-inf")]}),
+        batch_format="pandas")
+    best = max(r["m"] for r in part_max.take_all())
+
+    winners = totals.map_batches(
+        lambda df: df.loc[df["total_revenue"].to_numpy() == best],
+        batch_format="pandas")
+    named = _attach_dim(
+        winners, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        fact_key="s_suppkey", dim_key="s_suppkey", out_cols=["s_name"])
+    return named.map_batches(
+        lambda df: df[["s_suppkey", "s_name", "total_revenue"]],
+        batch_format="pandas").sort("s_suppkey")
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23"):
+    """TPC-H Q17 shape: yearly revenue lost if sub-20%-of-average-quantity
+    orders of one brand's parts stopped.  The brand semi-join is
+    size-guarded; ONE partkey co-partition gives each kernel every
+    lineitem of its parts, so the per-part average and the small-quantity
+    filter evaluate locally (the correlated subquery never materializes).
+    The 20% threshold compares as ``5·qty·cnt < sum_qty`` — exact integer
+    arithmetic in doubles, the same closed form the oracle uses."""
+    tune_context()
+    import pyarrow.dataset as pads
+    import ray.data
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"],
+        filter=pads.field("p_brand") == brand).drop_columns(["p_brand"])
+    lines = _semi_filter(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"]),
+        parts, fact_key="l_partkey", dim_key="p_partkey")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_partkey", sort=False)["l_quantity"]
+        sum_qty = g.transform("sum").to_numpy()
+        cnt = g.transform("size").to_numpy()
+        keep = 5.0 * df["l_quantity"].to_numpy() * cnt < sum_qty
+        return pd.DataFrame(
+            {"s": [df["l_extendedprice"].to_numpy()[keep].sum()]})
+
+    partials = hash_exchange(lines, key_fn=_hash_key(["l_partkey"]),
+                             n_parts=N_PARTS, kernel=kernel, fmt="pandas")
+    return hash_exchange(
+        partials, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1,
+        kernel=lambda df: pd.DataFrame({
+            "avg_yearly": [round_half_away(df["s"].sum() / 7.0, 4)]}),
+        fmt="pandas")
+
+
+def q21_waiting_suppliers(sf_dir: str, grace_days: int = 60, k: int = 25):
+    """TPC-H Q21 shape (the lake has no commit/receipt dates, so "late" is
+    shipdate > orderdate + grace): late lines of finished multi-supplier
+    orders where THIS supplier is the only late one.  The exists /
+    not-exists pair evaluates inside ONE orderkey co-partition (every
+    line of an order lands together); per-supplier counts then fold
+    through a suppkey exchange, winners pre-trim per partition before the
+    tiny global top-k sort, and s_name attaches size-guarded."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..stages.exchange import hash_exchange_multi
+
+    tune_context()
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"],
+        filter=pads.field("o_orderstatus") == "F")
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def kernel(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        m = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        late = (pd.to_datetime(m["l_shipdate"]).to_numpy()
+                > (pd.to_datetime(m["o_orderdate"])
+                   + pd.Timedelta(days=grace_days)).to_numpy())
+        ok = m["l_orderkey"].to_numpy()
+        sk = m["l_suppkey"].to_numpy()
+        # distinct suppliers per order / distinct LATE suppliers per order
+        pairs = pd.DataFrame({"ok": ok, "sk": sk}).drop_duplicates()
+        nsupp = pairs.groupby("ok")["sk"].size()
+        lpairs = (pd.DataFrame({"ok": ok[late], "sk": sk[late]})
+                  .drop_duplicates())
+        nlate = lpairs.groupby("ok")["sk"].size()
+        qual = late & (pd.Series(ok).map(nsupp).to_numpy() > 1) \
+            & (pd.Series(ok).map(nlate).fillna(0).to_numpy() == 1)
+        return (pd.DataFrame({"s_suppkey": sk[qual]})
+                .groupby("s_suppkey", sort=False).size()
+                .rename("numwait").reset_index())
+
+    partials = hash_exchange_multi(
+        [(orders, _hash_key(["o_orderkey"])),
+         (lines, _hash_key(["l_orderkey"]))],
+        n_parts=N_PARTS, kernel=kernel, fmt="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("s_suppkey", sort=False)["numwait"].sum()
+               .reset_index())
+        out["numwait"] = out["numwait"].astype(np.int64)
+        return out.sort_values(["numwait", "s_suppkey"],
+                               ascending=[False, True]).iloc[:k]
+
+    counts = hash_exchange(partials, key_fn=_hash_key(["s_suppkey"]),
+                           n_parts=N_PARTS, kernel=merge, fmt="pandas")
+    named = _attach_dim(
+        counts, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        fact_key="s_suppkey", dim_key="s_suppkey", out_cols=["s_name"])
+    named = named.map_batches(
+        lambda df: df[["s_name", "numwait"]], batch_format="pandas")
+    return named.sort(["numwait", "s_name"],
+                      descending=[True, False]).limit(k)
+
+
+def q22_idle_customers(sf_dir: str, cutoff: str = "2000-07-01"):
+    """TPC-H Q22 shape (the lake has no c_phone, so the group key is
+    c_nationkey and "idle" means no orders since ``cutoff``): above-
+    average-balance customers with no recent orders, counted per nation.
+    The scalar subquery folds from per-batch (sum, count) partials to ONE
+    driver float; the recent-buyer key set stays a dataset and the NOT
+    EXISTS evaluates as a size-guarded anti probe (null __hit survives)."""
+    import pyarrow.compute as pc
+    import datetime as _dt
+    import pyarrow.dataset as pads
+    import ray.data
+
+    tune_context()
+    bal = _read(sf_dir, "customer", ["c_acctbal"])
+
+    def bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["c_acctbal"].to_numpy()
+        v = v[v > 0.0]
+        return pd.DataFrame({"s": [v.sum()], "n": [len(v)]})
+
+    sums = bal.map_batches(bal_partial, batch_format="pandas").take_all()
+    avg_bal = sum(r["s"] for r in sums) / sum(r["n"] for r in sums)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        filter=pads.field("c_acctbal") > avg_bal)
+    recent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") >= _dt.datetime.fromisoformat(cutoff))
+    recent = recent.map_batches(
+        lambda t: t.select(["o_custkey"]).group_by("o_custkey").aggregate([]),
+        batch_format="pyarrow")
+
+    marked = _attach_dim(
+        cust, _mark_hit(recent),
+        fact_key="c_custkey", dim_key="o_custkey", out_cols=["__hit"])
+    idle = marked.map_batches(
+        lambda t: t.filter(pc.is_null(t["__hit"])).drop_columns(["__hit"]),
+        batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_nationkey", sort=False)["c_acctbal"]
+        return (g.agg(["sum", "size"]).reset_index()
+                .rename(columns={"sum": "bal", "size": "numcust"}))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("c_nationkey", sort=False).sum().reset_index()
+        return pd.DataFrame({
+            "c_nationkey": out["c_nationkey"].to_numpy().astype(np.int32),
+            "numcust": out["numcust"].to_numpy().astype(np.int64),
+            "totacctbal": round_half_away(out["bal"].to_numpy(), 4)})
+
+    return hash_exchange(
+        idle.map_batches(partial, batch_format="pandas"),
+        key_fn=_hash_key(["c_nationkey"]), n_parts=N_PARTS, kernel=merge,
         fmt="pandas")

@@ -405,3 +405,146 @@ def test_q18_q7_q19_exchange_matches_broadcast(ray_session, sf_small,
     for k in bcast:
         pd.testing.assert_frame_equal(bcast[k], exch[k][bcast[k].columns],
                                       check_exact=False, atol=1e-9)
+
+
+def test_q12_q13_q15(ray_session, sf_small):
+    con = duckdb.connect()
+    got12 = (relational.q12_priority_lines(sf_small).to_pandas()
+             .sort_values("l_linestatus").reset_index(drop=True))
+    exp12 = con.execute(f"""
+        SELECT l.l_linestatus,
+               CAST(sum(CASE WHEN o.o_orderpriority IN
+                             ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN
+                             ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS low_line_count
+        FROM '{sf_small}/orders.parquet' o
+        JOIN '{sf_small}/lineitem.parquet' l
+          ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        GROUP BY 1 ORDER BY 1""").df()
+    assert len(got12) == len(exp12) > 0
+    pd.testing.assert_frame_equal(got12[exp12.columns], exp12)
+
+    got13 = (relational.q13_customer_distribution(sf_small).to_pandas()
+             .sort_values("c_count").reset_index(drop=True))
+    exp13 = con.execute(f"""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+          SELECT c.c_custkey,
+                 CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          FROM '{sf_small}/customer.parquet' c
+          LEFT JOIN '{sf_small}/orders.parquet' o
+            ON o.o_custkey = c.c_custkey
+            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY 1) t GROUP BY 1 ORDER BY 1""").df()
+    assert len(got13) == len(exp13) > 0
+    # left-join shape: the zero-order bucket must be representable
+    assert (got13["custdist"].sum() == con.execute(
+        f"SELECT count(*) FROM '{sf_small}/customer.parquet'").fetchone()[0])
+    pd.testing.assert_frame_equal(got13[exp13.columns], exp13)
+
+    got15 = relational.q15_top_supplier(sf_small).to_pandas()
+    exp15 = con.execute(f"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS total_revenue
+          FROM '{sf_small}/lineitem.parquet'
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY 1)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM '{sf_small}/supplier.parquet' s
+        JOIN rev r ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey""").df()
+    assert len(got15) == len(exp15) > 0
+    pd.testing.assert_frame_equal(
+        got15[exp15.columns].reset_index(drop=True), exp15,
+        check_exact=False, atol=1e-9)
+
+
+def test_q17_q21_q22(ray_session, sf_small):
+    con = duckdb.connect()
+    got17 = relational.q17_small_quantity_revenue(sf_small).to_pandas()
+    exp17 = con.execute(f"""
+        SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM '{sf_small}/lineitem.parquet' l
+        JOIN '{sf_small}/part.parquet' p ON p.p_partkey = l.l_partkey
+        JOIN (SELECT l_partkey, sum(l_quantity) AS sq, count(*) AS cnt
+              FROM '{sf_small}/lineitem.parquet' GROUP BY 1) pa
+          ON pa.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND 5 * l.l_quantity * pa.cnt < pa.sq""").df()
+    assert len(got17) == 1 and got17["avg_yearly"].iloc[0] > 0
+    pd.testing.assert_frame_equal(got17[exp17.columns], exp17,
+                                  check_exact=False, atol=1e-4)
+
+    got21 = relational.q21_waiting_suppliers(sf_small).to_pandas()
+    exp21 = con.execute(f"""
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM '{sf_small}/supplier.parquet' s
+        JOIN '{sf_small}/lineitem.parquet' l1
+          ON l1.l_suppkey = s.s_suppkey
+        JOIN '{sf_small}/orders.parquet' o
+          ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM '{sf_small}/lineitem.parquet' l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM '{sf_small}/lineitem.parquet' l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""").df()
+    assert len(got21) == len(exp21) > 0
+    pd.testing.assert_frame_equal(
+        got21[exp21.columns].reset_index(drop=True), exp21)
+
+    got22 = (relational.q22_idle_customers(sf_small).to_pandas()
+             .sort_values("c_nationkey").reset_index(drop=True))
+    exp22 = con.execute(f"""
+        SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(c.c_acctbal), 4) AS totacctbal
+        FROM '{sf_small}/customer.parquet' c
+        WHERE c.c_acctbal > (
+            SELECT avg(c_acctbal) FROM '{sf_small}/customer.parquet'
+            WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM '{sf_small}/orders.parquet' o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+        GROUP BY 1 ORDER BY 1""").df()
+    assert len(got22) == len(exp22) > 0
+    pd.testing.assert_frame_equal(got22[exp22.columns], exp22,
+                                  check_exact=False, atol=1e-9)
+
+
+def test_q15_q21_q22_exchange_matches_broadcast(ray_session, sf_small,
+                                                monkeypatch):
+    """Forcing the co-partitioned exchange route through the size-guarded
+    attaches must reproduce the broadcast-route results exactly (same pin
+    as the earlier TPC-H waves; q15/q21/q22 exercise _attach_dim,
+    _semi_filter and the anti probe)."""
+    def run_all():
+        return {
+            "q15": (relational.q15_top_supplier(sf_small).to_pandas()
+                    .reset_index(drop=True)),
+            "q21": (relational.q21_waiting_suppliers(sf_small).to_pandas()
+                    .reset_index(drop=True)),
+            "q22": (relational.q22_idle_customers(sf_small).to_pandas()
+                    .sort_values("c_nationkey").reset_index(drop=True)),
+            "q17": (relational.q17_small_quantity_revenue(sf_small)
+                    .to_pandas().reset_index(drop=True)),
+        }
+
+    bcast = run_all()
+    monkeypatch.setattr(relational, "DIM_BROADCAST_BYTES", 0)
+    exch = run_all()
+    for k in bcast:
+        pd.testing.assert_frame_equal(bcast[k], exch[k][bcast[k].columns],
+                                      check_exact=False, atol=1e-9)
