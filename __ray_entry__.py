@@ -226,6 +226,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_autocorr_moments": ev.autocorr_moments,
         "events_mad_outliers": ev.mad_outliers,
         "events_rle_segments": ev.rle_segments,
+        "events_paa_8": ev.paa,
+        "events_haar_8": ev.haar_8,
+        "events_sax_symbols": ev.sax_symbols,
         "events_quantile_bands_1h": lambda sf: ev.quantile_bands(sf, "1h"),
         "events_drawdown": ev.drawdown,
         "events_rolling_5": ev.rolling_window,
@@ -2204,6 +2207,88 @@ SELECT event_type, bucket_ms, CAST(n AS BIGINT) AS n,
        CAST(max(CASE WHEN rk = ((n - 1) * 95 + 99) // 100 THEN c END)
             AS BIGINT) AS p95_cents
 FROM r GROUP BY event_type, bucket_ms, n
+""",
+        # Piecewise Aggregate Approximation: 8 equal-count positional
+        # segments per user, exact integer segment sums (callers divide
+        # for the PAA mean)
+        "events_paa_8": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT user_id, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_us) - 1
+           AS idx,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM p
+)
+SELECT user_id, CAST(idx * 8 // n AS BIGINT) AS seg,
+       CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(c) AS BIGINT) AS sum_cents
+FROM r GROUP BY user_id, seg
+""",
+        # unnormalized Haar wavelet coefficients over each user's
+        # 8-segment PAA sum vector (users with >= 8 events)
+        "events_haar_8": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT user_id, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_us) - 1
+           AS idx,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM p
+), segs AS (
+  SELECT user_id, idx * 8 // n AS seg, sum(c) AS s
+  FROM r WHERE n >= 8 GROUP BY user_id, seg
+), w AS (
+  SELECT user_id,
+         max(CASE WHEN seg = 0 THEN s END) AS s0,
+         max(CASE WHEN seg = 1 THEN s END) AS s1,
+         max(CASE WHEN seg = 2 THEN s END) AS s2,
+         max(CASE WHEN seg = 3 THEN s END) AS s3,
+         max(CASE WHEN seg = 4 THEN s END) AS s4,
+         max(CASE WHEN seg = 5 THEN s END) AS s5,
+         max(CASE WHEN seg = 6 THEN s END) AS s6,
+         max(CASE WHEN seg = 7 THEN s END) AS s7
+  FROM segs GROUP BY user_id
+)
+SELECT user_id,
+       CAST(s0+s1+s2+s3+s4+s5+s6+s7 AS BIGINT) AS a0,
+       CAST((s0+s1+s2+s3) - (s4+s5+s6+s7) AS BIGINT) AS d1,
+       CAST((s0+s1) - (s2+s3) AS BIGINT) AS d2_0,
+       CAST((s4+s5) - (s6+s7) AS BIGINT) AS d2_1,
+       CAST(s0 - s1 AS BIGINT) AS d3_0,
+       CAST(s2 - s3 AS BIGINT) AS d3_1,
+       CAST(s4 - s5 AS BIGINT) AS d3_2,
+       CAST(s6 - s7 AS BIGINT) AS d3_3
+FROM w
+""",
+        # SAX-style rank-breakpoint symbols: per (user, quartile symbol)
+        # the count and the number of time-order runs
+        "events_sax_symbols": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT user_id, ts_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY c, ts_us) - 1
+           AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM p
+), s AS (
+  SELECT user_id, ts_us, rk * 4 // n AS sym FROM r
+), t AS (
+  SELECT user_id, ts_us, sym,
+         lag(sym) OVER (PARTITION BY user_id ORDER BY ts_us) AS ps
+  FROM s
+)
+SELECT user_id, CAST(sym AS BIGINT) AS sym,
+       CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(CASE WHEN ps IS NULL OR sym <> ps THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_runs
+FROM t GROUP BY user_id, sym
 """,
         # max peak-to-trough drawdown per user: running max - current,
         # grouped max — exact integers

@@ -3582,3 +3582,157 @@ def stickiness(sf_dir: str):
 
     return hash_exchange(per_part, key_fn=month_key, n_parts=N_PARTS,
                          kernel=merge, fmt="pandas")
+
+
+def paa(sf_dir: str, k: int = 8):
+    """Piecewise Aggregate Approximation (Keogh et al.): each user's
+    event-time-ordered value series splits into ``k`` equal-count
+    positional segments (``seg = idx·k // n`` — the ntile convention) and
+    each segment reports its exact integer cent sum and count.  Callers
+    divide for the classic PAA mean; the engine never rounds a float.
+    One user-hash exchange of (user, ts, cents) rows; the kernel is one
+    stable sort + reduceat over contiguous (user, seg) groups."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "seg", "n_pts", "sum_cents"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        u = df["user_id"].to_numpy()
+        c = df["c"].to_numpy().astype(np.int64)
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        ustarts = np.flatnonzero(new_user)
+        n_per = np.diff(np.append(ustarts, len(u))).astype(np.int64)
+        start_of = np.repeat(ustarts, n_per)
+        n_of = np.repeat(n_per, n_per)
+        idx = np.arange(len(u), dtype=np.int64) - start_of
+        seg = idx * k // n_of
+        gstart = np.concatenate(
+            ([True], new_user[1:] | (seg[1:] != seg[:-1])))
+        gs = np.flatnonzero(gstart)
+        return pd.DataFrame({
+            "user_id": u[gs],
+            "seg": seg[gs],
+            "n_pts": np.diff(np.append(gs, len(u))).astype(np.int64),
+            "sum_cents": np.add.reduceat(c, gs).astype(np.int64)})[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def haar_8(sf_dir: str):
+    """Unnormalized Haar wavelet decomposition of each user's 8-segment
+    PAA sum vector (users with ≥ 8 events so every segment is non-empty):
+    the approximation coefficient is the total, the detail coefficients
+    are pairwise block differences at the three dyadic levels — all exact
+    int64 sums/differences of cents (the usual 1/√2 scaling is a
+    presentation-time constant).  Shares the :func:`paa` kernel shape;
+    one user-hash exchange, per-user coefficients fold from the 8
+    contiguous segment sums."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "a0", "d1", "d2_0", "d2_1",
+                "d3_0", "d3_1", "d3_2", "d3_3"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        u = df["user_id"].to_numpy()
+        c = df["c"].to_numpy().astype(np.int64)
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        ustarts = np.flatnonzero(new_user)
+        n_per = np.diff(np.append(ustarts, len(u))).astype(np.int64)
+        keep = n_per >= 8
+        if not keep.any():
+            return pd.DataFrame({col: np.array([], dtype=np.int64)
+                                 for col in cols})
+        start_of = np.repeat(ustarts, n_per)
+        n_of = np.repeat(n_per, n_per)
+        idx = np.arange(len(u), dtype=np.int64) - start_of
+        seg = idx * 8 // n_of
+        gstart = np.concatenate(
+            ([True], new_user[1:] | (seg[1:] != seg[:-1])))
+        gs = np.flatnonzero(gstart)
+        sums = np.add.reduceat(c, gs)
+        gu = u[gs]
+        # users with ≥8 events contribute exactly 8 segment rows, in
+        # seg order — reshape their contiguous block
+        guserstart = np.concatenate(([True], gu[1:] != gu[:-1]))
+        per_user_segs = np.diff(
+            np.append(np.flatnonzero(guserstart), len(gu)))
+        full = np.repeat(per_user_segs == 8, per_user_segs)
+        s = sums[full].reshape(-1, 8)
+        uid = gu[full][::8]
+        b4 = s.reshape(-1, 4, 2).sum(axis=2)      # 4 blocks of 2
+        b2 = b4.reshape(-1, 2, 2).sum(axis=2)     # 2 blocks of 4
+        return pd.DataFrame({
+            "user_id": uid,
+            "a0": s.sum(axis=1),
+            "d1": b2[:, 0] - b2[:, 1],
+            "d2_0": b4[:, 0] - b4[:, 1],
+            "d2_1": b4[:, 2] - b4[:, 3],
+            "d3_0": s[:, 0] - s[:, 1],
+            "d3_1": s[:, 2] - s[:, 3],
+            "d3_2": s[:, 4] - s[:, 5],
+            "d3_3": s[:, 6] - s[:, 7]})[cols].astype(np.int64)
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def sax_symbols(sf_dir: str, a: int = 4):
+    """SAX-style symbolic discretization with rank (empirical-CDF)
+    breakpoints instead of the classic Gaussian ones: each event's symbol
+    is its value-rank quartile within the user (``sym = rank·a // n``,
+    ties broken by timestamp so the order is total and exact), then per
+    (user, symbol) the count and the number of time-order runs — the
+    symbol histogram plus the temporal clustering signal.  Rank
+    breakpoints keep every comparison on int64 (z-normalized Gaussian
+    breakpoints would put values exactly on float boundaries).  One
+    user-hash exchange; rank assignment is one lexsort scatter."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "sym", "n_pts", "n_runs"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        u = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy().astype(np.int64)
+        c = df["c"].to_numpy().astype(np.int64)
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        ustarts = np.flatnonzero(new_user)
+        n_per = np.diff(np.append(ustarts, len(u))).astype(np.int64)
+        start_of = np.repeat(ustarts, n_per)
+        n_of = np.repeat(n_per, n_per)
+        # value rank within user, ties by ts (rows are already in
+        # (user, ts) order so the lexsort is stable on ties)
+        vorder = np.lexsort((ts, c, u))
+        rank = np.empty(len(u), dtype=np.int64)
+        rank[vorder] = np.arange(len(u), dtype=np.int64) - start_of
+        sym = rank * a // n_of
+        # time-order runs of equal consecutive symbols per user
+        run_start = new_user | np.concatenate(([True], sym[1:] != sym[:-1]))
+        key = u * np.int64(a) + sym
+        out = pd.DataFrame({"user_id": u, "sym": sym,
+                            "rs": run_start.astype(np.int64), "key": key})
+        g = out.groupby("key", sort=False)
+        first = g[["user_id", "sym"]].first()
+        return pd.DataFrame({
+            "user_id": first["user_id"].to_numpy(),
+            "sym": first["sym"].to_numpy(),
+            "n_pts": g.size().to_numpy().astype(np.int64),
+            "n_runs": g["rs"].sum().to_numpy().astype(np.int64)})[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

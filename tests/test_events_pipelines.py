@@ -1985,3 +1985,81 @@ SELECT a.month, a.sum_dau, b.mau, a.n_days FROM a JOIN b USING (month)
     got = ev.stickiness(sf).to_pandas()
     assert (got["mau"] <= got["sum_dau"]).all()  # every user has >=1 day
     assert (got["sum_dau"] <= got["mau"] * got["n_days"]).all()
+
+
+def test_paa_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.paa(sf), """
+WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+r AS (SELECT user_id, c,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts_us) - 1
+               AS idx,
+             count(*) OVER (PARTITION BY user_id) AS n FROM p)
+SELECT user_id, CAST(idx * 8 // n AS BIGINT) AS seg,
+       CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(c) AS BIGINT) AS sum_cents
+FROM r GROUP BY user_id, seg
+""", sf, ["user_id", "seg"])
+    got = ev.paa(sf).to_pandas()
+    # segment counts per user differ by at most 1 (equal-count split)
+    spread = got.groupby("user_id")["n_pts"].agg(["min", "max"])
+    assert (spread["max"] - spread["min"] <= 1).all()
+
+
+def test_haar_vs_duckdb_and_invertible(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = ev.haar_8(sf).to_pandas().sort_values("user_id")
+    paa = ev.paa(sf).to_pandas()
+    # every user with >=8 events appears exactly once
+    n_users = (paa.groupby("user_id")["n_pts"].sum() >= 8).sum()
+    assert len(got) == n_users
+    # invertibility: the coefficient pyramid reconstructs the segment sums
+    segs = (paa.pivot(index="user_id", columns="seg", values="sum_cents")
+            .loc[got["user_id"]])
+    b2_0 = (got["a0"] + got["d1"]) // 2
+    b2_1 = (got["a0"] - got["d1"]) // 2
+    b4_0 = (b2_0 + got["d2_0"]) // 2
+    b4_1 = (b2_0 - got["d2_0"]) // 2
+    s0 = (b4_0 + got["d3_0"]) // 2
+    s1 = (b4_0 - got["d3_0"]) // 2
+    np.testing.assert_array_equal(s0.to_numpy(), segs[0].to_numpy())
+    np.testing.assert_array_equal(s1.to_numpy(), segs[1].to_numpy())
+    np.testing.assert_array_equal(
+        (b4_1 + got["d3_1"]).to_numpy() // 2, segs[2].to_numpy())
+    # s4 = (b2_1 + d2_1 + 2·d3_2) / 4  (b2_1+d2_1 = 2(s4+s5))
+    np.testing.assert_array_equal(
+        (b2_1 + got["d2_1"] + 2 * got["d3_2"]).to_numpy() // 4,
+        segs[4].to_numpy())
+    # total conservation
+    np.testing.assert_array_equal(
+        got["a0"].to_numpy(),
+        segs.sum(axis=1).to_numpy().astype(np.int64))
+
+
+def test_sax_symbols_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.sax_symbols(sf), """
+WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+r AS (SELECT user_id, ts_us,
+             row_number() OVER (PARTITION BY user_id ORDER BY c, ts_us)
+               - 1 AS rk,
+             count(*) OVER (PARTITION BY user_id) AS n FROM p),
+s AS (SELECT user_id, ts_us, rk * 4 // n AS sym FROM r),
+t AS (SELECT user_id, ts_us, sym,
+             lag(sym) OVER (PARTITION BY user_id ORDER BY ts_us) AS ps
+      FROM s)
+SELECT user_id, CAST(sym AS BIGINT) AS sym,
+       CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(CASE WHEN ps IS NULL OR sym <> ps THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_runs
+FROM t GROUP BY user_id, sym
+""", sf, ["user_id", "sym"])
+    got = ev.sax_symbols(sf).to_pandas()
+    assert (got["n_runs"] >= 1).all() and (
+        got["n_runs"] <= got["n_pts"]).all()
+    # rank quartiles: per-user symbol counts differ by at most 1
+    spread = got.groupby("user_id")["n_pts"].agg(["min", "max", "count"])
+    full = spread["count"] == 4
+    assert (spread.loc[full, "max"] - spread.loc[full, "min"] <= 1).all()
