@@ -178,8 +178,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "q22_idle_customers": relational.q22_idle_customers,
+        "q8_market_share": relational.q8_market_share,
+        "q9_profit": relational.q9_profit,
         # — training-data ops: text analysis —
         "docs_token_stats": docs.token_stats,
+        "docs_ttr_hapax": docs.ttr_hapax,
+        "docs_incremental_dedup": docs.incremental_dedup,
         "docs_sentence_stats": docs.sentence_stats,
         "docs_quality": docs.quality,
         "docs_lang_id": docs.lang_id,
@@ -229,6 +233,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_paa_8": ev.paa,
         "events_haar_8": ev.haar_8,
         "events_sax_symbols": ev.sax_symbols,
+        "events_pareto_curve": ev.pareto_curve,
         "events_quantile_bands_1h": lambda sf: ev.quantile_bands(sf, "1h"),
         "events_drawdown": ev.drawdown,
         "events_rolling_5": ev.rolling_window,
@@ -1518,6 +1523,42 @@ WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
                     AND o.o_orderdate >= TIMESTAMP '2000-07-01')
 GROUP BY 1
 """,
+        # TPC-H Q8 shape: one nation's market share of a part-type market
+        # in a region, by year (exact revenue components — the share
+        # division is presentation-time)
+        "q8_market_share": """
+SELECT year(o.o_orderdate) AS o_year,
+       round(sum(CASE WHEN s.s_nationkey = 3
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END), 4) AS nation_revenue,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+         AS total_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_type LIKE 'PROMO%' AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+        # TPC-H Q9 shape: profit per (supplier nation, order year) with
+        # p_retailprice as the unit-cost proxy (no partsupp in the lake)
+        "q9_profit": """
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - p.p_retailprice * l.l_quantity), 4) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%a%'
+GROUP BY 1, 2
+""",
         # TPC-H Q6 shape: scalar aggregate under a pushed multi-predicate
         "q6_forecast_revenue": """
 SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
@@ -1857,6 +1898,49 @@ SELECT sh.doc_id, CAST(count(DISTINCT sh.s) AS BIGINT) AS n_shared
 FROM sh JOIN split USING (doc_id) JOIN eval_sh USING (s)
 WHERE NOT is_eval
 GROUP BY sh.doc_id
+""",
+        # incremental exact dedup: NEW docs (md5 bucket >= 50) assigned
+        # against the OLD corpus's per-digest survivor index — equals the
+        # single-shot dedup assignment for those docs
+        "docs_incremental_dedup": """
+WITH b AS (
+  SELECT doc_id, text,
+         md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 AS bucket
+  FROM documents
+), old AS (
+  SELECT text, min(doc_id) AS old_id FROM b WHERE bucket < 50
+  GROUP BY text
+), new AS (
+  SELECT doc_id, text FROM b WHERE bucket >= 50
+), newmin AS (
+  SELECT text, min(doc_id) AS mn FROM new GROUP BY text
+)
+SELECT n.doc_id,
+       CAST(least(COALESCE(o.old_id, nm.mn), nm.mn) AS BIGINT)
+         AS survivor_id,
+       CAST(CASE WHEN o.old_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS new_digest
+FROM new n JOIN newmin nm USING (text) LEFT JOIN old o USING (text)
+""",
+        # lexical diversity: per-doc total / distinct / hapax token
+        # counts (TTR numerators, case-sensitive [A-Za-z0-9]+ tokens)
+        "docs_ttr_hapax": """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, tok, count(*) AS k FROM t GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+  FROM c GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_distinct, 0) AS n_distinct,
+       COALESCE(a.n_hapax, 0) AS n_hapax
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
         # Gopher-style repetition signals: token 2-grams from the same
         # [A-Za-z0-9]+ tokenization; one f64 division per doc, half-away
@@ -2264,6 +2348,24 @@ SELECT user_id,
        CAST(s4 - s5 AS BIGINT) AS d3_2,
        CAST(s6 - s7 AS BIGINT) AS d3_3
 FROM w
+""",
+        # global Pareto curve: users ranked by total cents desc with the
+        # running cumulative total (distributed ordered prefix-scan)
+        "events_pareto_curve": """
+WITH t AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS tot_cents
+  FROM events GROUP BY 1
+)
+SELECT user_id,
+       CAST(row_number() OVER (ORDER BY tot_cents DESC, user_id)
+            AS BIGINT) AS rnk,
+       tot_cents,
+       CAST(sum(tot_cents) OVER (ORDER BY tot_cents DESC, user_id
+                                 ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_cents
+FROM t
 """,
         # SAX-style rank-breakpoint symbols: per (user, quartile symbol)
         # the count and the number of time-order runs

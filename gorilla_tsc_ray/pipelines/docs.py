@@ -701,15 +701,21 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
         kernel=init_labels, fmt="pandas")
 
     def propose(e: pd.DataFrame, lab: pd.DataFrame) -> pd.DataFrame:
+        # lab arrives pre-filtered to last round's CHANGED labels (the
+        # delta filter runs BEFORE the exchange, so converged regions
+        # ship nothing at all — not even rows the kernel would discard)
+        m = e.merge(lab[["node", "label"]], left_on="src",
+                    right_on="node", how="inner")
+        return pd.DataFrame({"dst": m["dst"], "label": m["label"]})
+
+    def changed_only(df: pd.DataFrame) -> pd.DataFrame:
         # DELTA propagation: a node's label can only improve when a
         # neighbour's label changed last round, so only changed labels
         # generate proposals — converged regions go quiet and late rounds
         # ship a vanishing message volume (same fixpoint, standard
         # argument: the min over a neighbourhood is reached through some
         # chain of strictly-improving updates)
-        src_lab = lab.loc[lab["changed"] == 1, ["node", "label"]]
-        m = e.merge(src_lab, left_on="src", right_on="node", how="inner")
-        return pd.DataFrame({"dst": m["dst"], "label": m["label"]})
+        return df.loc[df["changed"] == 1, ["node", "label"]]
 
     def merge_labels(lab: pd.DataFrame, prop: pd.DataFrame) -> pd.DataFrame:
         cat = pd.concat(
@@ -732,9 +738,10 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
 
     converged = False
     for _ in range(max_iters):
+        delta = labels.map_batches(changed_only, batch_format="pandas")
         proposals = hash_exchange_multi(
             [edges_pre,
-             (labels, _pair_hash_key(["node"], n_parts))],
+             (delta, _pair_hash_key(["node"], n_parts))],
             n_parts=n_parts, kernel=propose, fmt="pandas")
         labels = hash_exchange_multi(
             [(labels, _pair_hash_key(["node"], n_parts)),
@@ -1982,3 +1989,120 @@ def sentence_stats(sf_dir: str):
     integer outputs."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         tx.sentence_stats_arrow, batch_format="pyarrow")
+
+
+def ttr_hapax(sf_dir: str):
+    """Lexical-diversity audit: per doc the total token count, the
+    case-sensitive distinct token count and the hapax count (tokens
+    occurring exactly once in the doc) — the type-token-ratio numerators
+    a corpus-quality dashboard divides at presentation time (the engine
+    never rounds a float).  Map-only over the shared packed-word
+    tokenizer's integer codes; distincts are one unique over the
+    (doc, code) composite, never object-dtype token arrays."""
+    tune_context()
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        n_docs = len(df)
+        if n_docs == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in ["doc_id", "n_tokens",
+                                           "n_distinct", "n_hapax"]})
+        uniq, codes, lens = dd.unique_tokens(df["text"])
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        if len(codes):
+            key = doc_of * np.int64(len(uniq)) + codes
+            pairs, counts = np.unique(key, return_counts=True)
+            pair_doc = (pairs // np.int64(len(uniq))).astype(np.int64)
+            n_distinct = np.bincount(pair_doc, minlength=n_docs)
+            n_hapax = np.bincount(pair_doc[counts == 1],
+                                  minlength=n_docs)
+        else:
+            n_distinct = np.zeros(n_docs, dtype=np.int64)
+            n_hapax = np.zeros(n_docs, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tokens": np.asarray(lens, dtype=np.int64),
+            "n_distinct": n_distinct.astype(np.int64),
+            "n_hapax": n_hapax.astype(np.int64)})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        audit, batch_format="pandas")
+
+
+def incremental_dedup(sf_dir: str, old_cut: int = 50):
+    """Incremental exact dedup — the ingest-append shape at 100 TB: a NEW
+    batch of documents (md5 split bucket ≥ ``old_cut``, the hash_split
+    convention) dedups against an EXISTING corpus (bucket < ``old_cut``)
+    without re-pairing old-vs-old.  The old side contributes only its
+    per-digest (digest, min_doc_id) survivor summary — at scale that is
+    the dedup index a lakehouse keeps, not a rescan (here it folds from
+    the old docs with the exact_dedup kernel).  ONE digest co-partition of
+    {old survivor summary} × {new (digest, doc_id)} assigns every new doc
+    ``survivor_id = min(old survivor, min new id sharing the digest)`` and
+    flags digests never seen in the old corpus — bit-equal to what a
+    single-shot dedup over old+new would assign the new docs."""
+    tune_context()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = dd.add_digest(df)[["digest", "doc_id"]]
+        out["bucket"] = _md5_bucket(df["doc_id"].to_numpy())
+        return out
+
+    rows = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tag, batch_format="pandas")
+    old = rows.map_batches(
+        lambda df: df.loc[df["bucket"] < old_cut, ["digest", "doc_id"]],
+        batch_format="pandas")
+    new = rows.map_batches(
+        lambda df: df.loc[df["bucket"] >= old_cut, ["digest", "doc_id"]],
+        batch_format="pandas")
+
+    def old_summary(df: pd.DataFrame) -> pd.DataFrame:
+        # per-digest min old id (the persisted dedup-index row)
+        dig = df["digest"].to_numpy().astype(np.uint64)
+        ids = df["doc_id"].to_numpy()
+        order = np.lexsort((ids, dig))
+        dig, ids = dig[order], ids[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], dig[1:] != dig[:-1])))
+        return pd.DataFrame({"digest": dig[starts], "old_id": ids[starts]})
+
+    index = hash_exchange(old, key_fn=_pair_hash_key(["digest"]),
+                          n_parts=N_DOC_PARTS, kernel=old_summary,
+                          fmt="pandas")
+
+    def assign(idx: pd.DataFrame, nw: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "survivor_id", "new_digest"]
+        if len(nw) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        dig = nw["digest"].to_numpy().astype(np.uint64)
+        ids = nw["doc_id"].to_numpy()
+        order = np.lexsort((ids, dig))
+        dig_s, ids_s = dig[order], ids[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], dig_s[1:] != dig_s[:-1])))
+        sizes = np.diff(np.append(starts, len(dig_s)))
+        min_new = np.repeat(ids_s[starts], sizes)  # per-row group min
+        # probe the old index (sorted searchsorted membership)
+        okeys = np.sort(idx["digest"].to_numpy().astype(np.uint64))
+        oids = idx["old_id"].to_numpy()[
+            np.argsort(idx["digest"].to_numpy().astype(np.uint64),
+                       kind="stable")]
+        pos = np.searchsorted(okeys, dig_s)
+        pos_c = np.minimum(pos, max(len(okeys) - 1, 0))
+        hit = (okeys[pos_c] == dig_s) if len(okeys) else np.zeros(
+            len(dig_s), dtype=bool)
+        survivor = min_new.copy()
+        if hit.any():
+            survivor[hit] = np.minimum(min_new[hit], oids[pos_c[hit]])
+        out = pd.DataFrame({
+            "doc_id": ids_s,
+            "survivor_id": survivor.astype(np.int64),
+            "new_digest": (~hit).astype(np.int64)})
+        return out[cols]
+
+    return hash_exchange_multi(
+        [(index, _pair_hash_key(["digest"])),
+         (new, _pair_hash_key(["digest"]))],
+        n_parts=N_DOC_PARTS, kernel=assign, fmt="pandas")

@@ -3736,3 +3736,69 @@ def sax_symbols(sf_dir: str, a: int = 4):
 
     return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def pareto_curve(sf_dir: str):
+    """Global Pareto (cumulative-share) curve: users ranked by total
+    cents descending with the running cumulative total — "the top k users
+    carry X % of volume".  This is an ORDERED GLOBAL PREFIX-SCAN, which
+    the Dataset API cannot express, so after the per-user totals fold and
+    the distributed sort it drops to raw Ray tasks (SURVEY §2 custom-
+    operator route (c)): one tiny task per sorted block emits its (rows,
+    sum) partial, the driver folds ≤ #blocks scalars into exclusive
+    offsets (bounded driver materialization — one pair per BLOCK, never
+    per row), and a second task wave adds rank/cumsum columns shifted by
+    the block offset.  Partitioning assumption: `Dataset.sort` emits
+    range-partitioned blocks whose concatenation IS the total order
+    (ties broken by user_id, so the order is unique)."""
+    import ray
+    import ray.data
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("user_id", sort=False)["c"].sum()
+                .rename("tot_cents").reset_index())
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("user_id", sort=False)["tot_cents"].sum()
+               .reset_index())
+        out["tot_cents"] = out["tot_cents"].astype(np.int64)
+        return out
+
+    totals = hash_exchange(
+        rows.map_batches(partial, batch_format="pandas"),
+        key_fn=_user_key_fn(P), n_parts=P, kernel=merge, fmt="pandas")
+    ordered = totals.sort(["tot_cents", "user_id"],
+                          descending=[True, False]).materialize()
+    refs = ordered.to_arrow_refs()
+
+    @ray.remote
+    def block_stats(tbl):
+        import pyarrow.compute as _pc
+
+        return (tbl.num_rows,
+                int(_pc.sum(tbl["tot_cents"]).as_py() or 0))
+
+    stats = ray.get([block_stats.remote(r) for r in refs])
+    rank_off = np.concatenate(([0], np.cumsum([s[0] for s in stats])[:-1]))
+    sum_off = np.concatenate(([0], np.cumsum([s[1] for s in stats])[:-1]))
+
+    @ray.remote
+    def with_scan(tbl, r0: int, s0: int):
+        import pyarrow as _pa
+
+        tot = tbl.column("tot_cents").to_numpy(zero_copy_only=False)
+        rnk = np.arange(1, len(tot) + 1, dtype=np.int64) + np.int64(r0)
+        cum = np.cumsum(tot, dtype=np.int64) + np.int64(s0)
+        return _pa.table({
+            "user_id": tbl.column("user_id"),
+            "rnk": _pa.array(rnk),
+            "tot_cents": tbl.column("tot_cents"),
+            "cum_cents": _pa.array(cum)})
+
+    out_refs = [with_scan.remote(r, int(ro), int(so))
+                for r, ro, so in zip(refs, rank_off, sum_off)]
+    return ray.data.from_arrow_refs(out_refs)

@@ -1347,3 +1347,150 @@ def q22_idle_customers(sf_dir: str, cutoff: str = "2000-07-01"):
         idle.map_batches(partial, batch_format="pandas"),
         key_fn=_hash_key(["c_nationkey"]), n_parts=N_PARTS, kernel=merge,
         fmt="pandas")
+
+
+def q8_market_share(sf_dir: str, nation: int = 3, region: str = "ASIA",
+                    type_prefix: str = "PROMO",
+                    date_from: str = "1996-01-01",
+                    date_to: str = "1998-01-01"):
+    """TPC-H Q8 shape: one nation's market share of a part-type market in
+    one region, by order year — emitted as exact (nation_revenue,
+    total_revenue) components per year (the share division is a
+    presentation-time constant; a rounded ratio is hash-fragile).  The
+    type-filtered part keys semi-filter lineitem via the size-guarded
+    probe, supplier nation attaches the same way, the region customer set
+    rides the orders side, and the lineitem⋈orders equality is ONE
+    orderkey co-partition folding to ≤ years rows per partition."""
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.exchange import hash_exchange_multi
+
+    tune_context()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    region_keys = set(nat.loc[nat["n_regionkey"].isin(
+        reg.loc[reg["r_name"] == region, "r_regionkey"]), "n_nationkey"])
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: t.filter(pc.starts_with(t["p_type"], type_prefix))
+        .select(["p_partkey"]), batch_format="pyarrow")
+    lines = _semi_filter(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+               "l_discount"]),
+        parts, fact_key="l_partkey", dim_key="p_partkey")
+    lines = _attach_dim(
+        lines, _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        fact_key="l_suppkey", dim_key="s_suppkey",
+        out_cols=["s_nationkey"])
+
+    lo = _dt.datetime.fromisoformat(date_from)
+    hi = _dt.datetime.fromisoformat(date_to)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pads.field("o_orderdate") >= lo)
+                & (pads.field("o_orderdate") < hi)))
+    orders = _attach_dim(
+        orders, _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        fact_key="o_custkey", dim_key="c_custkey",
+        out_cols=["c_nationkey"])
+
+    def kernel(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        keep = np.isin(o["c_nationkey"].to_numpy(), list(region_keys))
+        m = l.merge(o.loc[keep, ["o_orderkey", "o_orderdate"]],
+                    left_on="l_orderkey", right_on="o_orderkey")
+        rev = (m["l_extendedprice"].to_numpy()
+               * (1.0 - m["l_discount"].to_numpy()))
+        year = pd.to_datetime(
+            m["o_orderdate"]).dt.year.to_numpy().astype(np.int64)
+        is_nat = (m["s_nationkey"].to_numpy() == nation)
+        return (pd.DataFrame({"o_year": year, "total": rev,
+                              "nation_rev": np.where(is_nat, rev, 0.0)})
+                .groupby("o_year", sort=False).sum().reset_index())
+
+    partials = hash_exchange_multi(
+        [(orders, _hash_key(["o_orderkey"])),
+         (lines, _hash_key(["l_orderkey"]))],
+        n_parts=N_PARTS, kernel=kernel, fmt="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_year", sort=False).sum().reset_index()
+        return pd.DataFrame({
+            "o_year": out["o_year"].to_numpy().astype(np.int64),
+            "nation_revenue": round_half_away(
+                out["nation_rev"].to_numpy(), 4),
+            "total_revenue": round_half_away(out["total"].to_numpy(), 4)})
+
+    return hash_exchange(partials, key_fn=_hash_key(["o_year"]),
+                         n_parts=N_PARTS, kernel=merge, fmt="pandas")
+
+
+def q9_profit(sf_dir: str, name_substr: str = "a"):
+    """TPC-H Q9 shape (the lake has no partsupp, so the unit cost proxy is
+    ``p_retailprice``): profit = Σ extprice·(1−disc) − retailprice·qty per
+    (supplier nation, order year) over parts whose name contains a
+    substring.  The filtered part dim (with its cost column) attaches
+    size-guarded and doubles as the semi filter (non-matching parts stay
+    null → dropped); supplier nation attaches the same way; the
+    lineitem⋈orders year hop rides ONE orderkey co-partition."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.exchange import hash_exchange_multi
+
+    tune_context()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nat_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    parts = _read(sf_dir, "part",
+                  ["p_partkey", "p_name", "p_retailprice"]).map_batches(
+        lambda t: t.filter(pc.match_substring(t["p_name"], name_substr))
+        .select(["p_partkey", "p_retailprice"]), batch_format="pyarrow")
+    lines = _attach_dim(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+               "l_extendedprice", "l_discount"]),
+        parts, fact_key="l_partkey", dim_key="p_partkey",
+        out_cols=["p_retailprice"])
+    lines = lines.map_batches(
+        lambda t: t.filter(pc.is_valid(t["p_retailprice"])),
+        batch_format="pyarrow")
+    lines = _attach_dim(
+        lines, _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        fact_key="l_suppkey", dim_key="s_suppkey",
+        out_cols=["s_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def kernel(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        m = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        amount = (m["l_extendedprice"].to_numpy()
+                  * (1.0 - m["l_discount"].to_numpy())
+                  - m["p_retailprice"].to_numpy()
+                  * m["l_quantity"].to_numpy())
+        year = pd.to_datetime(
+            m["o_orderdate"]).dt.year.to_numpy().astype(np.int64)
+        return (pd.DataFrame({"nk": m["s_nationkey"].to_numpy(),
+                              "o_year": year, "amount": amount})
+                .groupby(["nk", "o_year"], sort=False).sum().reset_index())
+
+    partials = hash_exchange_multi(
+        [(orders, _hash_key(["o_orderkey"])),
+         (lines, _hash_key(["l_orderkey"]))],
+        n_parts=N_PARTS, kernel=kernel, fmt="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["nk", "o_year"], sort=False)["amount"].sum()
+               .reset_index())
+        return pd.DataFrame({
+            "nation": out["nk"].map(nat_name),
+            "o_year": out["o_year"].to_numpy().astype(np.int64),
+            "sum_profit": round_half_away(out["amount"].to_numpy(), 4)})
+
+    return hash_exchange(partials, key_fn=_hash_key(["nk", "o_year"]),
+                         n_parts=N_PARTS, kernel=merge, fmt="pandas")

@@ -1040,3 +1040,64 @@ def test_sentence_stats(ray_session, sf_small):
     """).df().sort_values("doc_id").reset_index(drop=True)
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_ttr_hapax_vs_duckdb(ray_session):
+    got = _sorted(docs.ttr_hapax(SF).to_pandas(), ["doc_id"])
+    want = _sorted(_con().execute("""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, tok, count(*) AS k FROM t GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+  FROM c GROUP BY 1)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_distinct, 0) AS n_distinct,
+       COALESCE(a.n_hapax, 0) AS n_hapax
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""").df(), ["doc_id"])
+    pd.testing.assert_frame_equal(got, want[got.columns])
+    assert (got["n_hapax"] <= got["n_distinct"]).all()
+    assert (got["n_distinct"] <= got["n_tokens"]).all()
+    # hapax-count parity: n_tokens - n_distinct >= n of repeated types
+    assert ((got["n_tokens"] - got["n_distinct"])
+            >= (got["n_distinct"] - got["n_hapax"])).all()
+
+
+def test_incremental_dedup_equals_single_shot(ray_session):
+    """The incremental assignment for NEW docs must equal what the
+    single-shot dedup over old+new gives them, and the oracle SQL."""
+    got = _sorted(docs.incremental_dedup(SF).to_pandas(), ["doc_id"])
+    want = _sorted(_con().execute("""
+WITH b AS (
+  SELECT doc_id, text,
+         md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 AS bucket
+  FROM documents
+), old AS (
+  SELECT text, min(doc_id) AS old_id FROM b WHERE bucket < 50
+  GROUP BY text
+), new AS (SELECT doc_id, text FROM b WHERE bucket >= 50),
+newmin AS (SELECT text, min(doc_id) AS mn FROM new GROUP BY text)
+SELECT n.doc_id,
+       CAST(least(COALESCE(o.old_id, nm.mn), nm.mn) AS BIGINT)
+         AS survivor_id,
+       CAST(CASE WHEN o.old_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS new_digest
+FROM new n JOIN newmin nm USING (text) LEFT JOIN old o USING (text)
+""").df(), ["doc_id"])
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want[got.columns])
+    # cross-check vs the full single-shot survivor map restricted to new
+    full = _con().execute("""
+WITH g AS (SELECT text, min(doc_id) AS survivor FROM documents
+           GROUP BY text)
+SELECT d.doc_id, g.survivor FROM documents d JOIN g USING (text)
+WHERE md5_number_upper(CAST(d.doc_id AS VARCHAR)) % 100 >= 50
+""").df().sort_values("doc_id").reset_index(drop=True)
+    np.testing.assert_array_equal(got["survivor_id"].to_numpy(),
+                                  full["survivor"].to_numpy())

@@ -2063,3 +2063,29 @@ FROM t GROUP BY user_id, sym
     spread = got.groupby("user_id")["n_pts"].agg(["min", "max", "count"])
     full = spread["count"] == 4
     assert (spread.loc[full, "max"] - spread.loc[full, "min"] <= 1).all()
+
+
+def test_pareto_curve_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.pareto_curve(sf), """
+WITH t AS (SELECT user_id,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS tot_cents
+           FROM events GROUP BY 1)
+SELECT user_id,
+       CAST(row_number() OVER (ORDER BY tot_cents DESC, user_id)
+            AS BIGINT) AS rnk,
+       tot_cents,
+       CAST(sum(tot_cents) OVER (ORDER BY tot_cents DESC, user_id
+                                 ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_cents
+FROM t
+""", sf, ["rnk"])
+    got = ev.pareto_curve(sf).to_pandas().sort_values("rnk")
+    # prefix-scan invariants: ranks are 1..n, cumsum is the running total
+    assert (got["rnk"].to_numpy() == np.arange(1, len(got) + 1)).all()
+    np.testing.assert_array_equal(
+        got["cum_cents"].to_numpy(),
+        np.cumsum(got["tot_cents"].to_numpy()))
+    # sorted descending by total
+    assert (np.diff(got["tot_cents"].to_numpy()) <= 0).all()

@@ -548,3 +548,57 @@ def test_q15_q21_q22_exchange_matches_broadcast(ray_session, sf_small,
     for k in bcast:
         pd.testing.assert_frame_equal(bcast[k], exch[k][bcast[k].columns],
                                       check_exact=False, atol=1e-9)
+
+
+def test_q8_q9(ray_session, sf_small):
+    con = duckdb.connect()
+    got8 = (relational.q8_market_share(sf_small).to_pandas()
+            .sort_values("o_year").reset_index(drop=True))
+    exp8 = con.execute(f"""
+        SELECT year(o.o_orderdate) AS o_year,
+               round(sum(CASE WHEN s.s_nationkey = 3
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END), 4) AS nation_revenue,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                 AS total_revenue
+        FROM '{sf_small}/lineitem.parquet' l
+        JOIN '{sf_small}/part.parquet' p ON p.p_partkey = l.l_partkey
+        JOIN '{sf_small}/supplier.parquet' s
+          ON s.s_suppkey = l.l_suppkey
+        JOIN '{sf_small}/orders.parquet' o
+          ON o.o_orderkey = l.l_orderkey
+        JOIN '{sf_small}/customer.parquet' c
+          ON c.c_custkey = o.o_custkey
+        JOIN '{sf_small}/nation.parquet' n
+          ON n.n_nationkey = c.c_nationkey
+        JOIN '{sf_small}/region.parquet' r
+          ON r.r_regionkey = n.n_regionkey
+        WHERE p.p_type LIKE 'PROMO%' AND r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY 1""").df()
+    assert len(got8) == len(exp8) > 0
+    assert (got8["nation_revenue"] <= got8["total_revenue"]).all()
+    pd.testing.assert_frame_equal(got8[exp8.columns], exp8,
+                                  check_exact=False, atol=1e-9)
+
+    got9 = (relational.q9_profit(sf_small).to_pandas()
+            .sort_values(["nation", "o_year"]).reset_index(drop=True))
+    exp9 = con.execute(f"""
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)
+                         - p.p_retailprice * l.l_quantity), 4)
+                 AS sum_profit
+        FROM '{sf_small}/lineitem.parquet' l
+        JOIN '{sf_small}/part.parquet' p ON p.p_partkey = l.l_partkey
+        JOIN '{sf_small}/supplier.parquet' s
+          ON s.s_suppkey = l.l_suppkey
+        JOIN '{sf_small}/orders.parquet' o
+          ON o.o_orderkey = l.l_orderkey
+        JOIN '{sf_small}/nation.parquet' n
+          ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%a%'
+        GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    assert len(got9) == len(exp9) > 0
+    pd.testing.assert_frame_equal(got9[exp9.columns], exp9,
+                                  check_exact=False, atol=1e-6)
