@@ -184,6 +184,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_stats": docs.token_stats,
         "docs_ttr_hapax": docs.ttr_hapax,
         "docs_incremental_dedup": docs.incremental_dedup,
+        "docs_triangle_counts": docs.triangle_counts,
         "docs_sentence_stats": docs.sentence_stats,
         "docs_quality": docs.quality,
         "docs_lang_id": docs.lang_id,
@@ -1782,6 +1783,38 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY text
 """,
         "docs_simhash_pairs": _simhash_sql(),
+        # per-node triangle counts over the n-gram near-dup graph
+        # (same exhaustive pair truth as docs_ngram_jaccard)
+        "docs_triangle_counts": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM t
+), pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shs, b.shs)) * 1.0 /
+        greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) >= 0.5
+), e AS (
+  SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM pr GROUP BY 1, 2
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), nodes AS (
+  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY 1
+""",
         # transitive closure over the simhash pair graph (exhaustive at
         # Hamming <= 3, so clustering is exactly mirrorable)
         "docs_simhash_clusters": (

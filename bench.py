@@ -155,6 +155,7 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
     # shapes) — timed into a SEPARATE section so the headline `value`
     # stays comparable across rounds
     from gorilla_tsc_ray.pipelines import docs
+    from gorilla_tsc_ray.pipelines import relational
     docs_queries = {}
 
     def timed_docs(name, fn):
@@ -208,6 +209,16 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
     timed_extra("docs_dsir_weights",
                 lambda: docs.dsir_weights(sf_dir).count())
     timed_extra("emb_pq_codes", lambda: docs.emb_pq_codes(sf_dir).count())
+    # round-4 continuation families
+    timed_extra("events_paa_8", lambda: ev.paa(sf_dir).count())
+    timed_extra("events_sax_symbols",
+                lambda: ev.sax_symbols(sf_dir).count())
+    timed_extra("events_pareto_curve",
+                lambda: ev.pareto_curve(sf_dir).count())
+    timed_extra("docs_incremental_dedup",
+                lambda: docs.incremental_dedup(sf_dir).count())
+    timed_extra("q21_waiting_suppliers",
+                lambda: relational.q21_waiting_suppliers(sf_dir).count())
 
     # continuous-aggregate append: fold the second event-time half into a
     # first-half store vs rebuilding from scratch (single run each — store

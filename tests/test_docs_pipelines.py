@@ -1101,3 +1101,55 @@ WHERE md5_number_upper(CAST(d.doc_id AS VARCHAR)) % 100 >= 50
 """).df().sort_values("doc_id").reset_index(drop=True)
     np.testing.assert_array_equal(got["survivor_id"].to_numpy(),
                                   full["survivor"].to_numpy())
+
+
+def test_triangle_counts_vs_bruteforce(ray_session, tmp_path):
+    """Per-node triangle counts on a dense synthetic corpus equal the
+    brute-force adjacency-intersection count over the SAME pair source
+    (clique of 5 identical docs -> C(4,2)=6 per node, plus seeded
+    near-dup noise)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = ["alpha beta gamma delta eps zeta alpha beta"] * 5  # 5-clique
+    for _ in range(30):
+        texts.append(" ".join(rng.choice(vocab, size=8)))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+    }), str(tmp_path / "documents.parquet"))
+
+    sf = str(tmp_path)
+    pairs = docs.ngram_jaccard(sf, threshold=0.5).to_pandas()
+    a = np.minimum(pairs["id_a"], pairs["id_b"]).to_numpy()
+    b = np.maximum(pairs["id_a"], pairs["id_b"]).to_numpy()
+    E = set(zip(a.tolist(), b.tolist()))
+    adj: dict = {}
+    for x, y in E:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    got = (docs.triangle_counts(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # brute force: enumerate unique triangles, count per node
+    tris = set()
+    for x, y in E:
+        for z in adj[x] & adj[y]:
+            tris.add(tuple(sorted((x, y, z))))
+    per_node: dict = {}
+    for t in tris:
+        for n in t:
+            per_node[n] = per_node.get(n, 0) + 1
+    want = (pd.DataFrame({"doc_id": list(per_node),
+                          "n_triangles": list(per_node.values())})
+            .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    np.testing.assert_array_equal(got["doc_id"].to_numpy(),
+                                  want["doc_id"].to_numpy())
+    np.testing.assert_array_equal(got["n_triangles"].to_numpy(),
+                                  want["n_triangles"].to_numpy())
+    # the 5-clique: every member sits in C(4,2) = 6 triangles
+    clique = got.set_index("doc_id").loc[[0, 1, 2, 3, 4], "n_triangles"]
+    assert (clique >= 6).all()
