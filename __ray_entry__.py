@@ -140,6 +140,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_gapfill_1h": lambda sf: ingest.gapfill_tier(sf, "1h", "turn_count"),
         "transcripts_gap_quantiles": ingest.gap_quantiles,
         "transcripts_conv_stats": ingest.conv_stats,
+        "transcripts_conv_length_hist": ingest.conv_length_histogram,
         "transcripts_role_transitions": ingest.role_transitions,
         "transcripts_rollup_1h_wide": lambda sf: ingest.rollup_wide(sf, "1h"),
         # retention cascade gate: raw tier expired, range served from 1h
@@ -235,6 +236,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_haar_8": ev.haar_8,
         "events_sax_symbols": ev.sax_symbols,
         "events_pareto_curve": ev.pareto_curve,
+        "events_user_lifecycle": ev.user_lifecycle,
         "events_quantile_bands_1h": lambda sf: ev.quantile_bands(sf, "1h"),
         "events_drawdown": ev.drawdown,
         "events_rolling_5": ev.rolling_window,
@@ -1101,6 +1103,13 @@ FROM grid g LEFT JOIN r
 )
 SELECT cur_role, next_role, count(*) AS cnt
 FROM s WHERE next_role IS NOT NULL GROUP BY 1, 2
+""",
+        # conversation-length distribution (the transcripts Q13 shape)
+        "transcripts_conv_length_hist": tdedup + """
+, per AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+          FROM d GROUP BY 1)
+SELECT n_turns, CAST(count(*) AS BIGINT) AS n_convs
+FROM per GROUP BY 1
 """,
         # conversation-level feature table (fused dedup → aggregate)
         "transcripts_conv_stats": tdedup + """
@@ -2381,6 +2390,26 @@ SELECT user_id,
        CAST(s4 - s5 AS BIGINT) AS d3_2,
        CAST(s6 - s7 AS BIGINT) AS d3_3
 FROM w
+""",
+        # user lifecycle: first/last event, span, active days, churn flag
+        # vs the corpus max (exact integers)
+        "events_user_lifecycle": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), agg AS (
+  SELECT user_id,
+         CAST(min(ts_us) AS BIGINT) AS first_ts_us,
+         CAST(max(ts_us) AS BIGINT) AS last_ts_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT ts_us // 86400000000) AS BIGINT)
+           AS n_active_days
+  FROM p GROUP BY 1
+)
+SELECT user_id, first_ts_us, last_ts_us, n_events, n_active_days,
+       CAST(CASE WHEN last_ts_us < (SELECT max(ts_us) FROM p)
+                      - 30 * 86400000000 THEN 1 ELSE 0 END AS BIGINT)
+         AS churned
+FROM agg
 """,
         # global Pareto curve: users ranked by total cents desc with the
         # running cumulative total (distributed ordered prefix-scan)

@@ -3802,3 +3802,70 @@ def pareto_curve(sf_dir: str):
     out_refs = [with_scan.remote(r, int(ro), int(so))
                 for r, ro, so in zip(refs, rank_off, sum_off)]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def user_lifecycle(sf_dir: str, churn_days: int = 30):
+    """User lifecycle audit: first/last event time, active span, distinct
+    active days and a churn flag (no activity in the trailing
+    ``churn_days`` before the corpus max) — the lifecycle segmentation a
+    growth dashboard runs.  Per-batch (user, min, max, day-set partials)
+    fold through one user exchange; the corpus max folds from one row per
+    partition (bounded driver scalar, the q15 discipline)."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        ts_us = pc.cast(t["ts"], "int64")
+        return pa.table({"user_id": t.column("user_id"), "ts_us": ts_us})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "first_ts_us", "last_ts_us", "n_events",
+                "n_active_days"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        u = df["user_id"].to_numpy()
+        t = df["ts_us"].to_numpy().astype(np.int64)
+        day = t // np.int64(86_400_000_000)
+        order = np.lexsort((day, u))
+        us, ds_ = u[order], day[order]
+        new_u = np.concatenate(([True], us[1:] != us[:-1]))
+        new_day = new_u | np.concatenate(([True], ds_[1:] != ds_[:-1]))
+        grp = np.cumsum(new_u) - 1
+        g = pd.DataFrame({"u": u, "t": t}).groupby("u", sort=False)["t"]
+        agg = g.agg(["min", "max", "size"]).reset_index()
+        n_days = np.bincount(grp, weights=new_day).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": us[new_u],
+            "first_ts_us": agg.set_index("u").loc[us[new_u], "min"]
+            .to_numpy().astype(np.int64),
+            "last_ts_us": agg.set_index("u").loc[us[new_u], "max"]
+            .to_numpy().astype(np.int64),
+            "n_events": agg.set_index("u").loc[us[new_u], "size"]
+            .to_numpy().astype(np.int64),
+            "n_active_days": n_days})[cols]
+
+    per_user = hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                             kernel=kernel, fmt="pandas").materialize()
+
+    part_max = per_user.map_batches(
+        lambda df: pd.DataFrame(
+            {"m": [df["last_ts_us"].max() if len(df) else -1]}),
+        batch_format="pandas")
+    corpus_max = max(r["m"] for r in part_max.take_all())
+    cut = np.int64(corpus_max) - np.int64(churn_days) * 86_400_000_000
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["churned"] = (out["last_ts_us"].to_numpy()
+                          < cut).astype(np.int64)
+        return out
+
+    return per_user.map_batches(flag, batch_format="pandas")

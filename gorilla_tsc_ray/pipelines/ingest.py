@@ -1491,3 +1491,41 @@ def incremental_serve(sf_dir: str, tier: str = "1h"):
         return out[ROLLUP_COLS]
 
     return ds.map_batches(finalize, batch_format="pandas")
+
+
+def conv_length_histogram(sf_dir: str):
+    """Conversation-length distribution: how many conversations have
+    exactly n canonical turns (the transcripts Q13 shape — the corpus
+    profile a context-window planner reads).  Per-conv counts fold inside
+    the shuffle-free conv pass (convs never span buckets, so histogram
+    partials add exactly); one tiny n_turns exchange merges."""
+    from ..stages.exchange import hash_exchange
+    from ..stages.metrics import canonical_turns_arrow
+
+    def kernel(batch):
+        t = canonical_turns_arrow(batch)
+        conv = t["conv_id"].to_pandas().astype(str)
+        per = conv.groupby(conv, sort=False).size()
+        out = (per.groupby(per, sort=False).size()
+               .rename("n_convs").reset_index()
+               .rename(columns={"index": "n_turns"}))
+        out.columns = ["n_turns", "n_convs"]
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        out["n_convs"] = out["n_convs"].astype(np.int64)
+        return out
+
+    partials = _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+    def key_fn(tbl):
+        return (tbl.column("n_turns").to_numpy().astype(np.uint64)
+                % np.uint64(4)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("n_turns", sort=False)["n_convs"].sum()
+               .reset_index())
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        out["n_convs"] = out["n_convs"].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=4, kernel=merge,
+                         fmt="pandas")

@@ -2089,3 +2089,25 @@ FROM t
         np.cumsum(got["tot_cents"].to_numpy()))
     # sorted descending by total
     assert (np.diff(got["tot_cents"].to_numpy()) <= 0).all()
+
+
+def test_user_lifecycle_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.user_lifecycle(sf), """
+WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+agg AS (
+  SELECT user_id, CAST(min(ts_us) AS BIGINT) AS first_ts_us,
+         CAST(max(ts_us) AS BIGINT) AS last_ts_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT ts_us // 86400000000) AS BIGINT)
+           AS n_active_days
+  FROM p GROUP BY 1)
+SELECT user_id, first_ts_us, last_ts_us, n_events, n_active_days,
+       CAST(CASE WHEN last_ts_us < (SELECT max(ts_us) FROM p)
+                      - 30 * 86400000000 THEN 1 ELSE 0 END AS BIGINT)
+         AS churned
+FROM agg
+""", sf, ["user_id"])
+    got = ev.user_lifecycle(sf).to_pandas()
+    assert (got["first_ts_us"] <= got["last_ts_us"]).all()
+    assert (got["n_active_days"] <= got["n_events"]).all()

@@ -692,3 +692,21 @@ def test_append_to_store_idempotent_replay(ray_session, tmp_path):
     for t, a in before.items():
         pd.testing.assert_frame_equal(a, _load_store(incr, t)[a.columns],
                                       check_dtype=True)
+
+
+def test_conv_length_histogram(ray_session, sf_small):
+    from gorilla_tsc_ray.pipelines import ingest
+
+    got = (ingest.conv_length_histogram(sf_small).to_pandas()
+           .sort_values("n_turns").reset_index(drop=True))
+    stats = ingest.conv_stats(sf_small).to_pandas()
+    want = (stats.groupby("n_turns").size().rename("n_convs")
+            .reset_index().sort_values("n_turns")
+            .reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    np.testing.assert_array_equal(got["n_turns"].to_numpy(),
+                                  want["n_turns"].to_numpy())
+    np.testing.assert_array_equal(got["n_convs"].to_numpy(),
+                                  want["n_convs"].to_numpy())
+    # conservation: histogram mass = number of conversations
+    assert got["n_convs"].sum() == len(stats)
