@@ -237,6 +237,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_sax_symbols": ev.sax_symbols,
         "events_pareto_curve": ev.pareto_curve,
         "events_user_lifecycle": ev.user_lifecycle,
+        "events_type_counts_cms": ev.type_counts_cms,
         "events_quantile_bands_1h": lambda sf: ev.quantile_bands(sf, "1h"),
         "events_drawdown": ev.drawdown,
         "events_rolling_5": ev.rolling_window,
@@ -2390,6 +2391,12 @@ SELECT user_id,
        CAST(s4 - s5 AS BIGINT) AS d3_2,
        CAST(s6 - s7 AS BIGINT) AS d3_3
 FROM w
+""",
+        # count-min sketch type counts (exact below collision — the
+        # linear-merge sketch family's fourth member)
+        "events_type_counts_cms": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS est_count
+FROM events GROUP BY 1
 """,
         # user lifecycle: first/last event, span, active days, churn flag
         # vs the corpus max (exact integers)

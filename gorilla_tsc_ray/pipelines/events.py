@@ -3869,3 +3869,41 @@ def user_lifecycle(sf_dir: str, churn_days: int = 30):
         return out
 
     return per_user.map_batches(flag, batch_format="pandas")
+
+
+def type_counts_cms(sf_dir: str, d: int = 4, w: int = 256):
+    """Event-type counts via a COUNT-MIN sketch — the fourth mergeable
+    sketch family (after KLL quantiles, KMV distinct, Misra-Gries heavy
+    hitters): each batch folds to ≤ d·w flat (r, c, cnt) cells, partials
+    merge by plain addition (CMS is linear), and the point query takes
+    the min over rows.  EXACT whenever an item has ≥1 collision-free row
+    — which w ≫ distinct types guarantees here (deterministic seeds, so
+    exactness is a property of the key set, verified by the count(*)
+    oracle); the εN overestimate bound is gated in tests."""
+    from ..stages.sketch import cms_estimate, cms_rows
+
+    tune_context()
+    ds = _read_events(sf_dir, ["event_type"], _n_parts(sf_dir))
+
+    partials = ds.map_batches(
+        lambda df: cms_rows(df, item_col="event_type", d=d, w=w),
+        batch_format="pandas")
+    types = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"event_type": pd.unique(df["event_type"])}),
+        batch_format="pandas")
+
+    def kernel(cms: pd.DataFrame, ty: pd.DataFrame) -> pd.DataFrame:
+        merged = (cms.groupby(["r", "c"], sort=False)["cnt"].sum()
+                  .reset_index())
+        items = np.unique(ty["event_type"].to_numpy())
+        est = cms_estimate(merged, items, d=d, w=w)
+        return pd.DataFrame({"event_type": items,
+                             "est_count": est.astype(np.int64)})
+
+    from ..stages.exchange import hash_exchange_multi
+
+    zero = lambda t: np.zeros(t.num_rows, dtype=np.int64)  # noqa: E731
+    return hash_exchange_multi(
+        [(partials, zero), (types, zero)], n_parts=1, kernel=kernel,
+        fmt="pandas")

@@ -228,3 +228,62 @@ def misra_gries(df: pd.DataFrame, *, item_col: str, count_col: str | None,
     keep = cnt > 0
     return pd.DataFrame({item_col: np.asarray(uniq)[keep],
                          "cnt": cnt[keep]})
+
+
+# ---------- count-min sketch ----------
+
+_CMS_SEEDS = np.array([0xA076_1D64_78BD_642F, 0xE703_7ED1_A0B4_28DB,
+                       0x8EBC_6AF0_9C88_C6E3, 0x5899_65CC_7537_4CC3],
+                      dtype=np.uint64)
+
+
+def cms_rows(df: pd.DataFrame, *, item_col: str, d: int = 4,
+             w: int = 256) -> pd.DataFrame:
+    """Per-batch COUNT-MIN sketch as flat ``(r, c, cnt)`` rows — ≤ d·w
+    rows per batch however many items arrive.  CMS is LINEAR, so partials
+    from any batch split merge by PLAIN ADDITION (a groupby-sum exchange
+    kernel) — the mergeability discipline shared with KLL/KMV/MG.  Items
+    hash via the md5-prefix discipline (one md5 per UNIQUE string per
+    batch, then a code gather)."""
+    import hashlib
+
+    vals = df[item_col].astype(str)
+    uniq, codes = np.unique(vals.to_numpy(), return_inverse=True)
+    lut = np.fromiter(
+        (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
+         for u in uniq), dtype=np.uint64, count=len(uniq))
+    base = lut[codes]
+    out_r, out_c, out_n = [], [], []
+    for r in range(d):
+        col = (_splitmix(base ^ _CMS_SEEDS[r]) % np.uint64(w)).astype(
+            np.int64)
+        cnt = np.bincount(col, minlength=w)
+        nz = np.flatnonzero(cnt)
+        out_r.append(np.full(len(nz), r, dtype=np.int64))
+        out_c.append(nz.astype(np.int64))
+        out_n.append(cnt[nz].astype(np.int64))
+    return pd.DataFrame({"r": np.concatenate(out_r),
+                         "c": np.concatenate(out_c),
+                         "cnt": np.concatenate(out_n)})
+
+
+def cms_estimate(cms: pd.DataFrame, items: np.ndarray, *, d: int = 4,
+                 w: int = 256) -> np.ndarray:
+    """Point-query the merged sketch: est(item) = min over rows of the
+    hashed cell — exact when the item collides with nothing in at least
+    one row (guaranteed-ish at driver scale: w ≫ distinct items; the
+    overestimate bound εN otherwise)."""
+    import hashlib
+
+    grid = np.zeros((d, w), dtype=np.int64)
+    grid[cms["r"].to_numpy(), cms["c"].to_numpy()] = (
+        cms["cnt"].to_numpy())
+    base = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+         for i in items), dtype=np.uint64, count=len(items))
+    est = np.full(len(items), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(d):
+        col = (_splitmix(base ^ _CMS_SEEDS[r]) % np.uint64(w)).astype(
+            np.int64)
+        est = np.minimum(est, grid[r, col])
+    return est

@@ -200,3 +200,45 @@ def test_user_quantiles_heavy_key_auto_route(ray_session):
               .sort_values("user_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(exact, routed[exact.columns],
                                   check_exact=False, atol=1e-9)
+
+
+def test_cms_linearity_and_bound():
+    """CMS partials from any batch split merge by addition to the
+    whole-input sketch; point estimates never underestimate and respect
+    the eN/w overestimate bound."""
+    import pandas as pd
+
+    from gorilla_tsc_ray.stages.sketch import cms_estimate, cms_rows
+
+    rng = np.random.default_rng(3)
+    items = rng.choice([f"k{i}" for i in range(40)], size=5000,
+                       p=np.linspace(1, 40, 40) / np.linspace(1, 40, 40).sum())
+    df = pd.DataFrame({"x": items})
+    whole = cms_rows(df, item_col="x", d=4, w=64)
+    parts = pd.concat([cms_rows(df.iloc[:1700], item_col="x", d=4, w=64),
+                       cms_rows(df.iloc[1700:], item_col="x", d=4, w=64)])
+    merged = parts.groupby(["r", "c"], sort=False)["cnt"].sum().reset_index()
+    w_sorted = whole.sort_values(["r", "c"]).reset_index(drop=True)
+    m_sorted = merged.sort_values(["r", "c"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(w_sorted, m_sorted[w_sorted.columns])
+
+    keys = np.unique(items)
+    true = pd.Series(items).value_counts()
+    est = cms_estimate(merged, keys, d=4, w=64)
+    for k, e in zip(keys, est):
+        assert e >= true[k]                       # never underestimates
+        assert e <= true[k] + 2 * len(items) / 64  # CM bound (eps=2/w)
+
+
+def test_cms_exact_when_sparse(ray_session):
+    import duckdb
+
+    from gorilla_tsc_ray.pipelines import events as ev
+
+    got = (ev.type_counts_cms("/root/testdata/sf0.001").to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    exp = duckdb.connect().execute("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS est_count
+        FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+        GROUP BY 1 ORDER BY 1""").df()
+    pd.testing.assert_frame_equal(got, exp[got.columns])
