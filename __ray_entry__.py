@@ -150,6 +150,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # tier as a single-shot build
         "transcripts_incremental_serve": ingest.incremental_serve,
         "transcripts_archive_serve": _archive_serve,
+        "transcripts_compact_serve": _compact_serve,
         # — relational operator coverage —
         "q1_pricing_summary": relational.pricing_summary,
         "top_event_users": relational.top_event_users,
@@ -283,6 +284,16 @@ def _retention_serve(sf_dir: str):
     from gorilla_tsc_ray.pipelines.retention import retention_serve
 
     return retention_serve(sf_dir, keep_days=2, tier="1h")
+
+
+def _compact_serve(sf_dir: str):
+    """Store-maintenance COMPACTION gate: merge every raw day
+    partition's task files into one (runtime-asserted), then decode the
+    full point stream from the compacted store — compaction must be
+    bit-transparent at the driver's value-hash gate."""
+    from gorilla_tsc_ray.pipelines.retention import compact_serve
+
+    return compact_serve(sf_dir, metric="text_len")
 
 
 def _archive_serve(sf_dir: str):
@@ -1067,6 +1078,10 @@ SELECT conv_id, 'text_len' AS metric, ts_ms,
 """,
         # archive gate: the expired (archived) days' points only — the
         # last day stays in the raw tier with keep_days=1
+        "transcripts_compact_serve": tdedup + """
+SELECT conv_id, 'text_len' AS metric, ts_ms,
+       CAST(length(text) AS DOUBLE) AS value FROM d
+""",
         "transcripts_archive_serve": tdedup + """
 SELECT conv_id, 'text_len' AS metric, ts_ms,
        CAST(length(text) AS DOUBLE) AS value FROM d

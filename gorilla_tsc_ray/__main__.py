@@ -83,6 +83,11 @@ def main(argv=None) -> int:
                     help="demote expired raw blocks to the gorilla2z "
                          "archival tier instead of deleting them")
 
+    pm = sub.add_parser("compact", help="merge each day partition's "
+                        "small files into one (bit-exact rows)")
+    pm.add_argument("--store", required=True)
+    pm.add_argument("--tiers", nargs="*", default=["blocks"])
+
     args = p.parse_args(argv)
     _init_ray(args)
     import ray
@@ -125,6 +130,11 @@ def main(argv=None) -> int:
             kept = clean_corpus(args.sf_dir, min_alpha=args.min_alpha)
             kept.write_parquet(args.out)
             print(json.dumps({"kept": kept.count(), "out": args.out}))
+        elif args.cmd == "compact":
+            from .pipelines.retention import compact_store
+
+            df = compact_store(args.store, tiers=tuple(args.tiers))
+            print(df.groupby("status").size().to_json())
         elif args.cmd == "retention":
             from .pipelines.retention import apply_retention
 

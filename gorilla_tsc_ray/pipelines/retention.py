@@ -253,3 +253,111 @@ def archive_serve(sf_dir: str, keep_days: int = 1,
             "ts_ms": pts["ts_ms"], "value": pts["value"]})
 
     return ds.map_batches(to_points, batch_format="pyarrow")
+
+
+def compact_store(store_root: str,
+                  tiers: tuple = ("blocks",)) -> pd.DataFrame:
+    """Small-file COMPACTION — the lakehouse maintenance pass that keeps
+    per-partition read fan-out bounded as ``append_to_store`` accumulates
+    delta files: every day partition's task files merge into ONE parquet
+    file with bit-exact rows (blocks/rollup rows are independent, so
+    re-grouping is a pure file-level operation; payload bytes untouched).
+    One Ray task per partition (partition-level op, the retention
+    discipline — never a driver loop over file contents); lineage records
+    files-in/files-out/bytes per partition so a resumed maintenance run
+    can skip already-compacted partitions."""
+    import glob as _glob
+
+    import ray
+
+    run_id = new_run_id()
+
+    @ray.remote
+    def compact_one(pdir: str):
+        import glob
+        import os as _os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(_os.path.join(pdir, "*.parquet")))
+        if len(files) <= 1:
+            return (len(files), len(files), 0)
+        tbl = pa.concat_tables([pq.read_table(f) for f in files],
+                               promote_options="default")
+        tmp = _os.path.join(pdir, "_compact.tmp")
+        pq.write_table(tbl, tmp)
+        for f in files:
+            _os.remove(f)
+        _os.rename(tmp, _os.path.join(pdir, "compacted_000000-0.parquet"))
+        return (len(files), 1, tbl.num_rows)
+
+    records = []
+    futures = []
+    for tier in tiers:
+        subdir, _ = TIER_LAYOUT[tier]
+        for day_ms, pdir in sorted(
+                _day_partitions(os.path.join(store_root, subdir)).items()):
+            futures.append((tier, day_ms, pdir,
+                            compact_one.remote(pdir)))
+    for tier, day_ms, pdir, fut in futures:
+        files_in, files_out, rows = ray.get(fut)
+        records.append({
+            "partition_key": f"{tier}/day={day_ms}",
+            "input_files": [pdir],
+            "rows_in": rows, "rows_out": rows,
+            "bytes_payload": _dir_bytes(pdir),
+            "watermark": day_ms,
+            "status": f"compacted_{files_in}_to_{files_out}",
+        })
+    df = pd.DataFrame(records)
+    if len(df):
+        write_lineage(store_root, records, run_id)
+    return df
+
+
+def compact_serve(sf_dir: str, metric: str = "text_len"):
+    """Driver-facing COMPACTION gate: build a fresh store, compact every
+    raw day partition to one file (runtime-asserted), then decode the
+    full point stream from the compacted store — proving compaction is
+    bit-transparent at the driver's value-hash gate.  Oracle: the metric
+    points straight from the raw transcripts."""
+    import glob as _glob
+
+    import ray.data
+
+    from ..context import tune_context
+    from ..sources.transcripts import CACHE_ROOT
+    from ..stages.series import decode_blocks_batch_arrow
+    from .ingest import ingest_to_store
+
+    tune_context()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(CACHE_ROOT, f"compact_store_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    ingest_to_store(sf_dir, store, resume=False)
+
+    compact_store(store, tiers=("blocks",))
+    for day_ms, pdir in _day_partitions(
+            os.path.join(store, "blocks")).items():
+        n = len(_glob.glob(os.path.join(pdir, "*.parquet")))
+        if n != 1:
+            raise RuntimeError(
+                f"compaction left {n} files in day={day_ms}")
+
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(os.path.join(store, "blocks"),
+                               filter=pads.field("metric") == metric)
+
+    def to_points(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pts = decode_blocks_batch_arrow(tbl, key_cols=["conv_id", "metric"])
+        return pa.table({
+            "conv_id": pc.cast(pts["conv_id"], "string"),
+            "metric": pc.cast(pts["metric"], "string"),
+            "ts_ms": pts["ts_ms"], "value": pts["value"]})
+
+    return ds.map_batches(to_points, batch_format="pyarrow")

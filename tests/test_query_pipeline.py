@@ -67,3 +67,38 @@ def test_conv_filter_scan(store):
     exp = _expected_points(conv="conv-00000001")
     assert len(got) == len(exp)
     assert set(got["conv_id"]) <= {"conv-00000001"}
+
+
+def test_compaction_bit_transparent(ray_session, tmp_path):
+    """compact_store merges each day partition to ONE file and the
+    decoded point stream is unchanged (bit-exact rows)."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from gorilla_tsc_ray.pipelines.ingest import ingest_to_store
+    from gorilla_tsc_ray.pipelines.query import scan_points
+    from gorilla_tsc_ray.pipelines.retention import compact_store
+
+    store = str(tmp_path / "store")
+    ingest_to_store("/root/testdata/sf0.001", store, resume=False)
+    before = (scan_points(f"{store}/blocks").to_pandas()
+              .sort_values(["conv_id", "metric", "ts_ms"])
+              .reset_index(drop=True))
+    n_files_before = len(glob.glob(f"{store}/blocks/day=*/*.parquet"))
+
+    df = compact_store(store, tiers=("blocks",))
+    assert len(df) > 0 and (df["rows_in"] == df["rows_out"]).all()
+    for pdir in glob.glob(f"{store}/blocks/day=*"):
+        assert len(glob.glob(os.path.join(pdir, "*.parquet"))) == 1
+    n_files_after = len(glob.glob(f"{store}/blocks/day=*/*.parquet"))
+    assert n_files_after <= n_files_before
+
+    after = (scan_points(f"{store}/blocks").to_pandas()
+             .sort_values(["conv_id", "metric", "ts_ms"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(before, after[before.columns])
+    # lineage recorded the maintenance run
+    lin = glob.glob(f"{store}/_lineage/*")
+    assert lin
