@@ -50,22 +50,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1m", "events_rollup_1h_cascade", "events_ohlc_1h",
         "events_gapfill_1h", "events_sessions", "events_asof_last_purchase",
         "events_user_quantiles", "events_seasonal_decompose",
-        "events_m4_1h", "events_cusum", "events_winsorize",
+        "events_m4_1h", "events_cusum", "events_type_counts_cms",
         "transcripts_canonical_turns", "transcripts_metrics",
         "transcripts_rollup_1m", "transcripts_retention_serve",
         "transcripts_conv_stats", "transcripts_response_latency",
-        "transcripts_tool_chains", "q1_pricing_summary", "orders_by_nation",
+        "transcripts_tool_chains", "q1_pricing_summary", "q21_waiting_suppliers",
         "q3_shipping_priority", "customers_without_big_orders",
         "docs_exact_dedup", "docs_minhash_pairs", "docs_token_jaccard",
         "docs_dup_clusters", "docs_simhash_pairs", "docs_tfidf",
         "docs_lang_id", "docs_quality", "docs_hash_split",
         "docs_decontaminate", "docs_clean_corpus", "docs_dsir_weights",
-        "docs_unigram_logprob", "docs_mix_sample", "emb_near_dups_lsh",
+        "docs_incremental_dedup", "transcripts_compact_serve", "emb_near_dups_lsh",
         "emb_knn_cosine", "emb_semdedup", "emb_centroids",
         "emb_quantize_sq8", "emb_pq_codes", "media_features",
         "events_streaming_out_of_order", "events_grouping_sets",
-        "events_value_histogram", "events_active_intervals",
-        "events_quantile_bands_1h",
+        "events_pareto_curve", "docs_triangle_counts",
+        "events_paa_8",
     ]
     d = _all_queries()
     assert all(k in d for k in front), [k for k in front if k not in d]
