@@ -239,6 +239,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_pareto_curve": ev.pareto_curve,
         "events_user_lifecycle": ev.user_lifecycle,
         "events_type_counts_cms": ev.type_counts_cms,
+        "events_type_pivot": ev.type_pivot,
         "events_quantile_bands_1h": lambda sf: ev.quantile_bands(sf, "1h"),
         "events_drawdown": ev.drawdown,
         "events_rolling_5": ev.rolling_window,
@@ -2406,6 +2407,21 @@ SELECT user_id,
        CAST(s4 - s5 AS BIGINT) AS d3_2,
        CAST(s6 - s7 AS BIGINT) AS d3_3
 FROM w
+""",
+        # PIVOT reshape: one count column per event type (fixed schema)
+        "events_type_pivot": """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view
+FROM events GROUP BY 1
 """,
         # count-min sketch type counts (exact below collision — the
         # linear-merge sketch family's fourth member)

@@ -3907,3 +3907,51 @@ def type_counts_cms(sf_dir: str, d: int = 4, w: int = 256):
     return hash_exchange_multi(
         [(partials, zero), (types, zero)], n_parts=1, kernel=kernel,
         fmt="pandas")
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def type_pivot(sf_dir: str):
+    """PIVOT reshape: one row per user with one count column per event
+    type (the wide feature-matrix layout a model-training join wants).
+    The pivot column set is a FIXED schema contract (``PIVOT_TYPES``) —
+    at 100 TB a discover-then-pivot would need a driver round-trip for
+    the column universe, so the engine pins it like any other schema.
+    Per-batch (user, type) count partials fold through one user exchange;
+    the kernel scatters counts into the fixed columns vectorized."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type"], P)
+
+    def partial(tbl):
+        import pyarrow as pa
+
+        out = tbl.group_by(["user_id", "event_type"]).aggregate(
+            [("user_id", "count")])
+        return pa.table({"user_id": out["user_id"],
+                         "event_type": out["event_type"],
+                         "n": out["user_id_count"]})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id"] + [f"n_{t}" for t in PIVOT_TYPES]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        g = (df.groupby(["user_id", "event_type"], sort=False)["n"].sum()
+             .reset_index())
+        users, uinv = np.unique(g["user_id"].to_numpy(), return_inverse=True)
+        out = {"user_id": users}
+        et = g["event_type"].to_numpy()
+        n = g["n"].to_numpy()
+        for t in PIVOT_TYPES:
+            m = et == t
+            col = np.zeros(len(users), dtype=np.int64)
+            np.add.at(col, uinv[m], n[m])
+            out[f"n_{t}"] = col
+        return pd.DataFrame(out)[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

@@ -2111,3 +2111,30 @@ FROM agg
     got = ev.user_lifecycle(sf).to_pandas()
     assert (got["first_ts_us"] <= got["last_ts_us"]).all()
     assert (got["n_active_days"] <= got["n_events"]).all()
+
+
+def test_type_pivot_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.type_pivot(sf), """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view
+FROM events GROUP BY 1
+""", sf, ["user_id"])
+    got = ev.type_pivot(sf).to_pandas()
+    # unpivot conservation: per-user row sums = total events
+    import duckdb as _d
+    total = _d.connect().execute(
+        "SELECT count(*) FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()[0]
+    assert got[[c for c in got.columns if c != "user_id"]].to_numpy(
+    ).sum() == total
