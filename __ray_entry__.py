@@ -187,6 +187,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_ttr_hapax": docs.ttr_hapax,
         "docs_incremental_dedup": docs.incremental_dedup,
         "docs_triangle_counts": docs.triangle_counts,
+        "docs_dup_spans": docs.dup_spans,
         "docs_sentence_stats": docs.sentence_stats,
         "docs_quality": docs.quality,
         "docs_lang_id": docs.lang_id,
@@ -1809,6 +1810,31 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY text
 """,
         "docs_simhash_pairs": _simhash_sql(),
+        # exact substring-dedup signal: distinct stride-1 8-token
+        # windows shared with another doc (Lee et al. shape)
+        "docs_dup_spans": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(len(toks) - 7, 1) + 1),
+    i -> concat(coalesce(toks[i+0], ''), chr(1), coalesce(toks[i+1], ''), chr(1), coalesce(toks[i+2], ''), chr(1), coalesce(toks[i+3], ''), chr(1), coalesce(toks[i+4], ''), chr(1), coalesce(toks[i+5], ''), chr(1), coalesce(toks[i+6], ''), chr(1), coalesce(toks[i+7], '')))) AS win
+  FROM t
+), dw AS (
+  SELECT DISTINCT doc_id, win FROM w
+), cnt AS (
+  SELECT win, count(*) AS nd FROM dw GROUP BY 1
+), agg AS (
+  SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN cnt.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared
+  FROM dw JOIN cnt USING (win) GROUP BY 1
+)
+SELECT doc_id, n_windows, n_shared,
+       round(n_shared * 1.0 / greatest(n_windows, 1), 6) AS shared_frac
+FROM agg
+""",
         # per-node triangle counts over the n-gram near-dup graph
         # (same exhaustive pair truth as docs_ngram_jaccard)
         "docs_triangle_counts": """

@@ -2194,3 +2194,112 @@ def triangle_counts(sf_dir: str, threshold: float = 0.5):
 
     return hash_exchange(partials, key_fn=_pair_hash_key(["node"]),
                          n_parts=N_DOC_PARTS, kernel=merge, fmt="pandas")
+
+
+def dup_spans(sf_dir: str, k: int = 8):
+    """Exact SUBSTRING-dedup signal (the Lee et al. "Deduplicating
+    Training Data" shape at window granularity): per doc, how many of its
+    DISTINCT stride-1 ``k``-token windows also occur in ANOTHER doc — the
+    copied-passage detector that Jaccard/minhash miss when a short quote
+    hides in a long document.  Window identity is the md5 of the
+    chr(1)-joined token string (the novelty/decontaminate digest
+    discipline, so SQL compares the identical value space); md5 runs once
+    per UNIQUE window per batch.  Plumbing mirrors :func:`novelty`: one
+    digest-hash exchange where each digest's distinct-doc count is exact,
+    then a self-merging doc-hash fold."""
+    import hashlib
+
+    from ..util import round_half_away
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def win_rows(df: pd.DataFrame) -> pd.DataFrame:
+        uniq, codes, lens = dd.unique_tokens(df["text"])
+        n_docs = len(df)
+        n_w = np.maximum(np.asarray(lens, dtype=np.int64) - (k - 1), 1)
+        total = int(n_w.sum())
+        if not len(codes):
+            # token-less docs still have the one all-empty padded window
+            # (mirrors the SQL coalesce(''); digest shared across them)
+            if n_docs == 0:
+                return pd.DataFrame(
+                    {"doc_id": np.array([], dtype=np.int64),
+                     "s": np.array([], dtype=np.uint64)})
+            empty_dig = np.uint64(int.from_bytes(hashlib.md5(
+                ("\x01" * (k - 1)).encode()).digest()[:8], "little"))
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(),
+                "s": np.full(n_docs, empty_dig, dtype=np.uint64)})
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_w)
+        offs = np.concatenate(([0], np.cumsum(n_w)[:-1]))
+        within = np.arange(total, dtype=np.int64) - np.repeat(offs, n_w)
+        tok_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        base = tok_starts[doc_of] + within
+        limit = max(len(codes) - 1, 0)
+        codes_i64 = np.asarray(codes, dtype=np.int64)
+        empty_code = np.int64(len(uniq))  # sentinel: past-the-end == ''
+        grid = np.empty((total, k), dtype=np.int64)
+        lens_arr = np.asarray(lens, dtype=np.int64)
+        for j in range(k):
+            in_range = within + j < lens_arr[doc_of]
+            idx = np.minimum(base + j, limit)
+            grid[:, j] = np.where(in_range, codes_i64[idx], empty_code)
+        # Python work bounded by the UNIQUE window count (the
+        # doc_shingle_md5_sets discipline): unique code rows first, then
+        # one string build + md5 per unique window
+        uw, winv = np.unique(grid, axis=0, return_inverse=True)
+        ext = list(uniq) + [""]
+        uh = np.fromiter(
+            (int.from_bytes(hashlib.md5(
+                "\x01".join(ext[c] for c in row).encode()).digest()[:8],
+                "little") for row in uw),
+            dtype=np.uint64, count=len(uw))
+        s = uh[winv]
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[doc_of],
+                            "s": s}).drop_duplicates()
+        return out
+
+    rows = ds.map_batches(win_rows, batch_format="pandas")
+
+    def span_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "n_windows", "n_shared"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        s = df["s"].to_numpy().astype(np.uint64)
+        ids = df["doc_id"].to_numpy()
+        order = np.lexsort((ids, s))
+        s, ids = s[order], ids[order]
+        change = np.concatenate(([True], s[1:] != s[:-1]))
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(s)))
+        shared = np.repeat(counts, counts) > 1  # distinct docs per digest
+        labs, inv = np.unique(ids, return_inverse=True)
+        return pd.DataFrame({
+            "doc_id": labs,
+            "n_windows": np.bincount(inv).astype(np.int64),
+            "n_shared": np.bincount(inv, weights=shared).astype(np.int64),
+        })[cols]
+
+    partials = hash_exchange(rows, key_fn=_pair_hash_key(["s"]),
+                             n_parts=N_DOC_PARTS, kernel=span_partial,
+                             fmt="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "n_windows", "n_shared"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        return (df.groupby("doc_id", sort=True, as_index=False)
+                [["n_windows", "n_shared"]].sum().astype(np.int64)[cols])
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["shared_frac"] = round_half_away(
+            df["n_shared"].to_numpy()
+            / np.maximum(df["n_windows"].to_numpy(), 1), 6)
+        return out
+
+    return hash_exchange(partials, key_fn=_pair_hash_key(["doc_id"]),
+                         n_parts=N_DOC_PARTS, kernel=fold, fmt="pandas",
+                         chunk_rows=1 << 20, final_kernel=finalize)

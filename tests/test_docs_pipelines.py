@@ -1153,3 +1153,31 @@ def test_triangle_counts_vs_bruteforce(ray_session, tmp_path):
     # the 5-clique: every member sits in C(4,2) = 6 triangles
     clique = got.set_index("doc_id").loc[[0, 1, 2, 3, 4], "n_triangles"]
     assert (clique >= 6).all()
+
+
+def test_dup_spans_detects_copied_passage(ray_session, tmp_path):
+    """A >=8-token passage copied between two otherwise-different docs is
+    detected; a doc sharing nothing has zero shared windows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    passage = "one two three four five six seven eight nine ten"
+    texts = [
+        "aa bb cc " + passage + " dd ee",
+        "zz yy " + passage + " xx ww vv",
+        "totally different words without any overlap here at all",
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 3),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = (docs.dup_spans(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    # docs 0 and 1 share the passage's 3 full 8-token windows
+    assert got.loc[0, "n_shared"] == 3
+    assert got.loc[1, "n_shared"] == 3
+    assert got.loc[2, "n_shared"] == 0
+    assert (got["n_shared"] <= got["n_windows"]).all()
+    assert got.loc[2, "shared_frac"] == 0.0
