@@ -82,6 +82,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_roundtrip_long": ev.points_roundtrip_long,
         "events_streaming_roundtrip": ev.streaming_roundtrip,
         "events_streaming_out_of_order": ev.streaming_out_of_order,
+        "events_streaming_window_1h": ev.streaming_window_agg,
         "events_rollup_1m": lambda sf: ev.rollup(sf, "1m"),
         "events_rollup_1h": lambda sf: ev.rollup(sf, "1h"),
         "events_rollup_1d": lambda sf: ev.rollup(sf, "1d"),
@@ -2433,6 +2434,20 @@ SELECT user_id,
        CAST(s4 - s5 AS BIGINT) AS d3_2,
        CAST(s6 - s7 AS BIGINT) AS d3_3
 FROM w
+""",
+        # streaming tumbling-window aggregation (emit-on-watermark):
+        # sealed result must equal the batch window aggregate
+        "events_streaming_window_1h": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 1000 AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+)
+SELECT user_id, (ts_ms // 3600000) * 3600000 AS window_ms,
+       CAST(sum(c) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(c) AS BIGINT) AS min_c,
+       CAST(max(c) AS BIGINT) AS max_c
+FROM p GROUP BY 1, 2
 """,
         # PIVOT reshape: one count column per event type (fixed schema)
         "events_type_pivot": """

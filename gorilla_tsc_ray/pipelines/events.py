@@ -3955,3 +3955,54 @@ def type_pivot(sf_dir: str):
 
     return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def streaming_window_agg(sf_dir: str, n_actors: int = 4,
+                         tier: str = "1h"):
+    """STREAMING WINDOWED AGGREGATION gate — the emit-on-watermark
+    semantics the encode gates don't exercise: events stream through a
+    ``_WindowAggCore`` actor pool in event-time order; each tumbling
+    window FINALIZES (and leaves actor memory) the moment its series'
+    watermark passes the window end, so open state is bounded by
+    windows-in-flight, never stream length.  A runtime assert proves
+    most windows really emitted early (watermark-triggered, not at
+    seal); with in-order arrival nothing can be late (asserted too).
+    The sealed result must equal the batch tumbling aggregate — exact
+    integer cents, same SQL oracle shape as the rollup family."""
+    import ray.data
+
+    from ..state.streaming import (StreamingRouter, _WindowAggCore,
+                                   feed_parquet_distributed)
+
+    tune_context()
+    window_ms = TIER_MS[tier]
+    router = StreamingRouter(n_actors=n_actors,
+                             actor_core=_WindowAggCore,
+                             core_args=(window_ms, 0))
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    feed_parquet_distributed(router, path, order_cols=["ts_ms"])
+    rows = pd.DataFrame(router.seal())
+    stats = router.stats()
+    if stats["late"] != 0:
+        raise RuntimeError(
+            f"in-order feed must drop nothing, got {stats['late']} late")
+    if len(rows) and stats["early_emitted"] == 0:
+        raise RuntimeError("no window emitted on watermark — the "
+                           "streaming semantics did not engage")
+
+    if len(rows) == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "window_ms": pd.Series([], dtype=np.int64),
+            "sum_cents": pd.Series([], dtype=np.int64),
+            "cnt": pd.Series([], dtype=np.int64),
+            "min_c": pd.Series([], dtype=np.int64),
+            "max_c": pd.Series([], dtype=np.int64)}))
+    out = pd.DataFrame({
+        "user_id": rows["key"].astype(np.int64),
+        "window_ms": rows["window_ms"].astype(np.int64),
+        "sum_cents": rows["sum_cents"].astype(np.int64),
+        "cnt": rows["cnt"].astype(np.int64),
+        "min_c": rows["min_c"].astype(np.int64),
+        "max_c": rows["max_c"].astype(np.int64)})
+    return ray.data.from_pandas(out)

@@ -208,11 +208,14 @@ class StreamingRouter:
     """
 
     def __init__(self, n_actors: int = 4, block_span_ms: int = DAY_MS,
-                 num_cpus: float = 0.5) -> None:
+                 num_cpus: float = 0.5, actor_core: type | None = None,
+                 core_args: tuple | None = None) -> None:
         import ray
 
-        self._actor_cls = ray.remote(num_cpus=num_cpus)(_EncoderCore)
-        self.actors = [self._actor_cls.remote(block_span_ms)
+        core = actor_core or _EncoderCore
+        args = core_args if core_args is not None else (block_span_ms,)
+        self._actor_cls = ray.remote(num_cpus=num_cpus)(core)
+        self.actors = [self._actor_cls.remote(*args)
                        for _ in range(n_actors)]
         self.n = n_actors
 
@@ -252,3 +255,101 @@ class StreamingRouter:
 
         parts = ray.get([a.stats.remote() for a in self.actors])
         return {k: sum(p[k] for p in parts) for k in parts[0]}
+
+
+class _WindowAggCore:
+    """Watermark-triggered TUMBLING-WINDOW aggregation core — the
+    streaming-aggregate sibling of ``_EncoderCore`` (which streams
+    ENCODE state): per series, open windows accumulate exact integer
+    cent partials; when the per-series watermark passes a window's end
+    (plus allowed lateness) the window FINALIZES and leaves actor memory
+    — the emit-on-watermark semantics of a streaming SQL engine, so open
+    state is bounded by (series × windows-in-flight), never the stream
+    length.  Late rows for already-finalized windows are dropped and
+    counted (the out-of-order gate discipline).  Plain-Python core
+    (testable without Ray); batch work is vectorized per series."""
+
+    def __init__(self, window_ms: int = 3_600_000,
+                 allowed_lateness_ms: int = 0) -> None:
+        self.window_ms = window_ms
+        self.lateness = allowed_lateness_ms
+        self.open: dict[tuple, list] = {}      # (k, m, w) -> [s, n, lo, hi]
+        self.final: list[dict] = []
+        self.watermark: dict[tuple, int] = {}
+        self.frontier: dict[tuple, int] = {}   # first non-finalized window
+        self.n_early = 0
+        self.late_count = 0
+        self.rows_in = 0
+
+    def _finalize_upto(self, series, boundary_win: int,
+                       early: bool) -> None:
+        k, m = series
+        for (kk, mm, w) in [b for b in self.open
+                            if (b[0], b[1]) == series
+                            and b[2] < boundary_win]:
+            s, n, lo, hi = self.open.pop((kk, mm, w))
+            self.final.append({"key": kk, "metric": mm, "window_ms": w,
+                               "sum_cents": s, "cnt": n,
+                               "min_c": lo, "max_c": hi})
+            if early:
+                self.n_early += 1
+        self.frontier[series] = max(self.frontier.get(series, 0),
+                                    boundary_win)
+
+    def append_batch(self, keys, metrics, ts_arr, bits_arr) -> int:
+        ts = np.asarray(ts_arr, dtype=np.int64)
+        vals = np.asarray(bits_arr, dtype=np.uint64).view(np.float64)
+        cents = (np.sign(vals)
+                 * np.floor(np.abs(vals) * 100 + 0.5)).astype(np.int64)
+        win = ts // self.window_ms * self.window_ms
+        karr = np.asarray(keys, dtype=object)
+        marr = np.asarray(metrics, dtype=object)
+        accepted = 0
+        for series in {(k, m) for k, m in zip(keys, metrics)}:
+            sel = np.flatnonzero((karr == series[0]) & (marr == series[1]))
+            sw, sc, sts = win[sel], cents[sel], ts[sel]
+            fr = self.frontier.get(series, np.iinfo(np.int64).min)
+            ok = sw >= fr
+            self.late_count += int((~ok).sum())
+            if ok.any():
+                sw, sc, sts = sw[ok], sc[ok], sts[ok]
+                order = np.argsort(sw, kind="stable")
+                sw, sc = sw[order], sc[order]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], sw[1:] != sw[:-1])))
+                bounds = np.append(starts, len(sw))
+                for i, st in enumerate(starts):
+                    seg = sc[st:bounds[i + 1]]
+                    bkey = (series[0], series[1], int(sw[st]))
+                    cell = self.open.get(bkey)
+                    if cell is None:
+                        self.open[bkey] = [int(seg.sum()), len(seg),
+                                           int(seg.min()), int(seg.max())]
+                    else:
+                        cell[0] += int(seg.sum())
+                        cell[1] += len(seg)
+                        cell[2] = min(cell[2], int(seg.min()))
+                        cell[3] = max(cell[3], int(seg.max()))
+                accepted += len(sw)
+                self.rows_in += len(sw)
+                wm = max(self.watermark.get(series, -1), int(sts.max()))
+                self.watermark[series] = wm
+                boundary = ((wm - self.lateness) // self.window_ms
+                            * self.window_ms)
+                self._finalize_upto(series, boundary, early=True)
+        return accepted
+
+    def seal(self) -> list[dict]:
+        for series in list({(k, m) for (k, m, _w) in self.open}):
+            self._finalize_upto(series, np.iinfo(np.int64).max,
+                                early=False)
+        out, self.final = self.final, []
+        return out
+
+    def snapshot(self) -> list[dict]:
+        return [dict(f) for f in self.final]
+
+    def stats(self) -> dict:
+        return {"rows_in": self.rows_in, "late": self.late_count,
+                "open_blocks": len(self.open),
+                "early_emitted": self.n_early}

@@ -322,3 +322,46 @@ class TestEncoderCheckpoint:
         d = _EncoderCore.restore(blob)
         assert not d.append("c1", "m", pts[0][0], 1)
         assert d.stats()["late"] == 1
+
+
+def test_window_agg_core_watermark_semantics():
+    """Plain-Python core: in-order points finalize windows on watermark
+    (early), late rows for finalized windows drop, lateness grace keeps
+    them, and seal flushes the rest."""
+    import numpy as np
+
+    from gorilla_tsc_ray.state.streaming import _WindowAggCore
+
+    W = 100
+    core = _WindowAggCore(window_ms=W, allowed_lateness_ms=0)
+
+    def feed(ts_list, vals):
+        bits = np.asarray(vals, dtype=np.float64).view(np.uint64)
+        return core.append_batch(["u"] * len(ts_list),
+                                 ["value"] * len(ts_list),
+                                 np.asarray(ts_list, dtype=np.int64), bits)
+
+    # window [0,100) gets 2 points, then ts=150 advances the watermark
+    # past its end -> it finalizes EARLY
+    assert feed([10, 20], [1.0, 2.0]) == 2
+    assert core.n_early == 0
+    assert feed([150], [5.0]) == 1
+    assert core.n_early == 1
+    # a late row for the finalized window drops
+    assert feed([30], [9.0]) == 0
+    assert core.late_count == 1
+    rows = core.seal()
+    assert core.stats()["open_blocks"] == 0
+    got = {r["window_ms"]: r for r in rows}
+    assert got[0]["sum_cents"] == 300 and got[0]["cnt"] == 2
+    assert got[0]["min_c"] == 100 and got[0]["max_c"] == 200
+    assert got[100]["sum_cents"] == 500 and got[100]["cnt"] == 1
+
+    # allowed lateness keeps a within-grace row
+    core2 = _WindowAggCore(window_ms=W, allowed_lateness_ms=100)
+    bits = np.asarray([1.0, 2.0, 3.0], dtype=np.float64).view(np.uint64)
+    core2.append_batch(["u"] * 3, ["value"] * 3,
+                       np.asarray([10, 150, 90], dtype=np.int64), bits)
+    assert core2.late_count == 0        # 90 is within the 100ms grace
+    rows2 = {r["window_ms"]: r for r in core2.seal()}
+    assert rows2[0]["cnt"] == 2 and rows2[0]["sum_cents"] == 400
