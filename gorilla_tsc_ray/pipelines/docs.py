@@ -2112,16 +2112,19 @@ def triangle_counts(sf_dir: str, threshold: float = 0.5):
     """Per-node TRIANGLE counts over the n-gram near-dup graph — the
     graph-analytics step beyond connected components (triangle density
     separates tight duplicate cliques from chainy false-positive paths).
-    Classic 2-round distributed algorithm on min-id-oriented edges
-    (a < b < c): round 1 co-partitions edges by source and enumerates
-    each source's wedges (b, c) with one fully-vectorized repeat/arange
-    expansion (no per-group Python); round 2 co-partitions wedges with
-    the edge set on the (lo, hi) pair key and keeps wedges whose closing
-    edge exists (composite-key searchsorted membership — the repo's
-    pairwise-verify discipline); a final node exchange folds the three
-    per-corner increments.  Wedge volume is Σ C(deg, 2) — duplicate
-    cliques are small by construction here; at adversarial degree skew
-    orient by degree instead (documented, not needed at shipped sfs)."""
+    Classic 2-round distributed algorithm with DEGREE-ORDERED edge
+    orientation (src = the (degree, id)-smaller endpoint): each source's
+    out-degree is O(√m), so total wedge volume is bounded by m^1.5
+    regardless of clique size — a min-id orientation would enumerate a
+    c-clique's Θ(c³) wedges from its smallest member, exactly the skew a
+    dup-heavy corpus produces.  Round 0 folds node degrees and attaches
+    them to both endpoints (two co-partitions); round 1 enumerates each
+    source's out-neighbor pairs with one fully-vectorized repeat/arange
+    expansion (no per-group Python); round 2 keeps wedges whose closing
+    edge exists in the UNORIENTED edge set (composite-key searchsorted —
+    the pairwise-verify discipline).  Degree orientation finds each
+    triangle exactly once; a final node exchange folds the three corner
+    increments."""
     tune_context()
 
     pairs = ngram_jaccard(sf_dir, threshold=threshold)
@@ -2130,18 +2133,62 @@ def triangle_counts(sf_dir: str, threshold: float = 0.5):
         a = df["id_a"].to_numpy(dtype=np.int64)
         b = df["id_b"].to_numpy(dtype=np.int64)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"a": lo, "b": hi})
+        return pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
 
-    edges = pairs.map_batches(orient, batch_format="pandas")
+    edges = pairs.map_batches(orient, batch_format="pandas").materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])
+        u, c = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    degs = hash_exchange(
+        edges.map_batches(deg_partial, batch_format="pandas"),
+        key_fn=_pair_hash_key(["node"]), n_parts=N_DOC_PARTS,
+        kernel=lambda df: df.groupby("node", sort=False)["deg"].sum()
+        .reset_index(), fmt="pandas")
+
+    def _attach(col_out):
+        def kern(e: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+            out = e.copy()
+            keys = d["node"].to_numpy()
+            order = np.argsort(keys, kind="stable")
+            keys, vals = keys[order], d["deg"].to_numpy()[order]
+            ecol = e[col_out[0]].to_numpy()
+            pos = np.minimum(np.searchsorted(keys, ecol),
+                             max(len(keys) - 1, 0))
+            out[col_out[1]] = vals[pos] if len(keys) else 0
+            return out
+        return kern
+
+    with_da = hash_exchange_multi(
+        [(edges, _pair_hash_key(["a"])), (degs, _pair_hash_key(["node"]))],
+        n_parts=N_DOC_PARTS, kernel=_attach(("a", "deg_a")), fmt="pandas")
+    with_db = hash_exchange_multi(
+        [(with_da, _pair_hash_key(["b"])),
+         (degs, _pair_hash_key(["node"]))],
+        n_parts=N_DOC_PARTS, kernel=_attach(("b", "deg_b")), fmt="pandas")
+
+    def to_oriented(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        da = df["deg_a"].to_numpy(dtype=np.int64)
+        db = df["deg_b"].to_numpy(dtype=np.int64)
+        # total order (deg, id): src strictly smaller
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pd.DataFrame({"src": np.where(a_first, a, b),
+                             "dst": np.where(a_first, b, a)})
+
+    oriented = with_db.map_batches(to_oriented, batch_format="pandas")
 
     def wedge_kernel(df: pd.DataFrame) -> pd.DataFrame:
         cols = ["x", "y", "src"]
         if len(df) == 0:
             return pd.DataFrame({c: np.array([], dtype=np.int64)
                                  for c in cols})
-        d = df.drop_duplicates().sort_values(["a", "b"], kind="stable")
-        a = d["a"].to_numpy()
-        b = d["b"].to_numpy()
+        d = df.sort_values(["src", "dst"], kind="stable")
+        a = d["src"].to_numpy()
+        b = d["dst"].to_numpy()
         n = len(a)
         new_a = np.concatenate(([True], a[1:] != a[:-1]))
         starts = np.flatnonzero(new_a)
@@ -2153,9 +2200,11 @@ def triangle_counts(sf_dir: str, threshold: float = 0.5):
         k = (np.arange(csum[-1], dtype=np.int64)
              - np.repeat(csum[:-1], cnt_i) + 1)
         J = I + k
+        # wedge endpoints normalized (lo, hi) to meet the unoriented
+        # closure set; dst is sorted within src so b[I] < b[J] already
         return pd.DataFrame({"x": b[I], "y": b[J], "src": a[I]})[cols]
 
-    wedges = hash_exchange(edges, key_fn=_pair_hash_key(["a"]),
+    wedges = hash_exchange(oriented, key_fn=_pair_hash_key(["src"]),
                            n_parts=N_DOC_PARTS, kernel=wedge_kernel,
                            fmt="pandas")
 
