@@ -295,9 +295,14 @@ def run_scaling_pipeline(sf_dir: str, num_cpus: int) -> dict:
             min(queries["store_build"], time.perf_counter() - t), 3)
     total = sum(queries.values())
     ray.shutdown()
+    # single-core tenancy probe (BASELINE: quiet window = 163-226 M
+    # pts/s): stamps every level run so the artifact self-documents the
+    # host window it was measured in
+    probe = codec_microbench()["encode_mpoints_per_sec"]
     return {
         "queries": queries, "num_cpus": num_cpus, "n_turns": int(n_turns),
         "turns_per_sec": round(n_turns / total, 1),
+        "probe_mpoints": round(probe, 1),
     }
 
 
@@ -366,6 +371,13 @@ def main() -> None:
             "levels": [lo, hi],
             "queries_locpu": runs[lo]["queries"],
             "queries_hicpu": runs[hi]["queries"],
+            # per-run single-core tenancy probes, pair order (quiet
+            # window = 163-226 M pts/s — BASELINE.md): a pair whose
+            # probes sit far below that range was measured in a degraded
+            # host window and undershoots capability
+            "probes_mpoints": [
+                {str(n): p[n].get("probe_mpoints") for n in p}
+                for p in pairs],
         }))
         return
 
