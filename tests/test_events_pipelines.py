@@ -2138,3 +2138,17 @@ FROM events GROUP BY 1
     ).fetchone()[0]
     assert got[[c for c in got.columns if c != "user_id"]].to_numpy(
     ).sum() == total
+
+
+def test_streaming_window_agg_equals_batch(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.streaming_window_agg(sf), """
+WITH p AS (SELECT user_id, epoch_us(ts) // 1000 AS ts_ms,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events)
+SELECT user_id, (ts_ms // 3600000) * 3600000 AS window_ms,
+       CAST(sum(c) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(c) AS BIGINT) AS min_c,
+       CAST(max(c) AS BIGINT) AS max_c
+FROM p GROUP BY 1, 2
+""", sf, ["user_id", "window_ms"])
