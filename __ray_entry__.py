@@ -240,6 +240,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_sax_symbols": ev.sax_symbols,
         "events_pareto_curve": ev.pareto_curve,
         "events_user_lifecycle": ev.user_lifecycle,
+        "events_session_paths": ev.session_paths,
         "events_type_counts_cms": ev.type_counts_cms,
         "events_type_pivot": ev.type_pivot,
         "events_quantile_bands_1h": lambda sf: ev.quantile_bands(sf, "1h"),
@@ -2469,6 +2470,34 @@ FROM events GROUP BY 1
         "events_type_counts_cms": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS est_count
 FROM events GROUP BY 1
+""",
+        # session path analysis: sessions per first-3-type journey
+        "events_session_paths": """
+WITH p AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+              OR lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                 IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM p
+), r AS (
+  SELECT user_id, session_seq, event_type,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts) AS rn
+  FROM s
+), paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
 """,
         # user lifecycle: first/last event, span, active days, churn flag
         # vs the corpus max (exact integers)

@@ -4006,3 +4006,77 @@ def streaming_window_agg(sf_dir: str, n_actors: int = 4,
         "min_c": rows["min_c"].astype(np.int64),
         "max_c": rows["max_c"].astype(np.int64)})
     return ray.data.from_pandas(out)
+
+
+def session_paths(sf_dir: str, gap_ms: int = 1_800_000, k_path: int = 3):
+    """Session PATH analysis (the Sankey / user-journey shape): sessions
+    are 30-min-gap islands (the :func:`sessionize` discipline), each
+    session's path is its first ``k_path`` event types joined by ``>``,
+    and the output counts sessions per path.  Users are partition-
+    disjoint after the user exchange, so per-partition path counts add;
+    path building is vectorized (np.select over the ≤3 gathered type
+    columns — no per-session Python)."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type", "ts"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_type": pc.cast(t["event_type"], "string"),
+            "ts_ms": pc.divide(pc.cast(t["ts"], "int64"), 1000)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["path", "n_sessions"]
+        if len(df) == 0:
+            return pd.DataFrame({"path": np.array([], dtype=object),
+                                 "n_sessions": np.array([], np.int64)})
+        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+        u = df["user_id"].to_numpy()
+        t = df["ts_ms"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
+        new_u = np.concatenate(([True], u[1:] != u[:-1]))
+        brk = new_u | np.concatenate(([True], (t[1:] - t[:-1]) > gap_ms))
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.append(starts, len(u))).astype(np.int64)
+        take = np.minimum(sizes, k_path)
+        t0 = et[starts]
+        t1 = np.where(take >= 2, et[np.minimum(starts + 1, len(u) - 1)],
+                      "")
+        t2 = np.where(take >= 3, et[np.minimum(starts + 2, len(u) - 1)],
+                      "")
+        s0 = pd.Series(t0, dtype=object)
+        paths = np.select(
+            [take >= 3, take == 2],
+            [s0 + ">" + pd.Series(t1, dtype=object)
+             + ">" + pd.Series(t2, dtype=object),
+             s0 + ">" + pd.Series(t1, dtype=object)],
+            default=s0)
+        out = (pd.DataFrame({"path": paths})
+               .groupby("path", sort=False).size().rename("n_sessions")
+               .reset_index())
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        return out[cols]
+
+    partials = hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                             kernel=kernel, fmt="pandas")
+
+    def path_key(tbl):
+        from ..util import arrow_key_ids
+
+        return arrow_key_ids(tbl, ["path"], 8)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("path", sort=False)["n_sessions"].sum()
+               .reset_index())
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=path_key, n_parts=8,
+                         kernel=merge, fmt="pandas")

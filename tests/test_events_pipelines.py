@@ -2152,3 +2152,38 @@ SELECT user_id, (ts_ms // 3600000) * 3600000 AS window_ms,
        CAST(max(c) AS BIGINT) AS max_c
 FROM p GROUP BY 1, 2
 """, sf, ["user_id", "window_ms"])
+
+
+def test_session_paths_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.session_paths(sf), """
+WITH p AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+              OR lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                 IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM p
+), r AS (
+  SELECT user_id, session_seq, event_type,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts) AS rn
+  FROM s
+), paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+""", sf, ["path"])
+    got = ev.session_paths(sf).to_pandas()
+    # total sessions equals the sessionize operator's session count
+    n_sessions = len(ev.sessionize(sf).to_pandas())
+    assert got["n_sessions"].sum() == n_sessions
