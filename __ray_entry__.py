@@ -83,6 +83,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_streaming_roundtrip": ev.streaming_roundtrip,
         "events_streaming_out_of_order": ev.streaming_out_of_order,
         "events_streaming_window_1h": ev.streaming_window_agg,
+        "events_streaming_window_ooo": ev.streaming_window_out_of_order,
         "events_rollup_1m": lambda sf: ev.rollup(sf, "1m"),
         "events_rollup_1h": lambda sf: ev.rollup(sf, "1h"),
         "events_rollup_1d": lambda sf: ev.rollup(sf, "1d"),
@@ -2449,6 +2450,28 @@ SELECT user_id, (ts_ms // 3600000) * 3600000 AS window_ms,
        CAST(min(c) AS BIGINT) AS min_c,
        CAST(max(c) AS BIGINT) AS max_c
 FROM p GROUP BY 1, 2
+""",
+        # out-of-order streaming window: accepted set = rows whose
+        # window is not before the running-max boundary over prior
+        # arrivals in the scrambled (value, ts) order
+        "events_streaming_window_ooo": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 1000 AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) AS c, value FROM events
+), a AS (
+  SELECT user_id, ts_ms, c,
+         max(ts_ms) OVER (PARTITION BY user_id ORDER BY value, ts_ms
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS wm
+  FROM p
+), acc AS (
+  SELECT user_id, ts_ms, c FROM a
+  WHERE wm IS NULL OR ts_ms // 3600000 >= wm // 3600000
+)
+SELECT user_id, (ts_ms // 3600000) * 3600000 AS window_ms,
+       CAST(sum(c) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM acc GROUP BY 1, 2
 """,
         # PIVOT reshape: one count column per event type (fixed schema)
         "events_type_pivot": """

@@ -4008,6 +4008,50 @@ def streaming_window_agg(sf_dir: str, n_actors: int = 4,
     return ray.data.from_pandas(out)
 
 
+def streaming_window_out_of_order(sf_dir: str, n_actors: int = 4,
+                                  tier: str = "1h"):
+    """Out-of-order STREAMING WINDOW gate: events arrive in the
+    deterministic scrambled order (sorted by (value, ts) — thoroughly out
+    of time order), so the window-agg watermark DROPS every row whose
+    window lies before the running-max-timestamp boundary of its series'
+    earlier arrivals.  The drop rule is SEQUENTIAL (batch-size-invariant,
+    pytest-pinned), so the accepted set — and therefore the sealed
+    aggregate — is exactly SQL-expressible with a running max over the
+    same arrival order.  This gates the late-data path of the windowed
+    aggregation the way ``events_streaming_out_of_order`` gates the
+    encoder's."""
+    import ray.data
+
+    from ..state.streaming import (StreamingRouter, _WindowAggCore,
+                                   feed_parquet_distributed)
+
+    tune_context()
+    window_ms = TIER_MS[tier]
+    router = StreamingRouter(n_actors=n_actors,
+                             actor_core=_WindowAggCore,
+                             core_args=(window_ms, 0))
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    feed_parquet_distributed(router, path, order_cols=["value", "ts_ms"])
+    rows = pd.DataFrame(router.seal())
+    stats = router.stats()
+    if len(rows) and stats["late"] == 0:
+        raise RuntimeError("scrambled arrival produced no late drops — "
+                           "the out-of-order path did not engage")
+
+    if len(rows) == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "window_ms": pd.Series([], dtype=np.int64),
+            "sum_cents": pd.Series([], dtype=np.int64),
+            "cnt": pd.Series([], dtype=np.int64)}))
+    out = pd.DataFrame({
+        "user_id": rows["key"].astype(np.int64),
+        "window_ms": rows["window_ms"].astype(np.int64),
+        "sum_cents": rows["sum_cents"].astype(np.int64),
+        "cnt": rows["cnt"].astype(np.int64)})
+    return ray.data.from_pandas(out)
+
+
 def session_paths(sf_dir: str, gap_ms: int = 1_800_000, k_path: int = 3):
     """Session PATH analysis (the Sankey / user-journey shape): sessions
     are 30-min-gap islands (the :func:`sessionize` discipline), each

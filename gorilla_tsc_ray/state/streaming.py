@@ -308,8 +308,23 @@ class _WindowAggCore:
         for series in {(k, m) for k, m in zip(keys, metrics)}:
             sel = np.flatnonzero((karr == series[0]) & (marr == series[1]))
             sw, sc, sts = win[sel], cents[sel], ts[sel]
-            fr = self.frontier.get(series, np.iinfo(np.int64).min)
-            ok = sw >= fr
+            # SEQUENTIAL drop rule (batch-size-invariant, so the accepted
+            # set is exactly SQL-expressible): row i drops iff its window
+            # lies before the lateness-adjusted boundary of the running
+            # max timestamp over all PRIOR arrivals of its series
+            carry = self.watermark.get(series)
+            run = np.maximum.accumulate(sts)
+            wm_prior = np.concatenate(
+                ([-1 if carry is None else carry], run[:-1]))
+            if carry is not None:
+                wm_prior = np.maximum(wm_prior, carry)
+            has_prior = wm_prior >= 0
+            boundary = np.where(
+                has_prior,
+                (np.maximum(wm_prior - self.lateness, 0)
+                 // self.window_ms * self.window_ms),
+                np.iinfo(np.int64).min)
+            ok = sw >= boundary
             self.late_count += int((~ok).sum())
             if ok.any():
                 sw, sc, sts = sw[ok], sc[ok], sts[ok]

@@ -365,3 +365,29 @@ def test_window_agg_core_watermark_semantics():
     assert core2.late_count == 0        # 90 is within the 100ms grace
     rows2 = {r["window_ms"]: r for r in core2.seal()}
     assert rows2[0]["cnt"] == 2 and rows2[0]["sum_cents"] == 400
+
+
+def test_window_agg_core_batch_invariance():
+    """The sequential drop rule makes the accepted set independent of how
+    the arrival stream is split into batches."""
+    import numpy as np
+
+    from gorilla_tsc_ray.state.streaming import _WindowAggCore
+
+    rng = np.random.default_rng(11)
+    ts = rng.integers(0, 1000, size=300).astype(np.int64)
+    vals = rng.normal(size=300)
+
+    def run(splits):
+        core = _WindowAggCore(window_ms=100, allowed_lateness_ms=0)
+        for lo, hi in splits:
+            bits = vals[lo:hi].view(np.uint64)
+            core.append_batch(["u"] * (hi - lo), ["value"] * (hi - lo),
+                              ts[lo:hi], bits)
+        rows = sorted((r["window_ms"], r["sum_cents"], r["cnt"])
+                      for r in core.seal())
+        return rows, core.late_count
+
+    whole = run([(0, 300)])
+    chunks = run([(0, 7), (7, 100), (100, 101), (101, 300)])
+    assert whole == chunks
