@@ -242,6 +242,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_pareto_curve": ev.pareto_curve,
         "events_user_lifecycle": ev.user_lifecycle,
         "events_session_paths": ev.session_paths,
+        "events_markov_transitions": ev.markov_transitions,
+        "events_cooccurrence_pairs": ev.cooccurrence_pairs,
+        "events_hll_registers": ev.hll_distinct_users,
         "events_type_counts_cms": ev.type_counts_cms,
         "events_type_pivot": ev.type_pivot,
         "events_quantile_bands_1h": lambda sf: ev.quantile_bands(sf, "1h"),
@@ -2521,6 +2524,77 @@ WITH p AS (
 )
 SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
 FROM paths GROUP BY 1
+""",
+        # first-order Markov transition counts within 30-min sessions;
+        # row_total makes n/row_total a consumer-side exact rational
+        "events_markov_transitions": """
+WITH e AS (
+  SELECT user_id, CAST(event_type AS VARCHAR) AS event_type,
+         epoch_ms(ts) AS ts_ms
+  FROM events
+), p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms)
+           AS to_type,
+         lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) - ts_ms
+           AS gap
+  FROM e
+), c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM p WHERE to_type IS NOT NULL AND gap <= 1800000
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total
+FROM c
+""",
+        # market-basket support: sessions containing both types of each
+        # unordered pair (type_a < type_b lexicographically)
+        "events_cooccurrence_pairs": """
+WITH p AS (
+  SELECT user_id, ts, CAST(event_type AS VARCHAR) AS event_type,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+              OR lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                 IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM p
+), d AS (
+  SELECT DISTINCT user_id, session_seq, event_type FROM s
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM d a JOIN d b
+  ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+ AND a.event_type < b.event_type
+GROUP BY 1, 2
+""",
+        # HyperLogLog registers (p=9) for distinct users per type: hash =
+        # md5_number_upper of the decimal user_id (little-endian first 8
+        # digest bytes, CLAUDE.md gotcha), bucket = top 9 bits, rho =
+        # leading zeros of the low 55 bits + 1 via exact bin() length —
+        # float log2 would misround boundary values past the 53-bit
+        # mantissa
+        "events_hll_registers": """
+WITH h AS (
+  SELECT CAST(event_type AS VARCHAR) AS event_type,
+         md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
+  FROM events
+), r AS (
+  SELECT event_type,
+         CAST(hv >> 55 AS BIGINT) AS bucket,
+         CAST(56 - CASE WHEN (hv & ((1::UBIGINT << 55) - 1)) = 0 THEN 0
+                   ELSE length(bin(hv & ((1::UBIGINT << 55) - 1))) END
+              AS BIGINT) AS rho
+  FROM h
+)
+SELECT event_type, bucket, CAST(max(rho) AS BIGINT) AS max_rho
+FROM r GROUP BY 1, 2
 """,
         # user lifecycle: first/last event, span, active days, churn flag
         # vs the corpus max (exact integers)

@@ -4124,3 +4124,259 @@ def session_paths(sf_dir: str, gap_ms: int = 1_800_000, k_path: int = 3):
 
     return hash_exchange(partials, key_fn=path_key, n_parts=8,
                          kernel=merge, fmt="pandas")
+
+
+def markov_transitions(sf_dir: str, gap_ms: int = 1_800_000):
+    """First-order Markov model of the event stream: counts of consecutive
+    ``from_type → to_type`` transitions WITHIN a session (same user, gap ≤
+    ``gap_ms``).  Output carries exact integers only — ``n`` (pair count)
+    and ``row_total`` (all transitions leaving ``from_type``), so the
+    transition probability ``n / row_total`` is a consumer-side rational
+    and the oracle never compares floats.  Users are partition-disjoint
+    after the user exchange so per-partition pair counts add; the merge
+    exchange is keyed on ``from_type`` alone, which co-locates each row of
+    the transition matrix and makes ``row_total`` a local sum."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type", "ts"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_type": pc.cast(t["event_type"], "string"),
+            "ts_ms": pc.divide(pc.cast(t["ts"], "int64"), 1000)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["from_type", "to_type", "n"]
+        if len(df) == 0:
+            return pd.DataFrame({"from_type": np.array([], dtype=object),
+                                 "to_type": np.array([], dtype=object),
+                                 "n": np.array([], np.int64)})
+        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+        u = df["user_id"].to_numpy()
+        t = df["ts_ms"].to_numpy().astype(np.int64)
+        codes, types = pd.factorize(df["event_type"].to_numpy())
+        # adjacent pair is a transition iff same user AND gap within session
+        ok = (u[1:] == u[:-1]) & ((t[1:] - t[:-1]) <= gap_ms)
+        if not ok.any():
+            return pd.DataFrame({"from_type": np.array([], dtype=object),
+                                 "to_type": np.array([], dtype=object),
+                                 "n": np.array([], np.int64)})
+        k = len(types)
+        pair = codes[:-1][ok].astype(np.int64) * k + codes[1:][ok]
+        cnt = np.bincount(pair, minlength=k * k).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({
+            "from_type": types[nz // k],
+            "to_type": types[nz % k],
+            "n": cnt[nz]})[cols]
+
+    partials = hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                             kernel=kernel, fmt="pandas")
+
+    def from_key(tbl):
+        from ..util import arrow_key_ids
+
+        return arrow_key_ids(tbl, ["from_type"], 8)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["from_type", "to_type"], sort=False)["n"].sum()
+               .reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        # every pair with this from_type is in this partition: local sum
+        out["row_total"] = (out.groupby("from_type", sort=False)["n"]
+                            .transform("sum").astype(np.int64))
+        return out
+
+    return hash_exchange(partials, key_fn=from_key, n_parts=8,
+                         kernel=merge, fmt="pandas")
+
+
+def cooccurrence_pairs(sf_dir: str, gap_ms: int = 1_800_000):
+    """Market-basket co-occurrence over sessions: each 30-min-gap session
+    is a basket of DISTINCT event types; the output counts, for every
+    unordered type pair ``(type_a < type_b)``, the number of sessions
+    containing both (``support``).  Pair expansion is vectorized by
+    stride: for each offset ``d`` the pair ``(x[i], x[i+d])`` is emitted
+    where both land in the same session's sorted-unique type list — the
+    loop runs over d ≤ max basket size (≤ #types, a constant), never over
+    sessions or rows."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type", "ts"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_type": pc.cast(t["event_type"], "string"),
+            "ts_ms": pc.divide(pc.cast(t["ts"], "int64"), 1000)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"type_a": np.array([], dtype=object),
+                              "type_b": np.array([], dtype=object),
+                              "support": np.array([], np.int64)})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+        u = df["user_id"].to_numpy()
+        t = df["ts_ms"].to_numpy().astype(np.int64)
+        # SORTED codes (np.unique, not factorize): code order must be
+        # lexicographic so the emitted (type_a < type_b) orientation is
+        # identical in every partition — factorize's first-appearance
+        # order would flip pairs between partitions and break the merge.
+        types, codes = np.unique(df["event_type"].to_numpy(),
+                                 return_inverse=True)
+        brk = np.concatenate(([True], (u[1:] != u[:-1])
+                              | ((t[1:] - t[:-1]) > gap_ms)))
+        sess = np.cumsum(brk) - 1
+        # distinct (session, code), sorted by code within session
+        key = sess.astype(np.int64) * len(types) + codes
+        uk = np.unique(key)
+        s_id, c_id = uk // len(types), uk % len(types)
+        # stride-d pair expansion within each session's sorted code run
+        parts_a, parts_b = [], []
+        d = 1
+        while True:
+            same = s_id[d:] == s_id[:-d] if d < len(s_id) else np.array(
+                [], dtype=bool)
+            if not same.any():
+                break
+            parts_a.append(c_id[:-d][same])
+            parts_b.append(c_id[d:][same])
+            d += 1
+        if not parts_a:
+            return empty
+        a = np.concatenate(parts_a)
+        b = np.concatenate(parts_b)
+        pair = a * len(types) + b
+        cnt = np.bincount(pair, minlength=len(types) ** 2).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"type_a": types[nz // len(types)],
+                             "type_b": types[nz % len(types)],
+                             "support": cnt[nz]})
+
+    partials = hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                             kernel=kernel, fmt="pandas")
+
+    def pair_key(tbl):
+        from ..util import arrow_key_ids
+
+        return arrow_key_ids(tbl, ["type_a", "type_b"], 8)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["type_a", "type_b"], sort=False)["support"]
+               .sum().reset_index())
+        out["support"] = out["support"].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=pair_key, n_parts=8,
+                         kernel=merge, fmt="pandas")
+
+
+def _bitlen_u64(w: np.ndarray) -> np.ndarray:
+    """Branchless vectorized bit length of uint64 (0 → 0).  float log2 is
+    NOT safe here: the register suffix has up to 55 bits > the 53-bit
+    double mantissa, so boundary values round the wrong way."""
+    w = w.astype(np.uint64, copy=True)
+    n = np.zeros(w.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = w >= (np.uint64(1) << np.uint64(s))
+        n += np.where(big, s, 0)
+        w = np.where(big, w >> np.uint64(s), w)
+    return n + (w > 0)
+
+
+def hll_distinct_users(sf_dir: str, p: int = 9):
+    """HyperLogLog registers for distinct users per event type — the fifth
+    mergeable sketch family (KLL / KMV / Misra-Gries / count-min are the
+    others).  Output is the exact register table ``(event_type, bucket,
+    max_rho)``: bucket = top ``p`` hash bits, rho = leading-zero count of
+    the remaining ``64-p`` bits + 1.  The hash is md5 of the decimal
+    user_id (little-endian first 8 digest bytes == DuckDB
+    ``md5_number_upper``), so the oracle reproduces every register
+    exactly; the float ESTIMATE is a consumer-side formula checked in
+    pytest against the exact distinct count.  Registers are idempotent
+    max-mergeable, so the partial per batch is a ≤ types×2^p row table no
+    matter the input size — the whole point of the sketch at 100 TB:
+    distinct-count with no id shuffle."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type"], P)
+    shift = np.uint64(64 - p)
+    mask = (np.uint64(1) << shift) - np.uint64(1)
+
+    def partial(t) -> pd.DataFrame:
+        uid = t.column("user_id").to_numpy()
+        # np.unique keeps types/codes aligned by construction —
+        # dictionary_encode indices vs pc.unique value order are NOT
+        # guaranteed to agree when the parquet column arrives
+        # dictionary-encoded.
+        et_np = np.asarray(
+            pc.cast(t.column("event_type"), "string").combine_chunks())
+        types, codes = np.unique(et_np, return_inverse=True)
+        # md5 only the unique users of the batch, then gather
+        uniq, inv = np.unique(uid, return_inverse=True)
+        h_uniq = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8],
+                            "little") for v in uniq),
+            dtype=np.uint64, count=len(uniq))
+        h = h_uniq[inv]
+        bucket = (h >> shift).astype(np.int64)
+        rho = (int(shift) + 1 - _bitlen_u64(h & mask)).astype(np.int64)
+        reg = np.zeros((len(types), 1 << p), np.int64)
+        np.maximum.at(reg, (codes.astype(np.int64), bucket), rho)
+        tc, bc = np.nonzero(reg)
+        return pd.DataFrame({"event_type": types[tc], "bucket": bc,
+                             "max_rho": reg[tc, bc]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def type_key(tbl):
+        from ..util import arrow_key_ids
+
+        return arrow_key_ids(tbl, ["event_type"], 8)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["event_type", "bucket"], sort=False)["max_rho"]
+               .max().reset_index())
+        out["bucket"] = out["bucket"].astype(np.int64)
+        out["max_rho"] = out["max_rho"].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=type_key, n_parts=8,
+                         kernel=merge, fmt="pandas")
+
+
+def hll_estimate(reg_df: "pd.DataFrame", p: int = 9) -> "pd.DataFrame":
+    """Consumer-side HLL estimate from :func:`hll_distinct_users` register
+    rows (Flajolet et al. 2007 with the standard small-range linear
+    counting correction).  Kept OUT of the oracle-checked surface — the
+    harmonic-mean float sum is summation-order-sensitive cross-engine."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out = []
+    for et, g in reg_df.groupby("event_type", sort=False):
+        regs = np.zeros(m, np.int64)
+        regs[g["bucket"].to_numpy()] = g["max_rho"].to_numpy()
+        e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if e <= 2.5 * m and zeros:
+            e = m * np.log(m / zeros)
+        out.append((et, float(e)))
+    return pd.DataFrame(out, columns=["event_type", "estimate"])

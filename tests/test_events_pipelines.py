@@ -2187,3 +2187,53 @@ FROM paths GROUP BY 1
     # total sessions equals the sessionize operator's session count
     n_sessions = len(ev.sessionize(sf).to_pandas())
     assert got["n_sessions"].sum() == n_sessions
+
+
+def test_markov_transitions_vs_duckdb(ray_session):
+    sf = "/root/testdata/sf0.001"
+    _cmp(ev.markov_transitions(sf), """
+WITH e AS (
+  SELECT user_id, CAST(event_type AS VARCHAR) AS event_type,
+         epoch_ms(ts) AS ts_ms
+  FROM events
+), p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms)
+           AS to_type,
+         lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) - ts_ms
+           AS gap
+  FROM e
+), c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM p WHERE to_type IS NOT NULL AND gap <= 1800000
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total
+FROM c
+""", sf, ["from_type", "to_type"])
+
+
+def test_cooccurrence_pairs_canonical_order(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = ev.cooccurrence_pairs(sf).to_pandas()
+    # every pair emitted in canonical orientation exactly once
+    assert (got["type_a"] < got["type_b"]).all()
+    assert not got.duplicated(["type_a", "type_b"]).any()
+
+
+def test_hll_estimate_tracks_exact_distinct(ray_session):
+    sf = "/root/testdata/sf0.001"
+    regs = ev.hll_distinct_users(sf).to_pandas()
+    est = ev.hll_estimate(regs)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    exact = con.execute("""
+SELECT CAST(event_type AS VARCHAR) AS event_type,
+       count(DISTINCT user_id) AS n FROM events GROUP BY 1""").df()
+    m = est.merge(exact, on="event_type")
+    assert len(m) == len(exact)
+    # p=9 -> 512 registers, standard error ~4.6%; allow 3 sigma
+    rel = np.abs(m["estimate"] - m["n"]) / m["n"]
+    assert (rel < 0.14).all(), rel.describe()
