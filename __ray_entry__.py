@@ -184,6 +184,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_customers": relational.q22_idle_customers,
         "q8_market_share": relational.q8_market_share,
         "q9_profit": relational.q9_profit,
+        "rel_bloom_semijoin": relational.bloom_semijoin_urgent_revenue,
         # — training-data ops: text analysis —
         "docs_token_stats": docs.token_stats,
         "docs_ttr_hapax": docs.ttr_hapax,
@@ -201,6 +202,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": docs.top_tokens,
         "docs_top_tokens_sketch": docs.top_tokens_sketch,
         "docs_token_cooccurrence": docs.token_cooccurrence,
+        "docs_collocations": docs.collocations,
+        "docs_vocab_growth": docs.vocab_growth,
         "docs_tfidf": docs.tfidf,
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
@@ -245,6 +248,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_transitions": ev.markov_transitions,
         "events_cooccurrence_pairs": ev.cooccurrence_pairs,
         "events_hll_registers": ev.hll_distinct_users,
+        "events_crosscorr_1h": ev.crosscorr_1h,
+        "events_user_day_bitmaps": ev.user_day_bitmaps,
         "events_type_counts_cms": ev.type_counts_cms,
         "events_type_pivot": ev.type_pivot,
         "events_quantile_bands_1h": lambda sf: ev.quantile_bands(sf, "1h"),
@@ -1593,6 +1598,17 @@ JOIN nation n ON n.n_nationkey = s.s_nationkey
 WHERE p.p_name LIKE '%a%'
 GROUP BY 1, 2
 """,
+        # bloom-prefiltered semi-join == plain semi-join (the bloom only
+        # trims exchange volume; _semi_filter removes false positives)
+        "rel_bloom_semijoin": """
+SELECT l.l_returnflag, l.l_linestatus,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
+                       WHERE o_orderpriority = '1-URGENT')
+GROUP BY 1, 2
+""",
         # TPC-H Q6 shape: scalar aggregate under a pushed multi-predicate
         "q6_forecast_revenue": """
 SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
@@ -1758,6 +1774,44 @@ SELECT a.tok AS t1, b.tok AS t2, count(*) AS n_both,
 FROM pv a JOIN pv b ON a.doc_id = b.doc_id AND a.tok < b.tok
 JOIN ca c1 ON c1.tok = a.tok JOIN ca c2 ON c2.tok = b.tok
 GROUP BY a.tok, b.tok, c1.c, c2.c
+""",
+        # adjacent-bigram collocations: pair count + unigram totals as
+        # exact integers (PMI/LLR are consumer-side rationals)
+        "docs_collocations": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), u AS (
+  SELECT unnest(toks) AS w FROM t
+), uc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1
+), b AS (
+  SELECT unnest(list_zip(toks[1:-2], toks[2:-1])) AS bg
+  FROM t WHERE length(toks) >= 2
+), pc AS (
+  SELECT bg[1] AS w1, bg[2] AS w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM b GROUP BY 1, 2
+)
+SELECT pc.w1, pc.w2, pc.n_pair, u1.n AS n_w1, u2.n AS n_w2
+FROM pc JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w
+""",
+        # Heaps-law vocabulary growth: cumulative distinct tokens per doc
+        # in doc_id order (min-first-doc reduction + offset fold)
+        "docs_vocab_growth": """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w
+  FROM documents
+), f AS (
+  SELECT w, min(doc_id) AS first_doc FROM t GROUP BY 1
+), c AS (
+  SELECT first_doc, count(*) AS k FROM f GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(sum(coalesce(c.k, 0)) OVER (ORDER BY d.doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS vocab_size
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN c ON d.doc_id = c.first_doc
 """,
         # Misra-Gries heavy hitters: exact when no block's vocab exceeds
         # the counter budget (31-token vocab ≪ 4096) — same truth as the
@@ -2595,6 +2649,32 @@ WITH h AS (
 )
 SELECT event_type, bucket, CAST(max(rho) AS BIGINT) AS max_rho
 FROM r GROUP BY 1, 2
+""",
+        # lagged cross-correlation numerators between hourly count series
+        # (exact int dot products; zero-dot pairs omitted on both sides)
+        "events_crosscorr_1h": """
+WITH c AS (
+  SELECT CAST(event_type AS VARCHAR) AS event_type,
+         epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), l AS (SELECT unnest([0, 1, 2, 3]) AS lag)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(l.lag AS BIGINT) AS lag,
+       CAST(sum(a.n * b.n) AS BIGINT) AS dot
+FROM c a CROSS JOIN l JOIN c b ON b.h = a.h + l.lag
+GROUP BY 1, 2, 3
+""",
+        # per-user activity bitmap index: 32-bit day words (bit 63
+        # BIGINT-overflow gotcha), OR == sum because days are distinct
+        # within a word
+        "events_user_day_bitmaps": """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+)
+SELECT user_id, CAST(day // 32 AS BIGINT) AS word_idx,
+       CAST(sum(1::BIGINT << CAST(day % 32 AS INT)) AS BIGINT) AS bits
+FROM d GROUP BY 1, 2
 """,
         # user lifecycle: first/last event, span, active days, churn flag
         # vs the corpus max (exact integers)

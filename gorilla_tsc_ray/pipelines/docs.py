@@ -2352,3 +2352,128 @@ def dup_spans(sf_dir: str, k: int = 8):
     return hash_exchange(partials, key_fn=_pair_hash_key(["doc_id"]),
                          n_parts=N_DOC_PARTS, kernel=fold, fmt="pandas",
                          chunk_rows=1 << 20, final_kernel=finalize)
+
+
+def collocations(sf_dir: str):
+    """Adjacent-bigram collocation counts with unigram totals: for every
+    consecutive token pair in the positional token stream, ``n_pair``
+    (corpus occurrences of the bigram) plus ``n_w1``/``n_w2`` (corpus
+    occurrences of each word) — PMI / log-likelihood-ratio become
+    consumer-side rationals over exact integers.  Pair counting runs on
+    integer token codes (no object arrays in the hot path); the bigram
+    exchange is keyed on the pair.  Unigram totals ride a separate tiny
+    exchange and broadcast into the merge kernel — the unigram table is
+    vocabulary-bounded, not corpus-bounded, which is what makes the
+    broadcast legitimate at 100 TB (same rationale as the top-k vocab in
+    :func:`token_cooccurrence`)."""
+    from ..util import arrow_key_ids
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        uniq, codes, _lens = dd.unique_tokens(df["text"])
+        if not len(codes):
+            return pd.DataFrame({"w": np.array([], dtype=object),
+                                 "n": np.array([], np.int64)})
+        cnt = np.bincount(codes, minlength=len(uniq))
+        return pd.DataFrame({"w": uniq, "n": cnt.astype(np.int64)})
+
+    uni = hash_exchange(
+        ds.map_batches(uni_partial, batch_format="pandas"),
+        key_fn=lambda t: arrow_key_ids(t, ["w"], 8), n_parts=8,
+        kernel=lambda df: df.groupby("w", sort=False)["n"].sum()
+                            .astype(np.int64).reset_index(),
+        fmt="pandas").to_pandas()
+    n_of = dict(zip(uni["w"], uni["n"]))
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"w1": np.array([], dtype=object),
+                              "w2": np.array([], dtype=object),
+                              "n_pair": np.array([], np.int64)})
+        uniq, codes, lens = dd.unique_tokens(df["text"])
+        if len(codes) < 2:
+            return empty
+        # adjacency mask: position i pairs with i+1 unless i is a doc's
+        # last token (doc ends at cumsum(lens)-1)
+        ends = np.cumsum(lens)
+        ok = np.ones(len(codes) - 1, dtype=bool)
+        ok[ends[ends < len(codes)] - 1] = False
+        if not ok.any():
+            return empty
+        K = len(uniq)
+        pair = codes[:-1][ok].astype(np.int64) * K + codes[1:][ok]
+        uk, cnt = np.unique(pair, return_counts=True)
+        return pd.DataFrame({"w1": uniq[uk // K], "w2": uniq[uk % K],
+                             "n_pair": cnt.astype(np.int64)})
+
+    pairs = ds.map_batches(pair_partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["w1", "w2"], sort=False)["n_pair"].sum()
+               .reset_index())
+        out["n_pair"] = out["n_pair"].astype(np.int64)
+        out["n_w1"] = out["w1"].map(n_of).astype(np.int64)
+        out["n_w2"] = out["w2"].map(n_of).astype(np.int64)
+        return out
+
+    return hash_exchange(
+        pairs, key_fn=lambda t: arrow_key_ids(t, ["w1", "w2"], 8),
+        n_parts=8, kernel=merge, fmt="pandas")
+
+
+def vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary-growth curve: for every doc (in doc_id order)
+    the cumulative number of DISTINCT tokens seen so far.  Distributed as
+    two exact reductions, never a stateful scan: (1) per token, the
+    minimum doc_id containing it (token-keyed exchange, min-mergeable);
+    (2) tokens-per-first-doc counts fold into a cumulative sum over the
+    distinct doc_id axis in a one-partition kernel — the fold input is
+    vocabulary/doc-count bounded, the same per-block offset-fold shape as
+    ``events_pareto_curve``."""
+    from ..util import arrow_key_ids
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def first_partial(df: pd.DataFrame) -> pd.DataFrame:
+        uniq, codes, lens = dd.unique_tokens(df["text"])
+        if not len(codes):
+            return pd.DataFrame({"w": np.array([], dtype=object),
+                                 "first_doc": np.array([], np.int64)})
+        doc_ids = np.repeat(df["doc_id"].to_numpy(), lens)
+        # min doc_id per token code
+        first = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, codes, doc_ids)
+        return pd.DataFrame({"w": uniq, "first_doc": first})
+
+    firsts = hash_exchange(
+        ds.map_batches(first_partial, batch_format="pandas"),
+        key_fn=lambda t: arrow_key_ids(t, ["w"], 8), n_parts=8,
+        kernel=lambda df: df.groupby("w", sort=False)["first_doc"].min()
+                            .astype(np.int64).reset_index(),
+        fmt="pandas")
+
+    def count_new(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("first_doc", sort=False).size().rename("k")
+               .reset_index())
+        out["k"] = out["k"].astype(np.int64)
+        return out
+
+    new_at = hash_exchange(
+        firsts, key_fn=lambda t: arrow_key_ids(t, ["first_doc"], 8),
+        n_parts=8, kernel=count_new, fmt="pandas")
+
+    doc_ids = _read(sf_dir, "documents", ["doc_id"])
+
+    def fold(counts: pd.DataFrame, docs: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(docs["doc_id"].to_numpy().astype(np.int64))
+        k = np.zeros(len(d), np.int64)
+        if len(counts):
+            pos = np.searchsorted(d, counts["first_doc"].to_numpy())
+            np.add.at(k, pos, counts["k"].to_numpy())
+        return pd.DataFrame({"doc_id": d,
+                             "vocab_size": np.cumsum(k).astype(np.int64)})
+
+    return hash_exchange_multi(
+        [(new_at, lambda t: np.zeros(t.num_rows, dtype=np.int64)),
+         (doc_ids, lambda t: np.zeros(t.num_rows, dtype=np.int64))],
+        n_parts=1, kernel=fold, fmt="pandas")

@@ -4380,3 +4380,131 @@ def hll_estimate(reg_df: "pd.DataFrame", p: int = 9) -> "pd.DataFrame":
             e = m * np.log(m / zeros)
         out.append((et, float(e)))
     return pd.DataFrame(out, columns=["event_type", "estimate"])
+
+
+def crosscorr_1h(sf_dir: str, max_lag: int = 3):
+    """Lagged cross-correlation NUMERATORS between hourly event-count
+    series: for every ordered type pair and lag ``k ∈ [0, max_lag]``,
+    ``dot = Σ_t cnt_a(t)·cnt_b(t+k)`` over epoch hours.  Counts (not
+    values) keep the products exact in int64; the normalized correlation
+    is a consumer-side division.  The distributed phase reduces the
+    stream to the (type, hour) count table — bounded by calendar span ×
+    type cardinality, NOT input size — so the final T×T×lag matmul runs
+    on a one-partition kernel over a tiny table.  Pairs whose series
+    never overlap within the lag (dot = 0) are omitted, matching the SQL
+    join."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["event_type", "ts"], P)
+
+    def partial(t) -> pd.DataFrame:
+        h = np.asarray(pc.cast(t["ts"], "int64")) // 3_600_000_000
+        et = np.asarray(pc.cast(t["event_type"], "string").combine_chunks())
+        types, codes = np.unique(et, return_inverse=True)
+        h0 = h.min()
+        key = codes.astype(np.int64) * (h.max() - h0 + 1) + (h - h0)
+        uk, cnt = np.unique(key, return_counts=True)
+        span = h.max() - h0 + 1
+        return pd.DataFrame({"event_type": types[uk // span],
+                             "h": (uk % span) + h0,
+                             "n": cnt.astype(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def th_key(tbl):
+        from ..util import arrow_key_ids
+
+        return arrow_key_ids(tbl, ["event_type", "h"], 8)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["event_type", "h"], sort=False)["n"].sum()
+               .reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = hash_exchange(partials, key_fn=th_key, n_parts=8,
+                           kernel=merge, fmt="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["type_a", "type_b", "lag", "dot"]
+        if len(df) == 0:
+            return pd.DataFrame({"type_a": np.array([], dtype=object),
+                                 "type_b": np.array([], dtype=object),
+                                 "lag": np.array([], np.int64),
+                                 "dot": np.array([], np.int64)})
+        piv = (df.pivot_table(index="h", columns="event_type", values="n",
+                              aggfunc="sum", fill_value=0)
+               .sort_index())
+        H = piv.to_numpy().astype(np.int64)          # hours × types
+        # reindex to a dense hour axis so lag k really means k HOURS
+        hours = piv.index.to_numpy().astype(np.int64)
+        dense = np.zeros((hours.max() - hours.min() + 1, H.shape[1]),
+                         np.int64)
+        dense[hours - hours.min()] = H
+        types = np.asarray(piv.columns, dtype=object)
+        out = {"type_a": [], "type_b": [], "lag": [], "dot": []}
+        for k in range(max_lag + 1):
+            D = (dense[:-k].T @ dense[k:]) if k else (dense.T @ dense)
+            ia, ib = np.nonzero(D)
+            out["type_a"].extend(types[ia])
+            out["type_b"].extend(types[ib])
+            out["lag"].extend([k] * len(ia))
+            out["dot"].extend(D[ia, ib])
+        res = pd.DataFrame(out)
+        res["lag"] = res["lag"].astype(np.int64)
+        res["dot"] = res["dot"].astype(np.int64)
+        return res[cols]
+
+    return hash_exchange(
+        counts, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1, kernel=final, fmt="pandas")
+
+
+def user_day_bitmaps(sf_dir: str):
+    """Per-user activity BITMAP INDEX (the roaring-bitmap audience-
+    segmentation shape): each user's active epoch-days pack into 32-bit
+    words — ``word_idx = day // 32``, ``bits = OR of 1 << (day % 32)``.
+    32-bit words (not 64) keep every value below DuckDB's BIGINT bit-63
+    overflow (CLAUDE.md gotcha).  Bitmaps are idempotent OR-mergeable, so
+    per-batch partials are bounded by users × active-words regardless of
+    event volume, and the user-keyed exchange merges with a plain
+    group-OR."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts"], P)
+
+    def partial(t) -> pd.DataFrame:
+        uid = t.column("user_id").to_numpy()
+        day = np.asarray(pc.cast(t["ts"], "int64")) // 86_400_000_000
+        # distinct (user, day): epoch day < 2**21 forever-practical,
+        # user_id < 2**42 — pack injectively
+        key = uid.astype(np.int64) * (1 << 21) + day
+        uk = np.unique(key)
+        u, d = uk >> 21, uk & ((1 << 21) - 1)
+        word, bit = d >> 5, (d & 31).astype(np.int64)
+        cell = (u << 16) | word          # word_idx < 2**16 (epoch day/32)
+        order = np.argsort(cell, kind="stable")
+        cell, bitv = cell[order], (np.int64(1) << bit[order])
+        starts = np.flatnonzero(
+            np.concatenate(([True], cell[1:] != cell[:-1])))
+        bits = np.bitwise_or.reduceat(bitv, starts)
+        cu = cell[starts]
+        return pd.DataFrame({"user_id": cu >> 16,
+                             "word_idx": (cu & 0xFFFF).astype(np.int64),
+                             "bits": bits.astype(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["user_id", "word_idx"], sort=False)["bits"]
+               .agg(lambda s: np.bitwise_or.reduce(s.to_numpy()))
+               .reset_index())
+        out["bits"] = out["bits"].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

@@ -1494,3 +1494,118 @@ def q9_profit(sf_dir: str, name_substr: str = "a"):
 
     return hash_exchange(partials, key_fn=_hash_key(["nk", "o_year"]),
                          n_parts=N_PARTS, kernel=merge, fmt="pandas")
+
+
+def _bloom_build(keys: np.ndarray, m_bits: int, n_hashes: int) -> np.ndarray:
+    """Packed uint64 bloom words for int64 ``keys`` (k hash probes via
+    splitmix64 of key ^ odd seed constants — deterministic, seed-free)."""
+    from ..stages.dedup import splitmix64
+
+    words = np.zeros(m_bits >> 6, np.uint64)
+    k64 = keys.astype(np.uint64)
+    for i in range(n_hashes):
+        seed = (0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF
+        h = splitmix64(k64 ^ np.uint64(seed)) % np.uint64(m_bits)
+        np.bitwise_or.at(words, (h >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (h & np.uint64(63)))
+    return words
+
+
+def _bloom_probe(keys: np.ndarray, words: np.ndarray,
+                 n_hashes: int) -> np.ndarray:
+    """Membership mask (True = POSSIBLY present) — same probe sequence as
+    :func:`_bloom_build`."""
+    from ..stages.dedup import splitmix64
+
+    m_bits = len(words) << 6
+    k64 = keys.astype(np.uint64)
+    hit = np.ones(len(keys), bool)
+    for i in range(n_hashes):
+        seed = (0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF
+        h = splitmix64(k64 ^ np.uint64(seed)) % np.uint64(m_bits)
+        bit = words[(h >> np.uint64(6)).astype(np.int64)] \
+            & (np.uint64(1) << (h & np.uint64(63)))
+        hit &= bit != 0
+    return hit
+
+
+def bloom_semijoin_urgent_revenue(sf_dir: str, m_bits: int = 1 << 20,
+                                  n_hashes: int = 4):
+    """Bloom-prefiltered semi-join: revenue of lineitems whose order has
+    ``o_orderpriority = '1-URGENT'``, grouped by return flag / line
+    status.  The scale pattern this demonstrates: the urgent-order KEY SET
+    may exceed broadcast budget, but its BLOOM (m/8 bytes regardless of
+    key count) always broadcasts, so fact rows that cannot match are
+    dropped BEFORE the exact semi-join exchange — the bloom trims the
+    all-to-all volume, the exact phase (`_semi_filter`, size-guarded
+    broadcast-vs-exchange) removes the false positives, so the result is
+    exactly the plain semi-join.  Per-batch partial blooms OR together
+    (order-free merge); at cluster scale that fold is a tree reduce, here
+    the word arrays are small enough to OR on the driver."""
+    import pyarrow.compute as pc
+    import ray
+
+    tune_context()
+
+    def keep_urgent(t):
+        return t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority"]).map_batches(
+        keep_urgent, batch_format="pyarrow").materialize()
+
+    def partial_bloom(t):
+        import pyarrow as pa
+
+        keys = t.column("o_orderkey").to_numpy()
+        w = _bloom_build(keys, m_bits, n_hashes)
+        return pa.table({"words": pa.array([w.tobytes()],
+                                           type=pa.binary())})
+
+    folded = np.zeros(m_bits >> 6, np.uint64)
+    for row in orders.map_batches(
+            partial_bloom, batch_format="pyarrow").take_all():
+        folded |= np.frombuffer(row["words"], dtype=np.uint64)
+    bloom_ref = ray.put(folded)
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_returnflag", "l_linestatus",
+                  "l_extendedprice", "l_discount"])
+
+    def prefilter(t):
+        words = ray.get(bloom_ref)
+        keys = t.column("l_orderkey").to_numpy()
+        return t.filter(_bloom_probe(keys, words, n_hashes))
+
+    survivors = line.map_batches(prefilter, batch_format="pyarrow")
+    exact = _semi_filter(survivors,
+                         orders.select_columns(["o_orderkey"]),
+                         fact_key="l_orderkey", dim_key="o_orderkey")
+
+    def derive(t):
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(1.0, t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    def partial(tbl):
+        import pyarrow as pa
+
+        out = tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("revenue", "sum"), ("revenue", "count")])
+        return pa.table({"l_returnflag": out["l_returnflag"],
+                         "l_linestatus": out["l_linestatus"],
+                         "revenue": out["revenue_sum"],
+                         "n_lines": out["revenue_count"]})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+               .sum().reset_index())
+        out["revenue"] = round_half_away(out["revenue"].to_numpy(), 4)
+        out["n_lines"] = out["n_lines"].astype(np.int64)
+        return out
+
+    agg = exact.map_batches(derive, batch_format="pyarrow") \
+               .map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(agg,
+                         key_fn=_hash_key(["l_returnflag", "l_linestatus"]),
+                         n_parts=N_PARTS, kernel=merge, fmt="pandas")

@@ -1181,3 +1181,36 @@ def test_dup_spans_detects_copied_passage(ray_session, tmp_path):
     assert got.loc[2, "n_shared"] == 0
     assert (got["n_shared"] <= got["n_windows"]).all()
     assert got.loc[2, "shared_frac"] == 0.0
+
+
+def test_collocations_conservation(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = docs.collocations(sf).to_pandas()
+    # bigram total = token total - one per doc with >=1 token
+    import duckdb
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    tok_total, docs_with = con.execute("""
+SELECT sum(length(regexp_extract_all(text, '[A-Za-z0-9]+'))),
+       sum(CASE WHEN length(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 1
+                THEN 1 ELSE 0 END)
+FROM documents""").fetchone()
+    assert got["n_pair"].sum() == tok_total - docs_with
+
+
+def test_vocab_growth_monotone_and_ends_at_vocab(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = (docs.vocab_growth(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    v = got["vocab_size"].to_numpy()
+    assert (np.diff(v) >= 0).all()
+    import duckdb
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    n_vocab = con.execute("""
+SELECT count(DISTINCT w) FROM (
+  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w
+  FROM documents)""").fetchone()[0]
+    assert v[-1] == n_vocab

@@ -2237,3 +2237,28 @@ SELECT CAST(event_type AS VARCHAR) AS event_type,
     # p=9 -> 512 registers, standard error ~4.6%; allow 3 sigma
     rel = np.abs(m["estimate"] - m["n"]) / m["n"]
     assert (rel < 0.14).all(), rel.describe()
+
+
+def test_crosscorr_lag0_is_symmetric(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = ev.crosscorr_1h(sf).to_pandas()
+    lag0 = got[got["lag"] == 0]
+    sym = lag0.merge(lag0, left_on=["type_a", "type_b"],
+                     right_on=["type_b", "type_a"], suffixes=("", "_t"))
+    assert len(sym) == len(lag0)
+    assert (sym["dot"] == sym["dot_t"]).all()
+
+
+def test_user_day_bitmaps_popcount_equals_active_days(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = ev.user_day_bitmaps(sf).to_pandas()
+    pop = (got.assign(
+        p=[bin(b).count("1") for b in got["bits"].to_numpy()])
+        .groupby("user_id")["p"].sum())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    exp = con.execute("""
+SELECT user_id, count(DISTINCT epoch_us(ts) // 86400000000) AS d
+FROM events GROUP BY 1""").df().set_index("user_id")["d"]
+    assert pop.sort_index().equals(exp.sort_index().astype(np.int64))

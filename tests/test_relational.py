@@ -602,3 +602,34 @@ def test_q8_q9(ray_session, sf_small):
     assert len(got9) == len(exp9) > 0
     pd.testing.assert_frame_equal(got9[exp9.columns], exp9,
                                   check_exact=False, atol=1e-6)
+
+
+def test_bloom_probe_is_superset_and_selective():
+    # membership never misses; FPR on a disjoint probe set stays near the
+    # theoretical (1 - e^{-kn/m})^k for n=10k, m=2^20, k=4 (~1e-4)
+    rng = np.random.default_rng(7)
+    members = rng.choice(10**9, size=10_000, replace=False).astype(np.int64)
+    words = relational._bloom_build(members, 1 << 20, 4)
+    assert relational._bloom_probe(members, words, 4).all()
+    probe = (members[:5000] + 10**9).astype(np.int64)  # disjoint
+    fp = relational._bloom_probe(probe, words, 4).mean()
+    assert fp < 0.01, fp
+
+
+def test_bloom_semijoin_vs_duckdb(ray_session, sf_small):
+    got = (relational.bloom_semijoin_urgent_revenue(sf_small).to_pandas()
+           .sort_values(["l_returnflag", "l_linestatus"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'")
+    exp = con.execute("""
+SELECT l.l_returnflag, l.l_linestatus,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
+                       WHERE o_orderpriority = '1-URGENT')
+GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
