@@ -84,6 +84,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_streaming_out_of_order": ev.streaming_out_of_order,
         "events_streaming_window_1h": ev.streaming_window_agg,
         "events_streaming_window_ooo": ev.streaming_window_out_of_order,
+        "events_streaming_sessionize": ev.streaming_sessionize,
         "events_rollup_1m": lambda sf: ev.rollup(sf, "1m"),
         "events_rollup_1h": lambda sf: ev.rollup(sf, "1h"),
         "events_rollup_1d": lambda sf: ev.rollup(sf, "1d"),
@@ -153,6 +154,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_incremental_serve": ingest.incremental_serve,
         "transcripts_archive_serve": _archive_serve,
         "transcripts_compact_serve": _compact_serve,
+        "transcripts_transcode_serve": _transcode_serve,
         # — relational operator coverage —
         "q1_pricing_summary": relational.pricing_summary,
         "top_event_users": relational.top_event_users,
@@ -204,6 +206,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_cooccurrence": docs.token_cooccurrence,
         "docs_collocations": docs.collocations,
         "docs_vocab_growth": docs.vocab_growth,
+        "docs_degree_hist": docs.degree_hist,
         "docs_tfidf": docs.tfidf,
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
@@ -297,6 +300,15 @@ def _retention_serve(sf_dir: str):
     from gorilla_tsc_ray.pipelines.retention import retention_serve
 
     return retention_serve(sf_dir, keep_days=2, tier="1h")
+
+
+def _transcode_serve(sf_dir: str):
+    """Codec-migration gate: v2 -> v1 -> v2 across the whole raw tier
+    (both passes runtime-asserted complete), then decode the full point
+    stream — two migrations must be bit-transparent."""
+    from gorilla_tsc_ray.pipelines.retention import transcode_serve
+
+    return transcode_serve(sf_dir, metric="text_len")
 
 
 def _compact_serve(sf_dir: str):
@@ -1092,6 +1104,11 @@ SELECT conv_id, 'text_len' AS metric, ts_ms,
         # archive gate: the expired (archived) days' points only — the
         # last day stays in the raw tier with keep_days=1
         "transcripts_compact_serve": tdedup + """
+SELECT conv_id, 'text_len' AS metric, ts_ms,
+       CAST(length(text) AS DOUBLE) AS value FROM d
+""",
+        # codec migration v2->v1->v2 must serve the identical stream
+        "transcripts_transcode_serve": tdedup + """
 SELECT conv_id, 'text_len' AS metric, ts_ms,
        CAST(length(text) AS DOUBLE) AS value FROM d
 """,
@@ -1927,6 +1944,29 @@ WITH t AS (
 SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
 FROM nodes GROUP BY 1
 """,
+        # degree distribution of the same near-dup edge set
+        "docs_degree_hist": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM t
+), pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shs, b.shs)) * 1.0 /
+        greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) >= 0.5
+), n AS (
+  SELECT id_a AS node FROM pr UNION ALL SELECT id_b FROM pr
+), d AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM n GROUP BY 1
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1
+""",
         # transitive closure over the simhash pair graph (exhaustive at
         # Hamming <= 3, so clustering is exactly mirrorable)
         "docs_simhash_clusters": (
@@ -2507,6 +2547,29 @@ SELECT user_id, (ts_ms // 3600000) * 3600000 AS window_ms,
        CAST(min(c) AS BIGINT) AS min_c,
        CAST(max(c) AS BIGINT) AS max_c
 FROM p GROUP BY 1, 2
+""",
+        # streaming session windows (gap-based, emit-on-arrival) sealed
+        # result == batch 30-min sessionize
+        "events_streaming_sessionize": """
+WITH p AS (
+  SELECT user_id, ts, epoch_ms(ts) AS ts_ms,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+              OR lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                 IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts_ms,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_seq
+  FROM p
+)
+SELECT user_id, session_seq,
+       min(ts_ms) AS session_start, max(ts_ms) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY 1, 2
 """,
         # out-of-order streaming window: accepted set = rows whose
         # window is not before the running-max boundary over prior

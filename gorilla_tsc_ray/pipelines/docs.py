@@ -2477,3 +2477,37 @@ def vocab_growth(sf_dir: str):
         [(new_at, lambda t: np.zeros(t.num_rows, dtype=np.int64)),
          (doc_ids, lambda t: np.zeros(t.num_rows, dtype=np.int64))],
         n_parts=1, kernel=fold, fmt="pandas")
+
+
+def degree_hist(sf_dir: str, threshold: float = 0.5):
+    """Degree distribution of the n-gram near-dup graph: for each degree,
+    how many docs have exactly that many near-duplicate neighbors — the
+    one-number-per-node summary that separates clique-heavy corpora
+    (dup factories) from chains.  Same edge truth as
+    :func:`triangle_counts`; degrees fold in a node-keyed exchange,
+    the histogram in a degree-keyed one (both mergeable sums)."""
+    tune_context()
+
+    pairs = ngram_jaccard(sf_dir, threshold=threshold)
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate([df["id_a"].to_numpy(dtype=np.int64),
+                                df["id_b"].to_numpy(dtype=np.int64)])
+        u, c = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    degs = hash_exchange(
+        pairs.map_batches(deg_partial, batch_format="pandas"),
+        key_fn=_pair_hash_key(["node"]), n_parts=N_DOC_PARTS,
+        kernel=lambda df: df.groupby("node", sort=False)["deg"].sum()
+        .astype(np.int64).reset_index(), fmt="pandas")
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("deg", sort=False).size().rename("n_docs")
+               .reset_index())
+        return pd.DataFrame({"degree": out["deg"].astype(np.int64),
+                             "n_docs": out["n_docs"].astype(np.int64)})
+
+    return hash_exchange(
+        degs, key_fn=_pair_hash_key(["deg"], 8), n_parts=8,
+        kernel=hist, fmt="pandas")

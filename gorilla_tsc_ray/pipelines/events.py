@@ -4508,3 +4508,49 @@ def user_day_bitmaps(sf_dir: str):
 
     return hash_exchange(partials, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def streaming_sessionize(sf_dir: str, n_actors: int = 4,
+                         gap_ms: int = 1_800_000):
+    """STREAMING SESSION-WINDOW gate — the data-dependent-boundary case
+    tumbling windows don't exercise: events stream through a
+    ``_SessionWindowCore`` actor pool in event-time order; a session
+    FINALIZES the moment an arrival's gap exceeds ``gap_ms`` (emit-on-
+    arrival), so each series holds at most ONE open session regardless
+    of stream length.  Runtime asserts: in-order feed drops nothing, and
+    most sessions emitted early (on arrival, not at seal).  The sealed
+    result must equal the batch 30-min sessionize."""
+    import ray.data
+
+    from ..state.streaming import (StreamingRouter, _SessionWindowCore,
+                                   feed_parquet_distributed)
+
+    tune_context()
+    router = StreamingRouter(n_actors=n_actors,
+                             actor_core=_SessionWindowCore,
+                             core_args=(gap_ms,))
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    feed_parquet_distributed(router, path, order_cols=["ts_ms"])
+    rows = pd.DataFrame(router.seal())
+    stats = router.stats()
+    if stats["late"] != 0:
+        raise RuntimeError(
+            f"in-order feed must drop nothing, got {stats['late']} late")
+    if len(rows) > 2 * stats["open_blocks"] and stats["early_emitted"] == 0:
+        raise RuntimeError("no session emitted on arrival — the "
+                           "streaming semantics did not engage")
+
+    if len(rows) == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "session_seq": pd.Series([], dtype=np.int64),
+            "session_start": pd.Series([], dtype=np.int64),
+            "session_end": pd.Series([], dtype=np.int64),
+            "n_events": pd.Series([], dtype=np.int64)}))
+    out = pd.DataFrame({
+        "user_id": rows["key"].astype(np.int64),
+        "session_seq": rows["session_seq"].astype(np.int64),
+        "session_start": rows["session_start"].astype(np.int64),
+        "session_end": rows["session_end"].astype(np.int64),
+        "n_events": rows["n_events"].astype(np.int64)})
+    return ray.data.from_pandas(out)

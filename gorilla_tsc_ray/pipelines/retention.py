@@ -361,3 +361,190 @@ def compact_serve(sf_dir: str, metric: str = "text_len"):
             "ts_ms": pts["ts_ms"], "value": pts["value"]})
 
     return ds.map_batches(to_points, batch_format="pyarrow")
+
+
+def _transcode_table(tbl, to_codec: str):
+    """Rewrite every block row whose ``codec != to_codec``: decode the
+    payload to (ts, RAW VALUE BITS) and re-encode with ``to_codec``.
+    Staying in raw-bits space makes the transcode exact for BOTH value
+    kinds (a float64 detour would corrupt long-kind values past 2^53).
+    Python work is per BLOCK row (a maintenance-op partition holds
+    thousands of blocks, not millions of points); returns
+    ``(new_table, n_rewritten)``."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..codec.vectorized import (decode_series, encode_series,
+                                    payload_to_words)
+    from ..stages.series import (decode_series_dfcm, decode_series_v1,
+                                 encode_series_dfcm, encode_series_v1)
+
+    codecs = tbl.column("codec").to_numpy(zero_copy_only=False).astype(object)
+    if (codecs == to_codec).all():
+        return tbl, 0
+    n_points = tbl.column("n_points").to_numpy().astype(np.int64)
+    block_start = tbl.column("block_start").to_numpy().astype(np.int64)
+    payloads = tbl.column("payload").to_pylist()
+    new_payloads, new_codecs, n_rw = [], [], 0
+    for i in range(tbl.num_rows):
+        src = codecs[i]
+        if src == to_codec:
+            new_payloads.append(payloads[i])
+            new_codecs.append(src)
+            continue
+        raw = payloads[i]
+        if src == "gorilla2z":
+            raw = zlib.decompress(raw)
+        words = payload_to_words(raw)
+        n = int(n_points[i])
+        if src == "gorilla1":
+            ts, vb = decode_series_v1(words, n)
+        elif src == "gorilla2_dfcm":
+            ts, vb = decode_series_dfcm(words, n)
+        else:
+            ts, vb = decode_series(words, n_points=n)
+        bts = int(block_start[i])
+        if to_codec == "gorilla1":
+            w = encode_series_v1(bts, ts, vb)
+        elif to_codec == "gorilla2_dfcm":
+            w = encode_series_dfcm(bts, ts, vb)
+        else:
+            w, _bits = encode_series(bts, ts, vb)
+        out = np.asarray(w, dtype=np.uint64).astype(">u8").tobytes()
+        if to_codec == "gorilla2z":
+            w2, _bits = encode_series(bts, ts, vb)
+            out = zlib.compress(
+                np.asarray(w2, dtype=np.uint64).astype(">u8").tobytes(), 6)
+        new_payloads.append(out)
+        new_codecs.append(to_codec)
+        n_rw += 1
+    idx = tbl.schema.get_field_index("payload")
+    pay_type = tbl.schema.field("payload").type
+    tbl = tbl.set_column(idx, "payload", pa.array(new_payloads,
+                                                  type=pay_type))
+    cidx = tbl.schema.get_field_index("codec")
+    tbl = tbl.set_column(
+        cidx, "codec",
+        pa.array(new_codecs, type=pa.string()).cast(
+            tbl.schema.field("codec").type))
+    return tbl, n_rw
+
+
+def transcode_store(store_root: str, to_codec: str = "gorilla2",
+                    tiers: tuple = ("blocks",)) -> pd.DataFrame:
+    """Store-wide CODEC MIGRATION — the format-evolution maintenance pass
+    (legacy v1 blocks → v2, or raw v2 → archival gorilla2z, in place):
+    one Ray task per day partition rewrites its files with every block
+    re-encoded to ``to_codec``; rows already in the target codec pass
+    through untouched.  Point payloads round-trip through RAW VALUE BITS
+    (never float64), so the migration is bit-exact for every value kind;
+    lineage records blocks-rewritten per partition so a resumed run can
+    skip finished partitions.  Mirrors the reference's v1/v2 coexistence
+    (``Compressor.java`` vs ``GorillaCompressor.java``) as a store
+    lifecycle operation."""
+    import glob as _glob
+
+    import ray
+
+    run_id = new_run_id()
+
+    @ray.remote
+    def transcode_one(pdir: str):
+        import glob
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        n_rw, rows = 0, 0
+        for f in sorted(glob.glob(_os.path.join(pdir, "*.parquet"))):
+            tbl = pq.read_table(f)
+            tbl, k = _transcode_table(tbl, to_codec)
+            rows += tbl.num_rows
+            if k:
+                tmp = f + ".tmp"
+                pq.write_table(tbl, tmp)
+                _os.replace(tmp, f)
+                n_rw += k
+        return n_rw, rows
+
+    futures = []
+    for tier in tiers:
+        subdir, _ = TIER_LAYOUT[tier]
+        for day_ms, pdir in sorted(
+                _day_partitions(os.path.join(store_root, subdir)).items()):
+            futures.append((tier, day_ms, pdir, transcode_one.remote(pdir)))
+    records = []
+    for tier, day_ms, pdir, fut in futures:
+        import ray
+
+        n_rw, rows = ray.get(fut)
+        records.append({
+            "partition_key": f"{tier}/day={day_ms}",
+            "input_files": [pdir],
+            "rows_in": rows, "rows_out": rows,
+            "bytes_payload": _dir_bytes(pdir),
+            "watermark": day_ms,
+            "status": f"transcoded_{n_rw}_to_{to_codec}",
+        })
+    df = pd.DataFrame(records)
+    if len(df):
+        write_lineage(store_root, records, run_id)
+    return df
+
+
+def transcode_serve(sf_dir: str, metric: str = "text_len"):
+    """Driver-facing CODEC-MIGRATION gate: build a store, migrate every
+    raw block v2 → legacy v1 (simulating a legacy store), migrate it BACK
+    v1 → v2, runtime-assert both passes rewrote every block, then decode
+    the full point stream — two full codec migrations must be
+    bit-transparent at the driver's value-hash gate.  Oracle: the metric
+    points straight from the raw transcripts (same truth as
+    ``compact_serve``)."""
+    import ray.data
+
+    from ..context import tune_context
+    from ..sources.transcripts import CACHE_ROOT
+    from ..stages.series import decode_blocks_batch_arrow
+    from .ingest import ingest_to_store
+
+    tune_context()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(CACHE_ROOT, f"transcode_store_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    ingest_to_store(sf_dir, store, resume=False)
+
+    down = transcode_store(store, to_codec="gorilla1")
+    n_down = sum(int(s.split("_")[1]) for s in down["status"])
+    up = transcode_store(store, to_codec="gorilla2")
+    n_up = sum(int(s.split("_")[1]) for s in up["status"])
+    if n_down == 0 or n_down != n_up:
+        raise RuntimeError(
+            f"migration did not cover the store: v2→v1 rewrote {n_down}, "
+            f"v1→v2 rewrote {n_up}")
+
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(os.path.join(store, "blocks"),
+                               filter=pads.field("metric") == metric)
+
+    def to_points(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if tbl.num_rows == 0:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "metric": pa.array([], pa.string()),
+                             "ts_ms": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64())})
+        if not (pc.all(pc.equal(pc.cast(tbl["codec"], "string"),
+                                "gorilla2")).as_py()):
+            raise RuntimeError("v1 block survived the migration back")
+        pts = decode_blocks_batch_arrow(tbl, key_cols=["conv_id", "metric"])
+        return pa.table({
+            "conv_id": pc.cast(pts["conv_id"], "string"),
+            "metric": pc.cast(pts["metric"], "string"),
+            "ts_ms": pts["ts_ms"], "value": pts["value"]})
+
+    return ds.map_batches(to_points, batch_format="pyarrow")

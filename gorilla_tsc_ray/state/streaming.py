@@ -368,3 +368,93 @@ class _WindowAggCore:
         return {"rows_in": self.rows_in, "late": self.late_count,
                 "open_blocks": len(self.open),
                 "early_emitted": self.n_early}
+
+
+class _SessionWindowCore:
+    """Watermark-triggered SESSION-WINDOW core — the gap-based sibling of
+    ``_WindowAggCore`` (tumbling).  Session windows are the hard
+    streaming case: boundaries are data-dependent (a session stays open
+    while events keep arriving within ``gap_ms``), so a session FINALIZES
+    the moment an accepted arrival's gap exceeds ``gap_ms`` — emit-on-
+    arrival, one open session per series ever held in memory.
+
+    Out-of-order arrivals use the strictest SEQUENTIAL rule: row i is
+    accepted iff ``ts >= running max over PRIOR arrivals`` of its series
+    (batch-size-invariant — mirrors exactly to SQL as a running-max
+    filter over the same arrival order, the ``_WindowAggCore`` ooo
+    discipline).  A looser rule (accept anything inside the open
+    session's span) would admit order-dependent merges and stop being
+    SQL-expressible."""
+
+    def __init__(self, gap_ms: int = 1_800_000) -> None:
+        self.gap = gap_ms
+        # series -> [start_ms, last_ms, n_events, session_seq]
+        self.open: dict[str, list] = {}
+        self.seq: dict[str, int] = {}
+        self.watermark: dict[str, int] = {}
+        self.final: list[dict] = []
+        self.n_early = 0
+        self.late_count = 0
+        self.rows_in = 0
+
+    def _emit(self, key: str, cell: list, early: bool) -> None:
+        self.final.append({"key": key, "session_seq": cell[3],
+                           "session_start": cell[0],
+                           "session_end": cell[1], "n_events": cell[2]})
+        if early:
+            self.n_early += 1
+
+    def append_batch(self, keys, metrics, ts_arr, bits_arr) -> int:
+        ts = np.asarray(ts_arr, dtype=np.int64)
+        karr = np.asarray(keys, dtype=object)
+        accepted = 0
+        for key in dict.fromkeys(keys):          # preserve arrival order
+            sel = np.flatnonzero(karr == key)
+            sts = ts[sel]
+            carry = self.watermark.get(key)
+            run = np.maximum.accumulate(sts)
+            wm_prior = np.concatenate(
+                ([-1 if carry is None else carry], run[:-1]))
+            if carry is not None:
+                wm_prior = np.maximum(wm_prior, carry)
+            ok = sts >= wm_prior                   # sequential accept rule
+            self.late_count += int((~ok).sum())
+            if not ok.any():
+                continue
+            sts = sts[ok]                          # non-decreasing now
+            accepted += len(sts)
+            self.rows_in += len(sts)
+            self.watermark[key] = int(sts[-1])
+            cell = self.open.get(key)
+            brk = np.flatnonzero(np.diff(sts) > self.gap) + 1
+            seg_starts = np.concatenate(([0], brk))
+            seg_ends = np.concatenate((brk, [len(sts)]))
+            first_extends = (cell is not None
+                             and int(sts[0]) - cell[1] <= self.gap)
+            for s0, s1 in zip(seg_starts, seg_ends):
+                if s0 == 0 and first_extends:
+                    cell[1] = int(sts[s1 - 1])
+                    cell[2] += int(s1 - s0)
+                    continue
+                if cell is not None:
+                    self._emit(key, cell, early=True)
+                seq = self.seq.get(key, 0)
+                self.seq[key] = seq + 1
+                cell = [int(sts[s0]), int(sts[s1 - 1]), int(s1 - s0), seq]
+            self.open[key] = cell
+        return accepted
+
+    def seal(self) -> list[dict]:
+        for key, cell in list(self.open.items()):
+            self._emit(key, cell, early=False)
+        self.open.clear()
+        out, self.final = self.final, []
+        return out
+
+    def snapshot(self) -> list[dict]:
+        return [dict(f) for f in self.final]
+
+    def stats(self) -> dict:
+        return {"rows_in": self.rows_in, "late": self.late_count,
+                "open_blocks": len(self.open),
+                "early_emitted": self.n_early}

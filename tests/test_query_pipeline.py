@@ -102,3 +102,58 @@ def test_compaction_bit_transparent(ray_session, tmp_path):
     # lineage recorded the maintenance run
     lin = glob.glob(f"{store}/_lineage/*")
     assert lin
+
+
+def test_transcode_table_all_codecs_and_kinds():
+    """_transcode_table round-trips every codec from raw value BITS —
+    exact for long-kind values past 2^53 where a float64 detour would
+    corrupt."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gorilla_tsc_ray.codec.vectorized import (decode_series,
+                                                  encode_series,
+                                                  payload_to_words)
+    from gorilla_tsc_ray.pipelines.retention import _transcode_table
+    from gorilla_tsc_ray.stages.series import (encode_series_dfcm,
+                                               encode_series_v1)
+    import zlib
+
+    bts = 1_600_000_000_000
+    ts = bts + np.arange(1, 9, dtype=np.int64) * 60_000
+    dbl = np.array([1.5, 1.5, 2.25, -3.0, 2.25, 0.0, 7.5, 1.5]).view(
+        np.uint64)
+    # long-kind values beyond float53 precision
+    lng = (np.int64(2)**62 + np.arange(8, dtype=np.int64)).view(np.uint64)
+
+    def pay(words):
+        return np.asarray(words, np.uint64).astype(">u8").tobytes()
+
+    rows = [
+        ("gorilla1", "double", pay(encode_series_v1(bts, ts, dbl)), dbl),
+        ("gorilla2", "double", pay(encode_series(bts, ts, dbl)[0]), dbl),
+        ("gorilla2_dfcm", "double",
+         pay(encode_series_dfcm(bts, ts, dbl)), dbl),
+        ("gorilla2z", "double",
+         zlib.compress(pay(encode_series(bts, ts, dbl)[0])), dbl),
+        ("gorilla1", "long", pay(encode_series_v1(bts, ts, lng)), lng),
+    ]
+    tbl = pa.table({
+        "conv_id": pa.array(["c"] * len(rows)),
+        "metric": pa.array(["m"] * len(rows)),
+        "block_start": pa.array([bts] * len(rows), pa.int64()),
+        "n_points": pa.array([8] * len(rows), pa.int64()),
+        "codec": pa.array([r[0] for r in rows]),
+        "value_kind": pa.array([r[1] for r in rows]),
+        "payload": pa.array([r[2] for r in rows], pa.binary())})
+    out, n_rw = _transcode_table(tbl, "gorilla2")
+    assert n_rw == 4
+    assert set(out["codec"].to_pylist()) == {"gorilla2"}
+    for i, (_c, _k, _p, bits) in enumerate(rows):
+        words = payload_to_words(out["payload"][i].as_py())
+        dts, dvb = decode_series(words, n_points=8)
+        np.testing.assert_array_equal(dts, ts)
+        np.testing.assert_array_equal(dvb, bits)
+    # idempotent: second pass rewrites nothing
+    out2, n2 = _transcode_table(out, "gorilla2")
+    assert n2 == 0 and out2.equals(out)

@@ -391,3 +391,80 @@ def test_window_agg_core_batch_invariance():
     whole = run([(0, 300)])
     chunks = run([(0, 7), (7, 100), (100, 101), (101, 300)])
     assert whole == chunks
+
+
+def test_session_core_emit_on_arrival_and_seal():
+    import numpy as np
+
+    from gorilla_tsc_ray.state.streaming import _SessionWindowCore
+
+    core = _SessionWindowCore(gap_ms=100)
+    ts = np.array([0, 50, 120, 400, 450, 460], np.int64)
+    bits = np.zeros(6, np.uint64)
+    core.append_batch(["u"] * 6, ["value"] * 6, ts, bits)
+    # the 400 arrival closes session 0 (0..120) on arrival
+    assert core.n_early == 1
+    assert core.stats()["open_blocks"] == 1
+    rows = core.seal()
+    got = sorted((r["session_seq"], r["session_start"], r["session_end"],
+                  r["n_events"]) for r in rows)
+    assert got == [(0, 0, 120, 3), (1, 400, 460, 3)]
+    assert core.stats()["open_blocks"] == 0
+
+
+def test_session_core_ooo_batch_invariance():
+    """Sequential accept rule (ts >= running max of prior arrivals) makes
+    the sealed session set independent of batch splits under scrambled
+    arrival."""
+    import numpy as np
+
+    from gorilla_tsc_ray.state.streaming import _SessionWindowCore
+
+    rng = np.random.default_rng(23)
+    ts = rng.integers(0, 5000, size=400).astype(np.int64)
+    users = rng.choice(["a", "b", "c"], size=400).tolist()
+    bits = np.zeros(400, np.uint64)
+
+    def run(splits):
+        core = _SessionWindowCore(gap_ms=150)
+        for lo, hi in splits:
+            core.append_batch(users[lo:hi], ["value"] * (hi - lo),
+                              ts[lo:hi], bits[lo:hi])
+        rows = sorted((r["key"], r["session_seq"], r["session_start"],
+                       r["session_end"], r["n_events"])
+                      for r in core.seal())
+        return rows, core.late_count
+
+    whole = run([(0, 400)])
+    chunks = run([(0, 13), (13, 77), (77, 200), (200, 201), (201, 400)])
+    assert whole == chunks
+    assert whole[1] > 0  # scrambled arrival must actually drop rows
+
+
+def test_session_core_accepted_set_is_sql_expressible():
+    """Accepted rows == rows where ts >= running max of prior arrivals,
+    then sessions == gap islands over that subsequence."""
+    import numpy as np
+
+    from gorilla_tsc_ray.state.streaming import _SessionWindowCore
+
+    rng = np.random.default_rng(5)
+    ts = rng.integers(0, 3000, size=200).astype(np.int64)
+    core = _SessionWindowCore(gap_ms=120)
+    core.append_batch(["u"] * 200, ["value"] * 200, ts,
+                      np.zeros(200, np.uint64))
+    rows = sorted((r["session_seq"], r["session_start"], r["session_end"],
+                   r["n_events"]) for r in core.seal())
+    # reference: sequential accept + gap islands
+    acc, wm = [], -1
+    for t in ts:
+        if t >= wm:
+            acc.append(int(t))
+            wm = t
+    acc = np.array(acc)
+    brk = np.flatnonzero(np.diff(acc) > 120) + 1
+    starts = np.concatenate(([0], brk))
+    ends = np.concatenate((brk, [len(acc)]))
+    exp = [(i, int(acc[s]), int(acc[e - 1]), int(e - s))
+           for i, (s, e) in enumerate(zip(starts, ends))]
+    assert rows == exp
