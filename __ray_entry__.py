@@ -253,6 +253,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_registers": ev.hll_distinct_users,
         "events_crosscorr_1h": ev.crosscorr_1h,
         "events_user_day_bitmaps": ev.user_day_bitmaps,
+        "events_kmv_set_ops": ev.kmv_set_ops,
+        "events_attribution_last": ev.attribution_last_touch,
+        "events_lttb": ev.lttb,
         "events_type_counts_cms": ev.type_counts_cms,
         "events_type_pivot": ev.type_pivot,
         "events_quantile_bands_1h": lambda sf: ev.quantile_bands(sf, "1h"),
@@ -2738,6 +2741,87 @@ WITH d AS (
 SELECT user_id, CAST(day // 32 AS BIGINT) AS word_idx,
        CAST(sum(1::BIGINT << CAST(day % 32 AS INT)) AS BIGINT) AS bits
 FROM d GROUP BY 1, 2
+""",
+        # KMV sketch set algebra: exact below capacity (splitmix64 is a
+        # bijection), k=1024 >> per-type distinct users at driver scale
+        "events_kmv_set_ops": """
+WITH u AS (
+  SELECT DISTINCT CAST(event_type AS VARCHAR) AS et, user_id FROM events
+), t AS (SELECT DISTINCT et FROM u)
+SELECT ta.et AS type_a, tb.et AS type_b,
+       CAST((SELECT count(DISTINCT user_id) FROM u
+             WHERE u.et = ta.et) AS BIGINT) AS n_a,
+       CAST((SELECT count(DISTINCT user_id) FROM u
+             WHERE u.et = tb.et) AS BIGINT) AS n_b,
+       CAST((SELECT count(DISTINCT user_id) FROM u
+             WHERE u.et IN (ta.et, tb.et)) AS BIGINT) AS n_union,
+       CAST((SELECT count(*) FROM
+              (SELECT user_id FROM u WHERE et = ta.et
+               INTERSECT
+               SELECT user_id FROM u WHERE et = tb.et) q) AS BIGINT)
+         AS n_inter
+FROM t ta JOIN t tb ON ta.et < tb.et
+""",
+        # last-touch revenue attribution within 30-min sessions (exact
+        # cents; 'direct' when the purchase opens its session)
+        "events_attribution_last": """
+WITH p AS (
+  SELECT CAST(event_type AS VARCHAR) AS et,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         lag(CAST(event_type AS VARCHAR))
+           OVER (PARTITION BY user_id ORDER BY ts) AS prev_et,
+         epoch_ms(ts) - lag(epoch_ms(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+)
+SELECT CASE WHEN gap IS NULL OR gap > 1800000 THEN 'direct'
+            ELSE prev_et END AS attr_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM p WHERE et = 'purchase' GROUP BY 1
+""",
+        # LTTB downsampling: sequential per-series selection mirrored by
+        # a recursive CTE; exact HUGEINT cross-product areas, ties to
+        # smallest x (the engine's first-max argmax over x-sorted
+        # candidates); an empty bucket ends the chain on both sides
+        "events_lttb": """
+WITH RECURSIVE pts AS (
+  SELECT user_id,
+         (epoch_ms(ts) - min(epoch_ms(ts))
+            OVER (PARTITION BY user_id)) // 1000 AS x,
+         CAST(round(value*100) AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), interior AS (
+  SELECT user_id, x, y,
+         CAST(((rn - 2) * 8) // (n - 2) AS BIGINT) AS b
+  FROM pts WHERE rn > 1 AND rn < n AND n > 2
+), nxt AS (
+  SELECT user_id, b, sum(x) AS sx, sum(y) AS sy, count(*) AS cnt
+  FROM interior GROUP BY 1, 2
+  UNION ALL
+  SELECT user_id, CAST(8 AS BIGINT) AS b, x AS sx, y AS sy, 1 AS cnt
+  FROM pts WHERE rn = n AND n > 2
+), sel AS (
+  SELECT user_id, CAST(-1 AS BIGINT) AS b, x AS sel_x, y AS sel_y
+  FROM pts WHERE rn = 1 AND n > 2
+  UNION ALL
+  SELECT c.user_id, c.b,
+         arg_max(c.x, abs((s.sel_x * a.cnt - a.sx) * (c.y - s.sel_y)
+                        - (s.sel_x - c.x) * (a.sy - s.sel_y * a.cnt))
+                      * CAST(1099511627776 AS HUGEINT)
+                      + (1099511627775 - c.x)) AS sel_x,
+         arg_max(c.y, abs((s.sel_x * a.cnt - a.sx) * (c.y - s.sel_y)
+                        - (s.sel_x - c.x) * (a.sy - s.sel_y * a.cnt))
+                      * CAST(1099511627776 AS HUGEINT)
+                      + (1099511627775 - c.x)) AS sel_y
+  FROM sel s
+  JOIN interior c ON c.user_id = s.user_id AND c.b = s.b + 1
+  JOIN nxt a ON a.user_id = c.user_id AND a.b = c.b + 1
+  GROUP BY c.user_id, c.b, s.sel_x, s.sel_y
+)
+SELECT user_id, b, sel_x, sel_y FROM sel WHERE b >= 0
 """,
         # user lifecycle: first/last event, span, active days, churn flag
         # vs the corpus max (exact integers)

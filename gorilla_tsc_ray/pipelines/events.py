@@ -4554,3 +4554,242 @@ def streaming_sessionize(sf_dir: str, n_actors: int = 4,
         "session_end": rows["session_end"].astype(np.int64),
         "n_events": rows["n_events"].astype(np.int64)})
     return ray.data.from_pandas(out)
+
+
+def kmv_set_ops(sf_dir: str, k: int = 1024):
+    """KMV sketch SET ALGEBRA — the composability payoff of mergeable
+    sketches: per unordered type pair, distinct-user estimates for the
+    UNION (merge both sketches, keep k smallest) and the INTERSECTION
+    (inclusion–exclusion over the three estimates).  splitmix64 is a
+    bijection, so below capacity every estimate is EXACT (distinct hashes
+    ↔ distinct users) — which holds at driver scale, hence the
+    ``count(DISTINCT)``/INTERSECT oracle (the ``type_user_counts_sketch``
+    discipline); above capacity the (k−1)/U_(k) estimator takes over.
+    The exchange carries ≤ k hash rows per type regardless of user count
+    — set operations over 100 TB of ids without ever shuffling ids."""
+    from ..stages.sketch import kmv_rows
+
+    tune_context()
+    P = 8
+    ds = _read_events(sf_dir, ["event_type", "user_id"], _n_parts(sf_dir))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(event_type=df["event_type"].astype(str))
+        return kmv_rows(df, key_col="event_type", value_col="user_id",
+                        k=k)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def key_fn(tbl):
+        h = arrow_col_hash(tbl, "event_type")
+        return (h % np.uint64(P)).astype(np.int64)
+
+    merged = hash_exchange(
+        partials, key_fn=key_fn, n_parts=P,
+        kernel=lambda df: kmv_rows(df, key_col="event_type", value_col="h",
+                                   k=k, hashed=True),
+        fmt="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["type_a", "type_b", "n_a", "n_b", "n_union", "n_inter"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array(
+                [], dtype=object if c.startswith("type") else np.int64)
+                for c in cols})
+        types = np.sort(df["event_type"].unique())
+        regs = {t: np.sort(df.loc[df["event_type"] == t, "h"]
+                           .to_numpy(dtype=np.uint64)) for t in types}
+
+        def est(h: np.ndarray) -> int:
+            if len(h) < k:
+                return int(len(h))
+            u = (h[k - 1].astype(np.float64) + 1.0) / 2.0 ** 64
+            return int(round((k - 1) / u))
+
+        out = {c: [] for c in cols}
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                a, b = regs[types[i]], regs[types[j]]
+                union = np.union1d(a, b)[:k]
+                na, nb, nu = est(a), est(b), est(union)
+                out["type_a"].append(types[i])
+                out["type_b"].append(types[j])
+                out["n_a"].append(na)
+                out["n_b"].append(nb)
+                out["n_union"].append(nu)
+                out["n_inter"].append(max(na + nb - nu, 0))
+        res = pd.DataFrame(out)
+        for c in cols[2:]:
+            res[c] = res[c].astype(np.int64)
+        return res[cols]
+
+    return hash_exchange(
+        merged, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1, kernel=final, fmt="pandas")
+
+
+def attribution_last_touch(sf_dir: str, gap_ms: int = 1_800_000,
+                           target: str = "purchase"):
+    """LAST-TOUCH revenue attribution: every ``target`` event's cents are
+    credited to the event type immediately preceding it in the same
+    30-min session (``'direct'`` when the purchase opens its session).
+    Exact integer cents; users are partition-disjoint after the user
+    exchange so per-partition credit sums add."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type", "ts", "value"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        val = t.column("value").to_numpy()
+        cents = (np.sign(val)
+                 * np.floor(np.abs(val) * 100 + 0.5)).astype(np.int64)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_type": pc.cast(t["event_type"], "string"),
+            "ts_ms": pc.divide(pc.cast(t["ts"], "int64"), 1000),
+            "cents": pa.array(cents)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["attr_type", "n_purchases", "cents"]
+        empty = pd.DataFrame({"attr_type": np.array([], dtype=object),
+                              "n_purchases": np.array([], np.int64),
+                              "cents": np.array([], np.int64)})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+        u = df["user_id"].to_numpy()
+        t = df["ts_ms"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
+        cents = df["cents"].to_numpy()
+        in_sess = np.concatenate(([False], (u[1:] == u[:-1])
+                                  & ((t[1:] - t[:-1]) <= gap_ms)))
+        prev = np.concatenate(([""], et[:-1]))
+        attr = np.where(in_sess, prev, "direct").astype(object)
+        hit = et == target
+        if not hit.any():
+            return empty
+        g = (pd.DataFrame({"attr_type": attr[hit], "cents": cents[hit]})
+             .groupby("attr_type", sort=False)
+             .agg(n_purchases=("cents", "size"), cents=("cents", "sum"))
+             .reset_index())
+        g["n_purchases"] = g["n_purchases"].astype(np.int64)
+        g["cents"] = g["cents"].astype(np.int64)
+        return g[cols]
+
+    partials = hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                             kernel=kernel, fmt="pandas")
+
+    def attr_key(tbl):
+        from ..util import arrow_key_ids
+
+        return arrow_key_ids(tbl, ["attr_type"], 8)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("attr_type", sort=False)
+               .agg(n_purchases=("n_purchases", "sum"),
+                    cents=("cents", "sum")).reset_index())
+        out["n_purchases"] = out["n_purchases"].astype(np.int64)
+        out["cents"] = out["cents"].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=attr_key, n_parts=8,
+                         kernel=merge, fmt="pandas")
+
+
+def lttb(sf_dir: str, n_buckets: int = 8):
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) —
+    the visualization downsampler M4 doesn't cover: per user, the first
+    and last points anchor the series, the interior splits into
+    ``n_buckets`` equal-COUNT buckets, and each bucket keeps the point
+    maximizing the triangle area against the PREVIOUS SELECTION and the
+    next bucket's average — an inherently SEQUENTIAL per-series
+    recurrence (like the DFCM predictor), parallel ACROSS series via the
+    user exchange.  Exactness discipline: x = seconds rebased to the
+    series start, y = cents, the area comparison is the exact integer
+    cross product scaled by the next bucket's count (avoids the rational
+    average), ties break to the smallest x — so the selection mirrors to
+    a recursive SQL CTE verbatim.  int64 area bound: span_sec × cents ×
+    bucket_count must stay below 2^63 (holds through sf8 by ~4 orders;
+    the SQL side is HUGEINT-exact regardless).  Output: the 8 interior
+    selections per series (b = 0..7); series with ≤ 2 points have no
+    interior and emit nothing."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts", "value"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        val = t.column("value").to_numpy()
+        cents = (np.sign(val)
+                 * np.floor(np.abs(val) * 100 + 0.5)).astype(np.int64)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_ms": pc.divide(pc.cast(t["ts"], "int64"), 1000),
+            "cents": pa.array(cents)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "b", "sel_x", "sel_y"]
+        empty = pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+        u = df["user_id"].to_numpy()
+        t = df["ts_ms"].to_numpy().astype(np.int64)
+        y = df["cents"].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        ends = np.append(starts[1:], len(u))
+        out = {c: [] for c in cols}
+        for s0, s1 in zip(starts, ends):
+            n = s1 - s0
+            if n <= 2:
+                continue
+            x = (t[s0:s1] - t[s0]) // 1000
+            yy = y[s0:s1]
+            # interior indices 1..n-2 -> bucket ((rn-2)*B)//(n-2), rn=i+1
+            ii = np.arange(1, n - 1)
+            b = ((ii - 1) * n_buckets) // (n - 2)
+            bs = np.searchsorted(b, np.arange(n_buckets))
+            be = np.searchsorted(b, np.arange(n_buckets), side="right")
+            ax, ay = int(x[0]), int(yy[0])
+            for bi in range(n_buckets):
+                lo, hi = bs[bi], be[bi]
+                if lo == hi:
+                    break                      # chain stops, like the CTE
+                if bi + 1 < n_buckets:
+                    if be[bi + 1] == bs[bi + 1]:
+                        break   # empty NEXT bucket stops the chain too
+                    nx = ii[bs[bi + 1]:be[bi + 1]]
+                    sx, sy = int(x[nx].sum()), int(yy[nx].sum())
+                    cnt = len(nx)
+                else:
+                    sx, sy, cnt = int(x[-1]), int(yy[-1]), 1
+                cx = x[ii[lo:hi]].astype(np.int64)
+                cy = yy[ii[lo:hi]].astype(np.int64)
+                area = np.abs((ax * cnt - sx) * (cy - ay)
+                              - (ax - cx) * (sy - ay * cnt))
+                j = int(np.argmax(area))       # first max = smallest x
+                ax, ay = int(cx[j]), int(cy[j])
+                out["user_id"].append(int(u[s0]))
+                out["b"].append(bi)
+                out["sel_x"].append(ax)
+                out["sel_y"].append(ay)
+        if not out["user_id"]:
+            return empty
+        res = pd.DataFrame(out)
+        for c in cols:
+            res[c] = res[c].astype(np.int64)
+        return res
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

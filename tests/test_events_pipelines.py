@@ -2262,3 +2262,61 @@ def test_user_day_bitmaps_popcount_equals_active_days(ray_session):
 SELECT user_id, count(DISTINCT epoch_us(ts) // 86400000000) AS d
 FROM events GROUP BY 1""").df().set_index("user_id")["d"]
     assert pop.sort_index().equals(exp.sort_index().astype(np.int64))
+
+
+def test_kmv_set_ops_above_capacity_estimates(ray_session):
+    """With k far below the distinct-user count, the (k-1)/U_(k)
+    estimator takes over — union/intersection estimates must stay within
+    the KMV error envelope (~1/sqrt(k))."""
+    sf = "/root/testdata/sf0.001"
+    got = ev.kmv_set_ops(sf, k=64).to_pandas()
+    exact = ev.kmv_set_ops(sf, k=1 << 20).to_pandas()  # exact registers
+    m = got.merge(exact, on=["type_a", "type_b"], suffixes=("", "_x"))
+    assert len(m) == len(exact)
+    for c in ("n_a", "n_b", "n_union"):
+        rel = np.abs(m[c] - m[f"{c}_x"]) / np.maximum(m[f"{c}_x"], 1)
+        assert (rel < 0.5).all(), (c, rel.max())
+    # inclusion-exclusion stays consistent within the sketch
+    assert (got["n_inter"] == np.maximum(
+        got["n_a"] + got["n_b"] - got["n_union"], 0)).all()
+
+
+def test_lttb_sparse_series_matches_recursive_cte(ray_session, tmp_path):
+    """Crafted series with n-2 < 8 interior points: floor bucketing leaves
+    EMPTY buckets and the selection chain must stop at the first one on
+    both sides (engine loop == recursive CTE join failure)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from gorilla_tsc_ray.pipelines import events as _ev
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for uid, n in [(1, 5), (2, 3), (3, 2), (4, 40)]:
+        ts = np.sort(rng.choice(10**9, size=n, replace=False)) * 1000
+        for t, v in zip(ts, rng.uniform(-50, 50, n)):
+            rows.append((uid, t, float(np.round(v, 2))))
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[1] * 1000 for r in rows],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows)),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows))})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = (_ev.lttb(str(tmp_path)).to_pandas()
+           .sort_values(["user_id", "b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path}/events.parquet'")
+    import __ray_entry__ as entry
+    exp = (con.execute(entry.oracle_sql()["events_lttb"]).df()
+           .sort_values(["user_id", "b"]).reset_index(drop=True))
+    assert len(got) == len(exp) == 8
+    # the dense series selects all 8 buckets; every sparse series'
+    # chain dies at its first empty bucket on BOTH sides
+    assert set(got["user_id"]) == set(exp["user_id"]) == {4}
+    for c in ("user_id", "b", "sel_x", "sel_y"):
+        np.testing.assert_array_equal(got[c].to_numpy(),
+                                      exp[c].to_numpy(), err_msg=c)
