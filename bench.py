@@ -219,6 +219,22 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
                 lambda: docs.incremental_dedup(sf_dir).count())
     timed_extra("q21_waiting_suppliers",
                 lambda: relational.q21_waiting_suppliers(sf_dir).count())
+    # round-4 late-wave families (sketch algebra, bitmap index, bloom
+    # semi-join, sequential downsampler, streaming session windows)
+    timed_extra("events_hll_registers",
+                lambda: ev.hll_distinct_users(sf_dir).count())
+    timed_extra("events_user_day_bitmaps",
+                lambda: ev.user_day_bitmaps(sf_dir).count())
+    timed_extra("events_kmv_set_ops",
+                lambda: ev.kmv_set_ops(sf_dir).count())
+    timed_extra("events_lttb", lambda: ev.lttb(sf_dir).count())
+    timed_extra("rel_bloom_semijoin",
+                lambda: relational.bloom_semijoin_urgent_revenue(
+                    sf_dir).count())
+    timed_extra("docs_collocations",
+                lambda: docs.collocations(sf_dir).count())
+    timed_extra("events_streaming_sessionize",
+                lambda: ev.streaming_sessionize(sf_dir).count())
 
     # continuous-aggregate append: fold the second event-time half into a
     # first-half store vs rebuilding from scratch (single run each — store
