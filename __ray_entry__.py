@@ -207,6 +207,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_collocations": docs.collocations,
         "docs_vocab_growth": docs.vocab_growth,
         "docs_degree_hist": docs.degree_hist,
+        "docs_cluster_size_hist": docs.cluster_size_hist,
         "docs_tfidf": docs.tfidf,
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
@@ -3264,6 +3265,38 @@ r AS (
   SELECT r.n, e.b FROM r JOIN e ON r.m = e.a
 )
 SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id FROM r GROUP BY 1
+""",
+        # histogram of duplicate-cluster sizes over the same closure
+        "docs_cluster_size_hist": """
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM t
+), s AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shs, b.shs)) * 1.0 /
+         greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), pr AS (SELECT id_a, id_b FROM s WHERE j >= 0.5),
+e AS (SELECT id_a AS a, id_b AS b FROM pr
+      UNION SELECT id_b, id_a FROM pr),
+r AS (
+  SELECT a AS n, a AS m FROM e
+  UNION
+  SELECT r.n, e.b FROM r JOIN e ON r.m = e.a
+), cl AS (
+  SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY 1
+), sz AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM cl GROUP BY 1
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY 1
 """,
         "emb_knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id,

@@ -2511,3 +2511,37 @@ def degree_hist(sf_dir: str, threshold: float = 0.5):
     return hash_exchange(
         degs, key_fn=_pair_hash_key(["deg"], 8), n_parts=8,
         kernel=hist, fmt="pandas")
+
+
+def cluster_size_hist(sf_dir: str, threshold: float = 0.5):
+    """Histogram of duplicate-cluster SIZES — the dedup-audit companion
+    to :func:`degree_hist` (connected-component structure instead of
+    node degrees): for each cluster size, how many clusters have it.
+    Sizes fold in a cluster-keyed exchange over :func:`dup_clusters`'
+    assignments, the histogram in a size-keyed one."""
+    tune_context()
+
+    assign = dup_clusters(sf_dir, threshold=threshold)
+
+    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("cluster_id", sort=False).size().rename("n")
+               .reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    sizes = hash_exchange(
+        assign.map_batches(size_partial, batch_format="pandas"),
+        key_fn=_pair_hash_key(["cluster_id"]), n_parts=N_DOC_PARTS,
+        kernel=lambda df: df.groupby("cluster_id", sort=False)["n"].sum()
+        .astype(np.int64).reset_index(), fmt="pandas")
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("n", sort=False).size().rename("n_clusters")
+               .reset_index())
+        return pd.DataFrame({
+            "cluster_size": out["n"].astype(np.int64),
+            "n_clusters": out["n_clusters"].astype(np.int64)})
+
+    return hash_exchange(
+        sizes, key_fn=_pair_hash_key(["n"], 8), n_parts=8,
+        kernel=hist, fmt="pandas")
