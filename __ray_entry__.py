@@ -187,6 +187,11 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": relational.q8_market_share,
         "q9_profit": relational.q9_profit,
         "rel_bloom_semijoin": relational.bloom_semijoin_urgent_revenue,
+        "rel_full_outer": relational.user_order_full_outer,
+        "events_running_distinct": ev.running_distinct,
+        "events_sliding_distinct_7d": ev.sliding_distinct,
+        "events_user_skyline": ev.user_skyline,
+        "events_rate_limit": ev.rate_limit,
         # — training-data ops: text analysis —
         "docs_token_stats": docs.token_stats,
         "docs_ttr_hapax": docs.ttr_hapax,
@@ -1629,6 +1634,102 @@ FROM lineitem l
 WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
                        WHERE o_orderpriority = '1-URGENT')
 GROUP BY 1, 2
+""",
+        # FULL OUTER join of two aggregate sides on the shared id space
+        "rel_full_outer": """
+WITH e AS (
+  SELECT user_id AS id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS event_cents
+  FROM events GROUP BY 1
+), o AS (
+  SELECT o_custkey AS id, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS order_cents
+  FROM orders GROUP BY 1
+)
+SELECT CAST(coalesce(e.id, o.id) AS BIGINT) AS id,
+       CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(e.event_cents, 0) AS BIGINT) AS event_cents,
+       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(o.order_cents, 0) AS BIGINT) AS order_cents,
+       CAST(CASE WHEN e.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS has_events,
+       CAST(CASE WHEN o.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS has_orders
+FROM e FULL OUTER JOIN o ON e.id = o.id
+""",
+        # running COUNT(DISTINCT user) per active day: a user enters the
+        # distinct set exactly once, on their first day
+        "events_running_distinct": """
+WITH d AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+), f AS (
+  SELECT day, count(*) AS nu
+  FROM (SELECT user_id, min(day) AS day FROM d GROUP BY 1)
+  GROUP BY 1
+), ad AS (SELECT DISTINCT day FROM d)
+SELECT CAST(ad.day AS BIGINT) AS day,
+       CAST(coalesce(f.nu, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(f.nu, 0)) OVER (ORDER BY ad.day) AS BIGINT)
+         AS cum_users
+FROM ad LEFT JOIN f ON ad.day = f.day
+""",
+        # sliding-window COUNT DISTINCT: users active in the trailing
+        # 7 days ending at each calendar day of the data span
+        "events_sliding_distinct_7d": """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+), cal AS (
+  SELECT unnest(generate_series(lo, hi)) AS day
+  FROM (SELECT min(day) AS lo, max(day) AS hi FROM d)
+)
+SELECT CAST(cal.day AS BIGINT) AS day,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users_7d
+FROM cal LEFT JOIN d ON d.day BETWEEN cal.day - 6 AND cal.day
+GROUP BY 1
+""",
+        # 2-D skyline: users not Pareto-dominated in (n_events, cents)
+        "events_user_skyline": """
+WITH t AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS tot_cents
+  FROM events GROUP BY 1
+)
+SELECT a.user_id, a.n_events, a.tot_cents FROM t a
+WHERE NOT EXISTS (
+  SELECT 1 FROM t b
+  WHERE b.n_events >= a.n_events AND b.tot_cents >= a.tot_cents
+    AND (b.n_events > a.n_events OR b.tot_cents > a.tot_cents))
+""",
+        # per-user token-bucket replay (cap 3000 mtok, 1 mtok / full 30 s,
+        # cost 1000, starts full) — sequential recurrence as a recursive
+        # CTE, like events_lttb; // on positive operands == numpy floor
+        "events_rate_limit": """
+WITH RECURSIVE e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts), event_id) AS rn
+  FROM events
+), s AS (
+  SELECT user_id, event_id, ms, rn, 1 AS accepted, 2000 AS tok
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_id, e.ms, e.rn,
+         CASE WHEN least(3000, s.tok + (e.ms - s.ms) // 30000) >= 1000
+              THEN 1 ELSE 0 END,
+         least(3000, s.tok + (e.ms - s.ms) // 30000)
+         - CASE WHEN least(3000, s.tok + (e.ms - s.ms) // 30000) >= 1000
+                THEN 1000 ELSE 0 END
+  FROM s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(ms AS BIGINT) AS ts_ms,
+       CAST(accepted AS BIGINT) AS accepted,
+       CAST(tok AS BIGINT) AS tokens_m
+FROM s
 """,
         # TPC-H Q6 shape: scalar aggregate under a pushed multi-predicate
         "q6_forecast_revenue": """

@@ -4793,3 +4793,270 @@ def lttb(sf_dir: str, n_buckets: int = 8):
 
     return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def running_distinct(sf_dir: str):
+    """Cumulative distinct users per active day — the "total audience so
+    far" growth curve.  Running COUNT(DISTINCT) is a prefix scan over
+    sets, but it collapses to pure map/fold work because a user joins the
+    distinct set exactly once, on their FIRST day: the user exchange
+    folds min(day) per user, a day-keyed exchange counts first-joins per
+    day (union-ed with 0-weight markers so active days with no new users
+    still emit), and the cumulative sum runs in ONE final partition —
+    bounded by the CALENDAR (≤ 36.6k rows per century), never by the
+    event volume, so the single-partition scan is scale-safe."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts"], P)
+
+    def to_days(t):
+        day = pc.divide(pc.cast(t["ts"], "int64"),
+                        np.int64(86_400_000_000))
+        return pa.table({"user_id": t.column("user_id"), "day": day})
+
+    rows = ds.map_batches(to_days, batch_format="pyarrow")
+
+    def first_day(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("user_id", sort=False)["day"].min()
+               .rename("day").reset_index())
+        return pd.DataFrame({"day": out["day"].astype(np.int64),
+                             "w": np.ones(len(out), dtype=np.int64)})
+
+    firsts = hash_exchange(
+        rows.map_batches(
+            lambda df: df.groupby("user_id", sort=False)["day"].min()
+            .reset_index(), batch_format="pandas"),
+        key_fn=_user_key_fn(P), n_parts=P, kernel=first_day, fmt="pandas")
+
+    def day_markers(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["day"].unique()
+        return pd.DataFrame({"day": d.astype(np.int64),
+                             "w": np.zeros(len(d), dtype=np.int64)})
+
+    markers = rows.map_batches(day_markers, batch_format="pandas")
+
+    def day_key(tbl):
+        return (arrow_col_hash(tbl, "day")
+                % np.uint64(P)).astype(np.int64)
+
+    per_day = hash_exchange(
+        firsts.union(markers), key_fn=day_key, n_parts=P,
+        kernel=lambda df: df.groupby("day", sort=False)["w"].sum()
+        .rename("new_users").reset_index(), fmt="pandas")
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day", kind="stable")
+        return pd.DataFrame({
+            "day": df["day"].to_numpy().astype(np.int64),
+            "new_users": df["new_users"].to_numpy().astype(np.int64),
+            "cum_users": np.cumsum(
+                df["new_users"].to_numpy()).astype(np.int64)})
+
+    return hash_exchange(per_day, key_fn=lambda t: np.zeros(
+        t.num_rows, dtype=np.int64), n_parts=1, kernel=scan, fmt="pandas")
+
+
+def user_skyline(sf_dir: str):
+    """2-D SKYLINE (Pareto-dominance front) over per-user totals: users
+    not dominated in (n_events, tot_cents) — no other user with ≥ both
+    coordinates and > at least one.  The distributed shape is the classic
+    two-phase skyline: per-user totals fold through the user exchange,
+    each partition prunes to its LOCAL skyline (dominated-in-partition ⇒
+    dominated-globally, so pruning is lossless), and the survivors — a
+    front, ~O(sqrt) of users in practice — merge in one final partition
+    for the exact global front.  Tie law: equal (n, c) points dominate
+    neither way, so duplicated optima all survive."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False)["c"].agg(["sum", "size"])
+        return pd.DataFrame({"user_id": g.index.to_numpy(),
+                             "tot_cents": g["sum"].to_numpy(np.int64),
+                             "n_events": g["size"].to_numpy(np.int64)})
+
+    def _front(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n_events", "tot_cents"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        n = df["n_events"].to_numpy().astype(np.int64)
+        c = df["tot_cents"].to_numpy().astype(np.int64)
+        order = np.lexsort((-n, -c))           # c desc, then n desc
+        ns, cs = n[order], c[order]
+        new_c = np.concatenate(([True], cs[1:] != cs[:-1]))
+        gid = np.cumsum(new_c) - 1             # equal-c group id
+        gmax = ns[new_c]                       # first-in-group = max n
+        run = np.concatenate(
+            ([np.iinfo(np.int64).min],
+             np.maximum.accumulate(gmax)[:-1]))  # max n over greater c
+        alive_grp = gmax > run
+        keep = alive_grp[gid] & (ns == gmax[gid])
+        idx = order[keep]
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy()[idx].astype(np.int64),
+            "n_events": n[idx], "tot_cents": c[idx]})[cols]
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False)[["tot_cents", "n_events"]]
+        out = g.sum().reset_index()
+        for col in ("tot_cents", "n_events"):
+            out[col] = out[col].astype(np.int64)
+        return _front(out)
+
+    local = hash_exchange(
+        rows.map_batches(partial, batch_format="pandas"),
+        key_fn=_user_key_fn(P), n_parts=P, kernel=fold, fmt="pandas")
+    return hash_exchange(
+        local, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1, kernel=_front, fmt="pandas")
+
+
+def rate_limit(sf_dir: str, cap_tokens: int = 3, refill_ms: int = 30_000):
+    """Per-user TOKEN-BUCKET rate limiter replay — the admission-control
+    primitive (capacity ``cap_tokens``, one millitoken per full
+    ``refill_ms`` elapsed, cost 1000 millitokens per event, bucket starts
+    full).  The accept decision is an inherently SEQUENTIAL per-user
+    recurrence with two barriers (cap clamp above, no-consume-on-reject
+    below), so — like LTTB and the DFCM predictor — it runs as a
+    per-series loop inside the user exchange, parallel ACROSS users.
+    All-integer state (millitokens, floor-divided refills) keeps the
+    replay bit-equal to the recursive-CTE SQL mirror."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id"], P)
+
+    def to_rows(t):
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "ts_ms": pc.divide(pc.cast(t["ts"], "int64"), 1000)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+    cap_m = int(cap_tokens) * 1000
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "event_id", "ts_ms", "accepted", "tokens_m"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        df = df.sort_values(["user_id", "ts_ms", "event_id"],
+                            kind="stable")
+        u = df["user_id"].to_numpy()
+        t = df["ts_ms"].to_numpy().astype(np.int64)
+        acc = np.zeros(len(u), dtype=np.int64)
+        tok_out = np.zeros(len(u), dtype=np.int64)
+        new_u = np.concatenate(([True], u[1:] != u[:-1]))
+        tok = 0
+        for i in range(len(u)):
+            tok = cap_m if new_u[i] else min(
+                cap_m, tok + int(t[i] - t[i - 1]) // refill_ms)
+            if tok >= 1000:
+                tok -= 1000
+                acc[i] = 1
+            tok_out[i] = tok
+        return pd.DataFrame({
+            "user_id": u.astype(np.int64),
+            "event_id": df["event_id"].to_numpy().astype(np.int64),
+            "ts_ms": t, "accepted": acc, "tokens_m": tok_out})[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def sliding_distinct(sf_dir: str, window_days: int = 7):
+    """Sliding-window COUNT DISTINCT — distinct users active in the
+    trailing ``window_days`` ending at each calendar day.  Distinct-over-
+    overlapping-windows normally forces either window-key replication
+    (×7 shuffle volume) or a sketch; the exact scale-safe shape used here
+    is the INTERVAL-DELTA decomposition: per user the active-day set
+    folds once through the user exchange, each user's membership in
+    window-end days is a union of intervals [day, day+W-1] whose overlaps
+    merge in-kernel to ±1 boundary deltas, a day-keyed exchange sums the
+    deltas, and one final CALENDAR-bounded partition (≤366 rows/year —
+    never event-volume) prefix-sums them into the counts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts"], P)
+    W = int(window_days)
+
+    def to_days(t):
+        day = pc.divide(pc.cast(t["ts"], "int64"),
+                        np.int64(86_400_000_000))
+        tbl = pa.table({"user_id": t.column("user_id"), "day": day})
+        return tbl.group_by(["user_id", "day"],
+                            use_threads=False).aggregate([])
+
+    rows = ds.map_batches(to_days, batch_format="pyarrow")
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["day", "delta"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, u))
+        us, dsrt = u[order], d[order]
+        dup = np.concatenate(
+            ([False], (us[1:] == us[:-1]) & (dsrt[1:] == dsrt[:-1])))
+        us, dsrt = us[~dup], dsrt[~dup]
+        # interval [day, day+W-1]; merge when next start <= prev end + 1
+        same_u = np.concatenate(([False], us[1:] == us[:-1]))
+        joins = same_u & (dsrt <= np.concatenate(([0], dsrt[:-1])) + W)
+        starts = dsrt[~joins]
+        # each merged run's end = last member's day + W - 1
+        run_last = np.concatenate((np.flatnonzero(~joins)[1:] - 1,
+                                   [len(dsrt) - 1]))
+        ends = dsrt[run_last] + W - 1
+        return pd.DataFrame({
+            "day": np.concatenate((starts, ends + 1)).astype(np.int64),
+            "delta": np.concatenate((
+                np.ones(len(starts), dtype=np.int64),
+                -np.ones(len(ends), dtype=np.int64)))})
+
+    per_user = hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                             kernel=deltas, fmt="pandas")
+
+    def day_key(tbl):
+        return (arrow_col_hash(tbl, "day")
+                % np.uint64(P)).astype(np.int64)
+
+    summed = hash_exchange(
+        per_user, key_fn=day_key, n_parts=P,
+        kernel=lambda df: df.groupby("day", sort=False)["delta"].sum()
+        .astype(np.int64).reset_index(), fmt="pandas")
+
+    # calendar span [min active day, max active day] from one tiny
+    # per-partition (min,max) fold — the q15 bounded-scalar discipline
+    span = rows.map_batches(
+        lambda df: pd.DataFrame(
+            {"lo": [df["day"].min() if len(df) else np.iinfo(np.int64).max],
+             "hi": [df["day"].max() if len(df) else np.iinfo(np.int64).min]}),
+        batch_format="pandas")
+    lo = hi = None
+    for r in span.take_all():
+        lo = r["lo"] if lo is None else min(lo, r["lo"])
+        hi = r["hi"] if hi is None else max(hi, r["hi"])
+    lo, hi = int(lo), int(hi)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        days = np.arange(lo, hi + 1, dtype=np.int64)
+        delta = np.zeros(len(days), dtype=np.int64)
+        d = df["day"].to_numpy().astype(np.int64)
+        keep = (d >= lo) & (d <= hi)   # end-deltas past the span fall off
+        np.add.at(delta, d[keep] - lo,
+                  df["delta"].to_numpy().astype(np.int64)[keep])
+        return pd.DataFrame({"day": days,
+                             "n_users_7d": np.cumsum(delta)})
+
+    return hash_exchange(
+        summed, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1, kernel=scan, fmt="pandas")

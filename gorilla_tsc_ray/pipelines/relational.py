@@ -1609,3 +1609,63 @@ def bloom_semijoin_urgent_revenue(sf_dir: str, m_bits: int = 1 << 20,
     return hash_exchange(agg,
                          key_fn=_hash_key(["l_returnflag", "l_linestatus"]),
                          n_parts=N_PARTS, kernel=merge, fmt="pandas")
+
+
+def user_order_full_outer(sf_dir: str):
+    """FULL OUTER join of two aggregate sides on the shared id space:
+    per-user event activity (n_events, event_cents) ⟗ per-customer order
+    spend (n_orders, order_cents).  A distributed full outer NEVER needs
+    a driving side: each side pre-folds to (id, n, cents, src) partials
+    inside its own scan, the two partial streams UNION into one id-keyed
+    exchange, and the partition kernel pivots src into the two column
+    pairs — absent sides surface as 0-filled columns plus has_events /
+    has_orders flags (int64 throughout; nullable ints would float-ify
+    under the driver hash)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    od = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def side(key: str, val: str, src: int):
+        def partial(t: pa.Table) -> pa.Table:
+            v = t.column(val).to_numpy(zero_copy_only=False)
+            cents = (np.sign(v)
+                     * np.floor(np.abs(v) * 100 + 0.5)).astype(np.int64)
+            tmp = pa.table({"id": pc.cast(t[key], "int64"),
+                            "c": pa.array(cents)})
+            g = tmp.group_by("id", use_threads=False).aggregate(
+                [("c", "sum"), ("c", "count")])
+            n = g.num_rows
+            return pa.table({
+                "id": g["id"], "n": pc.cast(g["c_count"], "int64"),
+                "cents": g["c_sum"],
+                "src": pa.array(np.full(n, src, dtype=np.int64))})
+        return partial
+
+    parts = (ev.map_batches(side("user_id", "value", 0),
+                            batch_format="pyarrow")
+             .union(od.map_batches(side("o_custkey", "o_totalprice", 1),
+                                   batch_format="pyarrow")))
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["id", "n_events", "event_cents", "n_orders",
+                "order_cents", "has_events", "has_orders"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        e = df["src"].to_numpy() == 0
+        agg = pd.DataFrame({
+            "n_events": df["n"].where(e, 0).groupby(df["id"]).sum(),
+            "event_cents": df["cents"].where(e, 0).groupby(df["id"]).sum(),
+            "n_orders": df["n"].where(~e, 0).groupby(df["id"]).sum(),
+            "order_cents": df["cents"].where(~e, 0).groupby(df["id"]).sum(),
+            "has_events": pd.Series(e, index=df.index).groupby(df["id"]).max(),
+            "has_orders": pd.Series(~e, index=df.index).groupby(df["id"]).max(),
+        }).reset_index()
+        for c in cols[1:]:
+            agg[c] = agg[c].astype(np.int64)
+        agg["id"] = agg["id"].astype(np.int64)
+        return agg[cols]
+
+    return hash_exchange(parts, key_fn=_hash_key(["id"]),
+                         n_parts=N_PARTS, kernel=pivot, fmt="pandas")

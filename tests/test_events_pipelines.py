@@ -2320,3 +2320,119 @@ def test_lttb_sparse_series_matches_recursive_cte(ray_session, tmp_path):
     for c in ("user_id", "b", "sel_x", "sel_y"):
         np.testing.assert_array_equal(got[c].to_numpy(),
                                       exp[c].to_numpy(), err_msg=c)
+
+
+def test_running_distinct_vs_duckdb(ray_session, sf_small):
+    import __ray_entry__ as entry
+
+    _cmp(ev.running_distinct(sf_small),
+         entry.oracle_sql()["events_running_distinct"],
+         sf_small, ["day"])
+    got = ev.running_distinct(sf_small).to_pandas().sort_values("day")
+    # the cumulative column is a monotone prefix sum of new_users
+    np.testing.assert_array_equal(
+        got["cum_users"].to_numpy(),
+        np.cumsum(got["new_users"].to_numpy()))
+
+
+def test_user_skyline_vs_duckdb(ray_session, sf_small):
+    import __ray_entry__ as entry
+
+    _cmp(ev.user_skyline(sf_small),
+         entry.oracle_sql()["events_user_skyline"], sf_small, ["user_id"])
+
+
+def test_user_skyline_ties_survive(ray_session, tmp_path):
+    """Equal (n_events, tot_cents) optima dominate neither way — BOTH
+    must survive the front; a point dominated on one axis with equality
+    on the other must NOT."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # users 1,2: two events of 5.00 each (tied optimum on both axes);
+    # user 3: two events of 4.00 (dominated, equal n); user 4: one event
+    # of 10.00 (equal cents to the optima, fewer events -> dominated)
+    rows = [(1, 5.0), (1, 5.0), (2, 5.0), (2, 5.0),
+            (3, 4.0), (3, 4.0), (4, 10.0)]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([i * 10**6 for i in range(len(rows))],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows)),
+        "value": pa.array([r[1] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows))})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = ev.user_skyline(str(tmp_path)).to_pandas()
+    assert sorted(got["user_id"]) == [1, 2]
+
+
+def test_rate_limit_vs_duckdb(ray_session, sf_small):
+    import __ray_entry__ as entry
+
+    _cmp(ev.rate_limit(sf_small),
+         entry.oracle_sql()["events_rate_limit"],
+         sf_small, ["user_id", "ts_ms", "event_id"])
+
+
+def test_rate_limit_both_classes_and_invariants(ray_session, sf_mid):
+    got = ev.rate_limit(sf_mid).to_pandas()
+    # params chosen so sf0.01 exercises BOTH decision classes
+    assert (got["accepted"] == 1).any() and (got["accepted"] == 0).any()
+    assert got["tokens_m"].between(0, 3000).all()
+    # a rejected event never consumes: tokens stay < 1000 at emission
+    assert (got.loc[got["accepted"] == 0, "tokens_m"] < 1000).all()
+
+
+def test_full_outer_vs_duckdb(ray_session, sf_small):
+    import __ray_entry__ as entry
+    from gorilla_tsc_ray.pipelines import relational as rel
+
+    got = (rel.user_order_full_outer(sf_small).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ["events", "orders"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'/root/testdata/sf0.001/{t}.parquet'")
+    exp = (con.execute(entry.oracle_sql()["rel_full_outer"]).df()
+           .sort_values("id").reset_index(drop=True))
+    assert len(got) == len(exp)
+    exp = exp[got.columns]
+    for c in got.columns:
+        np.testing.assert_array_equal(
+            got[c].to_numpy(), exp[c].to_numpy(), err_msg=c)
+    # full-outer semantics: at least one side-exclusive row each way or
+    # the flags column proves both sides were preserved
+    assert (got["has_orders"] & ~got["has_events"]).any()
+
+
+def test_sliding_distinct_vs_duckdb(ray_session, sf_small):
+    import __ray_entry__ as entry
+
+    _cmp(ev.sliding_distinct(sf_small),
+         entry.oracle_sql()["events_sliding_distinct_7d"],
+         sf_small, ["day"])
+
+
+def test_sliding_distinct_interval_merge(ray_session, tmp_path):
+    """Gapped activity: a user active on days {0, 3, 20} with W=7 covers
+    windows 0..9 (merged run — day 3 joins day 0's interval) and 20..26;
+    the merge must not bridge the 10..19 gap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    days = [0, 3, 20]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(days)), pa.int64()),
+        "ts": pa.array([d * 86_400_000_000 for d in days],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([1] * len(days), pa.int64()),
+        "event_type": pa.array(["view"] * len(days)),
+        "value": pa.array([1.0] * len(days), pa.float64()),
+        "props": pa.array(["{}"] * len(days))})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = (ev.sliding_distinct(str(tmp_path)).to_pandas()
+           .sort_values("day").reset_index(drop=True))
+    assert list(got["day"]) == list(range(0, 21))
+    exp = [1] * 10 + [0] * 10 + [1]
+    assert list(got["n_users_7d"]) == exp
