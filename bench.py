@@ -235,6 +235,14 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
                 lambda: docs.collocations(sf_dir).count())
     timed_extra("events_streaming_sessionize",
                 lambda: ev.streaming_sessionize(sf_dir).count())
+    # round-4 final wave (full outer, interval-delta sliding distinct,
+    # sequential token-bucket replay)
+    timed_extra("rel_full_outer",
+                lambda: relational.user_order_full_outer(sf_dir).count())
+    timed_extra("events_sliding_distinct_7d",
+                lambda: ev.sliding_distinct(sf_dir).count())
+    timed_extra("events_rate_limit",
+                lambda: ev.rate_limit(sf_dir).count())
 
     # continuous-aggregate append: fold the second event-time half into a
     # first-half store vs rebuilding from scratch (single run each — store

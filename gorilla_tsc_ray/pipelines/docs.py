@@ -665,17 +665,31 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.3,
 def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
                   n_parts: int = N_DOC_PARTS, max_iters: int = 64):
     """Connected components of an undirected pair graph by distributed
-    MIN-LABEL PROPAGATION: every node's label starts as its own id; each
-    round, one co-partitioned exchange joins current labels onto edge
-    sources and proposes them to destinations, a second merges proposals
-    into node labels (vectorized groupby-min per partition).  Converges in
-    O(component diameter) rounds — near-dup clusters are shallow — under a
-    hard ``max_iters`` cap.  The driver only ever sees the per-round
-    changed-count scalar; edges are materialized once and re-split each
-    round (zero-copy block slices).
+    MIN-LABEL PROPAGATION with CONVERGENCE-REGION FREEZING: every node's
+    label starts as its own id; each round, partitions holding last
+    round's changed labels join them onto their (pre-split, constant)
+    edge slices and ship proposals to destination partitions, which merge
+    by vectorized groupby-min.  State lives as one Arrow table ref PER
+    PARTITION carried round-to-round — labels and edges are keyed by the
+    SAME id hash, so a node's labels and its out-edges are co-located and
+    the full labels table is never re-hashed, re-sliced or re-concatenated
+    after init.  A partition with no pending delta runs NO propose task;
+    a partition receiving no proposals runs NO merge task and keeps its
+    ref untouched — converged regions are frozen at zero tasks and zero
+    bytes, so late rounds cost only the shrinking active frontier.
+    Converges in O(component diameter) rounds — near-dup clusters are
+    shallow — under a hard ``max_iters`` cap.  The driver only ever sees
+    per-round (proposal-count, changed-count) vectors, one int per
+    partition.
 
     Returns a Dataset of ``(node, label)`` — label = min node id reachable.
     """
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from ..stages.exchange import PresplitInput
+
     pairs = pairs_ds.materialize()
 
     def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
@@ -689,67 +703,103 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
     def uniq_src(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": pd.unique(df["src"])})
 
-    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
-        # changed=1 seeds the first DELTA round: every node proposes once
-        u = np.sort(pd.unique(df["node"]))
-        return pd.DataFrame({"node": u, "label": u,
-                             "changed": np.ones(len(u), dtype=np.int64)})
-
-    labels = hash_exchange(
+    # the edge set is CONSTANT across rounds: split it once and reuse the
+    # co-partitioned refs every iteration (hash + slice fan-out amortized);
+    # node labels use the SAME hash → labels[p] co-located with edges[p]
+    edges_pre = PresplitInput(edges, _pair_hash_key(["src"], n_parts),
+                              n_parts)
+    nodes_pre = PresplitInput(
         edges.map_batches(uniq_src, batch_format="pandas"),
-        key_fn=_pair_hash_key(["node"], n_parts), n_parts=n_parts,
-        kernel=init_labels, fmt="pandas")
+        _pair_hash_key(["node"], n_parts), n_parts)
+    key_dst = _pair_hash_key(["dst"], n_parts)
 
-    def propose(e: pd.DataFrame, lab: pd.DataFrame) -> pd.DataFrame:
-        # lab arrives pre-filtered to last round's CHANGED labels (the
-        # delta filter runs BEFORE the exchange, so converged regions
-        # ship nothing at all — not even rows the kernel would discard)
+    @ray.remote
+    def init_part(*parts):
+        tbls = [t.replace_schema_metadata(None) for t in parts
+                if t.num_rows]
+        u = np.sort(pd.unique(
+            pa.concat_tables(tbls).column("node").to_numpy(
+                zero_copy_only=False)))
+        return pa.table({"node": pa.array(u.astype(np.int64)),
+                         "label": pa.array(u.astype(np.int64))})
+
+    label_refs: list = [None] * n_parts
+    delta_refs: list = [None] * n_parts
+    for p in range(n_parts):
+        nz = (np.flatnonzero(nodes_pre.counts[:, p])
+              if len(nodes_pre.counts) else np.array([], dtype=np.int64))
+        if nz.size:
+            ref = init_part.remote(*[nodes_pre.splits[b][p] for b in nz])
+            label_refs[p] = ref
+            delta_refs[p] = ref   # round 1: every node proposes once
+
+    @ray.remote
+    def propose_split(delta_tbl, *edge_parts):
+        # join last round's changed labels onto this partition's edges
+        # and pre-split the proposals by DESTINATION hash (the shuffle's
+        # map side, fused into the propose task)
+        lab = delta_tbl.to_pandas()
+        ets = [t.replace_schema_metadata(None) for t in edge_parts
+               if t.num_rows]
+        e = pa.concat_tables(ets).combine_chunks().to_pandas()
         m = e.merge(lab[["node", "label"]], left_on="src",
                     right_on="node", how="inner")
-        return pd.DataFrame({"dst": m["dst"], "label": m["label"]})
+        out = pa.table({"dst": pa.array(m["dst"].to_numpy(np.int64)),
+                        "label": pa.array(m["label"].to_numpy(np.int64))})
+        ids = np.asarray(key_dst(out), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        out = out.take(pa.array(order))
+        counts = np.bincount(ids, minlength=n_parts).astype(np.int64)
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        return (*[out.slice(int(bounds[q]), int(counts[q]))
+                  for q in range(n_parts)], counts)
 
-    def changed_only(df: pd.DataFrame) -> pd.DataFrame:
-        # DELTA propagation: a node's label can only improve when a
-        # neighbour's label changed last round, so only changed labels
-        # generate proposals — converged regions go quiet and late rounds
-        # ship a vanishing message volume (same fixpoint, standard
-        # argument: the min over a neighbourhood is reached through some
-        # chain of strictly-improving updates)
-        return df.loc[df["changed"] == 1, ["node", "label"]]
-
-    def merge_labels(lab: pd.DataFrame, prop: pd.DataFrame) -> pd.DataFrame:
+    @ray.remote(num_returns=3)
+    def merge_part(lab_tbl, *prop_parts):
+        lab = lab_tbl.to_pandas()
+        props = [t for t in prop_parts if t.num_rows]
+        prop = pa.concat_tables(props).combine_chunks().to_pandas()
         cat = pd.concat(
             [lab[["node", "label"]],
              prop.rename(columns={"dst": "node"})[["node", "label"]]],
             ignore_index=True)
         new = cat.groupby("node", sort=False)["label"].min().reset_index()
         old = lab.set_index("node")["label"]
-        new["changed"] = (new["label"].to_numpy()
-                          < old.reindex(new["node"]).to_numpy()
-                          ).astype(np.int64)
-        return new
-
-    # the edge set is CONSTANT across rounds: split it once and reuse the
-    # co-partitioned refs every iteration (hash + slice fan-out amortized)
-    from ..stages.exchange import PresplitInput
-
-    edges_pre = PresplitInput(edges, _pair_hash_key(["src"], n_parts),
-                              n_parts)
+        chg = (new["label"].to_numpy()
+               < old.reindex(new["node"]).to_numpy())
+        out = pa.table({
+            "node": pa.array(new["node"].to_numpy(np.int64)),
+            "label": pa.array(new["label"].to_numpy(np.int64))})
+        delta = out.filter(pa.array(chg))
+        return out, delta, int(chg.sum())
 
     converged = False
     for _ in range(max_iters):
-        delta = labels.map_batches(changed_only, batch_format="pandas")
-        proposals = hash_exchange_multi(
-            [edges_pre,
-             (delta, _pair_hash_key(["node"], n_parts))],
-            n_parts=n_parts, kernel=propose, fmt="pandas")
-        labels = hash_exchange_multi(
-            [(labels, _pair_hash_key(["node"], n_parts)),
-             (proposals, _pair_hash_key(["dst"], n_parts))],
-            n_parts=n_parts, kernel=merge_labels, fmt="pandas").materialize()
-        if not labels.sum("changed"):
+        active = [p for p in range(n_parts) if delta_refs[p] is not None]
+        if not active:
             converged = True
             break
+        splits, counts = [], []
+        for p in active:
+            nz = (np.flatnonzero(edges_pre.counts[:, p])
+                  if len(edges_pre.counts)
+                  else np.array([], dtype=np.int64))
+            s = propose_split.options(num_returns=n_parts + 1).remote(
+                delta_refs[p], *[edges_pre.splits[b][p] for b in nz])
+            splits.append(s)
+            delta_refs[p] = None        # consumed
+        counts = ray.get([s[n_parts] for s in splits])
+        incoming = np.sum(counts, axis=0)
+        chg_refs, chg_parts = [], []
+        for q in np.flatnonzero(incoming):
+            slices = [s[q] for s, c in zip(splits, counts) if c[q] > 0]
+            out, delta, nchg = merge_part.remote(label_refs[q], *slices)
+            label_refs[q] = out
+            chg_refs.append(nchg)
+            chg_parts.append((q, delta))
+        for (q, delta), nchg in zip(chg_parts, ray.get(chg_refs)):
+            if nchg:
+                delta_refs[q] = delta
     if not converged:
         # min-label propagation needs O(longest min-chain) rounds — a
         # pathological path graph can exceed any fixed cap; labels are
@@ -762,7 +812,14 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
             "components with min-chains longer than the cap are split; "
             "raise max_iters for path-like graphs", max_iters)
 
-    return labels.select_columns(["node", "label"])
+    live = [r for r in label_refs if r is not None]
+    if not live:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64())}))
+    out = ray.data.from_arrow_refs(live)
+    out._gtsc_exchange_keepalive = (label_refs, edges_pre, nodes_pre)
+    return out
 
 
 def dup_clusters(sf_dir: str, threshold: float = 0.5):
