@@ -212,8 +212,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_collocations": docs.collocations,
         "docs_vocab_growth": docs.vocab_growth,
         "docs_degree_hist": docs.degree_hist,
+        "docs_reach_2hop": docs.reach_2hop,
         "docs_cluster_size_hist": docs.cluster_size_hist,
         "docs_tfidf": docs.tfidf,
+        "docs_bm25": docs.bm25,
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
         "docs_charset_jaccard": docs.charset_jaccard,
@@ -267,6 +269,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_bands_1h": lambda sf: ev.quantile_bands(sf, "1h"),
         "events_drawdown": ev.drawdown,
         "events_rolling_5": ev.rolling_window,
+        "events_bollinger_5": ev.bollinger,
         "events_records": ev.records,
         "events_velocity_10m": ev.velocity_window,
         "events_hhi": ev.type_concentration,
@@ -1873,6 +1876,33 @@ SELECT tf.doc_id, tf.tok, tf.tf,
        round(tf.tf * ln((SELECT n FROM nd) * 1.0 / d.df), 6) AS tfidf
 FROM tf JOIN dfreq d USING (tok)
 """,
+        "docs_bm25": """
+WITH occ AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM occ GROUP BY 1
+), corp AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         (SELECT CAST(coalesce(sum(dl), 0) AS DOUBLE) FROM dl)
+         / (SELECT count(*) FROM documents) AS avgdl
+), top AS (
+  SELECT tok FROM (SELECT tok, count(*) AS c FROM occ GROUP BY 1)
+  QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 20
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM occ
+  WHERE tok IN (SELECT tok FROM top) GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+)
+SELECT tf.doc_id, tf.tok, tf.tf, dl.dl,
+       round(ln(((SELECT n FROM corp) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75
+                               * (dl.dl / (SELECT avgdl FROM corp)))),
+             6) AS bm25
+FROM tf JOIN dfreq d USING (tok) JOIN dl USING (doc_id)
+""",
         # co-occurrence + PMI over the top-20 vocabulary (top-k ranked by
         # OCCURRENCES with (cnt desc, tok) tie-break — same as top_tokens;
         # presence is distinct-per-doc)
@@ -2071,6 +2101,33 @@ WITH t AS (
   SELECT node, CAST(count(*) AS BIGINT) AS degree FROM n GROUP BY 1
 )
 SELECT degree, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1
+""",
+        "docs_reach_2hop": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM t
+), pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shs, b.shs)) * 1.0 /
+        greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) >= 0.5
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION ALL SELECT id_b, id_a FROM pr
+), reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT e1.src, e2.dst FROM e e1 JOIN e e2 ON e1.dst = e2.src
+  WHERE e2.dst <> e1.src
+)
+SELECT src AS doc_id, CAST(count(DISTINCT dst) AS BIGINT) AS reach2
+FROM reach GROUP BY 1
 """,
         # transitive closure over the simhash pair graph (exhaustive at
         # Hamming <= 3, so clustering is exactly mirrorable)
@@ -3016,6 +3073,20 @@ SELECT user_id, ts_us,
        CAST(sum(c) OVER w AS BIGINT) AS sum_w,
        CAST(min(c) OVER w AS BIGINT) AS min_w,
        CAST(max(c) OVER w AS BIGINT) AS max_w
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+        "events_bollinger_5": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+)
+SELECT user_id, ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_w,
+       CAST(sum(c) OVER w AS BIGINT) AS sum_w,
+       CAST(count(*) OVER w * sum(c * c) OVER w
+            - sum(c) OVER w * sum(c) OVER w AS BIGINT) AS var_num
 FROM p
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)

@@ -1722,6 +1722,83 @@ def tfidf(sf_dir: str, v: int = 20):
     return ds.map_batches(tf_rows, batch_format="pandas")
 
 
+def bm25(sf_dir: str, v: int = 20):
+    """Okapi BM25 document scores (Lucene ``ln(1+...)`` idf variant,
+    k1=1.2, b=0.75) over the top-``v`` vocabulary — TF-IDF's
+    length-normalized successor and the standard sparse retrieval
+    weighting.  Same two bounded passes as :func:`tfidf`: (1) per-token
+    document frequencies plus the corpus length stats (n_docs, Σ doc
+    token length) fold through one single-partition exchange and
+    broadcast back; (2) per-batch (doc, tok, tf, dl) rows — final
+    immediately, a doc never spans batches — weighted by the closed-form
+    score.  ``avgdl`` is derived from EXACT integer sums (Σdl / N) and
+    the float expression tree is written identically in the SQL mirror
+    (literal constants 2.2 / 1.2 / 0.25 / 0.75 — ``k1 + 1`` computed in
+    float is NOT the double literal ``2.2``), so both engines evaluate
+    the same IEEE expression.  Scale shape identical to tfidf: map-only
+    after two scalar broadcasts."""
+    from ..util import round_half_away
+
+    vocab = set(top_tokens(sf_dir, k=v).to_pandas()["tok"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        uniq, codes, doc_lens = dd.unique_tokens(df["text"])
+        doc_ids = np.repeat(df["doc_id"].to_numpy(), doc_lens)
+        keep = (np.fromiter((t in vocab for t in uniq), dtype=bool,
+                            count=len(uniq))[codes]
+                if len(codes) else np.empty(0, bool))
+        pres = pd.DataFrame({"doc_id": doc_ids[keep],
+                             "tok": uniq[codes][keep]}).drop_duplicates()
+        out = (pres.groupby("tok", sort=False).size()
+               .rename("df").reset_index())
+        # \x01 prefix, NOT \x00: pandas' object hashtable compares
+        # strings with C-string semantics (stops at the first NUL), so two
+        # distinct \x00-prefixed sentinels silently merge into one group
+        # under groupby/unique — one sentinel (tfidf) is safe, two are not
+        return pd.concat([out, pd.DataFrame(
+            {"tok": ["\x01n_docs", "\x01sum_dl"],
+             "df": [np.int64(len(df)),
+                    np.int64(np.sum(doc_lens, dtype=np.int64))]})],
+            ignore_index=True)
+
+    stats = hash_exchange(
+        ds.map_batches(stats_partial, batch_format="pandas"),
+        key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64), n_parts=1,
+        kernel=lambda d: d.groupby("tok", sort=False)["df"]
+        .sum().reset_index(),
+        fmt="pandas").to_pandas()
+    n_docs = int(stats.loc[stats["tok"] == "\x01n_docs", "df"].iloc[0])
+    sum_dl = int(stats.loc[stats["tok"] == "\x01sum_dl", "df"].iloc[0])
+    avgdl = float(sum_dl) / float(n_docs)
+    dfreq = {t: int(c) for t, c in zip(stats["tok"], stats["df"])
+             if not t.startswith("\x01")}
+
+    def score_rows(df: pd.DataFrame) -> pd.DataFrame:
+        uniq, codes, doc_lens = dd.unique_tokens(df["text"])
+        doc_ids = np.repeat(df["doc_id"].to_numpy(), doc_lens)
+        keep = (np.fromiter((t in vocab for t in uniq), dtype=bool,
+                            count=len(uniq))[codes]
+                if len(codes) else np.empty(0, bool))
+        tf = (pd.DataFrame({"doc_id": doc_ids[keep],
+                            "tok": uniq[codes][keep]})
+              .groupby(["doc_id", "tok"], sort=False).size()
+              .rename("tf").reset_index())
+        tf["tf"] = tf["tf"].astype(np.int64)
+        dl_map = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                               "dl": doc_lens.astype(np.int64)})
+        tf = tf.merge(dl_map, on="doc_id", how="left")
+        tfv = tf["tf"].to_numpy(dtype=np.float64)
+        dlv = tf["dl"].to_numpy(dtype=np.float64)
+        dfv = np.asarray([dfreq[t] for t in tf["tok"]], dtype=np.float64)
+        idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        w = idf * (tfv * 2.2) / (tfv + 1.2 * (0.25 + 0.75 * (dlv / avgdl)))
+        tf["bm25"] = round_half_away(w, 6)
+        return tf[["doc_id", "tok", "tf", "dl", "bm25"]]
+
+    return ds.map_batches(score_rows, batch_format="pandas")
+
+
 def centroid_distances(sf_dir: str):
     """Aggregate-then-geometry composition: pairwise Euclidean distances
     between per-label embedding centroids.  Per-batch (label, dim, sum,
@@ -2568,6 +2645,94 @@ def degree_hist(sf_dir: str, threshold: float = 0.5):
     return hash_exchange(
         degs, key_fn=_pair_hash_key(["deg"], 8), n_parts=8,
         kernel=hist, fmt="pandas")
+
+
+def reach_2hop(sf_dir: str, threshold: float = 0.5):
+    """Two-hop reachability census over the n-gram near-dup graph (the
+    same edge truth as :func:`triangle_counts` / :func:`degree_hist`):
+    for each doc in the graph, how many OTHER docs sit within ≤ 2 hops —
+    the local-neighborhood-size signal that separates a doc inside a dup
+    factory from one with a single accidental twin.  One mid-keyed
+    exchange expands each node's neighbor list into its wedge pairs
+    (volume Σ deg(mid)² is inherent to the semantics; pairs dedup inside
+    the partition before they ship — on clique-shaped dup clusters that
+    collapses most of the blow-up), one src-keyed exchange unions wedges
+    with the direct edges and counts distinct destinations.  All
+    vectorized: the wedge cross-product is the counts/starts index
+    construction, dedup is lexsort + edge mask (3× drop_duplicates,
+    CLAUDE.md)."""
+    tune_context()
+
+    pairs = ngram_jaccard(sf_dir, threshold=threshold)
+
+    def both(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy(dtype=np.int64)
+        b = df["id_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"mid": np.concatenate([a, b]),
+                             "nbr": np.concatenate([b, a])})
+
+    edges = pairs.map_batches(both, batch_format="pandas")
+
+    def _dedup_pairs(src: np.ndarray, dst: np.ndarray):
+        if len(src) == 0:
+            return src, dst
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        keep = np.concatenate(
+            ([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])))
+        return src[keep], dst[keep]
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"src": np.array([], dtype=np.int64),
+                                 "dst": np.array([], dtype=np.int64)})
+        df = df.sort_values(["mid", "nbr"], kind="stable")
+        mid = df["mid"].to_numpy(dtype=np.int64)
+        nbr = df["nbr"].to_numpy(dtype=np.int64)
+        new = np.concatenate(([True], mid[1:] != mid[:-1]))
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(mid)))
+        # all (i, j) index pairs within each mid's neighbor run
+        tot = counts * counts
+        base = np.repeat(starts, tot)
+        k = np.arange(int(tot.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(tot) - tot, tot)
+        cc = np.repeat(counts, tot)
+        left, right = base + k // cc, base + k % cc
+        m = left != right   # neighbor lists are deduped -> src != dst
+        src, dst = _dedup_pairs(nbr[left[m]], nbr[right[m]])
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    hop2 = hash_exchange(edges, key_fn=_pair_hash_key(["mid"]),
+                         n_parts=N_DOC_PARTS, kernel=wedges, fmt="pandas")
+
+    def direct(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": df["mid"].to_numpy(dtype=np.int64),
+                             "dst": df["nbr"].to_numpy(dtype=np.int64)})
+
+    allp = hop2.union(edges.map_batches(direct, batch_format="pandas"))
+
+    def count_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": np.array([], dtype=np.int64),
+                                 "reach2": np.array([], dtype=np.int64)})
+        src = df["src"].to_numpy(dtype=np.int64)
+        dst = df["dst"].to_numpy(dtype=np.int64)
+        m = src != dst
+        src, dst = _dedup_pairs(src[m], dst[m])
+        if len(src) == 0:
+            return pd.DataFrame({"doc_id": np.array([], dtype=np.int64),
+                                 "reach2": np.array([], dtype=np.int64)})
+        starts = np.flatnonzero(
+            np.concatenate(([True], src[1:] != src[:-1])))
+        return pd.DataFrame({
+            "doc_id": src[starts],
+            "reach2": np.diff(np.append(starts, len(src)))
+            .astype(np.int64)})
+
+    return hash_exchange(allp, key_fn=_pair_hash_key(["src"]),
+                         n_parts=N_DOC_PARTS, kernel=count_kernel,
+                         fmt="pandas")
 
 
 def cluster_size_hist(sf_dir: str, threshold: float = 0.5):

@@ -3175,6 +3175,46 @@ def rolling_window(sf_dir: str, k: int = 5):
                          kernel=kernel, fmt="pandas")
 
 
+def bollinger(sf_dir: str, k: int = 5):
+    """Bollinger-band numerators per event: the trailing mean/variance of
+    the cent series over a ``k``-row frame, emitted as EXACT integers —
+    ``n·Σv² − (Σv)²`` alongside ``n`` and ``Σv`` (the consumer divides by
+    n² for the population variance and adds ±m·σ bands).  Emitting the
+    integer numerators instead of rounded floats is the repo's
+    fixed-decimal-input rule (CLAUDE.md seasonal_decompose/winsorize
+    precedent: window means of 2-decimal cents land exactly on rounding
+    midpoints, where no rounding width is robust).  Magnitudes: cents ≤
+    49 002, Σv² over 5 rows ≤ 1.2e10, n·Σv² ≤ 6e10 — exact in float64
+    rolling accumulators and in int64."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "ts_us", "n_w", "sum_w", "var_num"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        c = df["c"].to_numpy().astype(np.int64)
+        df = df.assign(c2=c * c)
+        g = df.groupby("user_id", sort=False)
+        roll = g["c"].rolling(k, min_periods=1)
+        n_w = roll.count().to_numpy().astype(np.int64)
+        sum_w = roll.sum().to_numpy().astype(np.int64)
+        sumsq = (g["c2"].rolling(k, min_periods=1).sum()
+                 .to_numpy().astype(np.int64))
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "ts_us": df["ts_us"].to_numpy().astype(np.int64),
+            "n_w": n_w,
+            "sum_w": sum_w,
+            "var_num": n_w * sumsq - sum_w * sum_w})[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
 def records(sf_dir: str):
     """Running-max record ladder per user: how many times the cents
     series set a new all-time high (the first event counts), when the

@@ -1214,3 +1214,49 @@ SELECT count(DISTINCT w) FROM (
   SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w
   FROM documents)""").fetchone()[0]
     assert v[-1] == n_vocab
+
+
+def test_bm25_matches_duckdb_mirror(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = (docs.bm25(sf).to_pandas()
+           .sort_values(["doc_id", "tok"]).reset_index(drop=True))
+    assert (got["bm25"] > 0).all()          # ln(1+x) idf is always positive
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    # exact-integer skeleton: tf, dl and the corpus stats must agree
+    exp = con.execute("""
+WITH occ AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+), top AS (
+  SELECT tok FROM (SELECT tok, count(*) AS c FROM occ GROUP BY 1)
+  QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 20
+), dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM occ GROUP BY 1)
+SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf,
+       (SELECT dl FROM dl WHERE dl.doc_id = occ.doc_id) AS dl
+FROM occ WHERE tok IN (SELECT tok FROM top) GROUP BY 1, 2
+ORDER BY doc_id, tok""").df()
+    assert len(got) == len(exp)
+    assert (got["tf"].to_numpy() == exp["tf"].to_numpy()).all()
+    assert (got["dl"].to_numpy() == exp["dl"].to_numpy()).all()
+
+
+def test_reach_2hop_bounds(ray_session):
+    sf = "/root/testdata/sf0.001"
+    reach = (docs.reach_2hop(sf).to_pandas()
+             .set_index("doc_id")["reach2"])
+    pairs = docs.ngram_jaccard(sf).to_pandas()
+    deg = pd.concat([pairs["id_a"], pairs["id_b"]]).value_counts()
+    # every graph node appears; reach within 2 hops >= direct degree
+    assert set(reach.index) == set(deg.index)
+    assert (reach.reindex(deg.index).to_numpy()
+            >= deg.to_numpy()).all()
+    # and is bounded by the node's component size - 1
+    comp = docs.cluster_pairs(
+        __import__("ray").data.from_pandas(pairs[["id_a", "id_b"]]),
+        n_parts=4).to_pandas()
+    sizes = comp.groupby("label")["node"].size()
+    bound = comp.set_index("node")["label"].map(sizes) - 1
+    assert (reach.reindex(bound.index).to_numpy()
+            <= bound.to_numpy()).all()

@@ -2436,3 +2436,27 @@ def test_sliding_distinct_interval_merge(ray_session, tmp_path):
     assert list(got["day"]) == list(range(0, 21))
     exp = [1] * 10 + [0] * 10 + [1]
     assert list(got["n_users_7d"]) == exp
+
+
+def test_bollinger_numerators_exact(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = (ev.bollinger(sf).to_pandas()
+           .sort_values(["user_id", "ts_us"]).reset_index(drop=True))
+    # var numerator n·Σv²−(Σv)² is non-negative and zero iff window const
+    v = got["var_num"].to_numpy()
+    assert (v >= 0).all()
+    # exact recompute for one user from the raw table
+    import duckdb
+    con = duckdb.connect()
+    raw = con.execute(
+        f"""SELECT user_id, epoch_us(ts) AS ts_us,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM '{sf}/events.parquet' ORDER BY user_id, ts_us""").df()
+    u0 = raw["user_id"].iloc[0]
+    c = raw.loc[raw["user_id"] == u0, "c"].to_numpy()
+    g0 = got[got["user_id"] == u0]
+    for i in range(len(c)):
+        w = c[max(0, i - 4):i + 1]
+        assert g0["n_w"].iloc[i] == len(w)
+        assert g0["sum_w"].iloc[i] == w.sum()
+        assert g0["var_num"].iloc[i] == len(w) * (w * w).sum() - w.sum() ** 2
