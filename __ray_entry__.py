@@ -226,6 +226,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": docs.minhash_pairs,
         "docs_simhash_pairs": docs.simhash_pairs,
         "docs_simhash_clusters": docs.simhash_clusters,
+        "docs_dedup_eval": docs.dedup_eval,
         # — training-data ops: similarity search —
         "emb_centroids": docs.emb_centroids,
         "emb_quantize_sq8": docs.emb_quantize_sq8,
@@ -270,6 +271,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_drawdown": ev.drawdown,
         "events_rolling_5": ev.rolling_window,
         "events_bollinger_5": ev.bollinger,
+        "events_spc_flags": ev.spc_flags,
         "events_records": ev.records,
         "events_velocity_10m": ev.velocity_window,
         "events_hhi": ev.type_concentration,
@@ -2140,6 +2142,25 @@ FROM reach GROUP BY 1
             "UNION SELECT r.n, e.b FROM r JOIN e ON r.m = e.a)\n"
             "SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id "
             "FROM r GROUP BY 1"),
+        # dedup-pipeline acceptance audit: SimHash candidates vs the exact
+        # lang-blocked token-Jaccard truth, precision/recall numerators as
+        # exact integers (ratios are consumer-side rationals)
+        "docs_dedup_eval": (
+            "WITH cand AS (SELECT id_a, id_b FROM ("
+            + _simhash_sql() + ") q),\n"
+            "tj AS (SELECT doc_id, lang, list_distinct("
+            "regexp_extract_all(text, '[A-Za-z0-9]+')) AS toks "
+            "FROM documents),\n"
+            "tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM tj a JOIN tj b ON a.lang = b.lang "
+            "AND a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.toks, b.toks)) * 1.0 / "
+            "greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1)"
+            " >= 0.5)\n"
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,"
+            " (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_truth,"
+            " (SELECT CAST(count(*) AS BIGINT) FROM cand JOIN tr "
+            "USING (id_a, id_b)) AS n_hit"),
         # per-label embedding centroid, flat (label, dim) rows
         "emb_centroids": """
 WITH u AS (
@@ -3090,6 +3111,29 @@ SELECT user_id, ts_us,
 FROM p
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+        "events_spc_flags": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c FROM events
+)
+SELECT user_id, ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_base,
+       CAST((count(*) OVER w * c - coalesce(sum(c) OVER w, 0))
+            * (count(*) OVER w * c - coalesce(sum(c) OVER w, 0))
+            AS BIGINT) AS dev_sq,
+       CAST(9 * (count(*) OVER w * coalesce(sum(c * c) OVER w, 0)
+                 - coalesce(sum(c) OVER w, 0)
+                   * coalesce(sum(c) OVER w, 0)) AS BIGINT) AS var9,
+       CAST(CASE WHEN count(*) OVER w >= 2 AND
+            (count(*) OVER w * c - sum(c) OVER w)
+            * (count(*) OVER w * c - sum(c) OVER w)
+            > 9 * (count(*) OVER w * sum(c * c) OVER w
+                   - sum(c) OVER w * sum(c) OVER w)
+            THEN 1 ELSE 0 END AS BIGINT) AS flag3
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
 """,
         # running-max record ladder per user: strict > vs the running max
         # of PRIOR rows; (user_id, ts) unique so event-time order is total

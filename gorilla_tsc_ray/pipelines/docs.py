@@ -2735,6 +2735,62 @@ def reach_2hop(sf_dir: str, threshold: float = 0.5):
                          fmt="pandas")
 
 
+def dedup_eval(sf_dir: str, threshold: float = 0.5, max_hamming: int = 3):
+    """Candidate-quality audit of SimHash blocking against the exact
+    token-Jaccard truth — the dedup-pipeline acceptance test a data
+    curator runs before trusting a cheaper heuristic: precision/recall
+    NUMERATORS as exact integers (``n_cand``, ``n_truth``, ``n_hit``;
+    the ratios are consumer-side rationals, the fixed-decimal rule).
+    Both pair sets are the already-oracle-checked pipelines
+    (:func:`simhash_pairs` at Hamming ≤ 3, :func:`token_jaccard` ≥
+    ``threshold``, which blocks by lang — simhash may propose cross-lang
+    pairs, a real precision cost the audit should see).  Pairs carry a
+    side marker through ONE pair-keyed exchange (hit = both sides
+    present in the co-partition), per-partition counts fold in a
+    single-row final exchange — pair payloads never leave their
+    partition."""
+    tune_context()
+
+    cand = simhash_pairs(sf_dir, max_hamming=max_hamming)
+    truth = token_jaccard(sf_dir, threshold=threshold)
+
+    def mark(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "id_a": df["id_a"].to_numpy(dtype=np.int64),
+                "id_b": df["id_b"].to_numpy(dtype=np.int64),
+                "side": np.full(len(df), side, dtype=np.int64)})
+        return fn
+
+    both = (cand.map_batches(mark(0), batch_format="pandas")
+            .union(truth.map_batches(mark(1), batch_format="pandas")))
+
+    def part_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in ["n_cand", "n_truth", "n_hit"]})
+        g = (df.groupby(["id_a", "id_b"], sort=False)["side"]
+             .agg(["min", "max", "count"]))
+        hit = ((g["min"] == 0) & (g["max"] == 1)).sum()
+        n_cand = (df["side"].to_numpy() == 0).sum()
+        n_truth = (df["side"].to_numpy() == 1).sum()
+        return pd.DataFrame({"n_cand": [np.int64(n_cand)],
+                             "n_truth": [np.int64(n_truth)],
+                             "n_hit": [np.int64(hit)]})
+
+    parts = hash_exchange(both, key_fn=_pair_hash_key(["id_a", "id_b"]),
+                          n_parts=N_DOC_PARTS, kernel=part_counts,
+                          fmt="pandas")
+    return hash_exchange(
+        parts, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1,
+        kernel=lambda d: pd.DataFrame(
+            {"n_cand": [np.int64(d["n_cand"].sum())],
+             "n_truth": [np.int64(d["n_truth"].sum())],
+             "n_hit": [np.int64(d["n_hit"].sum())]}),
+        fmt="pandas")
+
+
 def cluster_size_hist(sf_dir: str, threshold: float = 0.5):
     """Histogram of duplicate-cluster SIZES — the dedup-audit companion
     to :func:`degree_hist` (connected-component structure instead of

@@ -3215,6 +3215,53 @@ def bollinger(sf_dir: str, k: int = 5):
                          kernel=kernel, fmt="pandas")
 
 
+def spc_flags(sf_dir: str, k: int = 5):
+    """Statistical-process-control (control-chart) outlier flags per
+    event, computed ENTIRELY in integers: a point violates the 3σ rule
+    against its trailing baseline (the ``k`` PRIOR events, current point
+    excluded) iff ``(n·v − Σv)² > 9·(n·Σv² − (Σv)²)`` — the
+    mean/variance comparison multiplied through by n², so no float σ
+    ever exists to disagree about (the fixed-decimal midpoint rule, cf.
+    :func:`bollinger`).  Emits the exact deviation and variance
+    numerators alongside the flag; magnitudes ≤ 5.4e11 fit int64.
+    Baseline windows shorter than 2 points cannot flag."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "ts_us", "n_base", "dev_sq", "var9", "flag3"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in cols})
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        c = df["c"].to_numpy().astype(np.int64)
+        g0 = df.groupby("user_id", sort=False)
+        prev = g0["c"].shift(1)          # NaN at each user's first row
+        df = df.assign(cp=prev, cp2=prev * prev)
+        g = df.groupby("user_id", sort=False)
+        # rolling over the SHIFTED series = frame [k PRECEDING, 1 PRECEDING]
+        n_b = (g["cp"].rolling(k, min_periods=1).count()
+               .to_numpy())             # count ignores the NaN head
+        s_b = g["cp"].rolling(k, min_periods=1).sum().to_numpy()
+        q_b = g["cp2"].rolling(k, min_periods=1).sum().to_numpy()
+        n_b = np.nan_to_num(n_b).astype(np.int64)
+        s_b = np.nan_to_num(s_b).astype(np.int64)
+        q_b = np.nan_to_num(q_b).astype(np.int64)
+        dev = n_b * c - s_b
+        dev_sq = dev * dev
+        var9 = 9 * (n_b * q_b - s_b * s_b)
+        flag = ((n_b >= 2) & (dev_sq > var9)).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "ts_us": df["ts_us"].to_numpy().astype(np.int64),
+            "n_base": n_b, "dev_sq": dev_sq, "var9": var9,
+            "flag3": flag})[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
 def records(sf_dir: str):
     """Running-max record ladder per user: how many times the cents
     series set a new all-time high (the first event counts), when the

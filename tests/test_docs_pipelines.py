@@ -1260,3 +1260,16 @@ def test_reach_2hop_bounds(ray_session):
     bound = comp.set_index("node")["label"].map(sizes) - 1
     assert (reach.reindex(bound.index).to_numpy()
             <= bound.to_numpy()).all()
+
+
+def test_dedup_eval_counts_consistent(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = docs.dedup_eval(sf).to_pandas()
+    assert len(got) == 1
+    n_cand, n_truth, n_hit = (int(got["n_cand"].iloc[0]),
+                              int(got["n_truth"].iloc[0]),
+                              int(got["n_hit"].iloc[0]))
+    # hits are a subset of both sides; side totals match the pipelines
+    assert 0 <= n_hit <= min(n_cand, n_truth)
+    assert n_cand == docs.simhash_pairs(sf).count()
+    assert n_truth == docs.token_jaccard(sf).count()

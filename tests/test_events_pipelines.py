@@ -2460,3 +2460,31 @@ def test_bollinger_numerators_exact(ray_session):
         assert g0["n_w"].iloc[i] == len(w)
         assert g0["sum_w"].iloc[i] == w.sum()
         assert g0["var_num"].iloc[i] == len(w) * (w * w).sum() - w.sum() ** 2
+
+
+def test_spc_flags_integer_identity(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = (ev.spc_flags(sf).to_pandas()
+           .sort_values(["user_id", "ts_us"]).reset_index(drop=True))
+    # the flag is exactly the integer inequality it claims to be
+    n, dev, var9 = (got["n_base"].to_numpy(), got["dev_sq"].to_numpy(),
+                    got["var9"].to_numpy())
+    assert ((got["flag3"].to_numpy() == 1)
+            == ((n >= 2) & (dev > var9))).all()
+    assert (var9 >= 0).all() and (dev >= 0).all()
+    # brute-force one user against the raw table
+    import duckdb
+    con = duckdb.connect()
+    raw = con.execute(
+        f"""SELECT user_id, epoch_us(ts) AS ts_us,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM '{sf}/events.parquet' ORDER BY user_id, ts_us""").df()
+    u0 = raw["user_id"].iloc[0]
+    c = raw.loc[raw["user_id"] == u0, "c"].to_numpy()
+    g0 = got[got["user_id"] == u0]
+    for i in range(len(c)):
+        w = c[max(0, i - 5):i]          # 5 PRECEDING .. 1 PRECEDING
+        nb = len(w)
+        assert g0["n_base"].iloc[i] == nb
+        assert g0["dev_sq"].iloc[i] == (nb * c[i] - w.sum()) ** 2
+        assert g0["var9"].iloc[i] == 9 * (nb * (w * w).sum() - w.sum() ** 2)
