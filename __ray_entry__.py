@@ -186,6 +186,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_customers": relational.q22_idle_customers,
         "q8_market_share": relational.q8_market_share,
         "q9_profit": relational.q9_profit,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q11_part_concentration": relational.q11_part_concentration,
+        "q16_part_supplier_counts": relational.q16_part_supplier_counts,
+        "q20_dominant_suppliers": relational.q20_dominant_suppliers,
         "rel_bloom_semijoin": relational.bloom_semijoin_urgent_revenue,
         "rel_full_outer": relational.user_order_full_outer,
         "events_running_distinct": ev.running_distinct,
@@ -1592,6 +1596,73 @@ WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '2000-07-01')
 GROUP BY 1
+""",
+        # TPC-H Q2 shape: min-cost region supplier per small part of one
+        # type ("supply cost" = min observed unit price over lineitem —
+        # the lake has no partsupp; min comparisons on identical per-row
+        # f64 quotients on both sides)
+        "q2_min_cost_supplier": """
+WITH cost AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         min(l.l_extendedprice / l.l_quantity) AS uc
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE' GROUP BY 1, 2),
+best AS (SELECT l_partkey, min(uc) AS mc FROM cost GROUP BY 1)
+SELECT s.s_acctbal, s.s_name, n.n_name, c.l_partkey AS p_partkey,
+       round(c.uc, 4) AS unit_cost
+FROM cost c
+JOIN best b ON b.l_partkey = c.l_partkey AND c.uc = b.mc
+JOIN part p ON p.p_partkey = c.l_partkey
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p_partkey
+""",
+        # TPC-H Q11 shape: parts whose one-nation "stock value" (total
+        # quantity shipped by that nation's suppliers — integral doubles,
+        # EXACT int64 sums) exceeds a fraction of the global total
+        "q11_part_concentration": """
+WITH v AS (
+  SELECT l.l_partkey AS partkey, CAST(sum(l.l_quantity) AS BIGINT) AS val
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE s.s_nationkey = 3 GROUP BY 1)
+SELECT partkey, val FROM v
+WHERE val > 0.001 * (SELECT sum(val) FROM v)
+ORDER BY val DESC, partkey
+""",
+        # TPC-H Q16 shape: distinct supplier count per (brand, type,
+        # size) over the observed lineitem part-supplier pairs ("customer
+        # complaints" = negative supplier balance)
+        "q16_part_supplier_counts": """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'ECONOMY'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16) AND s.s_acctbal >= 0
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+        # TPC-H Q20 shape: low-nation suppliers who shipped > 1/6 of
+        # their all-time 'ring'-part volume inside 1997 (no availqty —
+        # exact integer ratio, 6·qty_year > qty_total)
+        "q20_dominant_suppliers": """
+WITH q AS (
+  SELECT l.l_suppkey,
+    CAST(sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+               AND l.l_shipdate < TIMESTAMP '1998-01-01'
+             THEN l.l_quantity ELSE 0 END) AS BIGINT) AS qty_year,
+    CAST(sum(l.l_quantity) AS BIGINT) AS qty_total
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '%ring%' GROUP BY 1)
+SELECT s.s_name, s.s_acctbal, qty_year, qty_total FROM q
+JOIN supplier s ON s.s_suppkey = q.l_suppkey
+WHERE 6 * qty_year > qty_total AND s.s_nationkey < 12
+ORDER BY s_name
 """,
         # TPC-H Q8 shape: one nation's market share of a part-type market
         # in a region, by year (exact revenue components — the share

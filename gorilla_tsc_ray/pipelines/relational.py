@@ -63,7 +63,10 @@ def _attach_dim(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
 
     dim_ds = dim_ds.materialize()
     size = dim_ds.size_bytes() or 0
-    if 0 < size <= DIM_BROADCAST_BYTES:
+    # size == 0 (a pushed-filter dim that matched nothing) MUST take the
+    # broadcast path: its probe_empty branch appends null out_cols, while
+    # the exchange route would feed schemaless empty frames to the merge
+    if size <= DIM_BROADCAST_BYTES:
         # 0-row blocks from a pushed-filter read carry an EMPTY schema
         # (measured: Ray emits "new schema: ." for them) — skip them
         blocks = [t.replace_schema_metadata(None)
@@ -1669,3 +1672,303 @@ def user_order_full_outer(sf_dir: str):
 
     return hash_exchange(parts, key_fn=_hash_key(["id"]),
                          n_parts=N_PARTS, kernel=pivot, fmt="pandas")
+
+
+def q2_min_cost_supplier(sf_dir: str, region: str = "EUROPE",
+                         part_type: str = "ECONOMY", max_size: int = 15):
+    """TPC-H Q2 shape (the lake has no partsupp, so "supply cost" of a
+    (part, supplier) pair is their minimum observed unit price
+    ``l_extendedprice / l_quantity`` over lineitem — the adaptation is in
+    the oracle too): for small parts of one type, the region supplier(s)
+    offering the global minimum cost.  nation⋈region composes on the
+    driver (25/5 rows, the q5 precedent); the part semi-join and the
+    supplier attach are size-guarded; ONE partkey co-partition evaluates
+    the per-pair min and the per-part argmin locally (the correlated
+    min-subquery never materializes).  Min comparisons happen on
+    identical per-row f64 quotients on both sides, so float summation
+    order can never flip a winner."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    tune_context()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    keys = set(nation.loc[nation["n_regionkey"].isin(
+        reg.loc[reg["r_name"] == region, "r_regionkey"]), "n_nationkey"])
+    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=((pads.field("p_type") == part_type)
+                & (pads.field("p_size") <= max_size)))
+    lines = _semi_filter(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]),
+        parts, fact_key="l_partkey", dim_key="p_partkey")
+    lines = _attach_dim(
+        lines, _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        fact_key="l_suppkey", dim_key="s_suppkey",
+        out_cols=["s_nationkey"])
+
+    def in_region(df: pd.DataFrame) -> pd.DataFrame:
+        nk = df["s_nationkey"].to_numpy(dtype=np.float64, na_value=-1)
+        return df.loc[np.isin(nk, list(keys))]
+
+    lines = lines.map_batches(in_region, batch_format="pandas")
+
+    def argmin_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["p_partkey", "s_suppkey", "unit_cost"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        cost = (df["l_extendedprice"].to_numpy()
+                / df["l_quantity"].to_numpy())
+        pair = (pd.DataFrame({"p_partkey": df["l_partkey"].to_numpy(),
+                              "s_suppkey": df["l_suppkey"].to_numpy(),
+                              "unit_cost": cost})
+                .groupby(["p_partkey", "s_suppkey"], sort=False)["unit_cost"]
+                .min().reset_index())
+        best = pair.groupby("p_partkey", sort=False)["unit_cost"]\
+            .transform("min")
+        return pair.loc[pair["unit_cost"].to_numpy() == best.to_numpy(),
+                        cols]
+
+    winners = hash_exchange(lines, key_fn=_hash_key(["l_partkey"]),
+                            n_parts=N_PARTS, kernel=argmin_kernel,
+                            fmt="pandas")
+    named = _attach_dim(
+        winners,
+        _read(sf_dir, "supplier",
+              ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]),
+        fact_key="s_suppkey", dim_key="s_suppkey",
+        out_cols=["s_name", "s_acctbal", "s_nationkey"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "s_acctbal": df["s_acctbal"].to_numpy(dtype=np.float64),
+            "s_name": df["s_name"].astype(str),
+            "n_name": df["s_nationkey"].map(nat_name).astype(str),
+            "p_partkey": df["p_partkey"].to_numpy().astype(np.int64),
+            "unit_cost": round_half_away(
+                df["unit_cost"].to_numpy(dtype=np.float64), 4)})
+        return out
+
+    out = named.map_batches(finish, batch_format="pandas")
+    return out.sort(["s_acctbal", "n_name", "s_name", "p_partkey"],
+                    descending=[True, False, False, False])
+
+
+def q11_part_concentration(sf_dir: str, nation_key: int = 3,
+                           fraction: float = 0.001):
+    """TPC-H Q11 shape (no partsupp, so a part's "stock value" held by
+    one nation's suppliers is the total quantity its suppliers ever
+    shipped — integral doubles, so sums are EXACT int64 on both sides):
+    parts whose nation-held value exceeds ``fraction`` of the global
+    total.  Per-batch quantity partials fold through ONE partkey
+    exchange; the global total folds from one row per partition (the q15
+    bounded-scalar discipline), and the threshold compares an exact
+    int64 against the same float product the oracle computes."""
+    tune_context()
+
+    lines = _attach_dim(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        fact_key="l_suppkey", dim_key="s_suppkey",
+        out_cols=["s_nationkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.loc[df["s_nationkey"].to_numpy(
+            dtype=np.float64, na_value=-1) == nation_key]
+        out = (m.groupby("l_partkey", sort=False)["l_quantity"].sum()
+               .reset_index())
+        return pd.DataFrame({
+            "partkey": out["l_partkey"].to_numpy().astype(np.int64),
+            "val": out["l_quantity"].to_numpy().astype(np.int64)})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("partkey", sort=False)["val"].sum().reset_index()
+        out["val"] = out["val"].astype(np.int64)
+        out["partkey"] = out["partkey"].astype(np.int64)
+        return out
+
+    vals = hash_exchange(
+        lines.map_batches(partial, batch_format="pandas"),
+        key_fn=_hash_key(["partkey"]), n_parts=N_PARTS, kernel=merge,
+        fmt="pandas").materialize()
+
+    part_sums = vals.map_batches(
+        lambda df: pd.DataFrame({"s": [int(df["val"].sum())]}),
+        batch_format="pandas")
+    total = int(sum(r["s"] for r in part_sums.take_all()))
+    thresh = fraction * total
+
+    filtered = vals.map_batches(
+        lambda df: df.loc[df["val"].to_numpy() > thresh],
+        batch_format="pandas")
+    return filtered.sort(["val", "partkey"], descending=[True, False])
+
+
+def q16_part_supplier_counts(sf_dir: str, excl_brand: str = "Brand#1",
+                             excl_type: str = "ECONOMY",
+                             sizes: tuple = (1, 4, 7, 10, 13, 16)):
+    """TPC-H Q16 shape (no partsupp — the observed DISTINCT
+    (l_partkey, l_suppkey) pairs from lineitem are the part-supplier
+    relation; "customer complaints" becomes a negative account balance):
+    distinct supplier count per (brand, type, size) over filtered parts.
+    Per-batch pair dedup trims the partkey exchange; the part attach is
+    size-guarded; bad suppliers anti-join via the same attach (null
+    marker survives); the final distinct-count folds through ONE
+    (brand, type, size) exchange."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+    import ray.data
+
+    tune_context()
+    pairs = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def dedup_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_partkey", "l_suppkey"],
+                          use_threads=False).aggregate([])
+
+    pairs = pairs.map_batches(dedup_partial, batch_format="pyarrow")
+
+    def dedup_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["l_partkey", "l_suppkey"])
+
+    pairs = hash_exchange(pairs, key_fn=_hash_key(["l_partkey"]),
+                          n_parts=N_PARTS, kernel=dedup_merge,
+                          fmt="pandas")
+    pairs = _attach_dim(
+        pairs, _read(sf_dir, "part",
+                     ["p_partkey", "p_brand", "p_type", "p_size"]),
+        fact_key="l_partkey", dim_key="p_partkey",
+        out_cols=["p_brand", "p_type", "p_size"])
+
+    size_set = set(int(s) for s in sizes)
+
+    def part_filter(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ((df["p_brand"].astype(str) != excl_brand)
+                & (df["p_type"].astype(str) != excl_type)
+                & df["p_size"].isin(size_set))
+        return df.loc[keep.to_numpy()]
+
+    pairs = pairs.map_batches(part_filter, batch_format="pandas")
+
+    # anti-join: suppliers with complaints (negative balance) drop out
+    bad = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"],
+        filter=pads.field("s_acctbal") < 0.0)
+    marked = _attach_dim(pairs, _mark_hit(bad),
+                         fact_key="l_suppkey", dim_key="s_suppkey",
+                         out_cols=["__hit"])
+    pairs = marked.map_batches(
+        lambda t: t.filter(pc.is_null(t["__hit"])).drop_columns(["__hit"]),
+        batch_format="pyarrow")
+
+    group = ["p_brand", "p_type", "p_size"]
+
+    def supp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=group + ["l_suppkey"])[
+            group + ["l_suppkey"]]
+
+    def count_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = group + ["supplier_cnt"]
+        if len(df) == 0:
+            return pd.DataFrame({
+                "p_brand": pd.Series([], dtype=str),
+                "p_type": pd.Series([], dtype=str),
+                "p_size": np.array([], dtype=np.int32),
+                "supplier_cnt": np.array([], dtype=np.int64)})
+        out = (df.groupby(group, sort=False)["l_suppkey"].nunique()
+               .rename("supplier_cnt").reset_index())
+        out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+        out["p_brand"] = out["p_brand"].astype(str)
+        out["p_type"] = out["p_type"].astype(str)
+        return out[cols]
+
+    counts = hash_exchange(
+        pairs.map_batches(supp_partial, batch_format="pandas"),
+        key_fn=_hash_key(group), n_parts=N_PARTS, kernel=count_kernel,
+        fmt="pandas")
+    return counts.sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                       descending=[True, False, False, False])
+
+
+def q20_dominant_suppliers(sf_dir: str, name_word: str = "ring",
+                           mult: int = 6, max_nation: int = 12,
+                           year_from: str = "1997-01-01",
+                           year_to: str = "1998-01-01"):
+    """TPC-H Q20 shape (no availqty — "excess stock" becomes shipped
+    more than 1/``mult`` of their ALL-TIME volume of the matching parts
+    inside one year): low-nation suppliers whose ``name_word``-part
+    shipments concentrate in the window.  Part name filtering happens in
+    the scan projection; quantities are integral doubles so both sums
+    are EXACT int64; the correlated per-supplier ratio evaluates inside
+    ONE suppkey exchange as ``mult·qty_year > qty_total`` — pure integer
+    arithmetic, the q17 closed-form discipline."""
+    import datetime as _dt
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    tune_context()
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def name_filter(t: pa.Table) -> pa.Table:
+        hit = pc.match_substring(t["p_name"], name_word)
+        return t.filter(hit).select(["p_partkey"])
+
+    parts = parts.map_batches(name_filter, batch_format="pyarrow")
+    lines = _semi_filter(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity",
+                                   "l_shipdate"]),
+        parts, fact_key="l_partkey", dim_key="p_partkey")
+
+    lo = np.datetime64(_dt.datetime.fromisoformat(year_from), "us")
+    hi = np.datetime64(_dt.datetime.fromisoformat(year_to), "us")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ship = df["l_shipdate"].to_numpy().astype("datetime64[us]")
+        qty = df["l_quantity"].to_numpy()
+        in_year = ((ship >= lo) & (ship < hi)).astype(np.float64)
+        tmp = pd.DataFrame({"s_suppkey": df["l_suppkey"].to_numpy(),
+                            "qy": qty * in_year, "qt": qty})
+        out = tmp.groupby("s_suppkey", sort=False).sum().reset_index()
+        out["qy"] = out["qy"].astype(np.int64)
+        out["qt"] = out["qt"].astype(np.int64)
+        return out
+
+    def ratio_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["s_suppkey", "qty_year", "qty_total"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        out = df.groupby("s_suppkey", sort=False)[["qy", "qt"]]\
+            .sum().reset_index()
+        qy = out["qy"].to_numpy().astype(np.int64)
+        qt = out["qt"].to_numpy().astype(np.int64)
+        keep = mult * qy > qt
+        return pd.DataFrame({
+            "s_suppkey": out["s_suppkey"].to_numpy()[keep].astype(np.int64),
+            "qty_year": qy[keep], "qty_total": qt[keep]})
+
+    winners = hash_exchange(
+        lines.map_batches(partial, batch_format="pandas"),
+        key_fn=_hash_key(["s_suppkey"]), n_parts=N_PARTS,
+        kernel=ratio_kernel, fmt="pandas")
+    named = _attach_dim(
+        winners, _read(sf_dir, "supplier",
+                       ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]),
+        fact_key="s_suppkey", dim_key="s_suppkey",
+        out_cols=["s_name", "s_acctbal", "s_nationkey"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.loc[df["s_nationkey"].to_numpy(
+            dtype=np.float64, na_value=99) < max_nation]
+        return pd.DataFrame({
+            "s_name": m["s_name"].astype(str),
+            "s_acctbal": m["s_acctbal"].to_numpy(dtype=np.float64),
+            "qty_year": m["qty_year"].to_numpy().astype(np.int64),
+            "qty_total": m["qty_total"].to_numpy().astype(np.int64)})
+
+    return named.map_batches(finish, batch_format="pandas").sort("s_name")

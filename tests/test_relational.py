@@ -633,3 +633,110 @@ WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
                        WHERE o_orderpriority = '1-URGENT')
 GROUP BY 1, 2 ORDER BY 1, 2""").df()
     pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+def test_q2_q11_q16_q20(ray_session, sf_small):
+    """The final four TPC-H shapes (lineitem stands in for the missing
+    partsupp as the part↔supplier relation — adaptations documented in
+    the pipeline docstrings)."""
+    con = duckdb.connect()
+    for t in ("region", "nation", "supplier", "part", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'")
+
+    got2 = relational.q2_min_cost_supplier(sf_small).to_pandas()
+    exp2 = con.execute("""
+        WITH cost AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 min(l.l_extendedprice / l.l_quantity) AS uc
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+          WHERE r.r_name = 'EUROPE' GROUP BY 1, 2),
+        best AS (SELECT l_partkey, min(uc) AS mc FROM cost GROUP BY 1)
+        SELECT s.s_acctbal, s.s_name, n.n_name, c.l_partkey AS p_partkey,
+               round(c.uc, 4) AS unit_cost
+        FROM cost c
+        JOIN best b ON b.l_partkey = c.l_partkey AND c.uc = b.mc
+        JOIN part p ON p.p_partkey = c.l_partkey
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p_partkey""").df()
+    assert len(got2) == len(exp2) > 0
+    pd.testing.assert_frame_equal(
+        got2[exp2.columns].reset_index(drop=True), exp2,
+        check_exact=False, atol=1e-9)
+
+    got11 = relational.q11_part_concentration(sf_small).to_pandas()
+    exp11 = con.execute("""
+        WITH v AS (
+          SELECT l.l_partkey AS partkey,
+                 CAST(sum(l.l_quantity) AS BIGINT) AS val
+          FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          WHERE s.s_nationkey = 3 GROUP BY 1)
+        SELECT partkey, val FROM v
+        WHERE val > 0.001 * (SELECT sum(val) FROM v)
+        ORDER BY val DESC, partkey""").df()
+    assert len(got11) == len(exp11) > 0
+    pd.testing.assert_frame_equal(
+        got11[exp11.columns].reset_index(drop=True), exp11)
+
+    got16 = relational.q16_part_supplier_counts(sf_small).to_pandas()
+    exp16 = con.execute("""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'ECONOMY'
+          AND p.p_size IN (1, 4, 7, 10, 13, 16) AND s.s_acctbal >= 0
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""").df()
+    assert len(got16) == len(exp16) > 0
+    pd.testing.assert_frame_equal(
+        got16[exp16.columns].reset_index(drop=True), exp16)
+
+    got20 = relational.q20_dominant_suppliers(sf_small).to_pandas()
+    exp20 = con.execute("""
+        WITH q AS (
+          SELECT l.l_suppkey,
+            CAST(sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l.l_shipdate < TIMESTAMP '1998-01-01'
+                     THEN l.l_quantity ELSE 0 END) AS BIGINT) AS qty_year,
+            CAST(sum(l.l_quantity) AS BIGINT) AS qty_total
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_name LIKE '%ring%' GROUP BY 1)
+        SELECT s.s_name, s.s_acctbal, qty_year, qty_total FROM q
+        JOIN supplier s ON s.s_suppkey = q.l_suppkey
+        WHERE 6 * qty_year > qty_total AND s.s_nationkey < 12
+        ORDER BY s_name""").df()
+    # sf0.001 yields exactly one dominant supplier; any mismatch in the
+    # integer ratio rule would flip it
+    assert len(got20) == len(exp20) > 0
+    pd.testing.assert_frame_equal(
+        got20[exp20.columns].reset_index(drop=True), exp20)
+
+
+def test_attach_dim_empty_pushed_filter_dim(ray_session, sf_small):
+    """A pushed-filter dim that matches NOTHING (size_bytes == 0) must
+    take the broadcast probe_empty path — the exchange route would feed
+    schemaless empty frames to the merge kernel (found building q16's
+    complaint anti-join at sf0.001, where no supplier has a negative
+    balance)."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    facts = ray.data.read_parquet(
+        f"{sf_small}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    empty_dim = ray.data.read_parquet(
+        f"{sf_small}/supplier.parquet", columns=["s_suppkey"],
+        filter=pads.field("s_acctbal") < -1e18)
+    out = relational._attach_dim(
+        facts, relational._mark_hit(empty_dim),
+        fact_key="o_custkey", dim_key="s_suppkey",
+        out_cols=["__hit"]).to_pandas()
+    n_orders = pq.read_table(f"{sf_small}/orders.parquet").num_rows
+    assert len(out) == n_orders
+    assert out["__hit"].isna().all()
