@@ -268,6 +268,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_user_day_bitmaps": ev.user_day_bitmaps,
         "events_kmv_set_ops": ev.kmv_set_ops,
         "events_attribution_last": ev.attribution_last_touch,
+        "events_rfm": ev.rfm_segments,
         "events_lttb": ev.lttb,
         "events_type_counts_cms": ev.type_counts_cms,
         "events_type_pivot": ev.type_pivot,
@@ -3015,6 +3016,23 @@ FROM t ta JOIN t tb ON ta.et < tb.et
 """,
         # last-touch revenue attribution within 30-min sessions (exact
         # cents; 'direct' when the purchase opens its session)
+        # RFM segmentation: independent global quartiles on recency /
+        # frequency / exact-cents monetary (unique (metric, user_id)
+        # order, so the tile assignment is deterministic on both sides),
+        # counted per (r, f, m) cell
+        "events_rfm": """
+WITH u AS (
+  SELECT user_id, epoch_ms(max(ts)) AS recency_ms,
+         count(*) AS freq,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+q AS (SELECT user_id,
+    ntile(4) OVER (ORDER BY recency_ms, user_id) AS r_q,
+    ntile(4) OVER (ORDER BY freq, user_id) AS f_q,
+    ntile(4) OVER (ORDER BY cents, user_id) AS m_q FROM u)
+SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users
+FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
         "events_attribution_last": """
 WITH p AS (
   SELECT CAST(event_type AS VARCHAR) AS et,

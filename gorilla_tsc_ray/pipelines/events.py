@@ -5147,3 +5147,134 @@ def sliding_distinct(sf_dir: str, window_days: int = 7):
     return hash_exchange(
         summed, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
         n_parts=1, kernel=scan, fmt="pandas")
+
+
+def _global_ntile(per_user, metric: str, k: int, out_col: str):
+    """(user_id, ``out_col``) global ntile over ``metric`` — SQL tile
+    assignment (the first ``n % k`` tiles take the extra row) under the
+    unique total order (metric, user_id).  A global ntile is an ORDERED
+    GLOBAL RANK, which the Dataset API cannot express, so it reuses the
+    :func:`pareto_curve` route: distributed ``sort`` → one tiny
+    row-count task per sorted block → the driver folds ≤ #blocks scalars
+    into exclusive rank offsets → a second task wave assigns tiles from
+    pure rank arithmetic.  Partitioning assumption: `Dataset.sort` emits
+    range-partitioned blocks whose concatenation IS the total order."""
+    import ray
+    import ray.data
+
+    ordered = (per_user.select_columns(["user_id", metric])
+               .sort([metric, "user_id"]).materialize())
+    refs = ordered.to_arrow_refs()
+
+    @ray.remote
+    def nrows(tbl):
+        return tbl.num_rows
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    n = int(sum(counts))
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+
+    @ray.remote
+    def tile_block(tbl, r0: int):
+        import pyarrow as _pa
+
+        r = np.arange(tbl.num_rows, dtype=np.int64) + np.int64(r0)
+        q, rem = divmod(n, k)
+        big = rem * (q + 1)
+        tile = np.where(r < big, r // max(q + 1, 1),
+                        rem + (r - big) // max(q, 1)) + 1
+        return _pa.table({"user_id": tbl.column("user_id"),
+                          out_col: _pa.array(tile.astype(np.int64))})
+
+    return ray.data.from_arrow_refs(
+        [tile_block.remote(r, int(o)) for r, o in zip(refs, offs)])
+
+
+def rfm_segments(sf_dir: str, k: int = 4):
+    """RFM segmentation: users quartiled independently on Recency (last
+    event time), Frequency (event count) and Monetary (exact half-away
+    cents total — the :func:`_cents_rows` discipline, so the ntile order
+    is EXACT integer on all three axes), then counted per (r, f, m)
+    cell.  Per-user aggregates fold through ONE user exchange; each axis
+    runs the :func:`_global_ntile` sort + offset fold; the three tile
+    streams re-align in ONE 3-way user co-partition whose kernel also
+    pre-counts cells, and the ≤ k³ cell rows fold through a final tiny
+    exchange."""
+    from ..stages.exchange import hash_exchange_multi
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": np.array([], np.int64),
+                "r": np.array([], np.int64),
+                "f": np.array([], np.int64),
+                "m": np.array([], np.int64)})
+        g = df.groupby("user_id", sort=False)
+        out = g.agg(r=("ts_us", "max"), f=("ts_us", "size"),
+                    m=("c", "sum")).reset_index()
+        for c in ("user_id", "r", "f", "m"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "recency_ms", "freq", "cents"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        g = df.groupby("user_id", sort=False)
+        out = g.agg(r=("r", "max"), f=("f", "sum"),
+                    m=("m", "sum")).reset_index()
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy().astype(np.int64),
+            "recency_ms": (out["r"].to_numpy().astype(np.int64)
+                           // 1000),
+            "freq": out["f"].to_numpy().astype(np.int64),
+            "cents": out["m"].to_numpy().astype(np.int64)})
+
+    per_user = hash_exchange(
+        rows.map_batches(partial, batch_format="pandas"),
+        key_fn=_user_key_fn(P), n_parts=P, kernel=merge,
+        fmt="pandas").materialize()
+
+    tiles = [_global_ntile(per_user, m, k, c) for m, c in
+             (("recency_ms", "r_q"), ("freq", "f_q"), ("cents", "m_q"))]
+
+    def cell_partial(r: pd.DataFrame, f: pd.DataFrame,
+                     m: pd.DataFrame) -> pd.DataFrame:
+        cols = ["r_q", "f_q", "m_q", "n_users"]
+        if len(r) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        t = r.merge(f, on="user_id").merge(m, on="user_id")
+        out = (t.groupby(["r_q", "f_q", "m_q"], sort=False)
+               .size().rename("n_users").reset_index())
+        for c in cols:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    cells = hash_exchange_multi(
+        [(t, _user_key_fn(P)) for t in tiles],
+        n_parts=P, kernel=cell_partial, fmt="pandas")
+
+    def cell_merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["r_q", "f_q", "m_q", "n_users"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        out = (df.groupby(["r_q", "f_q", "m_q"], sort=False)["n_users"]
+               .sum().reset_index())
+        for c in cols:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    from ..util import arrow_key_ids
+
+    n_cell_parts = 4                      # ≤ k³ rows total
+    def cell_key(tbl):
+        return arrow_key_ids(tbl, ["r_q", "f_q", "m_q"], n_cell_parts)
+
+    folded = hash_exchange(cells, key_fn=cell_key,
+                           n_parts=n_cell_parts, kernel=cell_merge,
+                           fmt="pandas")
+    return folded.sort(["r_q", "f_q", "m_q"])

@@ -2488,3 +2488,52 @@ def test_spc_flags_integer_identity(ray_session):
         assert g0["n_base"].iloc[i] == nb
         assert g0["dev_sq"].iloc[i] == (nb * c[i] - w.sum()) ** 2
         assert g0["var9"].iloc[i] == 9 * (nb * (w * w).sum() - w.sum() ** 2)
+
+
+def test_rfm_segments(ray_session, sf_small):
+    """RFM quartile cells match the SQL ntile oracle exactly (unique
+    (metric, user_id) order on every axis; monetary is exact half-away
+    cents so no float ordering ambiguity exists)."""
+    got = ev.rfm_segments(sf_small).to_pandas()
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        WITH u AS (
+          SELECT user_id, epoch_ms(max(ts)) AS recency_ms,
+                 count(*) AS freq,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM '{sf_small}/events.parquet' GROUP BY 1),
+        q AS (SELECT user_id,
+            ntile(4) OVER (ORDER BY recency_ms, user_id) AS r_q,
+            ntile(4) OVER (ORDER BY freq, user_id) AS f_q,
+            ntile(4) OVER (ORDER BY cents, user_id) AS m_q FROM u)
+        SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users
+        FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""").df()
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got[exp.columns].reset_index(drop=True),
+                                  exp)
+    # every tile populated and user total preserved
+    n_users = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"'{sf_small}/events.parquet'").fetchone()[0]
+    assert got["n_users"].sum() == n_users
+
+
+def test_global_ntile_boundaries(ray_session):
+    """The sort + offset-fold ntile reproduces SQL tile sizing when n is
+    NOT divisible by k (the first n % k tiles take the extra row), across
+    block boundaries."""
+    import ray.data
+
+    n, k = 23, 4
+    df = pd.DataFrame({"user_id": np.arange(n, dtype=np.int64),
+                       "v": np.arange(n, dtype=np.int64)[::-1].copy()})
+    ds = ray.data.from_pandas([df.iloc[:7], df.iloc[7:15], df.iloc[15:]])
+    got = (ev._global_ntile(ds, "v", k, "tile").to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    exp = con.execute("""
+        SELECT user_id, ntile(4) OVER (ORDER BY v, user_id) AS tile
+        FROM df ORDER BY user_id""").df()
+    assert (got["tile"].to_numpy()
+            == exp["tile"].to_numpy().astype(np.int64)).all()
