@@ -214,6 +214,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens_sketch": docs.top_tokens_sketch,
         "docs_token_cooccurrence": docs.token_cooccurrence,
         "docs_collocations": docs.collocations,
+        "docs_boolean_search": docs.boolean_search,
+        "docs_phrase_count": docs.phrase_count,
         "docs_vocab_growth": docs.vocab_growth,
         "docs_degree_hist": docs.degree_hist,
         "docs_reach_2hop": docs.reach_2hop,
@@ -2020,6 +2022,42 @@ WITH t AS (
 )
 SELECT pc.w1, pc.w2, pc.n_pair, u1.n AS n_w1, u2.n AS n_w2
 FROM pc JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w
+""",
+        # boolean multi-term retrieval: per-doc query-term bitmask +
+        # AND-hit flag (bit k = term k present); docs matching nothing
+        # are dropped on both sides
+        "docs_boolean_search": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS b0,
+         CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END AS b1,
+         CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END AS b2
+  FROM t
+)
+SELECT doc_id, CAST(b0 + 2 * b1 + 4 * b2 AS BIGINT) AS match_mask,
+       CAST(b0 + b1 + b2 AS BIGINT) AS n_matched,
+       CAST(CASE WHEN b0 + b1 + b2 = 3 THEN 1 ELSE 0 END AS BIGINT)
+         AS all_terms
+FROM m WHERE b0 + b1 + b2 > 0
+""",
+        # exact-phrase (adjacent-bigram) occurrence counts: enumerate
+        # token POSITIONS (overlapping repeats count; a single-pass
+        # regex-extraction mirror would under-count)
+        "docs_phrase_count": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(len(list_filter(range(1, len(toks)),
+              i -> toks[i] = 'fast' AND toks[i + 1] = 'sort'))
+              AS BIGINT) AS n_occ
+  FROM t WHERE len(toks) >= 2
+)
+SELECT doc_id, n_occ FROM h WHERE n_occ > 0
 """,
         # Heaps-law vocabulary growth: cumulative distinct tokens per doc
         # in doc_id order (min-first-doc reduction + offset fold)

@@ -2823,3 +2823,83 @@ def cluster_size_hist(sf_dir: str, threshold: float = 0.5):
     return hash_exchange(
         sizes, key_fn=_pair_hash_key(["n"], 8), n_parts=8,
         kernel=hist, fmt="pandas")
+
+
+def boolean_search(sf_dir: str,
+                   terms: tuple = ("spark", "window", "merge")):
+    """Boolean multi-term retrieval: per doc, the bitmask / count of
+    query terms present and the AND-hit flag — the fixed-query scan a
+    search layer runs before ranking.  The K query terms broadcast in
+    the task closure (K is query-sized, never corpus-sized), each batch
+    resolves them against its LOCAL vocab from the shared byte-run
+    tokenizer and ORs per-doc bits with one bounded pass per term —
+    map-only, no exchange: every doc decides its own membership."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    term_list = [str(t) for t in terms]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "match_mask", "n_matched", "all_terms"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        uniq, codes, lens = dd.unique_tokens(df["text"])
+        n_docs = len(lens)
+        mask = np.zeros(n_docs, dtype=np.int64)
+        if len(codes):
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            code_of = {t: i for i, t in enumerate(uniq)}
+            for k, term in enumerate(term_list):
+                c = code_of.get(term)
+                if c is None:
+                    continue
+                hit_docs = np.unique(doc_of[codes == c])
+                mask[hit_docs] |= np.int64(1 << k)
+        # popcount over K query bits, vectorized (K is query-sized)
+        n_matched = np.zeros(n_docs, dtype=np.int64)
+        for k in range(len(term_list)):
+            n_matched += (mask >> np.int64(k)) & np.int64(1)
+        keep = mask > 0
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[keep].astype(np.int64),
+            "match_mask": mask[keep],
+            "n_matched": n_matched[keep],
+            "all_terms": (n_matched[keep]
+                          == len(term_list)).astype(np.int64)})
+
+    return (ds.map_batches(kernel, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def phrase_count(sf_dir: str, w1: str = "fast", w2: str = "sort"):
+    """Exact-phrase (adjacent-bigram) occurrence counts per doc — the
+    phrase-retrieval primitive.  Counts EVERY adjacent occurrence
+    (overlapping repeats included, which single-pass regex extraction
+    under-counts — the oracle enumerates token positions instead).
+    Runs on integer token codes from the shared byte-run tokenizer with
+    the collocations adjacency mask; map-only."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "n_occ"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        uniq, codes, lens = dd.unique_tokens(df["text"])
+        n_docs = len(lens)
+        code_of = {t: i for i, t in enumerate(uniq)}
+        c1, c2 = code_of.get(w1), code_of.get(w2)
+        if c1 is None or c2 is None or len(codes) < 2:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        ends = np.cumsum(lens)
+        ok = np.ones(len(codes) - 1, dtype=bool)
+        ok[ends[ends < len(codes)] - 1] = False   # no cross-doc pairs
+        hits = ok & (codes[:-1] == c1) & (codes[1:] == c2)
+        if not hits.any():
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        n_occ = np.bincount(doc_of[:-1][hits], minlength=n_docs)
+        keep = n_occ > 0
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[keep].astype(np.int64),
+            "n_occ": n_occ[keep].astype(np.int64)})
+
+    return (ds.map_batches(kernel, batch_format="pandas")
+            .sort("doc_id"))

@@ -1273,3 +1273,55 @@ def test_dedup_eval_counts_consistent(ray_session):
     assert 0 <= n_hit <= min(n_cand, n_truth)
     assert n_cand == docs.simhash_pairs(sf).count()
     assert n_truth == docs.token_jaccard(sf).count()
+
+
+def test_boolean_search_masks(ray_session, tmp_path):
+    """Per-doc query bitmask / count / AND flag on hand-built docs;
+    docs matching no term are dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "spark window merge all three",     # mask 1|2|4 = 7
+        "just a spark here",                # mask 1
+        "window then merge",                # mask 2|4 = 6
+        "nothing relevant at all",          # dropped
+        "merge merge merge",                # mask 4 (repeats collapse)
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 5),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = (docs.boolean_search(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert list(got.index) == [0, 1, 2, 4]
+    assert got["match_mask"].tolist() == [7, 1, 6, 4]
+    assert got["n_matched"].tolist() == [3, 1, 2, 1]
+    assert got["all_terms"].tolist() == [1, 0, 0, 0]
+
+
+def test_phrase_count_counts_every_occurrence(ray_session, tmp_path):
+    """Adjacent-bigram phrase counts include repeated and back-to-back
+    occurrences; cross-doc adjacency never pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "fast sort fast sort",        # 2 occurrences
+        "fast fast sort",             # 1 (second fast starts the pair)
+        "fast",                       # 0 -> dropped; next doc opens with
+        "sort fast sort again",       # 1 -- must NOT pair with prev doc
+        "sort fast",                  # 0 (wrong order)
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 5),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = (docs.phrase_count(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert list(got.index) == [0, 1, 3]
+    assert got["n_occ"].tolist() == [2, 1, 1]
