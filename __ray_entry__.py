@@ -222,6 +222,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_cluster_size_hist": docs.cluster_size_hist,
         "docs_tfidf": docs.tfidf,
         "docs_bm25": docs.bm25,
+        "docs_edit_pairs": docs.edit_pairs,
+        "docs_kcore": docs.kcore,
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
         "docs_charset_jaccard": docs.charset_jaccard,
@@ -279,6 +281,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_5": ev.rolling_window,
         "events_bollinger_5": ev.bollinger,
         "events_spc_flags": ev.spc_flags,
+        "events_ks_pairs": ev.ks_pairs,
+        "events_holt_linear": ev.holt_linear,
+        "events_stratified_sample": ev.stratified_sample,
         "events_records": ev.records,
         "events_velocity_10m": ev.velocity_window,
         "events_hhi": ev.type_concentration,
@@ -1979,6 +1984,89 @@ SELECT tf.doc_id, tf.tok, tf.tf, dl.dl,
              6) AS bm25
 FROM tf JOIN dfreq d USING (tok) JOIN dl USING (doc_id)
 """,
+        # k-core decomposition of the n-gram near-dup graph: iterated
+        # peeling as a list-carrying recursive CTE (one row per round;
+        # fixpoint when the survivor list stops changing); the 3-core
+        # resumes from the 2-core (core nesting), exactly like the engine
+        "docs_kcore": """
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM t
+), pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shs, b.shs)) * 1.0 /
+        greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) >= 0.5
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION ALL SELECT id_b, id_a FROM pr
+), surv2(round, es, ed, nodes) AS (
+  SELECT 0, agg.es, agg.ed, agg.nodes
+  FROM (SELECT list(src ORDER BY src, dst) AS es,
+               list(dst ORDER BY src, dst) AS ed,
+               list(DISTINCT src ORDER BY src) AS nodes
+        FROM e) agg
+  UNION ALL
+  SELECT s.round + 1, s.es, s.ed, n.nodes
+  FROM surv2 s, LATERAL (
+    SELECT coalesce(list(node ORDER BY node),
+                    CAST([] AS BIGINT[])) AS nodes FROM (
+      SELECT u.src AS node
+      FROM (SELECT unnest(s.es) AS src, unnest(s.ed) AS dst) u
+      WHERE list_contains(s.nodes, u.src)
+        AND list_contains(s.nodes, u.dst)
+      GROUP BY u.src HAVING count(*) >= 2)
+  ) n
+  WHERE n.nodes <> s.nodes
+), fin2 AS (SELECT es, ed, nodes FROM surv2 ORDER BY round DESC LIMIT 1),
+surv3(round, es, ed, nodes) AS (
+  SELECT 0, es, ed, nodes FROM fin2
+  UNION ALL
+  SELECT s.round + 1, s.es, s.ed, n.nodes
+  FROM surv3 s, LATERAL (
+    SELECT coalesce(list(node ORDER BY node),
+                    CAST([] AS BIGINT[])) AS nodes FROM (
+      SELECT u.src AS node
+      FROM (SELECT unnest(s.es) AS src, unnest(s.ed) AS dst) u
+      WHERE list_contains(s.nodes, u.src)
+        AND list_contains(s.nodes, u.dst)
+      GROUP BY u.src HAVING count(*) >= 3)
+  ) n
+  WHERE n.nodes <> s.nodes
+), fin3 AS (SELECT es, ed, nodes FROM surv3 ORDER BY round DESC LIMIT 1),
+mem AS (
+  SELECT CAST(2 AS BIGINT) AS k, unnest(nodes) AS doc_id FROM fin2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), unnest(nodes) FROM fin3
+), eu AS (
+  SELECT unnest(es) AS src, unnest(ed) AS dst FROM fin2
+)
+SELECT m.k, m.doc_id, CAST(count(*) AS BIGINT) AS deg_in_core
+FROM mem m JOIN eu ON eu.src = m.doc_id
+JOIN mem m2 ON m2.doc_id = eu.dst AND m2.k = m.k
+GROUP BY 1, 2
+""",
+        # edit-distance near-dup candidates: same lang + same first 8
+        # chars + |n_chars| diff ≤ 16, scored by exact Levenshtein over
+        # the 64-char prefixes (the blocking rule IS the contract)
+        "docs_edit_pairs": """
+WITH d AS (
+  SELECT doc_id, lang, substr(text, 1, 8) AS p,
+         substr(text, 1, 64) AS pre, n_chars
+  FROM documents
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.p = b.p AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= 16
+""",
         # co-occurrence + PMI over the top-20 vocabulary (top-k ranked by
         # OCCURRENCES with (cnt desc, tok) tie-break — same as top_tokens;
         # presence is distinct-per-doc)
@@ -3261,6 +3349,83 @@ SELECT user_id, ts_us,
 FROM p
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
              ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+""",
+        # two-sample KS distance per type pair, through the common
+        # denominator: d_num = max|F1·n2 − F2·n1| (D = d_num/(n1·n2)),
+        # argmax = smallest cent achieving it
+        "events_ks_pairs": """
+WITH p AS (
+  SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), h AS (SELECT t, c, count(*) AS cnt FROM p GROUP BY 1, 2),
+n AS (SELECT t, count(*) AS n FROM p GROUP BY 1),
+s AS (SELECT DISTINCT c FROM p),
+grid AS (SELECT n.t, s.c FROM n CROSS JOIN s),
+f AS (
+  SELECT g.t, g.c,
+         sum(coalesce(h.cnt, 0)) OVER (PARTITION BY g.t ORDER BY g.c)
+           AS cum
+  FROM grid g LEFT JOIN h ON g.t = h.t AND g.c = h.c
+), pr AS (
+  SELECT f1.c, f1.t AS t1, f2.t AS t2, a.n AS n1, b.n AS n2,
+         abs(f1.cum * b.n - f2.cum * a.n) AS d
+  FROM f f1 JOIN f f2 ON f1.c = f2.c AND f1.t < f2.t
+  JOIN n a ON a.t = f1.t JOIN n b ON b.t = f2.t
+), m AS (
+  SELECT t1, t2, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         CAST(max(d) AS BIGINT) AS d_num
+  FROM pr GROUP BY 1, 2, 3, 4
+)
+SELECT m.t1, m.t2, m.n1, m.n2, m.d_num,
+       CAST(min(pr.c) AS BIGINT) AS at_c
+FROM m JOIN pr ON pr.t1 = m.t1 AND pr.t2 = m.t2 AND pr.d = m.d_num
+GROUP BY 1, 2, 3, 4, 5
+""",
+        # Holt double-exponential smoothing: the engine and this recursive
+        # CTE walk the SAME scalar double expression point-by-point in
+        # event-time order (no cross-row float sums), so the doubles are
+        # bit-identical before the belt-only round(6)
+        "events_holt_linear": """
+WITH RECURSIVE p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+), r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_us) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM p
+), h(user_id, t, n, l, b) AS (
+  SELECT r1.user_id, CAST(1 AS BIGINT), r1.n, r1.value,
+         r2.value - r1.value
+  FROM r r1 JOIN r r2 ON r1.user_id = r2.user_id
+  WHERE r1.rn = 1 AND r2.rn = 2
+  UNION ALL
+  SELECT h.user_id, h.t + 1, h.n,
+         0.2 * r.value + 0.8 * (h.l + h.b),
+         0.3 * ((0.2 * r.value + 0.8 * (h.l + h.b)) - h.l) + 0.7 * h.b
+  FROM h JOIN r ON r.user_id = h.user_id AND r.rn = h.t + 1
+  WHERE h.t < h.n
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(l + b, 6) AS forecast1
+FROM h WHERE t = n
+""",
+        # deterministic stratified sample: bottom-k per type by the
+        # md5_number_upper hash of the event id (engine: little-endian
+        # first-8 digest bytes — the dedup.py precedent)
+        "events_stratified_sample": """
+WITH h AS (
+  SELECT event_type, event_id,
+         md5_number_upper(CAST(event_id AS VARCHAR)) AS hv
+  FROM events
+), r AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY hv, event_id) AS rn
+  FROM h
+)
+SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id
+FROM r WHERE rn <= 20
 """,
         # running-max record ladder per user: strict > vs the running max
         # of PRIOR rows; (user_id, ts) unique so event-time order is total

@@ -2903,3 +2903,281 @@ def phrase_count(sf_dir: str, w1: str = "fast", w2: str = "sort"):
 
     return (ds.map_batches(kernel, batch_format="pandas")
             .sort("doc_id"))
+
+
+# ---------- edit-distance near-dup ----------
+
+def _padded_prefix_bytes(col, width: int):
+    """(n, width) uint8 matrix of each string's first ``width`` UTF-8
+    bytes, zero-padded — one gather over the contiguous Arrow values
+    buffer, no per-row Python.  The corpus is ASCII (the fingerprint
+    gate's one-scan check precedent), so byte slicing == character
+    slicing == what DuckDB ``substr``/``levenshtein`` see."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pc.utf8_slice_codeunits(col, 0, width)
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n = len(arr)
+    off = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset: arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    lens = off[1:] - off[:-1]
+    idx = off[:-1, None] + np.arange(width)
+    valid = np.arange(width) < lens[:, None]
+    safe = np.minimum(idx, max(len(data) - 1, 0))
+    mat = np.where(valid, data[safe] if len(data) else 0, 0).astype(np.uint8)
+    return mat, lens
+
+
+def _levenshtein_pairs(a_mat, la, b_mat, lb):
+    """Exact unit-cost Levenshtein distance for n (a, b) pairs at once.
+
+    Classic DP vectorized ACROSS the pair axis; the in-row left-to-right
+    dependency (``row[j] = min(cand[j], row[j-1]+1)``) collapses to one
+    ``np.minimum.accumulate`` because unrolling gives ``row[j] =
+    min_{k<=j}(cand[k] + (j-k))`` — i.e. ``row - j = running-min of
+    (cand - j)``.  O(maxlen) vectorized steps, no per-pair Python."""
+    n, L = a_mat.shape
+    jr = np.arange(L + 1, dtype=np.int64)
+    prev = np.broadcast_to(jr, (n, L + 1)).copy()
+    res = lb.astype(np.int64).copy()          # D[0, lb] = lb (la == 0)
+    cc = np.empty((n, L + 1), dtype=np.int64)
+    mx = int(la.max()) if n else 0
+    for i in range(1, mx + 1):
+        cost = (a_mat[:, i - 1:i] != b_mat).astype(np.int64)
+        cc[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=cc[:, 1:])
+        prev = np.minimum.accumulate(cc - jr, axis=1) + jr
+        hit = la == i
+        if hit.any():
+            res[hit] = prev[hit, lb[hit]]
+    return res
+
+
+def edit_pairs(sf_dir: str, block_chars: int = 8, prefix_chars: int = 64,
+               max_len_diff: int = 16):
+    """Edit-distance near-dup candidates: document pairs sharing language
+    and their first ``block_chars`` characters, with |n_chars| difference
+    ≤ ``max_len_diff``, scored by the exact Levenshtein distance between
+    their first ``prefix_chars`` characters.  The blocking rule IS the
+    operator's contract (mirrored verbatim by the SQL oracle), the scale
+    story of every dedup family member here: candidates are generated
+    inside (lang, prefix) buckets only — never all-pairs — and only
+    (doc_id, 64-byte prefix, n_chars) rides the exchange, never documents.
+    The verify kernel is the pair-vectorized DP of
+    :func:`_levenshtein_pairs` (O(64) numpy steps per partition)."""
+    import pyarrow as pa
+
+    P = 8
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def project(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = pc.binary_join_element_wise(
+            tbl.column("lang"),
+            pc.utf8_slice_codeunits(tbl.column("text"), 0, block_chars),
+            "\x01")
+        pre = pc.utf8_slice_codeunits(tbl.column("text"), 0, prefix_chars)
+        return pa.table({"doc_id": tbl.column("doc_id"), "key": key,
+                         "pre": pre, "n_chars": tbl.column("n_chars")})
+
+    rows = ds.map_batches(project, batch_format="pyarrow")
+
+    def key_fn(tbl):
+        from ..util import arrow_col_hash
+
+        return (arrow_col_hash(tbl, "key") % np.uint64(P)).astype(np.int64)
+
+    def kernel(tbl: pa.Table) -> pd.DataFrame:
+        cols = ["doc_id1", "doc_id2", "dist"]
+        empty = pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        if tbl.num_rows == 0:
+            return empty
+        keys = tbl.column("key").to_numpy(zero_copy_only=False)
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = tbl.column("n_chars").to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(keys)
+        order = np.lexsort((ids, codes))
+        bounds = np.flatnonzero(np.diff(codes[order], prepend=-1,
+                                        append=-2))
+        ii, jj = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):   # per-bucket pairs;
+            m = e - s                               # buckets are small by
+            if m < 2:                               # construction (blocked)
+                continue
+            a, b = np.triu_indices(m, k=1)
+            ii.append(order[s:e][a])
+            jj.append(order[s:e][b])
+        if not ii:
+            return empty
+        i = np.concatenate(ii)
+        j = np.concatenate(jj)
+        keep = np.abs(nch[i] - nch[j]) <= max_len_diff
+        i, j = i[keep], j[keep]
+        if not len(i):
+            return empty
+        lo = np.where(ids[i] < ids[j], i, j)
+        hi = np.where(ids[i] < ids[j], j, i)
+        mat, lens = _padded_prefix_bytes(tbl.column("pre"), prefix_chars)
+        dist = _levenshtein_pairs(mat[lo], lens[lo], mat[hi], lens[hi])
+        out = pd.DataFrame({"doc_id1": ids[lo].astype(np.int64),
+                            "doc_id2": ids[hi].astype(np.int64),
+                            "dist": dist.astype(np.int64)})
+        return out[cols]
+
+    return hash_exchange(rows, key_fn=key_fn, n_parts=P, kernel=kernel,
+                         fmt="pyarrow")
+
+
+# ---------- k-core decomposition ----------
+
+def kcore(sf_dir: str, ks=(2, 3), threshold: float = 0.5,
+          n_parts: int = N_DOC_PARTS, max_iters: int = 64):
+    """k-core decomposition of the n-gram near-dup graph (the same edge
+    truth as :func:`triangle_counts` / :func:`degree_hist`): for each
+    ``k`` in ``ks``, the maximal subgraph where every surviving doc keeps
+    ≥ k surviving near-dup neighbors, emitted as (k, doc_id,
+    deg_in_core).  The dup-pipeline reading: a 2-core member sits inside
+    a duplication STRUCTURE (cycles/cliques), not just a chain of
+    accidental twins; rising k isolates the dup factories.
+
+    Distributed DELTA PEELING, the :func:`cluster_pairs` discipline:
+    edges (both directions) are pre-split ONCE by src hash, so every
+    node's degree is partition-local.  Each round a partition deletes the
+    edges named by incoming removal notices, recomputes local degrees,
+    and removes nodes that fell below k — shipping each removed node's
+    remaining edges as (neighbor, removed) notices PRE-SPLIT by the
+    neighbor's hash (the propose_split fusion).  Every edge's notice
+    ships at most once over the whole peel (total traffic ≤ |E|); a
+    partition with no incoming notices runs NO task (frozen region); the
+    driver only ever sees per-round notice counts.  ``ks`` must ascend —
+    the (k+1)-core ⊆ k-core, so each level resumes peeling from the
+    previous level's survivors instead of restarting."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from ..stages.exchange import PresplitInput
+
+    assert tuple(ks) == tuple(sorted(ks)), "ks must ascend (core nesting)"
+    tune_context()
+    pairs = ngram_jaccard(sf_dir, threshold=threshold).materialize()
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy(dtype=np.int64)
+        b = df["id_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"src": np.concatenate((a, b)),
+                             "dst": np.concatenate((b, a))})
+
+    edges = pairs.map_batches(both_dirs,
+                              batch_format="pandas").materialize()
+    key_src = _pair_hash_key(["src"], n_parts)
+    edges_pre = PresplitInput(edges, key_src, n_parts)
+
+    def _pack(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+        # composite edge key for notice membership (doc ids < 2^31)
+        return (src.astype(np.uint64) << np.uint64(32)) | dst.astype(
+            np.uint64)
+
+    @ray.remote
+    def init_part(*edge_parts):
+        ts = [t.replace_schema_metadata(None) for t in edge_parts
+              if t.num_rows]
+        if not ts:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return pa.concat_tables(ts).combine_chunks()
+
+    @ray.remote
+    def peel_part(edge_tbl, k: int, *notice_parts):
+        e_src = edge_tbl.column("src").to_numpy(zero_copy_only=False)
+        e_dst = edge_tbl.column("dst").to_numpy(zero_copy_only=False)
+        notes = [t for t in notice_parts if t is not None and t.num_rows]
+        if notes:
+            nt = pa.concat_tables(notes)
+            bad = np.unique(_pack(
+                nt.column("src").to_numpy(zero_copy_only=False),
+                nt.column("dst").to_numpy(zero_copy_only=False)))
+            keep = ~np.isin(_pack(e_src, e_dst), bad, assume_unique=False)
+            e_src, e_dst = e_src[keep], e_dst[keep]
+        # local degrees (all of a src's edges live here by construction)
+        u, counts = np.unique(e_src, return_counts=True)
+        gone = counts < k
+        if not gone.any():
+            out = pa.table({"src": pa.array(e_src), "dst": pa.array(e_dst)})
+            return (out, *[None] * n_parts, 0)
+        removed = u[gone]
+        drop_src = np.isin(e_src, removed)
+        # notices: each removed node's still-alive edges, addressed to the
+        # NEIGHBOR's partition (reverse-edge owner), pre-split by its hash
+        n_src, n_dst = e_dst[drop_src], e_src[drop_src]
+        note = pa.table({"src": pa.array(n_src), "dst": pa.array(n_dst)})
+        ids = np.asarray(key_src(note), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        note = note.take(pa.array(order))
+        cnts = np.bincount(ids, minlength=n_parts).astype(np.int64)
+        bounds = np.concatenate(([0], np.cumsum(cnts)))
+        keep2 = ~drop_src & ~np.isin(e_dst, removed)
+        out = pa.table({"src": pa.array(e_src[keep2]),
+                        "dst": pa.array(e_dst[keep2])})
+        return (out, *[note.slice(int(bounds[q]), int(cnts[q]))
+                       for q in range(n_parts)], int(removed.size))
+
+    # level init: concat each partition's edge slices once
+    edge_refs: list = []
+    for p in range(n_parts):
+        nz = (np.flatnonzero(edges_pre.counts[:, p])
+              if len(edges_pre.counts) else np.array([], dtype=np.int64))
+        edge_refs.append(init_part.remote(
+            *[edges_pre.splits[b][p] for b in nz]) if nz.size else None)
+
+    import ray as _ray
+    results = []
+    for k in ks:
+        # kick the level: every live partition re-checks deg < k
+        pending = {p: [] for p in range(n_parts) if edge_refs[p] is not None}
+        for _ in range(max_iters):
+            if not pending:
+                break
+            outs = {p: peel_part.options(num_returns=n_parts + 2)
+                    .remote(edge_refs[p], k, *notices)
+                    for p, notices in pending.items()}
+            nxt: dict = {}
+            for p, ret in outs.items():
+                edge_refs[p] = ret[0]
+                n_rm = _ray.get(ret[n_parts + 1])
+                if n_rm:
+                    for q in range(n_parts):
+                        nxt.setdefault(q, []).append(ret[1 + q])
+            pending = {q: v for q, v in nxt.items()
+                       if edge_refs[q] is not None}
+        live = [r for r in edge_refs if r is not None]
+        if live:
+            lvl = ray.data.from_arrow_refs(list(live))
+
+            def deg(df: pd.DataFrame, _k=k) -> pd.DataFrame:
+                if not len(df):
+                    return pd.DataFrame({
+                        "k": np.array([], np.int64),
+                        "doc_id": np.array([], np.int64),
+                        "deg_in_core": np.array([], np.int64)})
+                u, c = np.unique(df["src"].to_numpy(np.int64),
+                                 return_counts=True)
+                return pd.DataFrame({
+                    "k": np.full(len(u), _k, np.int64), "doc_id": u,
+                    "deg_in_core": c.astype(np.int64)})
+
+            results.append(lvl.map_batches(deg, batch_format="pandas"))
+    if not results:
+        import pandas as _pd
+
+        return ray.data.from_pandas(_pd.DataFrame({
+            "k": np.array([], np.int64),
+            "doc_id": np.array([], np.int64),
+            "deg_in_core": np.array([], np.int64)}))
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+    return out

@@ -5278,3 +5278,208 @@ def rfm_segments(sf_dir: str, k: int = 4):
                            n_parts=n_cell_parts, kernel=cell_merge,
                            fmt="pandas")
     return folded.sort(["r_q", "f_q", "m_q"])
+
+
+def ks_pairs(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov distance between the value
+    distributions of every (unordered) pair of event types, computed
+    ENTIRELY in integers.  With ``F_t(v)`` = count of type-``t`` events at
+    or below cent value ``v``, the statistic ``D = max_v |F1/n1 − F2/n2|``
+    is multiplied through by the common denominator: the engine emits
+    ``d_num = max_v |F1·n2 − F2·n1|`` (so ``D = d_num/(n1·n2)``) plus the
+    smallest cent achieving it — no float CDF ever exists to disagree
+    about (the fixed-decimal midpoint rule, cf. :func:`spc_flags`).
+
+    Scale shape: partials are (type, cents) histogram cells folded inside
+    each map batch, so the exchange carries ≤ |types| × |distinct cents|
+    rows regardless of event count — the value DOMAIN bounds the shuffle.
+    The final fold is one tiny single-partition kernel over that
+    histogram (the KS sweep itself is O(types² × support))."""
+    import pyarrow as pa
+
+    tune_context()
+    ds = _read_events(sf_dir, ["event_type", "value"], _n_parts(sf_dir))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        c = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype(np.int64)
+        t = pa.table({"event_type": tbl.column("event_type"),
+                      "c": pa.array(c),
+                      "one": pa.array(np.ones(len(c), np.int64))})
+        out = t.group_by(["event_type", "c"]).aggregate([("one", "sum")])
+        return pa.table({"event_type": out["event_type"], "c": out["c"],
+                         "cnt": out["one_sum"]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["t1", "t2", "n1", "n2", "d_num", "at_c"]
+        if len(df) == 0:
+            out = pd.DataFrame({c: np.array([], np.int64) for c in cols})
+            out["t1"] = out["t1"].astype(object)
+            out["t2"] = out["t2"].astype(object)
+            return out[cols]
+        g = (df.groupby(["event_type", "c"], as_index=False, sort=False)
+             ["cnt"].sum())
+        types = np.sort(g["event_type"].unique())
+        support, inv = np.unique(g["c"].to_numpy(), return_inverse=True)
+        tmap = {t: i for i, t in enumerate(types)}
+        ti = g["event_type"].map(tmap).to_numpy()
+        F = np.zeros((len(types), len(support)), np.int64)
+        np.add.at(F, (ti, inv), g["cnt"].to_numpy().astype(np.int64))
+        F = np.cumsum(F, axis=1)
+        n = F[:, -1]
+        rows = []
+        for i in range(len(types)):          # |types|² is domain-bounded
+            for j in range(i + 1, len(types)):
+                d = np.abs(F[i] * n[j] - F[j] * n[i])
+                k = int(np.argmax(d))        # first max = smallest cent
+                rows.append((types[i], types[j], int(n[i]), int(n[j]),
+                             int(d[k]), int(support[k])))
+        out = pd.DataFrame(rows, columns=cols)
+        for c in cols[2:]:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    def one_part(tbl):
+        return np.zeros(tbl.num_rows, dtype=np.int64)
+
+    return hash_exchange(partials, key_fn=one_part, n_parts=1,
+                         kernel=merge, fmt="pandas")
+
+
+def stratified_sample(sf_dir: str, k: int = 20):
+    """Deterministic stratified sample: the ``k`` events per type with the
+    smallest md5-derived hash of their event_id (LITTLE-endian first 8
+    digest bytes == DuckDB ``md5_number_upper`` — the dedup.py
+    ``_md5_token_hash_flat`` precedent).  Hash-ranked bottom-k is a
+    MERGEABLE sample: every block keeps only its own bottom-k partial, the
+    per-type exchange merges ≤ k rows per block, and the result is
+    reproducible on any partitioning and append-stable (a new shard can
+    displace survivors but never reshuffle the ordering) — the property
+    that makes it the right sampling primitive for a 100 TB corpus where
+    "random" must also mean "re-runnable"."""
+    import hashlib
+    import pyarrow as pa
+
+    tune_context()
+    P = 4                                    # ≤ |types| × k rows total
+    ds = _read_events(sf_dir, ["event_type", "event_id"], _n_parts(sf_dir))
+
+    def _bottom_k(types: np.ndarray, ids: np.ndarray, hv: np.ndarray):
+        codes, uniq = pd.factorize(types)
+        order = np.lexsort((ids, hv, codes))
+        c_s = codes[order]
+        rank = np.arange(len(c_s)) - np.concatenate(
+            ([0], np.cumsum(np.bincount(c_s))[:-1]))[c_s]
+        keep = order[rank < k]
+        return uniq, codes, keep
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        # md5 has no vectorized kernel; the per-id loop is the documented
+        # price of a SQL-reproducible hash (unique ids, one digest each)
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                            "little") for i in ids),
+            dtype=np.uint64, count=len(ids))
+        types = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        _, _, keep = _bottom_k(types, ids, hv)
+        return pa.table({"event_type": pa.array(types[keep]),
+                         "event_id": pa.array(ids[keep]),
+                         "hv": pa.array(hv[keep])})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def key_fn(tbl):
+        return (arrow_col_hash(tbl, "event_type")
+                % np.uint64(P)).astype(np.int64)
+
+    def merge(tbl: pa.Table) -> pd.DataFrame:
+        cols = ["event_type", "rn", "event_id"]
+        if tbl.num_rows == 0:
+            out = pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                "rn": np.array([], np.int64),
+                                "event_id": np.array([], np.int64)})
+            return out[cols]
+        types = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        ids = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        hv = tbl.column("hv").to_numpy(zero_copy_only=False)
+        uniq, codes, keep = _bottom_k(types, ids, hv)
+        order = np.lexsort((ids[keep], hv[keep], codes[keep]))
+        keep = keep[order]
+        c_s = codes[keep]
+        rn = np.arange(len(c_s)) - np.concatenate(
+            ([0], np.cumsum(np.bincount(c_s, minlength=len(uniq)))[:-1])
+        )[c_s] + 1
+        return pd.DataFrame({"event_type": types[keep],
+                             "rn": rn.astype(np.int64),
+                             "event_id": ids[keep].astype(np.int64)})[cols]
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=P,
+                         kernel=merge, fmt="pyarrow")
+
+
+def holt_linear(sf_dir: str, alpha: float = 0.2, beta: float = 0.3):
+    """Holt double-exponential smoothing per user (level + trend), the
+    classic short-horizon forecaster: ``l_t = α·v_t + (1−α)(l_{t−1} +
+    b_{t−1})``, ``b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}`` with the
+    textbook init ``l_1 = v_1, b_1 = v_2 − v_1`` (users with a single
+    event are excluded by the contract).  Emits the final level/trend and
+    the one-step forecast ``l + b``.
+
+    Cross-engine float discipline (the :func:`ewma_last` precedent): the
+    recurrence touches each point exactly once in event-time order with
+    the SAME scalar expression the SQL oracle's recursive CTE evaluates —
+    no cross-row float sums exist, so both engines walk identical
+    double-precision paths; round(6) on output is belt only.  The kernel
+    is vectorized ACROSS users (one masked step per position, never a
+    per-user Python loop): O(max series length) numpy steps."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts", "value"], P)
+
+    def project(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table({"user_id": tbl.column("user_id"),
+                         "ts_us": pc.cast(tbl.column("ts"), "int64"),
+                         "v": tbl.column("value")})
+
+    rows = ds.map_batches(project, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n", "level", "trend", "forecast1"]
+        if len(df) == 0:
+            out = pd.DataFrame({c: np.array([], np.float64) for c in cols})
+            out["user_id"] = out["user_id"].astype(np.int64)
+            out["n"] = out["n"].astype(np.int64)
+            return out[cols]
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        v = df["v"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        starts = np.flatnonzero(np.diff(uid, prepend=uid[0] - 1))
+        lens = np.diff(np.append(starts, len(uid)))
+        has2 = lens >= 2
+        l = v[starts].copy()
+        b = np.zeros(len(starts))
+        b[has2] = v[starts[has2] + 1] - v[starts[has2]]
+        L = int(lens.max())
+        for t in range(1, L):           # one masked step per position
+            act = lens > t
+            idx = starts[act] + t
+            vt, la, ba = v[idx], l[act], b[act]
+            tmp = alpha * vt + (1.0 - alpha) * (la + ba)
+            b[act] = beta * (tmp - la) + (1.0 - beta) * ba
+            l[act] = tmp
+        out = pd.DataFrame({
+            "user_id": uid[starts[has2]].astype(np.int64),
+            "n": lens[has2].astype(np.int64),
+            "level": round_half_away(l[has2], 6),
+            "trend": round_half_away(b[has2], 6),
+            "forecast1": round_half_away(l[has2] + b[has2], 6)})
+        return out[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

@@ -1325,3 +1325,82 @@ def test_phrase_count_counts_every_occurrence(ray_session, tmp_path):
            .set_index("doc_id").sort_index())
     assert list(got.index) == [0, 1, 3]
     assert got["n_occ"].tolist() == [2, 1, 1]
+
+
+def test_levenshtein_pairs_kernel():
+    """Pair-vectorized DP == classic per-pair DP on random byte strings,
+    including empty and max-length operands."""
+    from gorilla_tsc_ray.pipelines.docs import _levenshtein_pairs
+
+    rng = np.random.default_rng(7)
+
+    def slow(a, b):
+        m, n = len(a), len(b)
+        D = np.zeros((m + 1, n + 1), np.int64)
+        D[:, 0] = np.arange(m + 1)
+        D[0, :] = np.arange(n + 1)
+        for i in range(1, m + 1):
+            for j in range(1, n + 1):
+                D[i, j] = min(D[i - 1, j] + 1, D[i, j - 1] + 1,
+                              D[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+        return D[m, n]
+
+    L = 16
+    n_pairs = 40
+    la = rng.integers(0, L + 1, n_pairs)
+    lb = rng.integers(0, L + 1, n_pairs)
+    am = np.zeros((n_pairs, L), np.uint8)
+    bm = np.zeros((n_pairs, L), np.uint8)
+    for p in range(n_pairs):
+        am[p, :la[p]] = rng.integers(97, 100, la[p])  # tiny alphabet →
+        bm[p, :lb[p]] = rng.integers(97, 100, lb[p])  # many real edits
+    got = _levenshtein_pairs(am, la, bm, lb)
+    exp = [slow(am[p, :la[p]], bm[p, :lb[p]]) for p in range(n_pairs)]
+    assert list(got) == exp
+
+
+def test_edit_pairs_oracle(ray_session, sf_small):
+    """Engine pairs == DuckDB levenshtein over the same blocking rule."""
+    import duckdb
+    import __ray_entry__ as entry
+
+    got = (docs.edit_pairs(sf_small).to_pandas()
+           .sort_values(["doc_id1", "doc_id2"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_small}/documents.parquet'")
+    exp = (con.execute(entry.oracle_sql()["docs_edit_pairs"]).df()
+           .sort_values(["doc_id1", "doc_id2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True)
+
+
+def test_kcore_peeling(ray_session, sf_small):
+    """Distributed delta peeling == brute-force sequential peeling over
+    the same oracle-checked pair list; cores nest (3-core ⊆ 2-core) and
+    every member keeps ≥ k in-core neighbors."""
+    pairs = docs.ngram_jaccard(sf_small).to_pandas()
+    got = (docs.kcore(sf_small).to_pandas()
+           .sort_values(["k", "doc_id"]).reset_index(drop=True))
+
+    def brute(k):
+        edges = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        edges |= {(b, a) for a, b in edges}
+        alive = {a for a, _ in edges}
+        while True:
+            deg = {}
+            for a, b in edges:
+                if a in alive and b in alive:
+                    deg[a] = deg.get(a, 0) + 1
+            gone = {u for u in alive if deg.get(u, 0) < k}
+            if not gone:
+                return {u: deg.get(u, 0) for u in alive}
+            alive -= gone
+
+    for k in (2, 3):
+        exp = brute(k)
+        g = got[got["k"] == k]
+        assert dict(zip(g["doc_id"], g["deg_in_core"])) == exp
+        assert (g["deg_in_core"] >= k).all() or len(g) == 0
+    m2 = set(got.loc[got["k"] == 2, "doc_id"])
+    m3 = set(got.loc[got["k"] == 3, "doc_id"])
+    assert m3 <= m2

@@ -2537,3 +2537,83 @@ def test_global_ntile_boundaries(ray_session):
         FROM df ORDER BY user_id""").df()
     assert (got["tile"].to_numpy()
             == exp["tile"].to_numpy().astype(np.int64)).all()
+
+
+def test_ks_pairs_exact(ray_session, sf_small):
+    """KS numerators match a brute-force scipy-free computation from the
+    raw table, and D = d_num/(n1·n2) ∈ [0, 1]."""
+    got = (ev.ks_pairs(sf_small).to_pandas()
+           .sort_values(["t1", "t2"]).reset_index(drop=True))
+    con = duckdb.connect()
+    raw = con.execute(
+        f"""SELECT event_type AS t, CAST(round(value*100) AS BIGINT) AS c
+            FROM '{sf_small}/events.parquet'""").df()
+    types = sorted(raw["t"].unique())
+    assert len(got) == len(types) * (len(types) - 1) // 2
+    support = np.sort(raw["c"].unique())
+    for _, r in got.iterrows():
+        c1 = np.sort(raw.loc[raw["t"] == r["t1"], "c"].to_numpy())
+        c2 = np.sort(raw.loc[raw["t"] == r["t2"], "c"].to_numpy())
+        assert r["n1"] == len(c1) and r["n2"] == len(c2)
+        f1 = np.searchsorted(c1, support, side="right")
+        f2 = np.searchsorted(c2, support, side="right")
+        d = np.abs(f1 * len(c2) - f2 * len(c1))
+        assert r["d_num"] == d.max()
+        assert r["at_c"] == support[int(np.argmax(d))]
+        assert 0 <= r["d_num"] <= len(c1) * len(c2)
+
+
+def test_stratified_sample_deterministic(ray_session, sf_small):
+    """Bottom-k hash sample: k rows per type, reproducible across runs
+    and partitionings, and exactly the k smallest md5 hashes per type."""
+    import hashlib
+
+    got = (ev.stratified_sample(sf_small).to_pandas()
+           .sort_values(["event_type", "rn"]).reset_index(drop=True))
+    again = (ev.stratified_sample(sf_small).to_pandas()
+             .sort_values(["event_type", "rn"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
+    con = duckdb.connect()
+    raw = con.execute(
+        f"""SELECT event_type, event_id
+            FROM '{sf_small}/events.parquet'""").df()
+    for t, grp in raw.groupby("event_type"):
+        ids = grp["event_id"].to_numpy()
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                            "little") for i in ids),
+            dtype=np.uint64, count=len(ids))
+        order = np.lexsort((ids, hv))[:20]
+        g = got[got["event_type"] == t]
+        assert list(g["event_id"]) == list(ids[order])
+        assert list(g["rn"]) == list(range(1, len(order) + 1))
+
+
+def test_holt_linear_recurrence(ray_session, sf_small):
+    """Engine Holt == a plain per-user Python recurrence (same init,
+    same op order), users with <2 events excluded."""
+    got = (ev.holt_linear(sf_small).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    raw = con.execute(
+        f"""SELECT user_id, epoch_us(ts) AS ts_us, value
+            FROM '{sf_small}/events.parquet'
+            ORDER BY user_id, ts_us""").df()
+    exp = {}
+    for u, grp in raw.groupby("user_id"):
+        v = grp["value"].to_numpy()
+        if len(v) < 2:
+            continue
+        l, b = v[0], v[1] - v[0]
+        for t in range(1, len(v)):
+            tmp = 0.2 * v[t] + 0.8 * (l + b)
+            b = 0.3 * (tmp - l) + 0.7 * b
+            l = tmp
+        exp[u] = (len(v), l, b)
+    assert set(got["user_id"]) == set(exp)
+    for _, r in got.iterrows():
+        n, l, b = exp[r["user_id"]]
+        assert r["n"] == n
+        assert abs(r["level"] - l) < 1e-6
+        assert abs(r["trend"] - b) < 1e-6
+        assert abs(r["forecast1"] - (l + b)) < 1e-6
