@@ -224,6 +224,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25": docs.bm25,
         "docs_edit_pairs": docs.edit_pairs,
         "docs_kcore": docs.kcore,
+        "docs_bpe_pairs": docs.bpe_pairs,
+        "docs_winnowing": docs.winnowing,
+        "docs_rake": docs.rake,
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
         "docs_charset_jaccard": docs.charset_jaccard,
@@ -1983,6 +1986,77 @@ SELECT tf.doc_id, tf.tok, tf.tf, dl.dl,
                                * (dl.dl / (SELECT avgdl FROM corp)))),
              6) AS bm25
 FROM tf JOIN dfreq d USING (tok) JOIN dl USING (doc_id)
+""",
+        # BPE merge-candidate table: adjacent char pairs inside tokens
+        "docs_bpe_pairs": """
+WITH occ AS (
+  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+)
+SELECT substr(tok, i, 1) AS c1, substr(tok, i + 1, 1) AS c2,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM occ, LATERAL (SELECT unnest(range(1, len(tok))) AS i) g
+GROUP BY 1, 2
+""",
+        # winnowed fingerprints (MOSS): every window of 4 consecutive
+        # word-3 shingles
+        # shingles selects its RIGHTMOST minimal md5; docs shorter than
+        # the window winnow their single full window
+        "docs_winnowing": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, g.i,
+         md5_number_upper(concat(
+           toks[g.i], chr(1), coalesce(toks[g.i + 1], ''), chr(1),
+           coalesce(toks[g.i + 2], ''))) AS h,
+         greatest(len(toks) - 2, 1) AS m
+  FROM t, LATERAL (SELECT unnest(range(
+    1, greatest(len(toks) - 2, 1) + 1)) AS i) g
+), win AS (
+  SELECT doc_id, i AS j, m, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+         count(*) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wn
+  FROM sh
+), sel AS (
+  SELECT w.doc_id, max(s.i) AS pos, w.wmin AS h
+  FROM win w JOIN sh s ON s.doc_id = w.doc_id
+   AND s.i BETWEEN w.j - least(4, w.m) + 1 AND w.j AND s.h = w.wmin
+  WHERE w.wn = least(4, w.m)
+  GROUP BY w.doc_id, w.j, w.wmin
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h FROM sel
+""",
+        # RAKE keyword statistics: phrases = maximal stopword-free token
+        # runs; freq = in-phrase occurrences, deg = sum of containing
+        # phrase lengths (self included) — score deg/freq is
+        # consumer-side
+        "docs_rake": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), pos AS (
+  SELECT doc_id, g.i, toks[g.i] AS tok,
+         CASE WHEN lower(toks[g.i]) IN (
+           'a','an','and','are','as','at','be','but','by','for','if',
+           'in','into','is','it','no','not','of','on','or','such',
+           'that','the','their','then','there','these','they','this',
+           'to','was','will','with') THEN 1 ELSE 0 END AS st
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) g
+), ph AS (
+  SELECT doc_id, i, tok, st,
+         sum(st) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+  FROM pos
+), w AS (
+  SELECT tok, count(*) OVER (PARTITION BY doc_id, pid) AS plen
+  FROM ph WHERE st = 0
+)
+SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq,
+       CAST(sum(plen) AS BIGINT) AS deg
+FROM w GROUP BY tok
 """,
         # k-core decomposition of the n-gram near-dup graph: iterated
         # peeling as a list-carrying recursive CTE (one row per round;

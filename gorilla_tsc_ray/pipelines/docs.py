@@ -3181,3 +3181,195 @@ def kcore(sf_dir: str, ks=(2, 3), threshold: float = 0.5,
     for r in results[1:]:
         out = out.union(r)
     return out
+
+
+# ---------- tokenizer statistics & fingerprint selection ----------
+
+def bpe_pairs(sf_dir: str):
+    """BPE merge-candidate statistics: corpus-wide counts of adjacent
+    CHARACTER pairs inside ``[A-Za-z0-9]+`` tokens — the table byte-pair
+    encoding's first merge step ranks.  Pure map-side byte kernel (the
+    byte-run tokenizer's mask trick: a pair counts iff both bytes are in
+    the alnum class, which can never span a token boundary; row
+    boundaries invalidated explicitly); partials are ≤ 62² cells folded
+    per batch, so the exchange is bounded by the ALPHABET, not the
+    corpus.  Exact under UTF-8 — multibyte sequences never contain ASCII
+    bytes."""
+    import pyarrow as pa
+
+    P = 1                              # ≤ 62² rows total
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        arr = tbl.column("text")
+        arr = (arr.combine_chunks() if isinstance(arr, pa.ChunkedArray)
+               else arr)
+        n = len(arr)
+        if n == 0 or arr.buffers()[2] is None:
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        off_dtype = (np.int64 if pa.types.is_large_string(arr.type)
+                     else np.int32)
+        offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+            arr.offset: arr.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], np.uint8)[offs[0]:offs[-1]]
+        offs = offs - offs[0]
+        if len(data) < 2:
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        lo = data | np.uint8(0x20)
+        m = (((lo >= 97) & (lo <= 122))
+             | ((data >= 48) & (data <= 57)))
+        valid = m[:-1] & m[1:]
+        row_starts = offs[1:-1]        # a pair never spans two rows
+        valid[row_starts[row_starts > 0] - 1] = False
+        left = data[:-1][valid].astype(np.int64)
+        right = data[1:][valid].astype(np.int64)
+        cnt = np.bincount(left * 256 + right, minlength=0)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"code": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(cnt[nz].astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["c1", "c2", "cnt"]
+        if len(df) == 0:
+            out = pd.DataFrame({"c1": pd.Series([], dtype=object),
+                                "c2": pd.Series([], dtype=object),
+                                "cnt": np.array([], np.int64)})
+            return out[cols]
+        g = df.groupby("code", sort=True)["cnt"].sum()
+        codes = g.index.to_numpy()
+        return pd.DataFrame({
+            "c1": [chr(c >> 8) for c in codes],
+            "c2": [chr(c & 255) for c in codes],
+            "cnt": g.to_numpy().astype(np.int64)})[cols]
+
+    return hash_exchange(partials,
+                         key_fn=lambda t: np.zeros(t.num_rows, np.int64),
+                         n_parts=P, kernel=merge, fmt="pandas")
+
+
+def winnowing(sf_dir: str, w: int = 4):
+    """Winnowed document fingerprints (Schleimer et al., the MOSS
+    algorithm): over each doc's word-3-shingle md5 sequence, every window
+    of ``w`` consecutive shingles selects its RIGHTMOST minimal hash; the
+    distinct selected (doc_id, pos, h) rows are the fingerprint set —
+    the guarantee-bearing substring-dedup primitive (any shared run of
+    w+2 tokens shares a fingerprint).  Docs with fewer than ``w``
+    shingles winnow their single full window, so every doc emits ≥ 1
+    fingerprint.  Map-only (no shuffle): selection is per-doc, windows
+    are a (n_windows × w) gather off the flat shingle array, rightmost
+    argmin = numpy first-argmin over leftward offsets.  Shingle identity
+    is the SQL oracle's own chr(1)-joined md5 (exact_dedup
+    discipline)."""
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    UMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "pos", "h"]
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": np.array([], np.int64),
+                                 "pos": np.array([], np.int64),
+                                 "h": np.array([], np.uint64)})[cols]
+        doc_of, sh = dd.doc_shingle_md5_seq(df["text"])
+        ids = df["doc_id"].to_numpy()
+        m = np.bincount(doc_of, minlength=len(df)).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(m)[:-1]))
+        n_win = np.maximum(m - w + 1, 1)
+        w_doc = np.repeat(np.arange(len(df)), n_win)
+        offs_w = np.concatenate(([0], np.cumsum(n_win)[:-1]))
+        t = np.arange(int(n_win.sum())) - np.repeat(offs_w, n_win)
+        j = np.minimum(w - 1 + t, m[w_doc] - 1)     # window end (in-doc)
+        end_flat = starts[w_doc] + j
+        k = np.arange(w)                             # 0 = window end
+        idx = end_flat[:, None] - k
+        valid = k <= j[:, None]
+        vals = np.where(valid, sh[np.maximum(idx, 0)], UMAX)
+        k_sel = np.argmin(vals, axis=1)              # first = rightmost
+        wmin = vals[np.arange(len(vals)), k_sel]
+        pos = j - k_sel + 1                          # 1-based, SQL substr
+        d = w_doc
+        order = np.lexsort((pos, d))
+        ds_, ps_, hs_ = d[order], pos[order], wmin[order]
+        keep = np.concatenate(([True], (ds_[1:] != ds_[:-1])
+                               | (ps_[1:] != ps_[:-1])))
+        return pd.DataFrame({"doc_id": ids[ds_[keep]].astype(np.int64),
+                             "pos": ps_[keep].astype(np.int64),
+                             "h": hs_[keep]})[cols]
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+# RAKE stopword list: the classic Lucene/Fox English function-word core —
+# fixed here because the oracle SQL embeds the identical IN-list.
+RAKE_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+
+def rake(sf_dir: str):
+    """RAKE keyword statistics (Rose et al. 2010): split each doc's token
+    stream into candidate phrases at stopwords (and doc boundaries), then
+    for every non-stop word emit its corpus ``freq`` (occurrences inside
+    phrases) and ``deg`` (sum of the containing phrase's length over those
+    occurrences, self included) — the RAKE score ``deg/freq`` is a
+    consumer-side rational over exact ints (collocations discipline).
+    Map-side: phrase segmentation is a cumsum over the stop mask on
+    integer token codes (stopword lookup is vocab-bounded, not
+    corpus-bounded); the exchange carries one (w, freq, deg) row per
+    distinct word per batch."""
+    from ..util import arrow_key_ids
+
+    ds = _read(sf_dir, "documents", ["text"])
+    stop_set = frozenset(RAKE_STOPWORDS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["w", "freq", "deg"]
+        empty = pd.DataFrame({"w": np.array([], dtype=object),
+                              "freq": np.array([], np.int64),
+                              "deg": np.array([], np.int64)})[cols]
+        uniq, codes, lens = dd.unique_tokens(df["text"])
+        if not len(codes):
+            return empty
+        is_stop = np.fromiter((t.lower() in stop_set for t in uniq),
+                              bool, len(uniq))
+        st = is_stop[codes]
+        nk = ~st
+        if not nk.any():
+            return empty
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        # stops strictly before each position, within its doc: exclusive
+        # global cumsum minus the doc-start offset
+        cst = np.cumsum(st).astype(np.int64)
+        excl = cst - st
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pid = excl - excl[starts][doc_of]
+        seg = doc_of.astype(np.int64) * (int(lens.max()) + 1) + pid
+        segs, cds = seg[nk], codes[nk]
+        _, sidx = np.unique(segs, return_inverse=True)
+        plen = np.bincount(sidx).astype(np.int64)
+        freq = np.bincount(cds, minlength=len(uniq)).astype(np.int64)
+        deg = np.zeros(len(uniq), np.int64)
+        np.add.at(deg, cds, plen[sidx])
+        nz = freq > 0
+        return pd.DataFrame({"w": uniq[nz], "freq": freq[nz],
+                             "deg": deg[nz]})[cols]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("w", sort=False)[["freq", "deg"]].sum()
+               .reset_index())
+        out["freq"] = out["freq"].astype(np.int64)
+        out["deg"] = out["deg"].astype(np.int64)
+        return out[["w", "freq", "deg"]]
+
+    return hash_exchange(partials,
+                         key_fn=lambda t: arrow_key_ids(t, ["w"], 8),
+                         n_parts=8, kernel=merge, fmt="pandas")

@@ -214,6 +214,25 @@ def doc_shingle_md5_sets(texts):
     uint64s; only unique triples materialize strings and md5.
 
     Returns ``(doc_idx, sh_u64)`` — unique pairs, doc-major."""
+    doc_of, sh = doc_shingle_md5_seq(texts)
+    if not len(sh):
+        return doc_of, sh
+    # distinct per doc
+    order = np.lexsort((sh, doc_of))
+    d, v = doc_of[order], sh[order]
+    keep = np.concatenate(([True], (d[1:] != d[:-1]) | (v[1:] != v[:-1])))
+    return d[keep], v[keep]
+
+
+def doc_shingle_md5_seq(texts):
+    """Positional variant of :func:`doc_shingle_md5_sets`: the per-doc
+    word-3-shingle md5-prefix sequence in POSITION order (doc-major, one
+    row per shingle occurrence, duplicates kept) — what order-sensitive
+    consumers (winnowing fingerprint selection) need.  Same shingle
+    identity space as the SQL oracles.
+
+    Returns ``(doc_idx, sh_u64)`` flattened doc-major; every doc emits
+    ``max(len(toks) − 2, 1)`` shingles ('' padding below 3 tokens)."""
     uniq, codes, lens = _unique_token_reps(texts)
     n_docs = len(lens)
     if len(uniq) + 1 >= (1 << 21):  # 3×21-bit packing bound per batch
@@ -249,11 +268,7 @@ def doc_shingle_md5_sets(texts):
             "little") for p in up),
         dtype=np.uint64, count=len(up))
     sh = uh[pcodes]
-    # distinct per doc
-    order = np.lexsort((sh, doc_of))
-    d, v = doc_of[order], sh[order]
-    keep = np.concatenate(([True], (d[1:] != d[:-1]) | (v[1:] != v[:-1])))
-    return d[keep], v[keep]
+    return doc_of, sh
 
 
 def _token_hash_flat(texts: pd.Series):
