@@ -227,6 +227,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_pairs": docs.bpe_pairs,
         "docs_winnowing": docs.winnowing,
         "docs_rake": docs.rake,
+        "docs_pagerank": docs.pagerank,
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
         "docs_charset_jaccard": docs.charset_jaccard,
@@ -286,6 +287,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_spc_flags": ev.spc_flags,
         "events_ks_pairs": ev.ks_pairs,
         "events_holt_linear": ev.holt_linear,
+        "events_dtw_pairs": ev.dtw_pairs,
         "events_stratified_sample": ev.stratified_sample,
         "events_records": ev.records,
         "events_velocity_10m": ev.velocity_window,
@@ -505,6 +507,52 @@ SELECT hdr.media_id,
          AS mean_sample
 FROM hdr JOIN sgn USING (media_id)
 GROUP BY hdr.media_id
+"""
+
+
+def _dtw_sql(k: int = 40) -> str:
+    """events_dtw_pairs oracle: the 24×24 integer DTW DP UNROLLED as 24
+    chained CTEs (one per profile row), each computing its 24 cells with
+    DuckDB lateral column-alias references for the in-row scan — cell
+    names are r{i} stage-scoped (c{i}_{j}) so the previous row's columns
+    never collide.  All-int arithmetic, bit-equal to the engine DP."""
+    vexprs = ",\n         ".join(
+        f"CAST(count(*) FILTER (WHERE h = {i}) AS BIGINT) AS v{i}"
+        for i in range(24))
+    pcols = ",\n         ".join(
+        [f"a.v{i} AS a{i}" for i in range(24)]
+        + [f"b.v{i} AS b{i}" for i in range(24)])
+    carry = ", ".join([f"a{i}" for i in range(1, 24)]
+                      + [f"b{i}" for i in range(24)])
+    r0 = ["abs(a0 - b0) AS c0_0"] + [
+        f"abs(a0 - b{j}) + c0_{j-1} AS c0_{j}" for j in range(1, 24)]
+    ctes = [f"r0 AS (\n  SELECT ua, ub, {carry},\n         "
+            + ",\n         ".join(r0) + "\n  FROM pr\n)"]
+    for i in range(1, 24):
+        cells = [f"abs(a{i} - b0) + c{i-1}_0 AS c{i}_0"] + [
+            f"abs(a{i} - b{j}) + least(c{i-1}_{j}, c{i-1}_{j-1}, "
+            f"c{i}_{j-1}) AS c{i}_{j}" for j in range(1, 24)]
+        keep = carry if i < 23 else ""
+        sel = (f"ua, ub{', ' + keep if keep else ''},\n         "
+               + ",\n         ".join(cells))
+        ctes.append(f"r{i} AS (\n  SELECT {sel}\n  FROM r{i-1}\n)")
+    return f"""
+WITH hp AS (
+  SELECT user_id, (epoch_ms(ts) // 3600000) % 24 AS h FROM events
+), top AS (
+  SELECT user_id FROM (SELECT user_id, count(*) AS c FROM hp GROUP BY 1)
+  QUALIFY row_number() OVER (ORDER BY c DESC, user_id) <= {k}
+), vec AS (
+  SELECT user_id,
+         {vexprs}
+  FROM hp WHERE user_id IN (SELECT user_id FROM top) GROUP BY 1
+), pr AS (
+  SELECT a.user_id AS ua, b.user_id AS ub,
+         {pcols}
+  FROM vec a JOIN vec b ON a.user_id < b.user_id
+), {', '.join(ctes)}
+SELECT ua AS user_a, ub AS user_b, CAST(c23_23 AS BIGINT) AS dtw
+FROM r23
 """
 
 
@@ -2126,6 +2174,60 @@ FROM mem m JOIN eu ON eu.src = m.doc_id
 JOIN mem m2 ON m2.doc_id = eu.dst AND m2.k = m.k
 GROUP BY 1, 2
 """,
+        # integer-exact PageRank over the near-dup graph: 5 damped
+        # (17/20) power-iteration rounds on int64 numerators at 1e12
+        # scale with floored divisions everywhere — sums are
+        # order-independent, so both engines are bit-equal.  Edges and
+        # the node/degree lists ride the recursion state (re-evaluation
+        # gotcha, kcore precedent)
+        "docs_pagerank": """
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM t
+), pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shs, b.shs)) * 1.0 /
+        greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) >= 0.5
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION ALL SELECT id_b, id_a FROM pr
+), agg AS (
+  SELECT list(src ORDER BY src, dst) AS es,
+         list(dst ORDER BY src, dst) AS ed
+  FROM e
+), nd AS (
+  SELECT list(node ORDER BY node) AS ns, list(dg ORDER BY node) AS degs
+  FROM (SELECT src AS node, count(*) AS dg FROM e GROUP BY 1)
+), it(round, prs, es, ed, ns, degs) AS (
+  SELECT 0,
+         list_transform(n.ns,
+           x -> CAST(1000000000000 // len(n.ns) AS BIGINT)),
+         a.es, a.ed, n.ns, n.degs
+  FROM agg a, nd n
+  UNION ALL
+  SELECT it.round + 1, x.nprs, it.es, it.ed, it.ns, it.degs
+  FROM it, LATERAL (
+    SELECT list(npr ORDER BY node) AS nprs FROM (
+      SELECT u.dst AS node,
+             CAST((3 * 1000000000000) // (20 * len(it.ns))
+                  + (17 * sum(m.pr // m.dg)) // 20 AS BIGINT) AS npr
+      FROM (SELECT unnest(it.es) AS src, unnest(it.ed) AS dst) u
+      JOIN (SELECT unnest(it.ns) AS node, unnest(it.degs) AS dg,
+                   unnest(it.prs) AS pr) m ON m.node = u.src
+      GROUP BY u.dst)
+  ) x
+  WHERE it.round < 5
+)
+SELECT unnest(ns) AS doc_id, unnest(degs) AS deg, unnest(prs) AS pr_num
+FROM it WHERE round = 5
+""",
         # edit-distance near-dup candidates: same lang + same first 8
         # chars + |n_chars| diff ≤ 16, scored by exact Levenshtein over
         # the 64-char prefixes (the blocking rule IS the contract)
@@ -3424,6 +3526,9 @@ FROM p
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
              ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
 """,
+        # integer DTW between the top-40 users' hourly profiles — the DP
+        # grid unrolled by the generator above
+        "events_dtw_pairs": _dtw_sql(),
         # two-sample KS distance per type pair, through the common
         # denominator: d_num = max|F1·n2 − F2·n1| (D = d_num/(n1·n2)),
         # argmax = smallest cent achieving it

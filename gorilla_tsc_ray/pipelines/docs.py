@@ -3373,3 +3373,143 @@ def rake(sf_dir: str):
     return hash_exchange(partials,
                          key_fn=lambda t: arrow_key_ids(t, ["w"], 8),
                          n_parts=8, kernel=merge, fmt="pandas")
+
+
+# ---------- graph ranking ----------
+
+PAGERANK_SCALE = 10 ** 12
+
+
+def pagerank(sf_dir: str, threshold: float = 0.5, rounds: int = 5,
+             n_parts: int = N_DOC_PARTS, scale: int = PAGERANK_SCALE):
+    """Integer-exact PageRank over the n-gram near-dup graph (the same
+    edge truth as :func:`kcore` / :func:`triangle_counts`): ``rounds``
+    power-iteration steps with damping 17/20 over int64 numerators at
+    ``scale`` — the dup-pipeline reading of a high score is "this doc
+    sits at the center of a duplication structure", the natural survivor
+    pick.  ALL arithmetic is integer with explicitly floored divisions
+    (``pr // deg`` per out-edge, ``(17 * Σ) // 20`` on the damped sum,
+    base mass ``(3·scale) // (20·N)``) so contribution sums are
+    order-independent and the SQL oracle is bit-equal — the float-sum
+    trap that keeps classic PageRank off exact gates never arises.
+
+    Distribution is the :func:`cluster_pairs` shape: both-direction
+    edges pre-split ONCE by src hash (degrees and contribution scans are
+    partition-local), one task wave per round; a round ships only
+    per-(partition, dst) partial contribution sums, pre-split by the
+    dst's owner hash — traffic per round is bounded by the distinct-dst
+    count per partition, never the edge count.  The driver sees node
+    counts (one int per partition) and round numbers only.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from ..stages.exchange import PresplitInput
+
+    tune_context()
+    pairs = ngram_jaccard(sf_dir, threshold=threshold).materialize()
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy(dtype=np.int64)
+        b = df["id_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"src": np.concatenate((a, b)),
+                             "dst": np.concatenate((b, a))})
+
+    edges = pairs.map_batches(both_dirs,
+                              batch_format="pandas").materialize()
+    key_src = _pair_hash_key(["src"], n_parts)
+    edges_pre = PresplitInput(edges, key_src, n_parts)
+
+    @ray.remote
+    def init_part(*edge_parts):
+        """Concat this partition's edge slices; emit static per-node
+        state (node ids ascending, local out-degrees) once."""
+        ts = [t.replace_schema_metadata(None) for t in edge_parts
+              if t.num_rows]
+        if not ts:
+            empty = pa.table({"src": pa.array([], pa.int64()),
+                              "dst": pa.array([], pa.int64())})
+            return empty, np.array([], np.int64), np.array([], np.int64), 0
+        tbl = pa.concat_tables(ts).combine_chunks()
+        src = tbl.column("src").to_numpy(zero_copy_only=False)
+        nodes, deg = np.unique(src, return_counts=True)
+        return (tbl, nodes.astype(np.int64), deg.astype(np.int64),
+                int(nodes.size))
+
+    inits = [init_part.options(num_returns=4).remote(
+        *[edges_pre.splits[b][p] for b in range(len(edges_pre.splits))])
+        for p in range(n_parts)]
+    n_total = int(sum(ray.get([i[3] for i in inits])))
+    if n_total == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "deg": pa.array([], pa.int64()),
+            "pr_num": pa.array([], pa.int64())}))
+    base = (3 * scale) // (20 * n_total)
+    pr0 = scale // n_total
+
+    @ray.remote
+    def contrib_part(edge_tbl, nodes, deg, pr, *incoming):
+        """Apply last round's partial sums (if any), then emit this
+        round's per-dst partial contributions pre-split by dst hash."""
+        if incoming:
+            sums = np.zeros(len(nodes), np.int64)
+            for t in incoming:
+                if t is None or not t.num_rows:
+                    continue
+                d = t.column("dst").to_numpy(zero_copy_only=False)
+                s = t.column("s").to_numpy(zero_copy_only=False)
+                sums[np.searchsorted(nodes, d)] += s
+            pr = base + (17 * sums) // 20
+        if pr is None:
+            pr = np.full(len(nodes), pr0, np.int64)
+        if not len(nodes):
+            return (pr, *[None] * n_parts)
+        src = edge_tbl.column("src").to_numpy(zero_copy_only=False)
+        dst = edge_tbl.column("dst").to_numpy(zero_copy_only=False)
+        c = (pr // deg)[np.searchsorted(nodes, src)]
+        ud, inv = np.unique(dst, return_inverse=True)
+        part_sum = np.zeros(len(ud), np.int64)   # int64 add: exact sums
+        np.add.at(part_sum, inv, c)
+        note = pa.table({"dst": pa.array(ud), "s": pa.array(part_sum)})
+        ids = np.asarray(key_src(pa.table({"src": pa.array(ud)})),
+                         dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        note = note.take(pa.array(order))
+        cnts = np.bincount(ids, minlength=n_parts).astype(np.int64)
+        bounds = np.concatenate(([0], np.cumsum(cnts)))
+        return (pr, *[note.slice(int(bounds[q]), int(cnts[q]))
+                      for q in range(n_parts)])
+
+    @ray.remote
+    def final_part(nodes, deg, pr, *incoming):
+        sums = np.zeros(len(nodes), np.int64)
+        for t in incoming:
+            if t is None or not t.num_rows:
+                continue
+            d = t.column("dst").to_numpy(zero_copy_only=False)
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            sums[np.searchsorted(nodes, d)] += s
+        pr = base + (17 * sums) // 20
+        return pa.table({"doc_id": pa.array(nodes),
+                         "deg": pa.array(deg),
+                         "pr_num": pa.array(pr.astype(np.int64))})
+
+    pr_refs: list = [None] * n_parts
+    notices: list = [[] for _ in range(n_parts)]
+    for r in range(rounds):
+        outs = [contrib_part.options(num_returns=n_parts + 1)
+                .remote(inits[p][0], inits[p][1], inits[p][2],
+                        pr_refs[p], *notices[p])
+                for p in range(n_parts)]
+        pr_refs = [o[0] for o in outs]
+        if r < rounds - 1:
+            notices = [[outs[p][1 + q] for p in range(n_parts)]
+                       for q in range(n_parts)]
+        else:
+            finals = [final_part.remote(
+                inits[p][1], inits[p][2], pr_refs[p],
+                *[outs[s][1 + p] for s in range(n_parts)])
+                for p in range(n_parts)]
+            return ray.data.from_arrow_refs(finals)

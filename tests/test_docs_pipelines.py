@@ -1404,3 +1404,32 @@ def test_kcore_peeling(ray_session, sf_small):
     m2 = set(got.loc[got["k"] == 2, "doc_id"])
     m3 = set(got.loc[got["k"] == 3, "doc_id"])
     assert m3 <= m2
+
+
+def test_pagerank_integer_exact(ray_session, sf_small):
+    """Distributed integer PageRank == brute-force sequential rounds over
+    the same pair list (identical floored-int semantics); scores are
+    positive and total mass stays below the scale."""
+    pairs = docs.ngram_jaccard(sf_small).to_pandas()
+    got = (docs.pagerank(sf_small).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    edges = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    edges |= {(b, a) for a, b in edges}
+    nodes = sorted({a for a, _ in edges})
+    if not nodes:
+        assert len(got) == 0
+        return
+    deg = {u: sum(1 for a, _ in edges if a == u) for u in nodes}
+    S, N = docs.PAGERANK_SCALE, len(nodes)
+    pr = {u: S // N for u in nodes}
+    for _ in range(5):
+        inc = {u: 0 for u in nodes}
+        for a, b in edges:
+            inc[b] += pr[a] // deg[a]
+        pr = {u: (3 * S) // (20 * N) + (17 * inc[u]) // 20 for u in nodes}
+    assert list(got["doc_id"]) == nodes
+    assert dict(zip(got["doc_id"], got["pr_num"])) == pr
+    assert dict(zip(got["doc_id"], got["deg"])) == deg
+    assert (got["pr_num"] > 0).all()
+    assert got["pr_num"].sum() <= S
