@@ -5483,3 +5483,93 @@ def holt_linear(sf_dir: str, alpha: float = 0.2, beta: float = 0.3):
 
     return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def dtw_pairs(sf_dir: str, k: int = 40):
+    """Dynamic-time-warping distances between the top-``k`` most-active
+    users' 24-hour activity profiles (all C(k,2) pairs): profile =
+    integer event counts per UTC hour-of-day, cost = |a−b|, full-window
+    DTW over the 24×24 grid — all-int DP, so the oracle is bit-equal.
+    The behavioral-similarity shape (which heavy users keep the same
+    daily rhythm up to time warping?).
+
+    Scale shape: per-batch (user, hour) count partials → one user-keyed
+    exchange building 24-wide vectors; each partition forwards only its
+    LOCAL top-``k`` rows, so the driver merge is bounded by k·P rows —
+    never the user count.  The C(k,2) pair grid rides one task; the DP
+    is vectorized ACROSS pairs (576 vector ops — the edit_pairs
+    discipline: the in-row dependency is the only sequential axis)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    tune_context()
+    P = 8
+    ds = _read_events(sf_dir, ["user_id", "ts"], _n_parts(sf_dir))
+    vcols = [f"v{i}" for i in range(24)]
+
+    def partial(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"),
+                          1000).to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        key = u * 24 + (ts_ms // 3_600_000) % 24
+        uk, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({"user_id": uk // 24, "hour": uk % 24,
+                             "cnt": cnt.astype(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "total"] + vcols
+        if not len(df):
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        g = df.groupby(["user_id", "hour"], sort=True)["cnt"].sum()
+        ui = g.index.get_level_values(0).to_numpy()
+        hi = g.index.get_level_values(1).to_numpy()
+        uniq, inv = np.unique(ui, return_inverse=True)
+        vec = np.zeros((len(uniq), 24), np.int64)
+        vec[inv, hi] = g.to_numpy()
+        tot = vec.sum(axis=1)
+        order = np.lexsort((uniq, -tot))[:k]
+        out = pd.DataFrame({"user_id": uniq[order].astype(np.int64),
+                            "total": tot[order]})
+        for i in range(24):
+            out[vcols[i]] = vec[order, i]
+        return out[cols]
+
+    top_tbl = hash_exchange(partials, key_fn=_user_key_fn(P), n_parts=P,
+                            kernel=local_top, fmt="pandas").to_pandas()
+    # bounded driver merge: ≤ k rows per partition
+    top_tbl = top_tbl.sort_values(
+        ["total", "user_id"], ascending=[False, True],
+        kind="stable").head(k).sort_values("user_id")
+    users = top_tbl["user_id"].to_numpy(np.int64)
+    V = top_tbl[vcols].to_numpy(np.int64)
+    ia, ib = np.triu_indices(len(users), 1)
+    pair_df = pd.DataFrame({"user_a": users[ia], "user_b": users[ib]})
+    for i in range(24):
+        pair_df[f"a{i}"] = V[ia, i]
+        pair_df[f"b{i}"] = V[ib, i]
+
+    def dtw_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = ["user_a", "user_b", "dtw"]
+        if not len(df):
+            return pd.DataFrame({c: np.array([], np.int64)
+                                 for c in out_cols})
+        A = df[[f"a{i}" for i in range(24)]].to_numpy(np.int64)
+        B = df[[f"b{i}" for i in range(24)]].to_numpy(np.int64)
+        prev = np.cumsum(np.abs(A[:, 0:1] - B), axis=1)
+        for i in range(1, 24):
+            cur = np.empty_like(prev)
+            cur[:, 0] = np.abs(A[:, i] - B[:, 0]) + prev[:, 0]
+            best_prev = np.minimum(prev[:, 1:], prev[:, :-1])
+            for j in range(1, 24):
+                cur[:, j] = (np.abs(A[:, i] - B[:, j])
+                             + np.minimum(best_prev[:, j - 1],
+                                          cur[:, j - 1]))
+            prev = cur
+        return pd.DataFrame({"user_a": df["user_a"].to_numpy(np.int64),
+                             "user_b": df["user_b"].to_numpy(np.int64),
+                             "dtw": prev[:, 23]})[out_cols]
+
+    return ray.data.from_pandas(pair_df).map_batches(
+        dtw_kernel, batch_format="pandas")

@@ -2617,3 +2617,53 @@ def test_holt_linear_recurrence(ray_session, sf_small):
         assert abs(r["level"] - l) < 1e-6
         assert abs(r["trend"] - b) < 1e-6
         assert abs(r["forecast1"] - (l + b)) < 1e-6
+
+
+def test_dtw_pairs_brute(ray_session, sf_small):
+    """Vectorized-across-pairs DP == per-pair scalar DTW; zero distance
+    iff identical profiles; symmetric in the pair orientation."""
+    got = (ev.dtw_pairs(sf_small, k=12).to_pandas()
+           .sort_values(["user_a", "user_b"]).reset_index(drop=True))
+    assert len(got) == 12 * 11 // 2
+
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_small}/events.parquet'")
+    vec = con.execute("""
+        WITH hp AS (SELECT user_id,
+                           (epoch_ms(ts) // 3600000) % 24 AS h FROM events),
+        top AS (SELECT user_id FROM
+                  (SELECT user_id, count(*) c FROM hp GROUP BY 1)
+                QUALIFY row_number() OVER (ORDER BY c DESC, user_id) <= 12)
+        SELECT user_id, h, count(*) AS c FROM hp
+        WHERE user_id IN (SELECT user_id FROM top) GROUP BY 1, 2
+    """).df()
+    prof = {}
+    for u in sorted(vec["user_id"].unique()):
+        v = np.zeros(24, np.int64)
+        sub = vec[vec["user_id"] == u]
+        v[sub["h"].to_numpy(np.int64)] = sub["c"].to_numpy(np.int64)
+        prof[int(u)] = v
+
+    def dtw(a, b):
+        D = np.full((24, 24), np.iinfo(np.int64).max, np.int64)
+        for i in range(24):
+            for j in range(24):
+                c = abs(int(a[i]) - int(b[j]))
+                if i == 0 and j == 0:
+                    D[i, j] = c
+                elif i == 0:
+                    D[i, j] = c + D[0, j - 1]
+                elif j == 0:
+                    D[i, j] = c + D[i - 1, 0]
+                else:
+                    D[i, j] = c + min(D[i - 1, j], D[i, j - 1],
+                                      D[i - 1, j - 1])
+        return int(D[23, 23])
+
+    for r in got.itertuples():
+        a, b = prof[int(r.user_a)], prof[int(r.user_b)]
+        assert r.dtw == dtw(a, b) == dtw(b, a)
+        if np.array_equal(a, b):
+            assert r.dtw == 0
