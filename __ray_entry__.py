@@ -288,6 +288,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_ks_pairs": ev.ks_pairs,
         "events_holt_linear": ev.holt_linear,
         "events_dtw_pairs": ev.dtw_pairs,
+        "events_changepoints": ev.changepoints,
+        "events_spectral_daily": ev.spectral_daily,
+        "events_theil_sen": ev.theil_sen,
         "events_stratified_sample": ev.stratified_sample,
         "events_records": ev.records,
         "events_velocity_10m": ev.velocity_window,
@@ -3529,6 +3532,144 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         # integer DTW between the top-40 users' hourly profiles — the DP
         # grid unrolled by the generator above
         "events_dtw_pairs": _dtw_sql(),
+        # optimal-partitioning changepoints over per-type daily counts:
+        # the O(T²) DP as a recursive CTE (one round per day, ties →
+        # smallest split via list_position-first), then a backtracking
+        # CTE that carries the arg list in ITS state (re-evaluation
+        # gotcha); cost = (t−s)·Σx² − (Σx)², β = 2000, all int64
+        "events_changepoints": """
+WITH RECURSIVE span AS (
+  SELECT epoch_ms(min(ts)) // 86400000 AS d0,
+         epoch_ms(max(ts)) // 86400000 AS d1
+  FROM events
+), grid AS (
+  SELECT t.event_type, g.d
+  FROM (SELECT DISTINCT event_type FROM events) t, span,
+       LATERAL (SELECT unnest(range(span.d0, span.d1 + 1)) AS d) g
+), cnts AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), ser AS (
+  SELECT g.event_type, g.d,
+         sum(coalesce(c.c, 0)) OVER w AS cum,
+         sum(coalesce(c.c, 0) * coalesce(c.c, 0)) OVER w AS cumsq
+  FROM grid g LEFT JOIN cnts c USING (event_type, d)
+  WINDOW w AS (PARTITION BY g.event_type ORDER BY g.d
+               ROWS UNBOUNDED PRECEDING)
+), pr AS (
+  SELECT event_type,
+         list_prepend(CAST(0 AS BIGINT),
+                      list(CAST(cum AS BIGINT) ORDER BY d)) AS pre,
+         list_prepend(CAST(0 AS BIGINT),
+                      list(CAST(cumsq AS BIGINT) ORDER BY d)) AS sq,
+         CAST(count(*) AS BIGINT) AS nT, min(d) AS d0
+  FROM ser GROUP BY 1
+), it(t, event_type, F, arg, pre, sq, nT, d0) AS (
+  SELECT CAST(0 AS BIGINT), event_type, [CAST(0 AS BIGINT)],
+         [CAST(0 AS BIGINT)], pre, sq, nT, d0
+  FROM pr
+  UNION ALL
+  SELECT it.t + 1, it.event_type,
+         list_append(it.F, x.best),
+         list_append(it.arg, CAST(x.bi - 1 AS BIGINT)),
+         it.pre, it.sq, it.nT, it.d0
+  FROM it, LATERAL (
+    SELECT list_min(c.cands) AS best,
+           list_position(c.cands, list_min(c.cands)) AS bi
+    FROM (SELECT list_transform(range(0, it.t + 1), s ->
+            it.F[s + 1]
+            + (it.t + 1 - s) * (it.sq[it.t + 2] - it.sq[s + 1])
+            - (it.pre[it.t + 2] - it.pre[s + 1])
+              * (it.pre[it.t + 2] - it.pre[s + 1])
+            + 2000) AS cands) c
+  ) x
+  WHERE it.t < it.nT
+), fin AS (
+  SELECT * FROM it WHERE t = nT
+), bt(event_type, s, t, arg, pre, sq, d0) AS (
+  SELECT event_type, arg[nT + 1], nT, arg, pre, sq, d0 FROM fin
+  UNION ALL
+  SELECT event_type, arg[s + 1], s, arg, pre, sq, d0
+  FROM bt WHERE s > 0
+)
+SELECT event_type,
+       (d0 + s) * 86400000 AS seg_start_ms,
+       (d0 + t - 1) * 86400000 AS seg_end_ms,
+       CAST(t - s AS BIGINT) AS n_days,
+       CAST(pre[t + 1] - pre[s + 1] AS BIGINT) AS sum_cnt,
+       CAST((t - s) * (sq[t + 1] - sq[s + 1])
+            - (pre[t + 1] - pre[s + 1]) * (pre[t + 1] - pre[s + 1])
+            AS BIGINT) AS cost_num
+FROM bt
+""",
+        # Theil–Sen slope per user over daily counts: exact (num, den) of
+        # the lower-median pairwise slope, selected by (double value,
+        # num, den) — the division is the same IEEE op on both sides
+        "events_theil_sen": """
+WITH span AS (
+  SELECT epoch_ms(min(ts)) // 86400000 AS d0,
+         epoch_ms(max(ts)) // 86400000 AS d1
+  FROM events
+), grid AS (
+  SELECT u.user_id, g.d
+  FROM (SELECT DISTINCT user_id FROM events) u, span,
+       LATERAL (SELECT unnest(range(span.d0, span.d1 + 1)) AS d) g
+), cnts AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), ser AS (
+  SELECT g.user_id, g.d - (SELECT d0 FROM span) AS i,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS x
+  FROM grid g LEFT JOIN cnts c USING (user_id, d)
+), pairs AS (
+  SELECT a.user_id, b.x - a.x AS num, b.i - a.i AS den,
+         CAST(b.x - a.x AS DOUBLE) / (b.i - a.i) AS val
+  FROM ser a JOIN ser b ON a.user_id = b.user_id AND a.i < b.i
+), ranked AS (
+  SELECT user_id, num, den,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY val, num, den) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS m
+  FROM pairs
+)
+SELECT user_id, CAST(m AS BIGINT) AS n_pairs,
+       CAST(num AS BIGINT) AS med_num, CAST(den AS BIGINT) AS med_den
+FROM ranked WHERE rn = (m - 1) // 2 + 1
+""",
+        # Goertzel power at the 1/24h frequency over per-type hourly
+        # counts: the recurrence walks the identical IEEE-754 path as the
+        # engine (shared decimal literal for 2·cos(2π/24) — never cos())
+        "events_spectral_daily": """
+WITH RECURSIVE span AS (
+  SELECT epoch_ms(min(ts)) // 3600000 AS h0,
+         epoch_ms(max(ts)) // 3600000 AS h1
+  FROM events
+), grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t, span,
+       LATERAL (SELECT unnest(range(span.h0, span.h1 + 1)) AS h) g
+), cnts AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+), ser AS (
+  SELECT g.event_type,
+         list(CAST(coalesce(c.c, 0) AS DOUBLE) ORDER BY g.h) AS xs
+  FROM grid g LEFT JOIN cnts c USING (event_type, h)
+  GROUP BY 1
+), it(t, event_type, s1, s2, xs) AS (
+  SELECT CAST(0 AS BIGINT), event_type, CAST(0 AS DOUBLE),
+         CAST(0 AS DOUBLE), xs FROM ser
+  UNION ALL
+  SELECT t + 1, event_type,
+         xs[t + 1] + 1.9318516525781366 * s1 - s2, s1, xs
+  FROM it WHERE t < len(xs)
+)
+SELECT event_type, CAST(len(xs) AS BIGINT) AS n_hours,
+       s1 * s1 + s2 * s2 - 1.9318516525781366 * s1 * s2 AS power
+FROM it WHERE t = len(xs)
+""",
         # two-sample KS distance per type pair, through the common
         # denominator: d_num = max|F1·n2 − F2·n1| (D = d_num/(n1·n2)),
         # argmax = smallest cent achieving it

@@ -5573,3 +5573,261 @@ def dtw_pairs(sf_dir: str, k: int = 40):
 
     return ray.data.from_pandas(pair_df).map_batches(
         dtw_kernel, batch_format="pandas")
+
+
+def changepoints(sf_dir: str, beta: int = 2000):
+    """Optimal-partitioning changepoint segmentation of each event
+    type's DAILY count series over the global calendar span (missing
+    days count 0): minimize Σ_seg [cost(seg) + β] where cost(s,t] =
+    (t−s)·Σx² − (Σx)² — the n²·variance numerator (the spc_flags
+    discipline: multiply the SSE through by the segment length so every
+    comparison is int64-exact), β in the same units.  Exact DP (the
+    textbook O(T²) optimal-partitioning recursion, ties → smallest
+    split), so both engines reconstruct the identical segmentation —
+    no pruning heuristics to mismatch.
+
+    Scale shape: per-batch (type, day) count partials → one type-keyed
+    exchange; the DP state is (series × T) with T = calendar days, so a
+    partition's work is bounded by the day span, never the event count.
+    The DP is vectorized ACROSS series; the only sequential axis is t
+    (T iterations of O(t)-vector candidate mins)."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = 4
+    DAY = 86_400_000
+    ds = _read_events(sf_dir, ["event_type", "ts"], _n_parts(sf_dir))
+
+    def mm_partial(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"),
+                          1000).to_numpy(zero_copy_only=False)
+        if not len(ts_ms):
+            return pd.DataFrame({"lo": np.array([], np.int64),
+                                 "hi": np.array([], np.int64)})
+        return pd.DataFrame({"lo": [ts_ms.min() // DAY],
+                             "hi": [ts_ms.max() // DAY]})
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    d0, d1 = int(mm["lo"].min()), int(mm["hi"].max())
+    T = d1 - d0 + 1
+
+    def partial(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"),
+                          1000).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
+                           "day": ts_ms // DAY - d0})
+        g = (df.groupby(["event_type", "day"], sort=False)
+             .size().rename("cnt").reset_index())
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def key_fn(tbl):
+        h = arrow_col_hash(tbl, "event_type")
+        return (h % np.uint64(P)).astype(np.int64)
+
+    out_cols = ["event_type", "seg_start_ms", "seg_end_ms", "n_days",
+                "sum_cnt", "cost_num"]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                **{c: np.array([], np.int64) for c in out_cols[1:]}})
+        g = df.groupby(["event_type", "day"], sort=True)["cnt"].sum()
+        types_lvl = g.index.get_level_values(0)
+        uniq, inv = np.unique(types_lvl, return_inverse=True)
+        n = len(uniq)
+        X = np.zeros((n, T), np.int64)
+        X[inv, g.index.get_level_values(1).to_numpy(np.int64)] = (
+            g.to_numpy(np.int64))
+        pre = np.zeros((n, T + 1), np.int64)
+        sq = np.zeros((n, T + 1), np.int64)
+        np.cumsum(X, axis=1, out=pre[:, 1:])
+        np.cumsum(X * X, axis=1, out=sq[:, 1:])
+        F = np.zeros((n, T + 1), np.int64)
+        arg = np.zeros((n, T + 1), np.int64)
+        for t in range(1, T + 1):
+            seg_n = t - np.arange(t)
+            cand = (F[:, :t] + seg_n * (sq[:, t:t + 1] - sq[:, :t])
+                    - (pre[:, t:t + 1] - pre[:, :t]) ** 2 + beta)
+            arg[:, t] = np.argmin(cand, axis=1)      # first = smallest s
+            F[:, t] = cand[np.arange(n), arg[:, t]]
+        rows = []
+        for i in range(n):
+            t = T
+            while t > 0:
+                s = int(arg[i, t])
+                c = int((t - s) * (sq[i, t] - sq[i, s])
+                        - (pre[i, t] - pre[i, s]) ** 2)
+                rows.append((uniq[i], (d0 + s) * DAY,
+                             (d0 + t - 1) * DAY, t - s,
+                             int(pre[i, t] - pre[i, s]), c))
+                t = s
+        out = pd.DataFrame(rows, columns=out_cols)
+        for c in out_cols[1:]:
+            out[c] = out[c].astype(np.int64)
+        return out[out_cols]
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+# 2·cos(2π/24) as a SHARED decimal literal: both engines parse the same
+# double, so the Goertzel recurrence walks identical IEEE-754 paths
+# (the holt_linear discipline — never call cos() on either side).
+GOERTZEL_C24 = 1.9318516525781366
+
+
+def spectral_daily(sf_dir: str):
+    """Goertzel power at the 1/24h frequency of each event type's HOURLY
+    count series over the global calendar span (missing hours count 0) —
+    the "how diurnal is this signal" scalar that seasonal_decompose's
+    cell means don't give.  Recurrence s_t = x_t + C·s₁ − s₂ with C the
+    shared literal above; power = s₁² + s₂² − C·s₁·s₂ after the last
+    sample.  Float64 end-to-end but ORDER-DETERMINISTIC: the only
+    sequential axis is the hour index, and both engines evaluate the
+    same expression tree per step, so the oracle is bit-equal.
+
+    Scale shape: per-batch (type, hour) count partials → one type-keyed
+    exchange; recurrence state is 2 doubles per series, T iterations
+    vectorized across series."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = 4
+    HOUR = 3_600_000
+    ds = _read_events(sf_dir, ["event_type", "ts"], _n_parts(sf_dir))
+
+    def mm_partial(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"),
+                          1000).to_numpy(zero_copy_only=False)
+        if not len(ts_ms):
+            return pd.DataFrame({"lo": np.array([], np.int64),
+                                 "hi": np.array([], np.int64)})
+        return pd.DataFrame({"lo": [ts_ms.min() // HOUR],
+                             "hi": [ts_ms.max() // HOUR]})
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    h0, h1 = int(mm["lo"].min()), int(mm["hi"].max())
+    T = h1 - h0 + 1
+
+    def partial(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"),
+                          1000).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
+                           "hour": ts_ms // HOUR - h0})
+        g = (df.groupby(["event_type", "hour"], sort=False)
+             .size().rename("cnt").reset_index())
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def key_fn(tbl):
+        h = arrow_col_hash(tbl, "event_type")
+        return (h % np.uint64(P)).astype(np.int64)
+
+    out_cols = ["event_type", "n_hours", "power"]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "n_hours": np.array([], np.int64),
+                                 "power": np.array([], np.float64)})
+        g = df.groupby(["event_type", "hour"], sort=True)["cnt"].sum()
+        uniq, inv = np.unique(g.index.get_level_values(0),
+                              return_inverse=True)
+        X = np.zeros((len(uniq), T), np.float64)
+        X[inv, g.index.get_level_values(1).to_numpy(np.int64)] = (
+            g.to_numpy(np.int64))
+        C = GOERTZEL_C24
+        s1 = np.zeros(len(uniq), np.float64)
+        s2 = np.zeros(len(uniq), np.float64)
+        for t in range(T):
+            s = X[:, t] + C * s1 - s2
+            s2 = s1
+            s1 = s
+        power = s1 * s1 + s2 * s2 - C * s1 * s2
+        return pd.DataFrame({"event_type": uniq,
+                             "n_hours": np.full(len(uniq), T, np.int64),
+                             "power": power})[out_cols]
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def theil_sen(sf_dir: str):
+    """Theil–Sen robust trend of each user's DAILY count series over the
+    global calendar span (missing days count 0): the median of all
+    C(T,2) pairwise slopes (x_j − x_i)/(j − i), reported as the EXACT
+    (numerator, denominator) int64 pair of the selected element — the
+    rational-output discipline (collocations/seasonal_decompose):
+    nothing lossy rides the gate.  Selection is deterministic on both
+    engines: order by (IEEE double value, num, den) — the double is the
+    same division of the same ints on both sides — and take the lower
+    median (index (m−1)//2).
+
+    Scale shape: per-batch (user, day) partials → one user-keyed
+    exchange; the pair grid is per-series C(T,2) with T = calendar days
+    (never event count), vectorized across users in each partition."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = 8
+    DAY = 86_400_000
+    ds = _read_events(sf_dir, ["user_id", "ts"], _n_parts(sf_dir))
+
+    def mm_partial(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"),
+                          1000).to_numpy(zero_copy_only=False)
+        if not len(ts_ms):
+            return pd.DataFrame({"lo": np.array([], np.int64),
+                                 "hi": np.array([], np.int64)})
+        return pd.DataFrame({"lo": [ts_ms.min() // DAY],
+                             "hi": [ts_ms.max() // DAY]})
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    d0, d1 = int(mm["lo"].min()), int(mm["hi"].max())
+    T = d1 - d0 + 1
+    ii, jj = np.triu_indices(T, 1)
+    dens = (jj - ii).astype(np.int64)
+
+    def partial(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"),
+                          1000).to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        key = u * T + (ts_ms // DAY - d0)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({"user_id": uk // T, "day": uk % T,
+                             "cnt": cnt.astype(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out_cols = ["user_id", "n_pairs", "med_num", "med_den"]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: np.array([], np.int64)
+                                 for c in out_cols})
+        g = df.groupby(["user_id", "day"], sort=True)["cnt"].sum()
+        uniq, inv = np.unique(g.index.get_level_values(0),
+                              return_inverse=True)
+        X = np.zeros((len(uniq), T), np.int64)
+        X[inv, g.index.get_level_values(1).to_numpy(np.int64)] = (
+            g.to_numpy(np.int64))
+        num = X[:, jj] - X[:, ii]                      # (nU, m)
+        den = np.broadcast_to(dens, num.shape)
+        val = num.astype(np.float64) / den
+        order = np.lexsort((den, num, val), axis=-1)
+        mid = (num.shape[1] - 1) // 2
+        sel = order[:, mid]
+        rows = np.arange(len(uniq))
+        return pd.DataFrame({
+            "user_id": uniq.astype(np.int64),
+            "n_pairs": np.full(len(uniq), num.shape[1], np.int64),
+            "med_num": num[rows, sel].astype(np.int64),
+            "med_den": den[rows, sel].astype(np.int64)})[out_cols]
+
+    return hash_exchange(partials, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

@@ -2667,3 +2667,108 @@ def test_dtw_pairs_brute(ray_session, sf_small):
         assert r.dtw == dtw(a, b) == dtw(b, a)
         if np.array_equal(a, b):
             assert r.dtw == 0
+
+
+def test_changepoints_optimal_partitioning(ray_session, sf_small):
+    """Vectorized DP == scalar reference DP per type; segments tile the
+    global span exactly; every reported cost matches its segment."""
+    got = (ev.changepoints(sf_small, beta=2000).to_pandas()
+           .sort_values(["event_type", "seg_start_ms"])
+           .reset_index(drop=True))
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_small}/events.parquet'")
+    day = con.execute("""
+        SELECT event_type, epoch_ms(ts) // 86400000 AS d, count(*) c
+        FROM events GROUP BY 1, 2""").df()
+    d0, d1 = int(day["d"].min()), int(day["d"].max())
+    T = d1 - d0 + 1
+    DAY = 86_400_000
+    for et, sub in day.groupby("event_type"):
+        x = np.zeros(T, np.int64)
+        x[sub["d"].to_numpy(np.int64) - d0] = sub["c"].to_numpy(np.int64)
+        pre = np.concatenate(([0], np.cumsum(x)))
+        sq = np.concatenate(([0], np.cumsum(x * x)))
+
+        def cost(s, t):
+            return int((t - s) * (sq[t] - sq[s]) - (pre[t] - pre[s]) ** 2)
+
+        F = [0] * (T + 1)
+        arg = [0] * (T + 1)
+        for t in range(1, T + 1):
+            cands = [F[s] + cost(s, t) + 2000 for s in range(t)]
+            F[t] = min(cands)
+            arg[t] = cands.index(F[t])
+        segs = []
+        t = T
+        while t > 0:
+            s = arg[t]
+            segs.append(((d0 + s) * DAY, (d0 + t - 1) * DAY, t - s,
+                         int(pre[t] - pre[s]), cost(s, t)))
+            t = s
+        segs.sort()
+        g = got[got["event_type"] == et]
+        eng = list(zip(g["seg_start_ms"], g["seg_end_ms"], g["n_days"],
+                       g["sum_cnt"], g["cost_num"]))
+        assert eng == segs
+        # segments tile the span
+        assert g["n_days"].sum() == T
+        assert int(g["seg_start_ms"].min()) == d0 * DAY
+        assert int(g["seg_end_ms"].max()) == d1 * DAY
+
+
+def test_spectral_daily_scalar_path(ray_session, sf_small):
+    """Vectorized Goertzel == scalar per-type recurrence, bit-equal."""
+    got = ev.spectral_daily(sf_small).to_pandas().set_index("event_type")
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_small}/events.parquet'")
+    hr = con.execute("""
+        SELECT event_type, epoch_ms(ts) // 3600000 AS h, count(*) c
+        FROM events GROUP BY 1, 2""").df()
+    h0, h1 = int(hr["h"].min()), int(hr["h"].max())
+    T = h1 - h0 + 1
+    C = ev.GOERTZEL_C24
+    for et, sub in hr.groupby("event_type"):
+        x = np.zeros(T, np.float64)
+        x[sub["h"].to_numpy(np.int64) - h0] = sub["c"].to_numpy(np.int64)
+        s1 = s2 = 0.0
+        for t in range(T):
+            s = x[t] + C * s1 - s2
+            s2, s1 = s1, s
+        power = s1 * s1 + s2 * s2 - C * s1 * s2
+        row = got.loc[et]
+        assert int(row["n_hours"]) == T
+        assert row["power"] == power          # bit-equal, no tolerance
+
+
+def test_theil_sen_brute(ray_session, sf_small):
+    """Median-pair selection == brute-force per user; den ≥ 1 and the
+    reported fraction is one of the actual pairwise slopes."""
+    got = (ev.theil_sen(sf_small).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_small}/events.parquet'")
+    day = con.execute("""
+        SELECT user_id, epoch_ms(ts) // 86400000 AS d, count(*) c
+        FROM events GROUP BY 1, 2""").df()
+    d0, d1 = int(day["d"].min()), int(day["d"].max())
+    T = d1 - d0 + 1
+    assert (got["med_den"] >= 1).all()
+    for uid, sub in day.groupby("user_id"):
+        x = np.zeros(T, np.int64)
+        x[sub["d"].to_numpy(np.int64) - d0] = sub["c"].to_numpy(np.int64)
+        cands = []
+        for i in range(T):
+            for j in range(i + 1, T):
+                n, dd = int(x[j] - x[i]), j - i
+                cands.append((n / dd, n, dd))
+        cands.sort()
+        v, n, dd = cands[(len(cands) - 1) // 2]
+        row = got[got["user_id"] == uid].iloc[0]
+        assert (int(row["med_num"]), int(row["med_den"])) == (n, dd)
+        assert int(row["n_pairs"]) == len(cands)
