@@ -228,6 +228,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnowing": docs.winnowing,
         "docs_rake": docs.rake,
         "docs_pagerank": docs.pagerank,
+        "docs_containment_pairs": docs.containment_pairs,
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
         "docs_charset_jaccard": docs.charset_jaccard,
@@ -291,6 +292,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_changepoints": ev.changepoints,
         "events_spectral_daily": ev.spectral_daily,
         "events_theil_sen": ev.theil_sen,
+        "events_discords": ev.discords,
         "events_stratified_sample": ev.stratified_sample,
         "events_records": ev.records,
         "events_velocity_10m": ev.velocity_window,
@@ -2231,6 +2233,27 @@ WITH RECURSIVE t AS (
 SELECT unnest(ns) AS doc_id, unnest(degs) AS deg, unnest(prs) AS pr_num
 FROM it WHERE round = 5
 """,
+        # asymmetric shingle-set containment: directed pairs with
+        # |A∩B|/|A| ≥ 0.8 (exact ints; same shingle identity as the
+        # jaccard family; the division is the same IEEE op both sides)
+        "docs_containment_pairs": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS inter,
+       CAST(len(a.shs) AS BIGINT) AS sz_a
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+      / greatest(len(a.shs), 1) >= 0.8
+""",
         # edit-distance near-dup candidates: same lang + same first 8
         # chars + |n_chars| diff ≤ 16, scored by exact Levenshtein over
         # the 64-char prefixes (the blocking rule IS the contract)
@@ -3602,6 +3625,48 @@ SELECT event_type,
             - (pre[t + 1] - pre[s + 1]) * (pre[t + 1] - pre[s + 1])
             AS BIGINT) AS cost_num
 FROM bt
+""",
+        # matrix-profile discord table: exact int nearest-neighbor
+        # squared distance per length-8 window over 3h-bucket counts,
+        # |i−j| ≥ 8 exclusion, ties → smallest j
+        "events_discords": """
+WITH span AS (
+  SELECT epoch_ms(min(ts)) // 10800000 AS b0,
+         epoch_ms(max(ts)) // 10800000 AS b1
+  FROM events
+), grid AS (
+  SELECT t.event_type, g.b
+  FROM (SELECT DISTINCT event_type FROM events) t, span,
+       LATERAL (SELECT unnest(range(span.b0, span.b1 + 1)) AS b) g
+), cnts AS (
+  SELECT event_type, epoch_ms(ts) // 10800000 AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), ser AS (
+  SELECT g.event_type,
+         list(CAST(coalesce(c.c, 0) AS BIGINT) ORDER BY g.b) AS xs
+  FROM grid g LEFT JOIN cnts c USING (event_type, b)
+  GROUP BY 1
+), win AS (
+  SELECT s.event_type, g.i, s.xs[g.i + 1 : g.i + 8] AS w
+  FROM ser s, LATERAL (SELECT unnest(range(0, len(s.xs) - 7)) AS i) g
+), d AS (
+  SELECT a.event_type, a.i, b.i AS j,
+         list_sum(list_transform(range(1, 9),
+           k -> (a.w[k] - b.w[k]) * (a.w[k] - b.w[k]))) AS dist
+  FROM win a JOIN win b
+    ON a.event_type = b.event_type AND abs(a.i - b.i) >= 8
+), best AS (
+  SELECT event_type, i, j, dist,
+         row_number() OVER (PARTITION BY event_type, i
+                            ORDER BY dist, j) AS rn
+  FROM d
+)
+SELECT b.event_type,
+       (s.b0 + b.i) * 10800000 AS win_start_ms,
+       CAST(b.dist AS BIGINT) AS mp_num,
+       (s.b0 + b.j) * 10800000 AS nn_start_ms
+FROM best b, span s WHERE b.rn = 1
 """,
         # Theil–Sen slope per user over daily counts: exact (num, den) of
         # the lower-median pairwise slope, selected by (double value,

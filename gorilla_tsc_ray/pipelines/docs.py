@@ -3513,3 +3513,50 @@ def pagerank(sf_dir: str, threshold: float = 0.5, rounds: int = 5,
                 *[outs[s][1 + p] for s in range(n_parts)])
                 for p in range(n_parts)]
             return ray.data.from_arrow_refs(finals)
+
+
+def containment_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3):
+    """Asymmetric set-CONTAINMENT join over word-3-shingle sets: directed
+    pairs (A, B) with |A∩B| / |A| ≥ τ — the superset/quote-detection
+    shape Jaccard misses (a doc fully quoted inside a much longer one has
+    high containment but arbitrarily low Jaccard).  Same shingle identity
+    as :func:`ngram_jaccard`'s SQL truth; output is the exact integer
+    (inter, sz_a) pair per the rational-output discipline.
+
+    Scale shape: A-side ships only prefix rows (the containment prefix
+    theorem: ⌈τ|A|⌉−1 elements sit outside the prefix, so a true pair
+    always collides); B-side is the full-element inverted index — bounded
+    by corpus token volume, the TF-IDF exchange's cost envelope, with
+    near-unique shingle hashes keeping buckets short.  One tok-keyed
+    exchange generates directed candidates with the positional upper
+    bound filter; the broadcast-vs-shuffle verify selector finishes."""
+    import pyarrow as pa
+
+    tune_context()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sets = ds.map_batches(dd.shingle_sets_table, batch_format="pyarrow",
+                          fn_kwargs={"k": k}).materialize()
+
+    def _mark(side):
+        def add(tbl):
+            return tbl.append_column(
+                "side", pa.array(np.full(tbl.num_rows, side, np.int8)))
+        return add
+
+    a_rows = sets.map_batches(
+        dd.prefix_token_rows, batch_format="pyarrow",
+        fn_kwargs={"threshold": threshold}).map_batches(
+        _mark(0), batch_format="pyarrow")
+    b_rows = sets.map_batches(
+        dd.all_token_rows, batch_format="pyarrow").map_batches(
+        _mark(1), batch_format="pyarrow")
+    cands = hash_exchange(
+        a_rows.union(b_rows), key_fn=_pair_hash_key(["tok"]),
+        n_parts=N_DOC_PARTS, kernel=dd.containment_candidates_partition,
+        fmt="pandas", kernel_kwargs={"threshold": threshold})
+    cands = _dedup_pairs(cands, ["id_a", "id_b"])
+    return _verify_id_pairs(
+        cands, sets.select_columns(["doc_id", "elems"]),
+        payload_id="doc_id", payload_col="elems", attach_out="elems_a",
+        verify_kernel=dd.set_containment_verify,
+        verify_kwargs={"threshold": threshold})

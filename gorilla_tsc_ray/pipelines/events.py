@@ -5831,3 +5831,92 @@ def theil_sen(sf_dir: str):
 
     return hash_exchange(partials, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def discords(sf_dir: str, bucket_ms: int = 10_800_000, m: int = 8):
+    """Matrix-profile discord table per event type: over the type's
+    3h-bucket count series (global span, zeros filled), every length-"""\
+    """``m`` sliding window gets its exact nearest-neighbor squared
+    distance mp = min over |i−j| ≥ m of Σ(w_i − w_j)² (the trivial-match
+    exclusion zone) and the argmin window — the discord/motif primitive
+    (a high mp is an anomalous day-shape, a low one a repeated motif).
+    All-int arithmetic (counts → squared diffs), ties → smallest j, so
+    the oracle is bit-equal.
+
+    Scale shape: (type, bucket) count partials → one type-keyed
+    exchange; per-series work is O(W²·m) on the BUCKET grid (W = span /
+    bucket − m + 1, independent of event count), via one integer
+    Gram-matrix matmul per series."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = 4
+    ds = _read_events(sf_dir, ["event_type", "ts"], _n_parts(sf_dir))
+
+    def mm_partial(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"),
+                          1000).to_numpy(zero_copy_only=False)
+        if not len(ts_ms):
+            return pd.DataFrame({"lo": np.array([], np.int64),
+                                 "hi": np.array([], np.int64)})
+        return pd.DataFrame({"lo": [ts_ms.min() // bucket_ms],
+                             "hi": [ts_ms.max() // bucket_ms]})
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    b0, b1 = int(mm["lo"].min()), int(mm["hi"].max())
+    T = b1 - b0 + 1
+    W = T - m + 1
+
+    def partial(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"),
+                          1000).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
+                           "bucket": ts_ms // bucket_ms - b0})
+        g = (df.groupby(["event_type", "bucket"], sort=False)
+             .size().rename("cnt").reset_index())
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def key_fn(tbl):
+        h = arrow_col_hash(tbl, "event_type")
+        return (h % np.uint64(P)).astype(np.int64)
+
+    out_cols = ["event_type", "win_start_ms", "mp_num", "nn_start_ms"]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or W < 2:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                **{c: np.array([], np.int64) for c in out_cols[1:]}})
+        g = df.groupby(["event_type", "bucket"], sort=True)["cnt"].sum()
+        uniq, inv = np.unique(g.index.get_level_values(0),
+                              return_inverse=True)
+        rows = []
+        big = np.iinfo(np.int64).max
+        for i, et in enumerate(uniq):
+            x = np.zeros(T, np.int64)
+            sel = inv == i
+            x[g.index.get_level_values(1).to_numpy(np.int64)[sel]] = (
+                g.to_numpy(np.int64)[sel])
+            Wm = np.lib.stride_tricks.sliding_window_view(x, m)  # (W, m)
+            Wm = np.ascontiguousarray(Wm, dtype=np.int64)
+            ssq = (Wm * Wm).sum(axis=1)
+            D = ssq[:, None] + ssq[None, :] - 2 * (Wm @ Wm.T)
+            off = np.abs(np.arange(W)[:, None] - np.arange(W)[None, :])
+            D[off < m] = big
+            nn = np.argmin(D, axis=1)                 # first = smallest j
+            mp = D[np.arange(W), nn]
+            rows.append(pd.DataFrame({
+                "event_type": et,
+                "win_start_ms": (b0 + np.arange(W)) * bucket_ms,
+                "mp_num": mp,
+                "nn_start_ms": (b0 + nn) * bucket_ms}))
+        out = pd.concat(rows, ignore_index=True)
+        for c in out_cols[1:]:
+            out[c] = out[c].astype(np.int64)
+        return out[out_cols]
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=P,
+                         kernel=kernel, fmt="pandas")

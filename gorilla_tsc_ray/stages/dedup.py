@@ -1189,3 +1189,145 @@ def char_shingle_sets_table(df: pd.DataFrame, *, id_col: str = "doc_id",
         "elems": pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
                                           pa.array(v, pa.uint64())),
     })
+
+
+def all_token_rows(tbl):
+    """map_batches stage over a sets table → one row per (doc, element):
+    ``(doc_id, tok, sz, pos)`` — the FULL-set sibling of
+    :func:`prefix_token_rows`, for the index side of asymmetric
+    (containment) joins where the superset candidate must be findable by
+    ANY of its elements, not just a prefix."""
+    import pyarrow as pa
+
+    elems = tbl.column("elems")
+    elems = (elems.combine_chunks() if isinstance(elems, pa.ChunkedArray)
+             else elems)
+    offs = elems.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(offs)
+    rep = np.repeat(np.arange(len(lens)), lens)
+    within = np.arange(int(lens.sum())) - np.repeat(offs[:-1], lens)
+    rep_idx = pa.array(rep)
+    return pa.table({
+        "doc_id": tbl.column("doc_id").take(rep_idx),
+        "tok": elems.values,
+        "sz": pa.array(lens[rep].astype(np.int32), pa.int32()),
+        "pos": pa.array(within.astype(np.int32), pa.int32())})
+
+
+def containment_candidates_partition(df: pd.DataFrame, *,
+                                     threshold: float,
+                                     max_bucket_pairs: int = 1_000_000,
+                                     ) -> pd.DataFrame:
+    """One exchange partition of two-sided rows (``side`` 0 = A-prefix,
+    1 = B-full-index) → DIRECTED candidate pairs (id_a ⊆? id_b) for the
+    containment join: within each tok bucket, A-rows × B-rows.  The
+    positional filter keeps a pair only if the position-derived overlap
+    UPPER bound min(posA,posB) + min(szA−posA, szB−posB) can still reach
+    τ·szA — the PPJoin bound adapted to the asymmetric denominator.
+    Recall: a true pair (|A∩B| ≥ τ|A|) shares ≥1 token in prefix(A)
+    (only ⌈τ|A|⌉−1 elements of A sit outside the prefix), and the bound
+    at that generation ≥ the true overlap, so it survives."""
+    empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                          "id_b": np.array([], dtype=np.int64)})
+    n = len(df)
+    if n < 2:
+        return empty
+    ids = df["doc_id"].to_numpy()
+    tok = df["tok"].to_numpy()
+    side = df["side"].to_numpy().astype(np.int8)
+    sz = df["sz"].to_numpy().astype(np.int64)
+    pos = df["pos"].to_numpy().astype(np.int64)
+    order = np.lexsort((ids, side, tok))
+    tok_s, side_s = tok[order], side[order]
+    ids_s, sz_s, pos_s = ids[order], sz[order], pos[order]
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    change[1:] = tok_s[1:] != tok_s[:-1]
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.append(starts, n))
+    n_a = np.add.reduceat((side_s == 0).astype(np.int64), starts)
+    n_b = sizes - n_a
+    m = n_a * n_b
+    over = m > max_bucket_pairs
+    if over.any():
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "containment bucket truncated: %d buckets over %d pairs "
+            "(largest %d)", int(over.sum()), max_bucket_pairs,
+            int(m.max()))
+        m = np.minimum(m, max_bucket_pairs)
+    tot = int(m.sum())
+    if tot == 0:
+        return empty
+    run_of = np.repeat(np.arange(len(starts)), m)
+    p = (np.arange(tot, dtype=np.int64)
+         - np.repeat(np.concatenate(([0], np.cumsum(m)[:-1])), m))
+    nb_of = n_b[run_of]
+    ga = starts[run_of] + p // nb_of
+    gb = starts[run_of] + n_a[run_of] + p % nb_of
+    ok = ids_s[ga] != ids_s[gb]
+    bound = (np.minimum(pos_s[ga], pos_s[gb])
+             + np.minimum(sz_s[ga] - pos_s[ga], sz_s[gb] - pos_s[gb]))
+    ok &= bound.astype(np.float64) / sz_s[ga] >= threshold
+    ga, gb = ga[ok], gb[ok]
+    if not len(ga):
+        return empty
+    id_a = ids_s[ga].astype(np.int64)
+    id_b = ids_s[gb].astype(np.int64)
+    order2 = np.lexsort((id_b, id_a))
+    id_a, id_b = id_a[order2], id_b[order2]
+    keep = np.concatenate(
+        ([True], (id_a[1:] != id_a[:-1]) | (id_b[1:] != id_b[:-1])))
+    return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
+
+
+def set_containment_verify(pairs, payload, *, threshold: float,
+                           id_col: str = "doc_id") -> pd.DataFrame:
+    """Exact containment verify (the :func:`set_jaccard_verify` membership
+    probe with the asymmetric denominator): keeps directed pairs with
+    |A∩B| / |A| ≥ τ and emits the EXACT integers (inter, sz_a) — the
+    ratio is a consumer-side rational, nothing lossy rides the gate."""
+    import pyarrow as pa
+
+    empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                          "id_b": np.array([], dtype=np.int64),
+                          "inter": np.array([], dtype=np.int64),
+                          "sz_a": np.array([], dtype=np.int64)})
+    ia = pairs.column("id_a").to_numpy()
+    ib = pairs.column("id_b").to_numpy()
+    if len(ia) == 0:
+        return empty
+    ea = pairs.column("elems_a")
+    ea = ea.combine_chunks() if isinstance(ea, pa.ChunkedArray) else ea
+    pos_b = _payload_lookup(ib, payload, id_col)
+    col = payload.column("elems")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    va, la = _list_flat(ea)
+    pv, pl = _list_flat(col)
+    n = len(ia)
+    if len(pv) == 0 or len(va) == 0:
+        inter = np.zeros(n, dtype=np.int64)
+    else:
+        uniq = np.unique(pv)
+        p_row = np.repeat(np.arange(len(pl), dtype=np.int64), pl)
+        pk = (p_row << 33) | np.searchsorted(uniq, pv)
+        pk.sort()
+        pair_of_a = np.repeat(np.arange(n, dtype=np.int64), la)
+        a_code = np.searchsorted(uniq, va)
+        np.minimum(a_code, len(uniq) - 1, out=a_code)
+        in_vocab = uniq[a_code] == va
+        qk = (pos_b[pair_of_a].astype(np.int64) << 33) | a_code
+        loc = np.searchsorted(pk, qk)
+        np.minimum(loc, len(pk) - 1, out=loc)
+        found = in_vocab & (pk[loc] == qk)
+        inter = np.bincount(pair_of_a[found], minlength=n)
+    sz_a = np.maximum(la, 1)
+    keep = inter / sz_a >= threshold
+    if not keep.any():
+        return empty
+    return pd.DataFrame({
+        "id_a": ia[keep].astype(np.int64),
+        "id_b": ib[keep].astype(np.int64),
+        "inter": inter[keep].astype(np.int64),
+        "sz_a": la[keep].astype(np.int64)})

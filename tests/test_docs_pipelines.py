@@ -1433,3 +1433,40 @@ def test_pagerank_integer_exact(ray_session, sf_small):
     assert dict(zip(got["doc_id"], got["deg"])) == deg
     assert (got["pr_num"] > 0).all()
     assert got["pr_num"].sum() <= S
+
+
+def test_containment_pairs_brute(ray_session, sf_small):
+    """Directed containment pairs == brute-force over exact shingle sets;
+    asymmetric: A⊆B at τ does not imply B⊆A."""
+    import duckdb
+    got = (docs.containment_pairs(sf_small).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_small}/documents.parquet'")
+    sets = con.execute("""
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+                   FROM documents)
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(toks) - 2, 1) + 1),
+          i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                      coalesce(toks[i+2], '')))) AS shs
+        FROM t""").df()
+    S = {int(r.doc_id): frozenset(r.shs) for r in sets.itertuples()}
+    exp = []
+    for a, sa in S.items():
+        for b, sb in S.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if inter / max(len(sa), 1) >= 0.8:
+                exp.append((a, b, inter, len(sa)))
+    exp.sort()
+    eng = list(zip(got["id_a"], got["id_b"], got["inter"], got["sz_a"]))
+    assert eng == exp
+    # asymmetry is real on this data OR the set is empty
+    pairs = {(a, b) for a, b, _, _ in exp}
+    if pairs:
+        assert any((b, a) not in pairs for a, b in pairs) or all(
+            (b, a) in pairs for a, b in pairs)

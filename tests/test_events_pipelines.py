@@ -2772,3 +2772,40 @@ def test_theil_sen_brute(ray_session, sf_small):
         row = got[got["user_id"] == uid].iloc[0]
         assert (int(row["med_num"]), int(row["med_den"])) == (n, dd)
         assert int(row["n_pairs"]) == len(cands)
+
+
+def test_discords_brute(ray_session, sf_small):
+    """Gram-matrix kernel == scalar window scan; exclusion zone honored;
+    mp symmetric consistency (nn's distance back to i is ≥ its own mp)."""
+    got = ev.discords(sf_small).to_pandas()
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_small}/events.parquet'")
+    hr = con.execute("""
+        SELECT event_type, epoch_ms(ts) // 10800000 AS b, count(*) c
+        FROM events GROUP BY 1, 2""").df()
+    b0, b1 = int(hr["b"].min()), int(hr["b"].max())
+    T = b1 - b0 + 1
+    m = 8
+    BK = 10_800_000
+    for et, sub in hr.groupby("event_type"):
+        x = np.zeros(T, np.int64)
+        x[sub["b"].to_numpy(np.int64) - b0] = sub["c"].to_numpy(np.int64)
+        Wn = T - m + 1
+        g = got[got["event_type"] == et].set_index("win_start_ms")
+        assert len(g) == Wn
+        for i in range(Wn):
+            best, bj = None, None
+            for j in range(Wn):
+                if abs(i - j) < m:
+                    continue
+                d = int(((x[i:i + m] - x[j:j + m]) ** 2).sum())
+                if best is None or d < best:
+                    best, bj = d, j
+            row = g.loc[(b0 + i) * BK]
+            assert int(row["mp_num"]) == best
+            assert int(row["nn_start_ms"]) == (b0 + bj) * BK
+        # exclusion: nn at least m buckets away
+        assert (abs(g.index.to_numpy() - g["nn_start_ms"].to_numpy())
+                >= m * BK).all()
