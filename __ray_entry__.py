@@ -293,6 +293,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_spectral_daily": ev.spectral_daily,
         "events_theil_sen": ev.theil_sen,
         "events_discords": ev.discords,
+        "events_survival_km": ev.survival_km,
         "events_stratified_sample": ev.stratified_sample,
         "events_records": ev.records,
         "events_velocity_10m": ev.velocity_window,
@@ -302,6 +303,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival_hist": ev.interarrival_hist,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
+        "transcripts_len_drift": ingest.len_drift,
         "transcripts_tool_summary": ingest.tool_summary,
         "transcripts_sub_sessions": ingest.sub_sessions,
         "transcripts_context_budget": ingest.context_budget,
@@ -1250,6 +1252,31 @@ FROM d GROUP BY 1
 """,
         # assistant response latency per conv: user->assistant adjacent
         # turn gaps; median = lower order statistic (exact integers)
+        # Theil–Sen drift of message length over canonical-order position
+        # (first 64 turns): exact (num, den) of the lower-median pairwise
+        # slope, selected by (double value, num, den)
+        "transcripts_len_drift": tdedup + """
+, r AS (
+  SELECT conv_id, length(text) AS x,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+           AS i
+  FROM d
+), c AS (SELECT * FROM r WHERE i < 64),
+pairs AS (
+  SELECT a.conv_id, b.x - a.x AS num, b.i - a.i AS den,
+         CAST(b.x - a.x AS DOUBLE) / (b.i - a.i) AS val
+  FROM c a JOIN c b ON a.conv_id = b.conv_id AND a.i < b.i
+), ranked AS (
+  SELECT conv_id, num, den,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY val, num, den) AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS m
+  FROM pairs
+)
+SELECT conv_id, CAST(m AS BIGINT) AS n_pairs,
+       CAST(num AS BIGINT) AS med_num, CAST(den AS BIGINT) AS med_den
+FROM ranked WHERE rn = (m - 1) // 2 + 1
+""",
         "transcripts_response_latency": tdedup + """
 , s AS (
   SELECT conv_id, ts_ms, role,
@@ -3625,6 +3652,39 @@ SELECT event_type,
             - (pre[t + 1] - pre[s + 1]) * (pre[t + 1] - pre[s + 1])
             AS BIGINT) AS cost_num
 FROM bt
+""",
+        # Kaplan–Meier table of day-floored inter-purchase gaps with
+        # right-censoring at the global max ts: exact integer (events,
+        # censored, at-risk) per event time — survival is consumer-side
+        "events_survival_km": """
+WITH p AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+  WHERE event_type = 'purchase'
+), mx AS (SELECT max(epoch_ms(ts)) AS hi FROM events),
+g AS (
+  SELECT user_id, ts_ms,
+         lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS nxt
+  FROM p
+), dur AS (
+  SELECT (nxt - ts_ms) // 86400000 AS t, 1 AS ev, 0 AS cen
+  FROM g WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT ((SELECT hi FROM mx) - ts_ms) // 86400000, 0, 1
+  FROM g WHERE nxt IS NULL
+), agg AS (
+  SELECT t, CAST(sum(ev) AS BIGINT) AS ev, CAST(sum(cen) AS BIGINT) AS cen
+  FROM dur GROUP BY 1
+), km AS (
+  SELECT t, ev, cen,
+         CAST((SELECT count(*) FROM dur) -
+           coalesce(sum(ev + cen) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS at_risk
+  FROM agg
+)
+SELECT t AS t_days, ev AS n_events, cen AS n_censored,
+       at_risk AS n_at_risk
+FROM km WHERE ev > 0
 """,
         # matrix-profile discord table: exact int nearest-neighbor
         # squared distance per length-8 window over 3h-bucket counts,

@@ -5920,3 +5920,94 @@ def discords(sf_dir: str, bucket_ms: int = 10_800_000, m: int = 8):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def survival_km(sf_dir: str, etype: str = "purchase"):
+    """Kaplan–Meier survival TABLE of inter-purchase gaps: per user the
+    day-floored gaps between consecutive '"""\
+    """purchase' events are complete
+    observations and the gap from the last purchase to the global max ts
+    is right-CENSORED; for every event time t (a duration with ≥1
+    complete observation) emit exact integer (n_events, n_censored_at_t,
+    n_at_risk) — the survival curve Π(1 − d/n) is a consumer-side
+    product of rationals (the rational-output discipline; nothing lossy
+    rides the gate).
+
+    Scale shape: one user-keyed exchange computes per-user gap lists
+    (sequential axis = a user's own purchases); duration counts then
+    reduce on a t-keyed exchange BOUNDED by the day span — at_risk is a
+    suffix sum over that bounded domain, never a per-user scan."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = 8
+    DAY = 86_400_000
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_type"],
+                      _n_parts(sf_dir))
+
+    def mm_partial(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"),
+                          1000).to_numpy(zero_copy_only=False)
+        if not len(ts_ms):
+            return pd.DataFrame({"hi": np.array([], np.int64)})
+        return pd.DataFrame({"hi": [int(ts_ms.max())]})
+
+    hi = int(ds.map_batches(mm_partial, batch_format="pyarrow")
+             .to_pandas()["hi"].max())
+
+    def purchases(batch):
+        import pyarrow as pa
+
+        m = pc.equal(pc.cast(batch["event_type"], "string"), etype)
+        sub = batch.filter(m)
+        ts_ms = pc.divide(pc.cast(sub["ts"], "int64"), 1000)
+        return pa.table({"user_id": sub["user_id"], "ts_ms": ts_ms})
+
+    rows = ds.map_batches(purchases, batch_format="pyarrow")
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["t_days", "ev", "cen"]
+        if not len(df):
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_ms"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        comp = (ts[1:] - ts[:-1])[same] // DAY
+        last = np.concatenate((~same, [True]))
+        cen = (hi - ts[last]) // DAY
+        tt = np.concatenate((comp, cen))
+        kind = np.concatenate((np.zeros(len(comp), np.int64),
+                               np.ones(len(cen), np.int64)))
+        key = tt * 2 + kind
+        uk, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({
+            "t_days": uk // 2,
+            "ev": np.where(uk % 2 == 0, cnt, 0).astype(np.int64),
+            "cen": np.where(uk % 2 == 1, cnt, 0).astype(np.int64)})[cols]
+
+    partials = hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                             kernel=gaps, fmt="pandas")
+
+    out_cols = ["t_days", "n_events", "n_censored", "n_at_risk"]
+
+    def km(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: np.array([], np.int64)
+                                 for c in out_cols})
+        g = df.groupby("t_days", sort=True)[["ev", "cen"]].sum()
+        t = g.index.to_numpy(np.int64)
+        ev = g["ev"].to_numpy(np.int64)
+        cen = g["cen"].to_numpy(np.int64)
+        total = int(ev.sum() + cen.sum())
+        before = np.concatenate(([0], np.cumsum(ev + cen)[:-1]))
+        at_risk = total - before
+        keep = ev > 0
+        return pd.DataFrame({
+            "t_days": t[keep], "n_events": ev[keep],
+            "n_censored": cen[keep],
+            "n_at_risk": at_risk[keep]})[out_cols]
+
+    return hash_exchange(partials,
+                         key_fn=lambda t: np.zeros(t.num_rows, np.int64),
+                         n_parts=1, kernel=km, fmt="pandas")

@@ -1529,3 +1529,63 @@ def conv_length_histogram(sf_dir: str):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=4, kernel=merge,
                          fmt="pandas")
+
+
+def len_drift(sf_dir: str, cap: int = 64):
+    """Per-conversation Theil–Sen drift of message length over the first
+    ``cap`` canonical turns: the median pairwise slope (len_j − len_i) /
+    (j − i) over canonical-order positions, reported as the EXACT
+    (numerator, denominator) int64 pair (the events theil_sen
+    discipline) — a positive drift is the "assistant messages keep
+    growing" context-bloat signal, negative the truncation signal.
+    Selection is deterministic: order by (IEEE double value, num, den),
+    take the lower median; the division is the same IEEE op both sides.
+
+    Shuffle-free conv pass (conversations live whole inside one bucket
+    file); the pair grid is C(min(n, cap), 2) per conv, vectorized
+    ACROSS conversations via a shared triu template + validity mask."""
+    import pyarrow.compute as pc
+
+    from ..stages.metrics import canonical_turns_arrow
+
+    ii, jj = np.triu_indices(cap, 1)
+
+    def kernel(batch):
+        cols = ["conv_id", "n_pairs", "med_num", "med_den"]
+        t = canonical_turns_arrow(batch)
+        conv = t["conv_id"].to_pandas().astype(str).to_numpy()
+        xlen = pc.utf8_length(pc.cast(t["text"], "string")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        empty = pd.DataFrame({
+            "conv_id": np.array([], dtype=object),
+            **{c: np.array([], np.int64) for c in cols[1:]}})
+        if len(conv) == 0:
+            return empty
+        new = np.concatenate(([True], conv[1:] != conv[:-1]))
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(conv)))
+        n = np.minimum(lens, cap)
+        keep = n >= 2
+        starts, n = starts[keep], n[keep]
+        if not len(starts):
+            return empty
+        X = np.zeros((len(starts), cap), np.int64)
+        rep = np.repeat(np.arange(len(starts)), n)
+        within = (np.arange(int(n.sum()))
+                  - np.repeat(np.concatenate(([0], np.cumsum(n)[:-1])), n))
+        X[rep, within] = xlen[starts[rep] + within]
+        num = X[:, jj] - X[:, ii]
+        den = np.broadcast_to((jj - ii).astype(np.int64), num.shape)
+        valid = jj[None, :] < n[:, None]
+        val = np.where(valid, num.astype(np.float64) / den, np.inf)
+        nn = np.where(valid, num, np.iinfo(np.int64).max)
+        order = np.lexsort((den, nn, val), axis=-1)
+        m = (n * (n - 1) // 2).astype(np.int64)
+        sel = order[np.arange(len(starts)), (m - 1) // 2]
+        rows = np.arange(len(starts))
+        return pd.DataFrame({
+            "conv_id": conv[starts], "n_pairs": m,
+            "med_num": num[rows, sel].astype(np.int64),
+            "med_den": den[rows, sel].astype(np.int64)})[cols]
+
+    return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")

@@ -2809,3 +2809,28 @@ def test_discords_brute(ray_session, sf_small):
         # exclusion: nn at least m buckets away
         assert (abs(g.index.to_numpy() - g["nn_start_ms"].to_numpy())
                 >= m * BK).all()
+
+
+def test_survival_km_invariants(ray_session, sf_small):
+    """KM table sanity: at_risk strictly decreasing over event times,
+    first at_risk = total observations, events ≤ at_risk, and the
+    complete/censored split accounts for every purchase."""
+    got = (ev.survival_km(sf_small).to_pandas()
+           .sort_values("t_days").reset_index(drop=True))
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_small}/events.parquet'")
+    n_purch, n_users = con.execute("""
+        SELECT count(*), count(DISTINCT user_id) FROM events
+        WHERE event_type = 'purchase'""").fetchone()
+    if n_purch == 0:
+        assert len(got) == 0
+        return
+    ar = got["n_at_risk"].to_numpy()
+    assert (np.diff(ar) < 0).all()
+    assert (got["n_events"] <= got["n_at_risk"]).all()
+    assert (got["n_events"] >= 1).all()
+    # total observations = gaps (purchases - users) + censored (users)
+    assert int(ar[0]) <= n_purch
+    assert int(got["n_events"].sum()) <= n_purch - n_users + 1

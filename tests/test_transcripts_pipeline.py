@@ -710,3 +710,32 @@ def test_conv_length_histogram(ray_session, sf_small):
                                   want["n_convs"].to_numpy())
     # conservation: histogram mass = number of conversations
     assert got["n_convs"].sum() == len(stats)
+
+
+def test_len_drift_brute(ray_session):
+    """Template-masked Theil–Sen kernel == per-conv brute force over the
+    canonical turn surface (first-64 cap honored)."""
+    got = _sorted(ingest.len_drift(SF).to_pandas(), ["conv_id"])
+    turns = _oracle(DEDUP_CTE + """
+SELECT conv_id, length(text) AS x,
+       row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS i
+FROM d""")
+    exp_rows = []
+    for cid, sub in turns.groupby("conv_id"):
+        sub = sub[sub["i"] < 64].sort_values("i")
+        x = sub["x"].to_numpy(np.int64)
+        n = len(x)
+        if n < 2:
+            continue
+        cands = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                nm, dd_ = int(x[j] - x[i]), j - i
+                cands.append((nm / dd_, nm, dd_))
+        cands.sort()
+        _, nm, dd_ = cands[(len(cands) - 1) // 2]
+        exp_rows.append((cid, len(cands), nm, dd_))
+    exp_rows.sort()
+    eng = list(zip(got["conv_id"], got["n_pairs"], got["med_num"],
+                   got["med_den"]))
+    assert eng == exp_rows
