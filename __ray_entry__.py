@@ -229,6 +229,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_rake": docs.rake,
         "docs_pagerank": docs.pagerank,
         "docs_containment_pairs": docs.containment_pairs,
+        "docs_dedup_savings": docs.dedup_savings,
         # — training-data ops: dedup family —
         "docs_exact_dedup": docs.exact_dedup,
         "docs_charset_jaccard": docs.charset_jaccard,
@@ -294,6 +295,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_theil_sen": ev.theil_sen,
         "events_discords": ev.discords,
         "events_survival_km": ev.survival_km,
+        "events_rolling_median_5": ev.rolling_median_5,
         "events_stratified_sample": ev.stratified_sample,
         "events_records": ev.records,
         "events_velocity_10m": ev.velocity_window,
@@ -2260,6 +2262,45 @@ WITH RECURSIVE t AS (
 SELECT unnest(ns) AS doc_id, unnest(degs) AS deg, unnest(prs) AS pr_num
 FROM it WHERE round = 5
 """,
+        # per-source dedup savings off the cluster closure: survivors =
+        # cluster keepers (min doc_id) + unpaired singletons
+        "docs_dedup_savings": """
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM t
+), s AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shs, b.shs)) * 1.0 /
+         greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), pr AS (SELECT id_a, id_b FROM s WHERE j >= 0.5),
+e AS (SELECT id_a AS a, id_b AS b FROM pr
+      UNION SELECT id_b, id_a FROM pr),
+r AS (
+  SELECT a AS n, a AS m FROM e
+  UNION
+  SELECT r.n, e.b FROM r JOIN e ON r.m = e.a
+), lab AS (
+  SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY 1
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN lab.doc_id IS NULL
+                       OR lab.cluster_id = d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(sum(d.n_chars) AS BIGINT) AS chars_before,
+       CAST(sum(CASE WHEN lab.doc_id IS NULL
+                       OR lab.cluster_id = d.doc_id
+                     THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_after
+FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id
+GROUP BY 1
+""",
         # asymmetric shingle-set containment: directed pairs with
         # |A∩B|/|A| ≥ 0.8 (exact ints; same shingle identity as the
         # jaccard family; the division is the same IEEE op both sides)
@@ -3652,6 +3693,24 @@ SELECT event_type,
             - (pre[t + 1] - pre[s + 1]) * (pre[t + 1] - pre[s + 1])
             AS BIGINT) AS cost_num
 FROM bt
+""",
+        # trailing-5-row median per user: exact lower order statistic at
+        # rank (n−1)//2 over round-half-away cents
+        "events_rolling_median_5": """
+WITH p AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT event_id,
+         list(cents) OVER (PARTITION BY user_id
+                           ORDER BY ts_ms, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS l
+  FROM p
+)
+SELECT event_id, CAST(len(l) AS BIGINT) AS n_window,
+       CAST(list_sort(l)[(len(l) - 1) // 2 + 1] AS BIGINT) AS med_cents
+FROM w
 """,
         # Kaplan–Meier table of day-floored inter-purchase gaps with
         # right-censoring at the global max ts: exact integer (events,

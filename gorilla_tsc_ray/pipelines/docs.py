@@ -3560,3 +3560,66 @@ def containment_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3):
         payload_id="doc_id", payload_col="elems", attach_out="elems_a",
         verify_kernel=dd.set_containment_verify,
         verify_kwargs={"threshold": threshold})
+
+
+def dedup_savings(sf_dir: str, threshold: float = 0.5):
+    """Per-source dedup SAVINGS report — the pipeline-health table a
+    training-data run publishes after cluster dedup: for every document
+    ``source``, how many docs and characters the corpus holds before and
+    after keep-min-per-cluster dedup (survivor = cluster keeper or
+    unpaired singleton).  Exact integers off the oracle-checked cluster
+    truth (:func:`dup_clusters`).
+
+    Scale shape: the label table (only docs that appear in a near-dup
+    pair — pair-bounded, not corpus-bounded) co-partitions with the
+    documents' (doc_id, source, n_chars) rows on one doc-keyed exchange
+    that emits per-partition (source, counts) partials; a final
+    source-keyed exchange sums them.  Nothing corpus-sized leaves the
+    partitions."""
+    from ..stages.exchange import hash_exchange_multi
+    from ..util import arrow_key_ids
+
+    tune_context()
+    docs_rows = _read(sf_dir, "documents",
+                      ["doc_id", "source", "n_chars"])
+    labels = dup_clusters(sf_dir, threshold=threshold)
+
+    part_cols = ["source", "n_docs", "n_survivors",
+                 "chars_before", "chars_after"]
+
+    def partial(d: pd.DataFrame, lab: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                **{c: np.array([], np.int64) for c in part_cols[1:]}})
+        lab_idx = pd.Series(
+            lab["cluster_id"].to_numpy(np.int64),
+            index=lab["doc_id"].to_numpy(np.int64))
+        ids = d["doc_id"].to_numpy(np.int64)
+        clu = lab_idx.reindex(ids)
+        surv = clu.isna().to_numpy() | (clu.to_numpy() == ids)
+        nch = d["n_chars"].to_numpy(np.int64)
+        g = pd.DataFrame({
+            "source": d["source"].to_numpy(),
+            "n_docs": np.ones(len(d), np.int64),
+            "n_survivors": surv.astype(np.int64),
+            "chars_before": nch,
+            "chars_after": np.where(surv, nch, 0).astype(np.int64),
+        }).groupby("source", as_index=False, sort=False).sum()
+        return g[part_cols]
+
+    partials = hash_exchange_multi(
+        [(docs_rows, _pair_hash_key(["doc_id"])),
+         (labels, _pair_hash_key(["doc_id"]))],
+        n_parts=N_DOC_PARTS, kernel=partial, fmt="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("source", as_index=False, sort=False)
+               [part_cols[1:]].sum())
+        for c in part_cols[1:]:
+            out[c] = out[c].astype(np.int64)
+        return out[part_cols]
+
+    return hash_exchange(partials,
+                         key_fn=lambda t: arrow_key_ids(t, ["source"], 4),
+                         n_parts=4, kernel=merge, fmt="pandas")

@@ -6011,3 +6011,62 @@ def survival_km(sf_dir: str, etype: str = "purchase"):
     return hash_exchange(partials,
                          key_fn=lambda t: np.zeros(t.num_rows, np.int64),
                          n_parts=1, kernel=km, fmt="pandas")
+
+
+def rolling_median_5(sf_dir: str):
+    """Trailing-5-row median of event value per user (ROWS window, cents
+    precision): for each event the lower median of the last ≤5 values in
+    (ts, event_id) order — the robust sibling of rolling_5's mean, an
+    exact ORDER STATISTIC (rank (n−1)//2) over round-half-away cents so
+    the oracle is int-equal (the ks_pairs cents discipline).
+
+    Scale shape: one user-keyed exchange; per partition the window is a
+    (rows × 5) strided gather masked at user starts — no per-row Python,
+    no cross-partition window state (a user's rows co-locate)."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = 8
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"],
+                      _n_parts(sf_dir))
+
+    def rows(batch):
+        import pyarrow as pa
+
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"), 1000)
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts_ms": ts_ms, "value": batch["value"]})
+
+    rows_ds = ds.map_batches(rows, batch_format="pyarrow")
+    out_cols = ["event_id", "n_window", "med_cents"]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: np.array([], np.int64)
+                                 for c in out_cols})
+        df = df.sort_values(["user_id", "ts_ms", "event_id"],
+                            kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        cents = round_half_away(df["value"].to_numpy() * 100.0, 0)
+        cents = cents.astype(np.int64)
+        n = len(df)
+        start_of = np.flatnonzero(
+            np.concatenate(([True], u[1:] != u[:-1])))
+        run_start = np.repeat(start_of, np.diff(np.append(start_of, n)))
+        idx = np.arange(n)
+        big = np.iinfo(np.int64).max
+        w = np.full((n, 5), big, np.int64)
+        for k in range(5):
+            src = idx - k
+            ok = src >= run_start
+            w[ok, k] = cents[src[ok]]
+        nw = np.minimum(idx - run_start + 1, 5).astype(np.int64)
+        w.sort(axis=1)
+        med = w[idx, (nw - 1) // 2]
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "n_window": nw, "med_cents": med})[out_cols]
+
+    return hash_exchange(rows_ds, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")

@@ -1470,3 +1470,23 @@ def test_containment_pairs_brute(ray_session, sf_small):
     if pairs:
         assert any((b, a) not in pairs for a, b in pairs) or all(
             (b, a) in pairs for a, b in pairs)
+
+
+def test_dedup_savings_consistency(ray_session, sf_small):
+    """Savings table reconciles with the cluster truth: survivors =
+    total docs − (cluster members − clusters); char totals match."""
+    got = docs.dedup_savings(sf_small).to_pandas()
+    labels = docs.dup_clusters(sf_small).to_pandas()
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_small}/documents.parquet'")
+    n_docs, chars = con.execute(
+        "SELECT count(*), sum(n_chars) FROM documents").fetchone()
+    assert int(got["n_docs"].sum()) == n_docs
+    assert int(got["chars_before"].sum()) == chars
+    dup_members = len(labels)
+    n_clusters = labels["cluster_id"].nunique()
+    assert int(got["n_survivors"].sum()) == n_docs - dup_members + n_clusters
+    assert (got["n_survivors"] <= got["n_docs"]).all()
+    assert (got["chars_after"] <= got["chars_before"]).all()

@@ -2834,3 +2834,25 @@ def test_survival_km_invariants(ray_session, sf_small):
     # total observations = gaps (purchases - users) + censored (users)
     assert int(ar[0]) <= n_purch
     assert int(got["n_events"].sum()) <= n_purch - n_users + 1
+
+
+def test_rolling_median_5_brute(ray_session, sf_small):
+    """Strided-window median == per-user scalar scan."""
+    from gorilla_tsc_ray.util import round_half_away
+    got = ev.rolling_median_5(sf_small).to_pandas().set_index("event_id")
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_small}/events.parquet'")
+    p = con.execute("""
+        SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+        FROM events ORDER BY user_id, ts_ms, event_id""").df()
+    for _, sub in p.groupby("user_id"):
+        cents = round_half_away(
+            sub["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        eids = sub["event_id"].to_numpy(np.int64)
+        for i in range(len(sub)):
+            w = sorted(cents[max(0, i - 4):i + 1])
+            row = got.loc[eids[i]]
+            assert int(row["n_window"]) == len(w)
+            assert int(row["med_cents"]) == w[(len(w) - 1) // 2]
