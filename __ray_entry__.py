@@ -296,6 +296,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_discords": ev.discords,
         "events_survival_km": ev.survival_km,
         "events_rolling_median_5": ev.rolling_median_5,
+        "events_streaming_topk": ev.streaming_topk,
         "events_stratified_sample": ev.stratified_sample,
         "events_records": ev.records,
         "events_velocity_10m": ev.velocity_window,
@@ -3693,6 +3694,21 @@ SELECT event_type,
             - (pre[t + 1] - pre[s + 1]) * (pre[t + 1] - pre[s + 1])
             AS BIGINT) AS cost_num
 FROM bt
+""",
+        # streaming heavy hitters: top-3 types per tumbling hour by
+        # (count desc, type) off the emit-on-watermark window core
+        "events_streaming_topk": """
+WITH c AS (
+  SELECT epoch_ms(ts) // 3600000 * 3600000 AS window_ms, event_type,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT window_ms,
+       CAST(row_number() OVER (PARTITION BY window_ms
+                               ORDER BY cnt DESC, event_type)
+            AS BIGINT) AS rk,
+       event_type, cnt
+FROM c QUALIFY rk <= 3
 """,
         # trailing-5-row median per user: exact lower order statistic at
         # rank (n−1)//2 over round-half-away cents

@@ -243,6 +243,23 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
                 lambda: ev.sliding_distinct(sf_dir).count())
     timed_extra("events_rate_limit",
                 lambda: ev.rate_limit(sf_dir).count())
+    # round-5 families (graph ranking, exact time-series mining,
+    # asymmetric containment, streaming heavy hitters)
+    timed_extra("docs_pagerank", lambda: docs.pagerank(sf_dir).count())
+    timed_extra("events_dtw_pairs",
+                lambda: ev.dtw_pairs(sf_dir).count())
+    timed_extra("events_changepoints",
+                lambda: ev.changepoints(sf_dir).count())
+    timed_extra("events_discords", lambda: ev.discords(sf_dir).count())
+    timed_extra("events_theil_sen", lambda: ev.theil_sen(sf_dir).count())
+    timed_extra("events_survival_km",
+                lambda: ev.survival_km(sf_dir).count())
+    timed_extra("docs_containment_pairs",
+                lambda: docs.containment_pairs(sf_dir).count())
+    timed_extra("events_streaming_topk",
+                lambda: ev.streaming_topk(sf_dir).count())
+    timed_extra("transcripts_len_drift",
+                lambda: ingest.len_drift(sf_dir).count())
 
     # continuous-aggregate append: fold the second event-time half into a
     # first-half store vs rebuilding from scratch (single run each — store

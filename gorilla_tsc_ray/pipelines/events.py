@@ -6070,3 +6070,52 @@ def rolling_median_5(sf_dir: str):
 
     return hash_exchange(rows_ds, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def streaming_topk(sf_dir: str, n_actors: int = 4, k: int = 3,
+                   tier: str = "1h"):
+    """STREAMING top-k heavy hitters per tumbling window: events stream
+    through the ``_WindowAggCore`` actor pool keyed by EVENT TYPE (the
+    same emit-on-watermark machinery as the rollup gate — per-type
+    windows finalize and leave memory as the type's watermark passes),
+    then each sealed window ranks its types by (count desc, type) and
+    keeps the top ``k`` — the streaming heavy-hitters shape.  Counts are
+    exact (types are low-cardinality; the MG-sketch sibling
+    ``docs_top_tokens_sketch`` covers the unbounded-key case).  The
+    final rank step runs over (types × windows) rows — bounded by the
+    calendar, never the stream."""
+    import ray.data
+
+    from ..state.streaming import (StreamingRouter, _WindowAggCore,
+                                   feed_parquet_distributed)
+
+    tune_context()
+    window_ms = TIER_MS[tier]
+    router = StreamingRouter(n_actors=n_actors,
+                             actor_core=_WindowAggCore,
+                             core_args=(window_ms, 0))
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    feed_parquet_distributed(router, path, order_cols=["ts_ms"],
+                             key_col="event_type")
+    rows = pd.DataFrame(router.seal())
+    stats = router.stats()
+    if stats["late"] != 0:
+        raise RuntimeError(
+            f"in-order feed must drop nothing, got {stats['late']} late")
+    cols = ["window_ms", "rk", "event_type", "cnt"]
+    if len(rows) == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "window_ms": pd.Series([], dtype=np.int64),
+            "rk": pd.Series([], dtype=np.int64),
+            "event_type": pd.Series([], dtype=object),
+            "cnt": pd.Series([], dtype=np.int64)}))
+    out = pd.DataFrame({
+        "window_ms": rows["window_ms"].astype(np.int64),
+        "event_type": rows["key"].astype(str),
+        "cnt": rows["cnt"].astype(np.int64)})
+    out = out.sort_values(["window_ms", "cnt", "event_type"],
+                          ascending=[True, False, True], kind="stable")
+    out["rk"] = out.groupby("window_ms").cumcount() + 1
+    out = out[out["rk"] <= k].reset_index(drop=True)
+    out["rk"] = out["rk"].astype(np.int64)
+    return ray.data.from_pandas(out[cols])

@@ -142,6 +142,7 @@ class _EncoderCore:
 
 def feed_parquet_distributed(router, path: str, *, order_cols,
                              metric: str = "value",
+                             key_col: str = "user_id",
                              batch_rows: int = 16384) -> int:
     """Distributed feed for the streaming gates (VERDICT r3 #8): one
     reader TASK per encoder actor replaces the driver-side
@@ -168,8 +169,8 @@ def feed_parquet_distributed(router, path: str, *, order_cols,
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(path, columns=["user_id", "ts", "value"])
-        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        tbl = pq.read_table(path, columns=[key_col, "ts", "value"])
+        uid = tbl.column(key_col).to_numpy(zero_copy_only=False)
         uu, codes = np.unique(uid, return_inverse=True)
         owner = np.array([_hash_key(str(u)) % n for u in uu])
         mask = owner[codes] == part
