@@ -148,6 +148,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_rollup_1h_wide": lambda sf: ingest.rollup_wide(sf, "1h"),
         # retention cascade gate: raw tier expired, range served from 1h
         "transcripts_retention_serve": _retention_serve,
+        "transcripts_value_scan": _value_scan,
         # continuous-aggregate gate: first-half ingest + second-half
         # APPEND (delta merge + block compaction) must serve the same 1h
         # tier as a single-shot build
@@ -297,6 +298,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_survival_km": ev.survival_km,
         "events_rolling_median_5": ev.rolling_median_5,
         "events_streaming_topk": ev.streaming_topk,
+        "events_cohort_ltv": ev.cohort_ltv,
         "events_stratified_sample": ev.stratified_sample,
         "events_records": ev.records,
         "events_velocity_10m": ev.velocity_window,
@@ -330,6 +332,16 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         #   video decode remains stubbed (FakeDecoder, pytest-covered) —
         "media_features": _media_features,
     }
+
+
+def _value_scan(sf_dir: str):
+    """Value-predicate scan gate: per-conv count/sum of text_len ≥ 400
+    answered from the BLOCK tier with the zone-map prune engaged (the 1m
+    rollup tier doubling as the store's value index); a runtime assert
+    proves blocks were skipped before decode."""
+    from gorilla_tsc_ray.pipelines.query import value_scan_serve
+
+    return value_scan_serve(sf_dir, metric="text_len", value_lo=400.0)
 
 
 def _retention_serve(sf_dir: str):
@@ -1437,6 +1449,13 @@ SELECT c.conv_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
 FROM (SELECT DISTINCT conv_id FROM d) c LEFT JOIN agg a USING (conv_id)
 """,
         # long→wide pivot of the 1h rollup (absent metric → 0.0)
+        # value-predicate block scan through the zone-map prune: exact
+        # per-conv count + sum of text_len ≥ 400 over canonical turns
+        "transcripts_value_scan": tdedup + """
+SELECT conv_id, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(length(text)) AS BIGINT) AS sum_len
+FROM d WHERE length(text) >= 400 GROUP BY 1
+""",
         "transcripts_retention_serve": (
             "WITH serve AS (" + tr_rollup(3_600_000) + ")\n"
             "SELECT * FROM serve WHERE bucket_ms < "
@@ -3694,6 +3713,34 @@ SELECT event_type,
             - (pre[t + 1] - pre[s + 1]) * (pre[t + 1] - pre[s + 1])
             AS BIGINT) AS cost_num
 FROM bt
+""",
+        # cohort LTV matrix: first-event-day cohorts, weekly purchase
+        # revenue + running cumulative in exact cents, cohort size as
+        # the consumer-side per-user denominator
+        "events_cohort_ltv": """
+WITH pts AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type, value FROM events
+), coh AS (
+  SELECT user_id, min(ts_ms // 86400000 * 86400000) AS cohort_day
+  FROM pts GROUP BY 1
+), sz AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM coh GROUP BY 1
+), pur AS (
+  SELECT c.cohort_day,
+         (p.ts_ms // 86400000 * 86400000 - c.cohort_day) // 604800000
+           AS week_offset,
+         CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM pts p JOIN coh c USING (user_id)
+  WHERE p.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT p.cohort_day, CAST(p.week_offset AS BIGINT) AS week_offset,
+       s.cohort_size, p.rev_cents,
+       CAST(sum(p.rev_cents) OVER (PARTITION BY p.cohort_day
+             ORDER BY p.week_offset) AS BIGINT) AS cum_rev_cents
+FROM pur p JOIN sz s USING (cohort_day)
 """,
         # streaming heavy hitters: top-3 types per tumbling hour by
         # (count desc, type) off the emit-on-watermark window core

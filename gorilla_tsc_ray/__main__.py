@@ -2,7 +2,8 @@
 
     python -m gorilla_tsc_ray ingest    --sf-dir DIR --out STORE [--no-resume]
     python -m gorilla_tsc_ray query     --store STORE [--metric M] [--t-lo MS]
-                                        [--t-hi MS] [--conv ID ...] --out DIR
+                                        [--t-hi MS] [--conv ID ...]
+                                        [--value-lo V] [--value-hi V] --out DIR
     python -m gorilla_tsc_ray retention --store STORE --now-ms N
                                         [--keep tier=days ...] [--dry-run]
     python -m gorilla_tsc_ray dedup     --sf-dir DIR --out DIR
@@ -58,6 +59,10 @@ def main(argv=None) -> int:
     pq.add_argument("--t-lo", type=int, default=None)
     pq.add_argument("--t-hi", type=int, default=None)
     pq.add_argument("--conv", nargs="*", default=None)
+    pq.add_argument("--value-lo", type=float, default=None,
+                    help="value predicate (zone-map pruned via the 1m "
+                         "tier before any block decodes)")
+    pq.add_argument("--value-hi", type=float, default=None)
     pq.add_argument("--out", required=True)
 
     pd_ = sub.add_parser(
@@ -108,11 +113,14 @@ def main(argv=None) -> int:
         elif args.cmd == "query":
             from .pipelines.query import scan_points
 
+            stats: dict = {}
             ds = scan_points(f"{args.store}/blocks", t_lo=args.t_lo,
                              t_hi=args.t_hi, conv_ids=args.conv,
-                             metric=args.metric)
+                             metric=args.metric, value_lo=args.value_lo,
+                             value_hi=args.value_hi, prune_stats=stats)
             ds.write_parquet(args.out)
-            print(json.dumps({"rows": ds.count(), "out": args.out}))
+            print(json.dumps({"rows": ds.count(), "out": args.out,
+                              **stats}))
         elif args.cmd == "dedup":
             from .pipelines.docs import dedup_survivors, dup_clusters
 

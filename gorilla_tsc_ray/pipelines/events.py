@@ -6119,3 +6119,101 @@ def streaming_topk(sf_dir: str, n_actors: int = 4, k: int = 3,
     out = out[out["rk"] <= k].reset_index(drop=True)
     out["rk"] = out["rk"].astype(np.int64)
     return ray.data.from_pandas(out[cols])
+
+
+def cohort_ltv(sf_dir: str):
+    """Cohort LTV matrix — the revenue sibling of
+    :func:`retention_cohorts`: users grouped by FIRST-event day; for
+    every week offset with ≥1 purchase by the cohort, the cohort's
+    purchase revenue that week and the RUNNING cumulative (exact cents,
+    round-half-away — the ks_pairs discipline), plus the cohort size as
+    the per-user-LTV denominator (consumer-side rational).
+
+    Scale shape: one user-keyed exchange derives cohorts and per-
+    (cohort, week) revenue partials + per-cohort size partials (a user
+    lives whole in one partition, so both are exact); the final exchange
+    keys by COHORT so the cumulative is an in-partition prefix sum over
+    that cohort's few weeks — never a global ordered scan."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = 8
+    WEEK_MS = 7 * 86_400_000
+    DAY = 86_400_000
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_type", "value"],
+                      _n_parts(sf_dir))
+
+    def rows(batch):
+        import pyarrow as pa
+
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"), 1000)
+        return pa.table({"user_id": batch["user_id"], "ts_ms": ts_ms,
+                         "event_type": batch["event_type"],
+                         "value": batch["value"]})
+
+    rows_ds = ds.map_batches(rows, batch_format="pyarrow")
+    part_cols = ["cohort_day", "week_offset", "rev_cents", "users"]
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: np.array([], np.int64)
+                                 for c in part_cols})
+        codes, _ = pd.factorize(df["user_id"], sort=False)
+        day = (df["ts_ms"].to_numpy(np.int64) // DAY) * DAY
+        cohort_of = np.full(codes.max() + 1, np.iinfo(np.int64).max,
+                            np.int64)
+        np.minimum.at(cohort_of, codes, day)
+        sz = pd.DataFrame({
+            "cohort_day": cohort_of,
+            "week_offset": np.full(len(cohort_of), -1, np.int64),
+            "rev_cents": np.zeros(len(cohort_of), np.int64),
+            "users": np.ones(len(cohort_of), np.int64)})
+        sz = (sz.groupby(["cohort_day", "week_offset"], as_index=False,
+                         sort=False).sum())
+        isp = df["event_type"].to_numpy() == "purchase"
+        if isp.any():
+            cents = round_half_away(
+                df["value"].to_numpy()[isp] * 100.0, 0).astype(np.int64)
+            coh = cohort_of[codes[isp]]
+            week = (day[isp] - coh) // WEEK_MS
+            rev = pd.DataFrame({
+                "cohort_day": coh, "week_offset": week,
+                "rev_cents": cents,
+                "users": np.zeros(isp.sum(), np.int64)})
+            rev = (rev.groupby(["cohort_day", "week_offset"],
+                               as_index=False, sort=False).sum())
+            sz = pd.concat([sz, rev], ignore_index=True)
+        for c in part_cols:
+            sz[c] = sz[c].astype(np.int64)
+        return sz[part_cols]
+
+    partials = hash_exchange(rows_ds, key_fn=_user_key_fn(P), n_parts=P,
+                             kernel=per_user, fmt="pandas")
+
+    def coh_key(tbl):
+        h = tbl.column("cohort_day").to_numpy().astype(np.uint64)
+        return ((h // np.uint64(86_400_000)) % np.uint64(4)).astype(
+            np.int64)
+
+    out_cols = ["cohort_day", "week_offset", "cohort_size", "rev_cents",
+                "cum_rev_cents"]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: np.array([], np.int64)
+                                 for c in out_cols})
+        g = (df.groupby(["cohort_day", "week_offset"], sort=True)
+             [["rev_cents", "users"]].sum())
+        g = g.reset_index()
+        sizes = g[g["week_offset"] == -1].set_index("cohort_day")["users"]
+        rev = g[g["week_offset"] >= 0].copy()
+        rev["cum_rev_cents"] = rev.groupby("cohort_day")[
+            "rev_cents"].cumsum()
+        rev["cohort_size"] = sizes.reindex(
+            rev["cohort_day"].to_numpy()).to_numpy()
+        for c in out_cols:
+            rev[c] = rev[c].astype(np.int64)
+        return rev[out_cols]
+
+    return hash_exchange(partials, key_fn=coh_key, n_parts=4,
+                         kernel=merge, fmt="pandas")

@@ -157,3 +157,34 @@ def test_transcode_table_all_codecs_and_kinds():
     # idempotent: second pass rewrites nothing
     out2, n2 = _transcode_table(out, "gorilla2")
     assert n2 == 0 and out2.equals(out)
+
+
+def test_value_scan_zone_map_prune(store):
+    """Zone-map prune (1m tier as the value index): pruned == unpruned
+    point-for-point, strictly fewer blocks decode, and the cap-skip path
+    (zone_keep_cap=0) returns the identical result."""
+    lo = 400.0
+    stats: dict = {}
+    pruned = query.scan_points(f"{store}/blocks", metric="text_len",
+                               value_lo=lo, prune_stats=stats).to_pandas()
+    assert "blocks_decoded" in stats
+    assert stats["blocks_decoded"] < stats["blocks_scanned"]
+    assert stats["zone_survivors"] == stats["blocks_decoded"]
+    skipped = query.scan_points(f"{store}/blocks", metric="text_len",
+                                value_lo=lo,
+                                zone_keep_cap=0).to_pandas()
+    key = ["conv_id", "metric", "ts_ms", "value"]
+
+    def norm(df):
+        out = df.copy()
+        out["conv_id"] = out["conv_id"].astype(str)
+        out["metric"] = out["metric"].astype(str)
+        return out.sort_values(key).reset_index(drop=True)
+
+    import pandas as pd
+    pd.testing.assert_frame_equal(norm(pruned), norm(skipped))
+    assert (pruned["value"] >= lo).all()
+    # two-sided predicate also exact
+    both = query.scan_points(f"{store}/blocks", metric="text_len",
+                             value_lo=200.0, value_hi=300.0).to_pandas()
+    assert ((both["value"] >= 200.0) & (both["value"] <= 300.0)).all()
