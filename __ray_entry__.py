@@ -299,6 +299,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_median_5": ev.rolling_median_5,
         "events_streaming_topk": ev.streaming_topk,
         "events_cohort_ltv": ev.cohort_ltv,
+        "events_type_movers": ev.type_movers,
+        "events_dow_hour_profile": ev.dow_hour_profile,
         "events_stratified_sample": ev.stratified_sample,
         "events_records": ev.records,
         "events_velocity_10m": ev.velocity_window,
@@ -3713,6 +3715,40 @@ SELECT event_type,
             - (pre[t + 1] - pre[s + 1]) * (pre[t + 1] - pre[s + 1])
             AS BIGINT) AS cost_num
 FROM bt
+""",
+        # calendar heatmap cells: (type, dow, hour) exact counts; epoch
+        # day 0 is Thursday → dow = (days + 4) % 7, Sunday = 0
+        "events_dow_hour_profile": """
+SELECT event_type,
+       CAST((epoch_ms(ts) // 86400000 + 4) % 7 AS BIGINT) AS dow,
+       CAST((epoch_ms(ts) // 3600000) % 24 AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2, 3
+""",
+        # week-over-week movers: per-type dense week grid, previous-week
+        # count (0 when absent) and signed delta — exact ints
+        "events_type_movers": """
+WITH c AS (
+  SELECT event_type, epoch_ms(ts) // 604800000 * 604800000 AS w,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(w) AS w0, max(w) AS w1 FROM c GROUP BY 1
+), grid AS (
+  SELECT s.event_type, g.w
+  FROM span s, LATERAL (SELECT unnest(range(s.w0, s.w1 + 604800000,
+                                            604800000)) AS w) g
+), d AS (
+  SELECT g.event_type, g.w, coalesce(c.cnt, 0) AS cnt
+  FROM grid g LEFT JOIN c USING (event_type, w)
+)
+SELECT event_type, w AS week_ms, CAST(cnt AS BIGINT) AS cnt,
+       CAST(coalesce(lag(cnt) OVER (PARTITION BY event_type ORDER BY w),
+                     0) AS BIGINT) AS prev_cnt,
+       CAST(cnt - coalesce(lag(cnt) OVER (PARTITION BY event_type
+                                          ORDER BY w), 0) AS BIGINT)
+         AS delta
+FROM d
 """,
         # cohort LTV matrix: first-event-day cohorts, weekly purchase
         # revenue + running cumulative in exact cents, cohort size as

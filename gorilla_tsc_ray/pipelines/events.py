@@ -6217,3 +6217,109 @@ def cohort_ltv(sf_dir: str):
 
     return hash_exchange(partials, key_fn=coh_key, n_parts=4,
                          kernel=merge, fmt="pandas")
+
+
+def type_movers(sf_dir: str):
+    """Week-over-week movers table: per (event_type, ISO-floored week)
+    the event count, the previous calendar week's count (0 when absent —
+    a LAG over the dense week grid, not over present rows), and the
+    signed delta — the "what changed this week" analytics shape, exact
+    integers end-to-end.
+
+    Scale shape: (type, week) count partials per batch → one type-keyed
+    exchange whose kernel densifies each type's week axis (bounded by
+    the calendar) and differences adjacent cells."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = 4
+    WEEK = 7 * 86_400_000
+    ds = _read_events(sf_dir, ["event_type", "ts"], _n_parts(sf_dir))
+
+    def partial(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"),
+                          1000).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
+                           "week": (ts_ms // WEEK) * WEEK})
+        g = (df.groupby(["event_type", "week"], sort=False)
+             .size().rename("cnt").reset_index())
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def key_fn(tbl):
+        h = arrow_col_hash(tbl, "event_type")
+        return (h % np.uint64(P)).astype(np.int64)
+
+    out_cols = ["event_type", "week_ms", "cnt", "prev_cnt", "delta"]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                **{c: np.array([], np.int64) for c in out_cols[1:]}})
+        g = df.groupby(["event_type", "week"], sort=True)["cnt"].sum()
+        uniq, inv = np.unique(g.index.get_level_values(0),
+                              return_inverse=True)
+        weeks = g.index.get_level_values(1).to_numpy(np.int64)
+        rows = []
+        for i, et in enumerate(uniq):
+            sel = inv == i
+            w, c = weeks[sel], g.to_numpy(np.int64)[sel]
+            grid = np.arange(w.min(), w.max() + WEEK, WEEK)
+            dense = np.zeros(len(grid), np.int64)
+            dense[(w - w.min()) // WEEK] = c
+            prev = np.concatenate(([0], dense[:-1]))
+            rows.append(pd.DataFrame({
+                "event_type": et, "week_ms": grid, "cnt": dense,
+                "prev_cnt": prev, "delta": dense - prev}))
+        out = pd.concat(rows, ignore_index=True)
+        for c in out_cols[1:]:
+            out[c] = out[c].astype(np.int64)
+        return out[out_cols]
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def dow_hour_profile(sf_dir: str):
+    """Calendar heatmap cells: exact event counts per (event_type,
+    day-of-week, hour-of-day) — the ops-dashboard shape that completes
+    the calendar family (hourly_profile = hour axis only).  Epoch day 0
+    is a Thursday, so dow = (days + 4) % 7 with Sunday = 0, mirrored
+    exactly in SQL.  Partials fold per batch; the exchange carries at
+    most types × 168 cells."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = 4
+    ds = _read_events(sf_dir, ["event_type", "ts"], _n_parts(sf_dir))
+
+    def partial(batch):
+        ts_ms = pc.divide(pc.cast(batch["ts"], "int64"),
+                          1000).to_numpy(zero_copy_only=False)
+        days = ts_ms // 86_400_000
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
+                           "dow": (days + 4) % 7,
+                           "hour": (ts_ms // 3_600_000) % 24})
+        g = (df.groupby(["event_type", "dow", "hour"], sort=False)
+             .size().rename("cnt").reset_index())
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def key_fn(tbl):
+        h = arrow_col_hash(tbl, "event_type")
+        return (h % np.uint64(P)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["event_type", "dow", "hour"], sort=False)
+               ["cnt"].sum().reset_index())
+        for c in ("dow", "hour", "cnt"):
+            out[c] = out[c].astype(np.int64)
+        return out[["event_type", "dow", "hour", "cnt"]]
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=P,
+                         kernel=merge, fmt="pandas")

@@ -2856,3 +2856,45 @@ def test_rolling_median_5_brute(ray_session, sf_small):
             row = got.loc[eids[i]]
             assert int(row["n_window"]) == len(w)
             assert int(row["med_cents"]) == w[(len(w) - 1) // 2]
+
+
+def test_cohort_ltv_reconciles(ray_session, sf_small):
+    """LTV matrix reconciles: cumulative is a prefix sum per cohort, and
+    total revenue equals the corpus purchase total in cents."""
+    from gorilla_tsc_ray.util import round_half_away
+    got = (ev.cohort_ltv(sf_small).to_pandas()
+           .sort_values(["cohort_day", "week_offset"]))
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_small}/events.parquet'")
+    vals = con.execute("SELECT value FROM events WHERE event_type = "
+                       "'purchase'").df()["value"].to_numpy()
+    total = int(round_half_away(vals * 100.0, 0).astype(np.int64).sum())
+    assert int(got["rev_cents"].sum()) == total
+    for _, g in got.groupby("cohort_day"):
+        assert (g["cum_rev_cents"].to_numpy()
+                == np.cumsum(g["rev_cents"].to_numpy())).all()
+        assert g["cohort_size"].nunique() == 1
+
+
+def test_type_movers_grid(ray_session, sf_small):
+    """Movers table: dense week grid per type, prev = shifted cnt,
+    delta = cnt − prev, totals reconcile with the event count."""
+    got = (ev.type_movers(sf_small).to_pandas()
+           .sort_values(["event_type", "week_ms"]))
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_small}/events.parquet'")
+    n = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert int(got["cnt"].sum()) == n
+    WEEK = 7 * 86_400_000
+    for _, g in got.groupby("event_type"):
+        w = g["week_ms"].to_numpy(np.int64)
+        assert (np.diff(w) == WEEK).all()
+        c = g["cnt"].to_numpy(np.int64)
+        assert (g["prev_cnt"].to_numpy()
+                == np.concatenate(([0], c[:-1]))).all()
+        assert (g["delta"].to_numpy()
+                == c - g["prev_cnt"].to_numpy()).all()
