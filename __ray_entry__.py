@@ -50,7 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1m", "events_rollup_1h_cascade", "events_ohlc_1h",
         "events_gapfill_1h", "events_sessions", "events_asof_last_purchase",
         "events_user_quantiles", "events_seasonal_decompose",
-        "events_m4_1h", "events_cusum", "events_type_counts_cms",
+        "events_discords", "events_changepoints", "events_type_counts_cms",
         "transcripts_canonical_turns", "transcripts_metrics",
         "transcripts_rollup_1m", "transcripts_retention_serve",
         "transcripts_conv_stats", "transcripts_response_latency",
@@ -61,11 +61,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id", "docs_quality", "docs_hash_split",
         "docs_decontaminate", "docs_clean_corpus", "docs_dsir_weights",
         "docs_incremental_dedup", "transcripts_compact_serve", "emb_near_dups_lsh",
-        "emb_knn_cosine", "emb_semdedup", "emb_centroids",
+        "emb_knn_cosine", "emb_semdedup", "transcripts_value_scan",
         "emb_quantize_sq8", "emb_pq_codes", "media_features",
         "events_streaming_out_of_order", "events_grouping_sets",
-        "events_pareto_curve", "docs_triangle_counts",
-        "events_paa_8",
+        "events_theil_sen", "events_streaming_topk",
+        "events_dtw_pairs",
     ]
     d = _all_queries()
     assert all(k in d for k in front), [k for k in front if k not in d]
