@@ -308,6 +308,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_gini": ev.gini,
         "events_benford": ev.benford,
         "events_interarrival_hist": ev.interarrival_hist,
+        "events_rs_range": ev.rs_range,
+        "events_attribution_linear": ev.attribution_linear,
+        "docs_bfs_hops": docs.bfs_hops,
+        "docs_lang_modularity": docs.lang_modularity,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -4450,4 +4454,154 @@ WHERE list_cosine_similarity(
         # bytes in SQL (sf0.01-pinned cache path, like the transcripts
         # oracles — the driver's correctness sf)
         "media_features": _MEDIA_AUDIO_ORACLE.format(path=mpath),
+        # Hurst rescaled-range integer numerators per (user, day):
+        # r_num = max_k(n·P_k − k·S) − min_k(...), var_num = n·Σc² − S²
+        # (exact ints; the engine never emits a sqrt — SPC discipline)
+        "events_rs_range": """
+WITH b AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), w AS (
+  SELECT user_id, day_ms, c,
+         sum(c) OVER (PARTITION BY user_id, day_ms ORDER BY ts_ms
+                      ROWS UNBOUNDED PRECEDING) AS pre,
+         row_number() OVER (PARTITION BY user_id, day_ms
+                            ORDER BY ts_ms) AS k,
+         sum(c) OVER (PARTITION BY user_id, day_ms) AS s,
+         count(*) OVER (PARTITION BY user_id, day_ms) AS n
+  FROM b
+)
+SELECT user_id, day_ms, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(n * pre - k * s) - min(n * pre - k * s) AS BIGINT)
+         AS r_num,
+       CAST(max(n) * sum(c * c) - max(s) * max(s) AS BIGINT) AS var_num
+FROM w GROUP BY 1, 2 HAVING max(n) >= 2
+""",
+        # linear multi-touch attribution: touch j of k (1-based, ts order)
+        # gets cents//k + (j <= cents%k); session-opening purchases credit
+        # 'direct' in full; cents >= 0 so // and %% agree across engines
+        "events_attribution_linear": """
+WITH b AS (
+  SELECT user_id, CAST(event_type AS VARCHAR) AS et,
+         epoch_ms(ts) AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), s AS (
+  SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER
+                   (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+                 OR ts_ms - lag(ts_ms) OVER
+                   (PARTITION BY user_id ORDER BY ts_ms) > 1800000
+            THEN 1 ELSE 0 END AS brk
+  FROM b
+), t AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms) AS sid,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_ms) AS rn
+  FROM s
+), t2 AS (
+  SELECT *, min(rn) OVER (PARTITION BY user_id, sid) AS srn FROM t
+), p AS (
+  SELECT user_id, sid, rn AS prn, cents, prn - srn AS k
+  FROM (SELECT *, rn AS prn FROM t2) WHERE et = 'purchase'
+), pre AS (
+  SELECT p.cents, p.k, e.et,
+         row_number() OVER (PARTITION BY p.user_id, p.prn
+                            ORDER BY e.rn) AS j
+  FROM p JOIN t2 e
+    ON e.user_id = p.user_id AND e.sid = p.sid AND e.rn < p.prn
+  WHERE p.k > 0
+), credit AS (
+  SELECT et AS attr_type,
+         cents // k + CASE WHEN j <= cents % k THEN 1 ELSE 0 END AS cr
+  FROM pre
+  UNION ALL
+  SELECT 'direct' AS attr_type, cents AS cr FROM p WHERE k = 0
+)
+SELECT attr_type, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(cr) AS BIGINT) AS cents
+FROM credit GROUP BY 1
+""",
+        # BFS hop distance to the duplicate-cluster root (min doc_id):
+        # bounded-depth path enumeration over the exact n-gram near-dup
+        # edges (cap 12 >> near-dup cluster eccentricity), min(hop) to the
+        # component min; edges MATERIALIZED so the recursive term scans a
+        # temp, not the O(n^2) jaccard join per round (kcore gotcha)
+        "docs_bfs_hops": """
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM t
+), s AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shs, b.shs)) * 1.0 /
+         greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), pr AS (SELECT id_a, id_b FROM s WHERE j >= 0.5),
+e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pr
+                   UNION SELECT id_b, id_a FROM pr),
+r AS (
+  SELECT a AS n, a AS m, 0 AS hop FROM e
+  UNION
+  SELECT r.n, e.b, r.hop + 1 FROM r JOIN e ON r.m = e.a
+  WHERE r.hop < 12
+), cl AS (
+  SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY 1
+)
+SELECT cl.doc_id, CAST(cl.cluster_id AS BIGINT) AS cluster_id,
+       CAST(min(r.hop) AS BIGINT) AS hop
+FROM cl JOIN r ON r.n = cl.doc_id AND r.m = cl.cluster_id
+GROUP BY 1, 2
+""",
+        # modularity integer numerators of the lang partition over the
+        # near-dup graph: per lang, mod_num = 4m·e_in − d_sum²
+        "docs_lang_modularity": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM t
+), sj AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shs, b.shs)) * 1.0 /
+         greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), pr AS (SELECT id_a, id_b FROM sj WHERE j >= 0.5),
+e AS (
+  SELECT pr.id_a, pr.id_b, da.lang AS la, db.lang AS lb
+  FROM pr JOIN documents da ON da.doc_id = pr.id_a
+          JOIN documents db ON db.doc_id = pr.id_b
+), mm AS (SELECT count(*) AS m FROM e),
+nodes AS (
+  SELECT id_a AS node FROM pr UNION SELECT id_b FROM pr
+), nl AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM nodes n JOIN documents d ON d.doc_id = n.node GROUP BY 1
+), dsum AS (
+  SELECT lang, CAST(sum(cnt) AS BIGINT) AS d_sum FROM (
+    SELECT la AS lang, count(*) AS cnt FROM e GROUP BY 1
+    UNION ALL
+    SELECT lb AS lang, count(*) AS cnt FROM e GROUP BY 1
+  ) GROUP BY 1
+), ein AS (
+  SELECT la AS lang, CAST(count(*) AS BIGINT) AS e_in
+  FROM e WHERE la = lb GROUP BY 1
+)
+SELECT nl.lang, nl.n_nodes, dsum.d_sum,
+       CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in,
+       CAST(4 * mm.m * coalesce(ein.e_in, 0)
+            - dsum.d_sum * dsum.d_sum AS BIGINT) AS mod_num
+FROM nl JOIN dsum ON dsum.lang = nl.lang
+        LEFT JOIN ein ON ein.lang = nl.lang
+        CROSS JOIN mm
+""",
     }

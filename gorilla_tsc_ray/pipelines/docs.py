@@ -663,7 +663,8 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.3,
 # ---------- dedup clustering (connected components) ----------
 
 def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
-                  n_parts: int = N_DOC_PARTS, max_iters: int = 64):
+                  n_parts: int = N_DOC_PARTS, max_iters: int = 64,
+                  with_hops: bool = False):
     """Connected components of an undirected pair graph by distributed
     MIN-LABEL PROPAGATION with CONVERGENCE-REGION FREEZING: every node's
     label starts as its own id; each round, partitions holding last
@@ -683,6 +684,16 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
     partition.
 
     Returns a Dataset of ``(node, label)`` — label = min node id reachable.
+
+    With ``with_hops=True`` the output gains a ``hop`` column = the round
+    index of the node's LAST label change.  Because label(n, r) = min id
+    within r hops (delta proposals preserve the synchronous-round
+    semantics — a label unchanged since round s was proposed at s+1, so
+    every neighbor has already seen it), the last change is exactly the
+    first arrival of the component-min label, i.e. hop = BFS DISTANCE
+    from the cluster root (the min-id node, hop 0).  The hops come free:
+    one extra int column on the per-partition label refs, no extra
+    rounds, tasks or shuffles.
     """
     import pyarrow as pa
     import ray
@@ -720,8 +731,11 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
         u = np.sort(pd.unique(
             pa.concat_tables(tbls).column("node").to_numpy(
                 zero_copy_only=False)))
-        return pa.table({"node": pa.array(u.astype(np.int64)),
-                         "label": pa.array(u.astype(np.int64))})
+        cols = {"node": pa.array(u.astype(np.int64)),
+                "label": pa.array(u.astype(np.int64))}
+        if with_hops:
+            cols["hop"] = pa.array(np.zeros(len(u), dtype=np.int64))
+        return pa.table(cols)
 
     label_refs: list = [None] * n_parts
     delta_refs: list = [None] * n_parts
@@ -755,7 +769,7 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
                   for q in range(n_parts)], counts)
 
     @ray.remote(num_returns=3)
-    def merge_part(lab_tbl, *prop_parts):
+    def merge_part(lab_tbl, round_no, *prop_parts):
         lab = lab_tbl.to_pandas()
         props = [t for t in prop_parts if t.num_rows]
         prop = pa.concat_tables(props).combine_chunks().to_pandas()
@@ -767,14 +781,19 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
         old = lab.set_index("node")["label"]
         chg = (new["label"].to_numpy()
                < old.reindex(new["node"]).to_numpy())
-        out = pa.table({
-            "node": pa.array(new["node"].to_numpy(np.int64)),
-            "label": pa.array(new["label"].to_numpy(np.int64))})
+        cols = {"node": pa.array(new["node"].to_numpy(np.int64)),
+                "label": pa.array(new["label"].to_numpy(np.int64))}
+        if with_hops:
+            oldhop = (lab.set_index("node")["hop"]
+                      .reindex(new["node"]).to_numpy())
+            cols["hop"] = pa.array(
+                np.where(chg, round_no, oldhop).astype(np.int64))
+        out = pa.table(cols)
         delta = out.filter(pa.array(chg))
         return out, delta, int(chg.sum())
 
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         active = [p for p in range(n_parts) if delta_refs[p] is not None]
         if not active:
             converged = True
@@ -793,7 +812,8 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
         chg_refs, chg_parts = [], []
         for q in np.flatnonzero(incoming):
             slices = [s[q] for s, c in zip(splits, counts) if c[q] > 0]
-            out, delta, nchg = merge_part.remote(label_refs[q], *slices)
+            out, delta, nchg = merge_part.remote(label_refs[q], it + 1,
+                                                 *slices)
             label_refs[q] = out
             chg_refs.append(nchg)
             chg_parts.append((q, delta))
@@ -814,9 +834,11 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
 
     live = [r for r in label_refs if r is not None]
     if not live:
-        return ray.data.from_arrow(pa.table({
-            "node": pa.array([], pa.int64()),
-            "label": pa.array([], pa.int64())}))
+        cols = {"node": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64())}
+        if with_hops:
+            cols["hop"] = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table(cols))
     out = ray.data.from_arrow_refs(live)
     out._gtsc_exchange_keepalive = (label_refs, edges_pre, nodes_pre)
     return out
@@ -3623,3 +3645,121 @@ def dedup_savings(sf_dir: str, threshold: float = 0.5):
     return hash_exchange(partials,
                          key_fn=lambda t: arrow_key_ids(t, ["source"], 4),
                          n_parts=4, kernel=merge, fmt="pandas")
+
+
+def bfs_hops(sf_dir: str, threshold: float = 0.5):
+    """BFS hop distance from every doc to its duplicate-cluster ROOT (the
+    min doc_id of its component — :func:`dup_clusters`'s cluster_id) over
+    the exact n-gram near-dup graph.  The distances come FREE from the
+    label-propagation rounds :func:`cluster_pairs` already runs: a node's
+    label at round r is the min id within r hops, so the round of its
+    LAST label change is exactly its BFS distance from the root
+    (``with_hops=True`` threads one extra int column through the frozen
+    per-partition label refs — zero extra rounds or shuffles).  The SQL
+    mirror is a bounded-depth path enumeration + min(hop) to the
+    component min — exact while the true eccentricity stays under the
+    cap, which near-dup clusters (shallow, clique-heavy) always do."""
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["node"].astype(np.int64),
+                             "cluster_id": df["label"].astype(np.int64),
+                             "hop": df["hop"].astype(np.int64)})
+
+    return cluster_pairs(ngram_jaccard(sf_dir, threshold=threshold),
+                         with_hops=True
+                         ).map_batches(rename, batch_format="pandas")
+
+
+def lang_modularity(sf_dir: str, threshold: float = 0.5):
+    """Newman MODULARITY of the language partition over the exact n-gram
+    near-dup graph, as EXACT INTEGER numerators: per language c,
+    ``mod_num = 4m·e_c − d_c²`` where m = total edges, e_c = intra-lang
+    edges, d_c = degree sum of lang-c nodes (Q = Σ_c mod_num / 4m² —
+    the consumer divides; the oracle never sees a float).  Answers "are
+    near-duplicates language-bound?" — Q near its maximum means dup
+    clusters never cross languages.  Langs ride the id-keyed exchanges
+    (two attach rounds, one per endpoint — the doc→lang map is
+    fact-scale, never a driver dict, per the round-3 verdict's
+    broadcast-guard rule); every aggregate after that is a (lang_a,
+    lang_b) cell table, ≤ 25 rows per partition."""
+    pairs = ngram_jaccard(sf_dir, threshold=threshold).materialize()
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def att_a(pt: pd.DataFrame, dt: pd.DataFrame) -> pd.DataFrame:
+        m = pt.merge(dt, left_on="id_a", right_on="doc_id", how="left")
+        return pd.DataFrame({
+            "id_a": m["id_a"].to_numpy(np.int64),
+            "id_b": m["id_b"].to_numpy(np.int64),
+            "lang_a": m["lang"].astype(str)})
+
+    def key_on(col, n=N_DOC_PARTS):
+        return _pair_hash_key([col], n)
+
+    e1 = hash_exchange_multi(
+        [(pairs, key_on("id_a")), (docs, key_on("doc_id"))],
+        n_parts=N_DOC_PARTS, kernel=att_a, fmt="pandas")
+
+    def att_b(pt: pd.DataFrame, dt: pd.DataFrame) -> pd.DataFrame:
+        m = pt.merge(dt, left_on="id_b", right_on="doc_id", how="left")
+        g = (pd.DataFrame({"lang_a": m["lang_a"].astype(str),
+                           "lang_b": m["lang"].astype(str)})
+             .groupby(["lang_a", "lang_b"], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        g["kind"] = "e"
+        return g[["kind", "lang_a", "lang_b", "n"]]
+
+    epart = hash_exchange_multi(
+        [(e1, key_on("id_b")), (docs, key_on("doc_id"))],
+        n_parts=N_DOC_PARTS, kernel=att_b, fmt="pandas")
+
+    def both(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [df["id_a"].to_numpy(np.int64),
+             df["id_b"].to_numpy(np.int64)])})
+
+    nodes = pairs.map_batches(both, batch_format="pandas")
+
+    def node_kernel(nt: pd.DataFrame, dt: pd.DataFrame) -> pd.DataFrame:
+        u = pd.unique(nt["node"])   # node-hash partition -> globally unique
+        m = (pd.DataFrame({"doc_id": u})
+             .merge(dt, on="doc_id", how="left"))
+        g = (m.groupby("lang", sort=False).size().rename("n")
+             .reset_index())
+        return pd.DataFrame({"kind": "n", "lang_a": g["lang"].astype(str),
+                             "lang_b": "", "n": g["n"].astype(np.int64)})
+
+    npart = hash_exchange_multi(
+        [(nodes, key_on("node")), (docs, key_on("doc_id"))],
+        n_parts=N_DOC_PARTS, kernel=node_kernel, fmt="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["lang", "n_nodes", "d_sum", "e_in", "mod_num"]
+        e = df.loc[df["kind"] == "e"]
+        nn = (df.loc[df["kind"] == "n"]
+              .groupby("lang_a", sort=False)["n"].sum())
+        if not len(e):
+            return pd.DataFrame({c: np.array([], np.int64) if c != "lang"
+                                 else np.array([], object) for c in cols})
+        ecell = (e.groupby(["lang_a", "lang_b"], sort=False)["n"].sum()
+                 .reset_index())
+        m = int(ecell["n"].sum())
+        langs = sorted(nn.index)
+        la = ecell["lang_a"].to_numpy()
+        lb = ecell["lang_b"].to_numpy()
+        n = ecell["n"].to_numpy(dtype=np.int64)
+        out = []
+        for c in langs:
+            e_in = int(n[(la == c) & (lb == c)].sum())
+            d_sum = int(n[la == c].sum() + n[lb == c].sum())
+            out.append((c, int(nn[c]), d_sum, e_in,
+                        4 * m * e_in - d_sum * d_sum))
+        r = pd.DataFrame(out, columns=cols)
+        for c in cols[1:]:
+            r[c] = r[c].astype(np.int64)
+        return r
+
+    return hash_exchange(
+        epart.union(npart),
+        key_fn=lambda tbl: np.zeros(tbl.num_rows, dtype=np.int64),
+        n_parts=1, kernel=final, fmt="pandas")

@@ -6323,3 +6323,167 @@ def dow_hour_profile(sf_dir: str):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=P,
                          kernel=merge, fmt="pandas")
+
+
+def rs_range(sf_dir: str):
+    """Rescaled-range (Hurst R/S analysis) INTEGER NUMERATORS per
+    (user, day): for the day's cent series c_1..c_n in ts order,
+    ``r_num = max_k(n·P_k − k·S) − min_k(n·P_k − k·S)`` over the
+    cumulative-deviation walk (P_k = prefix sum, S = day total — the
+    classic R statistic scaled by n to stay integral) and
+    ``var_num = n·Σc² − S²`` (n²·variance).  Consumers divide
+    r_num/(n·√(var_num/n²)) for the R/S ratio; the engine emits only the
+    exact int64 numerators so the oracle comparison never touches a
+    square root (the SPC/bollinger discipline, CLAUDE.md).  One user
+    exchange; the per-(user, day) walk is a grouped cumsum — vectorized
+    with reduceat over group starts, no per-group Python."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts", "value"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        val = t.column("value").to_numpy()
+        cents = (np.sign(val)
+                 * np.floor(np.abs(val) * 100 + 0.5)).astype(np.int64)
+        ts_ms = pc.divide(pc.cast(t["ts"], "int64"), 1000)
+        day_ms = pc.multiply(pc.divide(ts_ms, DAY_MS), DAY_MS)
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts_ms": ts_ms, "day_ms": day_ms,
+                         "cents": pa.array(cents)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "day_ms", "n", "r_num", "var_num"]
+        empty = pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["user_id", "day_ms", "ts_ms"], kind="stable")
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        d = df["day_ms"].to_numpy(dtype=np.int64)
+        c = df["cents"].to_numpy(dtype=np.int64)
+        new = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (d[1:] != d[:-1])))
+        starts = np.flatnonzero(new)
+        gidx = np.cumsum(new) - 1
+        counts = np.diff(np.append(starts, len(u))).astype(np.int64)
+        cs = np.cumsum(c)
+        base = (cs[starts] - c[starts])[gidx]
+        pre = cs - base                       # P_k within group
+        k = np.arange(len(u), dtype=np.int64) - starts[gidx] + 1
+        tot = np.add.reduceat(c, starts).astype(np.int64)
+        dev = counts[gidx] * pre - k * tot[gidx]
+        r_num = (np.maximum.reduceat(dev, starts)
+                 - np.minimum.reduceat(dev, starts))
+        sumsq = np.add.reduceat(c * c, starts).astype(np.int64)
+        var_num = counts * sumsq - tot * tot
+        keep = counts >= 2
+        return pd.DataFrame({
+            "user_id": u[starts][keep], "day_ms": d[starts][keep],
+            "n": counts[keep], "r_num": r_num[keep],
+            "var_num": var_num[keep]})
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def attribution_linear(sf_dir: str, gap_ms: int = 1_800_000,
+                       target: str = "purchase"):
+    """LINEAR (even-split) multi-touch attribution — the fan-out
+    complement of :func:`attribution_last_touch`: every ``target``
+    event's cents split evenly across ALL events preceding it in its
+    30-min session; division is exact-integer with the remainder cents
+    going +1 each to the EARLIEST touches (deterministic, so the credit
+    table mirrors to SQL verbatim: touch j of k gets ``cents//k +
+    (j < cents%k)``, j 0-based in ts order; cents ≥ 0 in this lake so
+    ``//``/``%`` agree across engines).  A purchase opening its session
+    credits 'direct' in full.  The per-purchase preceding-run fan-out is
+    the counts/starts repeat construction (reach_2hop pattern) — session
+    lengths bound the blow-up."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type", "ts", "value"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        val = t.column("value").to_numpy()
+        cents = (np.sign(val)
+                 * np.floor(np.abs(val) * 100 + 0.5)).astype(np.int64)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_type": pc.cast(t["event_type"], "string"),
+            "ts_ms": pc.divide(pc.cast(t["ts"], "int64"), 1000),
+            "cents": pa.array(cents)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["attr_type", "n_touches", "cents"]
+        empty = pd.DataFrame({"attr_type": np.array([], dtype=object),
+                              "n_touches": np.array([], np.int64),
+                              "cents": np.array([], np.int64)})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+        u = df["user_id"].to_numpy()
+        t = df["ts_ms"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
+        cents = df["cents"].to_numpy().astype(np.int64)
+        brk = np.concatenate(([True], (u[1:] != u[:-1])
+                              | ((t[1:] - t[:-1]) > gap_ms)))
+        sid = np.cumsum(brk) - 1
+        sess_start = np.flatnonzero(brk)[sid]   # session start index/row
+        hit = np.flatnonzero(et == target)
+        if hit.size == 0:
+            return empty
+        k = (hit - sess_start[hit]).astype(np.int64)
+        direct = hit[k == 0]
+        frames = []
+        if direct.size:
+            frames.append(pd.DataFrame({
+                "attr_type": np.repeat("direct", direct.size),
+                "cr": cents[direct]}))
+        fan = hit[k > 0]
+        if fan.size:
+            kk = k[k > 0]
+            offs = np.cumsum(kk) - kk
+            j = np.arange(int(kk.sum()), dtype=np.int64) - np.repeat(
+                offs, kk)
+            src = np.repeat(sess_start[fan], kk) + j
+            c_rep = np.repeat(cents[fan], kk)
+            k_rep = np.repeat(kk, kk)
+            cr = c_rep // k_rep + (j < (c_rep % k_rep))
+            frames.append(pd.DataFrame({"attr_type": et[src], "cr": cr}))
+        g = (pd.concat(frames, ignore_index=True)
+             .groupby("attr_type", sort=False)
+             .agg(n_touches=("cr", "size"), cents=("cr", "sum"))
+             .reset_index())
+        g["n_touches"] = g["n_touches"].astype(np.int64)
+        g["cents"] = g["cents"].astype(np.int64)
+        return g[cols]
+
+    partials = hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                             kernel=kernel, fmt="pandas")
+
+    def attr_key(tbl):
+        from ..util import arrow_key_ids
+
+        return arrow_key_ids(tbl, ["attr_type"], 8)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("attr_type", sort=False)
+               .agg(n_touches=("n_touches", "sum"),
+                    cents=("cents", "sum")).reset_index())
+        out["n_touches"] = out["n_touches"].astype(np.int64)
+        out["cents"] = out["cents"].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=attr_key, n_parts=8,
+                         kernel=merge, fmt="pandas")
