@@ -310,8 +310,11 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival_hist": ev.interarrival_hist,
         "events_rs_range": ev.rs_range,
         "events_attribution_linear": ev.attribution_linear,
+        "events_runs_test": ev.runs_test,
         "docs_bfs_hops": docs.bfs_hops,
         "docs_lang_modularity": docs.lang_modularity,
+        "docs_cluster_depth": docs.cluster_depth,
+        "docs_rrf_fusion": docs.rrf_fusion,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -4557,6 +4560,93 @@ SELECT cl.doc_id, CAST(cl.cluster_id AS BIGINT) AS cluster_id,
        CAST(min(r.hop) AS BIGINT) AS hop
 FROM cl JOIN r ON r.n = cl.doc_id AND r.m = cl.cluster_id
 GROUP BY 1, 2
+""",
+        # Wald–Wolfowitz runs-test integers per user: lower-median
+        # selection (sorted cents at (n-1)//2), runs of the above/below
+        # sequence in ts order — no sqrt crosses the gate
+        "events_runs_test": """
+WITH b AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), med AS (
+  SELECT user_id,
+         (array_agg(c ORDER BY c))[(count(*) - 1) // 2 + 1] AS med
+  FROM b GROUP BY 1
+), s AS (
+  SELECT b.user_id, b.ts_ms,
+         CASE WHEN b.c > med.med THEN 1 ELSE 0 END AS ab
+  FROM b JOIN med USING (user_id)
+), r AS (
+  SELECT user_id, ab,
+         CASE WHEN lag(ab) OVER w IS NULL THEN 1
+              WHEN ab != lag(ab) OVER w THEN 1 ELSE 0 END AS chg
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(ab) AS BIGINT) AS n_above,
+       CAST(sum(chg) AS BIGINT) AS runs
+FROM r GROUP BY 1
+""",
+        # per-cluster depth profile over the BFS hops (same path
+        # enumeration as docs_bfs_hops)
+        "docs_cluster_depth": """
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM t
+), s AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shs, b.shs)) * 1.0 /
+         greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), pr AS (SELECT id_a, id_b FROM s WHERE j >= 0.5),
+e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pr
+                   UNION SELECT id_b, id_a FROM pr),
+r AS (
+  SELECT a AS n, a AS m, 0 AS hop FROM e
+  UNION
+  SELECT r.n, e.b, r.hop + 1 FROM r JOIN e ON r.m = e.a
+  WHERE r.hop < 12
+), cl AS (
+  SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY 1
+), h AS (
+  SELECT cl.doc_id, cl.cluster_id, min(r.hop) AS hop
+  FROM cl JOIN r ON r.n = cl.doc_id AND r.m = cl.cluster_id
+  GROUP BY 1, 2
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(hop) AS BIGINT) AS ecc,
+       CAST(sum(hop) AS BIGINT) AS hop_sum
+FROM h GROUP BY 1
+""",
+        # reciprocal-rank fusion in exact fixed point: rrf_num =
+        # 10^9 // (60 + r) summed over the two rankings (positive-operand
+        # floor division agrees across engines); top-20 deterministic
+        "docs_rrf_fusion": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), st AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct
+  FROM t
+), rk AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS r1,
+         row_number() OVER (ORDER BY n_distinct DESC, doc_id) AS r2
+  FROM st
+)
+SELECT doc_id, CAST(r1 AS BIGINT) AS r_len, CAST(r2 AS BIGINT) AS r_uniq,
+       CAST(1000000000 // (60 + r1)
+            + 1000000000 // (60 + r2) AS BIGINT) AS rrf_num
+FROM rk ORDER BY rrf_num DESC, doc_id LIMIT 20
 """,
         # modularity integer numerators of the lang partition over the
         # near-dup graph: per lang, mod_num = 4m·e_in − d_sum²

@@ -3763,3 +3763,113 @@ def lang_modularity(sf_dir: str, threshold: float = 0.5):
         epart.union(npart),
         key_fn=lambda tbl: np.zeros(tbl.num_rows, dtype=np.int64),
         n_parts=1, kernel=final, fmt="pandas")
+
+
+def cluster_depth(sf_dir: str, threshold: float = 0.5):
+    """Per-duplicate-cluster DEPTH profile from the free BFS hops
+    (:func:`bfs_hops`): n_docs, the root's eccentricity (max hop) and the
+    total root distance (hop_sum — the Wiener-index-to-root that says
+    whether a cluster is a tight clique, ecc 1, or a drift chain).  One
+    cluster-keyed exchange over the (doc, cluster, hop) rows."""
+    hops = bfs_hops(sf_dir, threshold=threshold)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["cluster_id", "n_docs", "ecc", "hop_sum"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        g = (df.groupby("cluster_id", sort=False)
+             .agg(n_docs=("hop", "size"), ecc=("hop", "max"),
+                  hop_sum=("hop", "sum")).reset_index())
+        for c in cols:
+            g[c] = g[c].astype(np.int64)
+        return g[cols]
+
+    return hash_exchange(hops, key_fn=_pair_hash_key(["cluster_id"], 8),
+                         n_parts=8, kernel=kernel, fmt="pandas")
+
+
+def _global_rank(per_doc, metric: str, out_col: str,
+                 id_col: str = "doc_id"):
+    """(id, ``out_col``) global 1-based rank by (``metric`` DESC, id ASC)
+    — the events ``_global_ntile`` route (distributed sort → per-block
+    row counts → driver offset fold → rank arithmetic tasks); descending
+    order comes from sorting the negated (non-negative int) metric, so
+    the total order is exact integer."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    def neg(t):
+        return pa.table({
+            id_col: t.column(id_col),
+            "_neg": pa.array(-t.column(metric).to_numpy(
+                zero_copy_only=False).astype(np.int64))})
+
+    ordered = (per_doc.map_batches(neg, batch_format="pyarrow")
+               .sort(["_neg", id_col]).materialize())
+    refs = ordered.to_arrow_refs()
+
+    @ray.remote
+    def nrows(tbl):
+        return tbl.num_rows
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+
+    @ray.remote
+    def rank_block(tbl, r0: int):
+        import pyarrow as _pa
+
+        r = np.arange(tbl.num_rows, dtype=np.int64) + np.int64(r0) + 1
+        return _pa.table({id_col: tbl.column(id_col),
+                          out_col: _pa.array(r)})
+
+    return ray.data.from_arrow_refs(
+        [rank_block.remote(r, int(o)) for r, o in zip(refs, offs)])
+
+
+def rrf_fusion(sf_dir: str, k_rrf: int = 60, top: int = 20):
+    """Reciprocal-rank fusion of two document rankings — the retrieval
+    combiner (Cormack 2009) in exact FIXED-POINT integers: docs ranked by
+    total token count and by distinct token count (both exact-int axes
+    from the shared tokenizer), fused as ``rrf_num = Σ 10⁹ // (60 + r)``
+    (floor division with positive operands, so numpy and DuckDB agree —
+    never a float reciprocal).  Global ranks use the distributed
+    sort + offset-fold route (:func:`_global_rank`); the two rank streams
+    re-align in one doc-keyed co-partition; the global top-20 folds
+    partition-level heads through one tiny merge."""
+    stats = ttr_hapax(sf_dir).materialize()
+
+    r1 = _global_rank(stats, "n_tokens", "r_len")
+    r2 = _global_rank(stats, "n_distinct", "r_uniq")
+
+    def fuse(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "r_len", "r_uniq", "rrf_num"]
+        if len(a) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        m = a.merge(b, on="doc_id")
+        rl = m["r_len"].to_numpy(dtype=np.int64)
+        ru = m["r_uniq"].to_numpy(dtype=np.int64)
+        rrf = (np.int64(10**9) // (k_rrf + rl)
+               + np.int64(10**9) // (k_rrf + ru))
+        out = pd.DataFrame({"doc_id": m["doc_id"].to_numpy(np.int64),
+                            "r_len": rl, "r_uniq": ru, "rrf_num": rrf})
+        # partition-level head: only candidates for the global top ride on
+        return out.sort_values(["rrf_num", "doc_id"],
+                               ascending=[False, True]).head(top)
+
+    key = _pair_hash_key(["doc_id"])
+    heads = hash_exchange_multi([(r1, key), (r2, key)],
+                                n_parts=N_DOC_PARTS, kernel=fuse,
+                                fmt="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(["rrf_num", "doc_id"],
+                             ascending=[False, True]).head(top)
+        for c in ("doc_id", "r_len", "r_uniq", "rrf_num"):
+            out[c] = out[c].astype(np.int64)
+        return out.reset_index(drop=True)
+
+    return hash_exchange(
+        heads, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1, kernel=final, fmt="pandas")

@@ -6487,3 +6487,63 @@ def attribution_linear(sf_dir: str, gap_ms: int = 1_800_000,
 
     return hash_exchange(partials, key_fn=attr_key, n_parts=8,
                          kernel=merge, fmt="pandas")
+
+
+def runs_test(sf_dir: str):
+    """Wald–Wolfowitz runs-test INTEGER table per user: n, n_above (cents
+    strictly above the user's LOWER MEDIAN — sorted cents at index
+    (n−1)//2, the deterministic selection both engines can name) and the
+    run count of the above/not-above sequence in ts order.  The z
+    statistic needs a sqrt, so the engine emits only the exact integers
+    (SPC discipline).  Two grouped lexsorts per partition: one by value
+    for the median selection, one by time for the run-change count."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts", "value"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        val = t.column("value").to_numpy()
+        cents = (np.sign(val)
+                 * np.floor(np.abs(val) * 100 + 0.5)).astype(np.int64)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_ms": pc.divide(pc.cast(t["ts"], "int64"), 1000),
+            "cents": pa.array(cents)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n", "n_above", "runs"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        c = df["cents"].to_numpy(dtype=np.int64)
+        t = df["ts_ms"].to_numpy(dtype=np.int64)
+        # median selection: value order within user
+        ov = np.lexsort((c, u))
+        uv = u[ov]
+        new = np.concatenate(([True], uv[1:] != uv[:-1]))
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(u))).astype(np.int64)
+        med = c[ov][starts + (counts - 1) // 2]
+        users = uv[starts]
+        # run counting: time order within user
+        ot = np.lexsort((t, u))
+        ut, ct = u[ot], c[ot]
+        gidx = np.cumsum(np.concatenate(([True], ut[1:] != ut[:-1]))) - 1
+        ab = ct > med[gidx]
+        first = np.concatenate(([True], ut[1:] != ut[:-1]))
+        chg = first | np.concatenate(([True], ab[1:] != ab[:-1]))
+        n_above = np.bincount(gidx[ab], minlength=len(users))
+        runs = np.bincount(gidx[chg], minlength=len(users))
+        return pd.DataFrame({
+            "user_id": users, "n": counts,
+            "n_above": n_above.astype(np.int64),
+            "runs": runs.astype(np.int64)})
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
