@@ -315,6 +315,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_modularity": docs.lang_modularity,
         "docs_cluster_depth": docs.cluster_depth,
         "docs_rrf_fusion": docs.rrf_fusion,
+        "docs_lm_coverage": docs.lm_coverage,
+        "events_user_overlap": ev.user_overlap,
+        "transcripts_tool_retry_runs": ingest.tool_retry_runs,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -4647,6 +4650,93 @@ SELECT doc_id, CAST(r1 AS BIGINT) AS r_len, CAST(r2 AS BIGINT) AS r_uniq,
        CAST(1000000000 // (60 + r1)
             + 1000000000 // (60 + r2) AS BIGINT) AS rrf_num
 FROM rk ORDER BY rrf_num DESC, doc_id LIMIT 20
+""",
+        # tool retry runs: maximal same-tool stretches of canonical turns
+        # within one conv; rid = cumsum of run starts survives the
+        # tool<>'' filter because every run's first row starts it
+        "transcripts_tool_retry_runs": tdedup + """
+, s AS (
+  SELECT conv_id, turn_idx, tool,
+         CASE WHEN tool <> '' AND (lag(tool) OVER w IS NULL
+              OR lag(tool) OVER w <> tool) THEN 1 ELSE 0 END AS st
+  FROM d WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), f AS (SELECT * FROM s WHERE tool <> ''),
+r AS (
+  SELECT conv_id, tool,
+         sum(st) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rid
+  FROM f
+), g AS (
+  SELECT conv_id, tool, rid, count(*) AS run_len FROM r GROUP BY 1, 2, 3
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(run_len) AS BIGINT) AS n_calls,
+       CAST(max(run_len) AS BIGINT) AS max_run
+FROM g GROUP BY 1
+""",
+        # pairwise active-day overlap of the top-20 users by event count
+        # (deterministic (n DESC, user_id) cut); all 190 pairs emitted
+        "events_user_overlap": """
+WITH b AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+), cnt AS (
+  SELECT user_id, count(*) AS n FROM b GROUP BY 1
+), top AS (
+  SELECT user_id FROM cnt ORDER BY n DESC, user_id LIMIT 20
+), ds AS (
+  SELECT DISTINCT user_id, day FROM b
+  WHERE user_id IN (SELECT user_id FROM top)
+), nd AS (
+  SELECT user_id, count(*) AS nd FROM ds GROUP BY 1
+), p AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM top a JOIN top b ON a.user_id < b.user_id
+), it AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS i
+  FROM ds a JOIN ds b ON a.day = b.day AND a.user_id < b.user_id
+  GROUP BY 1, 2
+)
+SELECT p.ua AS id_a, p.ub AS id_b,
+       CAST(coalesce(it.i, 0) AS BIGINT) AS inter,
+       CAST(na.nd + nb.nd - coalesce(it.i, 0) AS BIGINT) AS uni
+FROM p LEFT JOIN it ON it.ua = p.ua AND it.ub = p.ub
+       JOIN nd na ON na.user_id = p.ua
+       JOIN nd nb ON nb.user_id = p.ub
+""",
+        # bigram-LM coverage of the val split vs the train split (the
+        # md5_number_upper split of docs_hash_split); identity compares
+        # the raw gram strings — the engine's md5-prefix digests are the
+        # repo's established digest discipline
+        "docs_lm_coverage": """
+WITH sp AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks,
+         md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 AS bucket
+  FROM documents
+), tru AS (
+  SELECT DISTINCT unnest(toks) AS tok FROM sp WHERE bucket < 90
+), trb AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(toks)),
+         i -> concat(toks[i], chr(1), toks[i+1]))) AS bg
+  FROM sp WHERE bucket < 90 AND len(toks) >= 2
+), vt AS (
+  SELECT doc_id, unnest(toks) AS tok FROM sp WHERE bucket >= 90
+), vb AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         i -> concat(toks[i], chr(1), toks[i+1]))) AS bg
+  FROM sp WHERE bucket >= 90 AND len(toks) >= 2
+), ut AS (
+  SELECT vt.doc_id, count(*) AS n_tokens,
+         count(*) FILTER (WHERE tru.tok IS NULL) AS n_oov
+  FROM vt LEFT JOIN tru ON tru.tok = vt.tok GROUP BY 1
+), bt AS (
+  SELECT vb.doc_id, count(*) AS n_bigrams,
+         count(*) FILTER (WHERE trb.bg IS NULL) AS n_unseen
+  FROM vb LEFT JOIN trb ON trb.bg = vb.bg GROUP BY 1
+)
+SELECT ut.doc_id, CAST(ut.n_tokens AS BIGINT) AS n_tokens,
+       CAST(ut.n_oov AS BIGINT) AS n_oov,
+       CAST(coalesce(bt.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(bt.n_unseen, 0) AS BIGINT) AS n_unseen
+FROM ut LEFT JOIN bt ON bt.doc_id = ut.doc_id
 """,
         # modularity integer numerators of the lang partition over the
         # near-dup graph: per lang, mod_num = 4m·e_in − d_sum²

@@ -3873,3 +3873,133 @@ def rrf_fusion(sf_dir: str, k_rrf: int = 60, top: int = 20):
     return hash_exchange(
         heads, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
         n_parts=1, kernel=final, fmt="pandas")
+
+
+def lm_coverage(sf_dir: str, train_pct: int = 90):
+    """Bigram language-model COVERAGE of the validation split against the
+    train split (the deterministic md5 split of :func:`hash_split`): per
+    val doc, token count, OOV token count (token string unseen in train),
+    bigram count and unseen-bigram count — the integer numerators of the
+    add-k-smoothed-LM score a data-quality pipeline ranks by.  N-gram
+    identity is the md5-prefix digest of the SQL oracle's own strings
+    (token, and ``t1 + chr(1) + t2``), md5-ing only each batch's UNIQUE
+    grams (vocab-bounded Python, the tokenizer discipline).  Membership
+    is scale-right: the TRAIN n-gram set is never collected — train
+    distinct rows and val occurrence rows co-partition on one gram-hash
+    exchange (sorted-array membership per partition), and per-doc counts
+    fold back through a doc-keyed exchange."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
+    def _md5_u64_le(strings):
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                            "little") for s in strings),
+            dtype=np.uint64, count=len(strings))
+
+    def _gram_rows(df: pd.DataFrame, side: str) -> pd.DataFrame:
+        cols = ["doc_id", "kind", "h"]
+        empty = pd.DataFrame({
+            "doc_id": np.array([], np.int64),
+            "kind": np.array([], dtype=object),
+            "h": np.array([], np.uint64)})
+        bucket = _md5_bucket(df["doc_id"].to_numpy())
+        sel = bucket < train_pct if side == "train" else bucket >= train_pct
+        sub = df.loc[sel]
+        if not len(sub):
+            return empty
+        uniq, codes, lens = dd.unique_tokens(sub["text"])
+        if not len(codes):
+            return empty
+        uniq = np.asarray(uniq, dtype=object)
+        uh = _md5_u64_le(uniq)
+        ids = np.repeat(sub["doc_id"].to_numpy(np.int64), lens)
+        u_h = uh[codes]
+        doc_of = np.repeat(np.arange(len(sub), dtype=np.int64), lens)
+        adj = doc_of[1:] == doc_of[:-1]
+        frames = [pd.DataFrame({"doc_id": ids, "kind": "u", "h": u_h})]
+        if adj.any():
+            c1 = codes[:-1][adj].astype(np.int64)
+            c2 = codes[1:][adj].astype(np.int64)
+            pk = c1 * np.int64(len(uniq)) + c2
+            up, inv = np.unique(pk, return_inverse=True)
+            bh = _md5_u64_le(
+                [uniq[int(a)] + "\x01" + uniq[int(b)]
+                 for a, b in zip(up // len(uniq), up % len(uniq))])
+            frames.append(pd.DataFrame({
+                "doc_id": ids[:-1][adj], "kind": "b", "h": bh[inv]}))
+        out = pd.concat(frames, ignore_index=True)
+        if side == "train":   # distinct per batch: only identity ships
+            out = out.drop_duplicates(["kind", "h"])[["kind", "h"]].copy()
+            out["doc_id"] = np.int64(-1)
+            out = out[cols]
+        return out[cols]
+
+    val = ds.map_batches(lambda df: _gram_rows(df, "val"),
+                         batch_format="pandas")
+    train = ds.map_batches(lambda df: _gram_rows(df, "train"),
+                           batch_format="pandas")
+
+    def h_key(tbl):
+        h = tbl.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (h % np.uint64(N_DOC_PARTS)).astype(np.int64)
+
+    def member(vt: pd.DataFrame, tt: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "kind", "n_occ", "n_miss"]
+        if len(vt) == 0:
+            return pd.DataFrame({
+                "doc_id": np.array([], np.int64),
+                "kind": np.array([], dtype=object),
+                "n_occ": np.array([], np.int64),
+                "n_miss": np.array([], np.int64)})
+        out = []
+        for kind in ("u", "b"):
+            v = vt.loc[vt["kind"] == kind]
+            if not len(v):
+                continue
+            tset = np.unique(tt.loc[tt["kind"] == kind, "h"]
+                             .to_numpy().astype(np.uint64))
+            vh = v["h"].to_numpy().astype(np.uint64)
+            pos = np.searchsorted(tset, vh)
+            hit = ((pos < len(tset))
+                   & (tset[np.minimum(pos, max(len(tset) - 1, 0))] == vh)
+                   if len(tset) else np.zeros(len(vh), dtype=bool))
+            g = (pd.DataFrame({"doc_id": v["doc_id"].to_numpy(np.int64),
+                               "miss": (~hit).astype(np.int64)})
+                 .groupby("doc_id", sort=False)
+                 .agg(n_occ=("miss", "size"), n_miss=("miss", "sum"))
+                 .reset_index())
+            g["kind"] = kind
+            out.append(g)
+        r = pd.concat(out, ignore_index=True)
+        for c in ("doc_id", "n_occ", "n_miss"):
+            r[c] = r[c].astype(np.int64)
+        return r[cols]
+
+    partials = hash_exchange_multi([(val, h_key), (train, h_key)],
+                                   n_parts=N_DOC_PARTS, kernel=member,
+                                   fmt="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "n_tokens", "n_oov", "n_bigrams", "n_unseen"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        g = (df.groupby(["doc_id", "kind"], sort=False)
+             .agg(n_occ=("n_occ", "sum"), n_miss=("n_miss", "sum"))
+             .reset_index())
+        u = g.loc[g["kind"] == "u"].set_index("doc_id")
+        b = g.loc[g["kind"] == "b"].set_index("doc_id")
+        idx = u.index
+        out = pd.DataFrame({
+            "doc_id": idx.to_numpy(np.int64),
+            "n_tokens": u["n_occ"].to_numpy(np.int64),
+            "n_oov": u["n_miss"].to_numpy(np.int64),
+            "n_bigrams": b["n_occ"].reindex(idx).fillna(0)
+            .to_numpy(np.int64),
+            "n_unseen": b["n_miss"].reindex(idx).fillna(0)
+            .to_numpy(np.int64)})
+        return out[cols]
+
+    return hash_exchange(partials, key_fn=_pair_hash_key(["doc_id"]),
+                         n_parts=N_DOC_PARTS, kernel=fold, fmt="pandas")

@@ -6547,3 +6547,90 @@ def runs_test(sf_dir: str):
 
     return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def user_overlap(sf_dir: str, top: int = 20):
+    """Pairwise ACTIVE-DAY overlap between the top-``top`` users by event
+    count: for each user pair (a < b), |days_a ∩ days_b| and
+    |days_a ∪ days_b| — the co-activity numerators (Jaccard at
+    presentation time, never a float in the gate).  Per-user day sets and
+    counts fold through the user exchange; the global top-20 folds
+    partition heads (deterministic (n DESC, user_id) order); only the 20
+    winners' day rows — a bounded broadcast by construction — reach the
+    single pairwise partition, where the intersection is one self-merge
+    on day."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        ts_ms = pc.divide(pc.cast(t["ts"], "int64"), 1000)
+        return pa.table({"user_id": t.column("user_id"),
+                         "day": pc.divide(ts_ms, DAY_MS)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n_events", "day"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        n = df.groupby("user_id", sort=False).size().rename("n_events")
+        d = df.drop_duplicates(["user_id", "day"])
+        out = d.merge(n.reset_index(), on="user_id")
+        for c in cols:
+            out[c] = out[c].astype(np.int64)
+        return out[cols]
+
+    per = hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                        kernel=per_user, fmt="pandas").materialize()
+
+    def heads(df: pd.DataFrame) -> pd.DataFrame:
+        u = (df.drop_duplicates("user_id")[["user_id", "n_events"]]
+             .sort_values(["n_events", "user_id"],
+                          ascending=[False, True]).head(top))
+        u["user_id"] = u["user_id"].astype(np.int64)
+        u["n_events"] = u["n_events"].astype(np.int64)
+        return u
+
+    def top_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return heads(df)
+
+    winners = hash_exchange(
+        per.map_batches(heads, batch_format="pandas"),
+        key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1, kernel=top_merge, fmt="pandas").to_pandas()
+    top_ids = np.sort(winners["user_id"].to_numpy(dtype=np.int64))
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(df["user_id"].to_numpy(dtype=np.int64), top_ids)
+        return df.loc[m, ["user_id", "day"]]
+
+    def pairwise(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["id_a", "id_b", "inter", "uni"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        nd = df.groupby("user_id", sort=False).size()
+        m = df.merge(df, on="day")
+        m = m.loc[m["user_id_x"] < m["user_id_y"]]
+        it = (m.groupby(["user_id_x", "user_id_y"], sort=False)
+              .size().rename("inter").reset_index())
+        ua, ub = np.meshgrid(top_ids, top_ids, indexing="ij")
+        keep = ua < ub
+        allp = pd.DataFrame({"user_id_x": ua[keep], "user_id_y": ub[keep]})
+        allp = allp.merge(it, on=["user_id_x", "user_id_y"], how="left")
+        inter = allp["inter"].fillna(0).to_numpy(np.int64)
+        na = nd.reindex(allp["user_id_x"]).fillna(0).to_numpy(np.int64)
+        nb = nd.reindex(allp["user_id_y"]).fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "id_a": allp["user_id_x"].to_numpy(np.int64),
+            "id_b": allp["user_id_y"].to_numpy(np.int64),
+            "inter": inter, "uni": na + nb - inter})
+
+    return hash_exchange(
+        per.map_batches(filt, batch_format="pandas"),
+        key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1, kernel=pairwise, fmt="pandas")

@@ -1589,3 +1589,60 @@ def len_drift(sf_dir: str, cap: int = 64):
             "med_den": den[rows, sel].astype(np.int64)})[cols]
 
     return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+
+def tool_retry_runs(sf_dir: str):
+    """Tool RETRY-RUN audit per tool: a run = maximal stretch of
+    consecutive canonical turns (turn_idx order, within one conv) calling
+    the SAME non-empty tool — back-to-back same-tool calls are the retry
+    smell an agent-transcript pipeline monitors.  Per tool: run count,
+    total calls and the longest run, all exact ints.  Runs never span
+    conversations; convs live whole inside one bucket, so run detection
+    is the shuffle-free conv pass (one shift-compare), and only ≤
+    #tools cells ride the final exchange."""
+    from ..stages.exchange import hash_exchange
+    from ..stages.metrics import canonical_turns_arrow
+
+    def kernel(batch):
+        t = canonical_turns_arrow(batch)
+        conv = t["conv_id"].to_pandas().astype(str).to_numpy()
+        tool = t["tool"].to_pandas().astype(str).to_numpy()
+        cols = ["tool", "n_runs", "n_calls", "max_run"]
+        called = tool != ""
+        if not called.any():
+            return pd.DataFrame({
+                "tool": np.array([], dtype=object),
+                "n_runs": np.array([], np.int64),
+                "n_calls": np.array([], np.int64),
+                "max_run": np.array([], np.int64)})
+        same_prev = np.concatenate(
+            ([False], (conv[1:] == conv[:-1]) & (tool[1:] == tool[:-1])))
+        start = called & ~same_prev
+        rid = np.cumsum(start) - 1          # run id for called rows
+        run_tool = tool[start]
+        run_len = np.bincount(rid[called], minlength=int(start.sum()))
+        g = (pd.DataFrame({"tool": run_tool, "len": run_len})
+             .groupby("tool", sort=False)
+             .agg(n_runs=("len", "size"), n_calls=("len", "sum"),
+                  max_run=("len", "max")).reset_index())
+        for c in cols[1:]:
+            g[c] = g[c].astype(np.int64)
+        return g[cols]
+
+    partials = _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+    def key_fn(tbl):
+        from ..util import arrow_col_hash
+
+        return (arrow_col_hash(tbl, "tool") % np.uint64(4)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("tool", sort=False)
+               .agg(n_runs=("n_runs", "sum"), n_calls=("n_calls", "sum"),
+                    max_run=("max_run", "max")).reset_index())
+        for c in ("n_runs", "n_calls", "max_run"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=4, kernel=merge,
+                         fmt="pandas")
