@@ -318,6 +318,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_lm_coverage": docs.lm_coverage,
         "events_user_overlap": ev.user_overlap,
         "transcripts_tool_retry_runs": ingest.tool_retry_runs,
+        "transcripts_workflow_near_dups": ingest.workflow_near_dups,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -4672,6 +4673,31 @@ SELECT tool, CAST(count(*) AS BIGINT) AS n_runs,
        CAST(sum(run_len) AS BIGINT) AS n_calls,
        CAST(max(run_len) AS BIGINT) AS max_run
 FROM g GROUP BY 1
+""",
+        # conv pairs with near-duplicate tool workflows: non-empty tools
+        # in canonical turn order as a space-joined string, word-3-shingle
+        # (tool-trigram) set Jaccard >= 0.5; conv id = numeric suffix
+        "transcripts_workflow_near_dups": tdedup + """
+, f AS (SELECT conv_id, turn_idx, tool FROM d WHERE tool <> ''),
+c AS (
+  SELECT CAST(substring(conv_id, 6) AS BIGINT) AS doc_id,
+         string_agg(tool, ' ' ORDER BY turn_idx) AS text
+  FROM f GROUP BY 1
+), tt AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks FROM c
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM tt
+), s AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shs, b.shs)) * 1.0 /
+         greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(j, 6) AS workflow_jaccard FROM s WHERE j >= 0.5
 """,
         # pairwise active-day overlap of the top-20 users by event count
         # (deterministic (n DESC, user_id) cut); all 190 pairs emitted

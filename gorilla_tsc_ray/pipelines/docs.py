@@ -443,6 +443,17 @@ def ngram_jaccard(sf_dir: str, threshold: float = 0.5, k: int = 3,
     prefix order and no frequency-rank estimation pass is needed; there is
     no block column — blocking comes entirely from shared prefix shingles."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return shingle_jaccard_pairs(ds, threshold=threshold, k=k,
+                                 hot_bucket=hot_bucket)
+
+
+def shingle_jaccard_pairs(ds, threshold: float = 0.5, k: int = 3,
+                          hot_bucket: int | None = None,
+                          sim_col: str = "ngram_jaccard"):
+    """:func:`ngram_jaccard`'s machinery over ANY ``(doc_id, text)``
+    dataset — the payload-agnostic seam that lets the dedup family run on
+    derived corpora (e.g. conversation-level transcripts,
+    :func:`~gorilla_tsc_ray.pipelines.ingest.near_dup_convs`)."""
     sets = ds.map_batches(dd.shingle_sets_table, batch_format="pyarrow",
                           fn_kwargs={"k": k}).materialize()
     rows = sets.map_batches(dd.prefix_token_rows, batch_format="pyarrow",
@@ -453,7 +464,7 @@ def ngram_jaccard(sf_dir: str, threshold: float = 0.5, k: int = 3,
         cands, sets.select_columns(["doc_id", "elems"]),
         payload_id="doc_id", payload_col="elems", attach_out="elems_a",
         verify_kernel=dd.set_jaccard_verify,
-        verify_kwargs={"threshold": threshold, "sim_col": "ngram_jaccard"})
+        verify_kwargs={"threshold": threshold, "sim_col": sim_col})
 
 
 def token_jaccard(sf_dir: str, threshold: float = 0.5,

@@ -1646,3 +1646,42 @@ def tool_retry_runs(sf_dir: str):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=4, kernel=merge,
                          fmt="pandas")
+
+
+def workflow_near_dups(sf_dir: str, threshold: float = 0.5):
+    """Conversation pairs with NEAR-DUPLICATE TOOL WORKFLOWS — the dedup
+    family applied to the transcripts payload: each conversation's
+    non-empty tool calls (canonical turn order) join into one
+    space-separated workflow string, and the exact word-3-shingle Jaccard
+    prefix join (:func:`~gorilla_tsc_ray.pipelines.docs
+    .shingle_jaccard_pairs`, the payload-agnostic seam) finds conv pairs
+    whose tool-TRIGRAM sets overlap ≥ 0.5 — the "same agent loop"
+    detector.  Tool names are pure-alnum tokens, so the shared tokenizer
+    reproduces the sequence exactly, and sub-3-call convs take the same
+    ''-padded shingle the SQL mirror builds.  The tiny tool vocabulary
+    makes every prefix bucket hot by construction — candidate volume ≈
+    the true output (inherent to threshold joins over low-entropy sets);
+    the machinery's hot-bucket 2D blocking bounds any one task.  Conv
+    identity is the numeric conv suffix; workflow assembly is the
+    shuffle-free conv pass."""
+    from .docs import shingle_jaccard_pairs
+    from ..stages.metrics import canonical_turns_arrow
+
+    def conv_workflow(batch) -> pd.DataFrame:
+        t = canonical_turns_arrow(batch)
+        df = pd.DataFrame({
+            "conv_id": t["conv_id"].to_pandas().astype(str),
+            "tool": t["tool"].to_pandas().astype(str)})
+        df = df.loc[df["tool"] != ""]
+        if not len(df):
+            return pd.DataFrame({"doc_id": np.array([], np.int64),
+                                 "text": np.array([], dtype=object)})
+        g = (df.groupby("conv_id", sort=True)["tool"]
+             .agg(" ".join).reset_index())
+        return pd.DataFrame({
+            "doc_id": g["conv_id"].str.slice(5).astype(np.int64),
+            "text": g["tool"]})
+
+    ds = _conv_partitioned(sf_dir, conv_workflow, lean=False, fmt="pyarrow")
+    return shingle_jaccard_pairs(ds, threshold=threshold,
+                                 sim_col="workflow_jaccard")
