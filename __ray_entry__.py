@@ -319,6 +319,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_user_overlap": ev.user_overlap,
         "transcripts_tool_retry_runs": ingest.tool_retry_runs,
         "transcripts_workflow_near_dups": ingest.workflow_near_dups,
+        "transcripts_timetravel_serve": ingest.timetravel_serve,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -600,6 +601,14 @@ def oracle_sql() -> dict[str, str]:
     tmetrics = _TRANSCRIPT_METRICS.format(path=tpath)
     ev_rollup = lambda ms: _rollup_sql(_EVENT_POINTS, "user_id", ms, "p")  # noqa: E731
     tr_rollup = lambda ms: _rollup_sql(tmetrics, "conv_id, metric", ms, "m")  # noqa: E731
+    # first-event-time-half metrics: the timetravel gate's oracle input —
+    # cut BEFORE the metric derivation so turn_gap_ms lags stay inside
+    # the prefix, exactly like the engine's ts_hi ingest cut; the cut
+    # point mirrors the engine's exact-integer footer midpoint
+    tmetrics_cut = (tdedup
+                    + ", dcut AS (SELECT * FROM d WHERE ts_ms < "
+                      "(SELECT (min(ts_ms) + max(ts_ms)) // 2 FROM d))"
+                    + tmetrics[len(tdedup):].replace("FROM d", "FROM dcut"))
     return {
         "events_roundtrip":
             "SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events",
@@ -1208,6 +1217,10 @@ FROM events
         # the appended (first half + delta) store must serve the SAME 1h
         # tier as a single-shot build over all turns
         "transcripts_incremental_serve": tr_rollup(3_600_000),
+        # as-of-version-1 read of the appended store must equal the plain
+        # rollup over only the first-half turns (MVCC by supersession)
+        "transcripts_timetravel_serve": _rollup_sql(
+            tmetrics_cut, "conv_id, metric", 3_600_000, "m"),
         "transcripts_rollup_1d": tr_rollup(86_400_000),
         "transcripts_roundtrip_text_len": tdedup + """
 SELECT conv_id, 'text_len' AS metric, ts_ms,

@@ -1215,7 +1215,8 @@ def turn_window(sf_dir: str, w: int = 5):
 
 
 def append_to_store(sf_dir: str, out_root: str,
-                    ts_lo: int | None = None, ts_hi: int | None = None):
+                    ts_lo: int | None = None, ts_hi: int | None = None,
+                    keep_history: bool = False):
     """Continuous-aggregate APPEND: fold one new event-time batch of
     turns into an existing store WITHOUT rebuilding it — the north-rule
     continuous-aggregates path.  Only the day partitions the delta
@@ -1242,6 +1243,15 @@ def append_to_store(sf_dir: str, out_root: str,
     Replacement supersession is sound because group emission is monotone
     in the input: any (conv, metric, day) group the old build emitted
     still has rows under the recompute, so no stale group can survive.
+
+    With ``keep_history=True`` the append is NON-DESTRUCTIVE: every
+    rewritten day partition's pre-append copy MOVES (an O(1) directory
+    rename, never a data rewrite) under ``_history/v{N}/``, newly created
+    days are recorded, and a version manifest row per (tier, day) makes
+    any earlier store version reconstructible
+    (:func:`~gorilla_tsc_ray.state.lineage.resolve_asof` — MVCC by
+    supersession; the :func:`timetravel_serve` gate proves as-of-v1 reads
+    are bit-equal to the pre-append store).
     """
     import os
     import shutil
@@ -1283,6 +1293,25 @@ def append_to_store(sf_dir: str, out_root: str,
     results = {"days": days, "run_id": run_id}
     if not days:
         return results
+
+    from ..state.lineage import (archive_path, next_store_version,
+                                 write_version_manifest)
+
+    ver = next_store_version(out_root) if keep_history else None
+    hist_rows: list[dict] = []
+
+    def _retire(path: str, tier_name: str):
+        """Delete a superseded day dir — or, under ``keep_history``, move
+        it into the version archive and record the supersession."""
+        day = int(os.path.basename(path).split("=", 1)[1])
+        if keep_history:
+            dst = archive_path(out_root, ver, tier_name, day)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(path, dst)
+            hist_rows.append({"version": ver, "tier": tier_name,
+                              "day": day, "action": "archived"})
+        else:
+            shutil.rmtree(path)
 
     def existing(tier: str, cols: list[str]):
         dirs = [f"{out_root}/{tier}/day={d}" for d in days]
@@ -1370,8 +1399,15 @@ def append_to_store(sf_dir: str, out_root: str,
                 kernel=lambda df: replace_groups(df, cols, day_col),
                 fmt="pandas")
         merged = _with_day(merged, day_col).materialize()
+        had = {int(os.path.basename(p).split("=", 1)[1])
+               for p in old_dirs}
         for p in old_dirs:
-            shutil.rmtree(p)
+            _retire(p, tier)
+        if keep_history:
+            for d in days:
+                if d not in had:
+                    hist_rows.append({"version": ver, "tier": tier,
+                                      "day": d, "action": "created"})
         merged.write_parquet(f"{out_root}/{tier}", partition_cols=["day"])
         results[tier] = f"{out_root}/{tier}"
         return merged
@@ -1397,8 +1433,12 @@ def append_to_store(sf_dir: str, out_root: str,
                                               batch_format="pandas"),
                            "bucket_ms").materialize()
         for d in days:
-            shutil.rmtree(f"{out_root}/rollup_{tier}/day={d}",
-                          ignore_errors=True)
+            p = f"{out_root}/rollup_{tier}/day={d}"
+            if os.path.isdir(p):
+                _retire(p, f"rollup_{tier}")
+            elif keep_history:
+                hist_rows.append({"version": ver, "tier": f"rollup_{tier}",
+                                  "day": d, "action": "created"})
         out_ds.write_parquet(f"{out_root}/rollup_{tier}",
                              partition_cols=["day"])
         results[f"rollup_{tier}"] = f"{out_root}/rollup_{tier}"
@@ -1437,6 +1477,9 @@ def append_to_store(sf_dir: str, out_root: str,
             })
     if rows:
         write_lineage(out_root, rows, run_id)
+    if keep_history and hist_rows:
+        write_version_manifest(out_root, hist_rows, run_id)
+        results["version"] = ver
     results["lineage_rows"] = len(rows)
     return results
 
@@ -1685,3 +1728,82 @@ def workflow_near_dups(sf_dir: str, threshold: float = 0.5):
     ds = _conv_partitioned(sf_dir, conv_workflow, lean=False, fmt="pyarrow")
     return shingle_jaccard_pairs(ds, threshold=threshold,
                                  sim_col="workflow_jaccard")
+
+
+def _exact_ts_minmax_ms(tdir: str) -> tuple[int, int]:
+    """(min, max) epoch-ms of ``ts`` from parquet FOOTER stats with exact
+    integer conversion (``calendar.timegm`` + microsecond floor — never
+    the float-seconds ``datetime.timestamp()`` path, whose rounding can
+    cross a millisecond boundary at 2e12-ms epochs)."""
+    import calendar
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    lo = hi = None
+    for f in glob.glob(os.path.join(tdir, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        ts_i = md.schema.to_arrow_schema().get_field_index("ts")
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ts_i).statistics
+            if st is None or not st.has_min_max:
+                raise RuntimeError(f"no ts statistics in {f}")
+            for dt, pick in ((st.min, "lo"), (st.max, "hi")):
+                ms = (calendar.timegm(dt.timetuple()) * 1000
+                      + dt.microsecond // 1000)
+                if pick == "lo":
+                    lo = ms if lo is None else min(lo, ms)
+                else:
+                    hi = ms if hi is None else max(hi, ms)
+    return int(lo), int(hi)
+
+
+def timetravel_serve(sf_dir: str, tier: str = "1h"):
+    """Driver-facing TIME-TRAVEL gate: ingest the first event-time half
+    into a fresh scratch store (version 1), fold the second half in with
+    ``append_to_store(keep_history=True)`` (version 2 — superseded day
+    partitions MOVE to the version archive instead of dying), then serve
+    the coarser tier AS OF VERSION 1 through the manifest resolution
+    (:func:`~gorilla_tsc_ray.state.lineage.resolve_asof`).  The oracle is
+    the plain rollup over ONLY the first-half turns — the as-of read must
+    be indistinguishable from the pre-append store (archived boundary-day
+    copies are bit-identical renamed files; days created by the append
+    are excluded by their manifest rows; untouched days pass through).
+    The split point is the exact-integer footer min/max midpoint, so the
+    SQL mirror's ``(min(ts_ms) + max(ts_ms)) // 2`` names the same cut."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from ..sources.transcripts import CACHE_ROOT
+    from ..state.lineage import resolve_asof
+
+    tune_context()
+    tdir = transcripts_dir(sf_dir)
+    lo, hi = _exact_ts_minmax_ms(tdir)
+    split = (lo + hi) // 2
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(CACHE_ROOT, f"ttravel_store_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    ingest_to_store(sf_dir, store, resume=False, ts_hi=split)
+    append_to_store(sf_dir, store, ts_lo=split, keep_history=True)
+
+    import glob
+
+    paths = resolve_asof(store, 1, f"rollup_{tier}")
+    if not paths:
+        raise RuntimeError("as-of-v1 resolution found no partitions")
+    files = [f for p in paths
+             for f in sorted(glob.glob(os.path.join(p, "*.parquet")))]
+    ds = ray.data.read_parquet(files, columns=ROLLUP_COLS)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["conv_id"] = out["conv_id"].astype(str)
+        out["metric"] = out["metric"].astype(str)
+        return out[ROLLUP_COLS]
+
+    return ds.map_batches(finalize, batch_format="pandas")

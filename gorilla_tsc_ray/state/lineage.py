@@ -67,3 +67,93 @@ def completed_partitions(store_root: str) -> set[str]:
 
 def partition_key_for_day(day_ms: int) -> str:
     return f"day={day_ms}"
+
+
+# ---------- store version manifests (time-travel reads) ----------
+#
+# A mutating append run with ``keep_history=True`` SUPERSEDES day
+# partitions instead of deleting them: the pre-append copy of every
+# rewritten day moves (an O(1) rename, never a rewrite) under
+# ``_history/v{N}/{tier}/day={d}`` and one manifest row records the
+# action.  Store version 1 is the initial build; each history-keeping
+# append increments it.  ``resolve_asof`` reconstructs any version's
+# day→path mapping from the manifest alone — MVCC by supersession.
+
+VERSION_SCHEMA = pa.schema([
+    ("version", pa.int64()),
+    ("tier", pa.string()),
+    ("day", pa.int64()),
+    ("action", pa.string()),     # 'archived' (pre-state moved) | 'created'
+    ("run_id", pa.string()),
+])
+
+
+def history_dir(store_root: str) -> str:
+    return os.path.join(store_root, "_history")
+
+
+def archive_path(store_root: str, version: int, tier: str,
+                 day: int) -> str:
+    return os.path.join(history_dir(store_root), f"v{version}", tier,
+                        f"day={day}")
+
+
+def next_store_version(store_root: str) -> int:
+    df = load_version_manifest(store_root)
+    return (int(df["version"].max()) if len(df) else 1) + 1
+
+
+def write_version_manifest(store_root: str, rows: list[dict],
+                           run_id: str) -> str:
+    os.makedirs(history_dir(store_root), exist_ok=True)
+    df = pd.DataFrame(rows)
+    df["run_id"] = run_id
+    table = pa.Table.from_pandas(df, preserve_index=False).select(
+        [f.name for f in VERSION_SCHEMA]).cast(VERSION_SCHEMA)
+    ver = int(df["version"].iloc[0])
+    path = os.path.join(history_dir(store_root),
+                        f"manifest-v{ver}.parquet")
+    pq.write_table(table, path)
+    return path
+
+
+def load_version_manifest(store_root: str) -> pd.DataFrame:
+    d = history_dir(store_root)
+    cols = [f.name for f in VERSION_SCHEMA]
+    if not os.path.isdir(d):
+        return pd.DataFrame(columns=cols)
+    parts = [pq.read_table(os.path.join(d, f)).to_pandas()
+             for f in sorted(os.listdir(d))
+             if f.startswith("manifest-") and f.endswith(".parquet")]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(parts, ignore_index=True)
+
+
+def resolve_asof(store_root: str, version: int, tier: str) -> list[str]:
+    """Day-partition paths composing ``tier`` AS OF store ``version``:
+    current day dirs, minus days created after ``version``, with days
+    archived after ``version`` substituted by their EARLIEST archived
+    copy (= the state they had at ``version``)."""
+    man = load_version_manifest(store_root)
+    later = man.loc[(man["tier"] == tier) & (man["version"] > version)]
+    created_after = set(later.loc[later["action"] == "created", "day"]
+                        .astype(int))
+    arch = later.loc[later["action"] == "archived"]
+    subst = (arch.groupby("day")["version"].min().astype(int).to_dict()
+             if len(arch) else {})
+    tier_dir = os.path.join(store_root, tier)
+    paths = []
+    if os.path.isdir(tier_dir):
+        for name in sorted(os.listdir(tier_dir)):
+            if not name.startswith("day="):
+                continue
+            day = int(name.split("=", 1)[1])
+            if day in created_after or day in subst:
+                continue
+            paths.append(os.path.join(tier_dir, name))
+    for day, ver in sorted(subst.items()):
+        if day in created_after:
+            continue
+        paths.append(archive_path(store_root, ver, tier, day))
+    return paths

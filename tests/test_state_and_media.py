@@ -468,3 +468,51 @@ def test_session_core_accepted_set_is_sql_expressible():
     exp = [(i, int(acc[s]), int(acc[e - 1]), int(e - s))
            for i, (s, e) in enumerate(zip(starts, ends))]
     assert rows == exp
+
+
+def test_resolve_asof_day_resolution(tmp_path):
+    """MVCC day resolution: archived days substitute their EARLIEST
+    later archive; created-after days are excluded; untouched days pass
+    through from the current tier dir."""
+    import os
+
+    from gorilla_tsc_ray.state.lineage import (archive_path, resolve_asof,
+                                               write_version_manifest)
+
+    store = str(tmp_path / "store")
+    tier = "rollup_1h"
+    # current store: days 10, 20, 30, 40 (40 was created by v2; 20 was
+    # rewritten at v2 and again at v3; 30 rewritten at v3 only)
+    for d in (10, 20, 30, 40):
+        os.makedirs(os.path.join(store, tier, f"day={d}"))
+    for ver, day in ((2, 20), (3, 20), (3, 30)):
+        os.makedirs(archive_path(store, ver, tier, day))
+    write_version_manifest(store, [
+        {"version": 2, "tier": tier, "day": 20, "action": "archived"},
+        {"version": 2, "tier": tier, "day": 40, "action": "created"},
+    ], run_id="r2")
+    write_version_manifest(store, [
+        {"version": 3, "tier": tier, "day": 20, "action": "archived"},
+        {"version": 3, "tier": tier, "day": 30, "action": "archived"},
+    ], run_id="r3")
+
+    def days_of(paths):
+        return sorted((("hist", p.split("/_history/")[1])
+                       if "/_history/" in p
+                       else ("cur", os.path.basename(p))) for p in paths)
+
+    # as of v1: day 20 from its v2 archive (pre-v2 state), day 30 from
+    # v3 archive, day 40 excluded, day 10 current
+    assert days_of(resolve_asof(store, 1, tier)) == [
+        ("cur", "day=10"),
+        ("hist", f"v2/{tier}/day=20"),
+        ("hist", f"v3/{tier}/day=30")]
+    # as of v2: day 20 from the v3 archive (its state AT v2), 40 included
+    assert days_of(resolve_asof(store, 2, tier)) == [
+        ("cur", "day=10"), ("cur", "day=40"),
+        ("hist", f"v3/{tier}/day=20"),
+        ("hist", f"v3/{tier}/day=30")]
+    # as of v3 (latest): everything current
+    assert days_of(resolve_asof(store, 3, tier)) == [
+        ("cur", "day=10"), ("cur", "day=20"), ("cur", "day=30"),
+        ("cur", "day=40")]
