@@ -50,6 +50,9 @@ def main(argv=None) -> int:
     pa_.add_argument("--store", required=True)
     pa_.add_argument("--ts-lo", type=int, default=None,
                      help="window start (epoch ms, inclusive)")
+    pa_.add_argument("--keep-history", action="store_true",
+                     help="archive superseded day partitions under "
+                          "_history/v{N}/ for as-of-version reads")
     pa_.add_argument("--ts-hi", type=int, default=None,
                      help="window end (epoch ms, exclusive)")
 
@@ -108,7 +111,8 @@ def main(argv=None) -> int:
             from .pipelines.ingest import append_to_store
 
             res = append_to_store(args.sf_dir, args.store,
-                                  ts_lo=args.ts_lo, ts_hi=args.ts_hi)
+                                  ts_lo=args.ts_lo, ts_hi=args.ts_hi,
+                                  keep_history=args.keep_history)
             print(json.dumps(res))
         elif args.cmd == "query":
             from .pipelines.query import scan_points

@@ -1314,13 +1314,19 @@ def append_to_store(sf_dir: str, out_root: str,
             shutil.rmtree(path)
 
     def existing(tier: str, cols: list[str]):
+        import glob
+
         dirs = [f"{out_root}/{tier}/day={d}" for d in days]
         dirs = [p for p in dirs if os.path.isdir(p)]
         if not dirs:
             return None, []
+        # a LIST of directories is not a supported read_parquet input
+        # (single dir str only) — expand to the member files
+        files = [f for p in dirs
+                 for f in sorted(glob.glob(os.path.join(p, "*.parquet")))]
         # parquet round-trips the Arrow schema, so dictionary-encoded key
         # columns come back dictionary-typed — normalize like the delta
-        ds = ray.data.read_parquet(dirs, columns=cols).map_batches(
+        ds = ray.data.read_parquet(files, columns=cols).map_batches(
             plain, batch_format="pyarrow")
         return ds, dirs
 
