@@ -320,6 +320,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_tool_retry_runs": ingest.tool_retry_runs,
         "transcripts_workflow_near_dups": ingest.workflow_near_dups,
         "transcripts_timetravel_serve": ingest.timetravel_serve,
+        "transcripts_tool_context": ingest.tool_context,
+        "events_late_histogram": ev.late_histogram,
+        "emb_label_margins": docs.label_margins,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -4686,6 +4689,56 @@ SELECT tool, CAST(count(*) AS BIGINT) AS n_runs,
        CAST(sum(run_len) AS BIGINT) AS n_calls,
        CAST(max(run_len) AS BIGINT) AS max_run
 FROM g GROUP BY 1
+""",
+        # lateness histogram of the points the out-of-order gate DROPS:
+        # late = per-user running-max watermark (prior arrivals in the
+        # scrambled (value, ts) order) minus ts, per-minute buckets
+        "events_late_histogram": """
+WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+a AS (
+  SELECT *, max(ts_ms) OVER (PARTITION BY user_id ORDER BY value, ts_ms
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS wm
+  FROM p
+)
+SELECT CAST((wm - ts_ms) // 60000 AS BIGINT) AS late_bucket,
+       CAST(count(*) AS BIGINT) AS n_dropped
+FROM a WHERE wm IS NOT NULL AND ts_ms <= wm GROUP BY 1
+""",
+        # backward as-of inside transcripts: each tool-call turn's most
+        # recent prior user turn (-1 when none)
+        "transcripts_tool_context": tdedup + """
+, s AS (
+  SELECT conv_id, turn_idx, tool,
+         max(CASE WHEN role = 'user' THEN turn_idx END) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ctx
+  FROM d
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(coalesce(ctx, -1) AS BIGINT) AS ctx_turn_idx
+FROM s WHERE tool <> ''
+""",
+        # per-anchor contrastive margins: best same-label vs best
+        # other-label cosine (anchors vec_id < 50; self excluded)
+        "emb_label_margins": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id < 50
+), s AS (
+  SELECT q.query_id, q.label,
+         list_cosine_similarity(q.qe,
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS c,
+         (e.label = q.label) AS same
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, label,
+       round(max(c) FILTER (WHERE same), 6) AS best_same,
+       round(max(c) FILTER (WHERE NOT same), 6) AS best_other
+FROM s GROUP BY 1, 2
+HAVING max(c) FILTER (WHERE same) IS NOT NULL
+   AND max(c) FILTER (WHERE NOT same) IS NOT NULL
 """,
         # conv pairs with near-duplicate tool workflows: non-empty tools
         # in canonical turn order as a space-joined string, word-3-shingle

@@ -4014,3 +4014,63 @@ def lm_coverage(sf_dir: str, train_pct: int = 90):
 
     return hash_exchange(partials, key_fn=_pair_hash_key(["doc_id"]),
                          n_parts=N_DOC_PARTS, kernel=fold, fmt="pandas")
+
+
+def label_margins(sf_dir: str, n_anchors: int = 50):
+    """Metric-learning AUDIT over the labeled embedding table: for each
+    anchor (vec_id < ``n_anchors``), the best cosine to any OTHER vector
+    of the SAME label and the best cosine to any vector of a DIFFERENT
+    label — the per-anchor margin a contrastive-training pipeline
+    monitors (separable anchors have best_same > best_other).  Anchors
+    (a bounded broadcast by construction) ride into a stateless matmul
+    stage; per-batch maxima are mergeable partials, so nothing but
+    (anchor, kind, best) scalars ever leaves a task.  Cosines round to 6
+    at the gate (the emb_near_dups discipline)."""
+    import pyarrow.parquet as pq
+
+    q = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"],
+                      filters=[("vec_id", "<", n_anchors)]).to_pandas()
+    A = np.stack([np.asarray(v, np.float64) for v in q["embedding"]])
+    A = A / np.linalg.norm(A, axis=1, keepdims=True)
+    a_ids = q["vec_id"].to_numpy(np.int64)
+    a_labels = q["label"].to_numpy()
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "label", "best_same", "best_other"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        M = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        cos = A @ M.T                      # (n_anchors, batch)
+        ids = df["vec_id"].to_numpy(np.int64)
+        same = a_labels[:, None] == df["label"].to_numpy()[None, :]
+        self_pair = a_ids[:, None] == ids[None, :]
+        neg = np.float64(-2.0)
+        best_same = np.where(same & ~self_pair, cos, neg).max(axis=1)
+        best_other = np.where(~same, cos, neg).max(axis=1)
+        return pd.DataFrame({
+            "query_id": a_ids, "label": a_labels.astype(np.int64),
+            "best_same": best_same, "best_other": best_other})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        from ..util import round_half_away
+
+        g = (df.groupby(["query_id", "label"], sort=False)
+             .agg(best_same=("best_same", "max"),
+                  best_other=("best_other", "max")).reset_index())
+        keep = (g["best_same"] > -2.0) & (g["best_other"] > -2.0)
+        g = g.loc[keep].reset_index(drop=True)
+        g["query_id"] = g["query_id"].astype(np.int64)
+        g["label"] = g["label"].astype(np.int64)
+        g["best_same"] = round_half_away(g["best_same"].to_numpy(), 6)
+        g["best_other"] = round_half_away(g["best_other"].to_numpy(), 6)
+        return g[["query_id", "label", "best_same", "best_other"]]
+
+    return hash_exchange(
+        parts, key_fn=_pair_hash_key(["query_id"], 8), n_parts=8,
+        kernel=merge, fmt="pandas")

@@ -6634,3 +6634,71 @@ def user_overlap(sf_dir: str, top: int = 20):
         per.map_batches(filt, batch_format="pandas"),
         key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
         n_parts=1, kernel=pairwise, fmt="pandas")
+
+
+def late_histogram(sf_dir: str, bucket_ms: int = 60_000):
+    """Late-data OBSERVABILITY for the out-of-order streaming gate: the
+    per-minute histogram of how late the DROPPED points were — lateness =
+    per-user watermark (running max of ts over PRIOR arrivals in the
+    deterministic scrambled (value, ts) arrival order, exactly
+    :func:`streaming_out_of_order`'s drop rule) minus the point's ts.
+    The monitoring panel a streaming deployment sizes its
+    allowed-lateness from.  One user exchange; the watermark walk is a
+    grouped ``np.maximum.accumulate`` over arrival order — the sequential
+    rule, vectorized across users."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts", "value"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_ms": pc.divide(pc.cast(t["ts"], "int64"), 1000),
+            "value": t.column("value")})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["late_bucket", "n_dropped"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        df = df.sort_values(["user_id", "value", "ts_ms"], kind="stable")
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        t = df["ts_ms"].to_numpy(dtype=np.int64)
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        gidx = np.cumsum(first) - 1
+        # watermark BEFORE each row = grouped running max of the previous
+        # row's ts; 0 floors group starts (ts_ms > 0, so a floored wm
+        # never flags a drop — exactly the oracle's wm-IS-NULL accept)
+        shifted = np.concatenate(([0], t[:-1]))
+        shifted[first] = 0
+        wm = (pd.Series(shifted).groupby(gidx).cummax()
+              .to_numpy(dtype=np.int64))
+        late = wm - t
+        drop = late >= 0
+        if not drop.any():
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        g = np.unique(late[drop] // bucket_ms, return_counts=True)
+        return pd.DataFrame({"late_bucket": g[0].astype(np.int64),
+                             "n_dropped": g[1].astype(np.int64)})
+
+    partials = hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                             kernel=kernel, fmt="pandas")
+
+    def bkey(tbl):
+        return (tbl.column("late_bucket").to_numpy().astype(np.uint64)
+                % np.uint64(8)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("late_bucket", sort=False)["n_dropped"].sum()
+               .reset_index())
+        out["late_bucket"] = out["late_bucket"].astype(np.int64)
+        out["n_dropped"] = out["n_dropped"].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=bkey, n_parts=8, kernel=merge,
+                         fmt="pandas")

@@ -1813,3 +1813,43 @@ def timetravel_serve(sf_dir: str, tier: str = "1h"):
         return out[ROLLUP_COLS]
 
     return ds.map_batches(finalize, batch_format="pandas")
+
+
+def tool_context(sf_dir: str):
+    """Backward AS-OF context join WITHIN transcripts: for every
+    canonical tool-call turn, the most recent PRIOR user-role turn of the
+    same conversation (the context a tool invocation acted on; −1 when
+    the tool call opens the conv with no user turn before it).  The
+    as-of is a grouped running max of user-turn indices in canonical
+    order — vectorized across convs, shuffle-free (convs live whole in
+    one bucket)."""
+
+    from ..stages.metrics import canonical_turns_arrow
+
+    def kernel(batch):
+        t = canonical_turns_arrow(batch)
+        conv = t["conv_id"].to_pandas().astype(str).to_numpy()
+        role = t["role"].to_pandas().astype(str).to_numpy()
+        tool = t["tool"].to_pandas().astype(str).to_numpy()
+        tidx = t["turn_idx"].to_numpy().astype(np.int64)
+        cols = ["conv_id", "turn_idx", "ctx_turn_idx"]
+        if not len(conv):
+            return pd.DataFrame({
+                "conv_id": np.array([], dtype=object),
+                "turn_idx": np.array([], np.int64),
+                "ctx_turn_idx": np.array([], np.int64)})
+        first = np.concatenate(([True], conv[1:] != conv[:-1]))
+        gidx = np.cumsum(first) - 1
+        # last PRIOR user turn: shift the user-turn indices down one
+        # row, floor group starts and non-user rows at -1, grouped cummax
+        prev_user = np.concatenate(
+            ([-1], np.where(role[:-1] == "user", tidx[:-1], -1)))
+        prev_user[first] = -1
+        ctx = (pd.Series(prev_user).groupby(gidx).cummax()
+               .to_numpy(dtype=np.int64))
+        hit = tool != ""
+        return pd.DataFrame({
+            "conv_id": conv[hit], "turn_idx": tidx[hit],
+            "ctx_turn_idx": ctx[hit]})[cols]
+
+    return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
