@@ -323,6 +323,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_tool_context": ingest.tool_context,
         "events_late_histogram": ev.late_histogram,
         "emb_label_margins": docs.label_margins,
+        "events_trend_ols": ev.trend_ols,
+        "docs_term_proximity": docs.term_proximity,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -4689,6 +4691,50 @@ SELECT tool, CAST(count(*) AS BIGINT) AS n_runs,
        CAST(sum(run_len) AS BIGINT) AS n_calls,
        CAST(max(run_len) AS BIGINT) AS max_run
 FROM g GROUP BY 1
+""",
+        # OLS daily-count trend numerators per type: slope =
+        # sxy_num/sxx_num at presentation; x = epoch day number
+        "events_trend_ols": """
+WITH d AS (
+  SELECT CAST(event_type AS VARCHAR) AS event_type,
+         epoch_ms(ts) // 86400000 AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, count(*) AS n, sum(day) AS sx, sum(cnt) AS sy,
+         sum(day * cnt) AS sxy, sum(day * day) AS sxx
+  FROM d GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS sxy_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS sxx_num
+FROM g
+""",
+        # min token-position distance between two query terms per doc
+        # (docs containing both); the minimizing pair is adjacent in the
+        # merged position order — both engines see identical gaps
+        "docs_term_proximity": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), p AS (
+  SELECT doc_id, i AS pos, toks[i] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+  WHERE toks[i] IN ('spark', 'table')
+), cnts AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE tok = 'spark') AS n_a,
+         count(*) FILTER (WHERE tok = 'table') AS n_b
+  FROM p GROUP BY 1
+), gaps AS (
+  SELECT a.doc_id, min(abs(a.pos - b.pos)) AS min_gap
+  FROM p a JOIN p b ON a.doc_id = b.doc_id
+       AND a.tok = 'spark' AND b.tok = 'table'
+  GROUP BY 1
+)
+SELECT c.doc_id, CAST(g.min_gap AS BIGINT) AS min_gap,
+       CAST(c.n_a AS BIGINT) AS n_a, CAST(c.n_b AS BIGINT) AS n_b
+FROM cnts c JOIN gaps g ON g.doc_id = c.doc_id
+WHERE c.n_a > 0 AND c.n_b > 0
 """,
         # lateness histogram of the points the out-of-order gate DROPS:
         # late = per-user running-max watermark (prior arrivals in the

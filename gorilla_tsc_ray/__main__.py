@@ -96,6 +96,13 @@ def main(argv=None) -> int:
     pm.add_argument("--store", required=True)
     pm.add_argument("--tiers", nargs="*", default=["blocks"])
 
+    pv = sub.add_parser("vacuum", help="drop archived store versions "
+                        "below --keep-from (frees _history/ space)")
+    pv.add_argument("--store", required=True)
+    pv.add_argument("--keep-from", type=int, required=True,
+                    help="oldest store version that must stay "
+                         "as-of-readable")
+
     args = p.parse_args(argv)
     _init_ray(args)
     import ray
@@ -147,6 +154,10 @@ def main(argv=None) -> int:
 
             df = compact_store(args.store, tiers=tuple(args.tiers))
             print(df.groupby("status").size().to_json())
+        elif args.cmd == "vacuum":
+            from .state.lineage import vacuum_history
+
+            print(json.dumps(vacuum_history(args.store, args.keep_from)))
         elif args.cmd == "retention":
             from .pipelines.retention import apply_retention
 

@@ -4074,3 +4074,52 @@ def label_margins(sf_dir: str, n_anchors: int = 50):
     return hash_exchange(
         parts, key_fn=_pair_hash_key(["query_id"], 8), n_parts=8,
         kernel=merge, fmt="pandas")
+
+
+def term_proximity(sf_dir: str, term_a: str = "spark",
+                   term_b: str = "table"):
+    """Phrase-proximity audit: for every doc containing BOTH query terms,
+    the minimum token-position distance between an occurrence of each —
+    the proximity signal a retrieval ranker boosts by — plus both term
+    frequencies.  The minimizing pair is always adjacent in the merged
+    position order, so the kernel is one mask + one adjacent-difference
+    over the doc-major token stream (map-only, no shuffle; exact ints)."""
+    tune_context()
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "min_gap", "n_a", "n_b"]
+        empty = pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        n_docs = len(df)
+        if n_docs == 0:
+            return empty
+        uniq, codes, lens = dd.unique_tokens(df["text"])
+        if not len(codes):
+            return empty
+        lut = {t: i for i, t in enumerate(uniq)}
+        ca, cb = lut.get(term_a, -1), lut.get(term_b, -2)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        isa = codes == ca
+        isb = codes == cb
+        n_a = np.bincount(doc_of[isa], minlength=n_docs)
+        n_b = np.bincount(doc_of[isb], minlength=n_docs)
+        both = (n_a > 0) & (n_b > 0)
+        if not both.any():
+            return empty
+        sel = isa | isb
+        d = doc_of[sel]
+        pos = np.arange(len(codes), dtype=np.int64)[sel]
+        kind = isa[sel]
+        adj = (d[1:] == d[:-1]) & (kind[1:] != kind[:-1])
+        gd = d[1:][adj]
+        gaps = (pos[1:] - pos[:-1])[adj]
+        out = (pd.DataFrame({"doc": gd, "gap": gaps})
+               .groupby("doc", sort=False)["gap"].min())
+        rows = np.sort(out.index.to_numpy())
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64)[rows],
+            "min_gap": out.reindex(rows).to_numpy(np.int64),
+            "n_a": n_a[rows].astype(np.int64),
+            "n_b": n_b[rows].astype(np.int64)})[cols]
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        kernel, batch_format="pandas")

@@ -6702,3 +6702,65 @@ def late_histogram(sf_dir: str, bucket_ms: int = 60_000):
 
     return hash_exchange(partials, key_fn=bkey, n_parts=8, kernel=merge,
                          fmt="pandas")
+
+
+def trend_ols(sf_dir: str):
+    """Ordinary-least-squares daily-count trend per event type as EXACT
+    INTEGER numerators (the non-robust complement of
+    :func:`theil_sen`): over the type's (day index, daily count) points,
+    ``sxy_num = n·Σxy − Σx·Σy`` and ``sxx_num = n·Σx² − (Σx)²`` — the
+    slope is sxy_num/sxx_num at presentation time, never a float in the
+    gate.  x = epoch day number (small ints), so all products stay far
+    inside int64.  Daily counts fold through one (type, day) exchange;
+    the OLS moments are a per-type fold of five scalar sums."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["event_type", "ts"], P)
+
+    def partial(t):
+        ts_ms = pc.divide(pc.cast(t["ts"], "int64"), 1000)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas().astype(str),
+            "day": pc.divide(ts_ms, DAY_MS).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        g = (df.groupby(["event_type", "day"], sort=False)
+             .size().rename("cnt").reset_index())
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def key_fn(tbl):
+        h = arrow_col_hash(tbl, "event_type")
+        return (h % np.uint64(8)).astype(np.int64)
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_type", "n", "sxy_num", "sxx_num"]
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_type": np.array([], dtype=object),
+                "n": np.array([], np.int64),
+                "sxy_num": np.array([], np.int64),
+                "sxx_num": np.array([], np.int64)})
+        d = (df.groupby(["event_type", "day"], sort=False)["cnt"].sum()
+             .reset_index())
+        x = d["day"].to_numpy(np.int64)
+        y = d["cnt"].to_numpy(np.int64)
+        d = d.assign(x=x, y=y, xy=x * y, xx=x * x)
+        g = (d.groupby("event_type", sort=False)
+             .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                  sxy=("xy", "sum"), sxx=("xx", "sum")).reset_index())
+        n = g["n"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "event_type": g["event_type"],
+            "n": n,
+            "sxy_num": n * g["sxy"].to_numpy(np.int64)
+            - g["sx"].to_numpy(np.int64) * g["sy"].to_numpy(np.int64),
+            "sxx_num": n * g["sxx"].to_numpy(np.int64)
+            - g["sx"].to_numpy(np.int64) ** 2})
+        return out[cols]
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=8,
+                         kernel=moments, fmt="pandas")

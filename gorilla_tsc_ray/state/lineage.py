@@ -157,3 +157,37 @@ def resolve_asof(store_root: str, version: int, tier: str) -> list[str]:
             continue
         paths.append(archive_path(store_root, ver, tier, day))
     return paths
+
+
+def vacuum_history(store_root: str, keep_from_version: int) -> dict:
+    """Drop archived store versions OLDER than ``keep_from_version``:
+    as-of reads below the cut become unresolvable (their day dirs and
+    manifest rows are deleted); reads at or above it are untouched.
+    Metadata-only — current tier data never moves.  Returns what was
+    reclaimed."""
+    import shutil
+
+    d = history_dir(store_root)
+    dropped_dirs, dropped_manifests, freed = 0, 0, 0
+    if not os.path.isdir(d):
+        return {"dropped_versions": 0, "freed_bytes": 0}
+    versions = set()
+    for name in sorted(os.listdir(d)):
+        ver = None
+        if name.startswith("v") and name[1:].isdigit():
+            ver = int(name[1:])
+        elif name.startswith("manifest-v") and name.endswith(".parquet"):
+            ver = int(name[len("manifest-v"):-len(".parquet")])
+        if ver is None or ver >= keep_from_version:
+            continue
+        path = os.path.join(d, name)
+        if os.path.isdir(path):
+            freed += sum(os.path.getsize(os.path.join(r, f))
+                         for r, _, fs in os.walk(path) for f in fs)
+            shutil.rmtree(path)
+            dropped_dirs += 1
+        else:
+            os.remove(path)
+            dropped_manifests += 1
+        versions.add(ver)
+    return {"dropped_versions": len(versions), "freed_bytes": int(freed)}

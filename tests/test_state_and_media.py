@@ -516,3 +516,32 @@ def test_resolve_asof_day_resolution(tmp_path):
     assert days_of(resolve_asof(store, 3, tier)) == [
         ("cur", "day=10"), ("cur", "day=20"), ("cur", "day=30"),
         ("cur", "day=40")]
+
+
+def test_vacuum_history_drops_below_cut(tmp_path):
+    import os
+
+    from gorilla_tsc_ray.state.lineage import (archive_path,
+                                               load_version_manifest,
+                                               resolve_asof, vacuum_history,
+                                               write_version_manifest)
+
+    store = str(tmp_path / "store")
+    tier = "blocks"
+    os.makedirs(os.path.join(store, tier, "day=10"))
+    for ver in (2, 3):
+        p = archive_path(store, ver, tier, 10 * ver)
+        os.makedirs(p)
+        with open(os.path.join(p, "x.parquet"), "wb") as f:
+            f.write(b"0" * 64)
+        write_version_manifest(store, [
+            {"version": ver, "tier": tier, "day": 10 * ver,
+             "action": "archived"}], run_id=f"r{ver}")
+    res = vacuum_history(store, keep_from_version=3)
+    assert res["dropped_versions"] == 1 and res["freed_bytes"] >= 64
+    man = load_version_manifest(store)
+    assert set(man["version"]) == {3}
+    # v2's archive is gone; as-of 2 still resolves (v3 archive + current)
+    paths = resolve_asof(store, 2, tier)
+    assert any("v3" in p for p in paths)
+    assert not any("v2" in p for p in paths)
