@@ -325,6 +325,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_margins": docs.label_margins,
         "events_trend_ols": ev.trend_ols,
         "docs_term_proximity": docs.term_proximity,
+        "events_wape_seasonal": ev.wape_seasonal,
+        "emb_centroid_shift": docs.centroid_shift,
+        "docs_df_hist": docs.df_hist,
+        "docs_lang_vocab_overlap": docs.lang_vocab_overlap,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -4691,6 +4695,81 @@ SELECT tool, CAST(count(*) AS BIGINT) AS n_runs,
        CAST(sum(run_len) AS BIGINT) AS n_calls,
        CAST(max(run_len) AS BIGINT) AS max_run
 FROM g GROUP BY 1
+""",
+        # seasonal-naive forecast error numerators per type: hours where
+        # both t and t-24h have counts (inner join); WAPE consumer-side
+        "events_wape_seasonal": """
+WITH h AS (
+  SELECT CAST(event_type AS VARCHAR) AS event_type,
+         epoch_ms(ts) // 3600000 AS hour, count(*) AS c
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT a.event_type, a.c AS actual, b.c AS pred
+  FROM h a JOIN h b ON b.event_type = a.event_type
+       AND b.hour = a.hour - 24
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(abs(actual - pred)) AS BIGINT) AS abs_err,
+       CAST(sum(actual) AS BIGINT) AS actual_sum
+FROM j GROUP BY 1
+""",
+        # per-label embedding drift: cosine between the even- and
+        # odd-vec_id halves' centroids (round 6 absorbs sum order, the
+        # emb_centroids precedent)
+        "emb_centroid_shift": """
+WITH u AS (
+  SELECT label, vec_id % 2 AS half, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+), m AS (
+  SELECT CAST(label AS BIGINT) AS label, half, dim,
+         avg(v) AS c, count(*) AS n
+  FROM u GROUP BY 1, 2, 3
+), j AS (
+  SELECT a.label, sum(a.c * b.c) AS dot, sum(a.c * a.c) AS na,
+         sum(b.c * b.c) AS nb, max(a.n) AS n_even, max(b.n) AS n_odd
+  FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+       AND a.half = 0 AND b.half = 1
+  GROUP BY 1
+)
+SELECT label, CAST(n_even AS BIGINT) AS n_even,
+       CAST(n_odd AS BIGINT) AS n_odd,
+       round(dot / sqrt(na * nb), 6) AS shift_cosine
+FROM j
+""",
+        # shingle document-frequency histogram (df per word-3-shingle,
+        # then how many shingles share each df)
+        "docs_df_hist": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], ''))))) AS s
+  FROM t
+), d AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+SELECT CAST(df AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS n_shingles
+FROM d GROUP BY 1
+""",
+        # cross-lingual vocabulary overlap: shared distinct token types
+        # per lang pair (diagonal = vocab sizes)
+        "docs_lang_vocab_overlap": """
+WITH t AS (
+  SELECT lang, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+  FROM documents
+), d AS (SELECT DISTINCT lang, tok FROM t),
+diag AS (
+  SELECT lang AS lang_a, lang AS lang_b, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2
+), pair AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM d a JOIN d b ON a.tok = b.tok AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT * FROM diag UNION ALL SELECT * FROM pair
 """,
         # OLS daily-count trend numerators per type: slope =
         # sxy_num/sxx_num at presentation; x = epoch day number

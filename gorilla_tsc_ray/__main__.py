@@ -96,6 +96,12 @@ def main(argv=None) -> int:
     pm.add_argument("--store", required=True)
     pm.add_argument("--tiers", nargs="*", default=["blocks"])
 
+    pf = sub.add_parser("fsck", help="store consistency check: coarse "
+                        "rollup tiers must equal the cascade of the "
+                        "stored 1m rows")
+    pf.add_argument("--store", required=True)
+    pf.add_argument("--tiers", nargs="*", default=["1h", "1d"])
+
     pv = sub.add_parser("vacuum", help="drop archived store versions "
                         "below --keep-from (frees _history/ space)")
     pv.add_argument("--store", required=True)
@@ -154,6 +160,14 @@ def main(argv=None) -> int:
 
             df = compact_store(args.store, tiers=tuple(args.tiers))
             print(df.groupby("status").size().to_json())
+        elif args.cmd == "fsck":
+            from .pipelines.ingest import fsck_store
+
+            df = fsck_store(args.store, tiers=tuple(args.tiers))
+            print(df.to_json(orient="records"))
+            bad = int(df[["n_missing", "n_extra", "n_mismatch"]]
+                      .clip(lower=0).to_numpy().sum())
+            return 0 if bad == 0 else 3
         elif args.cmd == "vacuum":
             from .state.lineage import vacuum_history
 

@@ -4123,3 +4123,173 @@ def term_proximity(sf_dir: str, term_a: str = "spark",
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         kernel, batch_format="pandas")
+
+
+def centroid_shift(sf_dir: str):
+    """Embedding DRIFT audit per label: cosine between the centroid of
+    the even-vec_id half and the odd-vec_id half — the
+    distribution-shift monitor an embedding pipeline alarms on (a
+    healthy static corpus shows shift_cosine ≈ 1).  Partial (label,
+    half, dim) sums fold through one label-keyed exchange as FLAT rows
+    (the emb_centroids discipline — nothing list-typed rides the
+    exchange); the belt-only round(6) absorbs partial-sum order, as the
+    oracle-green emb_centroids established."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["label", "half", "dim", "s", "n"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        M = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+        lab = df["label"].to_numpy(np.int64)
+        half = (df["vec_id"].to_numpy(np.int64) % 2).astype(np.int64)
+        key = lab * 2 + half
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros((len(uk), M.shape[1]), np.float64)
+        np.add.at(sums, inv, M)
+        cnt = np.bincount(inv).astype(np.int64)
+        n_dim = M.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(uk // 2, n_dim),
+            "half": np.repeat(uk % 2, n_dim),
+            "dim": np.tile(np.arange(n_dim, dtype=np.int64), len(uk)),
+            "s": sums.ravel(),
+            "n": np.repeat(cnt, n_dim)})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        from ..util import round_half_away
+
+        cols = ["label", "n_even", "n_odd", "shift_cosine"]
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        g = (df.groupby(["label", "half", "dim"], sort=True)
+             .agg(s=("s", "sum"), n=("n", "sum")).reset_index())
+        out = []
+        for lab, sub in g.groupby("label", sort=True):
+            e = sub.loc[sub["half"] == 0].sort_values("dim")
+            o = sub.loc[sub["half"] == 1].sort_values("dim")
+            if not len(e) or not len(o):
+                continue
+            ce = e["s"].to_numpy() / e["n"].to_numpy()
+            co = o["s"].to_numpy() / o["n"].to_numpy()
+            cosv = float(ce @ co / np.sqrt((ce @ ce) * (co @ co)))
+            out.append((int(lab), int(e["n"].iloc[0]),
+                        int(o["n"].iloc[0]),
+                        float(round_half_away(np.array([cosv]), 6)[0])))
+        r = pd.DataFrame(out, columns=cols)
+        r["label"] = r["label"].astype(np.int64)
+        r["n_even"] = r["n_even"].astype(np.int64)
+        r["n_odd"] = r["n_odd"].astype(np.int64)
+        return r
+
+    return hash_exchange(parts, key_fn=_pair_hash_key(["label"], 8),
+                         n_parts=8, kernel=merge, fmt="pandas")
+
+
+def df_hist(sf_dir: str):
+    """Shingle DOCUMENT-FREQUENCY histogram: for each df (number of docs
+    containing a given word-3-shingle), how many distinct shingles have
+    exactly that df — the corpus-redundancy fingerprint (a fat df tail
+    = boilerplate; df=1 mass = unique content).  Shingle identity is
+    the md5-prefix digest of the SQL oracle's own shingle string
+    (doc_shingle_md5_sets); per-doc distinct (doc, shingle) rows fold
+    df counts on a shingle-hash exchange, the histogram on a tiny df
+    exchange — both mergeable sums."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sh_rows(df: pd.DataFrame) -> pd.DataFrame:
+        _, sh = dd.doc_shingle_md5_sets(df["text"])
+        return pd.DataFrame({"sh": sh})
+
+    rows = ds.map_batches(sh_rows, batch_format="pandas")
+
+    def sh_key(tbl):
+        h = tbl.column("sh").to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        return (h % np.uint64(N_DOC_PARTS)).astype(np.int64)
+
+    def df_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"df": np.array([], np.int64),
+                                 "n_shingles": np.array([], np.int64)})
+        _, counts = np.unique(df["sh"].to_numpy().astype(np.uint64),
+                              return_counts=True)
+        dfv, nsh = np.unique(counts, return_counts=True)
+        return pd.DataFrame({"df": dfv.astype(np.int64),
+                             "n_shingles": nsh.astype(np.int64)})
+
+    partials = hash_exchange(rows, key_fn=sh_key, n_parts=N_DOC_PARTS,
+                             kernel=df_kernel, fmt="pandas")
+
+    def hist_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("df", sort=False)["n_shingles"].sum()
+               .reset_index())
+        out["df"] = out["df"].astype(np.int64)
+        out["n_shingles"] = out["n_shingles"].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=_pair_hash_key(["df"], 8),
+                         n_parts=8, kernel=hist_merge, fmt="pandas")
+
+
+def lang_vocab_overlap(sf_dir: str):
+    """Cross-lingual VOCABULARY overlap: for every language pair, how
+    many distinct token types the two sub-corpora share (plus each
+    side's vocabulary size) — the corpus-comparison table a mixing
+    planner reads before reweighting.  Token identity is the md5-prefix
+    digest (SQL-string-identical); per-(token, lang) distinct rows fold
+    on one token-hash exchange whose kernel emits bounded (lang_a,
+    lang_b) cells — the pair space is |langs|², never the vocab."""
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def tok_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"h": np.array([], np.uint64),
+                                 "lang": np.array([], dtype=object)})
+        h, lens = dd._md5_token_hash_flat(df["text"])
+        lang = np.repeat(df["lang"].to_numpy(), lens)
+        out = pd.DataFrame({"h": h, "lang": lang}).drop_duplicates()
+        return out
+
+    rows = ds.map_batches(tok_rows, batch_format="pandas")
+
+    def h_key(tbl):
+        h = tbl.column("h").to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        return (h % np.uint64(N_DOC_PARTS)).astype(np.int64)
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["lang_a", "lang_b", "n"]
+        if not len(df):
+            return pd.DataFrame({
+                "lang_a": np.array([], dtype=object),
+                "lang_b": np.array([], dtype=object),
+                "n": np.array([], np.int64)})
+        d = df.drop_duplicates(["h", "lang"])
+        # vocab sizes: (lang, lang) diagonal cells
+        diag = (d.groupby("lang", sort=False).size().rename("n")
+                .reset_index())
+        diag = pd.DataFrame({"lang_a": diag["lang"],
+                             "lang_b": diag["lang"],
+                             "n": diag["n"].astype(np.int64)})
+        m = d.merge(d, on="h")
+        m = m.loc[m["lang_x"] < m["lang_y"]]
+        pair = (m.groupby(["lang_x", "lang_y"], sort=False)
+                .size().rename("n").reset_index()
+                .rename(columns={"lang_x": "lang_a", "lang_y": "lang_b"}))
+        pair["n"] = pair["n"].astype(np.int64)
+        return pd.concat([diag, pair], ignore_index=True)[cols]
+
+    partials = hash_exchange(rows, key_fn=h_key, n_parts=N_DOC_PARTS,
+                             kernel=cells, fmt="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["lang_a", "lang_b"], sort=False)["n"].sum()
+               .reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=_pair_hash_key(["lang_a"], 4),
+                         n_parts=4, kernel=merge, fmt="pandas")

@@ -6764,3 +6764,71 @@ def trend_ols(sf_dir: str):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=8,
                          kernel=moments, fmt="pandas")
+
+
+def wape_seasonal(sf_dir: str, lag_hours: int = 24):
+    """Seasonal-naive FORECAST-ERROR numerators per event type: predict
+    each hour's count with the count ``lag_hours`` earlier and emit
+    n_hours, Σ|actual − pred| and Σactual over the hours where both
+    sides exist (inner-join semantics) — WAPE = abs_err/actual_sum at
+    presentation time, exact ints in the gate.  The evaluation metric a
+    forecasting pipeline tracks next to the model family
+    (:func:`holt_linear` / :func:`trend_ols` / :func:`theil_sen`).
+    Hourly counts fold through one type-keyed exchange; the lag join is
+    a per-type searchsorted."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["event_type", "ts"], P)
+
+    def partial(t):
+        ts_ms = pc.divide(pc.cast(t["ts"], "int64"), 1000)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas().astype(str),
+            "hour": pc.divide(ts_ms, HOUR_MS).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        g = (df.groupby(["event_type", "hour"], sort=False)
+             .size().rename("c").reset_index())
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def key_fn(tbl):
+        h = arrow_col_hash(tbl, "event_type")
+        return (h % np.uint64(8)).astype(np.int64)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_type", "n_hours", "abs_err", "actual_sum"]
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_type": np.array([], dtype=object),
+                "n_hours": np.array([], np.int64),
+                "abs_err": np.array([], np.int64),
+                "actual_sum": np.array([], np.int64)})
+        d = (df.groupby(["event_type", "hour"], sort=False)["c"].sum()
+             .reset_index().sort_values(["event_type", "hour"],
+                                        kind="stable"))
+        et, _ = pd.factorize(d["event_type"], sort=False)
+        hr = d["hour"].to_numpy(np.int64)
+        c = d["c"].to_numpy(np.int64)
+        key = (et.astype(np.int64) << 32) | (hr & np.int64(0xFFFFFFFF))
+        want = (et.astype(np.int64) << 32) | ((hr - lag_hours)
+                                              & np.int64(0xFFFFFFFF))
+        pos = np.searchsorted(key, want)
+        hit = (pos < len(key)) & (key[np.minimum(pos, len(key) - 1)]
+                                  == want)
+        actual = c[hit]
+        pred = c[pos[hit]]
+        g = (pd.DataFrame({"event_type": d["event_type"].to_numpy()[hit],
+                           "ae": np.abs(actual - pred), "a": actual})
+             .groupby("event_type", sort=False)
+             .agg(n_hours=("ae", "size"), abs_err=("ae", "sum"),
+                  actual_sum=("a", "sum")).reset_index())
+        for col in ("n_hours", "abs_err", "actual_sum"):
+            g[col] = g[col].astype(np.int64)
+        return g[cols]
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=8,
+                         kernel=kernel, fmt="pandas")

@@ -1853,3 +1853,93 @@ def tool_context(sf_dir: str):
             "ctx_turn_idx": ctx[hit]})[cols]
 
     return _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+
+def fsck_store(store_root: str, tiers=("1h", "1d")) -> pd.DataFrame:
+    """Store CONSISTENCY CHECK (fsck): recompute each coarse rollup tier
+    from the stored 1m rows (the exact cascade the build/append paths
+    run) and compare group-by-group against what the store serves —
+    the invariant every maintenance op (append, compact, retention,
+    transcode) must preserve.  Comparison is co-partitioned on the
+    (conv, metric, bucket) hash — stored and recomputed rows of one
+    group meet in one task; only per-tier counters leave it.  Returns
+    one row per tier: groups checked, missing (in store), extra
+    (stale), value mismatches."""
+    import glob
+
+    import ray.data
+
+    from ..stages.exchange import hash_exchange_multi
+    from ..stages.rollup import cascade_dataset
+    from ..util import arrow_key_ids, round_half_away
+
+    tune_context()
+    f1m = sorted(glob.glob(f"{store_root}/rollup_1m/day=*/*.parquet"))
+    if not f1m:
+        raise RuntimeError(f"no rollup_1m under {store_root}")
+    finer = ray.data.read_parquet(f1m, columns=ROLLUP_COLS)
+
+    def add_lts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["conv_id"] = df["conv_id"].astype(str)
+        df["metric"] = df["metric"].astype(str)
+        return df.assign(last_ts=df["bucket_ms"].astype(np.int64))
+
+    finer = finer.map_batches(add_lts, batch_format="pandas")
+
+    rows = []
+    for tier in tiers:
+        coarse = cascade_dataset(finer, key_cols=TRANSCRIPT_KEYS,
+                                 tier=tier)
+
+        def drop_lts(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.drop(columns=["last_ts"])
+            out["sum_v"] = round_half_away(out["sum_v"].to_numpy(), 6)
+            return out
+
+        recomputed = coarse.map_batches(drop_lts, batch_format="pandas")
+        fst = sorted(glob.glob(
+            f"{store_root}/rollup_{tier}/day=*/*.parquet"))
+        if not fst:
+            rows.append({"tier": tier, "n_groups": 0, "n_missing": -1,
+                         "n_extra": -1, "n_mismatch": -1})
+            continue
+        stored = ray.data.read_parquet(fst, columns=ROLLUP_COLS)
+
+        def plain(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["conv_id"] = df["conv_id"].astype(str)
+            df["metric"] = df["metric"].astype(str)
+            return df
+
+        stored = stored.map_batches(plain, batch_format="pandas")
+
+        def key_fn(tbl):
+            return arrow_key_ids(tbl, ["conv_id", "metric"],
+                                 N_CONV_PARTS)
+
+        def compare(r: pd.DataFrame, s: pd.DataFrame) -> pd.DataFrame:
+            keys = ["conv_id", "metric", "bucket_ms"]
+            m = r.merge(s, on=keys, how="outer", indicator=True,
+                        suffixes=("_r", "_s"))
+            missing = int((m["_merge"] == "left_only").sum())
+            extra = int((m["_merge"] == "right_only").sum())
+            both = m.loc[m["_merge"] == "both"]
+            bad = 0
+            for c in ("sum_v", "cnt", "min_v", "max_v", "last_v"):
+                bad += int((both[f"{c}_r"] != both[f"{c}_s"]).sum())
+            return pd.DataFrame({
+                "n_groups": [np.int64(len(r))],
+                "n_missing": [np.int64(missing)],
+                "n_extra": [np.int64(extra)],
+                "n_mismatch": [np.int64(bad)]})
+
+        parts = hash_exchange_multi(
+            [(recomputed, key_fn), (stored, key_fn)],
+            n_parts=N_CONV_PARTS, kernel=compare, fmt="pandas").to_pandas()
+        rows.append({"tier": tier,
+                     "n_groups": int(parts["n_groups"].sum()),
+                     "n_missing": int(parts["n_missing"].sum()),
+                     "n_extra": int(parts["n_extra"].sum()),
+                     "n_mismatch": int(parts["n_mismatch"].sum())})
+    return pd.DataFrame(rows)

@@ -739,3 +739,29 @@ FROM d""")
     eng = list(zip(got["conv_id"], got["n_pairs"], got["med_num"],
                    got["med_den"]))
     assert eng == exp_rows
+
+
+def test_fsck_clean_and_detects_corruption(ray_session, tmp_path):
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ingest.ingest_to_store(SF, str(tmp_path), resume=False)
+    rep = ingest.fsck_store(str(tmp_path)).set_index("tier")
+    for tier in ("1h", "1d"):
+        assert rep.loc[tier, "n_mismatch"] == 0
+        assert rep.loc[tier, "n_missing"] == 0
+        assert rep.loc[tier, "n_extra"] == 0
+        assert rep.loc[tier, "n_groups"] > 0
+    # corrupt one stored 1h value and re-check
+    f = sorted(glob.glob(f"{tmp_path}/rollup_1h/day=*/*.parquet"))[0]
+    t = pq.read_table(f)
+    cnt = t.column("cnt").to_numpy().copy()
+    cnt[0] += 1
+    t = t.set_column(t.schema.get_field_index("cnt"), "cnt",
+                     pa.array(cnt))
+    pq.write_table(t, f)
+    rep2 = ingest.fsck_store(str(tmp_path), tiers=("1h",)).set_index(
+        "tier")
+    assert rep2.loc["1h", "n_mismatch"] == 1
