@@ -47,23 +47,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # first-occurrence order, so every query still appears exactly once.
     front = [
         "events_roundtrip", "events_streaming_roundtrip",
-        "events_rollup_1m", "events_rollup_1h_cascade", "events_ohlc_1h",
+        "events_rollup_1m", "events_rollup_1h_cascade",
+        "transcripts_timetravel_serve",
         "events_gapfill_1h", "events_sessions", "events_asof_last_purchase",
         "events_user_quantiles", "events_seasonal_decompose",
-        "events_discords", "events_changepoints", "events_type_counts_cms",
+        "docs_bfs_hops", "docs_lm_coverage", "events_type_counts_cms",
         "transcripts_canonical_turns", "transcripts_metrics",
         "transcripts_rollup_1m", "transcripts_retention_serve",
         "transcripts_conv_stats", "transcripts_response_latency",
         "transcripts_tool_chains", "q1_pricing_summary", "q21_waiting_suppliers",
         "q3_shipping_priority", "customers_without_big_orders",
         "docs_exact_dedup", "docs_minhash_pairs", "docs_token_jaccard",
-        "docs_dup_clusters", "docs_simhash_pairs", "docs_tfidf",
+        "docs_dup_clusters", "transcripts_workflow_near_dups", "docs_tfidf",
         "docs_lang_id", "docs_quality", "docs_hash_split",
         "docs_decontaminate", "docs_clean_corpus", "docs_dsir_weights",
         "docs_incremental_dedup", "transcripts_compact_serve", "emb_near_dups_lsh",
         "emb_knn_cosine", "emb_semdedup", "transcripts_value_scan",
-        "emb_quantize_sq8", "emb_pq_codes", "media_features",
-        "events_streaming_out_of_order", "events_grouping_sets",
+        "emb_quantize_sq8", "events_late_histogram", "media_features",
+        "events_streaming_out_of_order", "docs_lang_modularity",
         "events_theil_sen", "events_streaming_topk",
         "events_dtw_pairs",
     ]
