@@ -330,6 +330,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_centroid_shift": docs.centroid_shift,
         "docs_df_hist": docs.df_hist,
         "docs_lang_vocab_overlap": docs.lang_vocab_overlap,
+        "transcripts_shard_assignment": ingest.shard_assignment,
+        "docs_length_diversity_corr": docs.length_diversity_corr,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -4753,6 +4755,39 @@ WITH t AS (
 ), d AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
 SELECT CAST(df AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS n_shingles
 FROM d GROUP BY 1
+""",
+        # deterministic next-fit-by-offset training-shard assignment:
+        # shard = prior-conv char total // budget, conv_id order
+        "transcripts_shard_assignment": tdedup + """
+, c AS (
+  SELECT conv_id, CAST(sum(length(text)) AS BIGINT) AS chars
+  FROM d GROUP BY 1
+), w AS (
+  SELECT conv_id, chars,
+         coalesce(sum(chars) OVER (ORDER BY conv_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start
+  FROM c
+)
+SELECT conv_id, chars, CAST(start // 100000 AS BIGINT) AS shard FROM w
+""",
+        # Pearson numerators: doc length (tokens) vs lexical diversity
+        # (distinct tokens); r^2 = sxy^2/(sxx*syy) consumer-side
+        "docs_length_diversity_corr": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), st AS (
+  SELECT len(toks) AS x, len(list_distinct(toks)) AS y FROM t
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+         AS sxy_num,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+         AS sxx_num,
+       CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT)
+         AS syy_num
+FROM st
 """,
         # cross-lingual vocabulary overlap: shared distinct token types
         # per lang pair (diagonal = vocab sizes)

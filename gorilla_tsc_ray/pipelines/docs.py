@@ -4293,3 +4293,37 @@ def lang_vocab_overlap(sf_dir: str):
 
     return hash_exchange(partials, key_fn=_pair_hash_key(["lang_a"], 4),
                          n_parts=4, kernel=merge, fmt="pandas")
+
+
+def length_diversity_corr(sf_dir: str):
+    """Pearson correlation NUMERATORS between document length (tokens)
+    and lexical diversity (distinct tokens) across the corpus: one row
+    with n, n·Σxy−ΣxΣy and the two variance numerators — r² =
+    sxy²/(sxx·syy) at presentation time, exact ints in the gate.  The
+    five scalar sums are classic mergeable partials; one single-cell
+    exchange folds them."""
+    stats = ttr_hapax(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_tokens"].to_numpy(np.int64)
+        y = df["n_distinct"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(df))], "sx": [x.sum()], "sy": [y.sum()],
+            "sxy": [(x * y).sum()], "sxx": [(x * x).sum()],
+            "syy": [(y * y).sum()]})
+
+    parts = stats.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.int64(df["n"].sum())
+        sx, sy = np.int64(df["sx"].sum()), np.int64(df["sy"].sum())
+        sxy = np.int64(df["sxy"].sum())
+        sxx, syy = np.int64(df["sxx"].sum()), np.int64(df["syy"].sum())
+        return pd.DataFrame({
+            "n": [n], "sxy_num": [n * sxy - sx * sy],
+            "sxx_num": [n * sxx - sx * sx],
+            "syy_num": [n * syy - sy * sy]}).astype(np.int64)
+
+    return hash_exchange(
+        parts, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1, kernel=merge, fmt="pandas")

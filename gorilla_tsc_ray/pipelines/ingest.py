@@ -1943,3 +1943,59 @@ def fsck_store(store_root: str, tiers=("1h", "1d")) -> pd.DataFrame:
                      "n_extra": int(parts["n_extra"].sum()),
                      "n_mismatch": int(parts["n_mismatch"].sum())})
     return pd.DataFrame(rows)
+
+
+def shard_assignment(sf_dir: str, shard_chars: int = 100_000):
+    """Deterministic TRAINING-SHARD assignment: conversations in conv_id
+    order pack into contiguous character-budget shards — shard = (total
+    chars of all PRIOR convs) // budget, the next-fit-by-offset rule a
+    pretraining pipeline uses to cut a corpus into equal-work files.
+    A GLOBAL ORDERED PREFIX SCAN, which the Dataset API cannot express:
+    per-conv totals fold in the shuffle-free conv pass, the distributed
+    sort range-partitions by conv_id, one tiny task per sorted block
+    emits its (rows, chars) partial, the driver folds ≤ #blocks scalars
+    into exclusive offsets, and a second task wave assigns shards from
+    pure offset arithmetic (the pareto_curve route, SURVEY §2 custom-
+    operator route (c))."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from ..stages.metrics import canonical_turns_arrow
+
+    def per_conv(batch) -> pd.DataFrame:
+        t = canonical_turns_arrow(batch)
+        df = pd.DataFrame({
+            "conv_id": t["conv_id"].to_pandas().astype(str),
+            "n": pc.utf8_length(t["text"]).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        g = df.groupby("conv_id", sort=False)["n"].sum().rename("chars")
+        out = g.reset_index()
+        out["chars"] = out["chars"].astype(np.int64)
+        return out
+
+    totals = _conv_partitioned(sf_dir, per_conv, lean=False, fmt="pyarrow")
+    ordered = totals.sort("conv_id").materialize()
+    refs = ordered.to_arrow_refs()
+
+    @ray.remote
+    def block_sum(tbl):
+        return int(np.sum(tbl.column("chars").to_numpy(
+            zero_copy_only=False)))
+
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    offs = np.concatenate(([0], np.cumsum(sums)[:-1])).astype(np.int64)
+
+    @ray.remote
+    def assign(tbl, c0: int):
+        import pyarrow as _pa
+
+        chars = tbl.column("chars").to_numpy(zero_copy_only=False)
+        start = (np.cumsum(chars) - chars) + np.int64(c0)
+        return _pa.table({
+            "conv_id": tbl.column("conv_id"),
+            "chars": _pa.array(chars.astype(np.int64)),
+            "shard": _pa.array((start // shard_chars).astype(np.int64))})
+
+    return ray.data.from_arrow_refs(
+        [assign.remote(r, int(o)) for r, o in zip(refs, offs)])
