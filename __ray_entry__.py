@@ -332,6 +332,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_vocab_overlap": docs.lang_vocab_overlap,
         "transcripts_shard_assignment": ingest.shard_assignment,
         "docs_length_diversity_corr": docs.length_diversity_corr,
+        "docs_fertility_by_lang": docs.fertility_by_lang,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -4770,6 +4771,17 @@ FROM d GROUP BY 1
   FROM c
 )
 SELECT conv_id, chars, CAST(start // 100000 AS BIGINT) AS shard FROM w
+""",
+        # tokenizer fertility per lang: BPE-pretokenizer tokens vs word
+        # tokens (exact ints; fertility = bpe/words consumer-side)
+        "docs_fertility_by_lang": r"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(regexp_extract_all(text, '[A-Za-z0-9]+')))
+            AS BIGINT) AS words,
+       CAST(sum(length(regexp_extract_all(text,
+         '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')))
+            AS BIGINT) AS bpe
+FROM documents GROUP BY 1
 """,
         # Pearson numerators: doc length (tokens) vs lexical diversity
         # (distinct tokens); r^2 = sxy^2/(sxx*syy) consumer-side

@@ -101,6 +101,9 @@ def main(argv=None) -> int:
                         "stored 1m rows")
     pf.add_argument("--store", required=True)
     pf.add_argument("--tiers", nargs="*", default=["1h", "1d"])
+    pf.add_argument("--repair", action="store_true",
+                    help="rebuild inconsistent coarse-tier days from the "
+                         "stored 1m rows, then re-check")
 
     pv = sub.add_parser("vacuum", help="drop archived store versions "
                         "below --keep-from (frees _history/ space)")
@@ -161,12 +164,20 @@ def main(argv=None) -> int:
             df = compact_store(args.store, tiers=tuple(args.tiers))
             print(df.groupby("status").size().to_json())
         elif args.cmd == "fsck":
-            from .pipelines.ingest import fsck_store
+            from .pipelines.ingest import fsck_store, repair_store
 
             df = fsck_store(args.store, tiers=tuple(args.tiers))
             print(df.to_json(orient="records"))
             bad = int(df[["n_missing", "n_extra", "n_mismatch"]]
                       .clip(lower=0).to_numpy().sum())
+            if bad and args.repair:
+                sick = [r.tier for r in df.itertuples(index=False)
+                        if r.n_missing or r.n_extra or r.n_mismatch]
+                repair_store(args.store, tiers=tuple(sick))
+                df = fsck_store(args.store, tiers=tuple(args.tiers))
+                print(df.to_json(orient="records"))
+                bad = int(df[["n_missing", "n_extra", "n_mismatch"]]
+                          .clip(lower=0).to_numpy().sum())
             return 0 if bad == 0 else 3
         elif args.cmd == "vacuum":
             from .state.lineage import vacuum_history

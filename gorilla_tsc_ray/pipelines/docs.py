@@ -4327,3 +4327,43 @@ def length_diversity_corr(sf_dir: str):
     return hash_exchange(
         parts, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
         n_parts=1, kernel=merge, fmt="pandas")
+
+
+def fertility_by_lang(sf_dir: str):
+    """Tokenizer FERTILITY table per language: total BPE-pretokenizer
+    tokens, total word tokens and doc count — fertility (BPE per word,
+    the classic multilingual-tokenizer equity metric) is the division at
+    presentation time; the gate sees only exact ints.  Per-batch counts
+    come from the shared byte-class/RE2 kernels (token_stats_arrow);
+    per-lang partial sums fold on a tiny lang exchange."""
+    import pyarrow.compute as pc
+
+    from ..stages import text as tx
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(t) -> pd.DataFrame:
+        stats = tx.token_stats_arrow(t)
+        df = pd.DataFrame({
+            "lang": t["lang"].to_pandas().astype(str),
+            "w": stats["n_tokens"].to_numpy(zero_copy_only=False),
+            "b": stats["n_bpe_tokens"].to_numpy(zero_copy_only=False)})
+        g = (df.groupby("lang", sort=False)
+             .agg(n_docs=("w", "size"), words=("w", "sum"),
+                  bpe=("b", "sum")).reset_index())
+        for c in ("n_docs", "words", "bpe"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("lang", sort=False)
+               .agg(n_docs=("n_docs", "sum"), words=("words", "sum"),
+                    bpe=("bpe", "sum")).reset_index())
+        for c in ("n_docs", "words", "bpe"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return hash_exchange(parts, key_fn=_pair_hash_key(["lang"], 4),
+                         n_parts=4, kernel=merge, fmt="pandas")

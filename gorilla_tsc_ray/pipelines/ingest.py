@@ -1999,3 +1999,56 @@ def shard_assignment(sf_dir: str, shard_chars: int = 100_000):
 
     return ray.data.from_arrow_refs(
         [assign.remote(r, int(o)) for r, o in zip(refs, offs)])
+
+
+def repair_store(store_root: str, tiers=("1h", "1d")) -> pd.DataFrame:
+    """Self-healing counterpart of :func:`fsck_store`: rebuild every
+    coarse-tier day partition from the stored 1m rows (the one source of
+    truth below it) — corruption, partial writes or stale partitions in
+    1h/1d are all repaired by the same cascade the build path runs.
+    Rewrites ONLY the listed tiers' day dirs; 1m and blocks are never
+    touched (they have no finer tier to rebuild from — fsck can only
+    detect there).  Returns per-tier day counts written."""
+    import glob
+    import os
+    import shutil
+
+    import ray.data
+
+    from ..stages.rollup import cascade_dataset
+    from ..util import round_half_away
+
+    tune_context()
+    f1m = sorted(glob.glob(f"{store_root}/rollup_1m/day=*/*.parquet"))
+    if not f1m:
+        raise RuntimeError(f"no rollup_1m under {store_root}")
+    finer = ray.data.read_parquet(f1m, columns=ROLLUP_COLS)
+
+    def add_lts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["conv_id"] = df["conv_id"].astype(str)
+        df["metric"] = df["metric"].astype(str)
+        return df.assign(last_ts=df["bucket_ms"].astype(np.int64))
+
+    finer = finer.map_batches(add_lts, batch_format="pandas")
+    rows = []
+    for tier in tiers:
+        coarse = cascade_dataset(finer, key_cols=TRANSCRIPT_KEYS,
+                                 tier=tier)
+
+        def drop_lts(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.drop(columns=["last_ts"])
+            out["sum_v"] = round_half_away(out["sum_v"].to_numpy(), 6)
+            return out
+
+        out_ds = _with_day(coarse.map_batches(drop_lts,
+                                              batch_format="pandas"),
+                           "bucket_ms").materialize()
+        tier_dir = f"{store_root}/rollup_{tier}"
+        old = glob.glob(f"{tier_dir}/day=*")
+        for p in old:
+            shutil.rmtree(p)
+        out_ds.write_parquet(tier_dir, partition_cols=["day"])
+        rows.append({"tier": tier,
+                     "n_days": len(glob.glob(f"{tier_dir}/day=*"))})
+    return pd.DataFrame(rows)

@@ -765,3 +765,26 @@ def test_fsck_clean_and_detects_corruption(ray_session, tmp_path):
     rep2 = ingest.fsck_store(str(tmp_path), tiers=("1h",)).set_index(
         "tier")
     assert rep2.loc["1h", "n_mismatch"] == 1
+
+
+def test_repair_store_heals_corruption(ray_session, tmp_path):
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ingest.ingest_to_store(SF, str(tmp_path), resume=False)
+    f = sorted(glob.glob(f"{tmp_path}/rollup_1d/day=*/*.parquet"))[0]
+    t = pq.read_table(f)
+    sv = t.column("sum_v").to_numpy().copy()
+    sv[0] += 1.0
+    t = t.set_column(t.schema.get_field_index("sum_v"), "sum_v",
+                     pa.array(sv))
+    pq.write_table(t, f)
+    assert ingest.fsck_store(str(tmp_path), tiers=("1d",)) \
+        .loc[0, "n_mismatch"] == 1
+    rep = ingest.repair_store(str(tmp_path), tiers=("1d",))
+    assert rep.loc[0, "n_days"] > 0
+    after = ingest.fsck_store(str(tmp_path)).set_index("tier")
+    assert int(after[["n_missing", "n_extra", "n_mismatch"]]
+               .to_numpy().sum()) == 0
