@@ -333,6 +333,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_shard_assignment": ingest.shard_assignment,
         "docs_length_diversity_corr": docs.length_diversity_corr,
         "docs_fertility_by_lang": docs.fertility_by_lang,
+        "events_range_frame_5m": ev.range_frame_5m,
+        "events_session_concurrency_1h": ev.session_concurrency_1h,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -4771,6 +4773,48 @@ FROM d GROUP BY 1
   FROM c
 )
 SELECT conv_id, chars, CAST(start // 100000 AS BIGINT) AS shard FROM w
+""",
+        # value-RANGE window frame (±5 min of each event, same user) —
+        # the frame family row-based rolling windows can't express
+        "events_range_frame_5m": """
+WITH p AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_frame,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_frame
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+             RANGE BETWEEN 300000 PRECEDING AND 300000 FOLLOWING)
+""",
+        # cross-user session concurrency per hour (sessions overlap the
+        # bucket; 30-min gap rule)
+        "events_session_concurrency_1h": """
+WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+s AS (
+  SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER
+                   (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+              OR ts_ms - lag(ts_ms) OVER
+                   (PARTITION BY user_id ORDER BY ts_ms) > 1800000
+            THEN 1 ELSE 0 END AS brk
+  FROM p
+), t AS (
+  SELECT user_id, ts_ms,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms) AS sid
+  FROM s
+), sess AS (
+  SELECT user_id, sid, min(ts_ms) // 3600000 AS h0,
+         max(ts_ms) // 3600000 AS h1
+  FROM t GROUP BY 1, 2
+), hrs AS (
+  SELECT (h0 + i) * 3600000 AS hour_ms
+  FROM sess, unnest(range(0, h1 - h0 + 1)) AS u(i)
+)
+SELECT CAST(hour_ms AS BIGINT) AS hour_ms,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM hrs GROUP BY 1
 """,
         # tokenizer fertility per lang: BPE-pretokenizer tokens vs word
         # tokens (exact ints; fertility = bpe/words consumer-side)

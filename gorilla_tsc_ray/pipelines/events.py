@@ -6832,3 +6832,123 @@ def wape_seasonal(sf_dir: str, lag_hours: int = 24):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=8,
                          kernel=kernel, fmt="pandas")
+
+
+def range_frame_5m(sf_dir: str, half_ms: int = 300_000):
+    """VALUE-RANGE window frame (the frame family row-based rolling
+    windows can't express): per event, the count and cent sum of the
+    same user's events within ±5 minutes of it — SQL's ``RANGE BETWEEN
+    300000 PRECEDING AND 300000 FOLLOWING``.  Two searchsorteds against
+    the user's sorted ts array turn the frame into a prefix-sum
+    difference — O(n log n) per partition, vectorized."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        val = t.column("value").to_numpy()
+        cents = (np.sign(val)
+                 * np.floor(np.abs(val) * 100 + 0.5)).astype(np.int64)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts_ms": pc.divide(pc.cast(t["ts"], "int64"), 1000),
+            "cents": pa.array(cents)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "n_frame", "cents_frame"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["ts_ms"].to_numpy(np.int64)
+        c = df["cents"].to_numpy(np.int64)
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        gidx = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(u)))
+        # composite key keeps frames inside the user segment
+        stride = np.int64(t.max() - t.min() + 2 * half_ms + 2)
+        rel = t - t.min() + half_ms + 1     # > half_ms away from edges
+        key = gidx * stride + rel
+        pre = np.cumsum(c)
+        lo = np.searchsorted(key, key - half_ms, side="left")
+        hi = np.searchsorted(key, key + half_ms, side="right")
+        n_frame = (hi - lo).astype(np.int64)
+        csum = np.concatenate(([0], pre))
+        cents_frame = csum[hi] - csum[lo]
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "n_frame": n_frame, "cents_frame": cents_frame})
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def session_concurrency_1h(sf_dir: str, gap_ms: int = 1_800_000):
+    """Cross-user session CONCURRENCY per hour: how many sessions (the
+    30-min-gap rule of :func:`sessionize`) overlap each hour bucket —
+    the capacity-planning view of the session table.  Sessions derive
+    per user inside the exchange; each session emits its covered hour
+    buckets (bounded by session span), and hour counts fold on a tiny
+    bucket exchange."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_ms": pc.divide(pc.cast(t["ts"], "int64"), 1000)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["hour_ms", "n_sessions"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["ts_ms"].to_numpy(np.int64)
+        brk = np.concatenate(([True], (u[1:] != u[:-1])
+                              | ((t[1:] - t[:-1]) > gap_ms)))
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(t)) - 1
+        s_ms, e_ms = t[starts], t[ends]
+        h0 = s_ms // HOUR_MS
+        h1 = e_ms // HOUR_MS
+        span = (h1 - h0 + 1).astype(np.int64)
+        base = np.repeat(h0, span)
+        k = np.arange(int(span.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(span) - span, span)
+        hours = (base + k) * HOUR_MS
+        hv, cnt = np.unique(hours, return_counts=True)
+        return pd.DataFrame({"hour_ms": hv.astype(np.int64),
+                             "n_sessions": cnt.astype(np.int64)})
+
+    partials = hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                             kernel=kernel, fmt="pandas")
+
+    def hkey(tbl):
+        return (tbl.column("hour_ms").to_numpy().astype(np.uint64)
+                % np.uint64(8)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("hour_ms", sort=False)["n_sessions"].sum()
+               .reset_index())
+        out["hour_ms"] = out["hour_ms"].astype(np.int64)
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=hkey, n_parts=8, kernel=merge,
+                         fmt="pandas")
