@@ -21,10 +21,22 @@ from ..stages import text as tx
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data
+    """Format-autodetecting table read (parquet > csv > jsonl — the
+    events-table convention) with canonical types enforced on the
+    non-parquet paths (JSONL infers int64/float64; embeddings re-cast to
+    the parquet-canonical list<float32> so every downstream kernel sees
+    one value space)."""
+    import pyarrow as pa
+
+    from ..sources.tables import read_table_auto
 
     tune_context()
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    cast = {
+        "documents": {"doc_id": pa.int64(), "n_chars": pa.int64()},
+        "embeddings": {"vec_id": pa.int64(), "label": pa.int32(),
+                       "embedding": pa.list_(pa.float32())},
+    }.get(table)
+    return read_table_auto(sf_dir, table, columns=columns, cast=cast)
 
 
 # ---------- text analysis ----------

@@ -1490,3 +1490,26 @@ def test_dedup_savings_consistency(ray_session, sf_small):
     assert int(got["n_survivors"].sum()) == n_docs - dup_members + n_clusters
     assert (got["n_survivors"] <= got["n_docs"]).all()
     assert (got["chars_after"] <= got["chars_before"]).all()
+
+
+def test_docs_jsonl_source_matches_parquet(ray_session, tmp_path):
+    """Format autodetect on the docs tables: the same pipelines over a
+    JSONL copy must produce the parquet answers (canonical casts applied
+    on the non-parquet path)."""
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.execute(f"""
+        COPY (SELECT * FROM '{SF}/documents.parquet')
+        TO '{tmp_path}/documents.jsonl' (FORMAT JSON)
+    """)
+    con.execute(f"""
+        COPY (SELECT * FROM '{SF}/embeddings.parquet')
+        TO '{tmp_path}/embeddings.jsonl' (FORMAT JSON)
+    """)
+    a = _sorted(docs.token_stats(SF).to_pandas(), ["doc_id"])
+    b = _sorted(docs.token_stats(str(tmp_path)).to_pandas(), ["doc_id"])
+    pd.testing.assert_frame_equal(a, b)
+    na = _sorted(docs.emb_norms(SF).to_pandas(), ["vec_id"])
+    nb = _sorted(docs.emb_norms(str(tmp_path)).to_pandas(), ["vec_id"])
+    pd.testing.assert_frame_equal(na, nb)
