@@ -335,6 +335,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_fertility_by_lang": docs.fertility_by_lang,
         "events_range_frame_5m": ev.range_frame_5m,
         "events_session_concurrency_1h": ev.session_concurrency_1h,
+        "events_peak_concurrency": ev.peak_concurrency,
+        "transcripts_tool_latency": ingest.tool_latency,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -4773,6 +4775,49 @@ FROM d GROUP BY 1
   FROM c
 )
 SELECT conv_id, chars, CAST(start // 100000 AS BIGINT) AS shard FROM w
+""",
+        # exact global peak session concurrency + the earliest instant
+        # it is reached (sweep line over pre-summed per-ts deltas)
+        "events_peak_concurrency": """
+WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+s AS (
+  SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER
+                   (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+              OR ts_ms - lag(ts_ms) OVER
+                   (PARTITION BY user_id ORDER BY ts_ms) > 1800000
+            THEN 1 ELSE 0 END AS brk
+  FROM p
+), t AS (
+  SELECT user_id, ts_ms,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms) AS sid
+  FROM s
+), sess AS (
+  SELECT user_id, sid, min(ts_ms) AS s_ms, max(ts_ms) AS e_ms
+  FROM t GROUP BY 1, 2
+), d AS (
+  SELECT s_ms AS ts, 1 AS delta FROM sess
+  UNION ALL
+  SELECT e_ms + 1, -1 FROM sess
+), g AS (SELECT ts, sum(delta) AS delta FROM d GROUP BY 1),
+c AS (SELECT ts, sum(delta) OVER (ORDER BY ts) AS conc FROM g),
+m AS (SELECT max(conc) AS mx FROM c)
+SELECT CAST(m.mx AS BIGINT) AS peak,
+       CAST(min(c.ts) AS BIGINT) AS at_ts
+FROM c JOIN m ON c.conc = m.mx GROUP BY 1
+""",
+        # per-tool response latency (mergeable count/total/max subset)
+        "transcripts_tool_latency": tdedup + """
+, s AS (
+  SELECT conv_id, turn_idx, tool, ts_ms,
+         lead(role) OVER w AS next_role,
+         lead(ts_ms) OVER w AS next_ts
+  FROM d WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS n_responses,
+       CAST(sum(next_ts - ts_ms) AS BIGINT) AS total_latency_ms,
+       CAST(max(next_ts - ts_ms) AS BIGINT) AS max_latency_ms
+FROM s WHERE tool <> '' AND next_role = 'assistant'
+GROUP BY 1
 """,
         # value-RANGE window frame (±5 min of each event, same user) —
         # the frame family row-based rolling windows can't express

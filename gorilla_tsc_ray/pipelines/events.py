@@ -6952,3 +6952,92 @@ def session_concurrency_1h(sf_dir: str, gap_ms: int = 1_800_000):
 
     return hash_exchange(partials, key_fn=hkey, n_parts=8, kernel=merge,
                          fmt="pandas")
+
+
+def peak_concurrency(sf_dir: str, gap_ms: int = 1_800_000):
+    """GLOBAL peak session concurrency: the maximum number of sessions
+    (30-min gap rule) simultaneously open across all users, and the
+    earliest millisecond it is reached — the exact sweep-line answer the
+    per-hour view (:func:`session_concurrency_1h`) approximates.  An
+    ORDERED GLOBAL PREFIX SCAN (the pareto_curve custom-operator route):
+    per-user sessions emit ±1 boundary deltas, a ts-keyed exchange
+    pre-sums deltas per instant (so every sorted row is a real
+    concurrency value — no intra-instant partial prefixes), the
+    distributed sort range-partitions by ts, per-block tasks emit
+    (sum, max-prefix, earliest argmax ts) scalars, and the driver folds
+    ≤ #blocks triples.  Output: one row (peak, at_ts)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_ms": pc.divide(pc.cast(t["ts"], "int64"), 1000)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["ts", "delta"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["ts_ms"].to_numpy(np.int64)
+        brk = np.concatenate(([True], (u[1:] != u[:-1])
+                              | ((t[1:] - t[:-1]) > gap_ms)))
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(t)) - 1
+        return pd.DataFrame({
+            "ts": np.concatenate([t[starts], t[ends] + 1]),
+            "delta": np.concatenate([
+                np.ones(len(starts), np.int64),
+                -np.ones(len(starts), np.int64)])})
+
+    per_user = hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                             kernel=deltas, fmt="pandas")
+
+    def ts_key(tbl):
+        return (tbl.column("ts").to_numpy().astype(np.uint64)
+                % np.uint64(P)).astype(np.int64)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("ts", sort=False)["delta"].sum().reset_index()
+        out = out.loc[out["delta"] != 0]
+        out["ts"] = out["ts"].astype(np.int64)
+        out["delta"] = out["delta"].astype(np.int64)
+        return out
+
+    per_ts = hash_exchange(per_user, key_fn=ts_key, n_parts=P,
+                           kernel=combine, fmt="pandas")
+    ordered = per_ts.sort("ts").materialize()
+    refs = ordered.to_arrow_refs()
+
+    @ray.remote
+    def block_scan(tbl):
+        d = tbl.column("delta").to_numpy(zero_copy_only=False)
+        t = tbl.column("ts").to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return 0, None, None
+        pre = np.cumsum(d)
+        mx = int(pre.max())
+        at = int(t[int(np.argmax(pre))])   # argmax = first occurrence
+        return int(pre[-1]), mx, at
+
+    scans = ray.get([block_scan.remote(r) for r in refs])
+    offset, peak, at_ts = 0, None, None
+    for tot, mx, at in scans:
+        if mx is not None:
+            cand = offset + mx
+            if peak is None or cand > peak:
+                peak, at_ts = cand, at
+        offset += tot
+    out = pd.DataFrame({"peak": [np.int64(peak or 0)],
+                        "at_ts": [np.int64(at_ts or 0)]})
+    return ray.data.from_pandas(out)

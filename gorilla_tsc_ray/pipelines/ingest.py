@@ -2052,3 +2052,63 @@ def repair_store(store_root: str, tiers=("1h", "1d")) -> pd.DataFrame:
         rows.append({"tier": tier,
                      "n_days": len(glob.glob(f"{tier_dir}/day=*"))})
     return pd.DataFrame(rows)
+
+
+def tool_latency(sf_dir: str):
+    """Per-TOOL response latency: for every canonical tool-call turn
+    whose next turn is an assistant turn, the ts gap — aggregated per
+    tool as count / total / max (the mergeable subset of the
+    :func:`response_latency` stats: a cross-conversation median would
+    not fold across partitions, so it stays per-conv there).  Conv pass
+    + one tiny tool exchange."""
+    from ..stages.exchange import hash_exchange
+    from ..stages.metrics import canonical_turns_arrow
+
+    def kernel(batch):
+        cols = ["tool", "n_responses", "total_latency_ms",
+                "max_latency_ms"]
+        t = canonical_turns_arrow(batch)
+        conv = t["conv_id"].to_pandas().astype(str).to_numpy()
+        role = t["role"].to_pandas().astype(str).to_numpy()
+        tool = t["tool"].to_pandas().astype(str).to_numpy()
+        ts = t["ts_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pd.DataFrame({
+            "tool": np.array([], dtype=object),
+            "n_responses": np.array([], np.int64),
+            "total_latency_ms": np.array([], np.int64),
+            "max_latency_ms": np.array([], np.int64)})
+        if len(conv) < 2:
+            return empty
+        same = conv[1:] == conv[:-1]
+        pick = same & (tool[:-1] != "") & (role[1:] == "assistant")
+        if not pick.any():
+            return empty
+        lat = (ts[1:] - ts[:-1])[pick]
+        g = (pd.DataFrame({"tool": tool[:-1][pick], "lat": lat})
+             .groupby("tool", sort=False)
+             .agg(n_responses=("lat", "size"),
+                  total_latency_ms=("lat", "sum"),
+                  max_latency_ms=("lat", "max")).reset_index())
+        for c in cols[1:]:
+            g[c] = g[c].astype(np.int64)
+        return g[cols]
+
+    partials = _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+    def key_fn(tbl):
+        from ..util import arrow_col_hash
+
+        return (arrow_col_hash(tbl, "tool") % np.uint64(4)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("tool", sort=False)
+               .agg(n_responses=("n_responses", "sum"),
+                    total_latency_ms=("total_latency_ms", "sum"),
+                    max_latency_ms=("max_latency_ms", "max"))
+               .reset_index())
+        for c in ("n_responses", "total_latency_ms", "max_latency_ms"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=4, kernel=merge,
+                         fmt="pandas")
