@@ -337,6 +337,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_session_concurrency_1h": ev.session_concurrency_1h,
         "events_peak_concurrency": ev.peak_concurrency,
         "transcripts_tool_latency": ingest.tool_latency,
+        "docs_source_dup_matrix": docs.source_dup_matrix,
+        "docs_clustering_agreement": docs.clustering_agreement,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -456,6 +458,68 @@ _TRANSCRIPT_METRICS = _TRANSCRIPT_DEDUP + """
          CAST(ts_ms - lag(ts_ms) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS DOUBLE)
   FROM d QUALIFY lag(ts_ms) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NOT NULL
 )
+"""
+
+
+def _agreement_sql() -> str:
+    """Rand-index numerators between the exact n-gram dup clustering and
+    the simhash clustering: both transitive closures (the
+    docs_dup_clusters / docs_simhash_clusters recursions, CTEs renamed
+    to avoid _simhash_sql's internal names), singleton labels for docs
+    in only one graph, then pure pair-counting over the (la, lb)
+    contingency — C(c,2) sums over cells, row sums and column sums."""
+    return f"""
+WITH RECURSIVE tngram AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), shn AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM tngram
+), sn AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shs, b.shs)) * 1.0 /
+         greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) AS j
+  FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+), prA AS (SELECT id_a, id_b FROM sn WHERE j >= 0.5),
+eA AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM prA
+       UNION SELECT id_b, id_a FROM prA),
+rA AS (
+  SELECT a AS n, a AS m FROM eA
+  UNION
+  SELECT rA.n, eA.b FROM rA JOIN eA ON rA.m = eA.a
+), clA AS (SELECT n AS doc_id, min(m) AS cluster_id FROM rA GROUP BY 1),
+prB AS (SELECT id_a, id_b FROM ({_simhash_sql()}) q),
+eB AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM prB
+       UNION SELECT id_b, id_a FROM prB),
+rB AS (
+  SELECT a AS n, a AS m FROM eB
+  UNION
+  SELECT rB.n, eB.b FROM rB JOIN eB ON rB.m = eB.a
+), clB AS (SELECT n AS doc_id, min(m) AS cluster_id FROM rB GROUP BY 1),
+u AS (
+  -- under WITH RECURSIVE, DuckDB 1.0 gives a NON-self-referencing
+  -- "A UNION B" CTE union-ALL semantics; dedup explicitly
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id FROM clA UNION ALL SELECT doc_id FROM clB)
+),
+lab AS (
+  SELECT u.doc_id, coalesce(a.cluster_id, u.doc_id) AS la,
+         coalesce(b.cluster_id, u.doc_id) AS lb
+  FROM u LEFT JOIN clA a ON a.doc_id = u.doc_id
+         LEFT JOIN clB b ON b.doc_id = u.doc_id
+), cells AS (SELECT la, lb, count(*) AS c FROM lab GROUP BY 1, 2),
+rowa AS (SELECT la, sum(c) AS rc FROM cells GROUP BY 1),
+colb AS (SELECT lb, sum(c) AS cc FROM cells GROUP BY 1)
+SELECT CAST((SELECT sum(c) FROM cells) AS BIGINT) AS n_docs,
+       CAST((SELECT sum(c * (c - 1) // 2) FROM cells) AS BIGINT)
+         AS same_both,
+       CAST((SELECT sum(rc * (rc - 1) // 2) FROM rowa) AS BIGINT)
+         AS same_a,
+       CAST((SELECT sum(cc * (cc - 1) // 2) FROM colb) AS BIGINT)
+         AS same_b
 """
 
 
@@ -4776,6 +4840,36 @@ FROM d GROUP BY 1
 )
 SELECT conv_id, chars, CAST(start // 100000 AS BIGINT) AS shard FROM w
 """,
+        # which sources copy from which: near-dup pair counts per
+        # canonically-ordered source pair (diagonal = intra-source)
+        "docs_source_dup_matrix": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM t
+), s AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shs, b.shs)) * 1.0 /
+         greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), pr AS (SELECT id_a, id_b FROM s WHERE j >= 0.5),
+e AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pr JOIN documents da ON da.doc_id = pr.id_a
+          JOIN documents db ON db.doc_id = pr.id_b
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM e GROUP BY 1, 2
+""",
+        # Rand-index numerators between the exact dup clustering and the
+        # simhash clustering (pair counting over the contingency cells)
+        "docs_clustering_agreement": _agreement_sql(),
         # exact global peak session concurrency + the earliest instant
         # it is reached (sweep line over pre-summed per-ts deltas)
         "events_peak_concurrency": """

@@ -4379,3 +4379,152 @@ def fertility_by_lang(sf_dir: str):
 
     return hash_exchange(parts, key_fn=_pair_hash_key(["lang"], 4),
                          n_parts=4, kernel=merge, fmt="pandas")
+
+
+def source_dup_matrix(sf_dir: str, threshold: float = 0.5):
+    """PROVENANCE of near-duplication: the (source, source) matrix of
+    exact n-gram near-dup pairs — which feeds copy from which (diagonal
+    = intra-source duplication).  Cells orient canonically
+    (lexicographically sorted source pair) so the matrix is
+    partition-invariant.  Same two attach exchanges as
+    :func:`lang_modularity`; cells are |sources|²-bounded."""
+    pairs = ngram_jaccard(sf_dir, threshold=threshold).materialize()
+    dsrc = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def key_on(col, n=N_DOC_PARTS):
+        return _pair_hash_key([col], n)
+
+    def att_a(pt: pd.DataFrame, dt: pd.DataFrame) -> pd.DataFrame:
+        m = pt.merge(dt, left_on="id_a", right_on="doc_id", how="left")
+        return pd.DataFrame({
+            "id_a": m["id_a"].to_numpy(np.int64),
+            "id_b": m["id_b"].to_numpy(np.int64),
+            "src_a": m["source"].astype(str)})
+
+    e1 = hash_exchange_multi(
+        [(pairs, key_on("id_a")), (dsrc, key_on("doc_id"))],
+        n_parts=N_DOC_PARTS, kernel=att_a, fmt="pandas")
+
+    def att_b(pt: pd.DataFrame, dt: pd.DataFrame) -> pd.DataFrame:
+        m = pt.merge(dt, left_on="id_b", right_on="doc_id", how="left")
+        sa = m["src_a"].astype(str).to_numpy()
+        sb = m["source"].astype(str).to_numpy()
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        g = (pd.DataFrame({"source_a": lo, "source_b": hi})
+             .groupby(["source_a", "source_b"], sort=False)
+             .size().rename("n_pairs").reset_index())
+        g["n_pairs"] = g["n_pairs"].astype(np.int64)
+        return g
+
+    cells = hash_exchange_multi(
+        [(e1, key_on("id_b")), (dsrc, key_on("doc_id"))],
+        n_parts=N_DOC_PARTS, kernel=att_b, fmt="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["source_a", "source_b"], sort=False)
+               ["n_pairs"].sum().reset_index())
+        out["n_pairs"] = out["n_pairs"].astype(np.int64)
+        return out
+
+    return hash_exchange(cells, key_fn=_pair_hash_key(["source_a"], 4),
+                         n_parts=4, kernel=merge, fmt="pandas")
+
+
+def clustering_agreement(sf_dir: str):
+    """Pair-counting AGREEMENT between the exact n-gram dup clustering
+    and the simhash clustering — the Rand-index numerators (n_docs,
+    same-pair counts in each, and in both) a dedup-pipeline owner uses
+    to decide whether the cheap sketch can replace the exact join.
+    Docs in only one pair graph count as singletons in the other; docs
+    in neither are out of the universe on both sides.  NO pair set is
+    ever materialized: everything reduces from the (label_a, label_b)
+    CONTINGENCY cells — ΣC(c,2) over cells (both-same), over label_a
+    row sums (A-same) and label_b column sums (B-same) — three
+    mergeable folds."""
+    def tag(side):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["side"] = side
+            return out
+        return f
+
+    # single tagged union (NOT the multi-input exchange: its contract
+    # drops partitions where the DRIVING input is empty, which would
+    # silently lose docs present in only the other clustering)
+    both = (dup_clusters(sf_dir).map_batches(tag("a"),
+                                             batch_format="pandas")
+            .union(simhash_clusters(sf_dir).map_batches(
+                tag("b"), batch_format="pandas")))
+
+    def cells_partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.loc[df["side"] == "a", ["doc_id", "cluster_id"]]
+        b = df.loc[df["side"] == "b", ["doc_id", "cluster_id"]]
+        m = a.merge(b, on="doc_id", how="outer", suffixes=("_a", "_b"))
+        ids = m["doc_id"].to_numpy(np.int64)
+        laa = m["cluster_id_a"].fillna(pd.Series(ids, index=m.index))
+        lbb = m["cluster_id_b"].fillna(pd.Series(ids, index=m.index))
+        g = (pd.DataFrame({"la": laa.astype(np.int64),
+                           "lb": lbb.astype(np.int64)})
+             .groupby(["la", "lb"], sort=False)
+             .size().rename("c").reset_index())
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    cells = hash_exchange(both, key_fn=_pair_hash_key(["doc_id"]),
+                          n_parts=N_DOC_PARTS, kernel=cells_partial,
+                          fmt="pandas")
+
+    def la_fold(df: pd.DataFrame) -> pd.DataFrame:
+        # partition holds ALL cells of its la values (la-keyed)
+        g = (df.groupby(["la", "lb"], sort=False)["c"].sum()
+             .reset_index())
+        c = g["c"].to_numpy(np.int64)
+        s11 = int((c * (c - 1) // 2).sum())
+        n = int(c.sum())
+        row = g.groupby("la", sort=False)["c"].sum().to_numpy(np.int64)
+        sa = int((row * (row - 1) // 2).sum())
+        colp = g.groupby("lb", sort=False)["c"].sum().reset_index()
+        out = pd.DataFrame({
+            "kind": "col", "key": colp["lb"].astype(np.int64),
+            "v": colp["c"].astype(np.int64)})
+        scal = pd.DataFrame({
+            "kind": ["s11", "n", "sa"],
+            "key": np.zeros(3, np.int64),
+            "v": np.array([s11, n, sa], np.int64)})
+        return pd.concat([scal, out], ignore_index=True)
+
+    folded = hash_exchange(cells, key_fn=_pair_hash_key(["la"]),
+                           n_parts=N_DOC_PARTS, kernel=la_fold,
+                           fmt="pandas")
+
+    def col_fold(df: pd.DataFrame) -> pd.DataFrame:
+        col = df.loc[df["kind"] == "col"]
+        g = col.groupby("key", sort=False)["v"].sum().to_numpy(np.int64)
+        sb = int((g * (g - 1) // 2).sum())
+        keep = df.loc[df["kind"] != "col", ["kind", "v"]]
+        return pd.concat(
+            [keep, pd.DataFrame({"kind": ["sb"], "v": [np.int64(sb)]})],
+            ignore_index=True)
+
+    # column sums need lb co-location: one more tiny exchange over the
+    # (kind, key, v) rows — 'col' rows key by lb, scalars pass through
+    def mixed_key(tbl):
+        k = tbl.column("key").to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        return (k % np.uint64(8)).astype(np.int64)
+
+    folded2 = hash_exchange(folded, key_fn=mixed_key, n_parts=8,
+                            kernel=col_fold, fmt="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        v = df.groupby("kind", sort=False)["v"].sum()
+        return pd.DataFrame({
+            "n_docs": [np.int64(v.get("n", 0))],
+            "same_both": [np.int64(v.get("s11", 0))],
+            "same_a": [np.int64(v.get("sa", 0))],
+            "same_b": [np.int64(v.get("sb", 0))]})
+
+    return hash_exchange(
+        folded2, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1, kernel=final, fmt="pandas")
