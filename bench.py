@@ -290,6 +290,26 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
     _shutil.rmtree(incr_root, ignore_errors=True)
     _shutil.rmtree(full_root, ignore_errors=True)
 
+    # round-5 representatives — separate section so earlier rounds' sums
+    # stay comparable
+    r5_queries = {}
+
+    def timed_r5(name, fn):
+        best = float("inf")
+        for _ in range(2):
+            t = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t)
+        r5_queries[name] = round(best, 3)
+
+    timed_r5("events_peak_concurrency",
+             lambda: ev.peak_concurrency(sf_dir).count())
+    timed_r5("events_range_frame_5m",
+             lambda: ev.range_frame_5m(sf_dir).count())
+    timed_r5("docs_lm_coverage", lambda: docs.lm_coverage(sf_dir).count())
+    timed_r5("transcripts_shard_assignment",
+             lambda: ingest.shard_assignment(sf_dir).count())
+
     result = {
         "queries": queries,
         "total_sec": total,
@@ -297,6 +317,8 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
         "docs_sec": round(sum(docs_queries.values()), 3),
         "extra_queries": extra_queries,
         "extra_sec": round(sum(extra_queries.values()), 3),
+        "r5_queries": r5_queries,
+        "r5_sec": round(sum(r5_queries.values()), 3),
         "n_turns": int(n_turns),
         "turns_per_sec": round(n_turns / max(ingest_sec, 1e-9), 1),
         "bytes_per_point": round(bytes_per_point, 3),
@@ -432,6 +454,8 @@ def main() -> None:
         "docs_sec": pipe["docs_sec"],
         "extra_queries": pipe["extra_queries"],
         "extra_sec": pipe["extra_sec"],
+        "r5_queries": pipe["r5_queries"],
+        "r5_sec": pipe["r5_sec"],
         "sf": _sf_tag(sf_dir), "num_cpus": num_cpus,
         "n_turns": pipe["n_turns"],
         "turns_per_sec": pipe["turns_per_sec"],
