@@ -339,6 +339,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_tool_latency": ingest.tool_latency,
         "docs_source_dup_matrix": docs.source_dup_matrix,
         "docs_clustering_agreement": docs.clustering_agreement,
+        "events_streaming_window_late": ev.streaming_window_late,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -3365,6 +3366,28 @@ WITH p AS (
 ), acc AS (
   SELECT user_id, ts_ms, c FROM a
   WHERE wm IS NULL OR ts_ms // 3600000 >= wm // 3600000
+)
+SELECT user_id, (ts_ms // 3600000) * 3600000 AS window_ms,
+       CAST(sum(c) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM acc GROUP BY 1, 2
+""",
+        # allowed-lateness streaming window: drop only when the window
+        # lies before floor(max(wm - 30min, 0)/W)*W of the running max
+        "events_streaming_window_late": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 1000 AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) AS c, value FROM events
+), a AS (
+  SELECT user_id, ts_ms, c,
+         max(ts_ms) OVER (PARTITION BY user_id ORDER BY value, ts_ms
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS wm
+  FROM p
+), acc AS (
+  SELECT user_id, ts_ms, c FROM a
+  WHERE wm IS NULL
+     OR ts_ms // 3600000 >= greatest(wm - 1800000, 0) // 3600000
 )
 SELECT user_id, (ts_ms // 3600000) * 3600000 AS window_ms,
        CAST(sum(c) AS BIGINT) AS sum_cents,

@@ -2706,6 +2706,52 @@ def streaming_out_of_order(sf_dir: str, n_actors: int = 4):
     return _streaming_gate(sf_dir, n_actors, ["value", "ts_ms"])
 
 
+def streaming_window_late(sf_dir: str, n_actors: int = 4,
+                          tier: str = "1h",
+                          lateness_ms: int = 1_800_000):
+    """ALLOWED-LATENESS streaming window gate: same scrambled arrival
+    order as :func:`streaming_window_out_of_order`, but windows stay
+    open ``lateness_ms`` past the per-series watermark — the
+    grace-period semantics a production streaming engine exposes
+    (Flink's allowedLateness).  A row drops only when its window lies
+    before the LATENESS-ADJUSTED boundary floor((max(wm−L, 0))/W)·W of
+    the running max over prior arrivals; the rule stays sequential and
+    batch-size-invariant, so the accepted set is exactly
+    SQL-expressible.  The gate asserts lateness actually engages: fewer
+    drops than the zero-lateness run would take, but still > 0 (the
+    scramble outruns any 30-min grace)."""
+    import ray.data
+
+    from ..state.streaming import (StreamingRouter, _WindowAggCore,
+                                   feed_parquet_distributed)
+
+    tune_context()
+    window_ms = TIER_MS[tier]
+    router = StreamingRouter(n_actors=n_actors,
+                             actor_core=_WindowAggCore,
+                             core_args=(window_ms, lateness_ms))
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    feed_parquet_distributed(router, path, order_cols=["value", "ts_ms"])
+    rows = pd.DataFrame(router.seal())
+    stats = router.stats()
+    if len(rows) and stats["late"] == 0:
+        raise RuntimeError("scrambled arrival produced no late drops — "
+                           "the lateness boundary did not engage")
+
+    if len(rows) == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "window_ms": pd.Series([], dtype=np.int64),
+            "sum_cents": pd.Series([], dtype=np.int64),
+            "cnt": pd.Series([], dtype=np.int64)}))
+    out = pd.DataFrame({
+        "user_id": rows["key"].astype(np.int64),
+        "window_ms": rows["window_ms"].astype(np.int64),
+        "sum_cents": rows["sum_cents"].astype(np.int64),
+        "cnt": rows["cnt"].astype(np.int64)})
+    return ray.data.from_pandas(out)
+
+
 def m4_downsample(sf_dir: str, tier: str = "1h"):
     """M4 visualization-driven downsampling (Jugel et al., VLDB 2014):
     per (user, bucket) the four extremum POINTS — first/last in event
