@@ -340,6 +340,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_dup_matrix": docs.source_dup_matrix,
         "docs_clustering_agreement": docs.clustering_agreement,
         "events_streaming_window_late": ev.streaming_window_late,
+        "events_type_unpivot": ev.type_unpivot,
+        "events_percentile_cont_p90": ev.percentile_cont_p90,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -3371,6 +3373,30 @@ SELECT user_id, (ts_ms // 3600000) * 3600000 AS window_ms,
        CAST(sum(c) AS BIGINT) AS sum_cents,
        CAST(count(*) AS BIGINT) AS cnt
 FROM acc GROUP BY 1, 2
+""",
+        # UNPIVOT (melt): the pivot matrix back to sparse long rows
+        "events_type_unpivot": """
+SELECT user_id, CAST(event_type AS VARCHAR) AS event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""",
+        # continuous (interpolated) p90 as exact integer numerators:
+        # rank = 90*(n-1), num = (100-rem)*v[i] + rem*v[i+1], den = 100
+        "events_percentile_cont_p90": """
+WITH b AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events
+), g AS (
+  SELECT user_id, array_agg(c ORDER BY c) AS arr,
+         count(*) AS n
+  FROM b GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST((100 - (90 * (n - 1)) % 100)
+              * arr[(90 * (n - 1)) // 100 + 1]
+            + ((90 * (n - 1)) % 100)
+              * arr[least((90 * (n - 1)) // 100 + 2, n)]
+            AS BIGINT) AS p90_num
+FROM g
 """,
         # allowed-lateness streaming window: drop only when the window
         # lies before floor(max(wm - 30min, 0)/W)*W of the running max

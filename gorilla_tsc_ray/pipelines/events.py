@@ -7087,3 +7087,79 @@ def peak_concurrency(sf_dir: str, gap_ms: int = 1_800_000):
     out = pd.DataFrame({"peak": [np.int64(peak or 0)],
                         "at_ts": [np.int64(at_ts or 0)]})
     return ray.data.from_pandas(out)
+
+
+def type_unpivot(sf_dir: str):
+    """UNPIVOT reshape — the melt inverse of :func:`type_pivot`: the wide
+    per-user count matrix back to (user_id, event_type, n) long rows,
+    zero-count cells dropped (sparse long form).  Composes the pivot
+    (one exchange) with a map-only vectorized melt — the round-trip
+    pair a feature pipeline needs in both directions."""
+    wide = type_pivot(sf_dir)
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "event_type", "n"]
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": np.array([], np.int64),
+                "event_type": np.array([], dtype=object),
+                "n": np.array([], np.int64)})
+        out = []
+        for t in PIVOT_TYPES:
+            n = df[f"n_{t}"].to_numpy(np.int64)
+            keep = n > 0
+            out.append(pd.DataFrame({
+                "user_id": df["user_id"].to_numpy(np.int64)[keep],
+                "event_type": t, "n": n[keep]}))
+        return pd.concat(out, ignore_index=True)[cols]
+
+    return wide.map_batches(melt, batch_format="pandas")
+
+
+def percentile_cont_p90(sf_dir: str):
+    """Interpolated (CONTINUOUS) percentile — the quantile flavor the
+    exact-order-statistic family (:func:`user_quantiles`) doesn't cover:
+    per user, p90 of cents by linear interpolation, emitted as the EXACT
+    integer numerator ``p90_num = (100−rem)·v_i + rem·v_{i+1}`` with
+    den = 100 (rank = 90·(n−1); i = rank//100; rem = rank%100) — the
+    SQL mirror selects the same two order statistics from a sorted
+    array, so no float interpolation crosses the gate."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts", "value"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        val = t.column("value").to_numpy()
+        cents = (np.sign(val)
+                 * np.floor(np.abs(val) * 100 + 0.5)).astype(np.int64)
+        return pa.table({"user_id": t.column("user_id"),
+                         "cents": pa.array(cents)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n", "p90_num"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        ov = np.lexsort((df["cents"].to_numpy(np.int64),
+                         df["user_id"].to_numpy(np.int64)))
+        u = df["user_id"].to_numpy(np.int64)[ov]
+        c = df["cents"].to_numpy(np.int64)[ov]
+        new = np.concatenate(([True], u[1:] != u[:-1]))
+        starts = np.flatnonzero(new)
+        n = np.diff(np.append(starts, len(u))).astype(np.int64)
+        rank = 90 * (n - 1)
+        i = rank // 100
+        rem = rank % 100
+        v_i = c[starts + i]
+        v_next = c[np.minimum(starts + i + 1, starts + n - 1)]
+        p90 = (100 - rem) * v_i + rem * v_next
+        return pd.DataFrame({"user_id": u[starts], "n": n,
+                             "p90_num": p90})
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
