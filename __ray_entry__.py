@@ -342,6 +342,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_streaming_window_late": ev.streaming_window_late,
         "events_type_unpivot": ev.type_unpivot,
         "events_percentile_cont_p90": ev.percentile_cont_p90,
+        "docs_chunk_dedup": docs.chunk_dedup,
+        "events_funnel_3step": ev.funnel_3step,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -3373,6 +3375,61 @@ SELECT user_id, (ts_ms // 3600000) * 3600000 AS window_ms,
        CAST(sum(c) AS BIGINT) AS sum_cents,
        CAST(count(*) AS BIGINT) AS cnt
 FROM acc GROUP BY 1, 2
+""",
+        # chunk-level exact dedup: 64-token chunk digests occurring > 1
+        # time, with copy/doc counts and the keeper
+        "docs_chunk_dedup": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok,
+         generate_subscripts(regexp_extract_all(text, '[A-Za-z0-9]+'), 1)
+           - 1 AS pos
+  FROM documents
+), ch AS (
+  SELECT doc_id,
+         md5_number_upper(string_agg(tok, chr(1) ORDER BY pos)) AS digest
+  FROM tok GROUP BY doc_id, pos // 64
+)
+SELECT digest, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc
+FROM ch GROUP BY 1 HAVING count(*) > 1
+""",
+        # ordered 3-step in-session funnel: view, then click strictly
+        # after it, then purchase strictly after that (first-occurrence
+        # semantics at every step)
+        "events_funnel_3step": """
+WITH b AS (
+  SELECT user_id, CAST(event_type AS VARCHAR) AS et,
+         epoch_ms(ts) AS ts_ms
+  FROM events
+), s AS (
+  SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER
+                   (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+              OR ts_ms - lag(ts_ms) OVER
+                   (PARTITION BY user_id ORDER BY ts_ms) > 1800000
+            THEN 1 ELSE 0 END AS brk
+  FROM b
+), t AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms) AS sid
+  FROM s
+), v AS (
+  SELECT user_id, sid, min(ts_ms) AS t1 FROM t
+  WHERE et = 'view' GROUP BY 1, 2
+), c AS (
+  SELECT t.user_id, t.sid, min(t.ts_ms) AS t2
+  FROM t JOIN v ON v.user_id = t.user_id AND v.sid = t.sid
+  WHERE t.et = 'click' AND t.ts_ms > v.t1 GROUP BY 1, 2
+), p3 AS (
+  SELECT t.user_id, t.sid
+  FROM t JOIN c ON c.user_id = t.user_id AND c.sid = t.sid
+  WHERE t.et = 'purchase' AND t.ts_ms > c.t2 GROUP BY 1, 2
+), ns AS (
+  SELECT user_id, count(DISTINCT sid) AS n_sessions FROM t GROUP BY 1
+), nf AS (SELECT user_id, count(*) AS n_funnel FROM p3 GROUP BY 1)
+SELECT ns.user_id, CAST(ns.n_sessions AS BIGINT) AS n_sessions,
+       CAST(coalesce(nf.n_funnel, 0) AS BIGINT) AS n_funnel
+FROM ns LEFT JOIN nf ON nf.user_id = ns.user_id
 """,
         # UNPIVOT (melt): the pivot matrix back to sparse long rows
         "events_type_unpivot": """

@@ -4528,3 +4528,41 @@ def clustering_agreement(sf_dir: str):
     return hash_exchange(
         folded2, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
         n_parts=1, kernel=final, fmt="pandas")
+
+
+def chunk_dedup(sf_dir: str, chunk_tokens: int = 64):
+    """CHUNK-level exact dedup — the granularity a pretraining pipeline
+    actually dedups at (whole-doc dedup misses shared passages): every
+    64-token chunk digest occurring more than once, with its copy count,
+    distinct-doc count and keeper (min doc_id).  Composes
+    :func:`chunk_documents` (map-only, digest per chunk) with one
+    digest-keyed exchange — the exact_dedup shape one level down."""
+    ch = chunk_documents(sf_dir, chunk_tokens=chunk_tokens)
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["digest", "doc_id"]]
+
+    def dkey(tbl):
+        h = tbl.column("digest").to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        return (h % np.uint64(N_DOC_PARTS)).astype(np.int64)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["digest", "n_copies", "n_docs", "keeper_doc"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64)
+                                 if c != "digest"
+                                 else np.array([], np.uint64)
+                                 for c in cols})
+        g = (df.groupby("digest", sort=False)
+             .agg(n_copies=("doc_id", "size"),
+                  n_docs=("doc_id", "nunique"),
+                  keeper_doc=("doc_id", "min")).reset_index())
+        g = g.loc[g["n_copies"] > 1].reset_index(drop=True)
+        for c in ("n_copies", "n_docs", "keeper_doc"):
+            g[c] = g[c].astype(np.int64)
+        return g[cols]
+
+    return hash_exchange(ch.map_batches(rows, batch_format="pandas"),
+                         key_fn=dkey, n_parts=N_DOC_PARTS, kernel=kernel,
+                         fmt="pandas")

@@ -7163,3 +7163,88 @@ def percentile_cont_p90(sf_dir: str):
 
     return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def funnel_3step(sf_dir: str, gap_ms: int = 1_800_000,
+                 steps=("view", "click", "purchase")):
+    """ORDERED 3-step funnel within sessions: a session converts when it
+    contains a view, then a click strictly after that view, then a
+    purchase strictly after that click (first-occurrence semantics at
+    each step — the classic ordered-subsequence funnel the 2-step
+    signup gate doesn't cover).  Per user: session count and converting
+    count.  Each step is one composite-key searchsorted against the
+    next event type's sorted stream — sequential semantics, vectorized
+    across sessions."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type", "ts"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_type": pc.cast(t["event_type"], "string"),
+            "ts_ms": pc.divide(pc.cast(t["ts"], "int64"), 1000)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n_sessions", "n_funnel"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["ts_ms"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        brk = np.concatenate(([True], (u[1:] != u[:-1])
+                              | ((t[1:] - t[:-1]) > gap_ms)))
+        sid = (np.cumsum(brk) - 1).astype(np.int64)
+        stride = np.int64(t.max() - t.min() + 2)
+        rel = t - t.min()
+        key = sid * stride + rel
+
+        def first_after(step: str, base_sid, base_t):
+            """min ts of `step` rows strictly after base_t in base_sid."""
+            m = et == step
+            sk, st_ = key[m], t[m]
+            ssid = sid[m]
+            probe = base_sid * stride + (base_t - t.min()) + 1
+            pos = np.searchsorted(sk, probe)
+            ok = (pos < len(sk)) & (ssid[np.minimum(pos, max(len(sk) - 1,
+                                                             0))]
+                                    == base_sid) if len(sk) else \
+                np.zeros(len(base_sid), dtype=bool)
+            nt = np.where(ok, st_[np.minimum(pos, max(len(sk) - 1, 0))],
+                          -1)
+            return ok, nt
+
+        # step 1: first 'view' per session = grouped min over view rows
+        mv = et == steps[0]
+        if mv.any():
+            vs, vt = sid[mv], t[mv]
+            first = np.concatenate(([True], vs[1:] != vs[:-1]))
+            s1_sid, s1_t = vs[first], vt[first]
+        else:
+            s1_sid = np.array([], np.int64)
+            s1_t = np.array([], np.int64)
+        ok2, t2 = first_after(steps[1], s1_sid, s1_t)
+        ok3, _ = first_after(steps[2], s1_sid[ok2], t2[ok2])
+        conv_sids = s1_sid[ok2][ok3]
+        sess_user = u[np.flatnonzero(brk)]     # user per session id
+        n_sessions = (pd.Series(sess_user).groupby(sess_user, sort=False)
+                      .size())
+        conv_users = sess_user[conv_sids]
+        n_funnel = (pd.Series(conv_users).groupby(conv_users, sort=False)
+                    .size())
+        out = pd.DataFrame({
+            "user_id": n_sessions.index.to_numpy(np.int64),
+            "n_sessions": n_sessions.to_numpy(np.int64)})
+        out["n_funnel"] = (n_funnel.reindex(out["user_id"]).fillna(0)
+                           .to_numpy(np.int64))
+        return out[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
