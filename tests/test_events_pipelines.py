@@ -2898,3 +2898,109 @@ def test_type_movers_grid(ray_session, sf_small):
                 == np.concatenate(([0], c[:-1]))).all()
         assert (g["delta"].to_numpy()
                 == c - g["prev_cnt"].to_numpy()).all()
+
+
+def test_rs_range_brute(ray_session, sf_small):
+    """R/S numerators vs a scalar per-group reference."""
+    import duckdb
+
+    got = (ev.rs_range(sf_small).to_pandas()
+           .sort_values(["user_id", "day_ms"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_small}/events.parquet'")
+    raw = con.execute("""
+        SELECT user_id, epoch_ms(ts) AS ts_ms,
+               CAST(round(value*100) AS BIGINT) AS c FROM events
+        ORDER BY user_id, ts_ms""").df()
+    DAY = 86_400_000
+    rows = []
+    for (u, d), g in raw.assign(
+            day=(raw["ts_ms"] // DAY) * DAY).groupby(["user_id", "day"]):
+        c = g["c"].to_numpy(np.int64)
+        n = len(c)
+        if n < 2:
+            continue
+        pre = np.cumsum(c)
+        k = np.arange(1, n + 1)
+        dev = n * pre - k * c.sum()
+        rows.append((u, d, n, int(dev.max() - dev.min()),
+                     int(n * (c * c).sum() - c.sum() ** 2)))
+    exp = (pd.DataFrame(rows, columns=["user_id", "day_ms", "n",
+                                       "r_num", "var_num"])
+           .sort_values(["user_id", "day_ms"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), exp.astype(np.int64))
+
+
+def test_funnel_3step_brute(ray_session, sf_small):
+    """Ordered-funnel counts vs a scalar per-session scan."""
+    import duckdb
+
+    got = (ev.funnel_3step(sf_small).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_small}/events.parquet'")
+    raw = con.execute("""
+        SELECT user_id, CAST(event_type AS VARCHAR) AS et,
+               epoch_ms(ts) AS ts_ms FROM events
+        ORDER BY user_id, ts_ms""").df()
+    GAP = 1_800_000
+    rows = {}
+    for u, g in raw.groupby("user_id"):
+        t = g["ts_ms"].to_numpy(np.int64)
+        et = g["et"].to_numpy()
+        brk = np.concatenate(([True], (t[1:] - t[:-1]) > GAP))
+        sid = np.cumsum(brk)
+        n_sessions = int(sid.max())
+        n_funnel = 0
+        for s in range(1, n_sessions + 1):
+            m = sid == s
+            st, se = t[m], et[m]
+            t1 = next((x for x, e in zip(st, se) if e == "view"), None)
+            if t1 is None:
+                continue
+            t2 = next((x for x, e in zip(st, se)
+                       if e == "click" and x > t1), None)
+            if t2 is None:
+                continue
+            if any(e == "purchase" and x > t2
+                   for x, e in zip(st, se)):
+                n_funnel += 1
+        rows[int(u)] = (n_sessions, n_funnel)
+    exp = pd.DataFrame(
+        [(u, a, b) for u, (a, b) in sorted(rows.items())],
+        columns=["user_id", "n_sessions", "n_funnel"])
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), exp.astype(np.int64))
+
+
+def test_peak_concurrency_brute(ray_session, sf_small):
+    """Sweep-line peak vs a scalar reference over all sessions."""
+    import duckdb
+
+    got = ev.peak_concurrency(sf_small).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_small}/events.parquet'")
+    raw = con.execute("""
+        SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+        ORDER BY user_id, ts_ms""").df()
+    GAP = 1_800_000
+    deltas = {}
+    for _, g in raw.groupby("user_id"):
+        t = g["ts_ms"].to_numpy(np.int64)
+        brk = np.concatenate(([True], (t[1:] - t[:-1]) > GAP))
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(t)) - 1
+        for s, e in zip(t[starts], t[ends]):
+            deltas[s] = deltas.get(s, 0) + 1
+            deltas[e + 1] = deltas.get(e + 1, 0) - 1
+    conc, peak, at = 0, -1, None
+    for ts in sorted(deltas):
+        conc += deltas[ts]
+        if conc > peak:
+            peak, at = conc, ts
+    assert int(got["peak"].iloc[0]) == peak
+    assert int(got["at_ts"].iloc[0]) == at
