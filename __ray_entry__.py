@@ -344,6 +344,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_percentile_cont_p90": ev.percentile_cont_p90,
         "docs_chunk_dedup": docs.chunk_dedup,
         "events_funnel_3step": ev.funnel_3step,
+        "emb_knn_graph_mutual": docs.knn_graph_mutual,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -3375,6 +3376,36 @@ SELECT user_id, (ts_ms // 3600000) * 3600000 AS window_ms,
        CAST(sum(c) AS BIGINT) AS sum_cents,
        CAST(count(*) AS BIGINT) AS cnt
 FROM acc GROUP BY 1, 2
+""",
+        # kNN-graph audit over the anchor set: per anchor, in-set
+        # neighbor count and mutual (reciprocated) edge count
+        "emb_knn_graph_mutual": """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id < 200
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.qe,
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6)
+           AS score
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+), top AS (
+  SELECT query_id, vec_id FROM s
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id) <= 9
+), ein AS (
+  SELECT query_id AS a, vec_id AS b FROM top WHERE vec_id < 200
+), m AS (
+  SELECT e1.a FROM ein e1 JOIN ein e2 ON e1.a = e2.b AND e1.b = e2.a
+)
+SELECT q.query_id AS vec_id,
+       CAST(coalesce(i.cnt_in, 0) AS BIGINT) AS n_in_set,
+       CAST(coalesce(mm.cnt_mut, 0) AS BIGINT) AS n_mutual
+FROM q LEFT JOIN (SELECT a, count(*) AS cnt_in FROM ein GROUP BY 1) i
+         ON i.a = q.query_id
+       LEFT JOIN (SELECT a, count(*) AS cnt_mut FROM m GROUP BY 1) mm
+         ON mm.a = q.query_id
 """,
         # chunk-level exact dedup: 64-token chunk digests occurring > 1
         # time, with copy/doc counts and the keeper

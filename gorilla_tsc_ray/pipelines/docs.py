@@ -4566,3 +4566,54 @@ def chunk_dedup(sf_dir: str, chunk_tokens: int = 64):
     return hash_exchange(ch.map_batches(rows, batch_format="pandas"),
                          key_fn=dkey, n_parts=N_DOC_PARTS, kernel=kernel,
                          fmt="pandas")
+
+
+def knn_graph_mutual(sf_dir: str, n_anchors: int = 200,
+                     k_nbrs: int = 9):
+    """kNN-GRAPH construction audit over the anchor set (vec_id <
+    ``n_anchors``): each anchor's top-9 non-self cosine neighbors form
+    the directed kNN graph (the structure SemDeDup-style clustering and
+    graph-ANN indexes build on); per anchor, how many of its neighbors
+    are themselves anchors (n_in_set) and how many of those RECIPROCATE
+    (n_mutual — mutual-kNN edges are the reliable ones).  The top-k
+    reuses the broadcast-anchor brute-force scorer; dropping self from
+    a (k+1) head equals top-k-non-self because self can only displace
+    one slot.  Edge volume is anchors × k — the mutual join runs in one
+    tiny partition."""
+    kn = knn(sf_dir, k=k_nbrs + 1, n_queries=n_anchors)
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["a", "b"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        df = df.loc[df["query_id"] != df["vec_id"]]
+        df = (df.sort_values(["query_id", "score", "vec_id"],
+                             ascending=[True, False, True], kind="stable")
+              .groupby("query_id", sort=False).head(k_nbrs))
+        return pd.DataFrame({
+            "a": df["query_id"].to_numpy(np.int64),
+            "b": df["vec_id"].to_numpy(np.int64)})
+
+    e = kn.map_batches(edges, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["vec_id", "n_in_set", "n_mutual"]
+        anchors = np.arange(n_anchors, dtype=np.int64)
+        if len(df) == 0:
+            return pd.DataFrame({
+                "vec_id": anchors,
+                "n_in_set": np.zeros(n_anchors, np.int64),
+                "n_mutual": np.zeros(n_anchors, np.int64)})
+        ein = df.loc[df["b"].to_numpy(np.int64) < n_anchors]
+        n_in = (ein.groupby("a", sort=False).size()
+                .reindex(anchors).fillna(0).to_numpy(np.int64))
+        rev = ein.rename(columns={"a": "b", "b": "a"})
+        mut = ein.merge(rev, on=["a", "b"])
+        n_mut = (mut.groupby("a", sort=False).size()
+                 .reindex(anchors).fillna(0).to_numpy(np.int64))
+        return pd.DataFrame({"vec_id": anchors, "n_in_set": n_in,
+                             "n_mutual": n_mut})[cols]
+
+    return hash_exchange(
+        e, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1, kernel=final, fmt="pandas")
