@@ -345,6 +345,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk_dedup": docs.chunk_dedup,
         "events_funnel_3step": ev.funnel_3step,
         "emb_knn_graph_mutual": docs.knn_graph_mutual,
+        "events_cume_dist": ev.cume_dist_cents,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -3376,6 +3377,21 @@ SELECT user_id, (ts_ms // 3600000) * 3600000 AS window_ms,
        CAST(sum(c) AS BIGINT) AS sum_cents,
        CAST(count(*) AS BIGINT) AS cnt
 FROM acc GROUP BY 1, 2
+""",
+        # cume_dist numerators (ties counted, RANGE-frame semantics):
+        # cume_dist = n_le/n at presentation
+        "events_cume_dist": """
+WITH b AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+)
+SELECT event_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY c
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS n_le,
+       CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+FROM b
 """,
         # kNN-graph audit over the anchor set: per anchor, in-set
         # neighbor count and mutual (reciprocated) edge count

@@ -7248,3 +7248,58 @@ def funnel_3step(sf_dir: str, gap_ms: int = 1_800_000,
 
     return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def cume_dist_cents(sf_dir: str):
+    """CUME_DIST numerators per event: within its user's cent
+    distribution, how many of the user's events have cents ≤ this one
+    (ties counted, SQL RANGE-frame semantics) and the user total —
+    cume_dist = n_le/n at presentation, exact ints in the gate.  One
+    sorted searchsorted per partition."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        val = t.column("value").to_numpy()
+        cents = (np.sign(val)
+                 * np.floor(np.abs(val) * 100 + 0.5)).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "cents": pa.array(cents)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "n_le", "n"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        u = df["user_id"].to_numpy(np.int64)
+        c = df["cents"].to_numpy(np.int64)
+        ov = np.lexsort((c, u))
+        us, cs = u[ov], c[ov]
+        new = np.concatenate(([True], us[1:] != us[:-1]))
+        starts = np.flatnonzero(new)
+        gidx = np.cumsum(new) - 1
+        counts = np.diff(np.append(starts, len(us))).astype(np.int64)
+        # n_le for each sorted row = index of the LAST tie within group
+        idx = np.arange(len(us), dtype=np.int64)
+        # rightmost occurrence of each (user, cents) run
+        run_end = np.concatenate((
+            np.flatnonzero((us[1:] != us[:-1]) | (cs[1:] != cs[:-1])),
+            [len(us) - 1]))
+        run_id = np.cumsum(np.concatenate(
+            ([True], (us[1:] != us[:-1]) | (cs[1:] != cs[:-1])))) - 1
+        n_le = run_end[run_id] - starts[gidx] + 1
+        out = pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64)[ov],
+            "n_le": n_le.astype(np.int64),
+            "n": counts[gidx]})
+        return out[["event_id", "n_le", "n"]]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
