@@ -346,6 +346,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel_3step": ev.funnel_3step,
         "emb_knn_graph_mutual": docs.knn_graph_mutual,
         "events_cume_dist": ev.cume_dist_cents,
+        "docs_winnow_pairs": docs.winnow_pairs,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -3377,6 +3378,39 @@ SELECT user_id, (ts_ms // 3600000) * 3600000 AS window_ms,
        CAST(sum(c) AS BIGINT) AS sum_cents,
        CAST(count(*) AS BIGINT) AS cnt
 FROM acc GROUP BY 1, 2
+""",
+        # MOSS pair detection: doc pairs sharing >= 2 distinct winnowed
+        # fingerprints (same selection CTE as docs_winnowing)
+        "docs_winnow_pairs": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, g.i,
+         md5_number_upper(concat(
+           toks[g.i], chr(1), coalesce(toks[g.i + 1], ''), chr(1),
+           coalesce(toks[g.i + 2], ''))) AS h,
+         greatest(len(toks) - 2, 1) AS m
+  FROM t, LATERAL (SELECT unnest(range(
+    1, greatest(len(toks) - 2, 1) + 1)) AS i) g
+), win AS (
+  SELECT doc_id, i AS j, m, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+         count(*) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wn
+  FROM sh
+), sel AS (
+  SELECT w.doc_id, w.wmin AS h
+  FROM win w WHERE w.wn = least(4, w.m)
+), fps AS (SELECT DISTINCT doc_id, h FROM sel),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+FROM p WHERE n_shared >= 2
 """,
         # cume_dist numerators (ties counted, RANGE-frame semantics):
         # cume_dist = n_le/n at presentation

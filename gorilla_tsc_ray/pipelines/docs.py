@@ -4617,3 +4617,70 @@ def knn_graph_mutual(sf_dir: str, n_anchors: int = 200,
     return hash_exchange(
         e, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
         n_parts=1, kernel=final, fmt="pandas")
+
+
+def winnow_pairs(sf_dir: str, w: int = 4, min_shared: int = 2):
+    """MOSS pair detection: doc pairs sharing ≥ ``min_shared`` distinct
+    winnowed fingerprints (:func:`winnowing` — any common w+2-token run
+    guarantees a shared fingerprint, so this is the sampled
+    substring-plagiarism join).  One fingerprint-hash exchange expands
+    each hash's doc list into pairs (volume Σ df(h)² — inherent to the
+    semantics, the reach_2hop wedge shape; dup factories concentrate
+    df); one pair-keyed exchange sums shared counts and applies the
+    threshold."""
+    fp = winnowing(sf_dir, w=w)
+
+    def dh(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "h"]].drop_duplicates()
+
+    rows = fp.map_batches(dh, batch_format="pandas")
+
+    def h_key(tbl):
+        h = tbl.column("h").to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        return (h % np.uint64(N_DOC_PARTS)).astype(np.int64)
+
+    def pairs_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["id_a", "id_b", "n"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        d = df.drop_duplicates(["doc_id", "h"]).sort_values(
+            ["h", "doc_id"], kind="stable")
+        hh = d["h"].to_numpy(np.uint64)
+        ids = d["doc_id"].to_numpy(np.int64)
+        new = np.concatenate(([True], hh[1:] != hh[:-1]))
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(hh)))
+        # full per-run cross product, then keep the upper triangle — the
+        # reach_2hop index construction (ids sorted within a run, so
+        # left < right index implies id_a < id_b)
+        tot = counts * counts
+        if not tot.sum():
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        base = np.repeat(starts, tot)
+        k = np.arange(int(tot.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(tot) - tot, tot)
+        cc = np.repeat(counts, tot)
+        left, right = base + k // cc, base + k % cc
+        m = left < right
+        a, b = ids[left[m]], ids[right[m]]
+        g = (pd.DataFrame({"id_a": a, "id_b": b})
+             .groupby(["id_a", "id_b"], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g[cols]
+
+    partials = hash_exchange(rows, key_fn=h_key, n_parts=N_DOC_PARTS,
+                             kernel=pairs_kernel, fmt="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["id_a", "id_b", "n_shared"]
+        out = (df.groupby(["id_a", "id_b"], sort=False)["n"].sum()
+               .rename("n_shared").reset_index())
+        out = out.loc[out["n_shared"] >= min_shared].reset_index(drop=True)
+        for c in cols:
+            out[c] = out[c].astype(np.int64)
+        return out[cols]
+
+    return hash_exchange(partials, key_fn=_pair_hash_key(["id_a"]),
+                         n_parts=N_DOC_PARTS, kernel=merge, fmt="pandas")
