@@ -347,6 +347,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_graph_mutual": docs.knn_graph_mutual,
         "events_cume_dist": ev.cume_dist_cents,
         "docs_winnow_pairs": docs.winnow_pairs,
+        "events_signup_to_purchase": ev.signup_to_purchase,
+        "events_activity_streaks": ev.activity_streaks,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -3378,6 +3380,42 @@ SELECT user_id, (ts_ms // 3600000) * 3600000 AS window_ms,
        CAST(sum(c) AS BIGINT) AS sum_cents,
        CAST(count(*) AS BIGINT) AS cnt
 FROM acc GROUP BY 1, 2
+""",
+        # activation latency: first signup -> first purchase strictly
+        # after it (-1 when never converted)
+        "events_signup_to_purchase": """
+WITH b AS (
+  SELECT user_id, CAST(event_type AS VARCHAR) AS et,
+         epoch_ms(ts) AS ts_ms
+  FROM events
+), su AS (
+  SELECT user_id, min(ts_ms) AS signup_ts FROM b
+  WHERE et = 'signup' GROUP BY 1
+), pu AS (
+  SELECT b.user_id, min(b.ts_ms) AS first_purchase
+  FROM b JOIN su ON su.user_id = b.user_id
+  WHERE b.et = 'purchase' AND b.ts_ms > su.signup_ts GROUP BY 1
+)
+SELECT su.user_id, CAST(su.signup_ts AS BIGINT) AS signup_ts,
+       CAST(coalesce(pu.first_purchase - su.signup_ts, -1) AS BIGINT)
+         AS latency_ms
+FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+""",
+        # per-user consecutive-day activity streaks (gaps > 1 day break)
+        "events_activity_streaks": """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM d
+), runs AS (
+  SELECT user_id, count(*) AS len FROM r GROUP BY user_id, grp
+)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM runs GROUP BY 1
 """,
         # MOSS pair detection: doc pairs sharing >= 2 distinct winnowed
         # fingerprints (same selection CTE as docs_winnowing)

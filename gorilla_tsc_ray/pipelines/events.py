@@ -7303,3 +7303,101 @@ def cume_dist_cents(sf_dir: str):
 
     return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def signup_to_purchase(sf_dir: str):
+    """Conversion LATENCY: per user with a signup, the gap from the
+    FIRST signup to the first purchase strictly after it (−1 when never
+    converted) — the activation metric growth teams track.  Exact ms;
+    one user exchange, two grouped first-occurrence selections."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type", "ts"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_type": pc.cast(t["event_type"], "string"),
+            "ts_ms": pc.divide(pc.cast(t["ts"], "int64"), 1000)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "signup_ts", "latency_ms"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        df = df.sort_values(["user_id", "ts_ms"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["ts_ms"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        ms = et == "signup"
+        if not ms.any():
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        su, st_ = u[ms], t[ms]
+        first = np.concatenate(([True], su[1:] != su[:-1]))
+        fu, ft = su[first], st_[first]
+        mp = et == "purchase"
+        pu, pt = u[mp], t[mp]
+        stride = np.int64(t.max() - t.min() + 2)
+        pkey = pu * stride + (pt - t.min())
+        probe = fu * stride + (ft - t.min()) + 1
+        pos = np.searchsorted(pkey, probe)
+        ok = ((pos < len(pkey))
+              & (pu[np.minimum(pos, max(len(pkey) - 1, 0))] == fu)
+              if len(pkey) else np.zeros(len(fu), dtype=bool))
+        lat = np.where(
+            ok, pt[np.minimum(pos, max(len(pkey) - 1, 0))] - ft, -1)
+        return pd.DataFrame({"user_id": fu, "signup_ts": ft,
+                             "latency_ms": lat.astype(np.int64)})
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def activity_streaks(sf_dir: str):
+    """Longest CONSECUTIVE-DAY activity streak per user (plus active-day
+    count) — the engagement metric behind streak badges.  Islands over
+    the sorted distinct day numbers: a streak break is any diff > 1;
+    exact ints, one user exchange."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        ts_ms = pc.divide(pc.cast(t["ts"], "int64"), 1000)
+        return pa.table({"user_id": t.column("user_id"),
+                         "day": pc.divide(ts_ms, DAY_MS)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n_days", "max_streak"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        d = df.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="stable")
+        u = d["user_id"].to_numpy(np.int64)
+        day = d["day"].to_numpy(np.int64)
+        brk = np.concatenate(([True], (u[1:] != u[:-1])
+                              | ((day[1:] - day[:-1]) > 1)))
+        rid = np.cumsum(brk) - 1
+        rlen = np.bincount(rid)
+        run_user = u[np.flatnonzero(brk)]
+        g = (pd.DataFrame({"user_id": run_user, "len": rlen})
+             .groupby("user_id", sort=False)["len"]
+             .agg(["sum", "max"]).reset_index())
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "n_days": g["sum"].to_numpy(np.int64),
+            "max_streak": g["max"].to_numpy(np.int64)})[cols]
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
