@@ -349,6 +349,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnow_pairs": docs.winnow_pairs,
         "events_signup_to_purchase": ev.signup_to_purchase,
         "events_activity_streaks": ev.activity_streaks,
+        "transcripts_tool_mix_by_len": ingest.tool_mix_by_len,
+        "docs_hapax_by_source": docs.hapax_by_source,
         "transcripts_response_latency": ingest.response_latency,
         "transcripts_tool_chains": ingest.tool_chains,
         "transcripts_len_drift": ingest.len_drift,
@@ -3380,6 +3382,47 @@ SELECT user_id, (ts_ms // 3600000) * 3600000 AS window_ms,
        CAST(sum(c) AS BIGINT) AS sum_cents,
        CAST(count(*) AS BIGINT) AS cnt
 FROM acc GROUP BY 1, 2
+""",
+        # tool usage by conversation-length band (fixed edges 10/20/40)
+        "transcripts_tool_mix_by_len": tdedup + """
+, per AS (
+  SELECT conv_id, count(*) AS n,
+         sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS nt
+  FROM d GROUP BY 1
+), banded AS (
+  SELECT CASE WHEN n < 10 THEN 0 WHEN n < 20 THEN 1
+              WHEN n < 40 THEN 2 ELSE 3 END AS band, n, nt
+  FROM per
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(n) AS BIGINT) AS n_turns,
+       CAST(sum(nt) AS BIGINT) AS n_tool_turns
+FROM banded GROUP BY 1
+""",
+        # lexical-diversity totals per source (ttr_hapax one level up)
+        "docs_hapax_by_source": """
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), u AS (
+  SELECT doc_id, source, unnest(toks) AS tok FROM t
+), per_tok AS (
+  SELECT doc_id, source, tok, count(*) AS c FROM u GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT t.doc_id, t.source, len(t.toks) AS n_tokens,
+         coalesce(p.nd, 0) AS n_distinct, coalesce(p.nh, 0) AS n_hapax
+  FROM t LEFT JOIN (
+    SELECT doc_id, count(*) AS nd,
+           count(*) FILTER (WHERE c = 1) AS nh
+    FROM per_tok GROUP BY 1) p ON p.doc_id = t.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       CAST(sum(n_distinct) AS BIGINT) AS distincts,
+       CAST(sum(n_hapax) AS BIGINT) AS hapax
+FROM per_doc GROUP BY 1
 """,
         # activation latency: first signup -> first purchase strictly
         # after it (-1 when never converted)

@@ -4684,3 +4684,42 @@ def winnow_pairs(sf_dir: str, w: int = 4, min_shared: int = 2):
 
     return hash_exchange(partials, key_fn=_pair_hash_key(["id_a"]),
                          n_parts=N_DOC_PARTS, kernel=merge, fmt="pandas")
+
+
+def hapax_by_source(sf_dir: str):
+    """Lexical-diversity totals BY SOURCE: per source the doc count and
+    the sums of per-doc token / distinct / hapax counts (the
+    :func:`ttr_hapax` integers one aggregation up) — which feeds carry
+    rich vocabulary vs repetitive boilerplate.  Per-doc rows attach
+    source via a doc-keyed co-partition; band cells fold in a tiny
+    source exchange."""
+    stats = ttr_hapax(sf_dir)
+    src = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def attach(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        m = a.merge(b, on="doc_id", how="left")
+        g = (m.groupby("source", sort=False)
+             .agg(n_docs=("n_tokens", "size"),
+                  tokens=("n_tokens", "sum"),
+                  distincts=("n_distinct", "sum"),
+                  hapax=("n_hapax", "sum")).reset_index())
+        for c in ("n_docs", "tokens", "distincts", "hapax"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    key = _pair_hash_key(["doc_id"])
+    cells = hash_exchange_multi([(stats, key), (src, key)],
+                                n_parts=N_DOC_PARTS, kernel=attach,
+                                fmt="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("source", sort=False)
+               .agg(n_docs=("n_docs", "sum"), tokens=("tokens", "sum"),
+                    distincts=("distincts", "sum"),
+                    hapax=("hapax", "sum")).reset_index())
+        for c in ("n_docs", "tokens", "distincts", "hapax"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return hash_exchange(cells, key_fn=_pair_hash_key(["source"], 4),
+                         n_parts=4, kernel=merge, fmt="pandas")

@@ -2112,3 +2112,62 @@ def tool_latency(sf_dir: str):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=4, kernel=merge,
                          fmt="pandas")
+
+
+def tool_mix_by_len(sf_dir: str, bands=(10, 20, 40)):
+    """Tool-usage intensity BY CONVERSATION-LENGTH BAND: conversations
+    bucket into fixed turn-count bands (<10, <20, <40, ≥40) and each
+    band reports conv count, total turns and tool-call turns — the
+    "do longer agent runs lean harder on tools?" diagnostic.  Fixed
+    band edges are a schema contract (the PIVOT_TYPES discipline);
+    per-conv pairs fold in the conv pass, band cells in a tiny
+    exchange."""
+    from ..stages.exchange import hash_exchange
+    from ..stages.metrics import canonical_turns_arrow
+
+    edges = list(bands)
+
+    def kernel(batch):
+        t = canonical_turns_arrow(batch)
+        conv = t["conv_id"].to_pandas().astype(str)
+        tool = t["tool"].to_pandas().astype(str).to_numpy()
+        cols = ["band", "n_convs", "n_turns", "n_tool_turns"]
+        if not len(conv):
+            return pd.DataFrame({
+                "band": np.array([], np.int64),
+                "n_convs": np.array([], np.int64),
+                "n_turns": np.array([], np.int64),
+                "n_tool_turns": np.array([], np.int64)})
+        g = pd.DataFrame({"conv": conv, "tool_turn": tool != ""})
+        per = (g.groupby("conv", sort=False)
+               .agg(n=("tool_turn", "size"), nt=("tool_turn", "sum"))
+               .reset_index())
+        band = np.searchsorted(np.asarray(edges, np.int64),
+                               per["n"].to_numpy(np.int64),
+                               side="right").astype(np.int64)
+        out = (pd.DataFrame({"band": band,
+                             "n": per["n"].to_numpy(np.int64),
+                             "nt": per["nt"].to_numpy(np.int64)})
+               .groupby("band", sort=False)
+               .agg(n_convs=("n", "size"), n_turns=("n", "sum"),
+                    n_tool_turns=("nt", "sum")).reset_index())
+        for c in cols[1:]:
+            out[c] = out[c].astype(np.int64)
+        return out[cols]
+
+    partials = _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+
+    def key_fn(tbl):
+        return (tbl.column("band").to_numpy().astype(np.uint64)
+                % np.uint64(4)).astype(np.int64)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("band", sort=False)
+               .agg(n_convs=("n_convs", "sum"), n_turns=("n_turns", "sum"),
+                    n_tool_turns=("n_tool_turns", "sum")).reset_index())
+        for c in ("band", "n_convs", "n_turns", "n_tool_turns"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return hash_exchange(partials, key_fn=key_fn, n_parts=4, kernel=merge,
+                         fmt="pandas")
