@@ -88,8 +88,13 @@ def main(argv=None) -> int:
                     metavar="tier=days")
     pr.add_argument("--dry-run", action="store_true")
     pr.add_argument("--archive", action="store_true",
-                    help="demote expired raw blocks to the gorilla2z "
-                         "archival tier instead of deleting them")
+                    help="demote expired raw blocks to the archival "
+                         "tier instead of deleting them")
+    pr.add_argument("--archive-codec", default="gorilla2e",
+                    choices=["gorilla2e", "gorilla2z"],
+                    help="archival codec (gorilla2e: entropy-coded "
+                         "stream-split, 0.635x; gorilla2z: DEFLATE "
+                         "wrapper, 0.825x)")
 
     pm = sub.add_parser("compact", help="merge each day partition's "
                         "small files into one (bit-exact rows)")
@@ -166,18 +171,24 @@ def main(argv=None) -> int:
         elif args.cmd == "fsck":
             from .pipelines.ingest import fsck_store, repair_store
 
+            def n_bad(df):
+                # -1 is the missing-tier sentinel from fsck_store: an
+                # absent tier dir is a FAILURE (repair can rebuild it
+                # from 1m), not a clean pass — count nonzero-ness of
+                # the raw values, never clip the sentinel away.
+                return int((df[["n_missing", "n_extra", "n_mismatch"]]
+                            .to_numpy() != 0).sum())
+
             df = fsck_store(args.store, tiers=tuple(args.tiers))
             print(df.to_json(orient="records"))
-            bad = int(df[["n_missing", "n_extra", "n_mismatch"]]
-                      .clip(lower=0).to_numpy().sum())
+            bad = n_bad(df)
             if bad and args.repair:
                 sick = [r.tier for r in df.itertuples(index=False)
                         if r.n_missing or r.n_extra or r.n_mismatch]
                 repair_store(args.store, tiers=tuple(sick))
                 df = fsck_store(args.store, tiers=tuple(args.tiers))
                 print(df.to_json(orient="records"))
-                bad = int(df[["n_missing", "n_extra", "n_mismatch"]]
-                          .clip(lower=0).to_numpy().sum())
+                bad = n_bad(df)
             return 0 if bad == 0 else 3
         elif args.cmd == "vacuum":
             from .state.lineage import vacuum_history
@@ -191,7 +202,8 @@ def main(argv=None) -> int:
                 tier, days = kv.split("=", 1)
                 policy[tier] = int(days)
             df = apply_retention(args.store, policy, now_ms=args.now_ms,
-                                 dry_run=args.dry_run, archive=args.archive)
+                                 dry_run=args.dry_run, archive=args.archive,
+                                 archive_codec=args.archive_codec)
             print(df.groupby("status").size().to_json())
     finally:
         ray.shutdown()

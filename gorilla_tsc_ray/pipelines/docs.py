@@ -39,6 +39,31 @@ def _read(sf_dir: str, table: str, columns=None):
     return read_table_auto(sf_dir, table, columns=columns, cast=cast)
 
 
+def _read_emb_head(sf_dir: str, columns, vec_id_lt: int) -> pd.DataFrame:
+    """Bounded embedding rows (``vec_id < n``) through the SAME
+    format-autodetect path as the corpus reads: parquet gets the pushed
+    row filter, CSV/JSONL fall back to a filtered Dataset collect
+    (bounded by construction — anchor/query/train sets are capped).
+    Direct ``pq.read_table`` here broke JSONL-only tables (round-4
+    ADVICE)."""
+    import os
+
+    p = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    if os.path.exists(p):
+        return pq.read_table(
+            p, columns=columns,
+            filters=[("vec_id", "<", vec_id_lt)]).to_pandas()
+
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "embeddings", columns)
+
+    def keep(tbl):
+        return tbl.filter(pc.less(tbl["vec_id"], vec_id_lt))
+
+    return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+
+
 # ---------- text analysis ----------
 
 def token_stats(sf_dir: str):
@@ -494,10 +519,7 @@ def token_jaccard(sf_dir: str, threshold: float = 0.5,
 def _query_vectors(sf_dir: str, n_queries: int = 5) -> dict[int, list[float]]:
     """Query rows only — the predicate is pushed into the parquet scan so
     the driver never materializes the corpus (round-1 scale bug)."""
-    tb = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "<", n_queries)])
-    df = tb.to_pandas()
+    df = _read_emb_head(sf_dir, ["vec_id", "embedding"], n_queries)
     return {int(r.vec_id): list(r.embedding) for r in df.itertuples()}
 
 
@@ -551,11 +573,9 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
     recall vs exact kNN gated in tests."""
     queries = _query_vectors(sf_dir, n_queries)
 
-    train = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                          columns=["embedding"],
-                          filters=[("vec_id", "<", train_sample)])
+    train = _read_emb_head(sf_dir, ["vec_id", "embedding"], train_sample)
     tm = np.stack([np.asarray(v, np.float64)
-                   for v in train.to_pandas()["embedding"]])
+                   for v in train["embedding"]])
     cent = sim.kmeans_centroids(tm, n_lists)
 
     qm = np.stack([np.asarray(queries[q], np.float64)
@@ -636,12 +656,8 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.3,
     gated in tests.  At larger-than-shipped corpora the operator degrades
     gracefully to high-recall approximate (or lower ``n_tables`` for a
     cheaper approximate run)."""
-    import pyarrow.parquet as _pq
-
-    dim = len(_pq.read_table(f"{sf_dir}/embeddings.parquet",
-                             columns=["embedding"],
-                             filters=[("vec_id", "<", 1)])
-              .to_pandas()["embedding"].iloc[0])
+    dim = len(_read_emb_head(sf_dir, ["vec_id", "embedding"], 1)
+              ["embedding"].iloc[0])
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     # ONE actor pass emits all T tables' (id, table, bucket) rows — the
     # embeddings themselves never ride the candidate shuffle (they'd ship
@@ -685,6 +701,28 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.3,
 
 # ---------- dedup clustering (connected components) ----------
 
+def _presplit_graph_edges(pairs_ds, n_parts: int, *, id_a: str = "id_a",
+                          id_b: str = "id_b"):
+    """Shared entry of every iterative graph operator (cluster_pairs,
+    kcore, pagerank): undirected pairs → BOTH-direction edge rows,
+    pre-split ONCE by src hash (:class:`PresplitInput`), so a node's
+    out-edges are partition-local — degrees, contribution scans and
+    removal checks never shuffle, and each round reuses the same
+    co-partitioned refs.  Returns ``(edges_ds, edges_pre, key_src)``."""
+    from ..stages.exchange import PresplitInput
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[id_a].to_numpy(dtype=np.int64)
+        b = df[id_b].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"src": np.concatenate((a, b)),
+                             "dst": np.concatenate((b, a))})
+
+    edges = (pairs_ds.materialize()
+             .map_batches(both_dirs, batch_format="pandas").materialize())
+    key_src = _pair_hash_key(["src"], n_parts)
+    return edges, PresplitInput(edges, key_src, n_parts), key_src
+
+
 def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
                   n_parts: int = N_DOC_PARTS, max_iters: int = 64,
                   with_hops: bool = False):
@@ -722,26 +760,18 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
     import ray
     import ray.data
 
-    from ..stages.exchange import PresplitInput
-
-    pairs = pairs_ds.materialize()
-
-    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
-        a = df[id_a].to_numpy(dtype=np.int64)
-        b = df[id_b].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"src": np.concatenate((a, b)),
-                             "dst": np.concatenate((b, a))})
-
-    edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
-
-    def uniq_src(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": pd.unique(df["src"])})
+    from ..stages.exchange import (PresplitInput, concat_clean,
+                                   split_table_by_ids)
 
     # the edge set is CONSTANT across rounds: split it once and reuse the
     # co-partitioned refs every iteration (hash + slice fan-out amortized);
     # node labels use the SAME hash → labels[p] co-located with edges[p]
-    edges_pre = PresplitInput(edges, _pair_hash_key(["src"], n_parts),
-                              n_parts)
+    edges, edges_pre, _ = _presplit_graph_edges(pairs_ds, n_parts,
+                                                id_a=id_a, id_b=id_b)
+
+    def uniq_src(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": pd.unique(df["src"])})
+
     nodes_pre = PresplitInput(
         edges.map_batches(uniq_src, batch_format="pandas"),
         _pair_hash_key(["node"], n_parts), n_parts)
@@ -749,10 +779,8 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
 
     @ray.remote
     def init_part(*parts):
-        tbls = [t.replace_schema_metadata(None) for t in parts
-                if t.num_rows]
         u = np.sort(pd.unique(
-            pa.concat_tables(tbls).column("node").to_numpy(
+            concat_clean(parts).column("node").to_numpy(
                 zero_copy_only=False)))
         cols = {"node": pa.array(u.astype(np.int64)),
                 "label": pa.array(u.astype(np.int64))}
@@ -763,10 +791,9 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
     label_refs: list = [None] * n_parts
     delta_refs: list = [None] * n_parts
     for p in range(n_parts):
-        nz = (np.flatnonzero(nodes_pre.counts[:, p])
-              if len(nodes_pre.counts) else np.array([], dtype=np.int64))
-        if nz.size:
-            ref = init_part.remote(*[nodes_pre.splits[b][p] for b in nz])
+        parts = nodes_pre.part_refs(p)
+        if parts:
+            ref = init_part.remote(*parts)
             label_refs[p] = ref
             delta_refs[p] = ref   # round 1: every node proposes once
 
@@ -776,20 +803,13 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
         # and pre-split the proposals by DESTINATION hash (the shuffle's
         # map side, fused into the propose task)
         lab = delta_tbl.to_pandas()
-        ets = [t.replace_schema_metadata(None) for t in edge_parts
-               if t.num_rows]
-        e = pa.concat_tables(ets).combine_chunks().to_pandas()
+        e = concat_clean(edge_parts).to_pandas()
         m = e.merge(lab[["node", "label"]], left_on="src",
                     right_on="node", how="inner")
         out = pa.table({"dst": pa.array(m["dst"].to_numpy(np.int64)),
                         "label": pa.array(m["label"].to_numpy(np.int64))})
-        ids = np.asarray(key_dst(out), dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        out = out.take(pa.array(order))
-        counts = np.bincount(ids, minlength=n_parts).astype(np.int64)
-        bounds = np.concatenate(([0], np.cumsum(counts)))
-        return (*[out.slice(int(bounds[q]), int(counts[q]))
-                  for q in range(n_parts)], counts)
+        slices, counts = split_table_by_ids(out, key_dst(out), n_parts)
+        return (*slices, counts)
 
     @ray.remote(num_returns=3)
     def merge_part(lab_tbl, round_no, *prop_parts):
@@ -823,11 +843,8 @@ def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
             break
         splits, counts = [], []
         for p in active:
-            nz = (np.flatnonzero(edges_pre.counts[:, p])
-                  if len(edges_pre.counts)
-                  else np.array([], dtype=np.int64))
             s = propose_split.options(num_returns=n_parts + 1).remote(
-                delta_refs[p], *[edges_pre.splits[b][p] for b in nz])
+                delta_refs[p], *edges_pre.part_refs(p))
             splits.append(s)
             delta_refs[p] = None        # consumed
         counts = ray.get([s[n_parts] for s in splits])
@@ -3104,22 +3121,12 @@ def kcore(sf_dir: str, ks=(2, 3), threshold: float = 0.5,
     import ray
     import ray.data
 
-    from ..stages.exchange import PresplitInput
+    from ..stages.exchange import concat_clean, split_table_by_ids
 
     assert tuple(ks) == tuple(sorted(ks)), "ks must ascend (core nesting)"
     tune_context()
-    pairs = ngram_jaccard(sf_dir, threshold=threshold).materialize()
-
-    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["id_a"].to_numpy(dtype=np.int64)
-        b = df["id_b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"src": np.concatenate((a, b)),
-                             "dst": np.concatenate((b, a))})
-
-    edges = pairs.map_batches(both_dirs,
-                              batch_format="pandas").materialize()
-    key_src = _pair_hash_key(["src"], n_parts)
-    edges_pre = PresplitInput(edges, key_src, n_parts)
+    _, edges_pre, key_src = _presplit_graph_edges(
+        ngram_jaccard(sf_dir, threshold=threshold), n_parts)
 
     def _pack(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
         # composite edge key for notice membership (doc ids < 2^31)
@@ -3128,12 +3135,11 @@ def kcore(sf_dir: str, ks=(2, 3), threshold: float = 0.5,
 
     @ray.remote
     def init_part(*edge_parts):
-        ts = [t.replace_schema_metadata(None) for t in edge_parts
-              if t.num_rows]
-        if not ts:
+        t = concat_clean(edge_parts)
+        if t is None:
             return pa.table({"src": pa.array([], pa.int64()),
                              "dst": pa.array([], pa.int64())})
-        return pa.concat_tables(ts).combine_chunks()
+        return t
 
     @ray.remote
     def peel_part(edge_tbl, k: int, *notice_parts):
@@ -3159,24 +3165,17 @@ def kcore(sf_dir: str, ks=(2, 3), threshold: float = 0.5,
         # NEIGHBOR's partition (reverse-edge owner), pre-split by its hash
         n_src, n_dst = e_dst[drop_src], e_src[drop_src]
         note = pa.table({"src": pa.array(n_src), "dst": pa.array(n_dst)})
-        ids = np.asarray(key_src(note), dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        note = note.take(pa.array(order))
-        cnts = np.bincount(ids, minlength=n_parts).astype(np.int64)
-        bounds = np.concatenate(([0], np.cumsum(cnts)))
+        slices, _ = split_table_by_ids(note, key_src(note), n_parts)
         keep2 = ~drop_src & ~np.isin(e_dst, removed)
         out = pa.table({"src": pa.array(e_src[keep2]),
                         "dst": pa.array(e_dst[keep2])})
-        return (out, *[note.slice(int(bounds[q]), int(cnts[q]))
-                       for q in range(n_parts)], int(removed.size))
+        return (out, *slices, int(removed.size))
 
     # level init: concat each partition's edge slices once
     edge_refs: list = []
     for p in range(n_parts):
-        nz = (np.flatnonzero(edges_pre.counts[:, p])
-              if len(edges_pre.counts) else np.array([], dtype=np.int64))
-        edge_refs.append(init_part.remote(
-            *[edges_pre.splits[b][p] for b in nz]) if nz.size else None)
+        parts = edges_pre.part_refs(p)
+        edge_refs.append(init_part.remote(*parts) if parts else None)
 
     import ray as _ray
     results = []
@@ -3450,41 +3449,28 @@ def pagerank(sf_dir: str, threshold: float = 0.5, rounds: int = 5,
     import ray
     import ray.data
 
-    from ..stages.exchange import PresplitInput
+    from ..stages.exchange import concat_clean, split_table_by_ids
 
     tune_context()
-    pairs = ngram_jaccard(sf_dir, threshold=threshold).materialize()
-
-    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["id_a"].to_numpy(dtype=np.int64)
-        b = df["id_b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"src": np.concatenate((a, b)),
-                             "dst": np.concatenate((b, a))})
-
-    edges = pairs.map_batches(both_dirs,
-                              batch_format="pandas").materialize()
-    key_src = _pair_hash_key(["src"], n_parts)
-    edges_pre = PresplitInput(edges, key_src, n_parts)
+    _, edges_pre, key_src = _presplit_graph_edges(
+        ngram_jaccard(sf_dir, threshold=threshold), n_parts)
 
     @ray.remote
     def init_part(*edge_parts):
         """Concat this partition's edge slices; emit static per-node
         state (node ids ascending, local out-degrees) once."""
-        ts = [t.replace_schema_metadata(None) for t in edge_parts
-              if t.num_rows]
-        if not ts:
+        tbl = concat_clean(edge_parts)
+        if tbl is None:
             empty = pa.table({"src": pa.array([], pa.int64()),
                               "dst": pa.array([], pa.int64())})
             return empty, np.array([], np.int64), np.array([], np.int64), 0
-        tbl = pa.concat_tables(ts).combine_chunks()
         src = tbl.column("src").to_numpy(zero_copy_only=False)
         nodes, deg = np.unique(src, return_counts=True)
         return (tbl, nodes.astype(np.int64), deg.astype(np.int64),
                 int(nodes.size))
 
-    inits = [init_part.options(num_returns=4).remote(
-        *[edges_pre.splits[b][p] for b in range(len(edges_pre.splits))])
-        for p in range(n_parts)]
+    inits = [init_part.options(num_returns=4).remote(*edges_pre.part_refs(p))
+             for p in range(n_parts)]
     n_total = int(sum(ray.get([i[3] for i in inits])))
     if n_total == 0:
         return ray.data.from_arrow(pa.table({
@@ -3518,14 +3504,9 @@ def pagerank(sf_dir: str, threshold: float = 0.5, rounds: int = 5,
         part_sum = np.zeros(len(ud), np.int64)   # int64 add: exact sums
         np.add.at(part_sum, inv, c)
         note = pa.table({"dst": pa.array(ud), "s": pa.array(part_sum)})
-        ids = np.asarray(key_src(pa.table({"src": pa.array(ud)})),
-                         dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        note = note.take(pa.array(order))
-        cnts = np.bincount(ids, minlength=n_parts).astype(np.int64)
-        bounds = np.concatenate(([0], np.cumsum(cnts)))
-        return (pr, *[note.slice(int(bounds[q]), int(cnts[q]))
-                      for q in range(n_parts)])
+        ids = key_src(pa.table({"src": pa.array(ud)}))
+        slices, _ = split_table_by_ids(note, ids, n_parts)
+        return (pr, *slices)
 
     @ray.remote
     def final_part(nodes, deg, pr, *incoming):
@@ -4038,11 +4019,8 @@ def label_margins(sf_dir: str, n_anchors: int = 50):
     stage; per-batch maxima are mergeable partials, so nothing but
     (anchor, kind, best) scalars ever leaves a task.  Cosines round to 6
     at the gate (the emb_near_dups discipline)."""
-    import pyarrow.parquet as pq
-
-    q = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
-                      columns=["vec_id", "embedding", "label"],
-                      filters=[("vec_id", "<", n_anchors)]).to_pandas()
+    q = _read_emb_head(sf_dir, ["vec_id", "embedding", "label"],
+                       n_anchors)
     A = np.stack([np.asarray(v, np.float64) for v in q["embedding"]])
     A = A / np.linalg.norm(A, axis=1, keepdims=True)
     a_ids = q["vec_id"].to_numpy(np.int64)

@@ -1736,33 +1736,27 @@ def workflow_near_dups(sf_dir: str, threshold: float = 0.5):
                                  sim_col="workflow_jaccard")
 
 
-def _exact_ts_minmax_ms(tdir: str) -> tuple[int, int]:
-    """(min, max) epoch-ms of ``ts`` from parquet FOOTER stats with exact
-    integer conversion (``calendar.timegm`` + microsecond floor — never
-    the float-seconds ``datetime.timestamp()`` path, whose rounding can
-    cross a millisecond boundary at 2e12-ms epochs)."""
-    import calendar
-    import glob
-    import os
+def _canonical_ts_minmax_ms(sf_dir: str) -> tuple[int, int]:
+    """(min, max) ``ts_ms`` over CANONICAL (deduped) turns, computed
+    distributed — one lean conv-partitioned pass emits one (lo, hi) row
+    per partition; only scalars reach the driver.  The timetravel split
+    must name the same cut as the oracle's midpoint over DEDUPED turns:
+    raw parquet footer stats include superseded turn versions, and a
+    superseded row holding the global min/max would silently diverge the
+    two cuts (round-4 ADVICE)."""
+    from ..stages.metrics import _sorted_keep_index
 
-    import pyarrow.parquet as pq
+    def kernel(t):
+        if t.num_rows == 0:
+            return pd.DataFrame({"lo": pd.Series([], dtype=np.int64),
+                                 "hi": pd.Series([], dtype=np.int64)})
+        _, _, ts_kept, _, _ = _sorted_keep_index(t.combine_chunks())
+        return pd.DataFrame({"lo": [np.int64(ts_kept.min())],
+                             "hi": [np.int64(ts_kept.max())]})
 
-    lo = hi = None
-    for f in glob.glob(os.path.join(tdir, "*.parquet")):
-        md = pq.ParquetFile(f).metadata
-        ts_i = md.schema.to_arrow_schema().get_field_index("ts")
-        for g in range(md.num_row_groups):
-            st = md.row_group(g).column(ts_i).statistics
-            if st is None or not st.has_min_max:
-                raise RuntimeError(f"no ts statistics in {f}")
-            for dt, pick in ((st.min, "lo"), (st.max, "hi")):
-                ms = (calendar.timegm(dt.timetuple()) * 1000
-                      + dt.microsecond // 1000)
-                if pick == "lo":
-                    lo = ms if lo is None else min(lo, ms)
-                else:
-                    hi = ms if hi is None else max(hi, ms)
-    return int(lo), int(hi)
+    parts = _conv_partitioned(sf_dir, kernel, lean=True,
+                              fmt="pyarrow").to_pandas()
+    return int(parts["lo"].min()), int(parts["hi"].max())
 
 
 def timetravel_serve(sf_dir: str, tier: str = "1h"):
@@ -1776,8 +1770,11 @@ def timetravel_serve(sf_dir: str, tier: str = "1h"):
     be indistinguishable from the pre-append store (archived boundary-day
     copies are bit-identical renamed files; days created by the append
     are excluded by their manifest rows; untouched days pass through).
-    The split point is the exact-integer footer min/max midpoint, so the
-    SQL mirror's ``(min(ts_ms) + max(ts_ms)) // 2`` names the same cut."""
+    The split point is the midpoint of the CANONICAL (deduped) turn
+    stream's min/max — the same population the SQL mirror's
+    ``(min(ts_ms) + max(ts_ms)) // 2 FROM d`` ranges over, so both
+    sides name the same cut by construction (footer stats would include
+    superseded turn versions)."""
     import os
     import shutil
 
@@ -1787,8 +1784,7 @@ def timetravel_serve(sf_dir: str, tier: str = "1h"):
     from ..state.lineage import resolve_asof
 
     tune_context()
-    tdir = transcripts_dir(sf_dir)
-    lo, hi = _exact_ts_minmax_ms(tdir)
+    lo, hi = _canonical_ts_minmax_ms(sf_dir)
     split = (lo + hi) // 2
 
     tag = os.path.basename(os.path.normpath(sf_dir))

@@ -248,6 +248,46 @@ class PresplitInput:
         self.empty_ref = (None if self.splits
                           else ray.put(_empty_table(ds)))
 
+    def part_refs(self, p: int) -> list:
+        """The NON-EMPTY block-slice refs of partition ``p`` (skipping
+        empty slices keeps the per-round task arg lists short)."""
+        nz = (np.flatnonzero(self.counts[:, p])
+              if len(self.counts) else np.array([], dtype=np.int64))
+        return [self.splits[b][p] for b in nz]
+
+
+def split_table_by_ids(tbl, ids: np.ndarray, n_parts: int):
+    """The map side of an IN-TASK exchange: sort one Arrow table by
+    precomputed partition ids and slice it into ``n_parts`` zero-copy
+    pieces.  Returns ``(slices, counts)``.  Shared by every iterative
+    graph round task (label-propagation proposals, k-core removal
+    notices, PageRank contribution partials) — fusing the split into the
+    producing task is what lets the driver ship round outputs straight
+    to their destination partitions without a Dataset shuffle."""
+    import pyarrow as pa
+
+    ids = np.asarray(ids, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    tbl = tbl.take(pa.array(order))
+    counts = np.bincount(ids, minlength=n_parts).astype(np.int64)
+    bounds = np.concatenate(([0], np.cumsum(counts)))
+    return ([tbl.slice(int(bounds[p]), int(counts[p]))
+             for p in range(n_parts)], counts)
+
+
+def concat_clean(parts):
+    """Concat non-empty Arrow tables with schema metadata stripped
+    (slices arriving from different writers carry mismatched pandas
+    metadata that breaks ``pa.concat_tables``).  ``None`` when nothing
+    survives."""
+    import pyarrow as pa
+
+    ts = [t.replace_schema_metadata(None) for t in parts
+          if t is not None and t.num_rows]
+    if not ts:
+        return None
+    return pa.concat_tables(ts).combine_chunks()
+
 
 def hash_exchange_multi(inputs, *, n_parts: int, kernel,
                         fmt: str = "pandas",

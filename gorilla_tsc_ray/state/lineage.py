@@ -130,11 +130,35 @@ def load_version_manifest(store_root: str) -> pd.DataFrame:
     return pd.concat(parts, ignore_index=True)
 
 
+def floor_path(store_root: str) -> str:
+    return os.path.join(history_dir(store_root), "floor")
+
+
+def vacuum_floor(store_root: str) -> int:
+    """Lowest store version still resolvable after vacuums (1 if no
+    vacuum ever ran)."""
+    p = floor_path(store_root)
+    if not os.path.isfile(p):
+        return 1
+    with open(p) as fh:
+        return int(fh.read().strip())
+
+
 def resolve_asof(store_root: str, version: int, tier: str) -> list[str]:
     """Day-partition paths composing ``tier`` AS OF store ``version``:
     current day dirs, minus days created after ``version``, with days
     archived after ``version`` substituted by their EARLIEST archived
-    copy (= the state they had at ``version``)."""
+    copy (= the state they had at ``version``).
+
+    Raises for versions below the vacuum floor: their archived day dirs
+    AND their 'created' manifest rows are gone, so the reconstruction
+    would silently include later-created days (wrong data) instead of
+    the correct historical set."""
+    if version < vacuum_floor(store_root):
+        raise ValueError(
+            f"store version {version} is below the vacuum floor "
+            f"{vacuum_floor(store_root)} — history was vacuumed; "
+            "as-of reads this old are unresolvable")
     man = load_version_manifest(store_root)
     later = man.loc[(man["tier"] == tier) & (man["version"] > version)]
     created_after = set(later.loc[later["action"] == "created", "day"]
@@ -190,4 +214,11 @@ def vacuum_history(store_root: str, keep_from_version: int) -> dict:
             os.remove(path)
             dropped_manifests += 1
         versions.add(ver)
+    # Record the floor so resolve_asof can REFUSE versions whose
+    # manifest rows were just deleted (their 'created' rows are gone —
+    # a reconstruction below the floor would include wrong days).
+    if versions:
+        new_floor = max(vacuum_floor(store_root), keep_from_version)
+        with open(floor_path(store_root), "w") as fh:
+            fh.write(str(new_floor))
     return {"dropped_versions": len(versions), "freed_bytes": int(freed)}

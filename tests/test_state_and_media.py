@@ -142,12 +142,15 @@ class TestRetention:
         assert (df["status"] == "kept_no_coarser_tier").any()
         assert not (df["status"] == "deleted").any()
 
-    def test_archive_demotes_to_gorilla2z(self, tmp_path):
-        """archive=True re-wraps expired raw blocks into the archival
+    @pytest.mark.parametrize("archive_codec", ["gorilla2e", "gorilla2z"])
+    def test_archive_demotes_to_archival_codec(self, tmp_path,
+                                               archive_codec):
+        """archive=True re-encodes expired raw blocks into the archival
         codec with FULL point fidelity: the archived partition decodes to
         exactly the original points, the raw partition is gone, and the
         archive works even without a coarser tier (it preserves
-        everything)."""
+        everything).  gorilla2e is the default; gorilla2z (round 4) stays
+        supported for stores already written."""
         import os
         import shutil
 
@@ -174,21 +177,21 @@ class TestRetention:
         # no coarser tier on purpose: archive preserves everything
         now = day0 + 10 * DAY
         out = apply_retention(str(root), {"blocks": 1}, now_ms=now,
-                              archive=True)
+                              archive=True, archive_codec=archive_codec)
         assert (out["status"] == "archived").all()
         assert not os.path.isdir(pdir)
         adir = root / "blocks_archive" / f"day={day0}"
         archived = pq.read_table(adir / "part-0.parquet").to_pandas()
-        assert (archived["codec"] == "gorilla2z").all()
+        assert (archived["codec"] == archive_codec).all()
         dec = se.decode_blocks_batch(archived, key_cols=["conv_id"])
         dec = dec.sort_values("ts_ms").reset_index(drop=True)
         np.testing.assert_array_equal(dec["ts_ms"].to_numpy(), ts)
         np.testing.assert_array_equal(dec["value"].to_numpy(), vals)
 
     def test_archive_serve_points_equal_raw(self, ray_session):
-        """Driver-facing archive gate at sf0.001: points decoded from the
-        gorilla2z archive tier equal the raw metric stream on the
-        expired days."""
+        """Driver-facing archive gate at sf0.001: points decoded from
+        the archival tier equal the raw metric stream on the expired
+        days."""
         import duckdb
 
         from gorilla_tsc_ray.pipelines.retention import archive_serve
@@ -541,7 +544,15 @@ def test_vacuum_history_drops_below_cut(tmp_path):
     assert res["dropped_versions"] == 1 and res["freed_bytes"] >= 64
     man = load_version_manifest(store)
     assert set(man["version"]) == {3}
-    # v2's archive is gone; as-of 2 still resolves (v3 archive + current)
-    paths = resolve_asof(store, 2, tier)
-    assert any("v3" in p for p in paths)
+    # v2's manifest rows (including 'created' exclusions) are gone — an
+    # as-of read below the vacuum floor must REFUSE, not silently
+    # reconstruct from the surviving rows (it could include days created
+    # after v2 whose manifest rows were just deleted)
+    import pytest
+
+    with pytest.raises(ValueError, match="vacuum floor"):
+        resolve_asof(store, 2, tier)
+    # at/above the floor still resolves: as-of v3 = the current tier
+    paths = resolve_asof(store, 3, tier)
+    assert os.path.join(store, tier, "day=10") in paths
     assert not any("v2" in p for p in paths)
