@@ -309,6 +309,19 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
     timed_r5("docs_lm_coverage", lambda: docs.lm_coverage(sf_dir).count())
     timed_r5("transcripts_shard_assignment",
              lambda: ingest.shard_assignment(sf_dir).count())
+    # round-5 entropy codec: roundtrip wall + archival B/pt on the real
+    # mixed store (vs 5.487 raw v2 / 4.526 gorilla2z, BASELINE.md)
+    timed_r5("events_roundtrip_entropy",
+             lambda: ev.points_roundtrip_entropy(sf_dir).count())
+    from gorilla_tsc_ray.pipelines.retention import _transcode_table
+    import pyarrow as _pa
+
+    _parts = [ray.get(r) for r in blocks.to_arrow_refs()]
+    _parts = [p for p in _parts if p.num_rows]
+    _tbl = _pa.concat_tables(_parts)
+    _as_e, _ = _transcode_table(_tbl, "gorilla2e")
+    _e_bytes = sum(len(x) for x in _as_e.column("payload").to_pylist())
+    bytes_per_point_e = _e_bytes / max(1, int(bstats["n_points"]))
 
     result = {
         "queries": queries,
@@ -322,6 +335,7 @@ def run_pipelines(sf_dir: str, num_cpus: int) -> dict:
         "n_turns": int(n_turns),
         "turns_per_sec": round(n_turns / max(ingest_sec, 1e-9), 1),
         "bytes_per_point": round(bytes_per_point, 3),
+        "bytes_per_point_gorilla2e": round(bytes_per_point_e, 3),
     }
     ray.shutdown()
     return result
@@ -460,6 +474,7 @@ def main() -> None:
         "n_turns": pipe["n_turns"],
         "turns_per_sec": pipe["turns_per_sec"],
         "bytes_per_point": pipe["bytes_per_point"],
+        "bytes_per_point_gorilla2e": pipe["bytes_per_point_gorilla2e"],
         "codec": codec,
     }))
 

@@ -662,3 +662,416 @@ int64_t gtsc_pair_candidates(const int64_t *ids, const int32_t *sz,
     }
     return n_out;
 }
+
+/* ============== gorilla2e: entropy-coded timestamp stream ===============
+ *
+ * Stream-split block format — the v2 bitstream spends most of the mixed
+ * store's bytes on irregular-timestamp dod codes (BASELINE.md: the store
+ * is timestamp-entropy-bound; predictor choice is irrelevant), so this
+ * tag re-codes ONLY the dod stream with an adaptive binary range coder
+ * (the carry-less LZMA-style coder of Martin/Subbotin lineage: 11-bit
+ * adaptive bit models, shift-low byte renormalization — a published,
+ * public-domain construction) while the value stream keeps the exact v2
+ * XOR coding (ValueCompressor.java:32-91 semantics).  Payload layout:
+ *
+ *   [u32 BE: L = rc section byte length]
+ *   [u64 BE: block_ts]
+ *   [L bytes: rc section — 27 direct bits first_delta, then per point a
+ *     dod bucket symbol through adaptive bit models (zero bit contexted
+ *     on the previous symbol) and the in-bucket offset through a
+ *     per-bucket adaptive bit-tree; the 32-bit escape is direct bits]
+ *   [value section: MSB-first bits packed into BYTES (no word padding):
+ *     64-bit first value, then the v2 XOR codes; no EOF marker — the
+ *     block store carries n_points externally]
+ *
+ * Dod analysis mirrors gtsc_encode_v2 exactly (int32 wrap, zigzag-1,
+ * bucket bounds), so ts round-trips bit-exactly through the same integer
+ * path.  No dynamic allocation: models live on the stack (~10 KB).
+ */
+
+#define RC_TOP (1u << 24)
+#define RC_BITS 11
+#define RC_TOTAL (1u << RC_BITS)
+#define RC_MOVE 5
+
+typedef struct {
+    uint8_t *buf; int64_t pos, cap;
+    uint64_t low; uint32_t range; uint8_t cache; int64_t cache_size;
+    int ovf;
+} RCE;
+
+static inline void rce_init(RCE *rc, uint8_t *buf, int64_t cap) {
+    rc->buf = buf; rc->pos = 0; rc->cap = cap;
+    rc->low = 0; rc->range = 0xFFFFFFFFu; rc->cache = 0; rc->cache_size = 1;
+    rc->ovf = 0;
+}
+
+static inline void rce_shift_low(RCE *rc) {
+    if ((uint32_t)rc->low < 0xFF000000u || (rc->low >> 32) != 0) {
+        uint8_t carry = (uint8_t)(rc->low >> 32);
+        uint8_t temp = rc->cache;
+        do {
+            if (rc->pos >= rc->cap) { rc->ovf = 1; return; }
+            rc->buf[rc->pos++] = (uint8_t)(temp + carry);
+            temp = 0xFF;
+        } while (--rc->cache_size != 0);
+        rc->cache = (uint8_t)(rc->low >> 24);
+    }
+    rc->cache_size++;
+    rc->low = (uint32_t)rc->low << 8;
+}
+
+static inline void rce_bit(RCE *rc, uint16_t *prob, int bit) {
+    uint32_t bound = (rc->range >> RC_BITS) * (*prob);
+    if (!bit) {
+        rc->range = bound;
+        *prob += (uint16_t)((RC_TOTAL - *prob) >> RC_MOVE);
+    } else {
+        rc->low += bound;
+        rc->range -= bound;
+        *prob -= (uint16_t)(*prob >> RC_MOVE);
+    }
+    if (rc->range < RC_TOP) { rc->range <<= 8; rce_shift_low(rc); }
+}
+
+static inline void rce_direct(RCE *rc, uint64_t v, int nbits) {
+    for (int i = nbits - 1; i >= 0; i--) {
+        rc->range >>= 1;
+        if ((v >> i) & 1) rc->low += rc->range;
+        if (rc->range < RC_TOP) { rc->range <<= 8; rce_shift_low(rc); }
+    }
+}
+
+static inline void rce_tree(RCE *rc, uint16_t *probs, int nbits, uint32_t v) {
+    uint32_t m = 1;
+    for (int i = nbits - 1; i >= 0; i--) {
+        int bit = (int)((v >> i) & 1);
+        rce_bit(rc, &probs[m], bit);
+        m = (m << 1) | (uint32_t)bit;
+    }
+}
+
+static inline void rce_flush(RCE *rc) {
+    for (int i = 0; i < 5; i++) rce_shift_low(rc);
+}
+
+typedef struct {
+    const uint8_t *buf; int64_t pos, len;
+    uint32_t range, code;
+} RCD;
+
+static inline uint8_t rcd_byte(RCD *rc) {
+    return rc->pos < rc->len ? rc->buf[rc->pos++] : 0;
+}
+
+static inline void rcd_init(RCD *rc, const uint8_t *buf, int64_t len) {
+    rc->buf = buf; rc->pos = 0; rc->len = len;
+    rc->range = 0xFFFFFFFFu; rc->code = 0;
+    for (int i = 0; i < 5; i++)  /* first byte is the encoder's cache seed */
+        rc->code = (rc->code << 8) | rcd_byte(rc);
+}
+
+static inline int rcd_bit(RCD *rc, uint16_t *prob) {
+    uint32_t bound = (rc->range >> RC_BITS) * (*prob);
+    int bit;
+    if (rc->code < bound) {
+        rc->range = bound;
+        *prob += (uint16_t)((RC_TOTAL - *prob) >> RC_MOVE);
+        bit = 0;
+    } else {
+        rc->code -= bound;
+        rc->range -= bound;
+        *prob -= (uint16_t)(*prob >> RC_MOVE);
+        bit = 1;
+    }
+    if (rc->range < RC_TOP) {
+        rc->range <<= 8;
+        rc->code = (rc->code << 8) | rcd_byte(rc);
+    }
+    return bit;
+}
+
+static inline uint64_t rcd_direct(RCD *rc, int nbits) {
+    uint64_t v = 0;
+    for (int i = 0; i < nbits; i++) {
+        rc->range >>= 1;
+        int bit = rc->code >= rc->range;
+        if (bit) rc->code -= rc->range;
+        v = (v << 1) | (uint64_t)bit;
+        if (rc->range < RC_TOP) {
+            rc->range <<= 8;
+            rc->code = (rc->code << 8) | rcd_byte(rc);
+        }
+    }
+    return v;
+}
+
+static inline uint32_t rcd_tree(RCD *rc, uint16_t *probs, int nbits) {
+    uint32_t m = 1;
+    for (int i = 0; i < nbits; i++)
+        m = (m << 1) | (uint32_t)rcd_bit(rc, &probs[m]);
+    return m - (1u << nbits);
+}
+
+/* dod bucket models: zero bit (contexted on previous-symbol-was-zero),
+ * three bucket-selection bits, per-bucket offset bit-trees */
+typedef struct {
+    uint16_t p_zero[2];
+    uint16_t p_b7, p_b9, p_b12;
+    uint16_t t7[1 << 7];
+    uint16_t t9[1 << 9];
+    uint16_t t12[1 << 12];
+    uint16_t tbl[1 << 6];     /* escape bit-length tree (0..32) */
+} EModels;
+
+static inline void emodels_init(EModels *m) {
+    uint16_t half = RC_TOTAL / 2;
+    m->p_zero[0] = m->p_zero[1] = half;
+    m->p_b7 = m->p_b9 = m->p_b12 = half;
+    for (int i = 0; i < (1 << 7); i++)  m->t7[i] = half;
+    for (int i = 0; i < (1 << 9); i++)  m->t9[i] = half;
+    for (int i = 0; i < (1 << 12); i++) m->t12[i] = half;
+    for (int i = 0; i < (1 << 6); i++)  m->tbl[i] = half;
+}
+
+/* byte-granular MSB-first bit writer (value section: no word padding) */
+typedef struct { uint8_t *b; int64_t pos, cap; uint64_t acc; int nacc; int ovf; } BB;
+
+static inline void bb_put(BB *o, uint64_t v, int nb) {
+    if (nb < 64) v &= (1ULL << nb) - 1;
+    u128 acc = ((u128)o->acc << nb) | v;
+    int total = o->nacc + nb;
+    while (total >= 8) {
+        total -= 8;
+        if (o->pos >= o->cap) { o->ovf = 1; return; }
+        o->b[o->pos++] = (uint8_t)(acc >> total);
+    }
+    o->acc = (uint64_t)acc & ((1u << total) - 1);
+    o->nacc = total;
+}
+
+static inline void bb_flush(BB *o) {
+    if (o->nacc) {
+        if (o->pos >= o->cap) { o->ovf = 1; return; }
+        o->b[o->pos++] = (uint8_t)(o->acc << (8 - o->nacc));
+        o->acc = 0; o->nacc = 0;
+    }
+}
+
+typedef struct { const uint8_t *b; int64_t nbytes; int64_t pos; } BBR;
+
+static inline uint64_t bbr_get(BBR *r, int k) {
+    int64_t bytei = r->pos >> 3;
+    int off = (int)(r->pos & 7);
+    u128 acc = 0;
+    for (int i = 0; i < 9; i++) {
+        uint8_t c = (bytei + i < r->nbytes) ? r->b[bytei + i] : 0;
+        acc = (acc << 8) | c;
+    }
+    uint64_t v = (uint64_t)(acc >> (72 - off - k));
+    r->pos += k;
+    return k == 64 ? v : (v & ((1ULL << k) - 1));
+}
+
+/* byte-level value-stream XOR encoder (v2 window semantics) */
+static inline void bb_val_xor(BB *o, VWin *wn, uint64_t diff) {
+    if (diff == 0) { bb_put(o, 0, 1); return; }
+    int lz = __builtin_clzll(diff);
+    int tz = __builtin_ctzll(diff);
+    if (wn->have && lz >= wn->lz && tz >= wn->tz) {
+        int sig = 64 - wn->lz - wn->tz;
+        bb_put(o, 2, 2);                          /* '10' */
+        bb_put(o, diff >> wn->tz, sig);
+    } else {
+        int sig = 64 - lz - tz;
+        bb_put(o, (uint64_t)(0b11 << 12) | ((uint64_t)lz << 6)
+                      | (uint64_t)(sig - 1), 14); /* '11' + 6+6 header */
+        bb_put(o, diff >> tz, sig);
+        wn->lz = lz; wn->tz = tz; wn->have = 1;
+    }
+}
+
+int64_t gtsc_encode_e(int64_t block_ts, const int64_t *ts,
+                      const uint64_t *vals, int64_t n,
+                      uint8_t *out, int64_t cap)
+{
+    if (cap < 12) return -1;
+    if (n == 0) {
+        out[0] = out[1] = out[2] = out[3] = 0;    /* L = 0 */
+        for (int i = 0; i < 8; i++)
+            out[4 + i] = (uint8_t)((uint64_t)block_ts >> (56 - 8 * i));
+        return 12;
+    }
+    /* rc section at out+12 */
+    RCE rc;
+    rce_init(&rc, out + 12, cap - 12);
+    EModels m;
+    emodels_init(&m);
+    int32_t sdelta = (int32_t)(ts[0] - block_ts);
+    int64_t sts = ts[0];
+    rce_direct(&rc, (uint32_t)sdelta & ((1u << FIRST_DELTA_BITS) - 1),
+               FIRST_DELTA_BITS);
+    int prev_nz = 0;
+    for (int64_t i = 1; i < n; i++) {
+        int32_t new_delta = (int32_t)(ts[i] - sts);
+        int32_t dod = new_delta - sdelta;
+        if (dod == 0) {
+            rce_bit(&rc, &m.p_zero[prev_nz], 0);
+            prev_nz = 0;
+        } else {
+            rce_bit(&rc, &m.p_zero[prev_nz], 1);
+            prev_nz = 1;
+            uint32_t z = zz32_enc(dod) - 1;
+            if (z >= 1 && z <= 127) {
+                rce_bit(&rc, &m.p_b7, 0);
+                rce_tree(&rc, m.t7, 7, z);
+            } else if (z >= 128 && z <= 511) {
+                rce_bit(&rc, &m.p_b7, 1);
+                rce_bit(&rc, &m.p_b9, 0);
+                rce_tree(&rc, m.t9, 9, z - 128);
+            } else if (z >= 512 && z <= 4095) {
+                rce_bit(&rc, &m.p_b7, 1);
+                rce_bit(&rc, &m.p_b9, 1);
+                rce_bit(&rc, &m.p_b12, 0);
+                rce_tree(&rc, m.t12, 12, z - 512);
+            } else {                               /* incl. z == 0 (dod=-1) */
+                rce_bit(&rc, &m.p_b7, 1);
+                rce_bit(&rc, &m.p_b9, 1);
+                rce_bit(&rc, &m.p_b12, 1);
+                /* escape: bit-length through an adaptive tree, then the
+                 * below-MSB bits direct (MSB itself is implicit) — large
+                 * irregular dods cost ~log2(z) bits instead of flat 32 */
+                int bl = z ? 32 - __builtin_clz(z) : 0;
+                rce_tree(&rc, m.tbl, 6, (uint32_t)bl);
+                if (bl > 1) rce_direct(&rc, z & ((1u << (bl - 1)) - 1),
+                                       bl - 1);
+            }
+            sdelta = new_delta;
+        }
+        sts = ts[i];
+        if (rc.ovf) return -1;
+    }
+    rce_flush(&rc);
+    if (rc.ovf) return -1;
+    int64_t L = rc.pos;
+    out[0] = (uint8_t)(L >> 24); out[1] = (uint8_t)(L >> 16);
+    out[2] = (uint8_t)(L >> 8);  out[3] = (uint8_t)L;
+    for (int i = 0; i < 8; i++)
+        out[4 + i] = (uint8_t)((uint64_t)block_ts >> (56 - 8 * i));
+    /* value section */
+    BB o = {out, 12 + L, cap, 0, 0, 0};
+    bb_put(&o, vals[0], 64);
+    uint64_t sval = vals[0];
+    VWin wn = {0, 0, 0};
+    for (int64_t i = 1; i < n; i++) {
+        bb_val_xor(&o, &wn, sval ^ vals[i]);
+        sval = vals[i];
+        if (o.ovf) return -1;
+    }
+    bb_flush(&o);
+    return o.ovf ? -1 : o.pos;
+}
+
+int64_t gtsc_decode_e(const uint8_t *buf, int64_t len, int64_t n,
+                      int64_t *out_ts, uint64_t *out_v)
+{
+    if (len < 12) return -1;
+    int64_t L = ((int64_t)buf[0] << 24) | ((int64_t)buf[1] << 16)
+              | ((int64_t)buf[2] << 8) | (int64_t)buf[3];
+    if (12 + L > len) return -1;
+    uint64_t bts_u = 0;
+    for (int i = 0; i < 8; i++) bts_u = (bts_u << 8) | buf[4 + i];
+    int64_t block_ts = (int64_t)bts_u;
+    if (n == 0) return 0;
+
+    RCD rc;
+    rcd_init(&rc, buf + 12, L);
+    EModels m;
+    emodels_init(&m);
+    uint32_t fd = (uint32_t)rcd_direct(&rc, FIRST_DELTA_BITS);
+    int64_t sdelta = (int64_t)fd;
+    int64_t sts = block_ts + sdelta;
+    out_ts[0] = sts;
+    int prev_nz = 0;
+    for (int64_t i = 1; i < n; i++) {
+        if (rcd_bit(&rc, &m.p_zero[prev_nz])) {
+            prev_nz = 1;
+            uint32_t z;
+            if (!rcd_bit(&rc, &m.p_b7))        z = rcd_tree(&rc, m.t7, 7);
+            else if (!rcd_bit(&rc, &m.p_b9))   z = rcd_tree(&rc, m.t9, 9) + 128;
+            else if (!rcd_bit(&rc, &m.p_b12))  z = rcd_tree(&rc, m.t12, 12) + 512;
+            else {
+                int bl = (int)rcd_tree(&rc, m.tbl, 6);
+                z = bl == 0 ? 0
+                    : bl == 1 ? 1
+                    : (1u << (bl - 1))
+                      | (uint32_t)rcd_direct(&rc, bl - 1);
+            }
+            int32_t dod = zz32_dec(z + 1);
+            sdelta += dod;
+        } else {
+            prev_nz = 0;
+        }
+        sts += sdelta;
+        out_ts[i] = sts;
+    }
+
+    BBR r = {buf + 12 + L, len - 12 - L, 0};
+    uint64_t sval = bbr_get(&r, 64);
+    out_v[0] = sval;
+    int lz = 0, tz = 0, sig = 64;
+    int have_window = 0;
+    for (int64_t i = 1; i < n; i++) {
+        if (r.pos >= (r.nbytes << 3) + 8) return -1;
+        if (bbr_get(&r, 1)) {
+            if (bbr_get(&r, 1)) {
+                uint64_t hdr = bbr_get(&r, 12);
+                lz = (int)(hdr >> 6);
+                sig = (int)(hdr & 63) + 1;
+                tz = 64 - sig - lz;
+                if (tz < 0) return -1;
+                have_window = 1;
+            } else if (!have_window) {
+                sig = 64; tz = 0;
+            }
+            uint64_t bits = bbr_get(&r, sig);
+            sval ^= bits << tz;
+        }
+        out_v[i] = sval;
+    }
+    return n;
+}
+
+/* batched forms: byte-offset in/out, one call per map batch */
+int64_t gtsc_decode_e_batch(const uint8_t *data, const int64_t *b_off,
+                            const int64_t *npts, int64_t n_blocks,
+                            int64_t *out_ts, uint64_t *out_v,
+                            const int64_t *out_off)
+{
+    for (int64_t b = 0; b < n_blocks; b++) {
+        int64_t rc = gtsc_decode_e(data + b_off[b], b_off[b + 1] - b_off[b],
+                                   npts[b], out_ts + out_off[b],
+                                   out_v + out_off[b]);
+        if (rc != npts[b]) return -(b + 1);
+    }
+    return out_off[n_blocks];
+}
+
+int64_t gtsc_encode_e_batch(const int64_t *block_ts, const int64_t *ts,
+                            const uint64_t *vals, const int64_t *bounds,
+                            int64_t n_series, uint8_t *out, int64_t cap,
+                            int64_t *out_b_off)
+{
+    int64_t w = 0;
+    out_b_off[0] = 0;
+    for (int64_t s = 0; s < n_series; s++) {
+        int64_t nb = gtsc_encode_e(block_ts[s], ts + bounds[s],
+                                   vals + bounds[s],
+                                   bounds[s + 1] - bounds[s],
+                                   out + w, cap - w);
+        if (nb < 0) return -(s + 1);
+        w += nb;
+        out_b_off[s + 1] = w;
+    }
+    return w;
+}

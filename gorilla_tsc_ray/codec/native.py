@@ -95,6 +95,17 @@ try:
     _pair_cands = _sig(_lib.gtsc_pair_candidates, _c_i64,
                        [_p_i64, _p_i32, _p_i32, _p_i64, _p_i64, _c_i64,
                         ctypes.c_double, _p_i64, _p_i64, _c_i64])
+    _p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    _enc_e = _sig(_lib.gtsc_encode_e, _c_i64,
+                  [_c_i64, _p_i64, _p_u64, _c_i64, _p_u8, _c_i64])
+    _dec_e = _sig(_lib.gtsc_decode_e, _c_i64,
+                  [_p_u8, _c_i64, _c_i64, _p_i64, _p_u64])
+    _enc_e_batch = _sig(_lib.gtsc_encode_e_batch, _c_i64,
+                        [_p_i64, _p_i64, _p_u64, _p_i64, _c_i64,
+                         _p_u8, _c_i64, _p_i64])
+    _dec_e_batch = _sig(_lib.gtsc_decode_e_batch, _c_i64,
+                        [_p_u8, _p_i64, _p_i64, _c_i64,
+                         _p_i64, _p_u64, _p_i64])
     AVAILABLE = True
 except Exception:  # pragma: no cover - exercised only without a compiler
     AVAILABLE = False
@@ -244,6 +255,83 @@ def encode(block_ts: int, ts: np.ndarray, vb: np.ndarray,
     """Encode one series → ``(words uint64[], total_bits)`` with the exact
     ``getLongArray`` word-count semantics of the streaming writer."""
     return _encode(codec, block_ts, ts, vb, closed, table_size)
+
+
+def _as_u8_ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+# worst-case gorilla2e bytes/point: ~7 B ts symbol (32-bit escape through
+# an improbable model path) + ~10 B value (14+64 bits) + renorm slack
+_E_WORST_BPP = 18
+
+
+def encode_e(block_ts: int, ts: np.ndarray, vb: np.ndarray) -> bytes:
+    """Encode one series → gorilla2e payload bytes (``gtsc_encode_e``)."""
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    vb = np.ascontiguousarray(vb, dtype=np.uint64)
+    n = len(ts)
+    cap = _E_WORST_BPP * n + 64
+    out = np.empty(cap, dtype=np.uint8)
+    nb = _enc_e(int(block_ts), _as_i64_ptr(ts), _as_u64_ptr(vb), n,
+                _as_u8_ptr(out), cap)
+    if nb < 0:
+        raise ValueError(f"native gorilla2e encode failed (rc={nb})")
+    return out[:nb].tobytes()
+
+
+def decode_e(payload: bytes, n_points: int):
+    """gorilla2e payload → ``(ts int64[], value_bits uint64[])``."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    out_ts = np.empty(n_points, dtype=np.int64)
+    out_v = np.empty(n_points, dtype=np.uint64)
+    rc = _dec_e(_as_u8_ptr(buf), len(buf), n_points,
+                _as_i64_ptr(out_ts), _as_u64_ptr(out_v))
+    if rc != n_points:
+        raise ValueError(f"malformed gorilla2e block (native decode rc={rc})")
+    return out_ts, out_v
+
+
+def encode_e_batch(block_ts: np.ndarray, ts_concat: np.ndarray,
+                   vb_concat: np.ndarray, bounds: np.ndarray):
+    """Encode MANY closed gorilla2e blocks in ONE native call — returns
+    ``(data uint8[], byte_offsets int64[])``; payload s is
+    ``data[byte_offsets[s]:byte_offsets[s+1]]``."""
+    block_ts = np.ascontiguousarray(block_ts, dtype=np.int64)
+    ts_concat = np.ascontiguousarray(ts_concat, dtype=np.int64)
+    vb_concat = np.ascontiguousarray(vb_concat, dtype=np.uint64)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    n_series = len(bounds) - 1
+    cap = _E_WORST_BPP * int(bounds[-1]) + 64 * n_series + 64
+    out = np.empty(cap, dtype=np.uint8)
+    b_off = np.empty(n_series + 1, dtype=np.int64)
+    nb = _enc_e_batch(_as_i64_ptr(block_ts), _as_i64_ptr(ts_concat),
+                      _as_u64_ptr(vb_concat), _as_i64_ptr(bounds),
+                      n_series, _as_u8_ptr(out), cap, _as_i64_ptr(b_off))
+    if nb < 0:
+        raise ValueError(f"native gorilla2e batch encode failed at "
+                         f"series {-nb - 1}")
+    return out[:nb], b_off
+
+
+def decode_e_batch(data: np.ndarray, byte_offsets: np.ndarray,
+                   n_points: np.ndarray):
+    """Decode MANY gorilla2e blocks in ONE native call — the e-codec twin
+    of :func:`decode_batch_v2`; returns ``(ts, value_bits, point_offsets)``."""
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    byte_offsets = np.ascontiguousarray(byte_offsets, dtype=np.int64)
+    n_points = np.ascontiguousarray(n_points, dtype=np.int64)
+    out_off = np.concatenate(([0], np.cumsum(n_points))).astype(np.int64)
+    total = int(out_off[-1])
+    out_ts = np.empty(total, dtype=np.int64)
+    out_v = np.empty(total, dtype=np.uint64)
+    rc = _dec_e_batch(_as_u8_ptr(data), _as_i64_ptr(byte_offsets),
+                      _as_i64_ptr(n_points), len(n_points),
+                      _as_i64_ptr(out_ts), _as_u64_ptr(out_v),
+                      _as_i64_ptr(out_off))
+    if rc < 0:
+        raise ValueError(f"malformed gorilla2e block #{-rc - 1} in batch")
+    return out_ts, out_v, out_off
 
 
 def pair_candidates(ids_s: np.ndarray, starts: np.ndarray,

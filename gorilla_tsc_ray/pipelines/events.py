@@ -188,6 +188,34 @@ def points_roundtrip_zlib(sf_dir: str):
     ).select_columns(["user_id", "ts_ms", "value"])
 
 
+def points_roundtrip_entropy(sf_dir: str):
+    """Round-trip through the ENTROPY-CODED stream-split codec
+    (``gorilla2e``): the delta-of-delta stream goes through an adaptive
+    binary range coder (LZMA-style bit models + per-bucket bit-trees +
+    a bit-length-coded 32-bit escape), values keep the exact v2 XOR
+    coding, packed at byte granularity with no EOF/word padding
+    (``codec/_native.c`` ``gtsc_encode_e``; round-4 verdict item #2 — the
+    mixed store is timestamp-entropy-bound, and only recoding the dod
+    stream moves it).  Both encode and decode run as one native batch
+    call per partition."""
+    import pyarrow.compute as pc
+
+    ds = _read_points(sf_dir)
+
+    def add_block(batch):
+        bs = pc.multiply(pc.divide(batch["ts_ms"], DAY_MS), DAY_MS)
+        return batch.append_column("block_start", bs)
+
+    blocks = _encode_by_partition(ds.map_batches(add_block,
+                                                 batch_format="pyarrow"),
+                                  codec="gorilla2e",
+                                  n_parts=_n_parts(sf_dir))
+    return blocks.map_batches(
+        decode_blocks_batch_arrow, batch_format="pyarrow",
+        fn_kwargs={"key_cols": ["user_id"]},
+    ).select_columns(["user_id", "ts_ms", "value"])
+
+
 def points_roundtrip_v1(sf_dir: str):
     """Same round-trip through the LEGACY v1 codec (``Compressor.java`` /
     ``Decompressor.java``) — format parity for the reference's older

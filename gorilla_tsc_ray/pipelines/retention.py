@@ -52,12 +52,23 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def _archive_partition(pdir: str, out_dir: str) -> int:
-    """Re-wrap one raw day partition into the archival codec: every
-    ``gorilla2`` payload is DEFLATE-wrapped IN PLACE of decode — a pure
-    column transform (blocks are already encoded; archive = zlib over the
-    finished payload + codec column rewrite), so archiving never touches
-    the points.  Returns the archived byte size."""
+ARCHIVE_CODECS = ("gorilla2e", "gorilla2z")
+DEFAULT_ARCHIVE_CODEC = "gorilla2e"
+
+
+def _archive_partition(pdir: str, out_dir: str,
+                       archive_codec: str = DEFAULT_ARCHIVE_CODEC) -> int:
+    """Re-encode one raw day partition into the archival codec.
+
+    ``gorilla2e`` (default since round 5): the entropy-coded stream-split
+    tag — measured 0.635× the raw v2 payload on the real sf0.1 store vs
+    zlib's 0.825×, at ~13× the transcode throughput (BASELINE.md), so it
+    dominates DEFLATE on both axes.  Re-encoding goes through RAW VALUE
+    BITS (the transcode kernel), bit-exact for every value kind.
+
+    ``gorilla2z``: the round-4 DEFLATE wrapper, kept for stores already
+    written — a pure column transform (zlib over the finished payload),
+    never touching the points.  Returns the archived byte size."""
     import zlib
 
     import pyarrow.parquet as pq
@@ -71,15 +82,21 @@ def _archive_partition(pdir: str, out_dir: str) -> int:
         if not name.endswith(".parquet"):
             continue
         t = pq.read_table(os.path.join(pdir, name))
-        codecs = t.column("codec").to_pylist()
-        pays = t.column("payload").to_pylist()
-        new_pay = [zlib.compress(b, ZLIB_LEVEL) if c == "gorilla2" else b
-                   for c, b in zip(codecs, pays)]
-        new_codec = ["gorilla2z" if c == "gorilla2" else c for c in codecs]
-        t = t.set_column(t.schema.get_field_index("payload"), "payload",
-                         pa.array(new_pay, t.schema.field("payload").type))
-        t = t.set_column(t.schema.get_field_index("codec"), "codec",
-                         pa.array(new_codec, t.schema.field("codec").type))
+        if archive_codec == "gorilla2e":
+            t, _ = _transcode_table(t, "gorilla2e")
+        else:
+            codecs = t.column("codec").to_pylist()
+            pays = t.column("payload").to_pylist()
+            new_pay = [zlib.compress(b, ZLIB_LEVEL) if c == "gorilla2"
+                       else b for c, b in zip(codecs, pays)]
+            new_codec = ["gorilla2z" if c == "gorilla2" else c
+                         for c in codecs]
+            t = t.set_column(t.schema.get_field_index("payload"), "payload",
+                             pa.array(new_pay,
+                                      t.schema.field("payload").type))
+            t = t.set_column(t.schema.get_field_index("codec"), "codec",
+                             pa.array(new_codec,
+                                      t.schema.field("codec").type))
         out_path = os.path.join(out_dir, name)
         pq.write_table(t, out_path)
         total += os.path.getsize(out_path)
@@ -88,15 +105,18 @@ def _archive_partition(pdir: str, out_dir: str) -> int:
 
 def apply_retention(store_root: str, policy_days: dict[str, int],
                     now_ms: int, dry_run: bool = False,
-                    archive: bool = False) -> pd.DataFrame:
+                    archive: bool = False,
+                    archive_codec: str = DEFAULT_ARCHIVE_CODEC
+                    ) -> pd.DataFrame:
     """Apply a retention policy: ``policy_days[tier]`` = keep partitions
     whose day is within that many days of ``now_ms``.
 
     ``archive=True`` turns raw-block expiry into tier demotion: expired
-    ``blocks`` partitions are re-wrapped with the archival codec
-    (``gorilla2z``) under ``blocks_archive/`` before the raw partition is
-    removed — the cold tier keeps FULL point fidelity at the measured
-    ~0.83× payload size (BASELINE.md), while rollup tiers still serve the
+    ``blocks`` partitions are re-encoded with the archival codec
+    (default ``gorilla2e`` — 0.635× payload vs zlib's 0.825×, measured
+    in BASELINE.md; ``gorilla2z`` stays supported) under
+    ``blocks_archive/`` before the raw partition is removed — the cold
+    tier keeps FULL point fidelity while rollup tiers still serve the
     hot queries.  Lineage records both byte sizes per partition.
 
     Returns the per-partition metrics frame (also persisted to lineage).
@@ -125,7 +145,8 @@ def apply_retention(store_root: str, policy_days: dict[str, int],
             if status == "archived":
                 rows_out = _archive_partition(
                     pdir, os.path.join(store_root, "blocks_archive",
-                                       f"day={day_ms}"))
+                                       f"day={day_ms}"),
+                    archive_codec=archive_codec)
             if status in ("deleted", "archived"):
                 shutil.rmtree(pdir)
             records.append({
@@ -197,12 +218,13 @@ def retention_serve(sf_dir: str, keep_days: int = 2, tier: str = "1h"):
 def archive_serve(sf_dir: str, keep_days: int = 1,
                   metric: str = "text_len"):
     """Driver-facing ARCHIVE gate: build a fresh store, demote expired
-    raw day-blocks to the ``gorilla2z`` archival tier
-    (``apply_retention(archive=True)``), then decode the expired range's
-    POINTS straight from ``blocks_archive/`` — proving the cold tier
-    preserves full point fidelity through the DEFLATE wrapper, at the
-    driver's value-hash gate.  Oracle: the same metric points from the
-    raw transcripts restricted to the expired (archived) days."""
+    raw day-blocks to the default archival tier (``gorilla2e`` since
+    round 5) via ``apply_retention(archive=True)``, then decode the
+    expired range's POINTS straight from ``blocks_archive/`` — proving
+    the cold tier preserves full point fidelity through the entropy
+    recode, at the driver's value-hash gate.  Oracle: the same metric
+    points from the raw transcripts restricted to the expired
+    (archived) days."""
     import numpy as np
     import pyarrow.dataset as pads
     import ray.data
@@ -240,9 +262,9 @@ def archive_serve(sf_dir: str, keep_days: int = 1,
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        # runtime proof the cold tier really is the archival codec
+        # runtime proof the cold tier really is an archival codec
         codecs = pc.unique(pc.cast(tbl["codec"], "string")).to_pylist()
-        bad = [c for c in codecs if c != "gorilla2z"]
+        bad = [c for c in codecs if c not in ARCHIVE_CODECS]
         if bad:
             raise RuntimeError(f"non-archival codec in archive tier: {bad}")
         pts = decode_blocks_batch_arrow(tbl,
@@ -395,28 +417,39 @@ def _transcode_table(tbl, to_codec: str):
             new_codecs.append(src)
             continue
         raw = payloads[i]
-        if src == "gorilla2z":
-            raw = zlib.decompress(raw)
-        words = payload_to_words(raw)
         n = int(n_points[i])
-        if src == "gorilla1":
-            ts, vb = decode_series_v1(words, n)
-        elif src == "gorilla2_dfcm":
-            ts, vb = decode_series_dfcm(words, n)
+        if src == "gorilla2e":
+            from ..codec.entropy import decode_block_e
+
+            ts, vb = decode_block_e(raw, n)
         else:
-            ts, vb = decode_series(words, n_points=n)
+            if src == "gorilla2z":
+                raw = zlib.decompress(raw)
+            words = payload_to_words(raw)
+            if src == "gorilla1":
+                ts, vb = decode_series_v1(words, n)
+            elif src == "gorilla2_dfcm":
+                ts, vb = decode_series_dfcm(words, n)
+            else:
+                ts, vb = decode_series(words, n_points=n)
         bts = int(block_start[i])
-        if to_codec == "gorilla1":
-            w = encode_series_v1(bts, ts, vb)
-        elif to_codec == "gorilla2_dfcm":
-            w = encode_series_dfcm(bts, ts, vb)
+        if to_codec == "gorilla2e":
+            from ..codec.entropy import encode_block_e
+
+            out = encode_block_e(bts, ts, vb)
         else:
-            w, _bits = encode_series(bts, ts, vb)
-        out = np.asarray(w, dtype=np.uint64).astype(">u8").tobytes()
-        if to_codec == "gorilla2z":
-            w2, _bits = encode_series(bts, ts, vb)
-            out = zlib.compress(
-                np.asarray(w2, dtype=np.uint64).astype(">u8").tobytes(), 6)
+            if to_codec == "gorilla1":
+                w = encode_series_v1(bts, ts, vb)
+            elif to_codec == "gorilla2_dfcm":
+                w = encode_series_dfcm(bts, ts, vb)
+            else:
+                w, _bits = encode_series(bts, ts, vb)
+            out = np.asarray(w, dtype=np.uint64).astype(">u8").tobytes()
+            if to_codec == "gorilla2z":
+                w2, _bits = encode_series(bts, ts, vb)
+                out = zlib.compress(
+                    np.asarray(w2, dtype=np.uint64).astype(">u8").tobytes(),
+                    6)
         new_payloads.append(out)
         new_codecs.append(to_codec)
         n_rw += 1

@@ -25,6 +25,7 @@ from ..codec import (BitReader, CompressorV1, DecompressorV1, DifferentialFCM,
                      GorillaCompressor, GorillaDecompressor, decode_series,
                      encode_series_auto, payload_to_words, words_to_payload)
 from ..codec import native
+from ..codec.entropy import decode_block_e, encode_block_e
 
 
 # Archival block wrapper: DEFLATE over the finished v2 word stream.  The
@@ -204,20 +205,23 @@ def encode_partition(df: pd.DataFrame, *, key_cols: list[str],
         keep = np.concatenate(([True], np.diff(ts) > 0))
         if not keep.all():
             ts, vb = ts[keep], vb[keep]
-        if codec == "gorilla1":
-            words = encode_series_v1(int(bs_all[lo]), ts, vb)
-        elif codec == "gorilla2_dfcm":
-            words = encode_series_dfcm(int(bs_all[lo]), ts, vb)
+        if codec == "gorilla2e":
+            pay = encode_block_e(int(bs_all[lo]), ts, vb)
         else:
-            words, _ = encode_series_auto(int(bs_all[lo]), ts, vb)
+            if codec == "gorilla1":
+                words = encode_series_v1(int(bs_all[lo]), ts, vb)
+            elif codec == "gorilla2_dfcm":
+                words = encode_series_dfcm(int(bs_all[lo]), ts, vb)
+            else:
+                words, _ = encode_series_auto(int(bs_all[lo]), ts, vb)
+            pay = words_to_payload(words)
+            if codec == "gorilla2z":
+                pay = zlib.compress(pay, ZLIB_LEVEL)
         for c in key_cols:
             out[c].append(df[c].iloc[lo])
         out_metric.append(df[metric_col].iloc[lo] if metric_col else "value")
         out_bs.append(int(bs_all[lo]))
         out_np.append(len(ts))
-        pay = words_to_payload(words)
-        if codec == "gorilla2z":
-            pay = zlib.compress(pay, ZLIB_LEVEL)
         out_payload.append(pay)
     res = pd.DataFrame(out)
     res["metric"] = out_metric
@@ -246,6 +250,25 @@ def payload_binary_from_words(words: np.ndarray, w_off: np.ndarray):
                                    pa.py_buffer(data)])
     return pa.BinaryArray.from_buffers(
         pa.binary(), n, [None, pa.py_buffer(byte_off64.astype(np.int32)),
+                         pa.py_buffer(data)])
+
+
+def payload_binary_from_bytes(data: np.ndarray, b_off: np.ndarray):
+    """One concatenated uint8 byte stream + per-block byte offsets → an
+    Arrow binary payload column (the byte-granular twin of
+    :func:`payload_binary_from_words` — gorilla2e payloads are bytes, not
+    big-endian words, so no byteswap)."""
+    import pyarrow as pa
+
+    n = len(b_off) - 1
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    off64 = np.asarray(b_off, dtype=np.int64)
+    if n and int(off64[-1]) > np.iinfo(np.int32).max:  # >2 GB partition
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n, [None, pa.py_buffer(off64),
+                                   pa.py_buffer(data)])
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(off64.astype(np.int32)),
                          pa.py_buffer(data)])
 
 
@@ -335,6 +358,26 @@ def encode_partition_arrow(tbl, *, key_cols: list[str],
     n_points = np.diff(bounds)
     bts = bs_s[first_idx].astype(np.int64)
 
+    if codec == "gorilla2e":
+        if native.AVAILABLE:
+            data, b_off = native.encode_e_batch(bts, ts_k, vb_k, bounds)
+            payload = payload_binary_from_bytes(data, b_off)
+        else:
+            payload = pa.array(
+                [encode_block_e(int(bts[s]), ts_k[bounds[s]:bounds[s + 1]],
+                                vb_k[bounds[s]:bounds[s + 1]])
+                 for s in range(len(bts))], pa.binary())
+        take = pa.array(order[first_idx])
+        cols = {c: pc.take(tbl.column(c), take) for c in key_cols}
+        cols["metric"] = (pc.take(tbl.column(metric_col), take) if metric_col
+                          else pa.repeat(pa.scalar("value"), len(bts)))
+        cols["block_start"] = pa.array(bts)
+        cols["n_points"] = pa.array(n_points.astype(np.int64))
+        cols["codec"] = pa.repeat(pa.scalar(codec), len(bts))
+        cols["value_kind"] = pa.repeat(pa.scalar(value_kind), len(bts))
+        cols["payload"] = payload
+        return pa.table({n: cols[n] for n in out_names})
+
     if codec in ("gorilla2", "gorilla2z") and native.AVAILABLE:
         words, w_off = native.encode_batch_v2(bts, ts_k, vb_k, bounds)
     else:
@@ -419,15 +462,18 @@ def decode_blocks_batch(df: pd.DataFrame, *, key_cols: list[str],
     for i in np.flatnonzero(~fast):
         payload = df["payload"].iloc[i]
         n = int(n_points[i])
-        if codecs[i] == "gorilla2z":
-            payload = zlib.decompress(payload)
-        words = payload_to_words(payload)
-        if codecs[i] == "gorilla1":
-            ts, vb = decode_series_v1(words, n)
-        elif codecs[i] == "gorilla2_dfcm":
-            ts, vb = decode_series_dfcm(words, n)
+        if codecs[i] == "gorilla2e":
+            ts, vb = decode_block_e(payload, n)
         else:
-            ts, vb = decode_series(words, n_points=n)
+            if codecs[i] == "gorilla2z":
+                payload = zlib.decompress(payload)
+            words = payload_to_words(payload)
+            if codecs[i] == "gorilla1":
+                ts, vb = decode_series_v1(words, n)
+            elif codecs[i] == "gorilla2_dfcm":
+                ts, vb = decode_series_dfcm(words, n)
+            else:
+                ts, vb = decode_series(words, n_points=n)
         parts_ts.append(ts)
         if kinds[i] == "double":
             parts_v.append(vb.view(np.float64))
@@ -510,18 +556,38 @@ def decode_blocks_batch_arrow(tbl, *, key_cols: list[str],
         parts_v.append(vb.view(np.float64))
         parts_rep.append(np.repeat(idx, n_points[idx]))
 
-    for i in np.flatnonzero(~fast):
-        payload = data[offsets[i]:offsets[i + 1]].tobytes()
-        if codecs[i] == "gorilla2z":
-            payload = zlib.decompress(payload)
-        n = int(n_points[i])
-        words = payload_to_words(payload)
-        if codecs[i] == "gorilla1":
-            ts, vb = decode_series_v1(words, n)
-        elif codecs[i] == "gorilla2_dfcm":
-            ts, vb = decode_series_dfcm(words, n)
+    # gorilla2e double rows: gather byte ranges, one native batch call
+    easy = ((codecs == "gorilla2e") & (kinds == "double")
+            if native.AVAILABLE else np.zeros(n_rows, dtype=bool))
+    if easy.any():
+        idx = np.flatnonzero(easy)
+        starts = offsets[idx]
+        lens = offsets[idx + 1] - starts
+        cl = np.concatenate(([0], np.cumsum(lens)))
+        if len(idx) == n_rows:
+            blob = data[offsets[0]:offsets[-1]]
         else:
-            ts, vb = decode_series(words, n_points=n)
+            blob = data[np.arange(cl[-1]) + np.repeat(starts - cl[:-1], lens)]
+        ts, vb, _ = native.decode_e_batch(blob, cl, n_points[idx])
+        parts_ts.append(ts)
+        parts_v.append(vb.view(np.float64))
+        parts_rep.append(np.repeat(idx, n_points[idx]))
+
+    for i in np.flatnonzero(~fast & ~easy):
+        payload = data[offsets[i]:offsets[i + 1]].tobytes()
+        n = int(n_points[i])
+        if codecs[i] == "gorilla2e":
+            ts, vb = decode_block_e(payload, n)
+        else:
+            if codecs[i] == "gorilla2z":
+                payload = zlib.decompress(payload)
+            words = payload_to_words(payload)
+            if codecs[i] == "gorilla1":
+                ts, vb = decode_series_v1(words, n)
+            elif codecs[i] == "gorilla2_dfcm":
+                ts, vb = decode_series_dfcm(words, n)
+            else:
+                ts, vb = decode_series(words, n_points=n)
         parts_ts.append(ts)
         if kinds[i] == "double":
             parts_v.append(vb.view(np.float64))
