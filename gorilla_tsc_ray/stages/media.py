@@ -68,10 +68,54 @@ def _bmp_payload(rng, width: int, height: int) -> bytes:
     return header + body
 
 
+def _avi_payload(rng, width: int, height: int, n_frames: int) -> bytes:
+    """Minimal VALID uncompressed AVI-RIFF container written with stdlib
+    ``struct`` only: ``RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh
+    strf)) LIST('movi' '00db'×frames) idx1)`` — 'DIB ' raw bottom-up BGR
+    frames with BMP row padding (the image parser's layout), no codec
+    involved.  The writer's layout is FIXED, so frame f's pixel data
+    starts at byte ``232 + f·(8 + stride·height)`` — the arithmetic the
+    SQL oracle re-derives (the WAV 44-byte-header discipline)."""
+    row = width * 3
+    stride = row + (4 - row % 4) % 4
+    fsize = stride * height
+    frames = []
+    for _ in range(n_frames):
+        f = rng.integers(0, 256, (height, stride), dtype=np.uint8)
+        f[:, row:] = 0                       # zero the row pad bytes
+        frames.append(f)
+    movi_items = b"".join(
+        b"00db" + struct.pack("<I", fsize) + f.tobytes() for f in frames)
+    movi = (b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi"
+            + movi_items)
+    strf_data = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            fsize, 0, 0, 0, 0)
+    strh_data = struct.pack("<4s4sIHHIIIIIIII4h", b"vids", b"DIB ", 0, 0,
+                            0, 0, 1, 25, 0, n_frames, fsize, 0, 0,
+                            0, 0, width, height)
+    strl = (b"LIST" + struct.pack("<I", 4 + 8 + len(strh_data)
+                                  + 8 + len(strf_data)) + b"strl"
+            + b"strh" + struct.pack("<I", len(strh_data)) + strh_data
+            + b"strf" + struct.pack("<I", len(strf_data)) + strf_data)
+    avih_data = struct.pack("<IIIIIIIIII4I", 40_000, 0, 0, 0, n_frames,
+                            0, 1, fsize, width, height, 0, 0, 0, 0)
+    hdrl = (b"LIST" + struct.pack("<I", 4 + 8 + len(avih_data) + len(strl))
+            + b"hdrl"
+            + b"avih" + struct.pack("<I", len(avih_data)) + avih_data
+            + strl)
+    idx_items = b"".join(
+        struct.pack("<4sIII", b"00db", 0x10, 4 + i * (8 + fsize), fsize)
+        for i in range(n_frames))
+    idx1 = b"idx1" + struct.pack("<I", len(idx_items)) + idx_items
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media rows (no external data): audio payloads are real
-    WAV files, image payloads real BMP files, video payloads opaque seeded
-    bytes (no stdlib video format exists — decode stays stubbed)."""
+    WAV files, image payloads real BMP files, video payloads real
+    uncompressed AVI-RIFF containers (raw DIB frames — round-5 un-stub;
+    raw video needs no codec)."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     payloads, ws, hs = [], [], []
@@ -87,11 +131,12 @@ def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
             ws.append(w)
             hs.append(h)
         else:
-            size = int(rng.integers(200, 4000))
+            w = int(rng.integers(4, 13))
+            h = int(rng.integers(4, 13))
             payloads.append(
-                rng.integers(0, 256, size, dtype=np.uint8).tobytes())
-            ws.append(int(rng.integers(16, 512)))
-            hs.append(int(rng.integers(16, 512)))
+                _avi_payload(rng, w, h, int(rng.integers(2, 7))))
+            ws.append(w)
+            hs.append(h)
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),
         "kind": pa.array(kinds.astype(object), pa.string()),
@@ -128,9 +173,10 @@ def media_parquet(sf_dir: str) -> str:
 
 
 class RealDecoder:
-    """Actor-pool stage: REAL stdlib decode for audio (WAV) and image
-    (BMP); ``kind="video"`` raises — no video codec ships in this
-    container, and pretending otherwise would fake the feature values.
+    """Actor-pool stage: REAL stdlib decode for audio (WAV), image (BMP)
+    and video (uncompressed AVI-RIFF with raw DIB frames — round-5
+    un-stub: raw video needs no codec, and the RIFF chunk walk is pure
+    ``struct``).
 
     __init__ = once-per-actor setup (struct readers); __call__ = per-batch
     decode.  The per-payload loop is inherent to opaque encoded media (a
@@ -138,19 +184,19 @@ class RealDecoder:
     """
 
     def __init__(self, kind: str = "audio") -> None:
-        if kind == "video":
-            raise NotImplementedError(
-                "no video codec is available in this environment; "
-                "FakeDecoder covers the video plumbing deterministically")
-        if kind not in ("audio", "image"):
+        if kind not in ("audio", "image", "video"):
             raise ValueError(f"unknown media kind {kind!r}")
         self.kind = kind
         self._bmp_hdr = struct.Struct("<2sIHHI")
         self._bmp_info = struct.Struct("<IiiHHIIiiII")
+        self._riff_chunk = struct.Struct("<4sI")
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        return (self._audio(df) if self.kind == "audio"
-                else self._image(df))
+        if self.kind == "audio":
+            return self._audio(df)
+        if self.kind == "image":
+            return self._image(df)
+        return self._video(df)
 
     def _audio(self, df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -215,6 +261,72 @@ class RealDecoder:
         })
 
 
+    def _video(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Proper RIFF chunk walk (never writer-offset arithmetic):
+        ``avih`` gives (w, h, n_frames), the ``movi`` list's ``00db``
+        chunks give the frames; pixel bytes exclude the BMP-style row
+        pad.  ``f0_sum``/``flast_sum`` prove per-frame addressing."""
+        n = len(df)
+        width = np.empty(n, dtype=np.int64)
+        height = np.empty(n, dtype=np.int64)
+        nframes = np.empty(n, dtype=np.int64)
+        psum = np.empty(n, dtype=np.int64)
+        pmax = np.empty(n, dtype=np.int64)
+        f0 = np.empty(n, dtype=np.int64)
+        fl = np.empty(n, dtype=np.int64)
+        for i, payload in enumerate(df["payload"]):
+            magic, _ = self._riff_chunk.unpack_from(payload, 0)
+            if magic != b"RIFF" or payload[8:12] != b"AVI ":
+                raise ValueError("not an AVI payload")
+            w = h = nf = 0
+            frames: list[np.ndarray] = []
+            pos = 12
+            while pos + 8 <= len(payload):
+                fourcc, size = self._riff_chunk.unpack_from(payload, pos)
+                if fourcc == b"LIST":
+                    ltype = payload[pos + 8:pos + 12]
+                    if ltype in (b"hdrl", b"movi"):
+                        # descend into the list
+                        pos += 12
+                        continue
+                    pos += 8 + size + (size & 1)
+                    continue
+                if fourcc == b"avih":
+                    (_, _, _, _, nf, _, _, _, w, h) = struct.unpack_from(
+                        "<10I", payload, pos + 8)
+                elif fourcc == b"00db":
+                    frames.append(np.frombuffer(payload, dtype=np.uint8,
+                                                count=size, offset=pos + 8))
+                pos += 8 + size + (size & 1)
+            if len(frames) != nf:
+                raise ValueError(f"frame count mismatch: {len(frames)} "
+                                 f"chunks vs avih {nf}")
+            row = w * 3
+            stride = row + (4 - row % 4) % 4
+            pix = np.concatenate([
+                f.reshape(h, stride)[:, :row].ravel() for f in frames
+            ]) if frames else np.array([], dtype=np.uint8)
+            width[i], height[i], nframes[i] = w, h, nf
+            psum[i] = int(pix.sum(dtype=np.int64))
+            pmax[i] = int(pix.max()) if len(pix) else 0
+            per = row * h
+            f0[i] = int(pix[:per].sum(dtype=np.int64))
+            fl[i] = int(pix[-per:].sum(dtype=np.int64)) if len(pix) else 0
+        return pd.DataFrame({
+            "media_id": df["media_id"].to_numpy(),
+            "width": width,
+            "height": height,
+            "n_frames": nframes,
+            "n_pixels": width * height * nframes,
+            "sum_rgb": psum,
+            "max_byte": pmax,
+            "mean_rgb": round_half_away(
+                psum / np.maximum(width * height * nframes * 3, 1), 6),
+            "f0_sum": f0,
+            "flast_sum": fl,
+        })
+
+
 class FakeDecoder:
     """Actor-pool stage: deterministic pseudo 'decode + feature extract'.
 
@@ -257,16 +369,31 @@ class FakeDecoder:
 
 
 def frame_sample_plan(df: pd.DataFrame, *, every_n: int = 10) -> pd.DataFrame:
-    """Video 'frame sampling' plumbing: expand each video row into frame
-    descriptors (no actual decode — indices + deterministic offsets)."""
+    """Video frame sampling: expand each video row into every-n frame
+    descriptors with REAL byte offsets from the AVI index (``idx1``
+    entries are movi-relative; +8 skips each ``00db`` chunk header)."""
     vids = df[df["kind"] == "video"]
     out_id, out_frame, out_off = [], [], []
     for mid, payload in zip(vids["media_id"], vids["payload"]):
-        n_frames = max(1, len(payload) // 100)
+        # top-level RIFF chunk walk (never substring search — raw frame
+        # bytes can contain any fourcc)
+        movi = idx1 = -1
+        pos = 12
+        while pos + 8 <= len(payload):
+            fourcc, size = struct.unpack_from("<4sI", payload, pos)
+            if fourcc == b"LIST" and payload[pos + 8:pos + 12] == b"movi":
+                movi = pos + 8
+            elif fourcc == b"idx1":
+                idx1 = pos
+            pos += 8 + size + (size & 1)
+        n_frames = struct.unpack_from("<I", payload, idx1 + 4)[0] // 16
         idx = np.arange(0, n_frames, every_n, dtype=np.int64)
+        offs = np.array([
+            struct.unpack_from("<4sIII", payload, idx1 + 8 + 16 * int(j))[2]
+            for j in idx], dtype=np.int64) + movi + 8
         out_id.append(np.full(len(idx), mid, dtype=np.int64))
         out_frame.append(idx)
-        out_off.append(idx * 100)
+        out_off.append(offs)
     if not out_id:
         return pd.DataFrame({"media_id": np.array([], dtype=np.int64),
                              "frame_idx": np.array([], dtype=np.int64),
