@@ -380,6 +380,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         #   video decode remains stubbed (FakeDecoder, pytest-covered) —
         "media_features": _media_features,
         "media_video_features": _media_video_features,
+        "emb_ivf_probe_sweep": docs.ivf_probe_sweep,
     }
 
 

@@ -120,6 +120,114 @@ def cosine_pairs_block(df: pd.DataFrame, *, id_col: str = "vec_id",
     })
 
 
+def clustered_vectors_parquet(sf_dir: str, dim: int = 32,
+                              n_clusters: int = 16,
+                              noise: float = 0.25) -> str:
+    """Deterministic CLUSTERED vector table cached in /tmp (the
+    media_parquet discipline): a mixture of ``n_clusters`` unit-sphere
+    Gaussians.  The driver-shipped ``embeddings`` table is near-random
+    (measured: IVF needs n_probe == n_lists for full recall there, so
+    list pruning is untestable on it — round-4 verdict #8); this table
+    has real cluster structure, which is what lets the IVF probe sweep
+    demonstrate a quantified recall/cost tradeoff.  Row count scales
+    with the sf tag."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.transcripts import CACHE_ROOT
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(CACHE_ROOT, f"clustered_vecs_{tag}.parquet")
+    if os.path.exists(path):
+        return path
+    try:
+        sf = float(tag.rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.01
+    n = max(2000, int(200_000 * sf))
+    rng = np.random.default_rng(91)
+    centers = _normalize(rng.normal(size=(n_clusters, dim)))
+    assign = rng.integers(0, n_clusters, n)
+    vecs = _normalize(centers[assign]
+                      + noise * rng.normal(size=(n, dim)))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "cluster": pa.array(assign.astype(np.int64)),
+        "embedding": pa.array(list(vecs.astype(np.float32)),
+                              pa.list_(pa.float32())),
+    })
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+class IVFMaskedScorer:
+    """Actor-pool stage for the IVF probe sweep: like
+    :class:`BruteForceScorer` but honouring PER-QUERY probe lists — a
+    candidate contributes to query q only when its ``list_id`` is one of
+    q's ``n_probe`` nearest lists (a union-filtered batch would let one
+    query's lists leak recall into another's)."""
+
+    def __init__(self, queries: dict[int, list[float]],
+                 allowed: np.ndarray, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 list_col: str = "list_id") -> None:
+        self.qids = np.array(sorted(queries), dtype=np.int64)
+        self.qm = _normalize(np.stack([np.asarray(queries[q], np.float64)
+                                       for q in self.qids]))
+        self.allowed = np.asarray(allowed, dtype=bool)  # (nq, n_lists)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.list_col = list_col
+
+    def __call__(self, batch) -> pd.DataFrame:
+        import pyarrow as pa
+
+        n = (len(batch) if isinstance(batch, pd.DataFrame)
+             else batch.num_rows)
+        empty = pd.DataFrame({
+            "query_id": np.array([], np.int64),
+            "vec_id": np.array([], np.int64),
+            "score": np.array([], np.float64)})
+        if n == 0:
+            return empty
+        if isinstance(batch, pd.DataFrame):
+            m = _normalize(_stack_embeddings(batch[self.vec_col]))
+            ids = batch[self.id_col].to_numpy()
+            lists = batch[self.list_col].to_numpy()
+        else:
+            col = batch.column(self.vec_col)
+            arr = (col.combine_chunks()
+                   if isinstance(col, pa.ChunkedArray) else col)
+            m = _normalize(_list_matrix(arr))
+            ids = batch.column(self.id_col).to_numpy()
+            lists = batch.column(self.list_col).to_numpy()
+        scores = self.qm @ m.T                        # (nq, nb)
+        mask = self.allowed[:, lists]                 # (nq, nb)
+        scores = np.where(mask, scores, -np.inf)
+        k = min(self.k, scores.shape[1])
+        top = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            sel = top[qi][np.isfinite(scores[qi, top[qi]])]
+            out_q.append(np.full(len(sel), self.qids[qi]))
+            out_id.append(ids[sel])
+            out_s.append(scores[qi, sel])
+        if not out_q:
+            return empty
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q).astype(np.int64),
+            "vec_id": np.concatenate(out_id).astype(np.int64),
+            "score": np.concatenate(out_s),
+        })
+
+
 def kmeans_centroids(vectors: np.ndarray, n_lists: int, seed: int = 17,
                      iters: int = 10) -> np.ndarray:
     """Tiny deterministic spherical k-means for the IVF coarse quantizer —

@@ -1513,3 +1513,22 @@ def test_docs_jsonl_source_matches_parquet(ray_session, tmp_path):
     na = _sorted(docs.emb_norms(SF).to_pandas(), ["vec_id"])
     nb = _sorted(docs.emb_norms(str(tmp_path)).to_pandas(), ["vec_id"])
     pd.testing.assert_frame_equal(na, nb)
+
+
+def test_ivf_probe_sweep_tradeoff(ray_session):
+    """The clustered-vector IVF sweep must show REAL list pruning: recall
+    monotone in n_probe, full recall at n_probe == n_lists, partial
+    recall below it (on clustered data — the driver's near-random table
+    cannot show this by construction), and scanned fraction strictly
+    increasing."""
+    from gorilla_tsc_ray.pipelines.docs import ivf_probe_sweep
+
+    df = ivf_probe_sweep("/root/testdata/sf0.001").sort_values("n_probe")
+    assert list(df["n_probe"]) == [1, 2, 4, 8, 16]
+    rec = df["mean_recall"].to_numpy()
+    frac = df["scanned_frac"].to_numpy()
+    assert (np.diff(rec) >= -1e-9).all()
+    assert rec[-1] == 1.0
+    assert rec[0] < 1.0          # pruning actually prunes
+    assert (np.diff(frac) > 0).all()
+    assert frac[-1] == 1.0 and frac[0] < 0.2
