@@ -190,10 +190,12 @@ def minhash_pairs(sf_dir: str, threshold: float = 0.5):
     the shipped data."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     # autoscaling pool: signing is the CPU-heavy stage (shingle hashing +
-    # 64 permutations); 2..8 half-cpu actors fit the 4-cpu test session
-    # and still fan out on a full node
+    # 64 permutations) and the measured wall of the whole pipeline —
+    # size the cap to the SESSION (all cores as half-cpu actors), not a
+    # fixed 8 (which throttled a 32-cpu session to 4 signing CPUs)
     bands = ds.map_batches(dd.MinHasher, batch_format="pyarrow",
-                           concurrency=(2, 8), num_cpus=0.5)
+                           concurrency=_pool_size(sf_dir, "documents"),
+                           num_cpus=0.5)
     cands = hash_exchange(
         bands, key_fn=_pair_hash_key(["band", "band_hash"]),
         n_parts=N_DOC_PARTS,
@@ -227,6 +229,32 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 
 
 N_DOC_PARTS = 32
+
+
+def _pool_size(sf_dir: str, table: str, per_actor_mb: float = 0.25,
+               lo: int = 2) -> int:
+    """FIXED actor-pool size for a CPU-heavy half-cpu stage, scaled to
+    the INPUT VOLUME (≈ one actor per 0.25 MB of source parquet — text
+    decompresses ~10×) and clamped to 2×CPUs.  Measured (round 5,
+    BASELINE.md): AUTOSCALING (2, cap) pools pay their ramp on every
+    invocation — sf0.1 minhash wall 2.6 s under (2, 8) and (2, 64)
+    alike vs 1.8 s with a fixed 4 — and a pool larger than the data
+    splits a sub-second stage across actor startups (fixed 32 = 1.4 s).
+    A fixed volume-scaled pool is both the small-sf and the 100 TB
+    answer: tiny inputs get a couple of warm actors, petabyte inputs
+    clamp to every core."""
+    import glob
+    import os
+
+    import ray
+
+    mb = sum(os.path.getsize(p) for p in
+             glob.glob(os.path.join(sf_dir, f"{table}.*"))) / 1e6
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cpus = 16
+    return int(max(lo, min(2 * cpus, mb // per_actor_mb + lo)))
 
 
 def _pair_hash_key(cols, n_parts: int = N_DOC_PARTS):
@@ -759,7 +787,7 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.3,
     # exchanges (vectors ride once per vector).
     rows = ds.map_batches(
         sim.MultiHyperplaneLSH, batch_format="pyarrow",
-        concurrency=2, num_cpus=0.5,
+        concurrency=_pool_size(sf_dir, "embeddings"), num_cpus=0.5,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
                                "n_tables": n_tables})
     if triangle_groups:
