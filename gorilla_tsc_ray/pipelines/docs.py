@@ -1,4824 +1,40 @@
 """Training-data pipelines over ``documents`` and ``embeddings`` —
 dedup family, text analysis, similarity search.
 
-Each function takes ``sf_dir`` → Ray Dataset; oracle SQL lives in
+Each function takes ``sf_dir`` -> Ray Dataset; oracle SQL lives in
 ``__ray_entry__``.  Shuffle discipline: fingerprint/signature columns ride
 the shuffles, never full documents; pair generation happens inside bounded
 buckets (digest / LSH band / label / lang blocks).
+
+Round 5: the 4.8k-line monolith is split into per-family modules
+(docs_shared / docs_dedup / docs_analysis); this facade re-exports every
+public name unchanged, plus the internal helpers tests reach for.
 """
 
-from __future__ import annotations
-
-import numpy as np
-import pandas as pd
-import pyarrow.parquet as pq
-
-from ..context import tune_context
-from ..stages import dedup as dd
-from ..stages.exchange import hash_exchange, hash_exchange_multi
-from ..stages import similarity as sim
-from ..stages import text as tx
-
-
-def _read(sf_dir: str, table: str, columns=None):
-    """Format-autodetecting table read (parquet > csv > jsonl — the
-    events-table convention) with canonical types enforced on the
-    non-parquet paths (JSONL infers int64/float64; embeddings re-cast to
-    the parquet-canonical list<float32> so every downstream kernel sees
-    one value space)."""
-    import pyarrow as pa
-
-    from ..sources.tables import read_table_auto
-
-    tune_context()
-    cast = {
-        "documents": {"doc_id": pa.int64(), "n_chars": pa.int64()},
-        "embeddings": {"vec_id": pa.int64(), "label": pa.int32(),
-                       "embedding": pa.list_(pa.float32())},
-    }.get(table)
-    return read_table_auto(sf_dir, table, columns=columns, cast=cast)
-
-
-def _read_emb_head(sf_dir: str, columns, vec_id_lt: int) -> pd.DataFrame:
-    """Bounded embedding rows (``vec_id < n``) through the SAME
-    format-autodetect path as the corpus reads: parquet gets the pushed
-    row filter, CSV/JSONL fall back to a filtered Dataset collect
-    (bounded by construction — anchor/query/train sets are capped).
-    Direct ``pq.read_table`` here broke JSONL-only tables (round-4
-    ADVICE)."""
-    import os
-
-    p = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    if os.path.exists(p):
-        return pq.read_table(
-            p, columns=columns,
-            filters=[("vec_id", "<", vec_id_lt)]).to_pandas()
-
-    import pyarrow.compute as pc
-
-    ds = _read(sf_dir, "embeddings", columns)
-
-    def keep(tbl):
-        return tbl.filter(pc.less(tbl["vec_id"], vec_id_lt))
-
-    return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
-
-
-# ---------- text analysis ----------
-
-def token_stats(sf_dir: str):
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        tx.token_stats_arrow, batch_format="pyarrow")
-
-
-def quality(sf_dir: str):
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        tx.quality_scores_arrow, batch_format="pyarrow")
-
-
-def lang_id(sf_dir: str):
-    """Actor-pool stage (compiled regexes once per actor)."""
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        tx.LangIdArrow, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
-
-
-def fingerprints(sf_dir: str):
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        tx.fingerprint, batch_format="pyarrow")
-
-
-# ---------- dedup ----------
-
-def exact_dedup(sf_dir: str):
-    """Exact dedup: content digest → ONE digest-hash exchange → vectorized
-    per-partition keep-first (min doc_id) + group size.  Only (doc_id,
-    digest, 1) rides the exchange, never documents; the partition kernel is
-    sort + run bounds, not one call per digest group — and it is
-    SELF-MERGING (same in/out schema, min-of-mins / sum-of-counts), so the
-    reduce streams through it in bounded chunks (``chunk_rows``): an
-    oversized digest partition never has to fit a task at once."""
-
-    def with_unit(df: pd.DataFrame) -> pd.DataFrame:
-        out = dd.add_digest(df)[["digest", "doc_id"]]
-        out["n_dups"] = np.int64(1)
-        return out
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        with_unit, batch_format="pandas")
-
-    def dedup_partial(df: pd.DataFrame) -> pd.DataFrame:
-        dig = df["digest"].to_numpy().astype(np.uint64)
-        ids = df["doc_id"].to_numpy()
-        cnt_in = df["n_dups"].to_numpy()
-        order = np.lexsort((ids, dig))
-        dig, ids, cnt_in = dig[order], ids[order], cnt_in[order]
-        change = np.concatenate(([True], dig[1:] != dig[:-1]))
-        starts = np.flatnonzero(change)
-        bounds = np.append(starts, len(dig))
-        csum = np.concatenate(([0], np.cumsum(cnt_in)))
-        return pd.DataFrame({"digest": dig[starts],
-                             "doc_id": ids[starts],  # min id: ids sorted
-                             "n_dups": (csum[bounds[1:]]
-                                        - csum[starts]).astype(np.int64)})
-
-    return hash_exchange(
-        ds, key_fn=_pair_hash_key(["digest"]), n_parts=N_DOC_PARTS,
-        kernel=dedup_partial, fmt="pandas", chunk_rows=1 << 20,
-        final_kernel=lambda df: df[["doc_id", "n_dups"]])
-
-
-def emb_centroids(sf_dir: str):
-    """Per-label embedding centroid (vector aggregation): each batch
-    reduces to one float64 sum vector + count per label (``np.add.at`` on
-    the (labels, dim) matrix), flattened to (label, dim, s, cnt) rows so
-    nothing list-typed rides the exchange; one label-dim-hash exchange
-    merges partials and emits flat (label, dim, cnt, centroid) rows —
-    list-free output keeps the driver compare dtype-stable."""
-    import pyarrow as pa
-
-    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
-
-    def partial(t: pa.Table) -> pd.DataFrame:
-        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
-        col = t.column("embedding")
-        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-               else col)
-        mat = sim._list_matrix(arr)
-        if mat.size == 0:
-            return pd.DataFrame({"label": [], "dim": [], "s": [], "cnt": []})
-        labs, codes = np.unique(lab, return_inverse=True)
-        sums = np.zeros((len(labs), mat.shape[1]))
-        np.add.at(sums, codes, mat)
-        counts = np.bincount(codes).astype(np.int64)
-        dim = mat.shape[1]
-        return pd.DataFrame({
-            "label": np.repeat(labs, dim),
-            "dim": np.tile(np.arange(dim, dtype=np.int64), len(labs)),
-            "s": sums.reshape(-1),
-            "cnt": np.repeat(counts, dim),
-        })
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["label", "dim", "cnt", "centroid"]
-        if len(df) == 0:
-            return pd.DataFrame({c: [] for c in cols})
-        g = (df.groupby(["label", "dim"], sort=True)[["s", "cnt"]]
-             .sum().reset_index())
-        from ..util import round_half_away
-        g["centroid"] = round_half_away(
-            g["s"].to_numpy() / g["cnt"].to_numpy(), 6)
-        g["cnt"] = g["cnt"].astype(np.int64)
-        return g[cols]
-
-    return hash_exchange(partials, key_fn=_pair_hash_key(["label", "dim"]),
-                         n_parts=N_DOC_PARTS, kernel=merge, fmt="pandas")
-
-
-def minhash_pairs(sf_dir: str, threshold: float = 0.5):
-    """MinHash+LSH near-dup pairs, EXACT-VERIFIED: sign (actor pool) emits
-    (doc, band, band_hash) rows only → ONE candidate exchange on (band,
-    band_hash) → id-pair candidates → exact word-3-shingle Jaccard ≥
-    ``threshold`` via the id-keyed shingle-set payload exchanges.
-
-    Oracle-checkable (round 3): the output is deterministic — pairs whose
-    exact shingle Jaccard clears the threshold among LSH candidates.  With
-    32 bands × 2 rows, a pair at Jaccard j collides in ≥1 band w.p.
-    1−(1−j²)³², i.e. ≥0.9999 at j=0.5 — candidate recall is gated against
-    the SQL all-pairs truth in tests so the oracle comparison is exact on
-    the shipped data."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    # autoscaling pool: signing is the CPU-heavy stage (shingle hashing +
-    # 64 permutations) and the measured wall of the whole pipeline —
-    # size the cap to the SESSION (all cores as half-cpu actors), not a
-    # fixed 8 (which throttled a 32-cpu session to 4 signing CPUs)
-    bands = ds.map_batches(dd.MinHasher, batch_format="pyarrow",
-                           concurrency=_pool_size(sf_dir, "documents"),
-                           num_cpus=0.5)
-    cands = hash_exchange(
-        bands, key_fn=_pair_hash_key(["band", "band_hash"]),
-        n_parts=N_DOC_PARTS,
-        kernel=dd.candidate_pairs_partition, fmt="pandas",
-        kernel_kwargs={"bucket_cols": ["band", "band_hash"]})
-    sets = ds.map_batches(dd.shingle_sets_table,
-                          batch_format="pyarrow").materialize()
-    return _verify_id_pairs(
-        cands, sets, payload_id="doc_id", payload_col="elems",
-        attach_out="elems_a",
-        verify_kernel=dd.set_jaccard_verify,
-        verify_kwargs={"threshold": threshold, "sim_col": "jaccard"})
-
-
-def simhash_pairs(sf_dir: str, max_hamming: int = 3):
-    """SimHash near-dup pairs via 16-bit segment blocking.  The default
-    max_hamming=3 is EXHAUSTIVE (pigeonhole over 4 segments: ≤3 differing
-    bits leave ≥1 segment equal), which is what makes the operator
-    SQL-oracle-checkable; wider distances are best-effort recall."""
-    import ray.data  # noqa: F401
-
-    sh = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        dd.simhash_batch, batch_format="pyarrow")
-    parts = []
-    for seg in range(4):
-        parts.append(_bucketed_pairs(
-            sh, [f"seg{seg}"],
-            lambda g: dd.simhash_segment_pairs(g, max_hamming=max_hamming)))
-    allp = parts[0].union(*parts[1:])
-    return _dedup_pairs(allp, ["id_a", "id_b", "hamming"])
-
-
-N_DOC_PARTS = 32
-
-
-def _pool_size(sf_dir: str, table: str, per_actor_mb: float = 0.25,
-               lo: int = 2) -> int:
-    """FIXED actor-pool size for a CPU-heavy half-cpu stage, scaled to
-    the INPUT VOLUME (≈ one actor per 0.25 MB of source parquet — text
-    decompresses ~10×) and clamped to 2×CPUs.  Measured (round 5,
-    BASELINE.md): AUTOSCALING (2, cap) pools pay their ramp on every
-    invocation — sf0.1 minhash wall 2.6 s under (2, 8) and (2, 64)
-    alike vs 1.8 s with a fixed 4 — and a pool larger than the data
-    splits a sub-second stage across actor startups (fixed 32 = 1.4 s).
-    A fixed volume-scaled pool is both the small-sf and the 100 TB
-    answer: tiny inputs get a couple of warm actors, petabyte inputs
-    clamp to every core."""
-    import glob
-    import os
-
-    import ray
-
-    mb = sum(os.path.getsize(p) for p in
-             glob.glob(os.path.join(sf_dir, f"{table}.*"))) / 1e6
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 16))
-    except Exception:
-        cpus = 16
-    return int(max(lo, min(2 * cpus, mb // per_actor_mb + lo)))
-
-
-def _pair_hash_key(cols, n_parts: int = N_DOC_PARTS):
-    from ..util import arrow_key_ids
-
-    def key_fn(tbl):
-        return arrow_key_ids(tbl, cols, n_parts)
-    return key_fn
-
-
-def _dedup_pairs(pairs_ds, out_cols):
-    # (id_a, id_b) dedup: ONE hash exchange + vectorized drop_duplicates
-    # per partition (a per-group UDF on pair-cardinality keys would cost
-    # ms per pair).  drop_duplicates is self-merging → chunked reduce
-    # (spill-aware: a skewed pair partition streams through in chunks).
-    return hash_exchange(
-        pairs_ds, key_fn=_pair_hash_key(["id_a", "id_b"]),
-        n_parts=N_DOC_PARTS,
-        kernel=lambda df: df.drop_duplicates(["id_a", "id_b"],
-                                             ignore_index=True)[out_cols],
-        fmt="pandas", chunk_rows=1 << 20)
-
-
-def _bucketed_pairs(rows_ds, bucket_cols, per_bucket_kernel):
-    # group candidate rows by bucket INSIDE hash partitions: one exchange,
-    # then a pandas groupby loop per partition (buckets are small by
-    # construction; the loop replaces one Ray group-task per bucket)
-    def kernel(df):
-        parts = [per_bucket_kernel(g)
-                 for _, g in df.groupby(bucket_cols, sort=False,
-                                        observed=True)]
-        if not parts:
-            return per_bucket_kernel(df)
-        return pd.concat(parts, ignore_index=True)
-
-    return hash_exchange(rows_ds, key_fn=_pair_hash_key(bucket_cols),
-                         n_parts=N_DOC_PARTS, kernel=kernel, fmt="pandas")
-
-
-# payload tables at or below this size verify via ONE broadcast exchange
-# instead of the two co-partitioned payload exchanges (a ray.put'd payload
-# is fetched zero-copy once per task; the a-side payload column otherwise
-# rides the verify exchange once per PAIR, the dominant volume on
-# near-dup-heavy data).  64 MB is comfortable worker-heap territory;
-# corpus-scale payloads always exceed it and take the exchange route.
-BROADCAST_PAYLOAD_BYTES = 64 << 20
-
-
-def _verify_id_pairs(cands_ds, payload_ds, *, payload_id: str,
-                     payload_col: str, attach_out: str, verify_kernel,
-                     verify_kwargs: dict, n_parts: int = N_DOC_PARTS):
-    """Slim pair-verify: candidate (id_a, id_b) rows → exact verification,
-    broadcast-or-shuffle selected by payload size.
-
-    Small payload (≤ ``BROADCAST_PAYLOAD_BYTES``): ONE exchange on
-    hash(id_a, id_b) dedups the pairs and probes both sides' payloads from
-    a broadcast table (:func:`...stages.dedup.pair_verify_bcast`).
-
-    Large payload: two co-partitioned exchanges — exchange A (pairs by
-    hash(id_a) × payload by hash(id)) dedups the pairs and attaches a's
-    payload; exchange B (by id_b) attaches b's and runs the vectorized
-    verify kernel.  Payload rows ride each exchange once per doc/vector,
-    never once per candidate row."""
-    import pyarrow as pa
-    import ray
-
-    size = payload_ds.size_bytes() or 0
-    if 0 < size <= BROADCAST_PAYLOAD_BYTES:
-        blocks = [t.replace_schema_metadata(None)
-                  for t in ray.get(payload_ds.to_arrow_refs())]
-        ref = ray.put(pa.concat_tables(
-            [b.select([payload_id, payload_col]) for b in blocks]))
-        return hash_exchange(
-            cands_ds, key_fn=_pair_hash_key(["id_a", "id_b"]),
-            n_parts=n_parts, kernel=dd.pair_verify_bcast, fmt="pyarrow",
-            kernel_kwargs={
-                "payload_ref": ref, "id_col": payload_id,
-                "payload_col": payload_col, "attach_out": attach_out,
-                "verify_kernel": verify_kernel,
-                "verify_kwargs": {**verify_kwargs, "id_col": payload_id}})
-    paired = hash_exchange_multi(
-        [(cands_ds, _pair_hash_key(["id_a"])),
-         (payload_ds, _pair_hash_key([payload_id]))],
-        n_parts=n_parts, kernel=dd.attach_payload_a, fmt="pyarrow",
-        kernel_kwargs={"id_col": payload_id, "payload_col": payload_col,
-                       "out_col": attach_out})
-    return hash_exchange_multi(
-        [(paired, _pair_hash_key(["id_b"])),
-         (payload_ds, _pair_hash_key([payload_id]))],
-        n_parts=n_parts, kernel=verify_kernel, fmt="pyarrow",
-        kernel_kwargs={**verify_kwargs, "id_col": payload_id})
-
-
-def _common_rank(ds, *, text_col: str = "text", charset: bool = False,
-                 top_k: int = 65536, sample_rows: int = 1_000_000) -> dict:
-    """Estimate the most frequent elements (tokens or characters) and
-    return element → rank.  The rank's sole job is to push frequent
-    elements OUT of the prefix window — ANY consistent order keeps the
-    join exact — so the estimate is BOUNDED by construction (round 3):
-    at most ``sample_rows`` docs are read (deterministic limit), each
-    batch contributes a vectorized factorize+bincount truncated to its
-    local top-k, and only ≤ batches×top_k (element, count) rows reach the
-    driver — never a full corpus vocabulary."""
-
-    def counts(df: pd.DataFrame) -> pd.DataFrame:
-        codes, uniq, lens = dd._element_codes(df[text_col], charset)
-        if len(codes) == 0:
-            return pd.DataFrame({"e": np.array([], dtype=object),
-                                 "n": np.array([], dtype=np.int64)})
-        # distinct per doc (set semantics, matching the join's sets)
-        _, c = dd._distinct_doc_pairs(codes, lens, len(uniq))
-        n = np.bincount(c, minlength=len(uniq)).astype(np.int64)
-        if len(uniq) > top_k:
-            sel = np.argpartition(-n, top_k - 1)[:top_k]
-            return pd.DataFrame({"e": uniq[sel], "n": n[sel]})
-        return pd.DataFrame({"e": uniq, "n": n})
-
-    agg = ds.limit(sample_rows).map_batches(
-        counts, batch_format="pandas").to_pandas()
-    top = agg.groupby("e", sort=False)["n"].sum().nlargest(top_k)
-    return {e: i for i, e in enumerate(top.index)}
-
-
-def _prefix_candidates(rows, *, bucket_cols, threshold: float,
-                       hot_bucket: int | None = None,
-                       n_groups: int = 8):
-    """Candidate id pairs from prefix rows: ONE (bucket)-hash exchange with
-    the in-loop PPJoin filters — plus, behind the opt-in ``hot_bucket``
-    trigger, 2D triangle blocking for buckets whose row count exceeds the
-    cap (VERDICT r3 #9 / CLAUDE r4 #1).
-
-    With ``hot_bucket`` set, an exact count pre-pass finds hot buckets
-    (only buckets OVER the cap reach the driver — a bounded set by
-    construction), hot rows triangle-expand so the exchange spreads one
-    bucket's n²/2 pairs over g(g+1)/2 cells/tasks, and cold rows take the
-    normal route.  Hot-cell enumeration skips the PPJoin positional filter
-    (a superset — the exact verify downstream keeps only true pairs), so
-    the union is exactly the un-truncated flat enumeration (test-pinned).
-    Default ``None`` = off: zero overhead, and the count pre-pass over
-    near-unique shingle tokens would otherwise double the dominant
-    shuffle — enable it for workloads with known hot keys."""
-    flat = hash_exchange(
-        rows, key_fn=_pair_hash_key(bucket_cols), n_parts=N_DOC_PARTS,
-        kernel=dd.candidate_pairs_partition, fmt="pandas",
-        kernel_kwargs={"bucket_cols": bucket_cols,
-                       "jaccard_threshold": threshold})
-    if hot_bucket is None:
-        return flat
-
-    import pyarrow as pa
-    import ray
-
-    def cnt_partial(tbl):
-        out = tbl.group_by(bucket_cols).aggregate([("doc_id", "count")])
-        return out.rename_columns(list(bucket_cols) + ["n"])
-
-    def cnt_merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(list(bucket_cols), sort=False)["n"].sum()
-        out = out[out > hot_bucket].reset_index()
-        return out
-
-    hot = hash_exchange(
-        rows.map_batches(cnt_partial, batch_format="pyarrow"),
-        key_fn=_pair_hash_key(bucket_cols), n_parts=N_DOC_PARTS,
-        kernel=cnt_merge, fmt="pandas").to_pandas()
-    if len(hot) == 0:
-        return flat
-
-    hot_keys = set(map(tuple, hot[list(bucket_cols)].itertuples(
-        index=False, name=None)))
-    ref = ray.put(hot_keys)
-
-    def split_mask(tbl):
-        keys = ray.get(ref)
-        cols = [tbl.column(c).to_numpy(zero_copy_only=False)
-                for c in bucket_cols]
-        mask = np.fromiter(
-            (t in keys for t in zip(*cols)), dtype=bool, count=len(cols[0]))
-        return mask
-
-    def cold_rows(tbl):
-        return tbl.filter(pa.array(~split_mask(tbl)))
-
-    def hot_rows(tbl):
-        sub = tbl.filter(pa.array(split_mask(tbl)))
-        if sub.num_rows == 0:
-            return dd.triangle_expand(sub, id_col="doc_id",
-                                      n_groups=n_groups)
-        return dd.triangle_expand(sub, id_col="doc_id", n_groups=n_groups)
-
-    cold = hash_exchange(
-        rows.map_batches(cold_rows, batch_format="pyarrow"),
-        key_fn=_pair_hash_key(bucket_cols), n_parts=N_DOC_PARTS,
-        kernel=dd.candidate_pairs_partition, fmt="pandas",
-        kernel_kwargs={"bucket_cols": bucket_cols,
-                       "jaccard_threshold": threshold})
-    tri_cols = list(bucket_cols) + ["ci", "cj"]
-    hot_cands = hash_exchange(
-        rows.map_batches(hot_rows, batch_format="pyarrow"),
-        key_fn=_pair_hash_key(tri_cols), n_parts=N_DOC_PARTS,
-        kernel=dd.triangle_pairs_partition, fmt="pandas",
-        kernel_kwargs={"bucket_cols": bucket_cols, "id_col": "doc_id",
-                       "n_groups": n_groups})
-    return cold.union(hot_cands)
-
-
-def _prefix_filtered_pairs(sf_dir: str, *, threshold: float, charset: bool,
-                           sim_col: str, hot_bucket: int | None = None):
-    """Exact set-similarity join: prefix-token blocking (100% recall at the
-    threshold — outputs equal the all-pairs SQL oracle) + exact verify via
-    the id-keyed payload exchanges.
-
-    Round-3 shape: the candidate exchange ships (doc_id, block, tok) rows
-    only; the order-sorted element-hash sets (explicit ``list<uint64>`` —
-    no pandas→Arrow tensor inference, the round-2 schema flake) are
-    materialized once and ride the two verify exchanges once per doc."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    rank = _common_rank(ds, charset=charset)
-    sets = ds.map_batches(
-        dd.doc_sets_table, batch_format="pyarrow",
-        fn_kwargs={"order_rank": rank, "charset": charset,
-                   "block_col": "lang"}).materialize()
-    rows = sets.map_batches(dd.prefix_token_rows, batch_format="pyarrow",
-                            fn_kwargs={"threshold": threshold})
-    cands = _prefix_candidates(rows, bucket_cols=["block", "tok"],
-                               threshold=threshold, hot_bucket=hot_bucket)
-    return _verify_id_pairs(
-        cands, sets.select_columns(["doc_id", "elems"]),
-        payload_id="doc_id", payload_col="elems", attach_out="elems_a",
-        verify_kernel=dd.set_jaccard_verify,
-        verify_kwargs={"threshold": threshold, "sim_col": sim_col})
-
-
-def charset_jaccard(sf_dir: str, threshold: float = 0.8,
-                    hot_bucket: int | None = None):
-    """Exact char-set Jaccard pairs — semantics of DuckDB ``jaccard()``
-    within language blocks (oracle-checked), computed with the prefix
-    filter join (scale-safe; no lang-wide all-pairs)."""
-    return _prefix_filtered_pairs(sf_dir, threshold=threshold, charset=True,
-                                  sim_col="jaccard_sim",
-                                  hot_bucket=hot_bucket)
-
-
-def ngram_jaccard(sf_dir: str, threshold: float = 0.5, k: int = 3,
-                  hot_bucket: int | None = None):
-    """Exact word-k-gram (shingle) set-Jaccard join — DETERMINISTIC 100%
-    recall via the AllPairs/PPJoin prefix filter over hash-sorted shingle
-    sets (no LSH probability argument, unlike :func:`minhash_pairs` which
-    shares the same SQL truth but generates candidates via banded LSH).
-    Shingle hashes are near-unique, so hash order serves as the global
-    prefix order and no frequency-rank estimation pass is needed; there is
-    no block column — blocking comes entirely from shared prefix shingles."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return shingle_jaccard_pairs(ds, threshold=threshold, k=k,
-                                 hot_bucket=hot_bucket)
-
-
-def shingle_jaccard_pairs(ds, threshold: float = 0.5, k: int = 3,
-                          hot_bucket: int | None = None,
-                          sim_col: str = "ngram_jaccard"):
-    """:func:`ngram_jaccard`'s machinery over ANY ``(doc_id, text)``
-    dataset — the payload-agnostic seam that lets the dedup family run on
-    derived corpora (e.g. conversation-level transcripts,
-    :func:`~gorilla_tsc_ray.pipelines.ingest.near_dup_convs`)."""
-    sets = ds.map_batches(dd.shingle_sets_table, batch_format="pyarrow",
-                          fn_kwargs={"k": k}).materialize()
-    rows = sets.map_batches(dd.prefix_token_rows, batch_format="pyarrow",
-                            fn_kwargs={"threshold": threshold})
-    cands = _prefix_candidates(rows, bucket_cols=["tok"],
-                               threshold=threshold, hot_bucket=hot_bucket)
-    return _verify_id_pairs(
-        cands, sets.select_columns(["doc_id", "elems"]),
-        payload_id="doc_id", payload_col="elems", attach_out="elems_a",
-        verify_kernel=dd.set_jaccard_verify,
-        verify_kwargs={"threshold": threshold, "sim_col": sim_col})
-
-
-def token_jaccard(sf_dir: str, threshold: float = 0.5,
-                  hot_bucket: int | None = None):
-    """Exact token-set Jaccard pairs (the n-gram Jaccard operator with
-    n=1; oracle-checked via DuckDB list functions), computed with the
-    prefix filter join."""
-    return _prefix_filtered_pairs(sf_dir, threshold=threshold, charset=False,
-                                  sim_col="token_jaccard",
-                                  hot_bucket=hot_bucket)
-
-
-# ---------- similarity search ----------
-
-def _query_vectors(sf_dir: str, n_queries: int = 5) -> dict[int, list[float]]:
-    """Query rows only — the predicate is pushed into the parquet scan so
-    the driver never materializes the corpus (round-1 scale bug)."""
-    df = _read_emb_head(sf_dir, ["vec_id", "embedding"], n_queries)
-    return {int(r.vec_id): list(r.embedding) for r in df.itertuples()}
-
-
-def knn(sf_dir: str, k: int = 10, n_queries: int = 5):
-    """Brute-force cosine top-k: broadcast query matrix, per-batch matmul +
-    local top-k, final per-query merge."""
-    queries = _query_vectors(sf_dir, n_queries)
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cands = ds.map_batches(
-        sim.BruteForceScorer, batch_format="pyarrow", concurrency=2, num_cpus=0.5,
-        fn_constructor_kwargs={"queries": queries, "k": k})
-    return cands.groupby("query_id").map_groups(
-        sim.topk_merge, batch_format="pandas", fn_kwargs={"k": k})
-
-
-def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 5):
-    """LSH-bucketed ANN: hyperplane buckets, search only the query's bucket
-    (approximate — recall measured in tests, not oracle-compared)."""
-    queries = _query_vectors(sf_dir, n_queries)
-    dim = len(next(iter(queries.values())))
-    hasher = sim.HyperplaneLSH(dim)
-    qdf = pd.DataFrame({"vec_id": list(queries), "embedding": list(queries.values())})
-    qbuckets = dict(zip(hasher(qdf)["vec_id"], hasher(qdf)["bucket"]))
-
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        sim.HyperplaneLSH, batch_format="pyarrow", concurrency=2,
-        num_cpus=0.5, fn_constructor_kwargs={"dim": dim})
-    wanted = sorted(int(b) for b in set(qbuckets.values()))
-
-    def in_buckets(t):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        return t.filter(pc.is_in(t["bucket"],
-                                 value_set=pa.array(wanted, pa.int64())))
-
-    cands = ds.map_batches(in_buckets, batch_format="pyarrow").map_batches(
-        sim.BruteForceScorer, batch_format="pyarrow", concurrency=2, num_cpus=0.5,
-        fn_constructor_kwargs={"queries": queries, "k": k})
-    return cands.groupby("query_id").map_groups(
-        sim.topk_merge, batch_format="pandas", fn_kwargs={"k": k})
-
-
-def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
-            n_lists: int = 16, n_probe: int = 4,
-            train_sample: int = 4096):
-    """IVF ANN: spherical-k-means coarse quantizer (trained on a CAPPED
-    sample, centroids broadcast) → per-vector inverted-list assignment →
-    probe only the queries' ``n_probe`` nearest lists → brute-force score
-    the surviving candidates → per-query top-k merge.  Approximate —
-    recall vs exact kNN gated in tests."""
-    queries = _query_vectors(sf_dir, n_queries)
-
-    train = _read_emb_head(sf_dir, ["vec_id", "embedding"], train_sample)
-    tm = np.stack([np.asarray(v, np.float64)
-                   for v in train["embedding"]])
-    cent = sim.kmeans_centroids(tm, n_lists)
-
-    qm = np.stack([np.asarray(queries[q], np.float64)
-                   for q in sorted(queries)])
-    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
-    probe = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]
-    wanted = set(int(x) for x in probe.ravel())
-
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        sim.IVFAssign, batch_format="pyarrow", concurrency=2, num_cpus=0.5,
-        fn_constructor_kwargs={"centroids": cent})
-    wanted_arr = sorted(wanted)
-
-    def in_lists(t):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        return t.filter(pc.is_in(t["list_id"],
-                                 value_set=pa.array(wanted_arr, pa.int64())))
-
-    cands = ds.map_batches(in_lists, batch_format="pyarrow").map_batches(
-        sim.BruteForceScorer, batch_format="pyarrow", concurrency=2,
-        num_cpus=0.5, fn_constructor_kwargs={"queries": queries, "k": k})
-    return cands.groupby("query_id").map_groups(
-        sim.topk_merge, batch_format="pandas", fn_kwargs={"k": k})
-
-
-def knn_with_recall(sf_dir: str, method: str = "lsh", k: int = 10,
-                    n_queries: int = 5):
-    """ANN top-k with MEASURED recall surfaced at the gate (VERDICT r3
-    #5): run the approximate path and the exact brute-force path, and
-    attach per-query ``recall_vs_exact`` (|approx ∩ exact| / k) so the
-    driver's rows-only record carries a quantitative quality number
-    instead of bare ids.  Both result sets are n_queries×k rows — the
-    driver-side join is over bounded frames, never corpus data."""
-    approx_fn = knn_lsh if method == "lsh" else knn_ivf
-    exact = knn(sf_dir, k=k, n_queries=n_queries).to_pandas()
-    approx = approx_fn(sf_dir, k=k, n_queries=n_queries).to_pandas()
-    truth = exact.groupby("query_id")["vec_id"].agg(set)
-
-    def recall_of(g: pd.DataFrame) -> float:
-        t = truth.get(g.name, set())
-        return len(set(g["vec_id"]) & t) / max(len(t), 1)
-
-    per_q = approx.groupby("query_id")[["query_id", "vec_id"]].apply(
-        recall_of)
-    approx["recall_vs_exact"] = approx["query_id"].map(per_q)
-    return approx
-
-
-def ivf_probe_sweep(sf_dir: str, k: int = 10, n_queries: int = 20,
-                    n_lists: int = 16, probes=(1, 2, 4, 8, 16),
-                    train_sample: int = 4096):
-    """Quantified IVF recall/cost sweep over a CLUSTERED vector table
-    (round-4 verdict #8): the driver-shipped embeddings are near-random,
-    where IVF pruning cannot work by construction (measured: n_probe ==
-    n_lists needed for full recall); the deterministic mixture-of-
-    Gaussians table has real cluster structure, so the sweep shows the
-    genuine tradeoff — one row per ``n_probe`` with the mean recall vs
-    exact brute force and the mean fraction of the corpus scanned.
-
-    Per-query probing is honest: the masked scorer only credits a
-    candidate to queries whose probe set contains its list (a plain
-    union filter would leak recall between queries).  The inverted-list
-    assignment runs ONCE (actor pool, broadcast centroids) and is
-    reused across all probe levels; scanned fractions come from the
-    per-list size histogram (a tiny aggregate), not extra passes."""
-    import pyarrow.parquet as _pq
-    import ray.data
-
-    tune_context()
-    path = sim.clustered_vectors_parquet(sf_dir)
-    qtb = _pq.read_table(path, columns=["vec_id", "embedding"],
-                         filters=[("vec_id", "<", n_queries)]).to_pandas()
-    queries = {int(i): np.asarray(v, np.float64)
-               for i, v in zip(qtb["vec_id"], qtb["embedding"])}
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
-    exact = ds.map_batches(
-        sim.BruteForceScorer, batch_format="pyarrow", concurrency=2,
-        num_cpus=0.5,
-        fn_constructor_kwargs={"queries": queries, "k": k},
-    ).groupby("query_id").map_groups(
-        sim.topk_merge, batch_format="pandas",
-        fn_kwargs={"k": k}).to_pandas()
-    truth = exact.groupby("query_id")["vec_id"].agg(set)
-
-    train = _pq.read_table(path, columns=["embedding"],
-                           filters=[("vec_id", "<", train_sample)]
-                           ).to_pandas()
-    tm = np.stack([np.asarray(v, np.float64) for v in train["embedding"]])
-    cent = sim.kmeans_centroids(tm, n_lists)
-    assigned = ds.map_batches(
-        sim.IVFAssign, batch_format="pyarrow", concurrency=2,
-        num_cpus=0.5,
-        fn_constructor_kwargs={"centroids": cent}).materialize()
-    sizes_df = assigned.groupby("list_id").count().to_pandas()
-    list_sizes = np.zeros(n_lists, np.int64)
-    list_sizes[sizes_df["list_id"].to_numpy()] = (
-        sizes_df["count()"].to_numpy())
-    n_total = int(list_sizes.sum())
-
-    qm = np.stack([queries[q] for q in sorted(queries)])
-    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True),
-                         1e-300)
-    order = np.argsort(-(qm @ cent.T), axis=1)
-
-    rows = []
-    for n_probe in probes:
-        allowed = np.zeros((len(qm), n_lists), dtype=bool)
-        for qi in range(len(qm)):
-            allowed[qi, order[qi, :n_probe]] = True
-        union = sorted(set(int(x) for x in order[:, :n_probe].ravel()))
-
-        def in_union(t, _u=union):
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
-            return t.filter(pc.is_in(
-                t["list_id"], value_set=pa.array(_u, pa.int64())))
-
-        approx = assigned.map_batches(
-            in_union, batch_format="pyarrow",
-        ).map_batches(
-            sim.IVFMaskedScorer, batch_format="pyarrow", concurrency=2,
-            num_cpus=0.5,
-            fn_constructor_kwargs={"queries": queries,
-                                   "allowed": allowed, "k": k},
-        ).groupby("query_id").map_groups(
-            sim.topk_merge, batch_format="pandas",
-            fn_kwargs={"k": k}).to_pandas()
-        rec = [len(set(approx.loc[approx["query_id"] == q, "vec_id"]) & t)
-               / max(len(t), 1) for q, t in truth.items()]
-        scanned = (allowed @ list_sizes).astype(np.float64)
-        rows.append({
-            "n_probe": np.int64(n_probe),
-            "n_lists": np.int64(n_lists),
-            "mean_recall": round(float(np.mean(rec)), 6),
-            "scanned_frac": round(float(scanned.mean()) / n_total, 6),
-            "n_vectors": np.int64(n_total),
-        })
-    return pd.DataFrame(rows)
-
-
-def embedding_near_dups(sf_dir: str, threshold: float = 0.3):
-    """Embedding-cosine near-dup pairs within label blocks — EXACT (the
-    oracle's semantics are all pairs within label), computed tile-wise so
-    no n×n matrix ever materializes.  For approximate-at-scale candidate
-    generation use :func:`embedding_near_dups_lsh`."""
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    return ds.groupby("label").map_groups(
-        sim.cosine_pairs_block, batch_format="pandas",
-        fn_kwargs={"threshold": threshold},
-    ).select_columns(["id_a", "id_b", "cosine"])
-
-
-def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.3,
-                            n_planes: int = 3, n_tables: int = 48,
-                            triangle_groups: int | None = None):
-    """Scale path for embedding near-dups, EXACT-VERIFIED: multi-table
-    random-hyperplane LSH buckets generate candidate pairs (a pair at
-    angle θ collides in one table w.p. (1−θ/π)^planes), exact cosine
-    verifies via the id-keyed embedding payload exchanges, pair dedup
-    keeps one row.
-
-    Oracle-checkable (round 3): verification is exact, so the output is
-    the all-pairs cosine ≥ ``threshold`` truth restricted to LSH
-    candidates — and with the default 48 tables candidate recall is 100%
-    on every shipped sf (measured: the last truth pair first collides in
-    table 44 at sf0.1, 25 at sf0.001; seeded planes → deterministic), so
-    the output EQUALS the SQL all-pairs join.  Recall is additionally
-    gated in tests.  At larger-than-shipped corpora the operator degrades
-    gracefully to high-recall approximate (or lower ``n_tables`` for a
-    cheaper approximate run)."""
-    dim = len(_read_emb_head(sf_dir, ["vec_id", "embedding"], 1)
-              ["embedding"].iloc[0])
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    # ONE actor pass emits all T tables' (id, table, bucket) rows — the
-    # embeddings themselves never ride the candidate shuffle (they'd ship
-    # ×n_tables); ONE exchange co-locates (table, bucket) candidates into
-    # id pairs; exact cosine verifies via the id-keyed embedding payload
-    # exchanges (vectors ride once per vector).
-    rows = ds.map_batches(
-        sim.MultiHyperplaneLSH, batch_format="pyarrow",
-        concurrency=_pool_size(sf_dir, "embeddings"), num_cpus=0.5,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
-                               "n_tables": n_tables})
-    if triangle_groups:
-        # hot-bucket scale path: an LSH cell holds ~n/2^planes vectors BY
-        # CONSTRUCTION, so at corpus scale every bucket is a straggler (or
-        # a recall-losing truncation).  Triangle blocking splits each
-        # bucket's pair triangle into g(g+1)/2 cells keyed into the
-        # exchange — per-task work drops quadratically for g× row
-        # replication, and the pair set is IDENTICAL (test-pinned).
-        rows = rows.map_batches(
-            dd.triangle_expand, batch_format="pyarrow",
-            fn_kwargs={"id_col": "vec_id", "n_groups": triangle_groups})
-        cands = hash_exchange(
-            rows, key_fn=_pair_hash_key(["table", "bucket", "ci", "cj"]),
-            n_parts=N_DOC_PARTS,
-            kernel=dd.triangle_pairs_partition, fmt="pandas",
-            kernel_kwargs={"bucket_cols": ["table", "bucket"],
-                           "id_col": "vec_id",
-                           "n_groups": triangle_groups})
-    else:
-        cands = hash_exchange(
-            rows, key_fn=_pair_hash_key(["table", "bucket"]),
-            n_parts=N_DOC_PARTS,
-            kernel=dd.candidate_pairs_partition, fmt="pandas",
-            kernel_kwargs={"bucket_cols": ["table", "bucket"],
-                           "id_col": "vec_id", "max_bucket": 2000})
-    return _verify_id_pairs(
-        cands, ds, payload_id="vec_id", payload_col="embedding",
-        attach_out="emb_a", verify_kernel=sim.cosine_verify,
-        verify_kwargs={"threshold": threshold})
-
-
-# ---------- dedup clustering (connected components) ----------
-
-def _presplit_graph_edges(pairs_ds, n_parts: int, *, id_a: str = "id_a",
-                          id_b: str = "id_b"):
-    """Shared entry of every iterative graph operator (cluster_pairs,
-    kcore, pagerank): undirected pairs → BOTH-direction edge rows,
-    pre-split ONCE by src hash (:class:`PresplitInput`), so a node's
-    out-edges are partition-local — degrees, contribution scans and
-    removal checks never shuffle, and each round reuses the same
-    co-partitioned refs.  Returns ``(edges_ds, edges_pre, key_src)``."""
-    from ..stages.exchange import PresplitInput
-
-    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
-        a = df[id_a].to_numpy(dtype=np.int64)
-        b = df[id_b].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"src": np.concatenate((a, b)),
-                             "dst": np.concatenate((b, a))})
-
-    edges = (pairs_ds.materialize()
-             .map_batches(both_dirs, batch_format="pandas").materialize())
-    key_src = _pair_hash_key(["src"], n_parts)
-    return edges, PresplitInput(edges, key_src, n_parts), key_src
-
-
-def cluster_pairs(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
-                  n_parts: int = N_DOC_PARTS, max_iters: int = 64,
-                  with_hops: bool = False):
-    """Connected components of an undirected pair graph by distributed
-    MIN-LABEL PROPAGATION with CONVERGENCE-REGION FREEZING: every node's
-    label starts as its own id; each round, partitions holding last
-    round's changed labels join them onto their (pre-split, constant)
-    edge slices and ship proposals to destination partitions, which merge
-    by vectorized groupby-min.  State lives as one Arrow table ref PER
-    PARTITION carried round-to-round — labels and edges are keyed by the
-    SAME id hash, so a node's labels and its out-edges are co-located and
-    the full labels table is never re-hashed, re-sliced or re-concatenated
-    after init.  A partition with no pending delta runs NO propose task;
-    a partition receiving no proposals runs NO merge task and keeps its
-    ref untouched — converged regions are frozen at zero tasks and zero
-    bytes, so late rounds cost only the shrinking active frontier.
-    Converges in O(component diameter) rounds — near-dup clusters are
-    shallow — under a hard ``max_iters`` cap.  The driver only ever sees
-    per-round (proposal-count, changed-count) vectors, one int per
-    partition.
-
-    Returns a Dataset of ``(node, label)`` — label = min node id reachable.
-
-    With ``with_hops=True`` the output gains a ``hop`` column = the round
-    index of the node's LAST label change.  Because label(n, r) = min id
-    within r hops (delta proposals preserve the synchronous-round
-    semantics — a label unchanged since round s was proposed at s+1, so
-    every neighbor has already seen it), the last change is exactly the
-    first arrival of the component-min label, i.e. hop = BFS DISTANCE
-    from the cluster root (the min-id node, hop 0).  The hops come free:
-    one extra int column on the per-partition label refs, no extra
-    rounds, tasks or shuffles.
-    """
-    import pyarrow as pa
-    import ray
-    import ray.data
-
-    from ..stages.exchange import (PresplitInput, concat_clean,
-                                   split_table_by_ids)
-
-    # the edge set is CONSTANT across rounds: split it once and reuse the
-    # co-partitioned refs every iteration (hash + slice fan-out amortized);
-    # node labels use the SAME hash → labels[p] co-located with edges[p]
-    edges, edges_pre, _ = _presplit_graph_edges(pairs_ds, n_parts,
-                                                id_a=id_a, id_b=id_b)
-
-    def uniq_src(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": pd.unique(df["src"])})
-
-    nodes_pre = PresplitInput(
-        edges.map_batches(uniq_src, batch_format="pandas"),
-        _pair_hash_key(["node"], n_parts), n_parts)
-    key_dst = _pair_hash_key(["dst"], n_parts)
-
-    @ray.remote
-    def init_part(*parts):
-        u = np.sort(pd.unique(
-            concat_clean(parts).column("node").to_numpy(
-                zero_copy_only=False)))
-        cols = {"node": pa.array(u.astype(np.int64)),
-                "label": pa.array(u.astype(np.int64))}
-        if with_hops:
-            cols["hop"] = pa.array(np.zeros(len(u), dtype=np.int64))
-        return pa.table(cols)
-
-    label_refs: list = [None] * n_parts
-    delta_refs: list = [None] * n_parts
-    for p in range(n_parts):
-        parts = nodes_pre.part_refs(p)
-        if parts:
-            ref = init_part.remote(*parts)
-            label_refs[p] = ref
-            delta_refs[p] = ref   # round 1: every node proposes once
-
-    @ray.remote
-    def propose_split(delta_tbl, *edge_parts):
-        # join last round's changed labels onto this partition's edges
-        # and pre-split the proposals by DESTINATION hash (the shuffle's
-        # map side, fused into the propose task)
-        lab = delta_tbl.to_pandas()
-        e = concat_clean(edge_parts).to_pandas()
-        m = e.merge(lab[["node", "label"]], left_on="src",
-                    right_on="node", how="inner")
-        out = pa.table({"dst": pa.array(m["dst"].to_numpy(np.int64)),
-                        "label": pa.array(m["label"].to_numpy(np.int64))})
-        slices, counts = split_table_by_ids(out, key_dst(out), n_parts)
-        return (*slices, counts)
-
-    @ray.remote(num_returns=3)
-    def merge_part(lab_tbl, round_no, *prop_parts):
-        lab = lab_tbl.to_pandas()
-        props = [t for t in prop_parts if t.num_rows]
-        prop = pa.concat_tables(props).combine_chunks().to_pandas()
-        cat = pd.concat(
-            [lab[["node", "label"]],
-             prop.rename(columns={"dst": "node"})[["node", "label"]]],
-            ignore_index=True)
-        new = cat.groupby("node", sort=False)["label"].min().reset_index()
-        old = lab.set_index("node")["label"]
-        chg = (new["label"].to_numpy()
-               < old.reindex(new["node"]).to_numpy())
-        cols = {"node": pa.array(new["node"].to_numpy(np.int64)),
-                "label": pa.array(new["label"].to_numpy(np.int64))}
-        if with_hops:
-            oldhop = (lab.set_index("node")["hop"]
-                      .reindex(new["node"]).to_numpy())
-            cols["hop"] = pa.array(
-                np.where(chg, round_no, oldhop).astype(np.int64))
-        out = pa.table(cols)
-        delta = out.filter(pa.array(chg))
-        return out, delta, int(chg.sum())
-
-    converged = False
-    for it in range(max_iters):
-        active = [p for p in range(n_parts) if delta_refs[p] is not None]
-        if not active:
-            converged = True
-            break
-        splits, counts = [], []
-        for p in active:
-            s = propose_split.options(num_returns=n_parts + 1).remote(
-                delta_refs[p], *edges_pre.part_refs(p))
-            splits.append(s)
-            delta_refs[p] = None        # consumed
-        counts = ray.get([s[n_parts] for s in splits])
-        incoming = np.sum(counts, axis=0)
-        chg_refs, chg_parts = [], []
-        for q in np.flatnonzero(incoming):
-            slices = [s[q] for s, c in zip(splits, counts) if c[q] > 0]
-            out, delta, nchg = merge_part.remote(label_refs[q], it + 1,
-                                                 *slices)
-            label_refs[q] = out
-            chg_refs.append(nchg)
-            chg_parts.append((q, delta))
-        for (q, delta), nchg in zip(chg_parts, ray.get(chg_refs)):
-            if nchg:
-                delta_refs[q] = delta
-    if not converged:
-        # min-label propagation needs O(longest min-chain) rounds — a
-        # pathological path graph can exceed any fixed cap; labels are
-        # then a valid PARTIAL merge (still a coarsening), but clusters
-        # may be split.  Say so loudly instead of returning silently.
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "cluster_pairs hit max_iters=%d before convergence — "
-            "components with min-chains longer than the cap are split; "
-            "raise max_iters for path-like graphs", max_iters)
-
-    live = [r for r in label_refs if r is not None]
-    if not live:
-        cols = {"node": pa.array([], pa.int64()),
-                "label": pa.array([], pa.int64())}
-        if with_hops:
-            cols["hop"] = pa.array([], pa.int64())
-        return ray.data.from_arrow(pa.table(cols))
-    out = ray.data.from_arrow_refs(live)
-    out._gtsc_exchange_keepalive = (label_refs, edges_pre, nodes_pre)
-    return out
-
-
-def dup_clusters(sf_dir: str, threshold: float = 0.5):
-    """Duplicate-cluster assignment — the canonicalization step a dedup
-    pipeline runs after pair generation: every doc that appears in a
-    near-dup pair maps to the min doc_id of its duplicate cluster
-    (``cluster_id == doc_id`` marks the keeper).  Pair truth is the
-    oracle-checked exact n-gram join (:func:`ngram_jaccard`); clustering is
-    distributed label propagation (:func:`cluster_pairs`)."""
-
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": df["node"].astype(np.int64),
-                             "cluster_id": df["label"].astype(np.int64)})
-
-    return cluster_pairs(ngram_jaccard(sf_dir, threshold=threshold)
-                         ).map_batches(rename, batch_format="pandas")
-
-
-# ---------- deterministic train/val split ----------
-
-def hash_split(sf_dir: str, train_pct: int = 90):
-    """Deterministic train/validation split — content-independent,
-    engine-reproducible: bucket = first 8 md5 digest bytes (little-endian)
-    of the decimal doc_id, mod 100 (exactly DuckDB's
-    ``md5_number_upper(CAST(doc_id AS VARCHAR)) % 100``, so the assignment
-    is SQL-checkable and portable).  md5 here is one C call per row on an
-    8-16 byte input (~2 M rows/s/core) inside map_batches — embarrassingly
-    parallel, no shuffle, no state."""
-    import hashlib
-
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy()
-        bucket = np.fromiter(
-            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
-                            "little") % 100 for i in ids),
-            count=len(ids), dtype=np.int64)
-        return pd.DataFrame({
-            "doc_id": ids, "bucket": bucket,
-            "split": np.where(bucket < train_pct, "train", "val"),
-        })
-
-    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        assign, batch_format="pandas")
-
-
-def _md5_bucket(ids: np.ndarray) -> np.ndarray:
-    """DuckDB-identical `md5_number_upper(CAST(id AS VARCHAR)) % 100`
-    (little-endian first 8 digest bytes — the hash_split convention)."""
-    import hashlib
-
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
-                        "little") % 100 for i in ids),
-        count=len(ids), dtype=np.int64)
-
-
-def decontaminate(sf_dir: str, eval_cut: int = 95):
-    """Benchmark decontamination — the training-data op that removes train
-    documents overlapping the evaluation set: docs in the top
-    ``100-eval_cut`` % of the deterministic md5 split are the EVAL side;
-    every TRAIN doc sharing ≥1 distinct word-3-shingle with the eval union
-    is flagged with its shared-shingle count.  Eval benchmarks are small
-    by nature, so the eval shingle union is collected once and broadcast
-    into a membership actor pool (sorted-array searchsorted per batch) —
-    the train side streams map-only, no shuffle.  Shingle identity is the
-    SQL oracle's own chr(1)-joined string (md5-prefix digests, the
-    exact_dedup discipline)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def eval_shingles(df: pd.DataFrame) -> pd.DataFrame:
-        bucket = _md5_bucket(df["doc_id"].to_numpy())
-        sub = df.loc[bucket >= eval_cut]
-        if not len(sub):
-            return pd.DataFrame({"s": np.array([], dtype=np.uint64)})
-        _, sh = dd.doc_shingle_md5_sets(sub["text"])
-        return pd.DataFrame({"s": np.unique(sh)})
-
-    ev = (ds.map_batches(eval_shingles, batch_format="pandas")
-          .to_pandas())  # bounded: the eval side fits a broadcast
-    eval_sorted = np.unique(ev["s"].to_numpy().astype(np.uint64))
-
-    class Flagger:
-        def __init__(self, eval_sorted: np.ndarray) -> None:
-            self.ev = eval_sorted
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            bucket = _md5_bucket(df["doc_id"].to_numpy())
-            sub = df.loc[bucket < eval_cut]
-            empty = pd.DataFrame({
-                "doc_id": np.array([], dtype=np.int64),
-                "n_shared": np.array([], dtype=np.int64)})
-            if not len(sub):
-                return empty
-            d, sh = dd.doc_shingle_md5_sets(sub["text"])
-            if not len(d):
-                return empty
-            pos = np.searchsorted(self.ev, sh)
-            hit = ((pos < len(self.ev)) &
-                   (self.ev[np.minimum(pos, len(self.ev) - 1)] == sh))
-            n = np.bincount(d[hit], minlength=len(sub)).astype(np.int64)
-            keep = n > 0
-            return pd.DataFrame({
-                "doc_id": sub["doc_id"].to_numpy()[keep],
-                "n_shared": n[keep]})
-
-    return ds.map_batches(Flagger,
-                          fn_constructor_kwargs={"eval_sorted": eval_sorted},
-                          batch_format="pandas", concurrency=2,
-                          num_cpus=0.5)
-
-
-def chunk_documents(sf_dir: str, chunk_tokens: int = 64):
-    """Training-data chunking: split every document's token stream into
-    fixed-size chunks of ``chunk_tokens`` word tokens (last chunk ragged)
-    and emit one row per chunk with its token count and an md5-prefix
-    content digest of the chr(1)-joined chunk tokens — the unit a
-    pretraining pipeline feeds to packing/shuffling, with the digest
-    giving chunk-level exact dedup for free.  Map-only (chunk boundaries
-    are per-doc positions — no shuffle); Python work is one join+md5 per
-    CHUNK (tokens/chunk_tokens of the batch), the SQL-identity price, on
-    vocab-coded token streams."""
-    import hashlib
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def chunks(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_id", "chunk_idx", "n_tokens", "digest"]
-        uniq, codes, lens = dd.unique_tokens(df["text"])
-        if not len(codes):
-            return pd.DataFrame({
-                "doc_id": np.array([], dtype=np.int64),
-                "chunk_idx": np.array([], dtype=np.int64),
-                "n_tokens": np.array([], dtype=np.int64),
-                "digest": np.array([], dtype=np.uint64)})
-        n_docs = len(df)
-        doc_of = np.repeat(np.arange(n_docs), lens)
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        pos = np.arange(len(codes)) - starts[doc_of]
-        chunk_idx = pos // chunk_tokens
-        # chunk boundaries in the flat occurrence stream
-        new_chunk = np.concatenate(([True],
-                                    (doc_of[1:] != doc_of[:-1])
-                                    | (chunk_idx[1:] != chunk_idx[:-1])))
-        cstart = np.flatnonzero(new_chunk)
-        cend = np.append(cstart[1:], len(codes))
-        uniq_l = list(uniq)
-        dig = np.fromiter(
-            (int.from_bytes(hashlib.md5("\x01".join(
-                uniq_l[c] for c in codes[s:e]).encode()).digest()[:8],
-                "little") for s, e in zip(cstart, cend)),
-            dtype=np.uint64, count=len(cstart))
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy()[doc_of[cstart]],
-            "chunk_idx": chunk_idx[cstart].astype(np.int64),
-            "n_tokens": (cend - cstart).astype(np.int64),
-            "digest": dig,
-        })[cols]
-
-    return ds.map_batches(chunks, batch_format="pandas")
-
-
-def clean_corpus(sf_dir: str, min_alpha: float = 0.55, eval_cut: int = 95):
-    """The end-to-end corpus-cleaning story in one co-partitioned pass:
-    keep a document iff it is (a) in the train split (md5 bucket <
-    ``eval_cut``), (b) the exact-dedup SURVIVOR of its content-digest
-    group, (c) NOT flagged by benchmark decontamination, and (d) at or
-    above the ``min_alpha`` quality floor.  The four signals are the
-    existing pipelines (exact_dedup survivors, decontaminate flags,
-    quality scores); they co-partition on doc_id through ONE multi-input
-    exchange — no driver-side sets, no full-document shuffles.  Output:
-    the kept doc_ids with their quality score."""
-    docs_ids = _read(sf_dir, "documents", ["doc_id"])
-    survivors = exact_dedup(sf_dir)           # (doc_id, n_dups) survivors
-    contaminated = decontaminate(sf_dir, eval_cut=eval_cut)
-    scores = quality(sf_dir)                  # (doc_id, ..., alpha_ratio)
-
-    k = _pair_hash_key(["doc_id"])
-
-    def kernel(ids_t, surv_t, cont_t, q_t):
-        ids = ids_t.column("doc_id").to_numpy()
-        bucket = _md5_bucket(ids)
-        surv = np.sort(surv_t.column("doc_id").to_numpy())
-        cont = np.sort(cont_t.column("doc_id").to_numpy())
-        q_ids = q_t.column("doc_id").to_numpy()
-        q_alpha = q_t.column("alpha_ratio").to_numpy()
-        qo = np.argsort(q_ids, kind="stable")
-        q_ids, q_alpha = q_ids[qo], q_alpha[qo]
-        if len(q_ids):
-            pos = np.minimum(np.searchsorted(q_ids, ids), len(q_ids) - 1)
-            alpha = np.where(q_ids[pos] == ids, q_alpha[pos], 0.0)
-        else:
-            alpha = np.zeros(len(ids), dtype=np.float64)
-        keep = ((bucket < eval_cut)
-                & np.isin(ids, surv)
-                & ~np.isin(ids, cont)
-                & (alpha >= min_alpha))
-        return pd.DataFrame({"doc_id": ids[keep],
-                             "alpha_ratio": alpha[keep]})
-
-    return hash_exchange_multi(
-        [(docs_ids, k), (survivors, k), (contaminated, k), (scores, k)],
-        n_parts=N_DOC_PARTS, kernel=kernel, fmt="pyarrow")
-
-
-def boilerplate_chunks(sf_dir: str, chunk_tokens: int = 64):
-    """Boilerplate detection: chunk digests occurring MORE THAN ONCE in
-    the corpus (repeated passages — headers, disclaimers, templates —
-    within or across documents; the chunk-level complement of whole-doc
-    dedup).  Composition: the map-only chunker, then one digest-hash
-    exchange carrying (digest, doc_id) rows with a self-merging count/min
-    kernel (the exact_dedup shape)."""
-    chunks = chunk_documents(sf_dir, chunk_tokens)
-
-    def with_unit(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "digest": df["digest"].to_numpy(),
-            "n_chunks": np.ones(len(df), dtype=np.int64),
-            "doc_id": df["doc_id"].to_numpy(),
-        })
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        dig = df["digest"].to_numpy().astype(np.uint64)
-        ids = df["doc_id"].to_numpy()
-        cnt = df["n_chunks"].to_numpy()
-        order = np.lexsort((ids, dig))
-        dig, ids, cnt = dig[order], ids[order], cnt[order]
-        change = np.concatenate(([True], dig[1:] != dig[:-1]))
-        starts = np.flatnonzero(change)
-        bounds = np.append(starts, len(dig))
-        csum = np.concatenate(([0], np.cumsum(cnt)))
-        return pd.DataFrame({
-            "digest": dig[starts],
-            "n_chunks": (csum[bounds[1:]] - csum[starts]).astype(np.int64),
-            "doc_id": ids[starts],  # min doc_id: ids sorted within digest
-        })
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.loc[df["n_chunks"] > 1]
-        return pd.DataFrame({
-            "digest": out["digest"].to_numpy(),
-            "n_copies": out["n_chunks"].to_numpy().astype(np.int64),
-            "min_doc_id": out["doc_id"].to_numpy(),
-        })
-
-    return hash_exchange(
-        chunks.map_batches(with_unit, batch_format="pandas"),
-        key_fn=_pair_hash_key(["digest"]), n_parts=N_DOC_PARTS,
-        kernel=merge, fmt="pandas", chunk_rows=1 << 20,
-        final_kernel=final)
-
-
-def unigram_logprob(sf_dir: str, v: int = 1000):
-    """Statistical quality score (perplexity-style filtering): per doc,
-    the mean unigram log-probability of its tokens under the corpus
-    unigram model restricted to the top-``v`` vocabulary (the same
-    bounded-vocab discipline as TF-IDF — full-vocab exactness is
-    vocabulary-unbounded at 100 TB; OOV tokens are skipped on both sides,
-    docs with no in-vocab tokens drop).  One bounded vocab pass
-    (:func:`top_tokens` — per-block counter rows, deterministic
-    (cnt desc, tok) tie-break matching the SQL ``ORDER BY ... LIMIT``),
-    logprob LUT broadcast as a closure, then a map-only scoring pass on
-    integer token codes."""
-    from ..util import round_half_away
-
-    vocab_df = top_tokens(sf_dir, k=v).to_pandas()
-    total = float(vocab_df["cnt"].sum())
-    lp = {t: float(np.log(c / total))
-          for t, c in zip(vocab_df["tok"], vocab_df["cnt"])}
-
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        uniq, codes, lens = dd.unique_tokens(df["text"])
-        if not len(codes):
-            return pd.DataFrame({
-                "doc_id": np.array([], dtype=np.int64),
-                "mean_logprob": np.array([], dtype=np.float64),
-                "n_scored": np.array([], dtype=np.int64)})
-        lut = np.fromiter((lp.get(t, np.nan) for t in uniq),
-                          dtype=np.float64, count=len(uniq))
-        vals = lut[codes]
-        ok = ~np.isnan(vals)
-        doc_of = np.repeat(np.arange(len(df)), lens)
-        sums = np.bincount(doc_of[ok], weights=vals[ok], minlength=len(df))
-        cnts = np.bincount(doc_of[ok], minlength=len(df)).astype(np.int64)
-        keep = cnts > 0
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy()[keep],
-            "mean_logprob": round_half_away(sums[keep] / cnts[keep], 6),
-            "n_scored": cnts[keep]})
-
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        score, batch_format="pandas")
-
-
-def emb_quantize_sq8(sf_dir: str):
-    """Scalar (SQ8) quantization of the embedding column — the vector-
-    compression step an ANN index at 100 TB wants (int8 codes are 4× the
-    density of f32 and the brute-force scorer can run on them).  Two
-    passes: (1) per-batch per-dim min/max partials (dims × blocks rows —
-    bounded, driver-folded like the lineage partials), broadcast as a
-    64-float closure constant; (2) map-only quantize emitting flat
-    (vec_id, dim, q) rows.  The arithmetic mirrors the SQL oracle
-    operation-for-operation (f64 IEEE: ((v-mn)/(mx-mn))*255, half-away
-    round), so the comparison is exact; constant dims quantize to 0 on
-    both sides."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from ..util import round_half_away
-
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def _mat(t: pa.Table) -> np.ndarray:
-        col = t.column("embedding")
-        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-               else col)
-        return sim._list_matrix(arr)
-
-    def rng_partial(t: pa.Table) -> pd.DataFrame:
-        mat = _mat(t)
-        if mat.size == 0:
-            return pd.DataFrame({"dim": np.array([], dtype=np.int64),
-                                 "mn": [], "mx": []})
-        return pd.DataFrame({
-            "dim": np.arange(mat.shape[1], dtype=np.int64),
-            "mn": mat.min(axis=0), "mx": mat.max(axis=0)})
-
-    rng = (ds.map_batches(rng_partial, batch_format="pyarrow")
-           .to_pandas())  # bounded: dims × blocks rows
-    g = rng.groupby("dim", sort=True)
-    mn = g["mn"].min().to_numpy()
-    span = g["mx"].max().to_numpy() - mn
-
-    def quant(t: pa.Table) -> pa.Table:
-        mat = _mat(t)
-        n, d = mat.shape if mat.size else (t.num_rows, 0)
-        scaled = np.where(span[None, :] > 0,
-                          ((mat - mn[None, :]) / span[None, :]) * 255.0, 0.0)
-        q = round_half_away(scaled, 0).astype(np.int64)
-        return pa.table({
-            "vec_id": pc.take(t.column("vec_id"), pa.array(
-                np.repeat(np.arange(n, dtype=np.int64), d))),
-            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
-            "q": pa.array(q.reshape(-1)),
-        })
-
-    return ds.map_batches(quant, batch_format="pyarrow")
-
-
-def emb_semdedup(sf_dir: str, k: int = 8, tau: float = 0.3):
-    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
-    cluster the embedding space, then drop any vector with a SMALLER-id
-    cluster-mate above the cosine threshold.  Centroids are deterministic
-    — the ``k`` smallest vec_ids' vectors — so the whole operator has an
-    exact SQL mirror (DuckDB ``list_cosine_similarity``); a production run
-    would swap in k-means centroids without touching the dataflow.
-
-    Scale shape: centroid selection is a bounded per-batch partial
-    (k × dim flat rows, driver-folded like the SQ8 range pass); assignment
-    is map-only against the broadcast (k × dim) matrix; the within-cluster
-    pass is ONE cluster-hash exchange of flat (vec_id, cluster, dim, val)
-    rows — nothing list-typed rides it — with a per-cluster vectorized
-    cosine matrix in the kernel.  At 10^12 vectors k grows ∝ N (SemDeDup's
-    own assumption) so per-cluster pair work stays bounded."""
-    import pyarrow as pa
-
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def _mat(t: pa.Table) -> np.ndarray:
-        col = t.column("embedding")
-        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-               else col)
-        return sim._list_matrix(arr)
-
-    def cand(t: pa.Table) -> pd.DataFrame:
-        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        mat = _mat(t)
-        if not len(ids):
-            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64),
-                                 "dim": np.array([], dtype=np.int64),
-                                 "val": np.array([], dtype=np.float64)})
-        take = np.argsort(ids, kind="stable")[:k]
-        sub = mat[take]
-        d = sub.shape[1]
-        return pd.DataFrame({
-            "vec_id": np.repeat(ids[take], d),
-            "dim": np.tile(np.arange(d, dtype=np.int64), len(take)),
-            "val": sub.reshape(-1).astype(np.float64)})
-
-    cands = (ds.map_batches(cand, batch_format="pyarrow")
-             .to_pandas())  # bounded: k × dim rows per block
-    piv = (cands.sort_values(["vec_id", "dim"], kind="stable")
-           .drop_duplicates(["vec_id", "dim"]))
-    top_ids = np.unique(piv["vec_id"].to_numpy())[:k]
-    piv = piv[piv["vec_id"].isin(top_ids)]
-    dim = int(piv["dim"].max()) + 1
-    cmat = piv["val"].to_numpy().reshape(len(top_ids), dim)
-    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-
-    def assign(t: pa.Table) -> pd.DataFrame:
-        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        mat = _mat(t).astype(np.float64, copy=False)
-        cols = ["vec_id", "cluster", "dim", "val"]
-        if not len(ids):
-            return pd.DataFrame({c: np.array(
-                [], dtype=np.float64 if c == "val" else np.int64)
-                for c in cols})
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mn = mat / np.where(norms > 0, norms, 1.0)
-        # np.argmax keeps the FIRST maximum — the SQL mirror's
-        # "ORDER BY cos DESC, cluster" tie-break
-        cl = np.argmax(mn @ cn.T, axis=1).astype(np.int64)
-        d = mat.shape[1]
-        return pd.DataFrame({
-            "vec_id": np.repeat(ids, d),
-            "cluster": np.repeat(cl, d),
-            "dim": np.tile(np.arange(d, dtype=np.int64), len(ids)),
-            "val": mat.reshape(-1)})[cols]
-
-    flat = ds.map_batches(assign, batch_format="pyarrow")
-
-    def cluster_kernel(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["vec_id", "cluster", "keep"]
-        if len(df) == 0:
-            return pd.DataFrame({
-                "vec_id": np.array([], dtype=np.int64),
-                "cluster": np.array([], dtype=np.int64),
-                "keep": np.array([], dtype=bool)})
-        df = df.sort_values(["cluster", "vec_id", "dim"], kind="stable")
-        cl = df["cluster"].to_numpy()
-        ids = df["vec_id"].to_numpy()
-        vals = df["val"].to_numpy()
-        d = int(df["dim"].max()) + 1
-        out_id, out_cl, out_keep = [], [], []
-        for c in np.unique(cl):
-            m = cl == c
-            v = vals[m].reshape(-1, d)
-            vid = ids[m].reshape(-1, d)[:, 0]
-            norms = np.linalg.norm(v, axis=1, keepdims=True)
-            vn = v / np.where(norms > 0, norms, 1.0)
-            g = vn @ vn.T
-            # rows sorted by vec_id: a vector is a duplicate iff any
-            # STRICTLY-EARLIER row in its cluster matches at >= tau
-            dup = (np.tril(g >= tau, k=-1)).any(axis=1)
-            out_id.append(vid)
-            out_cl.append(np.full(len(vid), c, dtype=np.int64))
-            out_keep.append(~dup)
-        return pd.DataFrame({
-            "vec_id": np.concatenate(out_id),
-            "cluster": np.concatenate(out_cl),
-            "keep": np.concatenate(out_keep)})[cols]
-
-    return hash_exchange(flat, key_fn=_pair_hash_key(["cluster"]),
-                         n_parts=N_DOC_PARTS, kernel=cluster_kernel,
-                         fmt="pandas")
-
-
-def repetition(sf_dir: str):
-    """Gopher-style within-document repetition signals (Rae et al. 2021
-    repetition-filter shape) over word tokens: per doc, the fraction of
-    2-gram occurrences belonging to a REPEATED 2-gram (``dup2_frac``) and
-    the most frequent 2-gram's share (``top2_frac``).  Map-only: 2-gram
-    identities are consecutive token-code pairs from the shared byte-run
-    tokenizer, counted with one sort per batch — no shuffle, no Python
-    per-row work.  Docs with <2 tokens emit zeros (the SQL mirror's LEFT
-    JOIN)."""
-    from ..util import round_half_away
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def rep(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_id", "n_bigrams", "dup2_frac", "top2_frac"]
-        ids = df["doc_id"].to_numpy()
-        uniq, codes, lens = dd.unique_tokens(df["text"])
-        n_docs = len(df)
-        nb = np.maximum(lens - 1, 0).astype(np.int64)
-        dup_occ = np.zeros(n_docs, dtype=np.int64)
-        top = np.zeros(n_docs, dtype=np.int64)
-        if len(codes) and nb.sum() > 0:
-            v = np.int64(len(uniq))
-            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-            # consecutive positions within the same doc form a 2-gram
-            first = np.flatnonzero(doc_of[1:] == doc_of[:-1])
-            big = codes[first].astype(np.int64) * v + codes[first + 1]
-            comp = doc_of[first] * (v * v) + big
-            comp_s = np.sort(comp)
-            change = np.concatenate(([True], comp_s[1:] != comp_s[:-1]))
-            starts = np.flatnonzero(change)
-            cnt = np.diff(np.append(starts, len(comp_s))).astype(np.int64)
-            d2 = (comp_s[starts] // (v * v)).astype(np.int64)
-            np.add.at(dup_occ, d2, np.where(cnt >= 2, cnt, 0))
-            np.maximum.at(top, d2, cnt)
-        safe = np.maximum(nb, 1).astype(np.float64)
-        return pd.DataFrame({
-            "doc_id": ids,
-            "n_bigrams": nb,
-            "dup2_frac": round_half_away(dup_occ / safe, 6),
-            "top2_frac": round_half_away(top / safe, 6)})[cols]
-
-    return ds.map_batches(rep, batch_format="pandas")
-
-
-def novelty(sf_dir: str):
-    """Per-document shingle novelty — the fraction of a doc's distinct
-    word-3-shingles whose FIRST corpus occurrence (min doc_id) is this
-    doc: the incremental-dedup signal a streaming ingest pipeline uses to
-    decide whether a new document adds content.  Shingle identity is the
-    md5-prefix digest of the chr(1)-joined shingle (the decontaminate /
-    exact_dedup discipline, so the SQL mirror compares the identical
-    value space).  Two slim exchanges: (1) shingle-hash — every copy of a
-    shingle lands in one partition, min doc_id is exact there and the
-    kernel emits bounded per-doc partials; (2) doc-hash sum of partials
-    (self-merging, chunk-streamed).  Only (doc_id, u64) pairs ride the
-    wide exchange, never text."""
-    from ..util import round_half_away
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def sh_rows(df: pd.DataFrame) -> pd.DataFrame:
-        d, s = dd.doc_shingle_md5_sets(df["text"])
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy()[d],
-            "s": s})
-
-    rows = ds.map_batches(sh_rows, batch_format="pandas")
-
-    def novel_partial(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_id", "n_shingles", "n_novel"]
-        if len(df) == 0:
-            return pd.DataFrame({c: np.array([], dtype=np.int64)
-                                 for c in cols})
-        s = df["s"].to_numpy().astype(np.uint64)
-        ids = df["doc_id"].to_numpy()
-        order = np.lexsort((ids, s))
-        s, ids = s[order], ids[order]
-        change = np.concatenate(([True], s[1:] != s[:-1]))
-        starts = np.flatnonzero(change)
-        counts = np.diff(np.append(starts, len(s)))
-        novel = ids == np.repeat(ids[starts], counts)  # min id: sorted
-        labs, inv = np.unique(ids, return_inverse=True)
-        return pd.DataFrame({
-            "doc_id": labs,
-            "n_shingles": np.bincount(inv).astype(np.int64),
-            "n_novel": np.bincount(inv, weights=novel).astype(np.int64),
-        })[cols]
-
-    partials = hash_exchange(rows, key_fn=_pair_hash_key(["s"]),
-                             n_parts=N_DOC_PARTS, kernel=novel_partial,
-                             fmt="pandas")
-
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_id", "n_shingles", "n_novel"]
-        if len(df) == 0:
-            return pd.DataFrame({c: np.array([], dtype=np.int64)
-                                 for c in cols})
-        g = df.groupby("doc_id", sort=True, as_index=False)[
-            ["n_shingles", "n_novel"]].sum()
-        return g.astype(np.int64)[cols]
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["novelty"] = round_half_away(
-            df["n_novel"].to_numpy()
-            / np.maximum(df["n_shingles"].to_numpy(), 1), 6)
-        return out
-
-    return hash_exchange(partials, key_fn=_pair_hash_key(["doc_id"]),
-                         n_parts=N_DOC_PARTS, kernel=fold, fmt="pandas",
-                         chunk_rows=1 << 20, final_kernel=finalize)
-
-
-MIX_RATES = (("en", 40), ("de", 70))  # percent kept; other langs 100
-
-
-def mix_sample(sf_dir: str):
-    """Deterministic data-mixing / stratified downsampling — the step
-    that rebalances language (or source) proportions before pretraining:
-    keep a doc iff its md5 bucket (the hash_split convention, DuckDB-
-    identical) falls below its language's target rate.  Map-only,
-    reproducible across runs and engines (no RNG state), and resumable
-    for free — membership is a pure function of doc_id."""
-    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
-
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_id", "lang", "bucket"]
-        if len(df) == 0:
-            return pd.DataFrame({
-                "doc_id": np.array([], dtype=np.int64),
-                "lang": np.array([], dtype=object),
-                "bucket": np.array([], dtype=np.int64)})
-        b = _md5_bucket(df["doc_id"].to_numpy())
-        lang = df["lang"].to_numpy()
-        rate = np.full(len(df), 100, dtype=np.int64)
-        for lg, r in MIX_RATES:
-            rate[lang == lg] = r
-        keep = b < rate
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy()[keep],
-            "lang": lang[keep],
-            "bucket": b[keep]})[cols]
-
-    return ds.map_batches(pick, batch_format="pandas")
-
-
-# ---------- stratified quality selection ----------
-
-def top_quality_per_lang(sf_dir: str, k: int = 10):
-    """Class-balanced quality filtering: the ``k`` highest-quality docs per
-    language (quality = ``alpha_ratio`` from the quality kernel,
-    deterministic doc_id tie-break) — the stratified selection step of a
-    training-data pipeline.  In-batch partial top-k per lang trims each
-    block to ≤ k·langs rows BEFORE the one lang-hash exchange; the final
-    kernel is the same vectorized sort + cumcount (self-merging, so it
-    chunk-streams)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-
-    def score(t):
-        import pyarrow as pa
-        q = tx.quality_scores_arrow(t)
-        return pa.table({"doc_id": q.column("doc_id"),
-                         "lang": t.column("lang"),
-                         "alpha_ratio": q.column("alpha_ratio")})
-
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["lang", "alpha_ratio", "doc_id"],
-                            ascending=[True, False, True], kind="stable")
-        rnk = df.groupby("lang", sort=False).cumcount() + 1
-        out = df.loc[rnk.to_numpy() <= k].copy()
-        return out.reset_index(drop=True)
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df = topk(df)
-        df["rnk"] = (df.groupby("lang", sort=False).cumcount() + 1
-                     ).astype(np.int64)
-        return df[["lang", "doc_id", "alpha_ratio", "rnk"]]
-
-    partials = ds.map_batches(score, batch_format="pyarrow").map_batches(
-        topk, batch_format="pandas")
-    return hash_exchange(partials, key_fn=_pair_hash_key(["lang"]),
-                         n_parts=N_DOC_PARTS, kernel=finalize, fmt="pandas")
-
-
-# ---------- token frequency (explode / flat_map coverage) ----------
-
-def top_tokens(sf_dir: str, k: int = 20):
-    """Global token-frequency top-k — the explode/flat_map shape: each
-    batch flattens its docs to tokens but emits only (token, count) VOCAB
-    rows (factorize + bincount), never token occurrences; one token-hash
-    exchange merges counts (full counts per token live in one partition),
-    each partition pre-trims to its local top-k, and a tiny global sort
-    finishes.  Deterministic (cnt desc, token asc) tie-break."""
-    import itertools
-
-    from ..stages.text import WORD_RE
-
-    ds = _read(sf_dir, "documents", ["text"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        uniq, codes, _ = dd.unique_tokens(df["text"])
-        if len(codes) == 0:
-            return pd.DataFrame({"tok": [], "cnt": []})
-        return pd.DataFrame({"tok": uniq,
-                             "cnt": np.bincount(
-                                 codes, minlength=len(uniq)).astype(np.int64)})
-
-    partials = ds.map_batches(partial, batch_format="pandas")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("tok", sort=False)["cnt"].sum().reset_index()
-        out["cnt"] = out["cnt"].astype(np.int64)
-        return out.sort_values(["cnt", "tok"],
-                               ascending=[False, True]).iloc[:k]
-
-    counts = hash_exchange(partials, key_fn=_pair_hash_key(["tok"]),
-                           n_parts=N_DOC_PARTS, kernel=merge, fmt="pandas")
-    return counts.sort(["cnt", "tok"], descending=[True, False]).limit(k)
-
-
-def dedup_survivors(sf_dir: str, threshold: float = 0.5):
-    """End-to-end near-dup dedup DECISION: every doc_id that survives
-    keep-min-per-cluster dedup over the exact n-gram pair graph (docs in no
-    pair survive trivially).  Cluster assignment is the oracle-checked
-    :func:`dup_clusters`; the survivor filter is a distributed anti-join of
-    the corpus ids against the cluster non-minima (dropped ids are a tiny
-    fraction, shipped once)."""
-    clusters = cluster_pairs(ngram_jaccard(sf_dir, threshold=threshold))
-
-    def dropped(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.loc[df["node"] != df["label"], ["node"]]
-                .reset_index(drop=True))
-
-    drop_ds = clusters.map_batches(dropped, batch_format="pandas")
-    ids = _read(sf_dir, "documents", ["doc_id"])
-
-    def anti(ids_df: pd.DataFrame, drop_df: pd.DataFrame) -> pd.DataFrame:
-        keep = ~ids_df["doc_id"].isin(drop_df["node"].unique())
-        return ids_df.loc[keep].reset_index(drop=True)
-
-    return hash_exchange_multi(
-        [(ids, _pair_hash_key(["doc_id"])),
-         (drop_ds, _pair_hash_key(["node"]))],
-        n_parts=N_DOC_PARTS, kernel=anti, fmt="pandas")
-
-
-def top_tokens_sketch(sf_dir: str, k: int = 20, k_counters: int = 4096):
-    """Token heavy hitters via the mergeable Misra-Gries sketch — the
-    bounded-state sibling of :func:`top_tokens`: per-block counter sets
-    are trimmed to ``k_counters`` entries however large the vocabulary;
-    per-token counter sums ride one exchange, global top-k finishes.
-    EXACT whenever no block's vocabulary exceeds ``k_counters`` (no
-    decrement ever fires), which holds at driver scale — hence the same
-    SQL oracle as the exact path; the undercount bound (≤ n/(k+1)
-    additive across merges) is gated in ``tests/test_sketch.py``."""
-    import itertools
-
-    from ..stages.sketch import misra_gries
-    from ..stages.text import WORD_RE
-
-    ds = _read(sf_dir, "documents", ["text"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        # uniq[codes] reproduces the positional token stream exactly, so
-        # the MG counter state is identical to the findall-era stream
-        uniq, codes, _ = dd.unique_tokens(df["text"])
-        return misra_gries(pd.DataFrame({"tok": uniq[codes]}),
-                           item_col="tok", count_col=None, k=k_counters)
-
-    partials = ds.map_batches(partial, batch_format="pandas")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("tok", sort=False)["cnt"].sum().reset_index()
-        out["cnt"] = out["cnt"].astype(np.int64)
-        return out.sort_values(["cnt", "tok"],
-                               ascending=[False, True]).iloc[:k]
-
-    counts = hash_exchange(partials, key_fn=_pair_hash_key(["tok"]),
-                           n_parts=N_DOC_PARTS, kernel=merge, fmt="pandas")
-    return counts.sort(["cnt", "tok"], descending=[True, False]).limit(k)
-
-
-def normalize_text(sf_dir: str):
-    """Per-record text normalization (the cleaning step before hashing /
-    shingling in a real corpus pipeline): lowercase, non-alphanumerics →
-    space, collapse runs, trim.  Pure vectorized map — no shuffle, no
-    state; regex semantics chosen to match the SQL oracle exactly."""
-
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        t = (df["text"].str.lower()
-             .str.replace(r"[^a-z0-9 ]+", " ", regex=True)
-             .str.replace(r" +", " ", regex=True)
-             .str.strip())
-        return pd.DataFrame({"doc_id": df["doc_id"], "norm_text": t})
-
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        norm, batch_format="pandas")
-
-
-def emb_norms(sf_dir: str):
-    """Vector scalar function: per-embedding L2 norm (float64 accumulate
-    over the float32 vector, matching the SQL cast-then-square order) —
-    pure Arrow-in map, no shuffle."""
-    import pyarrow as pa
-
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def norms(t: pa.Table) -> pd.DataFrame:
-        from ..util import round_half_away
-
-        col = t.column("embedding")
-        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-               else col)
-        mat = sim._list_matrix(arr).astype(np.float64)
-        return pd.DataFrame({
-            "vec_id": t.column("vec_id").to_numpy(zero_copy_only=False),
-            "l2_norm": round_half_away(
-                np.sqrt((mat * mat).sum(axis=1)), 6),
-        })
-
-    return ds.map_batches(norms, batch_format="pyarrow")
-
-
-def token_cooccurrence(sf_dir: str, v: int = 20):
-    """Token co-occurrence + PMI over the top-``v`` vocabulary: for token
-    pairs, in how many docs both appear, and ln(n_docs·c_ab/(c_a·c_b)).
-    The vocabulary is the deterministic global top-k (broadcast to every
-    batch); each batch reduces to ONE V×V presence-count matrix via a
-    matmul (flattened to ≤ V² partial cells + a doc-count cell), so the
-    final exchange folds tiny matrices however large the corpus."""
-    import itertools
-
-    from ..stages.text import WORD_RE
-
-    vocab = top_tokens(sf_dir, k=v).to_pandas()["tok"].tolist()
-    vidx = {t: i for i, t in enumerate(vocab)}
-    V = len(vocab)
-
-    ds = _read(sf_dir, "documents", ["text"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        uniq, codes, doc_lens = dd.unique_tokens(df["text"])
-        n_docs = len(df)
-        M = np.zeros((n_docs, V), dtype=np.float64)
-        doc_ids = np.repeat(np.arange(n_docs), doc_lens)
-        # vocab lookup once per UNIQUE token, fanned out by code
-        lut = np.fromiter((vidx.get(t, -1) for t in uniq),
-                          dtype=np.int64, count=len(uniq))
-        cols_all = lut[codes] if len(codes) else np.empty(0, np.int64)
-        keep = cols_all >= 0
-        M[doc_ids[keep], cols_all[keep]] = 1.0
-        C = M.T @ M  # co-doc counts; diagonal = per-token doc counts
-        iu, ju = np.triu_indices(V)
-        rows = pd.DataFrame({"i": iu, "j": ju,
-                             "c": C[iu, ju].astype(np.int64)})
-        rows = pd.concat([rows, pd.DataFrame(
-            {"i": [-1], "j": [-1], "c": [np.int64(n_docs)]})],
-            ignore_index=True)
-        return rows.loc[rows["c"] > 0].reset_index(drop=True)
-
-    partials = ds.map_batches(partial, batch_format="pandas")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["t1", "t2", "n_both", "pmi"]
-        g = df.groupby(["i", "j"], sort=False)["c"].sum()
-        n_docs = float(g.get((-1, -1), 0))
-        diag = {i: float(g.get((i, i), 0)) for i in range(V)}
-        out = {"t1": [], "t2": [], "n_both": [], "pmi": []}
-        for (i, j), c in g.items():
-            if i < 0 or i == j:
-                continue
-            a, b = sorted((vocab[i], vocab[j]))
-            out["t1"].append(a)
-            out["t2"].append(b)
-            out["n_both"].append(np.int64(c))
-            out["pmi"].append(float(
-                np.log(c * n_docs / (diag[i] * diag[j]))))
-        res = pd.DataFrame(out)
-        from ..util import round_half_away
-        res["pmi"] = round_half_away(res["pmi"].to_numpy(), 6)
-        return res[cols]
-
-    return hash_exchange(
-        partials,
-        key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
-        n_parts=1, kernel=merge, fmt="pandas")
-
-
-def tfidf(sf_dir: str, v: int = 20):
-    """TF-IDF document features over the top-``v`` vocabulary — the
-    classic sparse text featurization.  Two bounded passes: (1) document
-    frequencies per vocab token (≤ v+1 rows; broadcast back like any small
-    dimension), (2) per-batch term counts — FINAL immediately, because a
-    doc's rows never span batches — weighted by the broadcast ln(N/df)."""
-    import itertools
-
-    from ..stages.text import WORD_RE
-    from ..util import round_half_away
-
-    vocab = set(top_tokens(sf_dir, k=v).to_pandas()["tok"])
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
-        uniq, codes, doc_lens = dd.unique_tokens(df["text"])
-        doc_ids = np.repeat(df["doc_id"].to_numpy(), doc_lens)
-        keep = (np.fromiter((t in vocab for t in uniq), dtype=bool,
-                            count=len(uniq))[codes]
-                if len(codes) else np.empty(0, bool))
-        pres = pd.DataFrame({"doc_id": doc_ids[keep],
-                             "tok": uniq[codes][keep]}).drop_duplicates()
-        out = (pres.groupby("tok", sort=False).size()
-               .rename("df").reset_index())
-        return pd.concat([out, pd.DataFrame(
-            {"tok": ["\x00n_docs"], "df": [np.int64(len(df))]})],
-            ignore_index=True)
-
-    df_tbl = hash_exchange(
-        ds.map_batches(df_partial, batch_format="pandas"),
-        key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64), n_parts=1,
-        kernel=lambda d: d.groupby("tok", sort=False)["df"]
-        .sum().reset_index(),
-        fmt="pandas").to_pandas()
-    n_docs = float(df_tbl.loc[df_tbl["tok"] == "\x00n_docs", "df"].iloc[0])
-    idf = {t: float(np.log(n_docs / c)) for t, c in
-           zip(df_tbl["tok"], df_tbl["df"]) if t != "\x00n_docs"}
-
-    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
-        uniq, codes, doc_lens = dd.unique_tokens(df["text"])
-        doc_ids = np.repeat(df["doc_id"].to_numpy(), doc_lens)
-        keep = (np.fromiter((t in vocab for t in uniq), dtype=bool,
-                            count=len(uniq))[codes]
-                if len(codes) else np.empty(0, bool))
-        tf = (pd.DataFrame({"doc_id": doc_ids[keep],
-                            "tok": uniq[codes][keep]})
-              .groupby(["doc_id", "tok"], sort=False).size()
-              .rename("tf").reset_index())
-        tf["tf"] = tf["tf"].astype(np.int64)
-        w = tf["tf"].to_numpy() * np.asarray(
-            [idf[t] for t in tf["tok"]], dtype=np.float64)
-        tf["tfidf"] = round_half_away(w, 6)
-        return tf
-
-    return ds.map_batches(tf_rows, batch_format="pandas")
-
-
-def bm25(sf_dir: str, v: int = 20):
-    """Okapi BM25 document scores (Lucene ``ln(1+...)`` idf variant,
-    k1=1.2, b=0.75) over the top-``v`` vocabulary — TF-IDF's
-    length-normalized successor and the standard sparse retrieval
-    weighting.  Same two bounded passes as :func:`tfidf`: (1) per-token
-    document frequencies plus the corpus length stats (n_docs, Σ doc
-    token length) fold through one single-partition exchange and
-    broadcast back; (2) per-batch (doc, tok, tf, dl) rows — final
-    immediately, a doc never spans batches — weighted by the closed-form
-    score.  ``avgdl`` is derived from EXACT integer sums (Σdl / N) and
-    the float expression tree is written identically in the SQL mirror
-    (literal constants 2.2 / 1.2 / 0.25 / 0.75 — ``k1 + 1`` computed in
-    float is NOT the double literal ``2.2``), so both engines evaluate
-    the same IEEE expression.  Scale shape identical to tfidf: map-only
-    after two scalar broadcasts."""
-    from ..util import round_half_away
-
-    vocab = set(top_tokens(sf_dir, k=v).to_pandas()["tok"])
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
-        uniq, codes, doc_lens = dd.unique_tokens(df["text"])
-        doc_ids = np.repeat(df["doc_id"].to_numpy(), doc_lens)
-        keep = (np.fromiter((t in vocab for t in uniq), dtype=bool,
-                            count=len(uniq))[codes]
-                if len(codes) else np.empty(0, bool))
-        pres = pd.DataFrame({"doc_id": doc_ids[keep],
-                             "tok": uniq[codes][keep]}).drop_duplicates()
-        out = (pres.groupby("tok", sort=False).size()
-               .rename("df").reset_index())
-        # \x01 prefix, NOT \x00: pandas' object hashtable compares
-        # strings with C-string semantics (stops at the first NUL), so two
-        # distinct \x00-prefixed sentinels silently merge into one group
-        # under groupby/unique — one sentinel (tfidf) is safe, two are not
-        return pd.concat([out, pd.DataFrame(
-            {"tok": ["\x01n_docs", "\x01sum_dl"],
-             "df": [np.int64(len(df)),
-                    np.int64(np.sum(doc_lens, dtype=np.int64))]})],
-            ignore_index=True)
-
-    stats = hash_exchange(
-        ds.map_batches(stats_partial, batch_format="pandas"),
-        key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64), n_parts=1,
-        kernel=lambda d: d.groupby("tok", sort=False)["df"]
-        .sum().reset_index(),
-        fmt="pandas").to_pandas()
-    n_docs = int(stats.loc[stats["tok"] == "\x01n_docs", "df"].iloc[0])
-    sum_dl = int(stats.loc[stats["tok"] == "\x01sum_dl", "df"].iloc[0])
-    avgdl = float(sum_dl) / float(n_docs)
-    dfreq = {t: int(c) for t, c in zip(stats["tok"], stats["df"])
-             if not t.startswith("\x01")}
-
-    def score_rows(df: pd.DataFrame) -> pd.DataFrame:
-        uniq, codes, doc_lens = dd.unique_tokens(df["text"])
-        doc_ids = np.repeat(df["doc_id"].to_numpy(), doc_lens)
-        keep = (np.fromiter((t in vocab for t in uniq), dtype=bool,
-                            count=len(uniq))[codes]
-                if len(codes) else np.empty(0, bool))
-        tf = (pd.DataFrame({"doc_id": doc_ids[keep],
-                            "tok": uniq[codes][keep]})
-              .groupby(["doc_id", "tok"], sort=False).size()
-              .rename("tf").reset_index())
-        tf["tf"] = tf["tf"].astype(np.int64)
-        dl_map = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
-                               "dl": doc_lens.astype(np.int64)})
-        tf = tf.merge(dl_map, on="doc_id", how="left")
-        tfv = tf["tf"].to_numpy(dtype=np.float64)
-        dlv = tf["dl"].to_numpy(dtype=np.float64)
-        dfv = np.asarray([dfreq[t] for t in tf["tok"]], dtype=np.float64)
-        idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
-        w = idf * (tfv * 2.2) / (tfv + 1.2 * (0.25 + 0.75 * (dlv / avgdl)))
-        tf["bm25"] = round_half_away(w, 6)
-        return tf[["doc_id", "tok", "tf", "dl", "bm25"]]
-
-    return ds.map_batches(score_rows, batch_format="pandas")
-
-
-def centroid_distances(sf_dir: str):
-    """Aggregate-then-geometry composition: pairwise Euclidean distances
-    between per-label embedding centroids.  Per-batch (label, dim, sum,
-    cnt) partials (same shape as :func:`emb_centroids`); the single final
-    kernel folds them (labels × dim is tiny by construction) and emits the
-    label-pair distance matrix."""
-    import pyarrow as pa
-
-    from ..util import round_half_away
-
-    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
-
-    def partial(t: pa.Table) -> pd.DataFrame:
-        lab = t.column("label").to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        col = t.column("embedding")
-        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-               else col)
-        mat = sim._list_matrix(arr)
-        if mat.size == 0:
-            return pd.DataFrame({"label": [], "dim": [], "s": [],
-                                 "cnt": []})
-        labs, codes = np.unique(lab, return_inverse=True)
-        sums = np.zeros((len(labs), mat.shape[1]))
-        np.add.at(sums, codes, mat)
-        counts = np.bincount(codes).astype(np.int64)
-        dim = mat.shape[1]
-        return pd.DataFrame({
-            "label": np.repeat(labs, dim),
-            "dim": np.tile(np.arange(dim, dtype=np.int64), len(labs)),
-            "s": sums.reshape(-1),
-            "cnt": np.repeat(counts, dim),
-        })
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["label_a", "label_b", "dist"]
-        if len(df) == 0:
-            return pd.DataFrame({c: [] for c in cols})
-        g = (df.groupby(["label", "dim"], sort=True)[["s", "cnt"]]
-             .sum().reset_index())
-        labels = np.sort(g["label"].unique())
-        D = int(g["dim"].max()) + 1
-        C = np.zeros((len(labels), D))
-        li = {l: i for i, l in enumerate(labels)}
-        C[[li[l] for l in g["label"]], g["dim"].to_numpy()] = (
-            g["s"].to_numpy() / g["cnt"].to_numpy())
-        out = {"label_a": [], "label_b": [], "dist": []}
-        for i in range(len(labels)):
-            for j in range(i + 1, len(labels)):
-                out["label_a"].append(labels[i])
-                out["label_b"].append(labels[j])
-                out["dist"].append(float(np.sqrt(
-                    ((C[i] - C[j]) ** 2).sum())))
-        res = pd.DataFrame(out)
-        res["dist"] = round_half_away(res["dist"].to_numpy(), 6)
-        return res
-
-    return hash_exchange(
-        partials, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
-        n_parts=1, kernel=final, fmt="pandas")
-
-
-def char_ngram_jaccard(sf_dir: str, threshold: float = 0.8, k: int = 3):
-    """Exact char-k-gram set-Jaccard join (the dedup unit for
-    whitespace-free scripts) — completes the n-gram family across units:
-    word-1 (token), word-3 (ngram), char-1 (charset), char-3.  Same
-    deterministic prefix-filter join as :func:`ngram_jaccard`, over the
-    codepoint-window shingle builder."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    sets = ds.map_batches(dd.char_shingle_sets_table, batch_format="pandas",
-                          fn_kwargs={"k": k}).materialize()
-    rows = sets.map_batches(dd.prefix_token_rows, batch_format="pyarrow",
-                            fn_kwargs={"threshold": threshold})
-    cands = hash_exchange(
-        rows, key_fn=_pair_hash_key(["tok"]), n_parts=N_DOC_PARTS,
-        kernel=dd.candidate_pairs_partition, fmt="pandas",
-        kernel_kwargs={"bucket_cols": ["tok"],
-                       "jaccard_threshold": threshold})
-    return _verify_id_pairs(
-        cands, sets.select_columns(["doc_id", "elems"]),
-        payload_id="doc_id", payload_col="elems", attach_out="elems_a",
-        verify_kernel=dd.set_jaccard_verify,
-        verify_kwargs={"threshold": threshold,
-                       "sim_col": "char_ngram_jaccard"})
-
-
-def length_quantiles(sf_dir: str):
-    """Per-language document-length percentiles — the corpus length-
-    distribution audit (quality filtering picks thresholds off these).
-    Shared multi-key switched-lerp quantile kernel, one lang-hash
-    exchange of (lang, length) pairs."""
-    from ..stages.rollup import quantiles_by_key
-
-    ds = _read(sf_dir, "documents", ["lang", "text"])
-
-    def lengths(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "lang": df["lang"],
-            "value": df["text"].str.len().astype(np.float64)})
-
-    return hash_exchange(
-        ds.map_batches(lengths, batch_format="pandas"),
-        key_fn=_pair_hash_key(["lang"]), n_parts=N_DOC_PARTS,
-        kernel=lambda df: quantiles_by_key(df, key_col="lang",
-                                           qs=(0.5, 0.95)),
-        fmt="pandas")
-
-
-def label_quality(sf_dir: str):
-    """Cross-modal join: text-derived quality features attached to vector
-    metadata (documents.doc_id = embeddings.vec_id) — mean alpha_ratio and
-    doc count per embedding label.  Both sides co-partition on the id; the
-    kernel joins and emits tiny per-label partials."""
-    ds_docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    ds_emb = _read(sf_dir, "embeddings", ["vec_id", "label"])
-
-    scored = ds_docs.map_batches(
-        lambda t: tx.quality_scores_arrow(t).select(["doc_id", "alpha_ratio"]),
-        batch_format="pyarrow")
-
-    def kernel(q: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
-        m = q.merge(e, left_on="doc_id", right_on="vec_id")
-        g = m.groupby("label", sort=False)["alpha_ratio"]
-        return g.agg(n_docs="size", s="sum").reset_index()
-
-    partials = hash_exchange_multi(
-        [(scored, _pair_hash_key(["doc_id"])),
-         (ds_emb, _pair_hash_key(["vec_id"]))],
-        n_parts=N_DOC_PARTS, kernel=kernel, fmt="pandas")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        from ..util import round_half_away
-
-        out = (df.groupby("label", sort=False)
-               .agg(n_docs=("n_docs", "sum"), s=("s", "sum")).reset_index())
-        out["label"] = out["label"].astype(np.int64)
-        out["n_docs"] = out["n_docs"].astype(np.int64)
-        out["mean_alpha"] = round_half_away(
-            out["s"].to_numpy() / out["n_docs"].to_numpy(), 6)
-        return out[["label", "n_docs", "mean_alpha"]]
-
-    return hash_exchange(partials, key_fn=_pair_hash_key(["label"], 8),
-                         n_parts=8, kernel=merge, fmt="pandas")
-
-
-def emb_pq_codes(sf_dir: str, m: int = 2, k: int = 8):
-    """Product quantization (Jégou et al. 2011 shape): split each vector
-    into ``m`` contiguous subspaces and store only the id of the nearest
-    codebook centroid per subspace — the memory-bound ANN scale path
-    (64 f32 dims → ``m`` bytes per vector here).  Codebooks are
-    deterministic — the ``k`` smallest vec_ids' subvectors (the semdedup
-    centroid discipline) — so assignment has an exact SQL mirror
-    (``list_distance`` + ``ORDER BY dist, k``); a production run would
-    swap in k-means codebooks without touching the dataflow.
-
-    Scale shape: codebook selection is a bounded per-batch partial
-    (k × dim flat rows, driver-folded); assignment is MAP-ONLY against
-    the broadcast (m × k × dim/m) codebook tensor — no shuffle at all.
-    Ties (equidistant centroids) break to the smaller centroid id
-    (np.argmin keeps the first minimum)."""
-    import pyarrow as pa
-
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def _mat(t: pa.Table) -> np.ndarray:
-        col = t.column("embedding")
-        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-               else col)
-        return sim._list_matrix(arr)
-
-    def cand(t: pa.Table) -> pd.DataFrame:
-        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        mat = _mat(t)
-        if not len(ids):
-            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64),
-                                 "dim": np.array([], dtype=np.int64),
-                                 "val": np.array([], dtype=np.float64)})
-        take = np.argsort(ids, kind="stable")[:k]
-        sub = mat[take]
-        d = sub.shape[1]
-        return pd.DataFrame({
-            "vec_id": np.repeat(ids[take], d),
-            "dim": np.tile(np.arange(d, dtype=np.int64), len(take)),
-            "val": sub.reshape(-1).astype(np.float64)})
-
-    cands = (ds.map_batches(cand, batch_format="pyarrow")
-             .to_pandas())  # bounded: k × dim rows per block
-    piv = (cands.sort_values(["vec_id", "dim"], kind="stable")
-           .drop_duplicates(["vec_id", "dim"]))
-    top_ids = np.unique(piv["vec_id"].to_numpy())[:k]
-    piv = piv[piv["vec_id"].isin(top_ids)]
-    dim = int(piv["dim"].max()) + 1
-    books = piv["val"].to_numpy().reshape(len(top_ids), dim)
-    sub_d = dim // m
-
-    def assign(t: pa.Table) -> pd.DataFrame:
-        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        cols = ["vec_id"] + [f"code{j}" for j in range(m)]
-        if not len(ids):
-            return pd.DataFrame({c: np.array([], dtype=np.int64)
-                                 for c in cols})
-        mat = _mat(t).astype(np.float64, copy=False)
-        out = {"vec_id": ids.astype(np.int64)}
-        for j in range(m):
-            x = mat[:, j * sub_d:(j + 1) * sub_d]
-            cb = books[:, j * sub_d:(j + 1) * sub_d]
-            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=-1)
-            out[f"code{j}"] = np.argmin(d2, axis=1).astype(np.int64)
-        return pd.DataFrame(out)[cols]
-
-    return ds.map_batches(assign, batch_format="pyarrow")
-
-
-def dsir_weights(sf_dir: str, n_buckets: int = 64, target_lang: str = "en"):
-    """DSIR importance weights (Xie et al. 2023, Data Selection via
-    Importance Resampling): per doc the log importance ratio
-    ``Σ_g log p_target(b(g)) − log p_raw(b(g))`` over its word bigrams,
-    with both distributions estimated on HASHED bigram buckets
-    (``md5 % n_buckets`` — bounded by construction, DSIR's own device;
-    add-one smoothing).  Target = the ``target_lang`` slice of the
-    corpus, raw = the whole corpus — the standard "upweight docs that
-    look like the target domain" curation step.
-
-    Scale shape: the count pass reduces each batch to ≤``n_buckets``
-    (bucket, cnt_target, cnt_raw) rows (driver-folded like the SQ8
-    range pass — 64 numbers per block); scoring is MAP-ONLY against the
-    broadcast per-bucket log-ratio LUT.  Bigram hashing touches each
-    batch's UNIQUE bigrams only (the minhash-signer discipline); the
-    md5 matches DuckDB ``md5_number_upper`` bit-for-bit (hash_split
-    precedent), so the oracle mirrors bucket-for-bucket."""
-    import hashlib
-
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
-
-    def _bigram_buckets(texts: pd.Series):
-        """(bucket_per_occurrence, doc_of_occurrence) for all in-doc
-        consecutive token pairs, via unique-bigram md5 hashing."""
-        uniq, codes, lens = dd.unique_tokens(texts)
-        if not len(codes):
-            return (np.array([], dtype=np.int64),
-                    np.array([], dtype=np.int64))
-        doc_of = np.repeat(np.arange(len(lens)), lens)
-        same = doc_of[1:] == doc_of[:-1]
-        a, b = codes[:-1][same], codes[1:][same]
-        pair_doc = doc_of[:-1][same]
-        if not len(a):
-            return (np.array([], dtype=np.int64),
-                    np.array([], dtype=np.int64))
-        packed = (a.astype(np.uint64) << np.uint64(32)) | b.astype(
-            np.uint64)
-        up, inv = np.unique(packed, return_inverse=True)
-        ua = (up >> np.uint64(32)).astype(np.int64)
-        ub = (up & np.uint64(0xFFFFFFFF)).astype(np.int64)
-        # little-endian FIRST 8 md5 bytes == DuckDB md5_number_upper
-        buckets = np.fromiter(
-            (int.from_bytes(hashlib.md5(
-                f"{uniq[x]} {uniq[y]}".encode()).digest()[:8], "little")
-             % n_buckets for x, y in zip(ua, ub)),
-            dtype=np.int64, count=len(ua))
-        return buckets[inv], pair_doc
-
-    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
-        bucket, pair_doc = _bigram_buckets(df["text"])
-        is_t = (df["lang"].to_numpy() == target_lang)[pair_doc]
-        return pd.DataFrame({
-            "bucket": np.arange(n_buckets, dtype=np.int64),
-            "ct": np.bincount(bucket[is_t], minlength=n_buckets)
-            .astype(np.int64),
-            "cr": np.bincount(bucket, minlength=n_buckets)
-            .astype(np.int64)})
-
-    cnt = (ds.map_batches(count_partial, batch_format="pandas")
-           .to_pandas().groupby("bucket", sort=True).sum())
-    ct = cnt["ct"].to_numpy().astype(np.float64)
-    cr = cnt["cr"].to_numpy().astype(np.float64)
-    tt, tr = ct.sum(), cr.sum()
-    lut = (np.log((ct + 1) / (tt + n_buckets))
-           - np.log((cr + 1) / (tr + n_buckets)))
-
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        from ..util import round_half_away
-
-        cols = ["doc_id", "n_bigrams", "dsir_logweight"]
-        bucket, pair_doc = _bigram_buckets(df["text"])
-        if not len(bucket):
-            return pd.DataFrame({
-                "doc_id": np.array([], dtype=np.int64),
-                "n_bigrams": np.array([], dtype=np.int64),
-                "dsir_logweight": np.array([], dtype=np.float64)})
-        sums = np.bincount(pair_doc, weights=lut[bucket],
-                           minlength=len(df))
-        cnts = np.bincount(pair_doc, minlength=len(df)).astype(np.int64)
-        keep = cnts > 0
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy()[keep],
-            "n_bigrams": cnts[keep],
-            "dsir_logweight": round_half_away(sums[keep], 6)})[cols]
-
-    return ds.map_batches(score, batch_format="pandas")
-
-
-def simhash_clusters(sf_dir: str, max_hamming: int = 3):
-    """Duplicate clusters over the SIMHASH pair graph — the same
-    distributed min-label propagation as :func:`dup_clusters`, composed
-    over a different (cheaper, bit-sketch) pair source.  Exhaustive at
-    Hamming ≤ 3 (the segment-blocking pigeonhole), so the transitive
-    closure is SQL-oracle-checkable exactly like the n-gram variant."""
-
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": df["node"].astype(np.int64),
-                             "cluster_id": df["label"].astype(np.int64)})
-
-    return cluster_pairs(simhash_pairs(sf_dir, max_hamming=max_hamming)
-                         ).map_batches(rename, batch_format="pandas")
-
-
-def sentence_stats(sf_dir: str):
-    """Per-document readability/structure audit (sentence, punctuation
-    and capitalized-token counts) — map-only byte-class kernels, exact
-    integer outputs."""
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        tx.sentence_stats_arrow, batch_format="pyarrow")
-
-
-def ttr_hapax(sf_dir: str):
-    """Lexical-diversity audit: per doc the total token count, the
-    case-sensitive distinct token count and the hapax count (tokens
-    occurring exactly once in the doc) — the type-token-ratio numerators
-    a corpus-quality dashboard divides at presentation time (the engine
-    never rounds a float).  Map-only over the shared packed-word
-    tokenizer's integer codes; distincts are one unique over the
-    (doc, code) composite, never object-dtype token arrays."""
-    tune_context()
-
-    def audit(df: pd.DataFrame) -> pd.DataFrame:
-        n_docs = len(df)
-        if n_docs == 0:
-            return pd.DataFrame({c: np.array([], dtype=np.int64)
-                                 for c in ["doc_id", "n_tokens",
-                                           "n_distinct", "n_hapax"]})
-        uniq, codes, lens = dd.unique_tokens(df["text"])
-        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-        if len(codes):
-            key = doc_of * np.int64(len(uniq)) + codes
-            pairs, counts = np.unique(key, return_counts=True)
-            pair_doc = (pairs // np.int64(len(uniq))).astype(np.int64)
-            n_distinct = np.bincount(pair_doc, minlength=n_docs)
-            n_hapax = np.bincount(pair_doc[counts == 1],
-                                  minlength=n_docs)
-        else:
-            n_distinct = np.zeros(n_docs, dtype=np.int64)
-            n_hapax = np.zeros(n_docs, dtype=np.int64)
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(),
-            "n_tokens": np.asarray(lens, dtype=np.int64),
-            "n_distinct": n_distinct.astype(np.int64),
-            "n_hapax": n_hapax.astype(np.int64)})
-
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        audit, batch_format="pandas")
-
-
-def incremental_dedup(sf_dir: str, old_cut: int = 50):
-    """Incremental exact dedup — the ingest-append shape at 100 TB: a NEW
-    batch of documents (md5 split bucket ≥ ``old_cut``, the hash_split
-    convention) dedups against an EXISTING corpus (bucket < ``old_cut``)
-    without re-pairing old-vs-old.  The old side contributes only its
-    per-digest (digest, min_doc_id) survivor summary — at scale that is
-    the dedup index a lakehouse keeps, not a rescan (here it folds from
-    the old docs with the exact_dedup kernel).  ONE digest co-partition of
-    {old survivor summary} × {new (digest, doc_id)} assigns every new doc
-    ``survivor_id = min(old survivor, min new id sharing the digest)`` and
-    flags digests never seen in the old corpus — bit-equal to what a
-    single-shot dedup over old+new would assign the new docs."""
-    tune_context()
-
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        out = dd.add_digest(df)[["digest", "doc_id"]]
-        out["bucket"] = _md5_bucket(df["doc_id"].to_numpy())
-        return out
-
-    rows = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        tag, batch_format="pandas")
-    old = rows.map_batches(
-        lambda df: df.loc[df["bucket"] < old_cut, ["digest", "doc_id"]],
-        batch_format="pandas")
-    new = rows.map_batches(
-        lambda df: df.loc[df["bucket"] >= old_cut, ["digest", "doc_id"]],
-        batch_format="pandas")
-
-    def old_summary(df: pd.DataFrame) -> pd.DataFrame:
-        # per-digest min old id (the persisted dedup-index row)
-        dig = df["digest"].to_numpy().astype(np.uint64)
-        ids = df["doc_id"].to_numpy()
-        order = np.lexsort((ids, dig))
-        dig, ids = dig[order], ids[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], dig[1:] != dig[:-1])))
-        return pd.DataFrame({"digest": dig[starts], "old_id": ids[starts]})
-
-    index = hash_exchange(old, key_fn=_pair_hash_key(["digest"]),
-                          n_parts=N_DOC_PARTS, kernel=old_summary,
-                          fmt="pandas")
-
-    def assign(idx: pd.DataFrame, nw: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_id", "survivor_id", "new_digest"]
-        if len(nw) == 0:
-            return pd.DataFrame({c: np.array([], dtype=np.int64)
-                                 for c in cols})
-        dig = nw["digest"].to_numpy().astype(np.uint64)
-        ids = nw["doc_id"].to_numpy()
-        order = np.lexsort((ids, dig))
-        dig_s, ids_s = dig[order], ids[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], dig_s[1:] != dig_s[:-1])))
-        sizes = np.diff(np.append(starts, len(dig_s)))
-        min_new = np.repeat(ids_s[starts], sizes)  # per-row group min
-        # probe the old index (sorted searchsorted membership)
-        okeys = np.sort(idx["digest"].to_numpy().astype(np.uint64))
-        oids = idx["old_id"].to_numpy()[
-            np.argsort(idx["digest"].to_numpy().astype(np.uint64),
-                       kind="stable")]
-        pos = np.searchsorted(okeys, dig_s)
-        pos_c = np.minimum(pos, max(len(okeys) - 1, 0))
-        hit = (okeys[pos_c] == dig_s) if len(okeys) else np.zeros(
-            len(dig_s), dtype=bool)
-        survivor = min_new.copy()
-        if hit.any():
-            survivor[hit] = np.minimum(min_new[hit], oids[pos_c[hit]])
-        out = pd.DataFrame({
-            "doc_id": ids_s,
-            "survivor_id": survivor.astype(np.int64),
-            "new_digest": (~hit).astype(np.int64)})
-        return out[cols]
-
-    return hash_exchange_multi(
-        [(index, _pair_hash_key(["digest"])),
-         (new, _pair_hash_key(["digest"]))],
-        n_parts=N_DOC_PARTS, kernel=assign, fmt="pandas")
-
-
-def triangle_counts(sf_dir: str, threshold: float = 0.5):
-    """Per-node TRIANGLE counts over the n-gram near-dup graph — the
-    graph-analytics step beyond connected components (triangle density
-    separates tight duplicate cliques from chainy false-positive paths).
-    Classic 2-round distributed algorithm with DEGREE-ORDERED edge
-    orientation (src = the (degree, id)-smaller endpoint): each source's
-    out-degree is O(√m), so total wedge volume is bounded by m^1.5
-    regardless of clique size — a min-id orientation would enumerate a
-    c-clique's Θ(c³) wedges from its smallest member, exactly the skew a
-    dup-heavy corpus produces.  Round 0 folds node degrees and attaches
-    them to both endpoints (two co-partitions); round 1 enumerates each
-    source's out-neighbor pairs with one fully-vectorized repeat/arange
-    expansion (no per-group Python); round 2 keeps wedges whose closing
-    edge exists in the UNORIENTED edge set (composite-key searchsorted —
-    the pairwise-verify discipline).  Degree orientation finds each
-    triangle exactly once; a final node exchange folds the three corner
-    increments."""
-    tune_context()
-
-    pairs = ngram_jaccard(sf_dir, threshold=threshold)
-
-    def orient(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["id_a"].to_numpy(dtype=np.int64)
-        b = df["id_b"].to_numpy(dtype=np.int64)
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
-
-    edges = pairs.map_batches(orient, batch_format="pandas").materialize()
-
-    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        nodes = np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])
-        u, c = np.unique(nodes, return_counts=True)
-        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
-
-    degs = hash_exchange(
-        edges.map_batches(deg_partial, batch_format="pandas"),
-        key_fn=_pair_hash_key(["node"]), n_parts=N_DOC_PARTS,
-        kernel=lambda df: df.groupby("node", sort=False)["deg"].sum()
-        .reset_index(), fmt="pandas")
-
-    def _attach(col_out):
-        def kern(e: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
-            out = e.copy()
-            keys = d["node"].to_numpy()
-            order = np.argsort(keys, kind="stable")
-            keys, vals = keys[order], d["deg"].to_numpy()[order]
-            ecol = e[col_out[0]].to_numpy()
-            pos = np.minimum(np.searchsorted(keys, ecol),
-                             max(len(keys) - 1, 0))
-            out[col_out[1]] = vals[pos] if len(keys) else 0
-            return out
-        return kern
-
-    with_da = hash_exchange_multi(
-        [(edges, _pair_hash_key(["a"])), (degs, _pair_hash_key(["node"]))],
-        n_parts=N_DOC_PARTS, kernel=_attach(("a", "deg_a")), fmt="pandas")
-    with_db = hash_exchange_multi(
-        [(with_da, _pair_hash_key(["b"])),
-         (degs, _pair_hash_key(["node"]))],
-        n_parts=N_DOC_PARTS, kernel=_attach(("b", "deg_b")), fmt="pandas")
-
-    def to_oriented(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["a"].to_numpy(dtype=np.int64)
-        b = df["b"].to_numpy(dtype=np.int64)
-        da = df["deg_a"].to_numpy(dtype=np.int64)
-        db = df["deg_b"].to_numpy(dtype=np.int64)
-        # total order (deg, id): src strictly smaller
-        a_first = (da < db) | ((da == db) & (a < b))
-        return pd.DataFrame({"src": np.where(a_first, a, b),
-                             "dst": np.where(a_first, b, a)})
-
-    oriented = with_db.map_batches(to_oriented, batch_format="pandas")
-
-    def wedge_kernel(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["x", "y", "src"]
-        if len(df) == 0:
-            return pd.DataFrame({c: np.array([], dtype=np.int64)
-                                 for c in cols})
-        d = df.sort_values(["src", "dst"], kind="stable")
-        a = d["src"].to_numpy()
-        b = d["dst"].to_numpy()
-        n = len(a)
-        new_a = np.concatenate(([True], a[1:] != a[:-1]))
-        starts = np.flatnonzero(new_a)
-        sizes = np.diff(np.append(starts, n))
-        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
-        cnt_i = np.repeat(sizes, sizes) - 1 - pos
-        I = np.repeat(np.arange(n, dtype=np.int64), cnt_i)
-        csum = np.concatenate(([0], np.cumsum(cnt_i)))
-        k = (np.arange(csum[-1], dtype=np.int64)
-             - np.repeat(csum[:-1], cnt_i) + 1)
-        J = I + k
-        # wedge endpoints normalized (lo, hi) to meet the unoriented
-        # closure set; dst is sorted within src so b[I] < b[J] already
-        return pd.DataFrame({"x": b[I], "y": b[J], "src": a[I]})[cols]
-
-    wedges = hash_exchange(oriented, key_fn=_pair_hash_key(["src"]),
-                           n_parts=N_DOC_PARTS, kernel=wedge_kernel,
-                           fmt="pandas")
-
-    def close_kernel(e: pd.DataFrame, w: pd.DataFrame) -> pd.DataFrame:
-        if len(w) == 0:
-            return pd.DataFrame({"node": np.array([], dtype=np.int64),
-                                 "cnt": np.array([], dtype=np.int64)})
-        ekey = np.unique(e["a"].to_numpy(dtype=np.uint64) << np.uint64(32)
-                         | e["b"].to_numpy(dtype=np.uint64))
-        wkey = (w["x"].to_numpy(dtype=np.uint64) << np.uint64(32)
-                | w["y"].to_numpy(dtype=np.uint64))
-        pos = np.searchsorted(ekey, wkey)
-        pos_c = np.minimum(pos, max(len(ekey) - 1, 0))
-        hit = (ekey[pos_c] == wkey) if len(ekey) else np.zeros(
-            len(wkey), dtype=bool)
-        tri = w.loc[hit]
-        nodes = np.concatenate([tri["src"].to_numpy(),
-                                tri["x"].to_numpy(),
-                                tri["y"].to_numpy()]).astype(np.int64)
-        out = (pd.DataFrame({"node": nodes})
-               .groupby("node", sort=False).size().rename("cnt")
-               .reset_index())
-        out["cnt"] = out["cnt"].astype(np.int64)
-        return out
-
-    partials = hash_exchange_multi(
-        [(edges, _pair_hash_key(["a", "b"])),
-         (wedges, _pair_hash_key(["x", "y"]))],
-        n_parts=N_DOC_PARTS, kernel=close_kernel, fmt="pandas")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby("node", sort=False)["cnt"].sum().reset_index())
-        return pd.DataFrame({
-            "doc_id": out["node"].to_numpy().astype(np.int64),
-            "n_triangles": out["cnt"].to_numpy().astype(np.int64)})
-
-    return hash_exchange(partials, key_fn=_pair_hash_key(["node"]),
-                         n_parts=N_DOC_PARTS, kernel=merge, fmt="pandas")
-
-
-def dup_spans(sf_dir: str, k: int = 8):
-    """Exact SUBSTRING-dedup signal (the Lee et al. "Deduplicating
-    Training Data" shape at window granularity): per doc, how many of its
-    DISTINCT stride-1 ``k``-token windows also occur in ANOTHER doc — the
-    copied-passage detector that Jaccard/minhash miss when a short quote
-    hides in a long document.  Window identity is the md5 of the
-    chr(1)-joined token string (the novelty/decontaminate digest
-    discipline, so SQL compares the identical value space); md5 runs once
-    per UNIQUE window per batch.  Plumbing mirrors :func:`novelty`: one
-    digest-hash exchange where each digest's distinct-doc count is exact,
-    then a self-merging doc-hash fold."""
-    import hashlib
-
-    from ..util import round_half_away
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def win_rows(df: pd.DataFrame) -> pd.DataFrame:
-        uniq, codes, lens = dd.unique_tokens(df["text"])
-        n_docs = len(df)
-        n_w = np.maximum(np.asarray(lens, dtype=np.int64) - (k - 1), 1)
-        total = int(n_w.sum())
-        if not len(codes):
-            # token-less docs still have the one all-empty padded window
-            # (mirrors the SQL coalesce(''); digest shared across them)
-            if n_docs == 0:
-                return pd.DataFrame(
-                    {"doc_id": np.array([], dtype=np.int64),
-                     "s": np.array([], dtype=np.uint64)})
-            empty_dig = np.uint64(int.from_bytes(hashlib.md5(
-                ("\x01" * (k - 1)).encode()).digest()[:8], "little"))
-            return pd.DataFrame({
-                "doc_id": df["doc_id"].to_numpy(),
-                "s": np.full(n_docs, empty_dig, dtype=np.uint64)})
-        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_w)
-        offs = np.concatenate(([0], np.cumsum(n_w)[:-1]))
-        within = np.arange(total, dtype=np.int64) - np.repeat(offs, n_w)
-        tok_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        base = tok_starts[doc_of] + within
-        limit = max(len(codes) - 1, 0)
-        codes_i64 = np.asarray(codes, dtype=np.int64)
-        empty_code = np.int64(len(uniq))  # sentinel: past-the-end == ''
-        grid = np.empty((total, k), dtype=np.int64)
-        lens_arr = np.asarray(lens, dtype=np.int64)
-        for j in range(k):
-            in_range = within + j < lens_arr[doc_of]
-            idx = np.minimum(base + j, limit)
-            grid[:, j] = np.where(in_range, codes_i64[idx], empty_code)
-        # Python work bounded by the UNIQUE window count (the
-        # doc_shingle_md5_sets discipline): unique code rows first, then
-        # one string build + md5 per unique window
-        uw, winv = np.unique(grid, axis=0, return_inverse=True)
-        ext = list(uniq) + [""]
-        uh = np.fromiter(
-            (int.from_bytes(hashlib.md5(
-                "\x01".join(ext[c] for c in row).encode()).digest()[:8],
-                "little") for row in uw),
-            dtype=np.uint64, count=len(uw))
-        s = uh[winv]
-        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[doc_of],
-                            "s": s}).drop_duplicates()
-        return out
-
-    rows = ds.map_batches(win_rows, batch_format="pandas")
-
-    def span_partial(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_id", "n_windows", "n_shared"]
-        if len(df) == 0:
-            return pd.DataFrame({c: np.array([], dtype=np.int64)
-                                 for c in cols})
-        s = df["s"].to_numpy().astype(np.uint64)
-        ids = df["doc_id"].to_numpy()
-        order = np.lexsort((ids, s))
-        s, ids = s[order], ids[order]
-        change = np.concatenate(([True], s[1:] != s[:-1]))
-        starts = np.flatnonzero(change)
-        counts = np.diff(np.append(starts, len(s)))
-        shared = np.repeat(counts, counts) > 1  # distinct docs per digest
-        labs, inv = np.unique(ids, return_inverse=True)
-        return pd.DataFrame({
-            "doc_id": labs,
-            "n_windows": np.bincount(inv).astype(np.int64),
-            "n_shared": np.bincount(inv, weights=shared).astype(np.int64),
-        })[cols]
-
-    partials = hash_exchange(rows, key_fn=_pair_hash_key(["s"]),
-                             n_parts=N_DOC_PARTS, kernel=span_partial,
-                             fmt="pandas")
-
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_id", "n_windows", "n_shared"]
-        if len(df) == 0:
-            return pd.DataFrame({c: np.array([], dtype=np.int64)
-                                 for c in cols})
-        return (df.groupby("doc_id", sort=True, as_index=False)
-                [["n_windows", "n_shared"]].sum().astype(np.int64)[cols])
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["shared_frac"] = round_half_away(
-            df["n_shared"].to_numpy()
-            / np.maximum(df["n_windows"].to_numpy(), 1), 6)
-        return out
-
-    return hash_exchange(partials, key_fn=_pair_hash_key(["doc_id"]),
-                         n_parts=N_DOC_PARTS, kernel=fold, fmt="pandas",
-                         chunk_rows=1 << 20, final_kernel=finalize)
-
-
-def collocations(sf_dir: str):
-    """Adjacent-bigram collocation counts with unigram totals: for every
-    consecutive token pair in the positional token stream, ``n_pair``
-    (corpus occurrences of the bigram) plus ``n_w1``/``n_w2`` (corpus
-    occurrences of each word) — PMI / log-likelihood-ratio become
-    consumer-side rationals over exact integers.  Pair counting runs on
-    integer token codes (no object arrays in the hot path); the bigram
-    exchange is keyed on the pair.  Unigram totals ride a separate tiny
-    exchange and broadcast into the merge kernel — the unigram table is
-    vocabulary-bounded, not corpus-bounded, which is what makes the
-    broadcast legitimate at 100 TB (same rationale as the top-k vocab in
-    :func:`token_cooccurrence`)."""
-    from ..util import arrow_key_ids
-
-    ds = _read(sf_dir, "documents", ["text"])
-
-    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
-        uniq, codes, _lens = dd.unique_tokens(df["text"])
-        if not len(codes):
-            return pd.DataFrame({"w": np.array([], dtype=object),
-                                 "n": np.array([], np.int64)})
-        cnt = np.bincount(codes, minlength=len(uniq))
-        return pd.DataFrame({"w": uniq, "n": cnt.astype(np.int64)})
-
-    uni = hash_exchange(
-        ds.map_batches(uni_partial, batch_format="pandas"),
-        key_fn=lambda t: arrow_key_ids(t, ["w"], 8), n_parts=8,
-        kernel=lambda df: df.groupby("w", sort=False)["n"].sum()
-                            .astype(np.int64).reset_index(),
-        fmt="pandas").to_pandas()
-    n_of = dict(zip(uni["w"], uni["n"]))
-
-    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"w1": np.array([], dtype=object),
-                              "w2": np.array([], dtype=object),
-                              "n_pair": np.array([], np.int64)})
-        uniq, codes, lens = dd.unique_tokens(df["text"])
-        if len(codes) < 2:
-            return empty
-        # adjacency mask: position i pairs with i+1 unless i is a doc's
-        # last token (doc ends at cumsum(lens)-1)
-        ends = np.cumsum(lens)
-        ok = np.ones(len(codes) - 1, dtype=bool)
-        ok[ends[ends < len(codes)] - 1] = False
-        if not ok.any():
-            return empty
-        K = len(uniq)
-        pair = codes[:-1][ok].astype(np.int64) * K + codes[1:][ok]
-        uk, cnt = np.unique(pair, return_counts=True)
-        return pd.DataFrame({"w1": uniq[uk // K], "w2": uniq[uk % K],
-                             "n_pair": cnt.astype(np.int64)})
-
-    pairs = ds.map_batches(pair_partial, batch_format="pandas")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby(["w1", "w2"], sort=False)["n_pair"].sum()
-               .reset_index())
-        out["n_pair"] = out["n_pair"].astype(np.int64)
-        out["n_w1"] = out["w1"].map(n_of).astype(np.int64)
-        out["n_w2"] = out["w2"].map(n_of).astype(np.int64)
-        return out
-
-    return hash_exchange(
-        pairs, key_fn=lambda t: arrow_key_ids(t, ["w1", "w2"], 8),
-        n_parts=8, kernel=merge, fmt="pandas")
-
-
-def vocab_growth(sf_dir: str):
-    """Heaps-law vocabulary-growth curve: for every doc (in doc_id order)
-    the cumulative number of DISTINCT tokens seen so far.  Distributed as
-    two exact reductions, never a stateful scan: (1) per token, the
-    minimum doc_id containing it (token-keyed exchange, min-mergeable);
-    (2) tokens-per-first-doc counts fold into a cumulative sum over the
-    distinct doc_id axis in a one-partition kernel — the fold input is
-    vocabulary/doc-count bounded, the same per-block offset-fold shape as
-    ``events_pareto_curve``."""
-    from ..util import arrow_key_ids
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def first_partial(df: pd.DataFrame) -> pd.DataFrame:
-        uniq, codes, lens = dd.unique_tokens(df["text"])
-        if not len(codes):
-            return pd.DataFrame({"w": np.array([], dtype=object),
-                                 "first_doc": np.array([], np.int64)})
-        doc_ids = np.repeat(df["doc_id"].to_numpy(), lens)
-        # min doc_id per token code
-        first = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
-        np.minimum.at(first, codes, doc_ids)
-        return pd.DataFrame({"w": uniq, "first_doc": first})
-
-    firsts = hash_exchange(
-        ds.map_batches(first_partial, batch_format="pandas"),
-        key_fn=lambda t: arrow_key_ids(t, ["w"], 8), n_parts=8,
-        kernel=lambda df: df.groupby("w", sort=False)["first_doc"].min()
-                            .astype(np.int64).reset_index(),
-        fmt="pandas")
-
-    def count_new(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby("first_doc", sort=False).size().rename("k")
-               .reset_index())
-        out["k"] = out["k"].astype(np.int64)
-        return out
-
-    new_at = hash_exchange(
-        firsts, key_fn=lambda t: arrow_key_ids(t, ["first_doc"], 8),
-        n_parts=8, kernel=count_new, fmt="pandas")
-
-    doc_ids = _read(sf_dir, "documents", ["doc_id"])
-
-    def fold(counts: pd.DataFrame, docs: pd.DataFrame) -> pd.DataFrame:
-        d = np.sort(docs["doc_id"].to_numpy().astype(np.int64))
-        k = np.zeros(len(d), np.int64)
-        if len(counts):
-            pos = np.searchsorted(d, counts["first_doc"].to_numpy())
-            np.add.at(k, pos, counts["k"].to_numpy())
-        return pd.DataFrame({"doc_id": d,
-                             "vocab_size": np.cumsum(k).astype(np.int64)})
-
-    return hash_exchange_multi(
-        [(new_at, lambda t: np.zeros(t.num_rows, dtype=np.int64)),
-         (doc_ids, lambda t: np.zeros(t.num_rows, dtype=np.int64))],
-        n_parts=1, kernel=fold, fmt="pandas")
-
-
-def degree_hist(sf_dir: str, threshold: float = 0.5):
-    """Degree distribution of the n-gram near-dup graph: for each degree,
-    how many docs have exactly that many near-duplicate neighbors — the
-    one-number-per-node summary that separates clique-heavy corpora
-    (dup factories) from chains.  Same edge truth as
-    :func:`triangle_counts`; degrees fold in a node-keyed exchange,
-    the histogram in a degree-keyed one (both mergeable sums)."""
-    tune_context()
-
-    pairs = ngram_jaccard(sf_dir, threshold=threshold)
-
-    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        nodes = np.concatenate([df["id_a"].to_numpy(dtype=np.int64),
-                                df["id_b"].to_numpy(dtype=np.int64)])
-        u, c = np.unique(nodes, return_counts=True)
-        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
-
-    degs = hash_exchange(
-        pairs.map_batches(deg_partial, batch_format="pandas"),
-        key_fn=_pair_hash_key(["node"]), n_parts=N_DOC_PARTS,
-        kernel=lambda df: df.groupby("node", sort=False)["deg"].sum()
-        .astype(np.int64).reset_index(), fmt="pandas")
-
-    def hist(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby("deg", sort=False).size().rename("n_docs")
-               .reset_index())
-        return pd.DataFrame({"degree": out["deg"].astype(np.int64),
-                             "n_docs": out["n_docs"].astype(np.int64)})
-
-    return hash_exchange(
-        degs, key_fn=_pair_hash_key(["deg"], 8), n_parts=8,
-        kernel=hist, fmt="pandas")
-
-
-def reach_2hop(sf_dir: str, threshold: float = 0.5):
-    """Two-hop reachability census over the n-gram near-dup graph (the
-    same edge truth as :func:`triangle_counts` / :func:`degree_hist`):
-    for each doc in the graph, how many OTHER docs sit within ≤ 2 hops —
-    the local-neighborhood-size signal that separates a doc inside a dup
-    factory from one with a single accidental twin.  One mid-keyed
-    exchange expands each node's neighbor list into its wedge pairs
-    (volume Σ deg(mid)² is inherent to the semantics; pairs dedup inside
-    the partition before they ship — on clique-shaped dup clusters that
-    collapses most of the blow-up), one src-keyed exchange unions wedges
-    with the direct edges and counts distinct destinations.  All
-    vectorized: the wedge cross-product is the counts/starts index
-    construction, dedup is lexsort + edge mask (3× drop_duplicates,
-    CLAUDE.md)."""
-    tune_context()
-
-    pairs = ngram_jaccard(sf_dir, threshold=threshold)
-
-    def both(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["id_a"].to_numpy(dtype=np.int64)
-        b = df["id_b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"mid": np.concatenate([a, b]),
-                             "nbr": np.concatenate([b, a])})
-
-    edges = pairs.map_batches(both, batch_format="pandas")
-
-    def _dedup_pairs(src: np.ndarray, dst: np.ndarray):
-        if len(src) == 0:
-            return src, dst
-        order = np.lexsort((dst, src))
-        src, dst = src[order], dst[order]
-        keep = np.concatenate(
-            ([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])))
-        return src[keep], dst[keep]
-
-    def wedges(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"src": np.array([], dtype=np.int64),
-                                 "dst": np.array([], dtype=np.int64)})
-        df = df.sort_values(["mid", "nbr"], kind="stable")
-        mid = df["mid"].to_numpy(dtype=np.int64)
-        nbr = df["nbr"].to_numpy(dtype=np.int64)
-        new = np.concatenate(([True], mid[1:] != mid[:-1]))
-        starts = np.flatnonzero(new)
-        counts = np.diff(np.append(starts, len(mid)))
-        # all (i, j) index pairs within each mid's neighbor run
-        tot = counts * counts
-        base = np.repeat(starts, tot)
-        k = np.arange(int(tot.sum()), dtype=np.int64) - np.repeat(
-            np.cumsum(tot) - tot, tot)
-        cc = np.repeat(counts, tot)
-        left, right = base + k // cc, base + k % cc
-        m = left != right   # neighbor lists are deduped -> src != dst
-        src, dst = _dedup_pairs(nbr[left[m]], nbr[right[m]])
-        return pd.DataFrame({"src": src, "dst": dst})
-
-    hop2 = hash_exchange(edges, key_fn=_pair_hash_key(["mid"]),
-                         n_parts=N_DOC_PARTS, kernel=wedges, fmt="pandas")
-
-    def direct(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"src": df["mid"].to_numpy(dtype=np.int64),
-                             "dst": df["nbr"].to_numpy(dtype=np.int64)})
-
-    allp = hop2.union(edges.map_batches(direct, batch_format="pandas"))
-
-    def count_kernel(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"doc_id": np.array([], dtype=np.int64),
-                                 "reach2": np.array([], dtype=np.int64)})
-        src = df["src"].to_numpy(dtype=np.int64)
-        dst = df["dst"].to_numpy(dtype=np.int64)
-        m = src != dst
-        src, dst = _dedup_pairs(src[m], dst[m])
-        if len(src) == 0:
-            return pd.DataFrame({"doc_id": np.array([], dtype=np.int64),
-                                 "reach2": np.array([], dtype=np.int64)})
-        starts = np.flatnonzero(
-            np.concatenate(([True], src[1:] != src[:-1])))
-        return pd.DataFrame({
-            "doc_id": src[starts],
-            "reach2": np.diff(np.append(starts, len(src)))
-            .astype(np.int64)})
-
-    return hash_exchange(allp, key_fn=_pair_hash_key(["src"]),
-                         n_parts=N_DOC_PARTS, kernel=count_kernel,
-                         fmt="pandas")
-
-
-def dedup_eval(sf_dir: str, threshold: float = 0.5, max_hamming: int = 3):
-    """Candidate-quality audit of SimHash blocking against the exact
-    token-Jaccard truth — the dedup-pipeline acceptance test a data
-    curator runs before trusting a cheaper heuristic: precision/recall
-    NUMERATORS as exact integers (``n_cand``, ``n_truth``, ``n_hit``;
-    the ratios are consumer-side rationals, the fixed-decimal rule).
-    Both pair sets are the already-oracle-checked pipelines
-    (:func:`simhash_pairs` at Hamming ≤ 3, :func:`token_jaccard` ≥
-    ``threshold``, which blocks by lang — simhash may propose cross-lang
-    pairs, a real precision cost the audit should see).  Pairs carry a
-    side marker through ONE pair-keyed exchange (hit = both sides
-    present in the co-partition), per-partition counts fold in a
-    single-row final exchange — pair payloads never leave their
-    partition."""
-    tune_context()
-
-    cand = simhash_pairs(sf_dir, max_hamming=max_hamming)
-    truth = token_jaccard(sf_dir, threshold=threshold)
-
-    def mark(side: int):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "id_a": df["id_a"].to_numpy(dtype=np.int64),
-                "id_b": df["id_b"].to_numpy(dtype=np.int64),
-                "side": np.full(len(df), side, dtype=np.int64)})
-        return fn
-
-    both = (cand.map_batches(mark(0), batch_format="pandas")
-            .union(truth.map_batches(mark(1), batch_format="pandas")))
-
-    def part_counts(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({c: np.array([], dtype=np.int64)
-                                 for c in ["n_cand", "n_truth", "n_hit"]})
-        g = (df.groupby(["id_a", "id_b"], sort=False)["side"]
-             .agg(["min", "max", "count"]))
-        hit = ((g["min"] == 0) & (g["max"] == 1)).sum()
-        n_cand = (df["side"].to_numpy() == 0).sum()
-        n_truth = (df["side"].to_numpy() == 1).sum()
-        return pd.DataFrame({"n_cand": [np.int64(n_cand)],
-                             "n_truth": [np.int64(n_truth)],
-                             "n_hit": [np.int64(hit)]})
-
-    parts = hash_exchange(both, key_fn=_pair_hash_key(["id_a", "id_b"]),
-                          n_parts=N_DOC_PARTS, kernel=part_counts,
-                          fmt="pandas")
-    return hash_exchange(
-        parts, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
-        n_parts=1,
-        kernel=lambda d: pd.DataFrame(
-            {"n_cand": [np.int64(d["n_cand"].sum())],
-             "n_truth": [np.int64(d["n_truth"].sum())],
-             "n_hit": [np.int64(d["n_hit"].sum())]}),
-        fmt="pandas")
-
-
-def cluster_size_hist(sf_dir: str, threshold: float = 0.5):
-    """Histogram of duplicate-cluster SIZES — the dedup-audit companion
-    to :func:`degree_hist` (connected-component structure instead of
-    node degrees): for each cluster size, how many clusters have it.
-    Sizes fold in a cluster-keyed exchange over :func:`dup_clusters`'
-    assignments, the histogram in a size-keyed one."""
-    tune_context()
-
-    assign = dup_clusters(sf_dir, threshold=threshold)
-
-    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby("cluster_id", sort=False).size().rename("n")
-               .reset_index())
-        out["n"] = out["n"].astype(np.int64)
-        return out
-
-    sizes = hash_exchange(
-        assign.map_batches(size_partial, batch_format="pandas"),
-        key_fn=_pair_hash_key(["cluster_id"]), n_parts=N_DOC_PARTS,
-        kernel=lambda df: df.groupby("cluster_id", sort=False)["n"].sum()
-        .astype(np.int64).reset_index(), fmt="pandas")
-
-    def hist(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby("n", sort=False).size().rename("n_clusters")
-               .reset_index())
-        return pd.DataFrame({
-            "cluster_size": out["n"].astype(np.int64),
-            "n_clusters": out["n_clusters"].astype(np.int64)})
-
-    return hash_exchange(
-        sizes, key_fn=_pair_hash_key(["n"], 8), n_parts=8,
-        kernel=hist, fmt="pandas")
-
-
-def boolean_search(sf_dir: str,
-                   terms: tuple = ("spark", "window", "merge")):
-    """Boolean multi-term retrieval: per doc, the bitmask / count of
-    query terms present and the AND-hit flag — the fixed-query scan a
-    search layer runs before ranking.  The K query terms broadcast in
-    the task closure (K is query-sized, never corpus-sized), each batch
-    resolves them against its LOCAL vocab from the shared byte-run
-    tokenizer and ORs per-doc bits with one bounded pass per term —
-    map-only, no exchange: every doc decides its own membership."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    term_list = [str(t) for t in terms]
-
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_id", "match_mask", "n_matched", "all_terms"]
-        if len(df) == 0:
-            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
-        uniq, codes, lens = dd.unique_tokens(df["text"])
-        n_docs = len(lens)
-        mask = np.zeros(n_docs, dtype=np.int64)
-        if len(codes):
-            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-            code_of = {t: i for i, t in enumerate(uniq)}
-            for k, term in enumerate(term_list):
-                c = code_of.get(term)
-                if c is None:
-                    continue
-                hit_docs = np.unique(doc_of[codes == c])
-                mask[hit_docs] |= np.int64(1 << k)
-        # popcount over K query bits, vectorized (K is query-sized)
-        n_matched = np.zeros(n_docs, dtype=np.int64)
-        for k in range(len(term_list)):
-            n_matched += (mask >> np.int64(k)) & np.int64(1)
-        keep = mask > 0
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy()[keep].astype(np.int64),
-            "match_mask": mask[keep],
-            "n_matched": n_matched[keep],
-            "all_terms": (n_matched[keep]
-                          == len(term_list)).astype(np.int64)})
-
-    return (ds.map_batches(kernel, batch_format="pandas")
-            .sort("doc_id"))
-
-
-def phrase_count(sf_dir: str, w1: str = "fast", w2: str = "sort"):
-    """Exact-phrase (adjacent-bigram) occurrence counts per doc — the
-    phrase-retrieval primitive.  Counts EVERY adjacent occurrence
-    (overlapping repeats included, which single-pass regex extraction
-    under-counts — the oracle enumerates token positions instead).
-    Runs on integer token codes from the shared byte-run tokenizer with
-    the collocations adjacency mask; map-only."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_id", "n_occ"]
-        if len(df) == 0:
-            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
-        uniq, codes, lens = dd.unique_tokens(df["text"])
-        n_docs = len(lens)
-        code_of = {t: i for i, t in enumerate(uniq)}
-        c1, c2 = code_of.get(w1), code_of.get(w2)
-        if c1 is None or c2 is None or len(codes) < 2:
-            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
-        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-        ends = np.cumsum(lens)
-        ok = np.ones(len(codes) - 1, dtype=bool)
-        ok[ends[ends < len(codes)] - 1] = False   # no cross-doc pairs
-        hits = ok & (codes[:-1] == c1) & (codes[1:] == c2)
-        if not hits.any():
-            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
-        n_occ = np.bincount(doc_of[:-1][hits], minlength=n_docs)
-        keep = n_occ > 0
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy()[keep].astype(np.int64),
-            "n_occ": n_occ[keep].astype(np.int64)})
-
-    return (ds.map_batches(kernel, batch_format="pandas")
-            .sort("doc_id"))
-
-
-# ---------- edit-distance near-dup ----------
-
-def _padded_prefix_bytes(col, width: int):
-    """(n, width) uint8 matrix of each string's first ``width`` UTF-8
-    bytes, zero-padded — one gather over the contiguous Arrow values
-    buffer, no per-row Python.  The corpus is ASCII (the fingerprint
-    gate's one-scan check precedent), so byte slicing == character
-    slicing == what DuckDB ``substr``/``levenshtein`` see."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    arr = pc.utf8_slice_codeunits(col, 0, width)
-    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-    n = len(arr)
-    off = np.frombuffer(arr.buffers()[1], np.int32)[
-        arr.offset: arr.offset + n + 1].astype(np.int64)
-    data = np.frombuffer(arr.buffers()[2], np.uint8)
-    lens = off[1:] - off[:-1]
-    idx = off[:-1, None] + np.arange(width)
-    valid = np.arange(width) < lens[:, None]
-    safe = np.minimum(idx, max(len(data) - 1, 0))
-    mat = np.where(valid, data[safe] if len(data) else 0, 0).astype(np.uint8)
-    return mat, lens
-
-
-def _levenshtein_pairs(a_mat, la, b_mat, lb):
-    """Exact unit-cost Levenshtein distance for n (a, b) pairs at once.
-
-    Classic DP vectorized ACROSS the pair axis; the in-row left-to-right
-    dependency (``row[j] = min(cand[j], row[j-1]+1)``) collapses to one
-    ``np.minimum.accumulate`` because unrolling gives ``row[j] =
-    min_{k<=j}(cand[k] + (j-k))`` — i.e. ``row - j = running-min of
-    (cand - j)``.  O(maxlen) vectorized steps, no per-pair Python."""
-    n, L = a_mat.shape
-    jr = np.arange(L + 1, dtype=np.int64)
-    prev = np.broadcast_to(jr, (n, L + 1)).copy()
-    res = lb.astype(np.int64).copy()          # D[0, lb] = lb (la == 0)
-    cc = np.empty((n, L + 1), dtype=np.int64)
-    mx = int(la.max()) if n else 0
-    for i in range(1, mx + 1):
-        cost = (a_mat[:, i - 1:i] != b_mat).astype(np.int64)
-        cc[:, 0] = i
-        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=cc[:, 1:])
-        prev = np.minimum.accumulate(cc - jr, axis=1) + jr
-        hit = la == i
-        if hit.any():
-            res[hit] = prev[hit, lb[hit]]
-    return res
-
-
-def edit_pairs(sf_dir: str, block_chars: int = 8, prefix_chars: int = 64,
-               max_len_diff: int = 16):
-    """Edit-distance near-dup candidates: document pairs sharing language
-    and their first ``block_chars`` characters, with |n_chars| difference
-    ≤ ``max_len_diff``, scored by the exact Levenshtein distance between
-    their first ``prefix_chars`` characters.  The blocking rule IS the
-    operator's contract (mirrored verbatim by the SQL oracle), the scale
-    story of every dedup family member here: candidates are generated
-    inside (lang, prefix) buckets only — never all-pairs — and only
-    (doc_id, 64-byte prefix, n_chars) rides the exchange, never documents.
-    The verify kernel is the pair-vectorized DP of
-    :func:`_levenshtein_pairs` (O(64) numpy steps per partition)."""
-    import pyarrow as pa
-
-    P = 8
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
-
-    def project(tbl: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        key = pc.binary_join_element_wise(
-            tbl.column("lang"),
-            pc.utf8_slice_codeunits(tbl.column("text"), 0, block_chars),
-            "\x01")
-        pre = pc.utf8_slice_codeunits(tbl.column("text"), 0, prefix_chars)
-        return pa.table({"doc_id": tbl.column("doc_id"), "key": key,
-                         "pre": pre, "n_chars": tbl.column("n_chars")})
-
-    rows = ds.map_batches(project, batch_format="pyarrow")
-
-    def key_fn(tbl):
-        from ..util import arrow_col_hash
-
-        return (arrow_col_hash(tbl, "key") % np.uint64(P)).astype(np.int64)
-
-    def kernel(tbl: pa.Table) -> pd.DataFrame:
-        cols = ["doc_id1", "doc_id2", "dist"]
-        empty = pd.DataFrame({c: np.array([], np.int64) for c in cols})
-        if tbl.num_rows == 0:
-            return empty
-        keys = tbl.column("key").to_numpy(zero_copy_only=False)
-        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-        nch = tbl.column("n_chars").to_numpy(zero_copy_only=False)
-        codes, _ = pd.factorize(keys)
-        order = np.lexsort((ids, codes))
-        bounds = np.flatnonzero(np.diff(codes[order], prepend=-1,
-                                        append=-2))
-        ii, jj = [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):   # per-bucket pairs;
-            m = e - s                               # buckets are small by
-            if m < 2:                               # construction (blocked)
-                continue
-            a, b = np.triu_indices(m, k=1)
-            ii.append(order[s:e][a])
-            jj.append(order[s:e][b])
-        if not ii:
-            return empty
-        i = np.concatenate(ii)
-        j = np.concatenate(jj)
-        keep = np.abs(nch[i] - nch[j]) <= max_len_diff
-        i, j = i[keep], j[keep]
-        if not len(i):
-            return empty
-        lo = np.where(ids[i] < ids[j], i, j)
-        hi = np.where(ids[i] < ids[j], j, i)
-        mat, lens = _padded_prefix_bytes(tbl.column("pre"), prefix_chars)
-        dist = _levenshtein_pairs(mat[lo], lens[lo], mat[hi], lens[hi])
-        out = pd.DataFrame({"doc_id1": ids[lo].astype(np.int64),
-                            "doc_id2": ids[hi].astype(np.int64),
-                            "dist": dist.astype(np.int64)})
-        return out[cols]
-
-    return hash_exchange(rows, key_fn=key_fn, n_parts=P, kernel=kernel,
-                         fmt="pyarrow")
-
-
-# ---------- k-core decomposition ----------
-
-def kcore(sf_dir: str, ks=(2, 3), threshold: float = 0.5,
-          n_parts: int = N_DOC_PARTS, max_iters: int = 64):
-    """k-core decomposition of the n-gram near-dup graph (the same edge
-    truth as :func:`triangle_counts` / :func:`degree_hist`): for each
-    ``k`` in ``ks``, the maximal subgraph where every surviving doc keeps
-    ≥ k surviving near-dup neighbors, emitted as (k, doc_id,
-    deg_in_core).  The dup-pipeline reading: a 2-core member sits inside
-    a duplication STRUCTURE (cycles/cliques), not just a chain of
-    accidental twins; rising k isolates the dup factories.
-
-    Distributed DELTA PEELING, the :func:`cluster_pairs` discipline:
-    edges (both directions) are pre-split ONCE by src hash, so every
-    node's degree is partition-local.  Each round a partition deletes the
-    edges named by incoming removal notices, recomputes local degrees,
-    and removes nodes that fell below k — shipping each removed node's
-    remaining edges as (neighbor, removed) notices PRE-SPLIT by the
-    neighbor's hash (the propose_split fusion).  Every edge's notice
-    ships at most once over the whole peel (total traffic ≤ |E|); a
-    partition with no incoming notices runs NO task (frozen region); the
-    driver only ever sees per-round notice counts.  ``ks`` must ascend —
-    the (k+1)-core ⊆ k-core, so each level resumes peeling from the
-    previous level's survivors instead of restarting."""
-    import pyarrow as pa
-    import ray
-    import ray.data
-
-    from ..stages.exchange import concat_clean, split_table_by_ids
-
-    assert tuple(ks) == tuple(sorted(ks)), "ks must ascend (core nesting)"
-    tune_context()
-    _, edges_pre, key_src = _presplit_graph_edges(
-        ngram_jaccard(sf_dir, threshold=threshold), n_parts)
-
-    def _pack(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
-        # composite edge key for notice membership (doc ids < 2^31)
-        return (src.astype(np.uint64) << np.uint64(32)) | dst.astype(
-            np.uint64)
-
-    @ray.remote
-    def init_part(*edge_parts):
-        t = concat_clean(edge_parts)
-        if t is None:
-            return pa.table({"src": pa.array([], pa.int64()),
-                             "dst": pa.array([], pa.int64())})
-        return t
-
-    @ray.remote
-    def peel_part(edge_tbl, k: int, *notice_parts):
-        e_src = edge_tbl.column("src").to_numpy(zero_copy_only=False)
-        e_dst = edge_tbl.column("dst").to_numpy(zero_copy_only=False)
-        notes = [t for t in notice_parts if t is not None and t.num_rows]
-        if notes:
-            nt = pa.concat_tables(notes)
-            bad = np.unique(_pack(
-                nt.column("src").to_numpy(zero_copy_only=False),
-                nt.column("dst").to_numpy(zero_copy_only=False)))
-            keep = ~np.isin(_pack(e_src, e_dst), bad, assume_unique=False)
-            e_src, e_dst = e_src[keep], e_dst[keep]
-        # local degrees (all of a src's edges live here by construction)
-        u, counts = np.unique(e_src, return_counts=True)
-        gone = counts < k
-        if not gone.any():
-            out = pa.table({"src": pa.array(e_src), "dst": pa.array(e_dst)})
-            return (out, *[None] * n_parts, 0)
-        removed = u[gone]
-        drop_src = np.isin(e_src, removed)
-        # notices: each removed node's still-alive edges, addressed to the
-        # NEIGHBOR's partition (reverse-edge owner), pre-split by its hash
-        n_src, n_dst = e_dst[drop_src], e_src[drop_src]
-        note = pa.table({"src": pa.array(n_src), "dst": pa.array(n_dst)})
-        slices, _ = split_table_by_ids(note, key_src(note), n_parts)
-        keep2 = ~drop_src & ~np.isin(e_dst, removed)
-        out = pa.table({"src": pa.array(e_src[keep2]),
-                        "dst": pa.array(e_dst[keep2])})
-        return (out, *slices, int(removed.size))
-
-    # level init: concat each partition's edge slices once
-    edge_refs: list = []
-    for p in range(n_parts):
-        parts = edges_pre.part_refs(p)
-        edge_refs.append(init_part.remote(*parts) if parts else None)
-
-    import ray as _ray
-    results = []
-    for k in ks:
-        # kick the level: every live partition re-checks deg < k
-        pending = {p: [] for p in range(n_parts) if edge_refs[p] is not None}
-        for _ in range(max_iters):
-            if not pending:
-                break
-            outs = {p: peel_part.options(num_returns=n_parts + 2)
-                    .remote(edge_refs[p], k, *notices)
-                    for p, notices in pending.items()}
-            nxt: dict = {}
-            for p, ret in outs.items():
-                edge_refs[p] = ret[0]
-                n_rm = _ray.get(ret[n_parts + 1])
-                if n_rm:
-                    for q in range(n_parts):
-                        nxt.setdefault(q, []).append(ret[1 + q])
-            pending = {q: v for q, v in nxt.items()
-                       if edge_refs[q] is not None}
-        live = [r for r in edge_refs if r is not None]
-        if live:
-            lvl = ray.data.from_arrow_refs(list(live))
-
-            def deg(df: pd.DataFrame, _k=k) -> pd.DataFrame:
-                if not len(df):
-                    return pd.DataFrame({
-                        "k": np.array([], np.int64),
-                        "doc_id": np.array([], np.int64),
-                        "deg_in_core": np.array([], np.int64)})
-                u, c = np.unique(df["src"].to_numpy(np.int64),
-                                 return_counts=True)
-                return pd.DataFrame({
-                    "k": np.full(len(u), _k, np.int64), "doc_id": u,
-                    "deg_in_core": c.astype(np.int64)})
-
-            results.append(lvl.map_batches(deg, batch_format="pandas"))
-    if not results:
-        import pandas as _pd
-
-        return ray.data.from_pandas(_pd.DataFrame({
-            "k": np.array([], np.int64),
-            "doc_id": np.array([], np.int64),
-            "deg_in_core": np.array([], np.int64)}))
-    out = results[0]
-    for r in results[1:]:
-        out = out.union(r)
-    return out
-
-
-# ---------- tokenizer statistics & fingerprint selection ----------
-
-def bpe_pairs(sf_dir: str):
-    """BPE merge-candidate statistics: corpus-wide counts of adjacent
-    CHARACTER pairs inside ``[A-Za-z0-9]+`` tokens — the table byte-pair
-    encoding's first merge step ranks.  Pure map-side byte kernel (the
-    byte-run tokenizer's mask trick: a pair counts iff both bytes are in
-    the alnum class, which can never span a token boundary; row
-    boundaries invalidated explicitly); partials are ≤ 62² cells folded
-    per batch, so the exchange is bounded by the ALPHABET, not the
-    corpus.  Exact under UTF-8 — multibyte sequences never contain ASCII
-    bytes."""
-    import pyarrow as pa
-
-    P = 1                              # ≤ 62² rows total
-    ds = _read(sf_dir, "documents", ["text"])
-
-    def partial(tbl: pa.Table) -> pa.Table:
-        arr = tbl.column("text")
-        arr = (arr.combine_chunks() if isinstance(arr, pa.ChunkedArray)
-               else arr)
-        n = len(arr)
-        if n == 0 or arr.buffers()[2] is None:
-            return pa.table({"code": pa.array([], pa.int64()),
-                             "cnt": pa.array([], pa.int64())})
-        off_dtype = (np.int64 if pa.types.is_large_string(arr.type)
-                     else np.int32)
-        offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
-            arr.offset: arr.offset + n + 1].astype(np.int64)
-        data = np.frombuffer(arr.buffers()[2], np.uint8)[offs[0]:offs[-1]]
-        offs = offs - offs[0]
-        if len(data) < 2:
-            return pa.table({"code": pa.array([], pa.int64()),
-                             "cnt": pa.array([], pa.int64())})
-        lo = data | np.uint8(0x20)
-        m = (((lo >= 97) & (lo <= 122))
-             | ((data >= 48) & (data <= 57)))
-        valid = m[:-1] & m[1:]
-        row_starts = offs[1:-1]        # a pair never spans two rows
-        valid[row_starts[row_starts > 0] - 1] = False
-        left = data[:-1][valid].astype(np.int64)
-        right = data[1:][valid].astype(np.int64)
-        cnt = np.bincount(left * 256 + right, minlength=0)
-        nz = np.flatnonzero(cnt)
-        return pa.table({"code": pa.array(nz.astype(np.int64)),
-                         "cnt": pa.array(cnt[nz].astype(np.int64))})
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["c1", "c2", "cnt"]
-        if len(df) == 0:
-            out = pd.DataFrame({"c1": pd.Series([], dtype=object),
-                                "c2": pd.Series([], dtype=object),
-                                "cnt": np.array([], np.int64)})
-            return out[cols]
-        g = df.groupby("code", sort=True)["cnt"].sum()
-        codes = g.index.to_numpy()
-        return pd.DataFrame({
-            "c1": [chr(c >> 8) for c in codes],
-            "c2": [chr(c & 255) for c in codes],
-            "cnt": g.to_numpy().astype(np.int64)})[cols]
-
-    return hash_exchange(partials,
-                         key_fn=lambda t: np.zeros(t.num_rows, np.int64),
-                         n_parts=P, kernel=merge, fmt="pandas")
-
-
-def winnowing(sf_dir: str, w: int = 4):
-    """Winnowed document fingerprints (Schleimer et al., the MOSS
-    algorithm): over each doc's word-3-shingle md5 sequence, every window
-    of ``w`` consecutive shingles selects its RIGHTMOST minimal hash; the
-    distinct selected (doc_id, pos, h) rows are the fingerprint set —
-    the guarantee-bearing substring-dedup primitive (any shared run of
-    w+2 tokens shares a fingerprint).  Docs with fewer than ``w``
-    shingles winnow their single full window, so every doc emits ≥ 1
-    fingerprint.  Map-only (no shuffle): selection is per-doc, windows
-    are a (n_windows × w) gather off the flat shingle array, rightmost
-    argmin = numpy first-argmin over leftward offsets.  Shingle identity
-    is the SQL oracle's own chr(1)-joined md5 (exact_dedup
-    discipline)."""
-    import pyarrow as pa
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    UMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
-
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_id", "pos", "h"]
-        if len(df) == 0:
-            return pd.DataFrame({"doc_id": np.array([], np.int64),
-                                 "pos": np.array([], np.int64),
-                                 "h": np.array([], np.uint64)})[cols]
-        doc_of, sh = dd.doc_shingle_md5_seq(df["text"])
-        ids = df["doc_id"].to_numpy()
-        m = np.bincount(doc_of, minlength=len(df)).astype(np.int64)
-        starts = np.concatenate(([0], np.cumsum(m)[:-1]))
-        n_win = np.maximum(m - w + 1, 1)
-        w_doc = np.repeat(np.arange(len(df)), n_win)
-        offs_w = np.concatenate(([0], np.cumsum(n_win)[:-1]))
-        t = np.arange(int(n_win.sum())) - np.repeat(offs_w, n_win)
-        j = np.minimum(w - 1 + t, m[w_doc] - 1)     # window end (in-doc)
-        end_flat = starts[w_doc] + j
-        k = np.arange(w)                             # 0 = window end
-        idx = end_flat[:, None] - k
-        valid = k <= j[:, None]
-        vals = np.where(valid, sh[np.maximum(idx, 0)], UMAX)
-        k_sel = np.argmin(vals, axis=1)              # first = rightmost
-        wmin = vals[np.arange(len(vals)), k_sel]
-        pos = j - k_sel + 1                          # 1-based, SQL substr
-        d = w_doc
-        order = np.lexsort((pos, d))
-        ds_, ps_, hs_ = d[order], pos[order], wmin[order]
-        keep = np.concatenate(([True], (ds_[1:] != ds_[:-1])
-                               | (ps_[1:] != ps_[:-1])))
-        return pd.DataFrame({"doc_id": ids[ds_[keep]].astype(np.int64),
-                             "pos": ps_[keep].astype(np.int64),
-                             "h": hs_[keep]})[cols]
-
-    return ds.map_batches(kernel, batch_format="pandas")
-
-
-# RAKE stopword list: the classic Lucene/Fox English function-word core —
-# fixed here because the oracle SQL embeds the identical IN-list.
-RAKE_STOPWORDS = (
-    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
-    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
-    "that", "the", "their", "then", "there", "these", "they", "this",
-    "to", "was", "will", "with")
-
-
-def rake(sf_dir: str):
-    """RAKE keyword statistics (Rose et al. 2010): split each doc's token
-    stream into candidate phrases at stopwords (and doc boundaries), then
-    for every non-stop word emit its corpus ``freq`` (occurrences inside
-    phrases) and ``deg`` (sum of the containing phrase's length over those
-    occurrences, self included) — the RAKE score ``deg/freq`` is a
-    consumer-side rational over exact ints (collocations discipline).
-    Map-side: phrase segmentation is a cumsum over the stop mask on
-    integer token codes (stopword lookup is vocab-bounded, not
-    corpus-bounded); the exchange carries one (w, freq, deg) row per
-    distinct word per batch."""
-    from ..util import arrow_key_ids
-
-    ds = _read(sf_dir, "documents", ["text"])
-    stop_set = frozenset(RAKE_STOPWORDS)
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["w", "freq", "deg"]
-        empty = pd.DataFrame({"w": np.array([], dtype=object),
-                              "freq": np.array([], np.int64),
-                              "deg": np.array([], np.int64)})[cols]
-        uniq, codes, lens = dd.unique_tokens(df["text"])
-        if not len(codes):
-            return empty
-        is_stop = np.fromiter((t.lower() in stop_set for t in uniq),
-                              bool, len(uniq))
-        st = is_stop[codes]
-        nk = ~st
-        if not nk.any():
-            return empty
-        doc_of = np.repeat(np.arange(len(lens)), lens)
-        # stops strictly before each position, within its doc: exclusive
-        # global cumsum minus the doc-start offset
-        cst = np.cumsum(st).astype(np.int64)
-        excl = cst - st
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        pid = excl - excl[starts][doc_of]
-        seg = doc_of.astype(np.int64) * (int(lens.max()) + 1) + pid
-        segs, cds = seg[nk], codes[nk]
-        _, sidx = np.unique(segs, return_inverse=True)
-        plen = np.bincount(sidx).astype(np.int64)
-        freq = np.bincount(cds, minlength=len(uniq)).astype(np.int64)
-        deg = np.zeros(len(uniq), np.int64)
-        np.add.at(deg, cds, plen[sidx])
-        nz = freq > 0
-        return pd.DataFrame({"w": uniq[nz], "freq": freq[nz],
-                             "deg": deg[nz]})[cols]
-
-    partials = ds.map_batches(partial, batch_format="pandas")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby("w", sort=False)[["freq", "deg"]].sum()
-               .reset_index())
-        out["freq"] = out["freq"].astype(np.int64)
-        out["deg"] = out["deg"].astype(np.int64)
-        return out[["w", "freq", "deg"]]
-
-    return hash_exchange(partials,
-                         key_fn=lambda t: arrow_key_ids(t, ["w"], 8),
-                         n_parts=8, kernel=merge, fmt="pandas")
-
-
-# ---------- graph ranking ----------
-
-PAGERANK_SCALE = 10 ** 12
-
-
-def pagerank(sf_dir: str, threshold: float = 0.5, rounds: int = 5,
-             n_parts: int = N_DOC_PARTS, scale: int = PAGERANK_SCALE):
-    """Integer-exact PageRank over the n-gram near-dup graph (the same
-    edge truth as :func:`kcore` / :func:`triangle_counts`): ``rounds``
-    power-iteration steps with damping 17/20 over int64 numerators at
-    ``scale`` — the dup-pipeline reading of a high score is "this doc
-    sits at the center of a duplication structure", the natural survivor
-    pick.  ALL arithmetic is integer with explicitly floored divisions
-    (``pr // deg`` per out-edge, ``(17 * Σ) // 20`` on the damped sum,
-    base mass ``(3·scale) // (20·N)``) so contribution sums are
-    order-independent and the SQL oracle is bit-equal — the float-sum
-    trap that keeps classic PageRank off exact gates never arises.
-
-    Distribution is the :func:`cluster_pairs` shape: both-direction
-    edges pre-split ONCE by src hash (degrees and contribution scans are
-    partition-local), one task wave per round; a round ships only
-    per-(partition, dst) partial contribution sums, pre-split by the
-    dst's owner hash — traffic per round is bounded by the distinct-dst
-    count per partition, never the edge count.  The driver sees node
-    counts (one int per partition) and round numbers only.
-    """
-    import pyarrow as pa
-    import ray
-    import ray.data
-
-    from ..stages.exchange import concat_clean, split_table_by_ids
-
-    tune_context()
-    _, edges_pre, key_src = _presplit_graph_edges(
-        ngram_jaccard(sf_dir, threshold=threshold), n_parts)
-
-    @ray.remote
-    def init_part(*edge_parts):
-        """Concat this partition's edge slices; emit static per-node
-        state (node ids ascending, local out-degrees) once."""
-        tbl = concat_clean(edge_parts)
-        if tbl is None:
-            empty = pa.table({"src": pa.array([], pa.int64()),
-                              "dst": pa.array([], pa.int64())})
-            return empty, np.array([], np.int64), np.array([], np.int64), 0
-        src = tbl.column("src").to_numpy(zero_copy_only=False)
-        nodes, deg = np.unique(src, return_counts=True)
-        return (tbl, nodes.astype(np.int64), deg.astype(np.int64),
-                int(nodes.size))
-
-    inits = [init_part.options(num_returns=4).remote(*edges_pre.part_refs(p))
-             for p in range(n_parts)]
-    n_total = int(sum(ray.get([i[3] for i in inits])))
-    if n_total == 0:
-        return ray.data.from_arrow(pa.table({
-            "doc_id": pa.array([], pa.int64()),
-            "deg": pa.array([], pa.int64()),
-            "pr_num": pa.array([], pa.int64())}))
-    base = (3 * scale) // (20 * n_total)
-    pr0 = scale // n_total
-
-    @ray.remote
-    def contrib_part(edge_tbl, nodes, deg, pr, *incoming):
-        """Apply last round's partial sums (if any), then emit this
-        round's per-dst partial contributions pre-split by dst hash."""
-        if incoming:
-            sums = np.zeros(len(nodes), np.int64)
-            for t in incoming:
-                if t is None or not t.num_rows:
-                    continue
-                d = t.column("dst").to_numpy(zero_copy_only=False)
-                s = t.column("s").to_numpy(zero_copy_only=False)
-                sums[np.searchsorted(nodes, d)] += s
-            pr = base + (17 * sums) // 20
-        if pr is None:
-            pr = np.full(len(nodes), pr0, np.int64)
-        if not len(nodes):
-            return (pr, *[None] * n_parts)
-        src = edge_tbl.column("src").to_numpy(zero_copy_only=False)
-        dst = edge_tbl.column("dst").to_numpy(zero_copy_only=False)
-        c = (pr // deg)[np.searchsorted(nodes, src)]
-        ud, inv = np.unique(dst, return_inverse=True)
-        part_sum = np.zeros(len(ud), np.int64)   # int64 add: exact sums
-        np.add.at(part_sum, inv, c)
-        note = pa.table({"dst": pa.array(ud), "s": pa.array(part_sum)})
-        ids = key_src(pa.table({"src": pa.array(ud)}))
-        slices, _ = split_table_by_ids(note, ids, n_parts)
-        return (pr, *slices)
-
-    @ray.remote
-    def final_part(nodes, deg, pr, *incoming):
-        sums = np.zeros(len(nodes), np.int64)
-        for t in incoming:
-            if t is None or not t.num_rows:
-                continue
-            d = t.column("dst").to_numpy(zero_copy_only=False)
-            s = t.column("s").to_numpy(zero_copy_only=False)
-            sums[np.searchsorted(nodes, d)] += s
-        pr = base + (17 * sums) // 20
-        return pa.table({"doc_id": pa.array(nodes),
-                         "deg": pa.array(deg),
-                         "pr_num": pa.array(pr.astype(np.int64))})
-
-    pr_refs: list = [None] * n_parts
-    notices: list = [[] for _ in range(n_parts)]
-    for r in range(rounds):
-        outs = [contrib_part.options(num_returns=n_parts + 1)
-                .remote(inits[p][0], inits[p][1], inits[p][2],
-                        pr_refs[p], *notices[p])
-                for p in range(n_parts)]
-        pr_refs = [o[0] for o in outs]
-        if r < rounds - 1:
-            notices = [[outs[p][1 + q] for p in range(n_parts)]
-                       for q in range(n_parts)]
-        else:
-            finals = [final_part.remote(
-                inits[p][1], inits[p][2], pr_refs[p],
-                *[outs[s][1 + p] for s in range(n_parts)])
-                for p in range(n_parts)]
-            return ray.data.from_arrow_refs(finals)
-
-
-def containment_pairs(sf_dir: str, threshold: float = 0.8, k: int = 3):
-    """Asymmetric set-CONTAINMENT join over word-3-shingle sets: directed
-    pairs (A, B) with |A∩B| / |A| ≥ τ — the superset/quote-detection
-    shape Jaccard misses (a doc fully quoted inside a much longer one has
-    high containment but arbitrarily low Jaccard).  Same shingle identity
-    as :func:`ngram_jaccard`'s SQL truth; output is the exact integer
-    (inter, sz_a) pair per the rational-output discipline.
-
-    Scale shape: A-side ships only prefix rows (the containment prefix
-    theorem: ⌈τ|A|⌉−1 elements sit outside the prefix, so a true pair
-    always collides); B-side is the full-element inverted index — bounded
-    by corpus token volume, the TF-IDF exchange's cost envelope, with
-    near-unique shingle hashes keeping buckets short.  One tok-keyed
-    exchange generates directed candidates with the positional upper
-    bound filter; the broadcast-vs-shuffle verify selector finishes."""
-    import pyarrow as pa
-
-    tune_context()
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    sets = ds.map_batches(dd.shingle_sets_table, batch_format="pyarrow",
-                          fn_kwargs={"k": k}).materialize()
-
-    def _mark(side):
-        def add(tbl):
-            return tbl.append_column(
-                "side", pa.array(np.full(tbl.num_rows, side, np.int8)))
-        return add
-
-    a_rows = sets.map_batches(
-        dd.prefix_token_rows, batch_format="pyarrow",
-        fn_kwargs={"threshold": threshold}).map_batches(
-        _mark(0), batch_format="pyarrow")
-    b_rows = sets.map_batches(
-        dd.all_token_rows, batch_format="pyarrow").map_batches(
-        _mark(1), batch_format="pyarrow")
-    cands = hash_exchange(
-        a_rows.union(b_rows), key_fn=_pair_hash_key(["tok"]),
-        n_parts=N_DOC_PARTS, kernel=dd.containment_candidates_partition,
-        fmt="pandas", kernel_kwargs={"threshold": threshold})
-    cands = _dedup_pairs(cands, ["id_a", "id_b"])
-    return _verify_id_pairs(
-        cands, sets.select_columns(["doc_id", "elems"]),
-        payload_id="doc_id", payload_col="elems", attach_out="elems_a",
-        verify_kernel=dd.set_containment_verify,
-        verify_kwargs={"threshold": threshold})
-
-
-def dedup_savings(sf_dir: str, threshold: float = 0.5):
-    """Per-source dedup SAVINGS report — the pipeline-health table a
-    training-data run publishes after cluster dedup: for every document
-    ``source``, how many docs and characters the corpus holds before and
-    after keep-min-per-cluster dedup (survivor = cluster keeper or
-    unpaired singleton).  Exact integers off the oracle-checked cluster
-    truth (:func:`dup_clusters`).
-
-    Scale shape: the label table (only docs that appear in a near-dup
-    pair — pair-bounded, not corpus-bounded) co-partitions with the
-    documents' (doc_id, source, n_chars) rows on one doc-keyed exchange
-    that emits per-partition (source, counts) partials; a final
-    source-keyed exchange sums them.  Nothing corpus-sized leaves the
-    partitions."""
-    from ..stages.exchange import hash_exchange_multi
-    from ..util import arrow_key_ids
-
-    tune_context()
-    docs_rows = _read(sf_dir, "documents",
-                      ["doc_id", "source", "n_chars"])
-    labels = dup_clusters(sf_dir, threshold=threshold)
-
-    part_cols = ["source", "n_docs", "n_survivors",
-                 "chars_before", "chars_after"]
-
-    def partial(d: pd.DataFrame, lab: pd.DataFrame) -> pd.DataFrame:
-        if not len(d):
-            return pd.DataFrame({
-                "source": pd.Series([], dtype=object),
-                **{c: np.array([], np.int64) for c in part_cols[1:]}})
-        lab_idx = pd.Series(
-            lab["cluster_id"].to_numpy(np.int64),
-            index=lab["doc_id"].to_numpy(np.int64))
-        ids = d["doc_id"].to_numpy(np.int64)
-        clu = lab_idx.reindex(ids)
-        surv = clu.isna().to_numpy() | (clu.to_numpy() == ids)
-        nch = d["n_chars"].to_numpy(np.int64)
-        g = pd.DataFrame({
-            "source": d["source"].to_numpy(),
-            "n_docs": np.ones(len(d), np.int64),
-            "n_survivors": surv.astype(np.int64),
-            "chars_before": nch,
-            "chars_after": np.where(surv, nch, 0).astype(np.int64),
-        }).groupby("source", as_index=False, sort=False).sum()
-        return g[part_cols]
-
-    partials = hash_exchange_multi(
-        [(docs_rows, _pair_hash_key(["doc_id"])),
-         (labels, _pair_hash_key(["doc_id"]))],
-        n_parts=N_DOC_PARTS, kernel=partial, fmt="pandas")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby("source", as_index=False, sort=False)
-               [part_cols[1:]].sum())
-        for c in part_cols[1:]:
-            out[c] = out[c].astype(np.int64)
-        return out[part_cols]
-
-    return hash_exchange(partials,
-                         key_fn=lambda t: arrow_key_ids(t, ["source"], 4),
-                         n_parts=4, kernel=merge, fmt="pandas")
-
-
-def bfs_hops(sf_dir: str, threshold: float = 0.5):
-    """BFS hop distance from every doc to its duplicate-cluster ROOT (the
-    min doc_id of its component — :func:`dup_clusters`'s cluster_id) over
-    the exact n-gram near-dup graph.  The distances come FREE from the
-    label-propagation rounds :func:`cluster_pairs` already runs: a node's
-    label at round r is the min id within r hops, so the round of its
-    LAST label change is exactly its BFS distance from the root
-    (``with_hops=True`` threads one extra int column through the frozen
-    per-partition label refs — zero extra rounds or shuffles).  The SQL
-    mirror is a bounded-depth path enumeration + min(hop) to the
-    component min — exact while the true eccentricity stays under the
-    cap, which near-dup clusters (shallow, clique-heavy) always do."""
-
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": df["node"].astype(np.int64),
-                             "cluster_id": df["label"].astype(np.int64),
-                             "hop": df["hop"].astype(np.int64)})
-
-    return cluster_pairs(ngram_jaccard(sf_dir, threshold=threshold),
-                         with_hops=True
-                         ).map_batches(rename, batch_format="pandas")
-
-
-def lang_modularity(sf_dir: str, threshold: float = 0.5):
-    """Newman MODULARITY of the language partition over the exact n-gram
-    near-dup graph, as EXACT INTEGER numerators: per language c,
-    ``mod_num = 4m·e_c − d_c²`` where m = total edges, e_c = intra-lang
-    edges, d_c = degree sum of lang-c nodes (Q = Σ_c mod_num / 4m² —
-    the consumer divides; the oracle never sees a float).  Answers "are
-    near-duplicates language-bound?" — Q near its maximum means dup
-    clusters never cross languages.  Langs ride the id-keyed exchanges
-    (two attach rounds, one per endpoint — the doc→lang map is
-    fact-scale, never a driver dict, per the round-3 verdict's
-    broadcast-guard rule); every aggregate after that is a (lang_a,
-    lang_b) cell table, ≤ 25 rows per partition."""
-    pairs = ngram_jaccard(sf_dir, threshold=threshold).materialize()
-    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
-
-    def att_a(pt: pd.DataFrame, dt: pd.DataFrame) -> pd.DataFrame:
-        m = pt.merge(dt, left_on="id_a", right_on="doc_id", how="left")
-        return pd.DataFrame({
-            "id_a": m["id_a"].to_numpy(np.int64),
-            "id_b": m["id_b"].to_numpy(np.int64),
-            "lang_a": m["lang"].astype(str)})
-
-    def key_on(col, n=N_DOC_PARTS):
-        return _pair_hash_key([col], n)
-
-    e1 = hash_exchange_multi(
-        [(pairs, key_on("id_a")), (docs, key_on("doc_id"))],
-        n_parts=N_DOC_PARTS, kernel=att_a, fmt="pandas")
-
-    def att_b(pt: pd.DataFrame, dt: pd.DataFrame) -> pd.DataFrame:
-        m = pt.merge(dt, left_on="id_b", right_on="doc_id", how="left")
-        g = (pd.DataFrame({"lang_a": m["lang_a"].astype(str),
-                           "lang_b": m["lang"].astype(str)})
-             .groupby(["lang_a", "lang_b"], sort=False)
-             .size().rename("n").reset_index())
-        g["n"] = g["n"].astype(np.int64)
-        g["kind"] = "e"
-        return g[["kind", "lang_a", "lang_b", "n"]]
-
-    epart = hash_exchange_multi(
-        [(e1, key_on("id_b")), (docs, key_on("doc_id"))],
-        n_parts=N_DOC_PARTS, kernel=att_b, fmt="pandas")
-
-    def both(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": np.concatenate(
-            [df["id_a"].to_numpy(np.int64),
-             df["id_b"].to_numpy(np.int64)])})
-
-    nodes = pairs.map_batches(both, batch_format="pandas")
-
-    def node_kernel(nt: pd.DataFrame, dt: pd.DataFrame) -> pd.DataFrame:
-        u = pd.unique(nt["node"])   # node-hash partition -> globally unique
-        m = (pd.DataFrame({"doc_id": u})
-             .merge(dt, on="doc_id", how="left"))
-        g = (m.groupby("lang", sort=False).size().rename("n")
-             .reset_index())
-        return pd.DataFrame({"kind": "n", "lang_a": g["lang"].astype(str),
-                             "lang_b": "", "n": g["n"].astype(np.int64)})
-
-    npart = hash_exchange_multi(
-        [(nodes, key_on("node")), (docs, key_on("doc_id"))],
-        n_parts=N_DOC_PARTS, kernel=node_kernel, fmt="pandas")
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["lang", "n_nodes", "d_sum", "e_in", "mod_num"]
-        e = df.loc[df["kind"] == "e"]
-        nn = (df.loc[df["kind"] == "n"]
-              .groupby("lang_a", sort=False)["n"].sum())
-        if not len(e):
-            return pd.DataFrame({c: np.array([], np.int64) if c != "lang"
-                                 else np.array([], object) for c in cols})
-        ecell = (e.groupby(["lang_a", "lang_b"], sort=False)["n"].sum()
-                 .reset_index())
-        m = int(ecell["n"].sum())
-        langs = sorted(nn.index)
-        la = ecell["lang_a"].to_numpy()
-        lb = ecell["lang_b"].to_numpy()
-        n = ecell["n"].to_numpy(dtype=np.int64)
-        out = []
-        for c in langs:
-            e_in = int(n[(la == c) & (lb == c)].sum())
-            d_sum = int(n[la == c].sum() + n[lb == c].sum())
-            out.append((c, int(nn[c]), d_sum, e_in,
-                        4 * m * e_in - d_sum * d_sum))
-        r = pd.DataFrame(out, columns=cols)
-        for c in cols[1:]:
-            r[c] = r[c].astype(np.int64)
-        return r
-
-    return hash_exchange(
-        epart.union(npart),
-        key_fn=lambda tbl: np.zeros(tbl.num_rows, dtype=np.int64),
-        n_parts=1, kernel=final, fmt="pandas")
-
-
-def cluster_depth(sf_dir: str, threshold: float = 0.5):
-    """Per-duplicate-cluster DEPTH profile from the free BFS hops
-    (:func:`bfs_hops`): n_docs, the root's eccentricity (max hop) and the
-    total root distance (hop_sum — the Wiener-index-to-root that says
-    whether a cluster is a tight clique, ecc 1, or a drift chain).  One
-    cluster-keyed exchange over the (doc, cluster, hop) rows."""
-    hops = bfs_hops(sf_dir, threshold=threshold)
-
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["cluster_id", "n_docs", "ecc", "hop_sum"]
-        if len(df) == 0:
-            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
-        g = (df.groupby("cluster_id", sort=False)
-             .agg(n_docs=("hop", "size"), ecc=("hop", "max"),
-                  hop_sum=("hop", "sum")).reset_index())
-        for c in cols:
-            g[c] = g[c].astype(np.int64)
-        return g[cols]
-
-    return hash_exchange(hops, key_fn=_pair_hash_key(["cluster_id"], 8),
-                         n_parts=8, kernel=kernel, fmt="pandas")
-
-
-def _global_rank(per_doc, metric: str, out_col: str,
-                 id_col: str = "doc_id"):
-    """(id, ``out_col``) global 1-based rank by (``metric`` DESC, id ASC)
-    — the events ``_global_ntile`` route (distributed sort → per-block
-    row counts → driver offset fold → rank arithmetic tasks); descending
-    order comes from sorting the negated (non-negative int) metric, so
-    the total order is exact integer."""
-    import pyarrow as pa
-    import ray
-    import ray.data
-
-    def neg(t):
-        return pa.table({
-            id_col: t.column(id_col),
-            "_neg": pa.array(-t.column(metric).to_numpy(
-                zero_copy_only=False).astype(np.int64))})
-
-    ordered = (per_doc.map_batches(neg, batch_format="pyarrow")
-               .sort(["_neg", id_col]).materialize())
-    refs = ordered.to_arrow_refs()
-
-    @ray.remote
-    def nrows(tbl):
-        return tbl.num_rows
-
-    counts = ray.get([nrows.remote(r) for r in refs])
-    offs = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
-
-    @ray.remote
-    def rank_block(tbl, r0: int):
-        import pyarrow as _pa
-
-        r = np.arange(tbl.num_rows, dtype=np.int64) + np.int64(r0) + 1
-        return _pa.table({id_col: tbl.column(id_col),
-                          out_col: _pa.array(r)})
-
-    return ray.data.from_arrow_refs(
-        [rank_block.remote(r, int(o)) for r, o in zip(refs, offs)])
-
-
-def rrf_fusion(sf_dir: str, k_rrf: int = 60, top: int = 20):
-    """Reciprocal-rank fusion of two document rankings — the retrieval
-    combiner (Cormack 2009) in exact FIXED-POINT integers: docs ranked by
-    total token count and by distinct token count (both exact-int axes
-    from the shared tokenizer), fused as ``rrf_num = Σ 10⁹ // (60 + r)``
-    (floor division with positive operands, so numpy and DuckDB agree —
-    never a float reciprocal).  Global ranks use the distributed
-    sort + offset-fold route (:func:`_global_rank`); the two rank streams
-    re-align in one doc-keyed co-partition; the global top-20 folds
-    partition-level heads through one tiny merge."""
-    stats = ttr_hapax(sf_dir).materialize()
-
-    r1 = _global_rank(stats, "n_tokens", "r_len")
-    r2 = _global_rank(stats, "n_distinct", "r_uniq")
-
-    def fuse(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_id", "r_len", "r_uniq", "rrf_num"]
-        if len(a) == 0:
-            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
-        m = a.merge(b, on="doc_id")
-        rl = m["r_len"].to_numpy(dtype=np.int64)
-        ru = m["r_uniq"].to_numpy(dtype=np.int64)
-        rrf = (np.int64(10**9) // (k_rrf + rl)
-               + np.int64(10**9) // (k_rrf + ru))
-        out = pd.DataFrame({"doc_id": m["doc_id"].to_numpy(np.int64),
-                            "r_len": rl, "r_uniq": ru, "rrf_num": rrf})
-        # partition-level head: only candidates for the global top ride on
-        return out.sort_values(["rrf_num", "doc_id"],
-                               ascending=[False, True]).head(top)
-
-    key = _pair_hash_key(["doc_id"])
-    heads = hash_exchange_multi([(r1, key), (r2, key)],
-                                n_parts=N_DOC_PARTS, kernel=fuse,
-                                fmt="pandas")
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.sort_values(["rrf_num", "doc_id"],
-                             ascending=[False, True]).head(top)
-        for c in ("doc_id", "r_len", "r_uniq", "rrf_num"):
-            out[c] = out[c].astype(np.int64)
-        return out.reset_index(drop=True)
-
-    return hash_exchange(
-        heads, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
-        n_parts=1, kernel=final, fmt="pandas")
-
-
-def lm_coverage(sf_dir: str, train_pct: int = 90):
-    """Bigram language-model COVERAGE of the validation split against the
-    train split (the deterministic md5 split of :func:`hash_split`): per
-    val doc, token count, OOV token count (token string unseen in train),
-    bigram count and unseen-bigram count — the integer numerators of the
-    add-k-smoothed-LM score a data-quality pipeline ranks by.  N-gram
-    identity is the md5-prefix digest of the SQL oracle's own strings
-    (token, and ``t1 + chr(1) + t2``), md5-ing only each batch's UNIQUE
-    grams (vocab-bounded Python, the tokenizer discipline).  Membership
-    is scale-right: the TRAIN n-gram set is never collected — train
-    distinct rows and val occurrence rows co-partition on one gram-hash
-    exchange (sorted-array membership per partition), and per-doc counts
-    fold back through a doc-keyed exchange."""
-    import hashlib
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
-
-    def _md5_u64_le(strings):
-        return np.fromiter(
-            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
-                            "little") for s in strings),
-            dtype=np.uint64, count=len(strings))
-
-    def _gram_rows(df: pd.DataFrame, side: str) -> pd.DataFrame:
-        cols = ["doc_id", "kind", "h"]
-        empty = pd.DataFrame({
-            "doc_id": np.array([], np.int64),
-            "kind": np.array([], dtype=object),
-            "h": np.array([], np.uint64)})
-        bucket = _md5_bucket(df["doc_id"].to_numpy())
-        sel = bucket < train_pct if side == "train" else bucket >= train_pct
-        sub = df.loc[sel]
-        if not len(sub):
-            return empty
-        uniq, codes, lens = dd.unique_tokens(sub["text"])
-        if not len(codes):
-            return empty
-        uniq = np.asarray(uniq, dtype=object)
-        uh = _md5_u64_le(uniq)
-        ids = np.repeat(sub["doc_id"].to_numpy(np.int64), lens)
-        u_h = uh[codes]
-        doc_of = np.repeat(np.arange(len(sub), dtype=np.int64), lens)
-        adj = doc_of[1:] == doc_of[:-1]
-        frames = [pd.DataFrame({"doc_id": ids, "kind": "u", "h": u_h})]
-        if adj.any():
-            c1 = codes[:-1][adj].astype(np.int64)
-            c2 = codes[1:][adj].astype(np.int64)
-            pk = c1 * np.int64(len(uniq)) + c2
-            up, inv = np.unique(pk, return_inverse=True)
-            bh = _md5_u64_le(
-                [uniq[int(a)] + "\x01" + uniq[int(b)]
-                 for a, b in zip(up // len(uniq), up % len(uniq))])
-            frames.append(pd.DataFrame({
-                "doc_id": ids[:-1][adj], "kind": "b", "h": bh[inv]}))
-        out = pd.concat(frames, ignore_index=True)
-        if side == "train":   # distinct per batch: only identity ships
-            out = out.drop_duplicates(["kind", "h"])[["kind", "h"]].copy()
-            out["doc_id"] = np.int64(-1)
-            out = out[cols]
-        return out[cols]
-
-    val = ds.map_batches(lambda df: _gram_rows(df, "val"),
-                         batch_format="pandas")
-    train = ds.map_batches(lambda df: _gram_rows(df, "train"),
-                           batch_format="pandas")
-
-    def h_key(tbl):
-        h = tbl.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
-        return (h % np.uint64(N_DOC_PARTS)).astype(np.int64)
-
-    def member(vt: pd.DataFrame, tt: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_id", "kind", "n_occ", "n_miss"]
-        if len(vt) == 0:
-            return pd.DataFrame({
-                "doc_id": np.array([], np.int64),
-                "kind": np.array([], dtype=object),
-                "n_occ": np.array([], np.int64),
-                "n_miss": np.array([], np.int64)})
-        out = []
-        for kind in ("u", "b"):
-            v = vt.loc[vt["kind"] == kind]
-            if not len(v):
-                continue
-            tset = np.unique(tt.loc[tt["kind"] == kind, "h"]
-                             .to_numpy().astype(np.uint64))
-            vh = v["h"].to_numpy().astype(np.uint64)
-            pos = np.searchsorted(tset, vh)
-            hit = ((pos < len(tset))
-                   & (tset[np.minimum(pos, max(len(tset) - 1, 0))] == vh)
-                   if len(tset) else np.zeros(len(vh), dtype=bool))
-            g = (pd.DataFrame({"doc_id": v["doc_id"].to_numpy(np.int64),
-                               "miss": (~hit).astype(np.int64)})
-                 .groupby("doc_id", sort=False)
-                 .agg(n_occ=("miss", "size"), n_miss=("miss", "sum"))
-                 .reset_index())
-            g["kind"] = kind
-            out.append(g)
-        r = pd.concat(out, ignore_index=True)
-        for c in ("doc_id", "n_occ", "n_miss"):
-            r[c] = r[c].astype(np.int64)
-        return r[cols]
-
-    partials = hash_exchange_multi([(val, h_key), (train, h_key)],
-                                   n_parts=N_DOC_PARTS, kernel=member,
-                                   fmt="pandas")
-
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_id", "n_tokens", "n_oov", "n_bigrams", "n_unseen"]
-        if len(df) == 0:
-            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
-        g = (df.groupby(["doc_id", "kind"], sort=False)
-             .agg(n_occ=("n_occ", "sum"), n_miss=("n_miss", "sum"))
-             .reset_index())
-        u = g.loc[g["kind"] == "u"].set_index("doc_id")
-        b = g.loc[g["kind"] == "b"].set_index("doc_id")
-        idx = u.index
-        out = pd.DataFrame({
-            "doc_id": idx.to_numpy(np.int64),
-            "n_tokens": u["n_occ"].to_numpy(np.int64),
-            "n_oov": u["n_miss"].to_numpy(np.int64),
-            "n_bigrams": b["n_occ"].reindex(idx).fillna(0)
-            .to_numpy(np.int64),
-            "n_unseen": b["n_miss"].reindex(idx).fillna(0)
-            .to_numpy(np.int64)})
-        return out[cols]
-
-    return hash_exchange(partials, key_fn=_pair_hash_key(["doc_id"]),
-                         n_parts=N_DOC_PARTS, kernel=fold, fmt="pandas")
-
-
-def label_margins(sf_dir: str, n_anchors: int = 50):
-    """Metric-learning AUDIT over the labeled embedding table: for each
-    anchor (vec_id < ``n_anchors``), the best cosine to any OTHER vector
-    of the SAME label and the best cosine to any vector of a DIFFERENT
-    label — the per-anchor margin a contrastive-training pipeline
-    monitors (separable anchors have best_same > best_other).  Anchors
-    (a bounded broadcast by construction) ride into a stateless matmul
-    stage; per-batch maxima are mergeable partials, so nothing but
-    (anchor, kind, best) scalars ever leaves a task.  Cosines round to 6
-    at the gate (the emb_near_dups discipline)."""
-    q = _read_emb_head(sf_dir, ["vec_id", "embedding", "label"],
-                       n_anchors)
-    A = np.stack([np.asarray(v, np.float64) for v in q["embedding"]])
-    A = A / np.linalg.norm(A, axis=1, keepdims=True)
-    a_ids = q["vec_id"].to_numpy(np.int64)
-    a_labels = q["label"].to_numpy()
-
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["query_id", "label", "best_same", "best_other"]
-        if len(df) == 0:
-            return pd.DataFrame({c: [] for c in cols})
-        M = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
-        cos = A @ M.T                      # (n_anchors, batch)
-        ids = df["vec_id"].to_numpy(np.int64)
-        same = a_labels[:, None] == df["label"].to_numpy()[None, :]
-        self_pair = a_ids[:, None] == ids[None, :]
-        neg = np.float64(-2.0)
-        best_same = np.where(same & ~self_pair, cos, neg).max(axis=1)
-        best_other = np.where(~same, cos, neg).max(axis=1)
-        return pd.DataFrame({
-            "query_id": a_ids, "label": a_labels.astype(np.int64),
-            "best_same": best_same, "best_other": best_other})
-
-    parts = ds.map_batches(partial, batch_format="pandas")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        from ..util import round_half_away
-
-        g = (df.groupby(["query_id", "label"], sort=False)
-             .agg(best_same=("best_same", "max"),
-                  best_other=("best_other", "max")).reset_index())
-        keep = (g["best_same"] > -2.0) & (g["best_other"] > -2.0)
-        g = g.loc[keep].reset_index(drop=True)
-        g["query_id"] = g["query_id"].astype(np.int64)
-        g["label"] = g["label"].astype(np.int64)
-        g["best_same"] = round_half_away(g["best_same"].to_numpy(), 6)
-        g["best_other"] = round_half_away(g["best_other"].to_numpy(), 6)
-        return g[["query_id", "label", "best_same", "best_other"]]
-
-    return hash_exchange(
-        parts, key_fn=_pair_hash_key(["query_id"], 8), n_parts=8,
-        kernel=merge, fmt="pandas")
-
-
-def term_proximity(sf_dir: str, term_a: str = "spark",
-                   term_b: str = "table"):
-    """Phrase-proximity audit: for every doc containing BOTH query terms,
-    the minimum token-position distance between an occurrence of each —
-    the proximity signal a retrieval ranker boosts by — plus both term
-    frequencies.  The minimizing pair is always adjacent in the merged
-    position order, so the kernel is one mask + one adjacent-difference
-    over the doc-major token stream (map-only, no shuffle; exact ints)."""
-    tune_context()
-
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["doc_id", "min_gap", "n_a", "n_b"]
-        empty = pd.DataFrame({c: np.array([], np.int64) for c in cols})
-        n_docs = len(df)
-        if n_docs == 0:
-            return empty
-        uniq, codes, lens = dd.unique_tokens(df["text"])
-        if not len(codes):
-            return empty
-        lut = {t: i for i, t in enumerate(uniq)}
-        ca, cb = lut.get(term_a, -1), lut.get(term_b, -2)
-        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-        isa = codes == ca
-        isb = codes == cb
-        n_a = np.bincount(doc_of[isa], minlength=n_docs)
-        n_b = np.bincount(doc_of[isb], minlength=n_docs)
-        both = (n_a > 0) & (n_b > 0)
-        if not both.any():
-            return empty
-        sel = isa | isb
-        d = doc_of[sel]
-        pos = np.arange(len(codes), dtype=np.int64)[sel]
-        kind = isa[sel]
-        adj = (d[1:] == d[:-1]) & (kind[1:] != kind[:-1])
-        gd = d[1:][adj]
-        gaps = (pos[1:] - pos[:-1])[adj]
-        out = (pd.DataFrame({"doc": gd, "gap": gaps})
-               .groupby("doc", sort=False)["gap"].min())
-        rows = np.sort(out.index.to_numpy())
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(np.int64)[rows],
-            "min_gap": out.reindex(rows).to_numpy(np.int64),
-            "n_a": n_a[rows].astype(np.int64),
-            "n_b": n_b[rows].astype(np.int64)})[cols]
-
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        kernel, batch_format="pandas")
-
-
-def centroid_shift(sf_dir: str):
-    """Embedding DRIFT audit per label: cosine between the centroid of
-    the even-vec_id half and the odd-vec_id half — the
-    distribution-shift monitor an embedding pipeline alarms on (a
-    healthy static corpus shows shift_cosine ≈ 1).  Partial (label,
-    half, dim) sums fold through one label-keyed exchange as FLAT rows
-    (the emb_centroids discipline — nothing list-typed rides the
-    exchange); the belt-only round(6) absorbs partial-sum order, as the
-    oracle-green emb_centroids established."""
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["label", "half", "dim", "s", "n"]
-        if len(df) == 0:
-            return pd.DataFrame({c: [] for c in cols})
-        M = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
-        lab = df["label"].to_numpy(np.int64)
-        half = (df["vec_id"].to_numpy(np.int64) % 2).astype(np.int64)
-        key = lab * 2 + half
-        uk, inv = np.unique(key, return_inverse=True)
-        sums = np.zeros((len(uk), M.shape[1]), np.float64)
-        np.add.at(sums, inv, M)
-        cnt = np.bincount(inv).astype(np.int64)
-        n_dim = M.shape[1]
-        return pd.DataFrame({
-            "label": np.repeat(uk // 2, n_dim),
-            "half": np.repeat(uk % 2, n_dim),
-            "dim": np.tile(np.arange(n_dim, dtype=np.int64), len(uk)),
-            "s": sums.ravel(),
-            "n": np.repeat(cnt, n_dim)})
-
-    parts = ds.map_batches(partial, batch_format="pandas")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        from ..util import round_half_away
-
-        cols = ["label", "n_even", "n_odd", "shift_cosine"]
-        if len(df) == 0:
-            return pd.DataFrame({c: [] for c in cols})
-        g = (df.groupby(["label", "half", "dim"], sort=True)
-             .agg(s=("s", "sum"), n=("n", "sum")).reset_index())
-        out = []
-        for lab, sub in g.groupby("label", sort=True):
-            e = sub.loc[sub["half"] == 0].sort_values("dim")
-            o = sub.loc[sub["half"] == 1].sort_values("dim")
-            if not len(e) or not len(o):
-                continue
-            ce = e["s"].to_numpy() / e["n"].to_numpy()
-            co = o["s"].to_numpy() / o["n"].to_numpy()
-            cosv = float(ce @ co / np.sqrt((ce @ ce) * (co @ co)))
-            out.append((int(lab), int(e["n"].iloc[0]),
-                        int(o["n"].iloc[0]),
-                        float(round_half_away(np.array([cosv]), 6)[0])))
-        r = pd.DataFrame(out, columns=cols)
-        r["label"] = r["label"].astype(np.int64)
-        r["n_even"] = r["n_even"].astype(np.int64)
-        r["n_odd"] = r["n_odd"].astype(np.int64)
-        return r
-
-    return hash_exchange(parts, key_fn=_pair_hash_key(["label"], 8),
-                         n_parts=8, kernel=merge, fmt="pandas")
-
-
-def df_hist(sf_dir: str):
-    """Shingle DOCUMENT-FREQUENCY histogram: for each df (number of docs
-    containing a given word-3-shingle), how many distinct shingles have
-    exactly that df — the corpus-redundancy fingerprint (a fat df tail
-    = boilerplate; df=1 mass = unique content).  Shingle identity is
-    the md5-prefix digest of the SQL oracle's own shingle string
-    (doc_shingle_md5_sets); per-doc distinct (doc, shingle) rows fold
-    df counts on a shingle-hash exchange, the histogram on a tiny df
-    exchange — both mergeable sums."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def sh_rows(df: pd.DataFrame) -> pd.DataFrame:
-        _, sh = dd.doc_shingle_md5_sets(df["text"])
-        return pd.DataFrame({"sh": sh})
-
-    rows = ds.map_batches(sh_rows, batch_format="pandas")
-
-    def sh_key(tbl):
-        h = tbl.column("sh").to_numpy(zero_copy_only=False).astype(
-            np.uint64)
-        return (h % np.uint64(N_DOC_PARTS)).astype(np.int64)
-
-    def df_kernel(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"df": np.array([], np.int64),
-                                 "n_shingles": np.array([], np.int64)})
-        _, counts = np.unique(df["sh"].to_numpy().astype(np.uint64),
-                              return_counts=True)
-        dfv, nsh = np.unique(counts, return_counts=True)
-        return pd.DataFrame({"df": dfv.astype(np.int64),
-                             "n_shingles": nsh.astype(np.int64)})
-
-    partials = hash_exchange(rows, key_fn=sh_key, n_parts=N_DOC_PARTS,
-                             kernel=df_kernel, fmt="pandas")
-
-    def hist_merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby("df", sort=False)["n_shingles"].sum()
-               .reset_index())
-        out["df"] = out["df"].astype(np.int64)
-        out["n_shingles"] = out["n_shingles"].astype(np.int64)
-        return out
-
-    return hash_exchange(partials, key_fn=_pair_hash_key(["df"], 8),
-                         n_parts=8, kernel=hist_merge, fmt="pandas")
-
-
-def lang_vocab_overlap(sf_dir: str):
-    """Cross-lingual VOCABULARY overlap: for every language pair, how
-    many distinct token types the two sub-corpora share (plus each
-    side's vocabulary size) — the corpus-comparison table a mixing
-    planner reads before reweighting.  Token identity is the md5-prefix
-    digest (SQL-string-identical); per-(token, lang) distinct rows fold
-    on one token-hash exchange whose kernel emits bounded (lang_a,
-    lang_b) cells — the pair space is |langs|², never the vocab."""
-    ds = _read(sf_dir, "documents", ["text", "lang"])
-
-    def tok_rows(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"h": np.array([], np.uint64),
-                                 "lang": np.array([], dtype=object)})
-        h, lens = dd._md5_token_hash_flat(df["text"])
-        lang = np.repeat(df["lang"].to_numpy(), lens)
-        out = pd.DataFrame({"h": h, "lang": lang}).drop_duplicates()
-        return out
-
-    rows = ds.map_batches(tok_rows, batch_format="pandas")
-
-    def h_key(tbl):
-        h = tbl.column("h").to_numpy(zero_copy_only=False).astype(
-            np.uint64)
-        return (h % np.uint64(N_DOC_PARTS)).astype(np.int64)
-
-    def cells(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["lang_a", "lang_b", "n"]
-        if not len(df):
-            return pd.DataFrame({
-                "lang_a": np.array([], dtype=object),
-                "lang_b": np.array([], dtype=object),
-                "n": np.array([], np.int64)})
-        d = df.drop_duplicates(["h", "lang"])
-        # vocab sizes: (lang, lang) diagonal cells
-        diag = (d.groupby("lang", sort=False).size().rename("n")
-                .reset_index())
-        diag = pd.DataFrame({"lang_a": diag["lang"],
-                             "lang_b": diag["lang"],
-                             "n": diag["n"].astype(np.int64)})
-        m = d.merge(d, on="h")
-        m = m.loc[m["lang_x"] < m["lang_y"]]
-        pair = (m.groupby(["lang_x", "lang_y"], sort=False)
-                .size().rename("n").reset_index()
-                .rename(columns={"lang_x": "lang_a", "lang_y": "lang_b"}))
-        pair["n"] = pair["n"].astype(np.int64)
-        return pd.concat([diag, pair], ignore_index=True)[cols]
-
-    partials = hash_exchange(rows, key_fn=h_key, n_parts=N_DOC_PARTS,
-                             kernel=cells, fmt="pandas")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby(["lang_a", "lang_b"], sort=False)["n"].sum()
-               .reset_index())
-        out["n"] = out["n"].astype(np.int64)
-        return out
-
-    return hash_exchange(partials, key_fn=_pair_hash_key(["lang_a"], 4),
-                         n_parts=4, kernel=merge, fmt="pandas")
-
-
-def length_diversity_corr(sf_dir: str):
-    """Pearson correlation NUMERATORS between document length (tokens)
-    and lexical diversity (distinct tokens) across the corpus: one row
-    with n, n·Σxy−ΣxΣy and the two variance numerators — r² =
-    sxy²/(sxx·syy) at presentation time, exact ints in the gate.  The
-    five scalar sums are classic mergeable partials; one single-cell
-    exchange folds them."""
-    stats = ttr_hapax(sf_dir)
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        x = df["n_tokens"].to_numpy(np.int64)
-        y = df["n_distinct"].to_numpy(np.int64)
-        return pd.DataFrame({
-            "n": [np.int64(len(df))], "sx": [x.sum()], "sy": [y.sum()],
-            "sxy": [(x * y).sum()], "sxx": [(x * x).sum()],
-            "syy": [(y * y).sum()]})
-
-    parts = stats.map_batches(partial, batch_format="pandas")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        n = np.int64(df["n"].sum())
-        sx, sy = np.int64(df["sx"].sum()), np.int64(df["sy"].sum())
-        sxy = np.int64(df["sxy"].sum())
-        sxx, syy = np.int64(df["sxx"].sum()), np.int64(df["syy"].sum())
-        return pd.DataFrame({
-            "n": [n], "sxy_num": [n * sxy - sx * sy],
-            "sxx_num": [n * sxx - sx * sx],
-            "syy_num": [n * syy - sy * sy]}).astype(np.int64)
-
-    return hash_exchange(
-        parts, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
-        n_parts=1, kernel=merge, fmt="pandas")
-
-
-def fertility_by_lang(sf_dir: str):
-    """Tokenizer FERTILITY table per language: total BPE-pretokenizer
-    tokens, total word tokens and doc count — fertility (BPE per word,
-    the classic multilingual-tokenizer equity metric) is the division at
-    presentation time; the gate sees only exact ints.  Per-batch counts
-    come from the shared byte-class/RE2 kernels (token_stats_arrow);
-    per-lang partial sums fold on a tiny lang exchange."""
-    import pyarrow.compute as pc
-
-    from ..stages import text as tx
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-
-    def partial(t) -> pd.DataFrame:
-        stats = tx.token_stats_arrow(t)
-        df = pd.DataFrame({
-            "lang": t["lang"].to_pandas().astype(str),
-            "w": stats["n_tokens"].to_numpy(zero_copy_only=False),
-            "b": stats["n_bpe_tokens"].to_numpy(zero_copy_only=False)})
-        g = (df.groupby("lang", sort=False)
-             .agg(n_docs=("w", "size"), words=("w", "sum"),
-                  bpe=("b", "sum")).reset_index())
-        for c in ("n_docs", "words", "bpe"):
-            g[c] = g[c].astype(np.int64)
-        return g
-
-    parts = ds.map_batches(partial, batch_format="pyarrow")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby("lang", sort=False)
-               .agg(n_docs=("n_docs", "sum"), words=("words", "sum"),
-                    bpe=("bpe", "sum")).reset_index())
-        for c in ("n_docs", "words", "bpe"):
-            out[c] = out[c].astype(np.int64)
-        return out
-
-    return hash_exchange(parts, key_fn=_pair_hash_key(["lang"], 4),
-                         n_parts=4, kernel=merge, fmt="pandas")
-
-
-def source_dup_matrix(sf_dir: str, threshold: float = 0.5):
-    """PROVENANCE of near-duplication: the (source, source) matrix of
-    exact n-gram near-dup pairs — which feeds copy from which (diagonal
-    = intra-source duplication).  Cells orient canonically
-    (lexicographically sorted source pair) so the matrix is
-    partition-invariant.  Same two attach exchanges as
-    :func:`lang_modularity`; cells are |sources|²-bounded."""
-    pairs = ngram_jaccard(sf_dir, threshold=threshold).materialize()
-    dsrc = _read(sf_dir, "documents", ["doc_id", "source"])
-
-    def key_on(col, n=N_DOC_PARTS):
-        return _pair_hash_key([col], n)
-
-    def att_a(pt: pd.DataFrame, dt: pd.DataFrame) -> pd.DataFrame:
-        m = pt.merge(dt, left_on="id_a", right_on="doc_id", how="left")
-        return pd.DataFrame({
-            "id_a": m["id_a"].to_numpy(np.int64),
-            "id_b": m["id_b"].to_numpy(np.int64),
-            "src_a": m["source"].astype(str)})
-
-    e1 = hash_exchange_multi(
-        [(pairs, key_on("id_a")), (dsrc, key_on("doc_id"))],
-        n_parts=N_DOC_PARTS, kernel=att_a, fmt="pandas")
-
-    def att_b(pt: pd.DataFrame, dt: pd.DataFrame) -> pd.DataFrame:
-        m = pt.merge(dt, left_on="id_b", right_on="doc_id", how="left")
-        sa = m["src_a"].astype(str).to_numpy()
-        sb = m["source"].astype(str).to_numpy()
-        lo = np.minimum(sa, sb)
-        hi = np.maximum(sa, sb)
-        g = (pd.DataFrame({"source_a": lo, "source_b": hi})
-             .groupby(["source_a", "source_b"], sort=False)
-             .size().rename("n_pairs").reset_index())
-        g["n_pairs"] = g["n_pairs"].astype(np.int64)
-        return g
-
-    cells = hash_exchange_multi(
-        [(e1, key_on("id_b")), (dsrc, key_on("doc_id"))],
-        n_parts=N_DOC_PARTS, kernel=att_b, fmt="pandas")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby(["source_a", "source_b"], sort=False)
-               ["n_pairs"].sum().reset_index())
-        out["n_pairs"] = out["n_pairs"].astype(np.int64)
-        return out
-
-    return hash_exchange(cells, key_fn=_pair_hash_key(["source_a"], 4),
-                         n_parts=4, kernel=merge, fmt="pandas")
-
-
-def clustering_agreement(sf_dir: str):
-    """Pair-counting AGREEMENT between the exact n-gram dup clustering
-    and the simhash clustering — the Rand-index numerators (n_docs,
-    same-pair counts in each, and in both) a dedup-pipeline owner uses
-    to decide whether the cheap sketch can replace the exact join.
-    Docs in only one pair graph count as singletons in the other; docs
-    in neither are out of the universe on both sides.  NO pair set is
-    ever materialized: everything reduces from the (label_a, label_b)
-    CONTINGENCY cells — ΣC(c,2) over cells (both-same), over label_a
-    row sums (A-same) and label_b column sums (B-same) — three
-    mergeable folds."""
-    def tag(side):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.copy()
-            out["side"] = side
-            return out
-        return f
-
-    # single tagged union (NOT the multi-input exchange: its contract
-    # drops partitions where the DRIVING input is empty, which would
-    # silently lose docs present in only the other clustering)
-    both = (dup_clusters(sf_dir).map_batches(tag("a"),
-                                             batch_format="pandas")
-            .union(simhash_clusters(sf_dir).map_batches(
-                tag("b"), batch_format="pandas")))
-
-    def cells_partial(df: pd.DataFrame) -> pd.DataFrame:
-        a = df.loc[df["side"] == "a", ["doc_id", "cluster_id"]]
-        b = df.loc[df["side"] == "b", ["doc_id", "cluster_id"]]
-        m = a.merge(b, on="doc_id", how="outer", suffixes=("_a", "_b"))
-        ids = m["doc_id"].to_numpy(np.int64)
-        laa = m["cluster_id_a"].fillna(pd.Series(ids, index=m.index))
-        lbb = m["cluster_id_b"].fillna(pd.Series(ids, index=m.index))
-        g = (pd.DataFrame({"la": laa.astype(np.int64),
-                           "lb": lbb.astype(np.int64)})
-             .groupby(["la", "lb"], sort=False)
-             .size().rename("c").reset_index())
-        g["c"] = g["c"].astype(np.int64)
-        return g
-
-    cells = hash_exchange(both, key_fn=_pair_hash_key(["doc_id"]),
-                          n_parts=N_DOC_PARTS, kernel=cells_partial,
-                          fmt="pandas")
-
-    def la_fold(df: pd.DataFrame) -> pd.DataFrame:
-        # partition holds ALL cells of its la values (la-keyed)
-        g = (df.groupby(["la", "lb"], sort=False)["c"].sum()
-             .reset_index())
-        c = g["c"].to_numpy(np.int64)
-        s11 = int((c * (c - 1) // 2).sum())
-        n = int(c.sum())
-        row = g.groupby("la", sort=False)["c"].sum().to_numpy(np.int64)
-        sa = int((row * (row - 1) // 2).sum())
-        colp = g.groupby("lb", sort=False)["c"].sum().reset_index()
-        out = pd.DataFrame({
-            "kind": "col", "key": colp["lb"].astype(np.int64),
-            "v": colp["c"].astype(np.int64)})
-        scal = pd.DataFrame({
-            "kind": ["s11", "n", "sa"],
-            "key": np.zeros(3, np.int64),
-            "v": np.array([s11, n, sa], np.int64)})
-        return pd.concat([scal, out], ignore_index=True)
-
-    folded = hash_exchange(cells, key_fn=_pair_hash_key(["la"]),
-                           n_parts=N_DOC_PARTS, kernel=la_fold,
-                           fmt="pandas")
-
-    def col_fold(df: pd.DataFrame) -> pd.DataFrame:
-        col = df.loc[df["kind"] == "col"]
-        g = col.groupby("key", sort=False)["v"].sum().to_numpy(np.int64)
-        sb = int((g * (g - 1) // 2).sum())
-        keep = df.loc[df["kind"] != "col", ["kind", "v"]]
-        return pd.concat(
-            [keep, pd.DataFrame({"kind": ["sb"], "v": [np.int64(sb)]})],
-            ignore_index=True)
-
-    # column sums need lb co-location: one more tiny exchange over the
-    # (kind, key, v) rows — 'col' rows key by lb, scalars pass through
-    def mixed_key(tbl):
-        k = tbl.column("key").to_numpy(zero_copy_only=False).astype(
-            np.uint64)
-        return (k % np.uint64(8)).astype(np.int64)
-
-    folded2 = hash_exchange(folded, key_fn=mixed_key, n_parts=8,
-                            kernel=col_fold, fmt="pandas")
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        v = df.groupby("kind", sort=False)["v"].sum()
-        return pd.DataFrame({
-            "n_docs": [np.int64(v.get("n", 0))],
-            "same_both": [np.int64(v.get("s11", 0))],
-            "same_a": [np.int64(v.get("sa", 0))],
-            "same_b": [np.int64(v.get("sb", 0))]})
-
-    return hash_exchange(
-        folded2, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
-        n_parts=1, kernel=final, fmt="pandas")
-
-
-def chunk_dedup(sf_dir: str, chunk_tokens: int = 64):
-    """CHUNK-level exact dedup — the granularity a pretraining pipeline
-    actually dedups at (whole-doc dedup misses shared passages): every
-    64-token chunk digest occurring more than once, with its copy count,
-    distinct-doc count and keeper (min doc_id).  Composes
-    :func:`chunk_documents` (map-only, digest per chunk) with one
-    digest-keyed exchange — the exact_dedup shape one level down."""
-    ch = chunk_documents(sf_dir, chunk_tokens=chunk_tokens)
-
-    def rows(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["digest", "doc_id"]]
-
-    def dkey(tbl):
-        h = tbl.column("digest").to_numpy(zero_copy_only=False).astype(
-            np.uint64)
-        return (h % np.uint64(N_DOC_PARTS)).astype(np.int64)
-
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["digest", "n_copies", "n_docs", "keeper_doc"]
-        if len(df) == 0:
-            return pd.DataFrame({c: np.array([], np.int64)
-                                 if c != "digest"
-                                 else np.array([], np.uint64)
-                                 for c in cols})
-        g = (df.groupby("digest", sort=False)
-             .agg(n_copies=("doc_id", "size"),
-                  n_docs=("doc_id", "nunique"),
-                  keeper_doc=("doc_id", "min")).reset_index())
-        g = g.loc[g["n_copies"] > 1].reset_index(drop=True)
-        for c in ("n_copies", "n_docs", "keeper_doc"):
-            g[c] = g[c].astype(np.int64)
-        return g[cols]
-
-    return hash_exchange(ch.map_batches(rows, batch_format="pandas"),
-                         key_fn=dkey, n_parts=N_DOC_PARTS, kernel=kernel,
-                         fmt="pandas")
-
-
-def knn_graph_mutual(sf_dir: str, n_anchors: int = 200,
-                     k_nbrs: int = 9):
-    """kNN-GRAPH construction audit over the anchor set (vec_id <
-    ``n_anchors``): each anchor's top-9 non-self cosine neighbors form
-    the directed kNN graph (the structure SemDeDup-style clustering and
-    graph-ANN indexes build on); per anchor, how many of its neighbors
-    are themselves anchors (n_in_set) and how many of those RECIPROCATE
-    (n_mutual — mutual-kNN edges are the reliable ones).  The top-k
-    reuses the broadcast-anchor brute-force scorer; dropping self from
-    a (k+1) head equals top-k-non-self because self can only displace
-    one slot.  Edge volume is anchors × k — the mutual join runs in one
-    tiny partition."""
-    kn = knn(sf_dir, k=k_nbrs + 1, n_queries=n_anchors)
-
-    def edges(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["a", "b"]
-        if len(df) == 0:
-            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
-        df = df.loc[df["query_id"] != df["vec_id"]]
-        df = (df.sort_values(["query_id", "score", "vec_id"],
-                             ascending=[True, False, True], kind="stable")
-              .groupby("query_id", sort=False).head(k_nbrs))
-        return pd.DataFrame({
-            "a": df["query_id"].to_numpy(np.int64),
-            "b": df["vec_id"].to_numpy(np.int64)})
-
-    e = kn.map_batches(edges, batch_format="pandas")
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["vec_id", "n_in_set", "n_mutual"]
-        anchors = np.arange(n_anchors, dtype=np.int64)
-        if len(df) == 0:
-            return pd.DataFrame({
-                "vec_id": anchors,
-                "n_in_set": np.zeros(n_anchors, np.int64),
-                "n_mutual": np.zeros(n_anchors, np.int64)})
-        ein = df.loc[df["b"].to_numpy(np.int64) < n_anchors]
-        n_in = (ein.groupby("a", sort=False).size()
-                .reindex(anchors).fillna(0).to_numpy(np.int64))
-        rev = ein.rename(columns={"a": "b", "b": "a"})
-        mut = ein.merge(rev, on=["a", "b"])
-        n_mut = (mut.groupby("a", sort=False).size()
-                 .reindex(anchors).fillna(0).to_numpy(np.int64))
-        return pd.DataFrame({"vec_id": anchors, "n_in_set": n_in,
-                             "n_mutual": n_mut})[cols]
-
-    return hash_exchange(
-        e, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
-        n_parts=1, kernel=final, fmt="pandas")
-
-
-def winnow_pairs(sf_dir: str, w: int = 4, min_shared: int = 2):
-    """MOSS pair detection: doc pairs sharing ≥ ``min_shared`` distinct
-    winnowed fingerprints (:func:`winnowing` — any common w+2-token run
-    guarantees a shared fingerprint, so this is the sampled
-    substring-plagiarism join).  One fingerprint-hash exchange expands
-    each hash's doc list into pairs (volume Σ df(h)² — inherent to the
-    semantics, the reach_2hop wedge shape; dup factories concentrate
-    df); one pair-keyed exchange sums shared counts and applies the
-    threshold."""
-    fp = winnowing(sf_dir, w=w)
-
-    def dh(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["doc_id", "h"]].drop_duplicates()
-
-    rows = fp.map_batches(dh, batch_format="pandas")
-
-    def h_key(tbl):
-        h = tbl.column("h").to_numpy(zero_copy_only=False).astype(
-            np.uint64)
-        return (h % np.uint64(N_DOC_PARTS)).astype(np.int64)
-
-    def pairs_kernel(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["id_a", "id_b", "n"]
-        if len(df) == 0:
-            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
-        d = df.drop_duplicates(["doc_id", "h"]).sort_values(
-            ["h", "doc_id"], kind="stable")
-        hh = d["h"].to_numpy(np.uint64)
-        ids = d["doc_id"].to_numpy(np.int64)
-        new = np.concatenate(([True], hh[1:] != hh[:-1]))
-        starts = np.flatnonzero(new)
-        counts = np.diff(np.append(starts, len(hh)))
-        # full per-run cross product, then keep the upper triangle — the
-        # reach_2hop index construction (ids sorted within a run, so
-        # left < right index implies id_a < id_b)
-        tot = counts * counts
-        if not tot.sum():
-            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
-        base = np.repeat(starts, tot)
-        k = np.arange(int(tot.sum()), dtype=np.int64) - np.repeat(
-            np.cumsum(tot) - tot, tot)
-        cc = np.repeat(counts, tot)
-        left, right = base + k // cc, base + k % cc
-        m = left < right
-        a, b = ids[left[m]], ids[right[m]]
-        g = (pd.DataFrame({"id_a": a, "id_b": b})
-             .groupby(["id_a", "id_b"], sort=False)
-             .size().rename("n").reset_index())
-        g["n"] = g["n"].astype(np.int64)
-        return g[cols]
-
-    partials = hash_exchange(rows, key_fn=h_key, n_parts=N_DOC_PARTS,
-                             kernel=pairs_kernel, fmt="pandas")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["id_a", "id_b", "n_shared"]
-        out = (df.groupby(["id_a", "id_b"], sort=False)["n"].sum()
-               .rename("n_shared").reset_index())
-        out = out.loc[out["n_shared"] >= min_shared].reset_index(drop=True)
-        for c in cols:
-            out[c] = out[c].astype(np.int64)
-        return out[cols]
-
-    return hash_exchange(partials, key_fn=_pair_hash_key(["id_a"]),
-                         n_parts=N_DOC_PARTS, kernel=merge, fmt="pandas")
-
-
-def hapax_by_source(sf_dir: str):
-    """Lexical-diversity totals BY SOURCE: per source the doc count and
-    the sums of per-doc token / distinct / hapax counts (the
-    :func:`ttr_hapax` integers one aggregation up) — which feeds carry
-    rich vocabulary vs repetitive boilerplate.  Per-doc rows attach
-    source via a doc-keyed co-partition; band cells fold in a tiny
-    source exchange."""
-    stats = ttr_hapax(sf_dir)
-    src = _read(sf_dir, "documents", ["doc_id", "source"])
-
-    def attach(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
-        m = a.merge(b, on="doc_id", how="left")
-        g = (m.groupby("source", sort=False)
-             .agg(n_docs=("n_tokens", "size"),
-                  tokens=("n_tokens", "sum"),
-                  distincts=("n_distinct", "sum"),
-                  hapax=("n_hapax", "sum")).reset_index())
-        for c in ("n_docs", "tokens", "distincts", "hapax"):
-            g[c] = g[c].astype(np.int64)
-        return g
-
-    key = _pair_hash_key(["doc_id"])
-    cells = hash_exchange_multi([(stats, key), (src, key)],
-                                n_parts=N_DOC_PARTS, kernel=attach,
-                                fmt="pandas")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby("source", sort=False)
-               .agg(n_docs=("n_docs", "sum"), tokens=("tokens", "sum"),
-                    distincts=("distincts", "sum"),
-                    hapax=("hapax", "sum")).reset_index())
-        for c in ("n_docs", "tokens", "distincts", "hapax"):
-            out[c] = out[c].astype(np.int64)
-        return out
-
-    return hash_exchange(cells, key_fn=_pair_hash_key(["source"], 4),
-                         n_parts=4, kernel=merge, fmt="pandas")
+from .docs_shared import (  # noqa: F401
+    BROADCAST_PAYLOAD_BYTES,
+    MIX_RATES,
+    N_DOC_PARTS,
+    PAGERANK_SCALE,
+    RAKE_STOPWORDS,
+    _bucketed_pairs,
+    _common_rank,
+    _dedup_pairs,
+    _global_rank,
+    _levenshtein_pairs,
+    _md5_bucket,
+    _padded_prefix_bytes,
+    _pair_hash_key,
+    _pool_size,
+    _prefix_candidates,
+    _prefix_filtered_pairs,
+    _presplit_graph_edges,
+    _query_vectors,
+    _read,
+    _read_emb_head,
+    _verify_id_pairs,
+    ngram_jaccard,
+    shingle_jaccard_pairs,
+)
+from .docs_dedup import *     # noqa: F401,F403
+from .docs_analysis import *  # noqa: F401,F403
