@@ -381,6 +381,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_video_features": _media_video_features,
         "emb_ivf_probe_sweep": docs.ivf_probe_sweep,
+        "events_drift_chi2": ev.drift_chi2,
+        "events_interval_overlap": ev.interval_overlap_join,
+        "events_spearman_pairs": ev.spearman_pairs,
     }
 
 
@@ -4899,6 +4902,105 @@ WHERE list_cosine_similarity(
         # oracles — the driver's correctness sf)
         "media_features": _MEDIA_AUDIO_ORACLE.format(path=mpath),
         "media_video_features": _MEDIA_VIDEO_ORACLE.format(path=mpath),
+        # distribution drift: per-(type, value-bin) first-half vs
+        # second-half counts with the exact signed chi-square numerator
+        # (squares/divisions consumer-side - SPC integer discipline)
+        "events_drift_chi2": """
+WITH b AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), m AS (
+  SELECT (min(ts_ms) + max(ts_ms)) // 2 AS cut, min(c) AS c0 FROM b
+), x AS (
+  SELECT event_type, (c - (SELECT c0 FROM m)) // 2000 AS bin,
+         ts_ms < (SELECT cut FROM m) AS h1
+  FROM b
+), g AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN h1 THEN 0 ELSE 1 END) AS c2
+  FROM x GROUP BY 1, 2
+), t AS (
+  SELECT event_type, sum(c1) AS n1, sum(c2) AS n2 FROM g GROUP BY 1
+)
+SELECT g.event_type, CAST(bin AS BIGINT) AS bin,
+       CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(c1 * n2 - c2 * n1 AS BIGINT) AS diff_num
+FROM g JOIN t USING (event_type)
+""",
+        # interval overlap join: gap-sessions (non-error) x error bursts
+        "events_interval_overlap": """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), ns AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN lag(ts_ms) OVER w IS NULL
+                   OR ts_ms - lag(ts_ms) OVER w > 86400000
+              THEN 1 ELSE 0 END AS new
+  FROM e WHERE event_type <> 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+), sg AS (
+  SELECT user_id, ts_ms,
+         sum(new) OVER (PARTITION BY user_id ORDER BY ts_ms
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ns
+), sess AS (
+  SELECT user_id, min(ts_ms) AS s_start, max(ts_ms) AS s_end
+  FROM sg GROUP BY user_id, sid
+), nb AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN lag(ts_ms) OVER w IS NULL
+                   OR ts_ms - lag(ts_ms) OVER w > 172800000
+              THEN 1 ELSE 0 END AS new
+  FROM e WHERE event_type = 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+), bg AS (
+  SELECT user_id, ts_ms,
+         sum(new) OVER (PARTITION BY user_id ORDER BY ts_ms
+                        ROWS UNBOUNDED PRECEDING) AS bid
+  FROM nb
+), bursts AS (
+  SELECT user_id, min(ts_ms) AS b_start, max(ts_ms) AS b_end
+  FROM bg GROUP BY user_id, bid
+)
+SELECT s.user_id, s.s_start, s.s_end, b.b_start, b.b_end,
+       least(s.s_end, b.b_end) - greatest(s.s_start, b.b_start)
+         AS overlap_ms
+FROM sess s JOIN bursts b
+  ON s.user_id = b.user_id
+ AND s.s_start <= b.b_end AND b.b_start <= s.s_end
+""",
+        # Spearman over hourly count series: Pearson on 2x average
+        # ranks (integral under ties) - exact int numerators only
+        "events_spearman_pairs": """
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events
+), b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+grid AS (
+  SELECT unnest(range((SELECT h0 FROM b), (SELECT h1 FROM b) + 1)) AS h
+), ty AS (SELECT DISTINCT event_type FROM e),
+cnts AS (SELECT event_type, h, count(*) AS c FROM e GROUP BY 1, 2),
+ser AS (
+  SELECT ty.event_type, grid.h, coalesce(c, 0) AS c
+  FROM ty CROSS JOIN grid
+  LEFT JOIN cnts ON cnts.event_type = ty.event_type AND cnts.h = grid.h
+), rk AS (
+  SELECT event_type, h,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY c)
+           + count(*) OVER (PARTITION BY event_type, c) - 1 AS r2
+  FROM ser
+), j AS (
+  SELECT a.event_type AS ta, b2.event_type AS tb, a.r2 AS ra, b2.r2 AS rb
+  FROM rk a JOIN rk b2 ON a.h = b2.h AND a.event_type < b2.event_type
+)
+SELECT ta AS type_a, tb AS type_b, CAST(count(*) AS BIGINT) AS n,
+  CAST(count(*) * sum(ra * rb) - sum(ra) * sum(rb) AS BIGINT) AS num,
+  CAST(count(*) * sum(ra * ra) - sum(ra) * sum(ra) AS BIGINT) AS den_a,
+  CAST(count(*) * sum(rb * rb) - sum(rb) * sum(rb) AS BIGINT) AS den_b
+FROM j GROUP BY 1, 2
+""",
         # Hurst rescaled-range integer numerators per (user, day):
         # r_num = max_k(n·P_k − k·S) − min_k(...), var_num = n·Σc² − S²
         # (exact ints; the engine never emits a sqrt — SPC discipline)

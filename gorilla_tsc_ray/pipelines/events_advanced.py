@@ -1708,3 +1708,280 @@ def activity_streaks(sf_dir: str):
 
     return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def drift_chi2(sf_dir: str, bin_cents: int = 2000):
+    """Distribution DRIFT surface per event type: the value histogram of
+    the FIRST event-time half vs the SECOND (cut = global
+    ``(min_ts + max_ts) // 2`` epoch-ms), with the exact integer
+    chi-square building block per bin — ``diff_num = c1·n2 − c2·n1``
+    (the χ² term's signed numerator; squares and divisions stay
+    consumer-side per the SPC integer discipline — squaring would pass
+    2^63 at large sf).  Bins are ``(cents − min_cents) // bin_cents``,
+    anchored at the global min so both engines floor a NON-NEGATIVE
+    operand (DuckDB ``//`` truncates toward zero on negatives).
+
+    Two passes: a per-block (min_ts, max_ts, min_c) scalar fold (the
+    driver sees three ints per block), then one map pass emitting
+    (type, bin, half-count) partials folded by a bounded-cardinality
+    groupby; per-type half totals attach as a tiny broadcast dim."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["event_type", "ts", "value"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        ts_ms = pc.divide(pc.cast(t["ts"], "int64"), 1000)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype(
+            np.int64)
+        return pa.table({"event_type": t.column("event_type"),
+                         "ts_ms": ts_ms, "c": pa.array(cents)})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow").materialize()
+
+    def fold(t):
+        if t.num_rows == 0:
+            return pd.DataFrame({"lo": pd.Series([], dtype=np.int64),
+                                 "hi": pd.Series([], dtype=np.int64),
+                                 "c0": pd.Series([], dtype=np.int64)})
+        ts = t.column("ts_ms").to_numpy()
+        c = t.column("c").to_numpy()
+        return pd.DataFrame({"lo": [np.int64(ts.min())],
+                             "hi": [np.int64(ts.max())],
+                             "c0": [np.int64(c.min())]})
+
+    scal = rows.map_batches(fold, batch_format="pyarrow").to_pandas()
+    cut = (int(scal["lo"].min()) + int(scal["hi"].max())) // 2
+    c0 = int(scal["c0"].min())
+
+    def partial(t):
+        if t.num_rows == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "bin": pd.Series([], dtype=np.int64),
+                "c1": pd.Series([], dtype=np.int64),
+                "c2": pd.Series([], dtype=np.int64)})
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas().astype(str),
+            "bin": (t.column("c").to_numpy() - c0) // bin_cents,
+            "h1": (t.column("ts_ms").to_numpy() < cut).astype(np.int64),
+        })
+        g = (df.groupby(["event_type", "bin"], sort=False)["h1"]
+             .agg(c1="sum", c2=lambda s: np.int64(len(s)) - s.sum())
+             .reset_index())
+        g["c1"] = g["c1"].astype(np.int64)
+        g["c2"] = g["c2"].astype(np.int64)
+        return g
+
+    parts = rows.map_batches(partial, batch_format="pyarrow")
+
+    def key_fn(tbl):
+        from ..util import arrow_key_ids
+
+        return arrow_key_ids(tbl, ["event_type"], 8)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_type", "bin", "c1", "c2", "n1", "n2", "diff_num"]
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(
+                [], dtype=object if c == "event_type" else np.int64)
+                for c in cols})
+        g = (df.groupby(["event_type", "bin"], sort=False)[["c1", "c2"]]
+             .sum().reset_index())
+        tot = g.groupby("event_type", sort=False)[["c1", "c2"]].sum()
+        g["n1"] = g["event_type"].map(tot["c1"]).astype(np.int64)
+        g["n2"] = g["event_type"].map(tot["c2"]).astype(np.int64)
+        g["c1"] = g["c1"].astype(np.int64)
+        g["c2"] = g["c2"].astype(np.int64)
+        g["bin"] = g["bin"].astype(np.int64)
+        g["diff_num"] = g["c1"] * g["n2"] - g["c2"] * g["n1"]
+        return g[cols]
+
+    return hash_exchange(parts, key_fn=key_fn, n_parts=8, kernel=final,
+                         fmt="pandas")
+
+
+def interval_overlap_join(sf_dir: str, gap_session_ms: int = 86_400_000,
+                          gap_burst_ms: int = 172_800_000):
+    """INTERVAL OVERLAP JOIN between two derived interval sets — the
+    maintenance-window/incident shape Jaccard-style equijoins cannot
+    express: per user, gap-based activity SESSIONS over non-error events
+    (30 min) joined to ERROR BURSTS (5 min gaps over error events) on
+    interval overlap (``s_start ≤ b_end AND b_start ≤ s_end``), emitting
+    the exact overlap length in ms.
+
+    Distribution: users co-partition (one hash exchange); inside a
+    partition both interval lists derive from two grouped scans, and the
+    join is TWO searchsorteds on a (user-code, relative-ts) composite
+    key — sessions are disjoint and sorted within a user, so each
+    burst's overlapping sessions form a contiguous index range (no
+    nested loop, no cross product).  The composite is exact: relative
+    timestamps bound the per-user span, user codes shift above it."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type", "ts"], P)
+
+    def to_rows(t):
+        import pyarrow as pa
+
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_ms": pc.divide(pc.cast(t["ts"], "int64"), 1000),
+            "is_err": pc.equal(t["event_type"], "error")})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def _intervals(u, ts, gap):
+        """Sorted (user, ts) arrays → per-interval (user, start, end)."""
+        if not len(u):
+            e = np.array([], np.int64)
+            return e, e, e
+        new = np.concatenate(([True], (u[1:] != u[:-1])
+                              | (np.diff(ts) > gap)))
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(u)) - 1
+        return u[starts], ts[starts], ts[ends]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "s_start", "s_end", "b_start", "b_end",
+                "overlap_ms"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_ms"].to_numpy(np.int64)
+        err = df["is_err"].to_numpy(bool)
+        order = np.lexsort((ts, u))
+        u, ts, err = u[order], ts[order], err[order]
+        su, ss, se = _intervals(u[~err], ts[~err], gap_session_ms)
+        bu, bs, be = _intervals(u[err], ts[err], gap_burst_ms)
+        if not len(su) or not len(bu):
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        lo = int(ts.min())
+        K = np.int64(int(ts.max()) - lo + 2)
+        users = np.unique(np.concatenate((su, bu)))
+        cs = np.searchsorted(users, su).astype(np.int64)
+        cb = np.searchsorted(users, bu).astype(np.int64)
+        # sessions disjoint per user → (user, end) sorted like (user, start)
+        comp_end = cs * K + (se - lo)
+        comp_start = cs * K + (ss - lo)
+        first = np.searchsorted(comp_end, cb * K + (bs - lo), side="left")
+        last = np.searchsorted(comp_start, cb * K + (be - lo),
+                               side="right")
+        counts = np.maximum(last - first, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        b_idx = np.repeat(np.arange(len(bu)), counts)
+        offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        s_idx = (np.arange(total)
+                 + np.repeat(first - offs, counts)).astype(np.int64)
+        ov = (np.minimum(se[s_idx], be[b_idx])
+              - np.maximum(ss[s_idx], bs[b_idx]))
+        return pd.DataFrame({
+            "user_id": su[s_idx], "s_start": ss[s_idx],
+            "s_end": se[s_idx], "b_start": bs[b_idx],
+            "b_end": be[b_idx], "overlap_ms": ov.astype(np.int64)})
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
+
+
+def spearman_pairs(sf_dir: str):
+    """SPEARMAN RANK CORRELATION between every event-type pair's hourly
+    count series — the tie-safe form (Pearson over average ranks), with
+    every emitted column an exact integer: double-ranks ``R2 = 2·minrank
+    + ties − 1`` (average ranks are half-integers, so doubling keeps
+    them integral), numerator ``n·ΣR2S2 − ΣR2·ΣS2`` and the two
+    variance numerators; the consumer divides by the square roots
+    (the SPC integer discipline — both engines never touch a float).
+
+    Series align on the FULL global hour grid (zeros filled): rank
+    correlation needs identical support.  Shuffle shape: per-block
+    (type, hour) count partials → ONE tiny reduce (the series table is
+    bounded by types × hours, not events) where ranks and all 10 pair
+    sums are vectorized."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["event_type", "ts"], P)
+
+    def partial(t):
+        import pyarrow as pa
+
+        if t.num_rows == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "hour": pd.Series([], dtype=np.int64),
+                "cnt": pd.Series([], dtype=np.int64)})
+        hour = pc.divide(pc.divide(pc.cast(t["ts"], "int64"), 1000),
+                         3_600_000)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas().astype(str),
+            "hour": hour.to_numpy()})
+        g = (df.groupby(["event_type", "hour"], sort=False).size()
+             .rename("cnt").reset_index())
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def _double_ranks(c: np.ndarray) -> np.ndarray:
+        """Average ranks ×2 as exact ints (1-based min-rank form)."""
+        order = np.argsort(c, kind="stable")
+        cs = c[order]
+        new = np.concatenate(([True], cs[1:] != cs[:-1]))
+        starts = np.flatnonzero(new)
+        ties = np.diff(np.append(starts, len(cs)))
+        gid = np.cumsum(new) - 1
+        r2_sorted = 2 * (starts[gid] + 1) + ties[gid] - 1
+        out = np.empty(len(c), np.int64)
+        out[order] = r2_sorted
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["type_a", "type_b", "n", "num", "den_a", "den_b"]
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(
+                [], dtype=object if c in ("type_a", "type_b")
+                else np.int64) for c in cols})
+        g = (df.groupby(["event_type", "hour"], sort=False)["cnt"]
+             .sum().reset_index())
+        h0, h1 = int(g["hour"].min()), int(g["hour"].max())
+        grid = np.arange(h0, h1 + 1, dtype=np.int64)
+        types = sorted(g["event_type"].unique())
+        series = {}
+        for ty in types:
+            s = np.zeros(len(grid), np.int64)
+            sub = g[g["event_type"] == ty]
+            s[sub["hour"].to_numpy(np.int64) - h0] = \
+                sub["cnt"].to_numpy(np.int64)
+            series[ty] = _double_ranks(s)
+        n = np.int64(len(grid))
+        out = {c: [] for c in cols}
+        for i, ta in enumerate(types):
+            for tb in types[i + 1:]:
+                r, s = series[ta], series[tb]
+                sr, ss = r.sum(), s.sum()
+                out["type_a"].append(ta)
+                out["type_b"].append(tb)
+                out["n"].append(n)
+                out["num"].append(n * np.dot(r, s) - sr * ss)
+                out["den_a"].append(n * np.dot(r, r) - sr * sr)
+                out["den_b"].append(n * np.dot(s, s) - ss * ss)
+        res = pd.DataFrame(out)
+        for c in ("n", "num", "den_a", "den_b"):
+            res[c] = res[c].astype(np.int64)
+        return res
+
+    return hash_exchange(
+        parts, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1, kernel=final, fmt="pandas")
