@@ -384,6 +384,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_drift_chi2": ev.drift_chi2,
         "events_interval_overlap": ev.interval_overlap_join,
         "events_spearman_pairs": ev.spearman_pairs,
+        "docs_textrank": docs.textrank,
+        "transcripts_point_lookup_serve": _point_lookup,
     }
 
 
@@ -455,6 +457,12 @@ def _media_features(sf_dir: str):
     return ds.map_batches(
         media.RealDecoder, fn_constructor_kwargs={"kind": "audio"},
         batch_format="pandas", batch_size=32, concurrency=2, num_cpus=0.5)
+
+
+def _point_lookup(sf_dir: str):
+    from gorilla_tsc_ray.pipelines.query import point_lookup_serve
+
+    return point_lookup_serve(sf_dir)
 
 
 def _media_video_features(sf_dir: str):
@@ -1652,6 +1660,14 @@ FROM (SELECT DISTINCT conv_id FROM d) c LEFT JOIN agg a USING (conv_id)
 SELECT conv_id, CAST(count(*) AS BIGINT) AS cnt,
        CAST(sum(length(text)) AS BIGINT) AS sum_len
 FROM d WHERE length(text) >= 400 GROUP BY 1
+""",
+        # bloom-index point lookup: three conversations' text_len points
+        # served from the block tier (day partitions skipped by the
+        # conv-id bloom sidecar; runtime assert in the engine)
+        "transcripts_point_lookup_serve": tdedup + """
+SELECT conv_id, ts_ms, CAST(length(text) AS DOUBLE) AS value
+FROM d WHERE conv_id IN ('conv-00000003', 'conv-00000055',
+                         'conv-00000404')
 """,
         "transcripts_retention_serve": (
             "WITH serve AS (" + tr_rollup(3_600_000) + ")\n"
@@ -5000,6 +5016,56 @@ SELECT ta AS type_a, tb AS type_b, CAST(count(*) AS BIGINT) AS n,
   CAST(count(*) * sum(ra * ra) - sum(ra) * sum(ra) AS BIGINT) AS den_a,
   CAST(count(*) * sum(rb * rb) - sum(rb) * sum(rb) AS BIGINT) AS den_b
 FROM j GROUP BY 1, 2
+""",
+        # TextRank: the docs_pagerank integer recursion over the top-20
+        # token co-occurrence graph (distinct adjacent pairs, canonical
+        # string order, self-pairs dropped)
+        "docs_textrank": """
+WITH RECURSIVE tk AS (
+  SELECT regexp_extract_all(text, '[A-Za-z0-9]+') AS toks FROM documents
+), uni AS (SELECT unnest(toks) AS w FROM tk),
+topv AS (
+  SELECT w FROM (SELECT w, count(*) AS c FROM uni GROUP BY 1)
+  QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 20
+), pairs AS (
+  SELECT DISTINCT least(toks[i], toks[i+1]) AS a,
+                  greatest(toks[i], toks[i+1]) AS b
+  FROM tk, LATERAL (SELECT unnest(range(1, len(toks))) AS i) t
+  WHERE toks[i] IN (SELECT w FROM topv)
+    AND toks[i+1] IN (SELECT w FROM topv)
+    AND toks[i] <> toks[i+1]
+), e AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b, a FROM pairs
+), agg AS (
+  SELECT list(src ORDER BY src, dst) AS es,
+         list(dst ORDER BY src, dst) AS ed
+  FROM e
+), nd AS (
+  SELECT list(node ORDER BY node) AS ns, list(dg ORDER BY node) AS degs
+  FROM (SELECT src AS node, count(*) AS dg FROM e GROUP BY 1)
+), it(round, prs, es, ed, ns, degs) AS (
+  SELECT 0,
+         list_transform(n.ns,
+           x -> CAST(1000000000000 // len(n.ns) AS BIGINT)),
+         a.es, a.ed, n.ns, n.degs
+  FROM agg a, nd n
+  UNION ALL
+  SELECT it.round + 1, x.nprs, it.es, it.ed, it.ns, it.degs
+  FROM it, LATERAL (
+    SELECT list(npr ORDER BY node) AS nprs FROM (
+      SELECT u.dst AS node,
+             CAST((3 * 1000000000000) // (20 * len(it.ns))
+                  + (17 * sum(m.pr // m.dg)) // 20 AS BIGINT) AS npr
+      FROM (SELECT unnest(it.es) AS src, unnest(it.ed) AS dst) u
+      JOIN (SELECT unnest(it.ns) AS node, unnest(it.degs) AS dg,
+                   unnest(it.prs) AS pr) m ON m.node = u.src
+      GROUP BY u.dst)
+  ) x
+  WHERE it.round < 5
+)
+SELECT unnest(ns) AS tok, unnest(degs) AS deg, unnest(prs) AS pr_num
+FROM it WHERE round = 5
 """,
         # Hurst rescaled-range integer numerators per (user, day):
         # r_num = max_k(n·P_k − k·S) − min_k(...), var_num = n·Σc² − S²

@@ -110,6 +110,10 @@ def main(argv=None) -> int:
                     help="rebuild inconsistent coarse-tier days from the "
                          "stored 1m rows, then re-check")
 
+    px = sub.add_parser("index", help="build the per-day conv-id bloom "
+                        "sidecar (point-lookup day pruning)")
+    px.add_argument("--store", required=True)
+
     pv = sub.add_parser("vacuum", help="drop archived store versions "
                         "below --keep-from (frees _history/ space)")
     pv.add_argument("--store", required=True)
@@ -190,6 +194,11 @@ def main(argv=None) -> int:
                 print(df.to_json(orient="records"))
                 bad = n_bad(df)
             return 0 if bad == 0 else 3
+        elif args.cmd == "index":
+            from .pipelines.query import build_conv_bloom
+
+            path = build_conv_bloom(args.store)
+            print(json.dumps({"index": path}))
         elif args.cmd == "vacuum":
             from .state.lineage import vacuum_history
 

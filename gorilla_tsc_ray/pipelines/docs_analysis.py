@@ -31,7 +31,7 @@ from .docs_shared import (  # noqa: F401
     _verify_id_pairs,
     ngram_jaccard,
 )
-from .docs_dedup import chunk_documents, cluster_pairs, dup_clusters, knn, simhash_clusters, simhash_pairs, token_jaccard, ttr_hapax  # noqa: E501
+from .docs_dedup import chunk_documents, cluster_pairs, dup_clusters, knn, simhash_clusters, simhash_pairs, token_jaccard, top_tokens, ttr_hapax  # noqa: E501
 
 
 
@@ -2082,3 +2082,75 @@ def hapax_by_source(sf_dir: str):
 
     return hash_exchange(cells, key_fn=_pair_hash_key(["source"], 4),
                          n_parts=4, kernel=merge, fmt="pandas")
+
+
+def textrank(sf_dir: str, v: int = 20, rounds: int = 5,
+             scale: int = PAGERANK_SCALE):
+    """TextRank keyword scores: integer-exact PageRank over the top-``v``
+    token CO-OCCURRENCE graph (distinct adjacent-token pairs inside the
+    vocabulary, canonicalized by STRING order, self-pairs dropped) — the
+    :func:`docs_dedup.pagerank` integer discipline (damping 17/20 over
+    int64 numerators at ``scale``, floored divisions, order-free sums)
+    applied at WORD granularity, so the SQL mirror is bit-equal.
+
+    Scale shape: the heavy corpus part (adjacent-pair extraction) is
+    distributed — per-batch distinct pairs on integer token codes,
+    folded by a pair-keyed exchange; the graph itself is
+    VOCABULARY-bounded (≤ v² edges), so the driver-side power iteration
+    only ever sees a bounded table, never corpus data."""
+    from ..util import arrow_key_ids
+
+    tune_context()
+    vocab = set(top_tokens(sf_dir, k=v).to_pandas()["tok"])
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": np.array([], dtype=object),
+                              "b": np.array([], dtype=object)})
+        uniq, codes, lens = dd.unique_tokens(df["text"])
+        if len(codes) < 2:
+            return empty
+        ends = np.cumsum(lens)
+        ok = np.ones(len(codes) - 1, dtype=bool)
+        ok[ends[ends < len(codes)] - 1] = False   # never span documents
+        inv = np.fromiter((t in vocab for t in uniq), dtype=bool,
+                          count=len(uniq))
+        c1, c2 = codes[:-1][ok], codes[1:][ok]
+        m = inv[c1] & inv[c2] & (c1 != c2)
+        if not m.any():
+            return empty
+        t1, t2 = uniq[c1[m]], uniq[c2[m]]
+        # canonical orientation by STRING order (factorize codes are
+        # batch-local and would dedupe inconsistently across batches)
+        a = np.where(t1 < t2, t1, t2)
+        b = np.where(t1 < t2, t2, t1)
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    pairs = hash_exchange(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        key_fn=lambda t: arrow_key_ids(t, ["a", "b"], 8), n_parts=8,
+        kernel=lambda d: d.drop_duplicates(["a", "b"]),
+        fmt="pandas").to_pandas()
+    cols = ["tok", "deg", "pr_num"]
+    if not len(pairs):
+        return pd.DataFrame({
+            "tok": pd.Series([], dtype=object),
+            "deg": pd.Series([], dtype=np.int64),
+            "pr_num": pd.Series([], dtype=np.int64)})
+    src = np.concatenate((pairs["a"].to_numpy(),
+                          pairs["b"].to_numpy()))
+    dst = np.concatenate((pairs["b"].to_numpy(),
+                          pairs["a"].to_numpy()))
+    nodes, src_idx = np.unique(src, return_inverse=True)
+    n = len(nodes)
+    deg = np.bincount(src_idx, minlength=n).astype(np.int64)
+    dst_idx = np.searchsorted(nodes, dst)
+    pr = np.full(n, scale // n, dtype=np.int64)
+    base = (3 * scale) // (20 * n)
+    for _ in range(rounds):
+        contrib = (pr // deg)[src_idx]
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, dst_idx, contrib)
+        pr = base + (17 * s) // 20
+    return pd.DataFrame({"tok": nodes, "deg": deg,
+                         "pr_num": pr.astype(np.int64)})[cols]

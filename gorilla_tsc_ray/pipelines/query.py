@@ -18,6 +18,107 @@ from ..context import tune_context
 from ..stages.series import DAY_MS, decode_blocks_batch_arrow
 
 
+BLOOM_M_BITS = 1 << 17       # 16 KiB per day partition
+BLOOM_K = 4
+
+
+def _bloom_positions(conv_ids, m_bits: int = BLOOM_M_BITS,
+                     k: int = BLOOM_K) -> np.ndarray:
+    """Deterministic bloom bit positions per conv id: md5 double hashing
+    (h1 + i·h2 mod m, the standard Kirsch–Mitzenmacher construction) —
+    no library dependence, identical bits on every node."""
+    import hashlib
+
+    out = np.empty((len(conv_ids), k), dtype=np.int64)
+    for r, cid in enumerate(conv_ids):
+        d = hashlib.md5(str(cid).encode()).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        for i in range(k):
+            out[r, i] = (h1 + i * h2) % m_bits
+    return out
+
+
+def build_conv_bloom(store_root: str, m_bits: int = BLOOM_M_BITS,
+                     k: int = BLOOM_K) -> str:
+    """Build the PER-DAY conv-id BLOOM sidecar for a block store — the
+    point-lookup index: one bitmap per ``blocks/day=D`` partition over
+    the distinct conv_ids it holds, so a conv-filtered scan can skip
+    whole day partitions whose bloom proves absence (false positives
+    only cost a wasted read; never a wrong row).  Distributed build —
+    one Ray task per day partition (reads ONLY the conv_id column);
+    the sidecar is day-count × 16 KiB, a metadata-scale artifact."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    tune_context()
+
+    @ray.remote
+    def one_day(pdir: str, day: int):
+        import pyarrow.parquet as _pq
+
+        convs = set()
+        for f in sorted(glob.glob(os.path.join(pdir, "*.parquet"))):
+            col = _pq.read_table(f, columns=["conv_id"]).column("conv_id")
+            convs.update(col.to_pylist())
+        bits = np.zeros(m_bits // 64, dtype=np.uint64)
+        if convs:
+            pos = _bloom_positions(sorted(convs), m_bits, k).ravel()
+            np.bitwise_or.at(bits, pos // 64,
+                             np.uint64(1) << (pos % 64).astype(np.uint64))
+        return day, bits.tobytes()
+
+    days = []
+    for name in sorted(os.listdir(os.path.join(store_root, "blocks"))):
+        if name.startswith("day="):
+            days.append((os.path.join(store_root, "blocks", name),
+                         int(name.split("=", 1)[1])))
+    rows = ray.get([one_day.remote(p, d) for p, d in days])
+    tbl = pa.table({
+        "day": pa.array([d for d, _ in rows], pa.int64()),
+        "m_bits": pa.array([m_bits] * len(rows), pa.int64()),
+        "k": pa.array([k] * len(rows), pa.int64()),
+        "bits": pa.array([b for _, b in rows], pa.binary()),
+    })
+    idx_dir = os.path.join(store_root, "_index")
+    os.makedirs(idx_dir, exist_ok=True)
+    path = os.path.join(idx_dir, "conv_bloom.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def _bloom_surviving_days(blocks_root: str, conv_ids) -> list[int] | None:
+    """Days whose bloom MAY contain any requested conv id, or ``None``
+    when no index sidecar exists (scan everything)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(os.path.dirname(blocks_root.rstrip("/")),
+                        "_index", "conv_bloom.parquet")
+    if not os.path.isfile(path):
+        return None
+    idx = pq.read_table(path)
+    days = idx.column("day").to_pylist()
+    m_bits = int(idx.column("m_bits")[0].as_py())
+    k = int(idx.column("k")[0].as_py())
+    pos = _bloom_positions(list(conv_ids), m_bits, k)
+    word, bit = pos // 64, pos % 64
+    out = []
+    for row, day in enumerate(days):
+        bits = np.frombuffer(idx.column("bits")[row].as_py(),
+                             dtype=np.uint64)
+        hit = ((bits[word] >> bit.astype(np.uint64))
+               & np.uint64(1)).all(axis=1).any()
+        if hit:
+            out.append(day)
+    return out
+
+
 def scan_points(blocks_root: str, *, t_lo: int | None = None,
                 t_hi: int | None = None, conv_ids: list[str] | None = None,
                 metric: str | None = None, key_cols=("conv_id", "metric"),
@@ -135,7 +236,31 @@ def scan_points(blocks_root: str, *, t_lo: int | None = None,
                 keep_ref = ray.put(set(zip(keys["conv_id"], keys["metric"],
                                            keys["day"].astype(np.int64))))
 
-    ds = ray.data.read_parquet(blocks_root, filter=flt)
+    read_src = blocks_root
+    if conv_ids is not None:
+        surv_days = _bloom_surviving_days(blocks_root, conv_ids)
+        if surv_days is not None:
+            import glob as _glob
+
+            all_days = [n for n in sorted(os.listdir(blocks_root))
+                        if n.startswith("day=")]
+            keep = {f"day={d}" for d in surv_days}
+            files = [f for n in all_days if n in keep
+                     for f in sorted(_glob.glob(
+                         os.path.join(blocks_root, n, "*.parquet")))]
+            if prune_stats is not None:
+                prune_stats["bloom_days_total"] = len(all_days)
+                prune_stats["bloom_days_kept"] = len(keep
+                                                     & set(all_days))
+            if files:
+                # read the surviving days' MEMBER FILES (a list of dirs
+                # is not a supported read_parquet input); a bloom false
+                # positive only costs a wasted read — the pushed isin
+                # filter still decides exactly
+                read_src = files
+            # no surviving day: fall through to the full read — the
+            # pushed filter returns the same (empty) result
+    ds = ray.data.read_parquet(read_src, filter=flt)
     if prune_stats is not None:
         prune_stats["blocks_scanned"] = ds.count()
     if keep_ref is not None:
@@ -247,3 +372,57 @@ def value_scan_serve(sf_dir: str, metric: str = "text_len",
     return hash_exchange(
         partials, key_fn=lambda t: arrow_key_ids(t, ["conv_id"], 8),
         n_parts=8, kernel=merge, fmt="pandas")
+
+
+def point_lookup_serve(sf_dir: str,
+                       conv_ids=("conv-00000003", "conv-00000055",
+                                 "conv-00000404"),
+                       metric: str = "text_len"):
+    """Driver-facing POINT-LOOKUP gate for the bloom day index: build
+    (or reuse) a store, build the per-day conv-id bloom sidecar
+    (:func:`build_conv_bloom`), then serve three conversations' metric
+    points straight from the block tier — a runtime assert proves whole
+    DAY PARTITIONS were skipped by the bloom before any parquet read
+    (the needle-in-haystack access pattern a time-series store must not
+    answer with a full scan).  Oracle: the same metric points from the
+    raw canonical transcripts restricted to those conversations."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from ..sources.transcripts import CACHE_ROOT
+    from .ingest import ingest_to_store
+
+    tune_context()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(CACHE_ROOT, f"valuescan_store_{tag}")
+    if not os.path.isdir(os.path.join(store, "blocks")):
+        shutil.rmtree(store, ignore_errors=True)
+        ingest_to_store(sf_dir, store, resume=False)
+    idx = os.path.join(store, "_index", "conv_bloom.parquet")
+    if not os.path.isfile(idx):
+        build_conv_bloom(store)
+
+    stats: dict = {}
+    pts = scan_points(os.path.join(store, "blocks"),
+                      conv_ids=list(conv_ids), metric=metric,
+                      prune_stats=stats)
+    if "bloom_days_kept" not in stats:
+        raise RuntimeError(f"bloom index did not engage: {stats}")
+    if not stats["bloom_days_kept"] < stats["bloom_days_total"]:
+        raise RuntimeError(
+            f"bloom pruned no day partitions ({stats}) — the gate must "
+            "prove skips")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["conv_id", "ts_ms", "value"]
+        if not len(df):
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype=object),
+                "ts_ms": pd.Series([], dtype=np.int64),
+                "value": pd.Series([], dtype=np.float64)})
+        out = df.assign(conv_id=df["conv_id"].astype(str))
+        return out[cols]
+
+    return pts.map_batches(finalize, batch_format="pandas")

@@ -188,3 +188,28 @@ def test_value_scan_zone_map_prune(store):
     both = query.scan_points(f"{store}/blocks", metric="text_len",
                              value_lo=200.0, value_hi=300.0).to_pandas()
     assert ((both["value"] >= 200.0) & (both["value"] <= 300.0)).all()
+
+
+def test_bloom_index_prunes_and_is_exact(store):
+    """The conv-id bloom sidecar must (a) change NOTHING about results
+    and (b) actually skip day partitions for a conv that lives in few
+    days.  False positives are allowed; false negatives are not — every
+    conv's own scan must survive its bloom."""
+    import pandas as pd
+
+    from gorilla_tsc_ray.pipelines.query import build_conv_bloom
+
+    cid = "conv-00000001"
+    before = (query.scan_points(f"{store}/blocks", conv_ids=[cid])
+              .to_pandas().sort_values(["metric", "ts_ms"])
+              .reset_index(drop=True))
+    assert len(before) > 0
+    path = build_conv_bloom(store)
+    assert path.endswith("conv_bloom.parquet")
+    stats: dict = {}
+    after = (query.scan_points(f"{store}/blocks", conv_ids=[cid],
+                               prune_stats=stats)
+             .to_pandas().sort_values(["metric", "ts_ms"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(before[after.columns], after)
+    assert stats["bloom_days_total"] > stats["bloom_days_kept"] > 0
