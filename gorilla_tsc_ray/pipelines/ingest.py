@@ -1486,6 +1486,16 @@ def append_to_store(sf_dir: str, out_root: str,
     if keep_history and hist_rows:
         write_version_manifest(out_root, hist_rows, run_id)
         results["version"] = ver
+    # keep the bloom point-lookup sidecar COHERENT: rebuild the affected
+    # days' bitmaps (scan_points treats unknown days as survivors, so a
+    # stale sidecar can only over-read — but refreshing here keeps the
+    # index's pruning power after appends)
+    if rows and os.path.isfile(os.path.join(out_root, "_index",
+                                            "conv_bloom.parquet")):
+        from .query import build_conv_bloom
+
+        build_conv_bloom(out_root)
+        results["bloom_index"] = "rebuilt"
     results["lineage_rows"] = len(rows)
     return results
 

@@ -91,9 +91,11 @@ def build_conv_bloom(store_root: str, m_bits: int = BLOOM_M_BITS,
     return path
 
 
-def _bloom_surviving_days(blocks_root: str, conv_ids) -> list[int] | None:
-    """Days whose bloom MAY contain any requested conv id, or ``None``
-    when no index sidecar exists (scan everything)."""
+def _bloom_surviving_days(blocks_root: str, conv_ids):
+    """``(known_days, surviving_days)`` from the bloom sidecar, or
+    ``None`` when no index exists.  A day the index does NOT cover (e.g.
+    appended after the index build) must be treated as a survivor by the
+    caller — only a bloom that has SEEN a day may rule it out."""
     import os
 
     import pyarrow.parquet as pq
@@ -108,15 +110,15 @@ def _bloom_surviving_days(blocks_root: str, conv_ids) -> list[int] | None:
     k = int(idx.column("k")[0].as_py())
     pos = _bloom_positions(list(conv_ids), m_bits, k)
     word, bit = pos // 64, pos % 64
-    out = []
+    surviving = []
     for row, day in enumerate(days):
         bits = np.frombuffer(idx.column("bits")[row].as_py(),
                              dtype=np.uint64)
         hit = ((bits[word] >> bit.astype(np.uint64))
                & np.uint64(1)).all(axis=1).any()
         if hit:
-            out.append(day)
-    return out
+            surviving.append(day)
+    return set(days), surviving
 
 
 def scan_points(blocks_root: str, *, t_lo: int | None = None,
@@ -238,13 +240,19 @@ def scan_points(blocks_root: str, *, t_lo: int | None = None,
 
     read_src = blocks_root
     if conv_ids is not None:
-        surv_days = _bloom_surviving_days(blocks_root, conv_ids)
-        if surv_days is not None:
+        bloom = _bloom_surviving_days(blocks_root, conv_ids)
+        if bloom is not None:
             import glob as _glob
 
+            known, surv_days = bloom
             all_days = [n for n in sorted(os.listdir(blocks_root))
                         if n.startswith("day=")]
             keep = {f"day={d}" for d in surv_days}
+            # a day the index never saw (appended after the build) is
+            # always kept — only a bloom that has SEEN a day may rule
+            # it out
+            keep |= {n for n in all_days
+                     if int(n.split("=", 1)[1]) not in known}
             files = [f for n in all_days if n in keep
                      for f in sorted(_glob.glob(
                          os.path.join(blocks_root, n, "*.parquet")))]

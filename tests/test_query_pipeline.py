@@ -213,3 +213,33 @@ def test_bloom_index_prunes_and_is_exact(store):
              .reset_index(drop=True))
     pd.testing.assert_frame_equal(before[after.columns], after)
     assert stats["bloom_days_total"] > stats["bloom_days_kept"] > 0
+
+    # a day the index has never seen (appended after the build) must be
+    # treated as a survivor — only a bloom that has SEEN a day may rule
+    # it out (a stale sidecar may over-read, never drop rows)
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    src_file = next(
+        f for f in sorted(glob.glob(f"{store}/blocks/day=*/*.parquet"))
+        if (pq.read_table(f, columns=["conv_id"]).column("conv_id")
+            .to_pandas().astype(str) == cid).any())
+    days = sorted(glob.glob(f"{store}/blocks/day=*"))
+    new_day = int(days[-1].rsplit("=", 1)[1]) + 86_400_000
+    import os
+
+    os.makedirs(f"{store}/blocks/day={new_day}")
+    shutil.copy(src_file, f"{store}/blocks/day={new_day}/part-0.parquet")
+    try:
+        stats2: dict = {}
+        got = (query.scan_points(f"{store}/blocks", conv_ids=[cid],
+                                 prune_stats=stats2)
+               .to_pandas())
+        # the copied file duplicates the source day's rows for cid
+        assert len(got) > len(before)
+        # the unknown day counts as kept (it bypasses the bloom)
+        assert stats2["bloom_days_kept"] == stats["bloom_days_kept"] + 1
+    finally:
+        shutil.rmtree(f"{store}/blocks/day={new_day}")
