@@ -386,6 +386,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_spearman_pairs": ev.spearman_pairs,
         "docs_textrank": docs.textrank,
         "transcripts_point_lookup_serve": _point_lookup,
+        "events_ma_crossover": ev.ma_crossover,
     }
 
 
@@ -4918,6 +4919,35 @@ WHERE list_cosine_similarity(
         # oracles — the driver's correctness sf)
         "media_features": _MEDIA_AUDIO_ORACLE.format(path=mpath),
         "media_video_features": _MEDIA_VIDEO_ORACLE.format(path=mpath),
+        # moving-average crossover: exact cross-multiplied comparison of
+        # trailing 3- vs 8-row window sums; one row per sign change
+        "events_ma_crossover": """
+WITH b AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), w AS (
+  SELECT user_id, ts_ms,
+         sum(c) OVER (PARTITION BY user_id ORDER BY ts_ms
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS s_short,
+         sum(c) OVER (PARTITION BY user_id ORDER BY ts_ms
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS s_long,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_ms) AS rn
+  FROM b
+), a AS (
+  SELECT user_id, ts_ms, s_short, s_long,
+         s_short * 8 > s_long * 3 AS above,
+         lag(s_short * 8 > s_long * 3) OVER
+           (PARTITION BY user_id ORDER BY ts_ms) AS prev_above
+  FROM w WHERE rn >= 8
+)
+SELECT user_id, ts_ms,
+       CAST(CASE WHEN above THEN 1 ELSE -1 END AS BIGINT) AS direction,
+       CAST(s_short AS BIGINT) AS s_short,
+       CAST(s_long AS BIGINT) AS s_long
+FROM a WHERE prev_above IS NOT NULL AND above <> prev_above
+""",
         # distribution drift: per-(type, value-bin) first-half vs
         # second-half counts with the exact signed chi-square numerator
         # (squares/divisions consumer-side - SPC integer discipline)

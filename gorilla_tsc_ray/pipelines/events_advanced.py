@@ -25,6 +25,7 @@ from ..util import hash_partition_ids
 from .events_shared import (  # noqa: F401
     GOERTZEL_C24,
     PIVOT_TYPES,
+    _cents_rows,
     _n_parts,
     _read_events,
     _user_key_fn,
@@ -1985,3 +1986,61 @@ def spearman_pairs(sf_dir: str):
     return hash_exchange(
         parts, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
         n_parts=1, kernel=final, fmt="pandas")
+
+
+def ma_crossover(sf_dir: str, w_short: int = 3, w_long: int = 8):
+    """Moving-average CROSSOVER detection per user (the golden/death-
+    cross signal shape): trailing w_short- vs w_long-row mean over cents
+    in time order, compared EXACTLY by cross-multiplication
+    (``s_short·w_long  vs  s_long·w_short`` — no float means), emitting
+    one row per sign change once both windows are full.  ``direction``
+    = +1 when the short mean crosses above (fast regime), −1 below.
+    Per-user rolling sums are two prefix-sum differences inside the
+    co-partitioned kernel; the SQL mirror is two ROWS-frame window sums
+    plus a lag."""
+    tune_context()
+    P = _n_parts(sf_dir)
+    rows = _cents_rows(sf_dir, P)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "ts_ms", "direction", "s_short", "s_long"]
+        if len(df) == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        u = df["user_id"].to_numpy(np.int64)
+        ts = (df["ts_us"].to_numpy(np.int64) // 1000)
+        c = df["c"].to_numpy(np.int64)
+        order = np.lexsort((ts, u))
+        u, ts, c = u[order], ts[order], c[order]
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        gstart = np.flatnonzero(first)
+        glen = np.diff(np.append(gstart, len(u)))
+        # per-user row index
+        ridx = np.arange(len(u)) - np.repeat(gstart, glen)
+        pre = np.cumsum(c)
+        base = np.concatenate(([0], pre[:-1]))  # prefix EXCLUSIVE
+        # rolling sums valid where ridx >= w-1; window start is the same
+        # user by construction when valid
+
+        def rsum(w):
+            lo = np.maximum(np.arange(len(u)) - w + 1, 0)
+            s = pre - base[lo]
+            return np.where(ridx >= w - 1, s, np.int64(0))
+
+        s_s, s_l = rsum(w_short), rsum(w_long)
+        valid = ridx >= w_long - 1
+        above = (s_s * w_long > s_l * w_short) & valid
+        # sign change vs the previous VALID row of the same user
+        prev_valid = np.concatenate(([False], valid[:-1])) & ~first
+        chg = valid & prev_valid & (
+            above != np.concatenate(([False], above[:-1])))
+        if not chg.any():
+            return pd.DataFrame({c_: np.array([], np.int64)
+                                 for c_ in cols})
+        idx = np.flatnonzero(chg)
+        return pd.DataFrame({
+            "user_id": u[idx], "ts_ms": ts[idx],
+            "direction": np.where(above[idx], 1, -1).astype(np.int64),
+            "s_short": s_s[idx], "s_long": s_l[idx]})
+
+    return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
+                         kernel=kernel, fmt="pandas")
