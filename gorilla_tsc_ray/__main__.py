@@ -109,6 +109,10 @@ def main(argv=None) -> int:
     pf.add_argument("--repair", action="store_true",
                     help="rebuild inconsistent coarse-tier days from the "
                          "stored 1m rows, then re-check")
+    pf.add_argument("--deep", action="store_true",
+                    help="also decode the blocks tier and verify the "
+                         "stored 1m rollup against the points (cross-"
+                         "tier ground-truth check)")
 
     px = sub.add_parser("index", help="build the per-day conv-id bloom "
                         "sidecar (point-lookup day pruning)")
@@ -184,6 +188,13 @@ def main(argv=None) -> int:
                             .to_numpy() != 0).sum())
 
             df = fsck_store(args.store, tiers=tuple(args.tiers))
+            if args.deep:
+                import pandas as pd
+
+                from .pipelines.ingest import fsck_deep
+
+                df = pd.concat([fsck_deep(args.store), df],
+                               ignore_index=True)
             print(df.to_json(orient="records"))
             bad = n_bad(df)
             if bad and args.repair:

@@ -2007,6 +2007,79 @@ def shard_assignment(sf_dir: str, shard_chars: int = 100_000):
         [assign.remote(r, int(o)) for r, o in zip(refs, offs)])
 
 
+def fsck_deep(store_root: str) -> pd.DataFrame:
+    """CROSS-TIER deep consistency check: DECODE the raw ``blocks`` tier
+    and recompute the 1m rollup from the points themselves, comparing
+    group-by-group against the stored ``rollup_1m``.
+    :func:`fsck_store` checks the coarse tiers against 1m; this closes
+    the verification loop by checking 1m against the blocks GROUND TRUTH
+    (payloads decode to exactly the canonical metric points, so every
+    stored tier is now transitively verifiable from the codec layer).
+    Same co-partitioned compare discipline — stored and recomputed rows
+    of one (conv, metric) meet in one task, only per-partition counters
+    reach the driver.  Returns one row (tier ``1m_vs_blocks``)."""
+    import glob
+
+    import ray.data
+
+    from ..stages.exchange import hash_exchange_multi
+    from ..stages.rollup import rollup_dataset
+    from ..stages.series import decode_blocks_batch_arrow
+    from ..util import arrow_key_ids, round_half_away
+
+    tune_context()
+    fb = sorted(glob.glob(f"{store_root}/blocks/day=*/*.parquet"))
+    f1m = sorted(glob.glob(f"{store_root}/rollup_1m/day=*/*.parquet"))
+    if not fb or not f1m:
+        return pd.DataFrame([{
+            "tier": "1m_vs_blocks", "n_groups": 0, "n_missing": -1,
+            "n_extra": -1, "n_mismatch": -1}])
+    pts = ray.data.read_parquet(fb).map_batches(
+        decode_blocks_batch_arrow, batch_format="pyarrow",
+        fn_kwargs={"key_cols": ["conv_id", "metric"]})
+    recomputed = rollup_dataset(pts, key_cols=TRANSCRIPT_KEYS, tier="1m")
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["conv_id"] = df["conv_id"].astype(str)
+        df["metric"] = df["metric"].astype(str)
+        df["sum_v"] = round_half_away(df["sum_v"].to_numpy(np.float64), 6)
+        return df[ROLLUP_COLS]
+
+    recomputed = recomputed.map_batches(norm, batch_format="pandas")
+    stored = ray.data.read_parquet(f1m, columns=ROLLUP_COLS).map_batches(
+        norm, batch_format="pandas")
+
+    def key_fn(tbl):
+        return arrow_key_ids(tbl, ["conv_id", "metric"], N_CONV_PARTS)
+
+    def compare(r: pd.DataFrame, s: pd.DataFrame) -> pd.DataFrame:
+        keys = ["conv_id", "metric", "bucket_ms"]
+        m = r.merge(s, on=keys, how="outer", indicator=True,
+                    suffixes=("_r", "_s"))
+        missing = int((m["_merge"] == "left_only").sum())
+        extra = int((m["_merge"] == "right_only").sum())
+        both = m.loc[m["_merge"] == "both"]
+        bad = 0
+        for c in ("sum_v", "cnt", "min_v", "max_v", "last_v"):
+            bad += int((both[f"{c}_r"] != both[f"{c}_s"]).sum())
+        return pd.DataFrame({
+            "n_groups": [np.int64(len(r))],
+            "n_missing": [np.int64(missing)],
+            "n_extra": [np.int64(extra)],
+            "n_mismatch": [np.int64(bad)]})
+
+    parts = hash_exchange_multi(
+        [(recomputed, key_fn), (stored, key_fn)],
+        n_parts=N_CONV_PARTS, kernel=compare, fmt="pandas").to_pandas()
+    return pd.DataFrame([{
+        "tier": "1m_vs_blocks",
+        "n_groups": int(parts["n_groups"].sum()),
+        "n_missing": int(parts["n_missing"].sum()),
+        "n_extra": int(parts["n_extra"].sum()),
+        "n_mismatch": int(parts["n_mismatch"].sum())}])
+
+
 def repair_store(store_root: str, tiers=("1h", "1d")) -> pd.DataFrame:
     """Self-healing counterpart of :func:`fsck_store`: rebuild every
     coarse-tier day partition from the stored 1m rows (the one source of

@@ -592,3 +592,30 @@ def test_vacuum_history_drops_below_cut(tmp_path):
     paths = resolve_asof(store, 3, tier)
     assert os.path.join(store, tier, "day=10") in paths
     assert not any("v2" in p for p in paths)
+
+
+def test_fsck_deep_detects_1m_corruption(ray_session, tmp_path):
+    """fsck_deep recomputes the 1m tier from DECODED block points; a
+    corrupted stored 1m value must surface as a mismatch, and a clean
+    store must pass with zeros."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gorilla_tsc_ray.pipelines.ingest import fsck_deep, ingest_to_store
+
+    store = str(tmp_path / "store")
+    ingest_to_store("/root/testdata/sf0.001", store, resume=False)
+    clean = fsck_deep(store)
+    assert (clean[["n_missing", "n_extra", "n_mismatch"]]
+            .to_numpy() == 0).all()
+    assert clean["n_groups"].iloc[0] > 0
+
+    f = sorted(glob.glob(f"{store}/rollup_1m/day=*/*.parquet"))[0]
+    t = pq.read_table(f).to_pandas()
+    t.loc[0, "sum_v"] = t.loc[0, "sum_v"] + 1.0
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(t, preserve_index=False), f)
+    sick = fsck_deep(store)
+    assert sick["n_mismatch"].iloc[0] >= 1
