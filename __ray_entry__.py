@@ -387,6 +387,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_textrank": docs.textrank,
         "transcripts_point_lookup_serve": _point_lookup,
         "events_ma_crossover": ev.ma_crossover,
+        "media_image_ahash": _media_image_ahash,
     }
 
 
@@ -464,6 +465,23 @@ def _point_lookup(sf_dir: str):
     from gorilla_tsc_ray.pipelines.query import point_lookup_serve
 
     return point_lookup_serve(sf_dir)
+
+
+def _media_image_ahash(sf_dir: str):
+    """Perceptual average-hash table over the REAL decoded BMP images —
+    the image-dedup fingerprint (8x8 grid, exact cross-multiplied
+    mean-threshold bits, 64-bit hash as two 32-bit halves); the DuckDB
+    oracle re-derives every bit from the payload bytes."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from gorilla_tsc_ray.stages import media
+
+    path = media.media_parquet(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["media_id", "payload"],
+                               filter=pads.field("kind") == "image")
+    return ds.map_batches(media.image_ahash, batch_format="pandas",
+                          batch_size=32)
 
 
 def _media_video_features(sf_dir: str):
@@ -680,6 +698,45 @@ SELECT hdr.media_id,
   CAST(sum(b) FILTER (WHERE is_last) AS BIGINT) AS flast_sum
 FROM hdr JOIN px USING (media_id)
 GROUP BY hdr.media_id
+"""
+
+
+_MEDIA_AHASH_ORACLE = """
+WITH h AS (
+  SELECT media_id, hex(payload) AS hx, meta_width AS w, meta_height AS ht
+  FROM read_parquet('{path}') WHERE kind = 'image'
+), geo AS (
+  SELECT media_id, hx, w, ht,
+         w*3 + (4 - (w*3) % 4) % 4 AS stride
+  FROM h
+), px AS (
+  -- pixel byte j of the bottom-up BMP body (data offset 54): top-origin
+  -- row = ht-1-(j//stride), x = (j%stride)//3, 8x8 grid cell
+  SELECT geo.media_id,
+    ((geo.ht - 1 - (t.j // geo.stride)) * 8 // geo.ht) * 8
+      + (((t.j % geo.stride) // 3) * 8 // geo.w) AS cell,
+    CAST('0x'||substring(hx, 2*(54 + t.j) + 1, 2) AS BIGINT) AS b
+  FROM geo, LATERAL (SELECT unnest(range(geo.stride * geo.ht)) AS j) t
+  WHERE t.j % geo.stride < geo.w * 3
+), cells AS (
+  SELECT media_id, cell, sum(b) AS s, count(*) AS c FROM px GROUP BY 1, 2
+), tot AS (
+  SELECT media_id, sum(s) AS ts, sum(c) AS tc FROM cells GROUP BY 1
+), bits AS (
+  SELECT cells.media_id, cell,
+         CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS bit
+  FROM cells JOIN tot USING (media_id)
+)
+SELECT b2.media_id,
+  CAST(sum(CASE WHEN cell >= 32 AND bit = 1
+                THEN CAST(1 AS BIGINT) << (cell - 32)
+                ELSE 0 END) AS BIGINT) AS ahash_hi,
+  CAST(sum(CASE WHEN cell < 32 AND bit = 1
+                THEN CAST(1 AS BIGINT) << cell
+                ELSE 0 END) AS BIGINT) AS ahash_lo,
+  CAST(any_value(tot.ts) AS BIGINT) AS sum_rgb
+FROM bits b2 JOIN tot ON tot.media_id = b2.media_id
+GROUP BY b2.media_id
 """
 
 
@@ -4919,6 +4976,7 @@ WHERE list_cosine_similarity(
         # oracles — the driver's correctness sf)
         "media_features": _MEDIA_AUDIO_ORACLE.format(path=mpath),
         "media_video_features": _MEDIA_VIDEO_ORACLE.format(path=mpath),
+        "media_image_ahash": _MEDIA_AHASH_ORACLE.format(path=mpath),
         # moving-average crossover: exact cross-multiplied comparison of
         # trailing 3- vs 8-row window sums; one row per sign change
         "events_ma_crossover": """

@@ -403,3 +403,46 @@ def frame_sample_plan(df: pd.DataFrame, *, every_n: int = 10) -> pd.DataFrame:
         "frame_idx": np.concatenate(out_frame),
         "byte_offset": np.concatenate(out_off),
     })
+
+
+def image_ahash(df: pd.DataFrame) -> pd.DataFrame:
+    """Perceptual AVERAGE-HASH (aHash) over decoded BMP pixels — the
+    image-dedup fingerprint: pixels map onto an 8×8 grid (cell = (y·8//h,
+    x·8//w) over TOP-ORIGIN coordinates; BMP rows are bottom-up), each
+    cell's bit = its byte mean exceeds the global mean, compared EXACTLY
+    by cross-multiplication (cell_sum·n_total > total_sum·cell_count —
+    no float means, no rounding).  Cells a narrow image never touches
+    contribute deterministic 0-bits on both engines.  The 64-bit hash
+    ships as two 32-bit halves (SQL BIGINT shifts overflow at bit 63)."""
+    import struct as _struct
+
+    n = len(df)
+    hi = np.empty(n, dtype=np.int64)
+    lo = np.empty(n, dtype=np.int64)
+    tsum = np.empty(n, dtype=np.int64)
+    for i, payload in enumerate(df["payload"]):
+        (_, w, h, _, _, _, _, _, _, _, _) = _struct.unpack_from(
+            "<IiiHHIIiiII", payload, 14)
+        off = _struct.unpack_from("<2sIHHI", payload, 0)[4]
+        row = w * 3
+        stride = row + (4 - row % 4) % 4
+        data = np.frombuffer(payload, np.uint8,
+                             count=stride * h, offset=off)
+        pix = data.reshape(h, stride)[:, :row].astype(np.int64)
+        # bottom-up rows → top-origin y; x from the byte column
+        y_top = (h - 1 - np.arange(h))[:, None]
+        x = (np.arange(row) // 3)[None, :]
+        cell = (y_top * 8 // h) * 8 + (x * 8 // w)
+        sums = np.bincount(cell.ravel(), weights=pix.ravel(),
+                           minlength=64).astype(np.int64)
+        cnts = np.bincount(cell.ravel(), minlength=64).astype(np.int64)
+        total_s, total_c = int(sums.sum()), int(cnts.sum())
+        bits = sums * total_c > total_s * cnts
+        hi[i] = int(sum(1 << (b - 32) for b in range(32, 64) if bits[b]))
+        lo[i] = int(sum(1 << b for b in range(32) if bits[b]))
+        tsum[i] = total_s
+    return pd.DataFrame({
+        "media_id": df["media_id"].to_numpy(),
+        "ahash_hi": hi, "ahash_lo": lo,
+        "sum_rgb": tsum,
+    })
