@@ -388,6 +388,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_point_lookup_serve": _point_lookup,
         "events_ma_crossover": ev.ma_crossover,
         "media_image_ahash": _media_image_ahash,
+        "media_audio_fingerprint": _media_audio_fingerprint,
+        "media_video_motion": _media_video_motion,
     }
 
 
@@ -481,6 +483,38 @@ def _media_image_ahash(sf_dir: str):
     ds = ray.data.read_parquet(path, columns=["media_id", "payload"],
                                filter=pads.field("kind") == "image")
     return ds.map_batches(media.image_ahash, batch_format="pandas",
+                          batch_size=32)
+
+
+def _media_audio_fingerprint(sf_dir: str):
+    """16-window absolute-amplitude audio fingerprint over the decoded
+    WAV samples (exact cross-multiplied bits; the audio-dedup sibling of
+    the image aHash)."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from gorilla_tsc_ray.stages import media
+
+    path = media.media_parquet(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["media_id", "payload"],
+                               filter=pads.field("kind") == "audio")
+    return ds.map_batches(media.audio_fingerprint, batch_format="pandas",
+                          batch_size=32)
+
+
+def _media_video_motion(sf_dir: str):
+    """Frame-to-frame motion energy per video (sum of absolute per-byte
+    pixel diffs, pad bytes excluded) — per-frame addressing beyond
+    summary stats."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from gorilla_tsc_ray.stages import media
+
+    path = media.media_parquet(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["media_id", "payload"],
+                               filter=pads.field("kind") == "video")
+    return ds.map_batches(media.video_motion, batch_format="pandas",
                           batch_size=32)
 
 
@@ -737,6 +771,77 @@ SELECT b2.media_id,
   CAST(any_value(tot.ts) AS BIGINT) AS sum_rgb
 FROM bits b2 JOIN tot ON tot.media_id = b2.media_id
 GROUP BY b2.media_id
+"""
+
+
+_MEDIA_AUDIO_FP_ORACLE = """
+WITH h AS (
+  SELECT media_id, hex(payload) AS hx
+  FROM read_parquet('{path}') WHERE kind = 'audio'
+), hdr AS (
+  SELECT media_id, hx,
+    (CAST('0x'||substring(hx,2*41-1,2) AS BIGINT)
+      + (1<<8)*CAST('0x'||substring(hx,2*42-1,2) AS BIGINT)
+      + (1<<16)*CAST('0x'||substring(hx,2*43-1,2) AS BIGINT)
+      + (1<<24)*CAST('0x'||substring(hx,2*44-1,2) AS BIGINT)) // 2
+      AS n_samples
+  FROM h
+), samp AS (
+  SELECT hdr.media_id, t.j, hdr.n_samples,
+    CAST('0x'||substring(hx, 2*(45+2*t.j)-1, 2) AS BIGINT)
+      + 256*CAST('0x'||substring(hx, 2*(46+2*t.j)-1, 2) AS BIGINT) AS raw
+  FROM hdr, LATERAL (SELECT unnest(range(hdr.n_samples)) AS j) t
+), winj AS (
+  SELECT media_id, (j * 16) // n_samples AS w,
+         abs(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END) AS a
+  FROM samp
+), wins AS (
+  SELECT media_id, w, sum(a) AS s, count(*) AS c
+  FROM winj GROUP BY 1, 2
+), tot AS (
+  SELECT media_id, sum(s) AS ts, sum(c) AS n FROM wins GROUP BY 1
+)
+SELECT w2.media_id,
+  CAST(sum(CASE WHEN s * n > ts * c
+                THEN CAST(1 AS BIGINT) << w ELSE 0 END) AS BIGINT)
+    AS fingerprint,
+  CAST(any_value(n) AS BIGINT) AS n_samples,
+  CAST(any_value(ts) AS BIGINT) AS sum_abs
+FROM wins w2 JOIN tot USING (media_id)
+GROUP BY w2.media_id
+"""
+
+
+_MEDIA_VIDEO_MOTION_ORACLE = """
+WITH hsrc AS (
+  SELECT media_id, hex(payload) AS hx, meta_width AS w, meta_height AS ht
+  FROM read_parquet('{path}') WHERE kind = 'video'
+), hdr AS (
+  SELECT media_id, hx, w, ht,
+    CAST('0x'||substring(hx, 2*48+1, 2) AS BIGINT)
+      + (1<<8)*CAST('0x'||substring(hx, 2*49+1, 2) AS BIGINT)
+      + (1<<16)*CAST('0x'||substring(hx, 2*50+1, 2) AS BIGINT)
+      + (1<<24)*CAST('0x'||substring(hx, 2*51+1, 2) AS BIGINT) AS n_frames,
+    w*3 + (4 - (w*3) % 4) % 4 AS stride
+  FROM hsrc
+), px AS (
+  SELECT hdr.media_id, t.f, t.j,
+    CAST('0x'||substring(hx,
+         2*(232 + t.f*(8 + hdr.stride*hdr.ht) + t.j) + 1, 2) AS BIGINT)
+      AS b
+  FROM hdr, LATERAL (
+    SELECT ff.f AS f, jj.j AS j
+    FROM (SELECT unnest(range(hdr.n_frames)) AS f) ff,
+         (SELECT unnest(range(hdr.stride * hdr.ht)) AS j) jj
+    WHERE jj.j % hdr.stride < hdr.w * 3
+  ) t
+)
+SELECT a.media_id, CAST(a.f AS BIGINT) AS frame_idx,
+       CAST(sum(abs(a.b - b2.b)) AS BIGINT) AS motion
+FROM px a JOIN px b2
+  ON a.media_id = b2.media_id AND a.j = b2.j AND b2.f = a.f - 1
+WHERE a.f >= 1
+GROUP BY a.media_id, a.f
 """
 
 
@@ -4977,6 +5082,9 @@ WHERE list_cosine_similarity(
         "media_features": _MEDIA_AUDIO_ORACLE.format(path=mpath),
         "media_video_features": _MEDIA_VIDEO_ORACLE.format(path=mpath),
         "media_image_ahash": _MEDIA_AHASH_ORACLE.format(path=mpath),
+        "media_audio_fingerprint":
+            _MEDIA_AUDIO_FP_ORACLE.format(path=mpath),
+        "media_video_motion": _MEDIA_VIDEO_MOTION_ORACLE.format(path=mpath),
         # moving-average crossover: exact cross-multiplied comparison of
         # trailing 3- vs 8-row window sums; one row per sign change
         "events_ma_crossover": """
