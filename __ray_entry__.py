@@ -385,6 +385,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_overlap": ev.interval_overlap_join,
         "events_spearman_pairs": ev.spearman_pairs,
         "docs_textrank": docs.textrank,
+        "docs_clustering_coeff": docs.clustering_coeff,
         "transcripts_point_lookup_serve": _point_lookup,
         "events_ma_crossover": ev.ma_crossover,
         "media_image_ahash": _media_image_ahash,
@@ -2657,6 +2658,40 @@ WITH RECURSIVE t AS (
 )
 SELECT unnest(ns) AS doc_id, unnest(degs) AS deg, unnest(prs) AS pr_num
 FROM it WHERE round = 5
+""",
+        # global transitivity audit of the near-dup graph: exact
+        # (nodes, edges, wedges, triangles) ints; coefficient is
+        # consumer-side 3*tri/wedges
+        "docs_clustering_coeff": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat(toks[i], chr(1), coalesce(toks[i+1], ''), chr(1),
+                coalesce(toks[i+2], '')))) AS shs
+  FROM t
+), pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shs, b.shs)) * 1.0 /
+        greatest(len(list_distinct(list_concat(a.shs, b.shs))), 1) >= 0.5
+), deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT id_a AS node FROM pr UNION ALL SELECT id_b FROM pr
+  ) GROUP BY 1
+), tri AS (
+  SELECT count(*) AS n
+  FROM pr e1
+  JOIN pr e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+  JOIN pr e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM pr) AS BIGINT) AS n_edges,
+       CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT)
+         AS n_wedges,
+       CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles
 """,
         # per-source dedup savings off the cluster closure: survivors =
         # cluster keepers (min doc_id) + unpaired singletons

@@ -77,6 +77,20 @@ def codec_microbench(n: int = 1_000_000) -> dict:
             k_s = min(k_s, time.perf_counter() - t)
         assert len(kts) == n
         out["decode_kernel_mpoints_per_sec"] = round(n / k_s / 1e6, 3)
+        # gorilla2e (entropy-coded dod stream): same series, native path
+        vb = np.arange(n, dtype=np.float64).view(np.uint64)
+        e_enc = e_dec = float("inf")
+        for _ in range(3):
+            t = time.perf_counter()
+            pay_e = _native.encode_e(t0, ts, vb)
+            e_enc = min(e_enc, time.perf_counter() - t)
+            t = time.perf_counter()
+            ets, _ev = _native.decode_e(pay_e, n)
+            e_dec = min(e_dec, time.perf_counter() - t)
+        assert len(ets) == n
+        out["encode_e_mpoints_per_sec"] = round(n / e_enc / 1e6, 3)
+        out["decode_e_mpoints_per_sec"] = round(n / e_dec / 1e6, 3)
+        out["bytes_per_point_dense_e"] = round(len(pay_e) / n, 3)
     return out
 
 

@@ -2154,3 +2154,67 @@ def textrank(sf_dir: str, v: int = 20, rounds: int = 5,
         pr = base + (17 * s) // 20
     return pd.DataFrame({"tok": nodes, "deg": deg,
                          "pr_num": pr.astype(np.int64)})[cols]
+
+
+def clustering_coeff(sf_dir: str, threshold: float = 0.5):
+    """GLOBAL clustering-coefficient numerators of the n-gram near-dup
+    graph — the transitivity audit a dedup pipeline runs to separate
+    tight duplicate cliques (coefficient → 1) from chainy
+    false-positive paths (→ 0): one row of exact ints (n_nodes,
+    n_edges, n_wedges = Σ d(d−1)/2, n_triangles); the coefficient is
+    consumer-side 3·triangles / wedges (SPC integer discipline).
+
+    Composition shape: triangles reuse the degree-ordered
+    :func:`~.docs_dedup.triangle_counts` operator (wedge volume ≤
+    m^1.5); wedges and degrees fold DISTRIBUTED — per-partition scalar
+    partials, never a node table on the driver."""
+    from .docs_dedup import triangle_counts
+
+    tune_context()
+    pairs = ngram_jaccard(sf_dir, threshold=threshold)
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy(dtype=np.int64)
+        b = df["id_b"].to_numpy(dtype=np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+
+    edges = pairs.map_batches(orient, batch_format="pandas")
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate([df["a"].to_numpy(np.int64),
+                                df["b"].to_numpy(np.int64)])
+        u, c = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    def deg_final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "n_nodes": pd.Series([], dtype=np.int64),
+                "n_wedges": pd.Series([], dtype=np.int64)})
+        d = (df.groupby("node", sort=False)["deg"].sum()
+             .to_numpy(np.int64))
+        return pd.DataFrame({
+            "n_nodes": [np.int64(len(d))],
+            "n_wedges": [np.int64((d * (d - 1) // 2).sum())]})
+
+    folds = hash_exchange(
+        edges.map_batches(deg_partial, batch_format="pandas"),
+        key_fn=_pair_hash_key(["node"], 8), n_parts=8,
+        kernel=deg_final, fmt="pandas").to_pandas()
+    n_edges = int(edges.count())
+
+    tri = triangle_counts(sf_dir, threshold=threshold)
+
+    def tri_partial(df: pd.DataFrame) -> pd.DataFrame:
+        col = [c for c in df.columns if c != "doc_id"][0]
+        return pd.DataFrame({
+            "t3": [np.int64(df[col].to_numpy(np.int64).sum())]})
+
+    t3 = int(tri.map_batches(tri_partial, batch_format="pandas")
+             .to_pandas()["t3"].sum())
+    return pd.DataFrame({
+        "n_nodes": [np.int64(folds["n_nodes"].sum())],
+        "n_edges": [np.int64(n_edges)],
+        "n_wedges": [np.int64(folds["n_wedges"].sum())],
+        "n_triangles": [np.int64(t3 // 3)]})
