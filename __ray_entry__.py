@@ -387,6 +387,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "docs_textrank": docs.textrank,
         "docs_clustering_coeff": docs.clustering_coeff,
         "transcripts_point_lookup_serve": _point_lookup,
+        "transcripts_streaming_roundtrip": ingest.streaming_roundtrip,
         "events_ma_crossover": ev.ma_crossover,
         "media_image_ahash": _media_image_ahash,
         "media_audio_fingerprint": _media_audio_fingerprint,
@@ -1566,6 +1567,13 @@ FROM events
             tmetrics_cut, "conv_id, metric", 3_600_000, "m"),
         "transcripts_rollup_1d": tr_rollup(86_400_000),
         "transcripts_roundtrip_text_len": tdedup + """
+SELECT conv_id, 'text_len' AS metric, ts_ms,
+       CAST(length(text) AS DOUBLE) AS value FROM d
+""",
+        # streaming-ingest gate on transcripts: distributed per-router
+        # feed -> streaming encoders -> sealed blocks decode back to the
+        # batch truth (same oracle as the batch text_len roundtrip)
+        "transcripts_streaming_roundtrip": tdedup + """
 SELECT conv_id, 'text_len' AS metric, ts_ms,
        CAST(length(text) AS DOUBLE) AS value FROM d
 """,

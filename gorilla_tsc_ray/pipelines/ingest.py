@@ -2250,3 +2250,74 @@ def tool_mix_by_len(sf_dir: str, bands=(10, 20, 40)):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=4, kernel=merge,
                          fmt="pandas")
+
+
+def streaming_roundtrip(sf_dir: str, n_actors: int = 4):
+    """STREAMING ingest gate on the TRANSCRIPTS table (the events
+    streaming gates' sibling — streaming × transcripts was the one
+    uncovered cell): canonical text_len metric points derive in the
+    shuffle-free conv pass, materialize as a point-stream parquet
+    (deterministic /tmp cache), then flow through the SAME distributed
+    per-router feed the events gates use (one reader task per encoder
+    actor, conv-keyed) into streaming Gorilla encoders; sealed blocks
+    decode back on the Dataset API and must value-hash-match the batch
+    oracle (canonical (conv, ts) pairs are unique at the shipped sfs, so
+    the strictly-increasing append precondition holds).  Exercises
+    arrival-order watermarks, per-conv series routing and block sealing
+    end-to-end on the store's own payload."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..sources.transcripts import CACHE_ROOT
+    from ..stages.series import decode_blocks_batch
+    from ..state.streaming import StreamingRouter, feed_parquet_distributed
+
+    tune_context()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(CACHE_ROOT, f"tstream_points_{tag}.parquet")
+    if not os.path.exists(path):
+        from ..stages.metrics import canonical_turns_arrow
+
+        def kernel(batch):
+            import pyarrow.compute as pc
+
+            t = canonical_turns_arrow(batch)
+            return pa.table({
+                "conv_id": pc.cast(t["conv_id"], pa.string()),
+                "ts": pc.multiply(t["ts_ms"], 1000),  # µs, the feed's unit
+                "value": pc.cast(pc.utf8_length(
+                    pc.cast(t["text"], "string")), "float64")})
+
+        pts = _conv_partitioned(sf_dir, kernel, lean=False, fmt="pyarrow")
+        tbl = pa.concat_tables([r for r in
+                                (ray.get(x) for x in pts.to_arrow_refs())
+                                if r.num_rows])
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
+    router = StreamingRouter(n_actors=n_actors)
+    feed_parquet_distributed(router, path, order_cols=("ts_ms",),
+                             key_col="conv_id", metric="text_len")
+    blocks = pd.DataFrame(router.seal())
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        out = decode_blocks_batch(df, key_cols=["key", "metric"])
+        return pd.DataFrame({
+            "conv_id": out["key"].astype(str),
+            "metric": out["metric"].astype(str),
+            "ts_ms": out["ts_ms"],
+            "value": out["value"]})
+
+    if len(blocks) == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "conv_id": pd.Series([], dtype=object),
+            "metric": pd.Series([], dtype=object),
+            "ts_ms": pd.Series([], dtype=np.int64),
+            "value": pd.Series([], dtype=np.float64)}))
+    return ray.data.from_pandas(blocks).map_batches(
+        decode, batch_format="pandas")
