@@ -391,6 +391,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_ma_crossover": ev.ma_crossover,
         "media_image_ahash": _media_image_ahash,
         "media_audio_fingerprint": _media_audio_fingerprint,
+        "media_image_near_dups": _media_image_near_dups,
         "media_video_motion": _media_video_motion,
     }
 
@@ -518,6 +519,92 @@ def _media_video_motion(sf_dir: str):
                                filter=pads.field("kind") == "video")
     return ds.map_batches(media.video_motion, batch_format="pandas",
                           batch_size=32)
+
+
+def _media_image_near_dups(sf_dir: str, max_hamming: int = 3):
+    """Image NEAR-DUP pairs by perceptual hash — the multimodal dedup
+    operator: 64-bit aHash per image, 4x16-bit segment blocking (two
+    hashes within Hamming 3 share >= 1 segment by pigeonhole, so the
+    default is EXHAUSTIVE and the all-pairs SQL oracle matches exactly),
+    exact Hamming verify inside the segment buckets (the hash halves
+    ride the exchange - no driver-side hash table)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from gorilla_tsc_ray.pipelines.docs import _dedup_pairs, _pair_hash_key
+    from gorilla_tsc_ray.stages import media
+    from gorilla_tsc_ray.stages.exchange import hash_exchange
+
+    path = media.media_parquet(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["media_id", "payload"],
+                               filter=pads.field("kind") == "image")
+    hashes = ds.map_batches(media.image_ahash, batch_format="pandas")
+
+    def seg_rows(df: pd.DataFrame) -> pd.DataFrame:
+        hi = df["ahash_hi"].to_numpy(np.int64)
+        lo = df["ahash_lo"].to_numpy(np.int64)
+        segs = np.stack([lo & 0xFFFF, (lo >> 16) & 0xFFFF,
+                         hi & 0xFFFF, (hi >> 16) & 0xFFFF], axis=1)
+        n = len(df)
+        return pd.DataFrame({
+            "media_id": np.repeat(df["media_id"].to_numpy(np.int64), 4),
+            "hi": np.repeat(hi, 4), "lo": np.repeat(lo, 4),
+            "seg": np.tile(np.arange(4, dtype=np.int64), n),
+            "val": segs.reshape(-1)})
+
+    rows = hashes.map_batches(seg_rows, batch_format="pandas")
+
+    def pair_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["id_a", "id_b", "hamming"]
+        if len(df) < 2:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        order = np.lexsort((df["media_id"].to_numpy(np.int64),
+                            df["val"].to_numpy(np.int64),
+                            df["seg"].to_numpy(np.int64)))
+        d = df.iloc[order]
+        seg = d["seg"].to_numpy(np.int64)
+        val = d["val"].to_numpy(np.int64)
+        ids = d["media_id"].to_numpy(np.int64)
+        hi = d["hi"].to_numpy(np.int64)
+        lo = d["lo"].to_numpy(np.int64)
+        new = np.concatenate(([True], (seg[1:] != seg[:-1])
+                              | (val[1:] != val[:-1])))
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(d)))
+        # triangular in-bucket expansion (buckets are near-dup groups)
+        reps = lens - 1
+        tot = int((reps * (reps + 1) // 2).sum())
+        if tot == 0:
+            return pd.DataFrame({c: np.array([], np.int64) for c in cols})
+        ia, ib = [], []
+        for s, ln in zip(starts, lens):          # buckets are tiny
+            if ln < 2:
+                continue
+            a, b = np.triu_indices(ln, 1)
+            ia.append(s + a)
+            ib.append(s + b)
+        ia = np.concatenate(ia)
+        ib = np.concatenate(ib)
+        x_hi = np.bitwise_xor(hi[ia], hi[ib]).astype(np.uint64)
+        x_lo = np.bitwise_xor(lo[ia], lo[ib]).astype(np.uint64)
+
+        def popcnt(x):   # numpy<2 has no bitwise_count
+            return np.unpackbits(
+                x.view(np.uint8).reshape(len(x), 8), axis=1
+            ).sum(axis=1).astype(np.int64)
+
+        ham = popcnt(x_hi) + popcnt(x_lo)
+        keep = ham <= max_hamming
+        return pd.DataFrame({
+            "id_a": np.minimum(ids[ia], ids[ib])[keep],
+            "id_b": np.maximum(ids[ia], ids[ib])[keep],
+            "hamming": ham[keep]})
+
+    cands = hash_exchange(rows, key_fn=_pair_hash_key(["seg", "val"], 8),
+                          n_parts=8, kernel=pair_kernel, fmt="pandas")
+    return _dedup_pairs(cands, ["id_a", "id_b", "hamming"])
 
 
 def _media_video_features(sf_dir: str):
@@ -774,6 +861,21 @@ SELECT b2.media_id,
 FROM bits b2 JOIN tot ON tot.media_id = b2.media_id
 GROUP BY b2.media_id
 """
+
+
+# all-pairs Hamming over the aHash table (image corpus is bounded, so
+# the SQL all-pairs join IS the exhaustive truth the segment-blocked
+# engine must equal at max_hamming <= 3 by pigeonhole)
+_MEDIA_IMG_NEARDUP_ORACLE = ("WITH hashes AS (" + _MEDIA_AHASH_ORACLE
+                             + """)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+            + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT)
+         AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+      + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 3
+""")
 
 
 _MEDIA_AUDIO_FP_ORACLE = """
@@ -5127,6 +5229,8 @@ WHERE list_cosine_similarity(
         "media_image_ahash": _MEDIA_AHASH_ORACLE.format(path=mpath),
         "media_audio_fingerprint":
             _MEDIA_AUDIO_FP_ORACLE.format(path=mpath),
+        "media_image_near_dups":
+            _MEDIA_IMG_NEARDUP_ORACLE.format(path=mpath),
         "media_video_motion": _MEDIA_VIDEO_MOTION_ORACLE.format(path=mpath),
         # moving-average crossover: exact cross-multiplied comparison of
         # trailing 3- vs 8-row window sums; one row per sign change

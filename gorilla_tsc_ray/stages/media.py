@@ -119,15 +119,30 @@ def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     payloads, ws, hs = [], [], []
+    last_img = None  # (w, h, payload) of the previous image row
     for k in kinds:
         if k == "audio":
             payloads.append(_wav_payload(rng))
             ws.append(0)
             hs.append(0)
         elif k == "image":
-            w = int(rng.integers(4, 24))
-            h = int(rng.integers(4, 24))
-            payloads.append(_bmp_payload(rng, w, h))
+            # ~30% of images are NEAR-DUPS of the previous one (±small
+            # noise on a few pixel bytes) so the perceptual-hash dedup
+            # operators have real positives to find
+            if last_img is not None and rng.random() < 0.3:
+                w, h, base = last_img
+                body = bytearray(base)
+                n_flip = int(rng.integers(1, 4))
+                for _ in range(n_flip):
+                    j = int(rng.integers(54, len(body)))
+                    body[j] = int(np.clip(
+                        body[j] + int(rng.integers(-8, 9)), 0, 255))
+                payloads.append(bytes(body))
+            else:
+                w = int(rng.integers(4, 24))
+                h = int(rng.integers(4, 24))
+                payloads.append(_bmp_payload(rng, w, h))
+            last_img = (w, h, payloads[-1])
             ws.append(w)
             hs.append(h)
         else:
