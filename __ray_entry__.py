@@ -384,6 +384,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_drift_chi2": ev.drift_chi2,
         "events_interval_overlap": ev.interval_overlap_join,
         "events_spearman_pairs": ev.spearman_pairs,
+        "events_fano_dispersion": ev.fano_dispersion,
         "docs_textrank": docs.textrank,
         "docs_clustering_coeff": docs.clustering_coeff,
         "transcripts_point_lookup_serve": _point_lookup,
@@ -5359,6 +5360,23 @@ SELECT ta AS type_a, tb AS type_b, CAST(count(*) AS BIGINT) AS n,
   CAST(count(*) * sum(ra * ra) - sum(ra) * sum(ra) AS BIGINT) AS den_a,
   CAST(count(*) * sum(rb * rb) - sum(rb) * sum(rb) AS BIGINT) AS den_b
 FROM j GROUP BY 1, 2
+""",
+        # Fano overdispersion: hourly-count variance/mean numerators per
+        # type over the zero-filled global hour grid (zero hours drop
+        # out of every sum, so only n needs the grid bounds)
+        "events_fano_dispersion": """
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events
+), b AS (SELECT max(h) - min(h) + 1 AS n FROM e),
+cnts AS (SELECT event_type, h, count(*) AS c FROM e GROUP BY 1, 2)
+SELECT event_type,
+  CAST((SELECT n FROM b) AS BIGINT) AS n_hours,
+  CAST(sum(c) AS BIGINT) AS sum_c,
+  CAST(sum(c * c) AS BIGINT) AS sum_c2,
+  CAST((SELECT n FROM b) * sum(c * c) - sum(c) * sum(c) AS BIGINT)
+    AS fano_num,
+  CAST((SELECT n FROM b) * sum(c) AS BIGINT) AS fano_den
+FROM cnts GROUP BY 1
 """,
         # TextRank: the docs_pagerank integer recursion over the top-20
         # token co-occurrence graph (distinct adjacent pairs, canonical

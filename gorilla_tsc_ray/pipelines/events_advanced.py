@@ -2044,3 +2044,61 @@ def ma_crossover(sf_dir: str, w_short: int = 3, w_long: int = 8):
 
     return hash_exchange(rows, key_fn=_user_key_fn(P), n_parts=P,
                          kernel=kernel, fmt="pandas")
+
+
+def fano_dispersion(sf_dir: str):
+    """Poisson OVERDISPERSION audit per event type (the burst detector's
+    statistical cousin): the Fano factor variance/mean of the hourly
+    count series over the full global hour grid (zeros filled), emitted
+    as exact integer numerators — ``fano_num = n·Σx² − (Σx)²``,
+    ``fano_den = n·Σx`` — so Fano = num/den stays consumer-side (a
+    Poisson process has Fano ≈ 1; bursty types blow past it).  Same
+    bounded shuffle as :func:`spearman_pairs`: per-block (type, hour)
+    partials, one types×hours-bounded reduce."""
+    import pyarrow.compute as pc
+
+    tune_context()
+    P = _n_parts(sf_dir)
+    ds = _read_events(sf_dir, ["event_type", "ts"], P)
+
+    def partial(t):
+        if t.num_rows == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "hour": pd.Series([], dtype=np.int64),
+                "cnt": pd.Series([], dtype=np.int64)})
+        hour = pc.divide(pc.divide(pc.cast(t["ts"], "int64"), 1000),
+                         3_600_000)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas().astype(str),
+            "hour": hour.to_numpy()})
+        g = (df.groupby(["event_type", "hour"], sort=False).size()
+             .rename("cnt").reset_index())
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_type", "n_hours", "sum_c", "sum_c2", "fano_num",
+                "fano_den"]
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(
+                [], dtype=object if c == "event_type" else np.int64)
+                for c in cols})
+        g = (df.groupby(["event_type", "hour"], sort=False)["cnt"]
+             .sum().reset_index())
+        n = np.int64(int(g["hour"].max()) - int(g["hour"].min()) + 1)
+        agg = g.groupby("event_type", sort=False)["cnt"].agg(
+            sum_c="sum", sum_c2=lambda s: np.int64(
+                (s.to_numpy(np.int64) ** 2).sum())).reset_index()
+        agg["n_hours"] = n
+        agg["sum_c"] = agg["sum_c"].astype(np.int64)
+        agg["sum_c2"] = agg["sum_c2"].astype(np.int64)
+        agg["fano_num"] = n * agg["sum_c2"] - agg["sum_c"] ** 2
+        agg["fano_den"] = n * agg["sum_c"]
+        return agg[cols]
+
+    return hash_exchange(
+        parts, key_fn=lambda t: np.zeros(t.num_rows, dtype=np.int64),
+        n_parts=1, kernel=final, fmt="pandas")
