@@ -85,6 +85,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_roundtrip_entropy": ev.points_roundtrip_entropy,
         "events_roundtrip_long": ev.points_roundtrip_long,
         "events_streaming_roundtrip": ev.streaming_roundtrip,
+        "events_streaming_replay": ev.streaming_replay,
         "events_streaming_out_of_order": ev.streaming_out_of_order,
         "events_streaming_window_1h": ev.streaming_window_agg,
         "events_streaming_window_ooo": ev.streaming_window_out_of_order,
@@ -1062,6 +1063,10 @@ def oracle_sql() -> dict[str, str]:
         "events_roundtrip_zlib":
             "SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events",
         "events_roundtrip_entropy":
+            "SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events",
+        # replay idempotency: the whole stream fed TWICE must seal to
+        # the batch truth (watermarks reject every replayed point)
+        "events_streaming_replay":
             "SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events",
         "events_roundtrip_dfcm":
             "SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events",

@@ -1847,3 +1847,45 @@ def vwap(sf_dir: str, tier: str = "1h"):
 
     return hash_exchange(partials, key_fn=key_fn, n_parts=P, kernel=merge,
                          fmt="pandas")
+
+
+def streaming_replay(sf_dir: str, n_actors: int = 4):
+    """REPLAY-IDEMPOTENCY gate for the streaming ingest operator — the
+    at-least-once-delivery story: the whole event stream feeds the
+    router TWICE (an upstream retry replaying the entire source), and
+    the sealed output must STILL equal the batch round-trip exactly —
+    every replayed point arrives at-or-behind its series watermark and
+    is rejected, so duplicate delivery cannot corrupt sealed blocks.
+    A runtime assert proves the second pass was fully rejected (late
+    count == stream length)."""
+    import os
+
+    from ..state.streaming import feed_parquet_distributed
+
+    tune_context()
+    from ..state.streaming import StreamingRouter
+
+    router = StreamingRouter(n_actors=n_actors)
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    n1 = feed_parquet_distributed(router, path, order_cols=["ts_ms"])
+    n2 = feed_parquet_distributed(router, path, order_cols=["ts_ms"])
+    stats = router.stats()
+    if n2 != 0 or stats["late"] < n1:
+        raise RuntimeError(
+            f"replay was not fully rejected: second pass accepted {n2}, "
+            f"late={stats['late']} of {n1}")
+    blocks = pd.DataFrame(router.seal())
+
+    import ray.data
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        out = decode_blocks_batch(df, key_cols=["key"])
+        return pd.DataFrame({
+            "user_id": out["key"].astype(np.int64),
+            "ts_ms": out["ts_ms"],
+            "value": out["value"]})
+
+    return ray.data.from_pandas(blocks).map_batches(
+        decode, batch_format="pandas")
