@@ -114,6 +114,15 @@ def main(argv=None) -> int:
                          "stored 1m rollup against the points (cross-"
                          "tier ground-truth check)")
 
+    pt = sub.add_parser("transcode", help="store-wide codec migration "
+                        "(bit-exact through raw value bits; resumable "
+                        "via lineage)")
+    pt.add_argument("--store", required=True)
+    pt.add_argument("--to-codec", default="gorilla2",
+                    choices=["gorilla2", "gorilla1", "gorilla2_dfcm",
+                             "gorilla2z", "gorilla2e"])
+    pt.add_argument("--tiers", nargs="*", default=["blocks"])
+
     px = sub.add_parser("index", help="build the per-day conv-id bloom "
                         "sidecar (point-lookup day pruning)")
     px.add_argument("--store", required=True)
@@ -205,6 +214,12 @@ def main(argv=None) -> int:
                 print(df.to_json(orient="records"))
                 bad = n_bad(df)
             return 0 if bad == 0 else 3
+        elif args.cmd == "transcode":
+            from .pipelines.retention import transcode_store
+
+            df = transcode_store(args.store, to_codec=args.to_codec,
+                                 tiers=tuple(args.tiers))
+            print(df.to_json(orient="records"))
         elif args.cmd == "index":
             from .pipelines.query import build_conv_bloom
 
