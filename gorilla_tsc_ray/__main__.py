@@ -1,13 +1,22 @@
 """CLI entry points — the ``ray job submit`` surface.
 
     python -m gorilla_tsc_ray ingest    --sf-dir DIR --out STORE [--no-resume]
+    python -m gorilla_tsc_ray append    --sf-dir DIR --store S [--ts-lo MS]
+                                        [--ts-hi MS] [--keep-history]
     python -m gorilla_tsc_ray query     --store STORE [--metric M] [--t-lo MS]
                                         [--t-hi MS] [--conv ID ...]
                                         [--value-lo V] [--value-hi V] --out DIR
     python -m gorilla_tsc_ray retention --store STORE --now-ms N
                                         [--keep tier=days ...] [--dry-run]
+                                        [--archive [--archive-codec C]]
+    python -m gorilla_tsc_ray compact   --store STORE [--tiers ...]
+    python -m gorilla_tsc_ray fsck      --store STORE [--repair] [--deep]
+    python -m gorilla_tsc_ray transcode --store STORE --to-codec C
+    python -m gorilla_tsc_ray index     --store STORE
+    python -m gorilla_tsc_ray vacuum    --store STORE --keep-from N
     python -m gorilla_tsc_ray dedup     --sf-dir DIR --out DIR
                                         [--threshold 0.5]
+    python -m gorilla_tsc_ray clean     --sf-dir DIR --out DIR
 
 Owns its Ray session (library code never calls ``ray.init``); on a cluster,
 drop ``address="local"`` via ``--address auto``.
