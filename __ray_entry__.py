@@ -68,10 +68,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sweeps the whole surface within ~6 rounds.  With no artifacts
     # present (fresh checkout) this degenerates to plain family order.
     # Python dict merge keeps first-occurrence order, so every query
-    # still appears exactly once.
+    # still appears exactly once.  Genuinely NEW operators lead the
+    # never-checked block (family order would park them at ~position
+    # 180, three rounds away from the real gate); each round prepends
+    # its additions here and the rotation retires them automatically
+    # once a CORRECTNESS artifact records them.
+    newest = [
+        "events_roundtrip_entropy", "events_streaming_replay",
+        "media_video_features", "media_image_ahash",
+        "media_audio_fingerprint", "media_video_motion",
+        "media_image_near_dups", "emb_ivf_probe_sweep",
+        "events_drift_chi2", "events_interval_overlap",
+        "events_spearman_pairs", "docs_textrank", "events_ma_crossover",
+        "transcripts_point_lookup_serve", "docs_clustering_coeff",
+        "transcripts_streaming_roundtrip", "events_fano_dispersion",
+    ]
     d = _all_queries()
     seen = _driver_checked_keys()
-    front = [k for k in d if k not in seen]
+    front = [k for k in newest if k in d and k not in seen]
+    front += [k for k in d if k not in seen and k not in set(front)]
     return {**{k: d[k] for k in front}, **d}
 
 
