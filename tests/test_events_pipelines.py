@@ -3004,3 +3004,125 @@ def test_peak_concurrency_brute(ray_session, sf_small):
             peak, at = conc, ts
     assert int(got["peak"].iloc[0]) == peak
     assert int(got["at_ts"].iloc[0]) == at
+
+
+def test_interval_overlap_matches_bruteforce(ray_session):
+    """The searchsorted interval join must equal the O(sessions×bursts)
+    per-user brute force on the real table."""
+    sf = "/root/testdata/sf0.001"
+    got = (ev.interval_overlap_join(sf).to_pandas()
+           .sort_values(["user_id", "s_start", "b_start"])
+           .reset_index(drop=True))
+
+    pts = duckdb.sql(f"""
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+        FROM read_parquet('{sf}/events.parquet') ORDER BY user_id, ts_ms
+    """).df()
+
+    def intervals(df, gap):
+        out = []
+        for u, g in df.groupby("user_id"):
+            ts = g["ts_ms"].to_numpy()
+            start = prev = None
+            for t in ts:
+                if start is None:
+                    start = prev = t
+                elif t - prev > gap:
+                    out.append((u, start, prev))
+                    start = prev = t
+                else:
+                    prev = t
+            if start is not None:
+                out.append((u, start, prev))
+        return out
+
+    sess = intervals(pts[pts["event_type"] != "error"], 86_400_000)
+    burst = intervals(pts[pts["event_type"] == "error"], 172_800_000)
+    rows = []
+    for (u, s0, s1) in sess:
+        for (ub, b0, b1) in burst:
+            if u == ub and s0 <= b1 and b0 <= s1:
+                rows.append((u, s0, s1, b0, b1,
+                             min(s1, b1) - max(s0, b0)))
+    exp = (pd.DataFrame(rows, columns=["user_id", "s_start", "s_end",
+                                       "b_start", "b_end", "overlap_ms"])
+           .sort_values(["user_id", "s_start", "b_start"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp[got.columns],
+                                  check_dtype=False)
+
+
+def test_spearman_double_ranks_bruteforce(ray_session):
+    """spearman_pairs' numerators must equal a brute scipy-free
+    recomputation (average ranks ×2) on the real hourly series."""
+    sf = "/root/testdata/sf0.001"
+    got = (ev.spearman_pairs(sf).to_pandas()
+           .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+
+    cnt = duckdb.sql(f"""
+        SELECT event_type, epoch_ms(ts) // 3600000 AS h, count(*) AS c
+        FROM read_parquet('{sf}/events.parquet') GROUP BY 1, 2
+    """).df()
+    h0, h1 = int(cnt["h"].min()), int(cnt["h"].max())
+    grid = np.arange(h0, h1 + 1)
+    types = sorted(cnt["event_type"].unique())
+
+    def dranks(series):
+        order = np.argsort(series, kind="stable")
+        r2 = np.empty(len(series), np.int64)
+        i = 0
+        srt = series[order]
+        while i < len(srt):
+            j = i
+            while j < len(srt) and srt[j] == srt[i]:
+                j += 1
+            # average of 1-based ranks i+1..j, doubled
+            r2[order[i:j]] = (i + 1) + j
+            i = j
+        return r2
+
+    ser = {}
+    for ty in types:
+        s = np.zeros(len(grid), np.int64)
+        sub = cnt[cnt["event_type"] == ty]
+        s[sub["h"].to_numpy(np.int64) - h0] = sub["c"].to_numpy(np.int64)
+        ser[ty] = dranks(s)
+    n = len(grid)
+    for _, row in got.iterrows():
+        r, s = ser[row["type_a"]], ser[row["type_b"]]
+        assert row["n"] == n
+        assert row["num"] == n * int(np.dot(r, s)) - int(r.sum()) * int(s.sum())
+        assert row["den_a"] == n * int(np.dot(r, r)) - int(r.sum()) ** 2
+        assert row["den_b"] == n * int(np.dot(s, s)) - int(s.sum()) ** 2
+
+
+def test_ma_crossover_bruteforce(ray_session):
+    """ma_crossover must equal a per-user rolling-loop brute force."""
+    sf = "/root/testdata/sf0.001"
+    got = (ev.ma_crossover(sf).to_pandas()
+           .sort_values(["user_id", "ts_ms"]).reset_index(drop=True))
+    pts = duckdb.sql(f"""
+        SELECT user_id, epoch_ms(ts) AS ts_ms,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM read_parquet('{sf}/events.parquet')
+        ORDER BY user_id, ts_ms
+    """).df()
+    rows = []
+    for u, g in pts.groupby("user_id"):
+        c = g["c"].to_numpy(np.int64)
+        ts = g["ts_ms"].to_numpy(np.int64)
+        prev_above = None
+        for i in range(len(c)):
+            if i < 7:
+                continue
+            s3 = int(c[i - 2:i + 1].sum())
+            s8 = int(c[i - 7:i + 1].sum())
+            above = s3 * 8 > s8 * 3
+            if prev_above is not None and above != prev_above:
+                rows.append((u, ts[i], 1 if above else -1, s3, s8))
+            prev_above = above
+    exp = (pd.DataFrame(rows, columns=["user_id", "ts_ms", "direction",
+                                       "s_short", "s_long"])
+           .sort_values(["user_id", "ts_ms"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp[got.columns],
+                                  check_dtype=False)
