@@ -136,6 +136,10 @@ def main(argv=None) -> int:
                         "sidecar (point-lookup day pruning)")
     px.add_argument("--store", required=True)
 
+    ps_ = sub.add_parser("stats", help="store summary: per-tier days, "
+                         "rows, bytes, points, B/pt and codec mix")
+    ps_.add_argument("--store", required=True)
+
     pv = sub.add_parser("vacuum", help="drop archived store versions "
                         "below --keep-from (frees _history/ space)")
     pv.add_argument("--store", required=True)
@@ -234,6 +238,44 @@ def main(argv=None) -> int:
 
             path = build_conv_bloom(args.store)
             print(json.dumps({"index": path}))
+        elif args.cmd == "stats":
+            import glob
+            import os
+
+            import pyarrow.parquet as pqt
+
+            out = []
+            for tier in sorted(os.listdir(args.store)):
+                tdir = os.path.join(args.store, tier)
+                if tier.startswith("_") or not os.path.isdir(tdir):
+                    continue
+                files = sorted(glob.glob(os.path.join(
+                    tdir, "day=*", "*.parquet"))) or sorted(
+                    glob.glob(os.path.join(tdir, "*.parquet")))
+                days = {f.split("day=")[1].split("/")[0]
+                        for f in files if "day=" in f}
+                rows = pay = pts = 0
+                codecs: dict = {}
+                for f in files:
+                    md = pqt.ParquetFile(f)
+                    rows += md.metadata.num_rows
+                    names = md.schema_arrow.names
+                    if "payload" in names:
+                        t = pqt.read_table(
+                            f, columns=["payload", "n_points", "codec"])
+                        pay += sum(len(x)
+                                   for x in t.column("payload").to_pylist())
+                        pts += sum(t.column("n_points").to_pylist())
+                        for c in t.column("codec").to_pylist():
+                            codecs[c] = codecs.get(c, 0) + 1
+                rec = {"tier": tier, "days": len(days), "rows": rows,
+                       "files": len(files)}
+                if pts:
+                    rec.update({"points": pts, "payload_bytes": pay,
+                                "bytes_per_point": round(pay / pts, 3),
+                                "codecs": codecs})
+                out.append(rec)
+            print(json.dumps(out))
         elif args.cmd == "vacuum":
             from .state.lineage import vacuum_history
 
