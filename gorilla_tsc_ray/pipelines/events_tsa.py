@@ -12,15 +12,7 @@ from ..util import arrow_col_hash, round_half_away
 
 from ..context import tune_context
 from ..stages.exchange import hash_exchange, hash_exchange_multi
-from ..stages.rollup import (HOUR_MS, TIER_MS, cascade_dataset,
-                             gapfill_partition, partial_rollup,
-                             partial_rollup_arrow, reaggregate_partials,
-                             reaggregate_partials_arrow, rollup_dataset)
-from ..stages.rollup import finalize_by_partition
-from ..stages.series import (DAY_MS, decode_blocks_batch,
-                             decode_blocks_batch_arrow, encode_partition,
-                             encode_partition_arrow)
-from ..util import hash_partition_ids
+from ..stages.rollup import (TIER_MS)
 
 from .events_shared import (  # noqa: F401
     PIVOT_TYPES,
